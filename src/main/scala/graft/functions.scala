@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftbridge.Bridge
+
+import graft.expressions._
+
+/** Column-API facade over the engine's custom Catalyst expressions — the equivalent of
+  * the reference's `object functions` (reference: scala/.../arc/functions.scala:9-86),
+  * minus the py4j `ArrayList` overloads (single-language Scala engine, no py4j boundary).
+  */
+object functions {
+
+  /** E1 — co-occurrence counts over every n-combination of the attribute columns
+    * (reference: functions.scala:11-24). */
+  def combinatorial_count_agg(
+      nCombination: Int,
+      threshold: Long,
+      topK: Int,
+      attributes: (String, Column)*): Column =
+    Bridge.aggColumn(CombinatorialCountAgg(
+      attributes.map(a => Bridge.expression(a._2)),
+      attributes.map(_._1),
+      nCombination, threshold, topK))
+
+  def combinatorial_count_agg(nCombination: Int, attributes: (String, Column)*): Column =
+    combinatorial_count_agg(nCombination, 1L, 1000, attributes: _*)
+
+  /** E2 — key-wise sum of count maps (reference: functions.scala:26-31). */
+  def merge_count_map_agg(countMap: Column): Column =
+    Bridge.aggColumn(MergeCountMapAgg(Bridge.expression(countMap)))
+
+  /** E3 — single-pass multi-column Shannon entropy (reference: functions.scala:33-44). */
+  def entropy_agg(base: Int, attributes: (String, Column)*): Column =
+    Bridge.aggColumn(EntropyAgg(
+      attributes.map(a => Bridge.expression(a._2)),
+      attributes.map(_._1),
+      base))
+
+  /** E6 — all n-combinations as one nested array (reference: functions.scala:46-51). */
+  def combinations(n: Column, elements: Column): Column =
+    Bridge.column(ArrayCombinations(Bridge.expression(n), Bridge.expression(elements)))
+
+  /** E4 — generator form: explode(combinations(...)) (reference: functions.scala:53-58). */
+  def generate_combinations(n: Column, elements: Column): Column =
+    org.apache.spark.sql.functions.explode(combinations(n, elements))
+
+  /** E5 — extend a partial combination by n more elements (reference: functions.scala:60-66). */
+  def generate_partial_combinations(n: Column, partial: Column, elements: Column): Column =
+    org.apache.spark.sql.functions.explode(Bridge.column(PartialCombinations(
+      Bridge.expression(n), Bridge.expression(partial), Bridge.expression(elements))))
+
+  /** E7 — render a rule combination to blocking-rule SQL (reference: functions.scala:68-70). */
+  def to_splink_rule(combination: Column): Column =
+    Bridge.column(ToSplinkRule(Bridge.expression(combination)))
+
+  /** E8 — estimated pair cost of OR-ing rules (reference: functions.scala:72-76). */
+  def estimate_squared_count_or(
+      ruleCombination: Column,
+      stats: Map[String, (Long, Long)]): Column =
+    Bridge.column(EstimateSquaredCountOR(Bridge.expression(ruleCombination), stats))
+
+  /** J2 — Jaro-Winkler similarity (Spark lacks a built-in; codegen-enabled). */
+  def jaro_winkler(left: Column, right: Column): Column =
+    Bridge.column(JaroWinkler(Bridge.expression(left), Bridge.expression(right)))
+
+  /** J2 — whitespace-token set Jaccard similarity (codegen-enabled). */
+  def token_set_jaccard(left: Column, right: Column): Column =
+    Bridge.column(TokenSetJaccard(Bridge.expression(left), Bridge.expression(right)))
+}

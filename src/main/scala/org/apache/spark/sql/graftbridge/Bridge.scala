@@ -1,0 +1,18 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark 4 removed the public `new Column(Expression)` constructor; Column now
+  * wraps a ColumnNode. This bridge lives under `org.apache.spark.sql` so it can
+  * reach the `private[sql]` converter — the same trick the reference needs for
+  * its adapter (reference: scala/.../adapters/Column.scala:6-10).
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def aggColumn(a: AggregateFunction): Column =
+    ExpressionUtils.column(a.toAggregateExpression())
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.expressions.{EntropyAgg, EstimateSquaredCountOR, JaroWinkler, TokenSetJaccard, ToSplinkRule}
+import graft.functions._
+
+class ExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("combinations: C(4,2) = 6, each sized 2, all distinct") {
+    val df = Seq(1).toDF("x").select(
+      generate_combinations(lit(2), array(lit("a"), lit("b"), lit("c"), lit("d"))).as("c"))
+    val rows = df.collect().map(_.getSeq[String](0))
+    assert(rows.length === 6)
+    assert(rows.forall(_.length == 2))
+    assert(rows.map(_.toSet).distinct.length === 6)
+  }
+
+  test("partial combinations: extending C(10,2) partials by 3 gives C(10,5) distinct sets") {
+    val elements = (1 to 10).map(i => s"e$i")
+    val partials = elements.combinations(2).toSeq
+    val df = partials.map(p => Tuple1(p)).toDF("partial").select(
+      generate_partial_combinations(
+        lit(3), col("partial"), array(elements.map(lit): _*)).as("c"))
+    val sets = df.collect().map(_.getSeq[String](0).toSet).distinct
+    assert(sets.length === 252) // C(10,5)
+    assert(sets.forall(_.size == 5))
+  }
+
+  test("combinatorial count agg matches naive group-by counts") {
+    val data = Seq(("a", "x"), ("a", "x"), ("a", "y"), ("b", "x"), ("b", "x"), ("b", "x"))
+    val df = data.toDF("c1", "c2")
+    val m = df.agg(combinatorial_count_agg(2, 0L, 1000, "c1" -> col("c1"), "c2" -> col("c2"))
+        .as("m"))
+      .collect()(0).getMap[String, Long](0)
+    assert(m("c1,c2;ax") === 2L)
+    assert(m("c1,c2;ay") === 1L)
+    assert(m("c1,c2;bx") === 3L)
+  }
+
+  test("merge count map agg sums per-bucket maps to the global counts") {
+    val data = (1 to 100).map(i => (i % 4, s"v${i % 7}"))
+    val df = data.toDF("bucket", "c1")
+    val merged = df
+      .groupBy($"bucket")
+      .agg(combinatorial_count_agg(1, 0L, 1000, "c1" -> col("c1")).as("m"))
+      .agg(merge_count_map_agg($"m").as("m"))
+      .collect()(0).getMap[String, Long](0)
+    val expected = data.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    expected.foreach { case (v, n) => assert(merged(s"c1;$v") === n) }
+  }
+
+  test("entropy agg matches closed form (base 0 with divisor quirk, and base > 0)") {
+    // 8 rows: colA has 4 distinct with counts 4,2,1,1; colB has 2 distinct 6,2.
+    val rows = Seq("p", "p", "p", "p", "q", "q", "r", "s").zip(
+      Seq("m", "m", "m", "m", "m", "m", "n", "n"))
+    val df = rows.toDF("a", "b")
+    val got = df.agg(entropy_agg(0, "a" -> $"a", "b" -> $"b").as("e"))
+      .collect()(0).getMap[String, Double](0)
+    def h(counts: Seq[Long], base: Int): Double = EntropyAgg.entropy(
+      counts.zipWithIndex.map { case (c, i) => i.toString -> c }.toMap, base)
+    assert(math.abs(got("a") - h(Seq(4, 2, 1, 1), 0)) < 1e-12)
+    assert(math.abs(got("b") - h(Seq(6, 2), 0)) < 1e-12)
+    // closed-form cross-check of the helper itself
+    val pa = Seq(4.0, 2.0, 1.0, 1.0).map(_ / 8)
+    val expA = -pa.map(p => p * math.log10(p)).sum / math.log10(4.0)
+    assert(math.abs(got("a") - expA) < 1e-12)
+    val got10 = df.agg(entropy_agg(10, "a" -> $"a", "b" -> $"b").as("e"))
+      .collect()(0).getMap[String, Double](0)
+    assert(math.abs(got10("a") - (-pa.map(p => p * math.log10(p)).sum)) < 1e-12)
+  }
+
+  test("entropy divisor quirk: <2 distinct or exactly 10 distinct divides by 1.0") {
+    assert(EntropyAgg.entropy(Map("x" -> 5L), 0) === 0.0)
+    val ten = (1 to 10).map(i => i.toString -> 1L).toMap
+    // -sum(0.1*log10(0.1)) = 1.0; divisor 1.0 → 1.0 (same as log10(10), quirk is benign here)
+    assert(math.abs(EntropyAgg.entropy(ten, 0) - 1.0) < 1e-12)
+  }
+
+  test("to_splink_rule renders AND/OR structure") {
+    assert(ToSplinkRule.render(Seq("a,b", "c")) === "(l.a = r.a AND l.b = r.b) OR (l.c = r.c)")
+    assert(ToSplinkRule.render(Seq("x")) === "(l.x = r.x)")
+  }
+
+  test("estimate_squared_count_or: single rule → avg_k; pairs use inclusion-exclusion") {
+    val stats = Map("r1" -> (10L, 100L), "r2" -> (20L, 50L))
+    assert(EstimateSquaredCountOR.estimate(Seq("r1"), stats) === 100L)
+    assert(EstimateSquaredCountOR.estimate(Seq("r1", "r2"), stats) ===
+      10L * 50L + 20L * 100L - 100L * 50L)
+    assert(EstimateSquaredCountOR.estimate(Seq("r1", "missing"), stats) === 0L)
+  }
+
+  test("jaro-winkler matches DuckDB-pinned values") {
+    val cases = Seq(
+      ("martha", "marhta", 0.9611111111111111),
+      ("dixon", "dicksonx", 0.8133333333333332),
+      ("abc", "cba", 0.5555555555555555),
+      ("ab", "ba", 0.0),
+      ("crate", "trace", 0.7333333333333334),
+      ("dwayne", "duane", 0.8400000000000001),
+      ("abcd", "abxy", 0.6666666666666666), // below boost threshold: no prefix bonus
+      ("aby", "abz", 0.8222222222222222),   // above threshold: bonus applied
+      ("Customer#000000001", "Customer#000000010", 0.9888888888888889),
+      ("a", "a", 1.0), ("", "abc", 0.0), ("", "", 0.0))
+    cases.foreach { case (a, b, exp) =>
+      assert(math.abs(JaroWinkler.similarity(a, b) - exp) < 1e-15, s"($a,$b)")
+    }
+  }
+
+  test("jaro-winkler is symmetric and bounded (property)") {
+    val rnd = new scala.util.Random(42)
+    def randStr(): String = {
+      val n = rnd.nextInt(13)
+      (1 to n).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    }
+    (1 to 500).foreach { _ =>
+      val a = randStr(); val b = randStr()
+      val s = JaroWinkler.similarity(a, b)
+      assert(s >= 0.0 && s <= 1.0)
+      assert(math.abs(s - JaroWinkler.similarity(b, a)) < 1e-15)
+      if (a == b && a.nonEmpty) assert(s === 1.0)
+    }
+  }
+
+  test("token jaccard") {
+    assert(TokenSetJaccard.similarity("a b c", "b c d") === 2.0 / 4.0)
+    assert(TokenSetJaccard.similarity("a a b", "a b") === 1.0)
+    assert(TokenSetJaccard.similarity("", "") === 0.0)
+    assert(TokenSetJaccard.similarity("x", "") === 0.0)
+  }
+
+  test("similarity expressions run inside the query engine on columns") {
+    val df = Seq(("martha", "marhta"), ("abc", "abc")).toDF("l", "r")
+      .select(jaro_winkler($"l", $"r").as("jw"), token_set_jaccard($"l", $"r").as("jac"),
+        levenshtein($"l", $"r").as("lev"))
+    val rows = df.collect()
+    assert(math.abs(rows(0).getDouble(0) - 0.9611111111111111) < 1e-15)
+    assert(rows(1).getDouble(0) === 1.0)
+    assert(rows(0).getInt(2) === 2)
+  }
+}
