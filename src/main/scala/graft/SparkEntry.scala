@@ -18,8 +18,8 @@ object SparkEntry {
     queries("e3_entropy_agg")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ExpressionQueries.queries
+    ExpressionQueries.queries ++ LinkageQueries.queries
 
   def oracleSql: Map[String, String] =
-    ExpressionQueries.oracleSql
+    ExpressionQueries.oracleSql ++ LinkageQueries.oracleSql
 }

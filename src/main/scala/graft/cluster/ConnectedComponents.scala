@@ -1,0 +1,94 @@
+package graft.cluster
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** J7 — connected components over record pairs, as an iterative DataFrame algorithm
+  * (reference semantics: Splink's `cluster_pairwise_predictions_at_threshold`, called at
+  * autolinker.py:604,1065; algorithm: alternating large-star/small-star from
+  * Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC 2014).
+  *
+  * Node ids are strings ordered lexicographically; each component resolves to its
+  * minimum id. Singletons keep their own id.
+  *
+  * Scale design: both steps are aggregate+join (no per-node adjacency lists collected),
+  * so a skewed giant component never materializes one huge row; `localCheckpoint` per
+  * iteration cuts lineage growth; convergence is detected with an O(1)-row aggregate
+  * (count + order-independent hash sum) instead of a full `except`.
+  */
+object ConnectedComponents {
+
+  /** @param edges two string columns `src`, `dst` (one row per predicted matching pair)
+    * @return mapping `node` → `cluster_id` covering every node present in `edges`
+    *         (callers left-join records and default missing nodes to their own id)
+    */
+  def run(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+    var e = edges
+      .select(col("src").cast("string"), col("dst").cast("string"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      val sig = signature(next)
+      converged = sig == signature(e)
+      e = next
+      iter += 1
+    }
+    // After convergence edges form stars src→min; every node maps to its root.
+    val asMember = e.select(col("src").as("node"), col("dst").as("cluster_id"))
+    val asRoot = e.select(col("dst").as("node"), col("dst").as("cluster_id"))
+    asMember.union(asRoot).groupBy("node").agg(min("cluster_id").as("cluster_id"))
+  }
+
+  /** Attaches records: adds `cluster_id` (own uid for singletons) — the reference's
+    * output shape (input ∪ cluster_id, autolinker.py:133,195-196).
+    */
+  def assignClusters(records: DataFrame, uid: String, edges: DataFrame): DataFrame = {
+    val mapping = run(edges)
+    records
+      .join(mapping, records(uid).cast("string") === mapping("node"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(uid).cast("string")))
+      .drop("node")
+  }
+
+  /** large-star: connect every neighbor larger than u to u's local minimum. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val mins = sym.groupBy("src")
+      .agg(min("dst").as("mn"))
+      .select(col("src"), least(col("mn"), col("src")).as("m"))
+    sym.join(mins, "src")
+      .filter(col("dst") > col("src"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** small-star: orient edges large→small, connect all small neighbors to the minimum. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val oriented = e.select(
+      greatest(col("src"), col("dst")).as("src"),
+      least(col("src"), col("dst")).as("dst"))
+    val mins = oriented.groupBy("src")
+      .agg(min("dst").as("m"))
+    oriented.join(mins, "src")
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .union(mins.select(col("src"), col("m").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** Order-independent convergence signature: (edge count, xor of per-edge hashes) —
+    * xor instead of sum so ANSI mode can't overflow.
+    */
+  private def signature(e: DataFrame): (Long, Long) = {
+    val row = e.select(xxhash64(col("src"), col("dst")).as("h"))
+      .agg(count(lit(1)).as("n"), coalesce(expr("bit_xor(h)"), lit(0L)).as("x"))
+      .collect()(0)
+    (row.getLong(0), row.getLong(1))
+  }
+}

@@ -1,0 +1,39 @@
+package graft.compare
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{jaro_winkler, token_set_jaccard}
+import graft.model.ComparisonSpec
+
+/** J2 — per-column comparison levels over candidate pairs.
+  *
+  * Gamma ladder (Splink 3.x semantics; reference builds these via
+  * `cl.levenshtein_at_thresholds` etc., autolinker.py:452-457):
+  *   gamma = -1 either side null; 2 exact equality; 1 similarity within threshold
+  *   (levenshtein <= t, jaccard >= t, jaro_winkler >= t); 0 otherwise.
+  *
+  * All three ladders are single codegen-friendly `when` chains over `<col>_l`/`<col>_r`
+  * — they run once per candidate pair, the hot path at scale, with no shuffle.
+  */
+object Comparisons {
+
+  def gammaColumn(spec: ComparisonSpec): Column = {
+    val l = col(s"${spec.column}_l")
+    val r = col(s"${spec.column}_r")
+    val within: Column = spec.metric match {
+      case "levenshtein" => levenshtein(l, r) <= lit(spec.threshold.toInt)
+      case "jaccard" => token_set_jaccard(l, r) >= lit(spec.threshold)
+      case "jaro_winkler" => jaro_winkler(l, r) >= lit(spec.threshold)
+    }
+    when(l.isNull || r.isNull, lit(-1))
+      .when(l === r, lit(2))
+      .when(within, lit(1))
+      .otherwise(lit(0))
+  }
+
+  /** Appends `gamma_<col>` for every comparison spec. */
+  def withGammas(pairs: DataFrame, specs: Seq[ComparisonSpec]): DataFrame =
+    specs.foldLeft(pairs)((df, s) =>
+      df.withColumn(s"gamma_${s.column}", gammaColumn(s)))
+}

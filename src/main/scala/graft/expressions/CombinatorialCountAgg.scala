@@ -43,7 +43,7 @@ private[graft] object CountMapSerde {
 
 /** Distributed co-occurrence counter over every `nCombination`-sized combination of the
   * attribute columns. For each row and combination `(c1,c2)` with values `(v1,v2)` it emits
-  * key `"c1,c2;v1v2"` and counts occurrences.
+  * key `"c1,c2;v1,v2"` and counts occurrences.
   *
   * Semantics match the reference (reference: scala/.../expressions/ARC_CombinatorialCountAgg.scala:9-69):
   *   - keys with count <= `threshold` are dropped at merge time (strict `>`, ref :39);
@@ -94,7 +94,12 @@ case class CombinatorialCountAgg(
     combos.foreach { case (colKey, idx) =>
       val sb = new java.lang.StringBuilder(colKey)
       sb.append(';')
-      idx.foreach(j => sb.append(vals(j)))
+      var j = 0
+      while (j < idx.length) {
+        if (j > 0) sb.append(',')
+        sb.append(vals(idx(j)))
+        j += 1
+      }
       val key = sb.toString
       buffer.update(key, buffer.getOrElse(key, 0L) + 1L)
     }

@@ -104,13 +104,13 @@ object ExpressionQueries {
   val oracleSql: Map[String, String] = Map(
     "e1_combinatorial_count_agg" ->
       """SELECT key, cnt FROM (
-        |  SELECT 'c_mktsegment,c_nationkey;'||c_mktsegment||CAST(c_nationkey AS VARCHAR) AS key,
+        |  SELECT 'c_mktsegment,c_nationkey;'||c_mktsegment||','||CAST(c_nationkey AS VARCHAR) AS key,
         |         COUNT(*) AS cnt FROM customer GROUP BY 1
         |  UNION ALL
-        |  SELECT 'c_mktsegment,k;'||c_mktsegment||CAST(c_custkey%10 AS VARCHAR), COUNT(*)
+        |  SELECT 'c_mktsegment,k;'||c_mktsegment||','||CAST(c_custkey%10 AS VARCHAR), COUNT(*)
         |  FROM customer GROUP BY 1
         |  UNION ALL
-        |  SELECT 'c_nationkey,k;'||CAST(c_nationkey AS VARCHAR)||CAST(c_custkey%10 AS VARCHAR), COUNT(*)
+        |  SELECT 'c_nationkey,k;'||CAST(c_nationkey AS VARCHAR)||','||CAST(c_custkey%10 AS VARCHAR), COUNT(*)
         |  FROM customer GROUP BY 1
         |) ORDER BY key""".stripMargin,
     "e2_merge_count_map_agg" ->

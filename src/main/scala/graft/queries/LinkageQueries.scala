@@ -1,0 +1,227 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.blocking.{BlockingRule, PairGenerator, RuleGen}
+import graft.cluster.ConnectedComponents
+import graft.compare.Comparisons
+import graft.model.{ColumnParams, ComparisonSpec, TrainedModel}
+import graft.score.FellegiSunter
+import graft.train.Estimation
+
+/** SparkEntry query + oracle entries for blocking and linkage (SURVEY §2.2 P1-P4 and
+  * §2.4 J1-J7) over the testdata `customer` table.
+  *
+  * Floating-point constants embedded in the Fellegi-Sunter oracle SQL are rendered from
+  * the same Scala doubles the Spark plan uses, so both engines evaluate identical
+  * literal arithmetic (addition order matches too) before the final round(6).
+  */
+object LinkageQueries {
+
+  private def cust(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/customer.parquet")
+
+  // fixed demo model for the deterministic predict/score oracles
+  private val demoSpecs = Seq(
+    ComparisonSpec("c_name", "levenshtein", 3),
+    ComparisonSpec("c_mktsegment", "jaro_winkler", 0.9))
+  private val demoParams = Map(
+    "c_name" -> ColumnParams(Array(0.05, 0.2, 0.75), Array(0.85, 0.1, 0.05)),
+    "c_mktsegment" -> ColumnParams(Array(0.1, 0.2, 0.7), Array(0.6, 0.2, 0.2)))
+  private val demoLambda = 0.01
+  private val demoModel = TrainedModel(demoLambda, demoSpecs, demoParams,
+    Seq("(l.c_nationkey = r.c_nationkey AND l.c_mktsegment = r.c_mktsegment)"))
+
+  private def withUid(df: DataFrame): DataFrame =
+    df.withColumn("uid", col("c_custkey").cast("string"))
+      .withColumn("c_nationkey", col("c_nationkey").cast("string"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p1_count_lookup" -> { (s, dir) =>
+      // oracle variant: deterministic buckets + threshold 0 + exact percentiles make the
+      // winsorized stats reproducible in SQL; the scale path keeps rand() + approx
+      val df = withUid(cust(s, dir))
+        .select(col("c_mktsegment"), pmod(col("c_custkey"), lit(10)).cast("string").as("k"))
+      RuleGen.generateCountLookup(df, 1, Seq("c_mktsegment", "k"),
+          exactPercentiles = true, deterministicBuckets = true, thresholdOverride = Some(0))
+        .select(col("rule"), col("rule_stats.n").as("n"), col("rule_stats.avg_k").as("avg_k"))
+        .orderBy("rule")
+    },
+    "p2_generate_or_rules" -> { (s, _) =>
+      val countMap = Map("a" -> (10L, 100L), "b" -> (20L, 400L), "c" -> (5L, 25L))
+      RuleGen.generateORRules(s, countMap, 2)
+        .orderBy("splink_rule")
+    },
+    "j1_blocking_pairs" -> { (s, dir) =>
+      val df = withUid(cust(s, dir))
+      PairGenerator.dedupePairs(df, "uid", Seq("c_nationkey", "c_mktsegment"),
+          Seq(BlockingRule.parse("l.c_nationkey = r.c_nationkey AND l.c_mktsegment = r.c_mktsegment")))
+        .select("uid_l", "uid_r")
+        .orderBy("uid_l", "uid_r")
+    },
+    "j2_comparison_gammas" -> { (s, dir) =>
+      val df = withUid(cust(s, dir))
+        .withColumn("c_mktsegment", nullif(col("c_mktsegment"), lit("BUILDING")))
+      val pairs = PairGenerator.dedupePairs(df, "uid",
+        Seq("c_name", "c_mktsegment", "c_nationkey"),
+        Seq(BlockingRule.parse("l.c_nationkey = r.c_nationkey")))
+      Comparisons.withGammas(pairs, demoSpecs)
+        .select(col("uid_l"), col("uid_r"),
+          col("gamma_c_name"), col("gamma_c_mktsegment"))
+        .orderBy("uid_l", "uid_r")
+    },
+    "j3_prior" -> { (s, dir) =>
+      cust(s, dir).agg(round(lit(1.0) / count(lit(1)), 9).as("prior_lambda"))
+    },
+    "j6_predict" -> { (s, dir) =>
+      val df = withUid(cust(s, dir))
+      val scored = FellegiSunter.predict(df, "uid", demoModel)
+      scored.select(col("uid_l"), col("uid_r"),
+          round(col("match_weight"), 6).as("match_weight"),
+          round(col("match_probability"), 6).as("match_probability"))
+        .orderBy("uid_l", "uid_r")
+    },
+    "j7_connected_components" -> { (s, dir) =>
+      // chain edges: consecutive custkeys inside each (nation, segment) block — multi-hop
+      // paths whose component minimum has the closed form MIN(uid) OVER (block)
+      val df = withUid(cust(s, dir))
+      val w = Window.partitionBy("c_nationkey", "c_mktsegment").orderBy("uid")
+      val edges = df
+        .withColumn("nxt", lead("uid", 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(col("uid").as("src"), col("nxt").as("dst"))
+      ConnectedComponents.assignClusters(df, "uid", edges)
+        .select(col("uid"), col("cluster_id"))
+        .orderBy("uid")
+    },
+    "j9_model_roundtrip" -> { (s, _) =>
+      import s.implicits._
+      val back = TrainedModel.fromJson(demoModel.toJson)
+      Seq((back.lambda, back.comparisons.map(_.column).mkString(","),
+        back.blockingRules.mkString("|"),
+        back.params.toSeq.sortBy(_._1).map { case (k, p) =>
+          s"$k:m=${p.m.mkString(";")}:u=${p.u.mkString(";")}"
+        }.mkString("|")))
+        .toDF("lambda", "columns", "rules", "params")
+    })
+
+  // ---- oracle SQL ----------------------------------------------------------
+
+  private def log2(x: Double): Double = math.log(x) / math.log(2.0)
+  private def d(x: Double): String = {
+    val s = x.toString
+    if (s.contains("E")) f"$x%.20e" else s
+  }
+
+  /** gamma CASE ladder in DuckDB SQL mirroring [[Comparisons.gammaColumn]]. */
+  private def gammaSql(colName: String, spec: ComparisonSpec): String = {
+    val l = s"l.$colName"
+    val r = s"r.$colName"
+    val within = spec.metric match {
+      case "levenshtein" => s"levenshtein($l, $r) <= ${spec.threshold.toInt}"
+      case "jaro_winkler" => s"jaro_winkler_similarity($l, $r) >= ${d(spec.threshold)}"
+      case "jaccard" => throw new IllegalArgumentException("jaccard oracled elsewhere")
+    }
+    s"""CASE WHEN $l IS NULL OR $r IS NULL THEN -1
+       |     WHEN $l = $r THEN 2
+       |     WHEN $within THEN 1 ELSE 0 END""".stripMargin
+  }
+
+  private def bayesFactorSql(colName: String, p: ColumnParams): String = {
+    val g = s"gamma_$colName"
+    val cases = p.m.indices.map(lvl =>
+      s"WHEN $g = $lvl THEN ${d(log2(p.m(lvl) / p.u(lvl)))}").mkString(" ")
+    s"CASE WHEN $g = -1 THEN 0.0 $cases ELSE 0.0 END"
+  }
+
+  private val predictSql: String = {
+    val priorW = d(log2(demoLambda / (1 - demoLambda)))
+    val gammas = demoSpecs.map(spec =>
+      s"(${gammaSql(spec.column, spec).replace('\n', ' ')}) AS gamma_${spec.column}").mkString(",\n    ")
+    val weight = demoSpecs
+      .map(spec => s"(${bayesFactorSql(spec.column, demoParams(spec.column))})")
+      .mkString(s"$priorW + ", " + ", "")
+    s"""WITH b AS (
+       |  SELECT CAST(c_custkey AS VARCHAR) AS uid, c_name, c_mktsegment, c_nationkey
+       |  FROM customer
+       |), pairs AS (
+       |  SELECT l.uid AS uid_l, r.uid AS uid_r,
+       |    $gammas
+       |  FROM b l JOIN b r
+       |    ON l.c_nationkey = r.c_nationkey AND l.c_mktsegment = r.c_mktsegment
+       |   AND l.uid < r.uid
+       |), w AS (
+       |  SELECT uid_l, uid_r, ($weight) AS mw FROM pairs
+       |)
+       |SELECT uid_l, uid_r, ROUND(mw, 6) AS match_weight,
+       |       ROUND(POWER(2.0, mw) / (1.0 + POWER(2.0, mw)), 6) AS match_probability
+       |FROM w ORDER BY uid_l, uid_r""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "p1_count_lookup" ->
+      """WITH counts AS (
+        |  SELECT key, COUNT(*) AS cnt FROM (
+        |    SELECT 'c_mktsegment;'||c_mktsegment AS key FROM customer
+        |    UNION ALL
+        |    SELECT 'k;'||CAST(c_custkey % 10 AS VARCHAR) FROM customer
+        |  ) GROUP BY key
+        |), k AS (
+        |  SELECT string_split(key, ';')[1] AS rule, cnt*cnt AS k FROM counts
+        |), pct AS (
+        |  SELECT rule, k,
+        |    quantile_cont(k, 0.1) OVER (PARTITION BY rule) AS p10,
+        |    quantile_cont(k, 0.5) OVER (PARTITION BY rule) AS p50,
+        |    quantile_cont(k, 0.9) OVER (PARTITION BY rule) AS p90
+        |  FROM k
+        |)
+        |SELECT rule, COUNT(*) AS n,
+        |  CAST(FLOOR(AVG(CASE WHEN k > p10 AND k < p90 THEN k ELSE p50 END)) AS BIGINT) AS avg_k
+        |FROM pct GROUP BY rule ORDER BY rule""".stripMargin,
+    "p2_generate_or_rules" ->
+      """SELECT * FROM (VALUES
+        |  ('(l.a = r.a)', 100), ('(l.b = r.b)', 400), ('(l.c = r.c)', 25),
+        |  ('(l.a = r.a) OR (l.b = r.b)', -34000),
+        |  ('(l.a = r.a) OR (l.c = r.c)', -1750),
+        |  ('(l.b = r.b) OR (l.c = r.c)', -7500)) t(splink_rule, rule_squared_count)
+        |ORDER BY splink_rule""".stripMargin,
+    "j1_blocking_pairs" ->
+      """SELECT CAST(l.c_custkey AS VARCHAR) AS uid_l, CAST(r.c_custkey AS VARCHAR) AS uid_r
+        |FROM customer l JOIN customer r
+        |  ON l.c_nationkey = r.c_nationkey AND l.c_mktsegment = r.c_mktsegment
+        | AND CAST(l.c_custkey AS VARCHAR) < CAST(r.c_custkey AS VARCHAR)
+        |ORDER BY uid_l, uid_r""".stripMargin,
+    "j2_comparison_gammas" -> {
+      val gName = gammaSql("c_name", demoSpecs(0)).replace('\n', ' ')
+      val gSeg = gammaSql("c_mktsegment", demoSpecs(1)).replace('\n', ' ')
+      s"""WITH b AS (
+         |  SELECT CAST(c_custkey AS VARCHAR) AS uid, c_name,
+         |         NULLIF(c_mktsegment, 'BUILDING') AS c_mktsegment, c_nationkey
+         |  FROM customer
+         |)
+         |SELECT l.uid AS uid_l, r.uid AS uid_r,
+         |  ($gName) AS gamma_c_name,
+         |  ($gSeg) AS gamma_c_mktsegment
+         |FROM b l JOIN b r ON l.c_nationkey = r.c_nationkey AND l.uid < r.uid
+         |ORDER BY uid_l, uid_r""".stripMargin
+    },
+    "j3_prior" -> "SELECT ROUND(1.0 / COUNT(*), 9) AS prior_lambda FROM customer",
+    "j6_predict" -> predictSql,
+    "j7_connected_components" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS uid,
+        |  MIN(CAST(c_custkey AS VARCHAR))
+        |    OVER (PARTITION BY c_nationkey, c_mktsegment) AS cluster_id
+        |FROM customer ORDER BY uid""".stripMargin,
+    "j9_model_roundtrip" -> {
+      val m = demoModel
+      val params = m.params.toSeq.sortBy(_._1).map { case (k, p) =>
+        s"$k:m=${p.m.mkString(";")}:u=${p.u.mkString(";")}"
+      }.mkString("|")
+      s"""SELECT ${d(m.lambda)} AS lambda,
+         | '${m.comparisons.map(_.column).mkString(",")}' AS columns,
+         | '${m.blockingRules.mkString("|")}' AS rules,
+         | '$params' AS params""".stripMargin
+    })
+}

@@ -1,0 +1,55 @@
+package graft.score
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.model.{ColumnParams, ComparisonSpec, TrainedModel}
+
+/** J6 — Fellegi-Sunter match weight / probability as pure column arithmetic over the
+  * gamma columns (reference semantics: Splink 3.9.4 `linker.predict()`, called at
+  * autolinker.py:561; model published in Fellegi & Sunter 1969).
+  *
+  *   match_weight = log2(λ/(1−λ)) + Σ_cols log2(m[γ]/u[γ])   (γ = -1 contributes 0)
+  *   match_probability = 2^w / (1 + 2^w)
+  *
+  * The per-level log2(m/u) Bayes factors are folded into literal `when` ladders on the
+  * driver, so the whole scorer is one codegen'd projection — no joins, no shuffles, no
+  * UDF on the pair hot path.
+  */
+object FellegiSunter {
+
+  private def log2(x: Double): Double = math.log(x) / math.log(2.0)
+
+  /** Per-column contribution: a literal lookup gamma → log2(m/u). */
+  def bayesFactor(column: String, p: ColumnParams): Column = {
+    val g = col(s"gamma_$column")
+    (0 until p.m.length).foldLeft(when(g === lit(-1), lit(0.0))) { (acc, lvl) =>
+      acc.when(g === lit(lvl), lit(log2(p.m(lvl) / p.u(lvl))))
+    }.otherwise(lit(0.0))
+  }
+
+  /** Appends `match_weight` and `match_probability` to a gamma'd pair DataFrame. */
+  def score(pairsWithGammas: DataFrame, model: TrainedModel): DataFrame = {
+    val prior = lit(log2(model.lambda / (1.0 - model.lambda)))
+    val weight = model.comparisons
+      .map(c => bayesFactor(c.column, model.params(c.column)))
+      .foldLeft(prior)(_ + _)
+    pairsWithGammas
+      .withColumn("match_weight", weight)
+      .withColumn("match_probability",
+        pow(lit(2.0), col("match_weight")) / (lit(1.0) + pow(lit(2.0), col("match_weight"))))
+  }
+
+  /** Blocking → gammas → score in one shot. */
+  def predict(
+      df: DataFrame,
+      uid: String,
+      model: TrainedModel): DataFrame = {
+    val rules = model.blockingRules.map(graft.blocking.BlockingRule.parse)
+    // carry both compared and blocked-on columns through the pair join
+    val attrs = (model.comparisons.map(_.column) ++ rules.flatMap(_.columns)).distinct
+    val pairs = graft.blocking.PairGenerator.dedupePairs(df, uid, attrs, rules)
+    val gammas = graft.compare.Comparisons.withGammas(pairs, model.comparisons)
+    score(gammas, model)
+  }
+}

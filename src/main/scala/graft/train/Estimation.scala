@@ -1,0 +1,215 @@
+package graft.train
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.compare.Comparisons
+import graft.model.{ColumnParams, ComparisonSpec, TrainedModel}
+
+/** J3/J4/J5 — parameter estimation for the Fellegi-Sunter model.
+  *
+  * J3: prior λ = 1/N (reference: autolinker.py:555).
+  * J4: u-probabilities from random record pairs assumed non-matches
+  *     (reference: `estimate_u_using_random_sampling(target_rows=N)`, autolinker.py:556).
+  * J5: m-probabilities (and λ) by expectation-maximisation per training blocking rule
+  *     (reference: autolinker.py:557-558, convergence 0.01 at :544).
+  */
+object Estimation {
+
+  def prior(rowCount: Long): Double = 1.0 / rowCount
+
+  val DefaultM: Array[Double] = Array(0.1, 0.3, 0.6)   // gamma 0, 1, 2
+  val DefaultU: Array[Double] = Array(0.8, 0.15, 0.05)
+  private val Floor = 1e-9
+
+  /** J4 — u[col][gamma] from deterministically sampled record pairs.
+    *
+    * Pairs row ranked `i` (by uid hash order) with rows `i+offset (mod N)` for
+    * `offset = 1..ceil(targetPairs/N)` — deterministic, uniformly spread, and built via
+    * `zipWithIndex` + equi-join (no global window, no cartesian), so it scales linearly.
+    */
+  def estimateU(
+      df: DataFrame,
+      uid: String,
+      specs: Seq[ComparisonSpec],
+      targetPairs: Long = 100000L): Map[String, Array[Double]] = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.types._
+    val attrs = specs.map(_.column)
+    val projected = df.select(
+      (col(uid).cast("string").as("uid") +:
+        attrs.map(a => col(a).cast("string").as(a))): _*)
+    val n = projected.count()
+    val offsets = math.max(1L, math.min(n - 1, targetPairs / math.max(n, 1L))).toInt
+
+    val indexed = spark.createDataFrame(
+      projected.rdd.zipWithIndex.map { case (row, idx) =>
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ idx)
+      },
+      StructType(projected.schema.fields :+ StructField("rn", LongType)))
+      .localCheckpoint()
+
+    val l = indexed.select(
+      (col("rn") +: col("uid").as("uid_l") +: attrs.map(a => col(a).as(s"${a}_l"))): _*)
+    val r = indexed.select(
+      (col("rn").as("rn_r") +: col("uid").as("uid_r") +: attrs.map(a => col(a).as(s"${a}_r"))): _*)
+
+    val pairs = (1 to offsets).map { off =>
+      l.withColumn("rn_r", pmod(col("rn") + lit(off.toLong), lit(n)))
+        .join(r, "rn_r")
+    }.reduce(_ unionByName _)
+
+    val gammas = Comparisons.withGammas(pairs, specs)
+    val counts = gammaCounts(gammas, specs)
+    specs.map { s =>
+      val byGamma = counts.getOrElse(s.column, Map.empty)
+      val total = byGamma.collect { case (g, c) if g >= 0 => c }.sum.toDouble
+      val u = (0 until s.numLevels).map { g =>
+        math.max(byGamma.getOrElse(g, 0L) / math.max(total, 1.0), Floor)
+      }.toArray
+      s.column -> u
+    }.toMap
+  }
+
+  /** J5 — EM over pairs blocked by `trainingRule`. Columns appearing in the training
+    * rule are held fixed for this round (their gammas are saturated by construction —
+    * Splink excludes them, reference autolinker.py:557-558).
+    *
+    * @return (λ estimate, updated m per column) — u is taken as fixed from J4.
+    */
+  def emTrain(
+      df: DataFrame,
+      uid: String,
+      specs: Seq[ComparisonSpec],
+      trainingRule: graft.blocking.BlockingRule,
+      u: Map[String, Array[Double]],
+      initialLambda: Double,
+      tol: Double = 0.01,
+      maxIter: Int = 25): (Double, Map[String, Array[Double]]) = {
+
+    val ruleCols = trainingRule.columns.toSet
+    val freeSpecs = specs.filterNot(s => ruleCols.contains(s.column))
+    val attrs = specs.map(_.column)
+
+    val pairs = graft.blocking.PairGenerator.dedupePairs(df, uid, attrs, Seq(trainingRule))
+    val gammas = Comparisons.withGammas(pairs, freeSpecs)
+      .select(freeSpecs.map(s => col(s"gamma_${s.column}")): _*)
+      .localCheckpoint()
+    val total = gammas.count().toDouble
+    if (total == 0) return (initialLambda, freeSpecs.map(s => s.column -> DefaultM.clone).toMap)
+
+    var lambda = initialLambda
+    var m = freeSpecs.map(s => s.column -> DefaultM.clone).toMap
+    var delta = Double.MaxValue
+    var iter = 0
+
+    while (delta > tol && iter < maxIter) {
+      // E-step: P(match | gammas) under current params, as one literal column expression.
+      val wExpr = matchProbability(freeSpecs, lambda, m, u)
+      val weighted = gammas.withColumn("w", wExpr)
+
+      // M-step: one unpivot + one aggregation for every column at once (single shuffle).
+      val stacked = weighted.select(
+        col("w"),
+        expr(s"stack(${freeSpecs.length}, " +
+          freeSpecs.map(s => s"'${s.column}', gamma_${s.column}").mkString(", ") +
+          ") as (column, gamma)"))
+      val rows = stacked
+        .filter(col("gamma") >= 0)
+        .groupBy("column", "gamma")
+        .agg(sum("w").as("mw"), sum(lit(1.0) - col("w")).as("uw"))
+        .collect()
+
+      val mSums = rows.groupBy(_.getString(0)).map { case (c, rs) =>
+        c -> rs.map(r => r.getInt(1) -> r.getDouble(2)).toMap
+      }
+      val newM = freeSpecs.map { s =>
+        val byG = mSums.getOrElse(s.column, Map.empty)
+        val tot = byG.values.sum
+        s.column -> (0 until s.numLevels).map { g =>
+          math.max(byG.getOrElse(g, 0.0) / math.max(tot, Floor), Floor)
+        }.toArray
+      }.toMap
+
+      val newLambda = {
+        val sw = weighted.agg(sum("w")).collect()(0).getDouble(0)
+        math.min(math.max(sw / total, Floor), 1 - Floor)
+      }
+
+      delta = math.max(
+        math.abs(newLambda - lambda),
+        freeSpecs.flatMap(s =>
+          (0 until s.numLevels).map(g => math.abs(newM(s.column)(g) - m(s.column)(g)))).max)
+      lambda = newLambda
+      m = newM
+      iter += 1
+    }
+    (lambda, m)
+  }
+
+  /** P(match | gammas) as a column expression from literal parameters. */
+  def matchProbability(
+      specs: Seq[ComparisonSpec],
+      lambda: Double,
+      m: Map[String, Array[Double]],
+      u: Map[String, Array[Double]]): Column = {
+    def prodExpr(params: Map[String, Array[Double]]): Column =
+      specs.map { s =>
+        val g = col(s"gamma_${s.column}")
+        val p = params(s.column)
+        (0 until s.numLevels).foldLeft(when(g === lit(-1), lit(1.0))) { (acc, lvl) =>
+          acc.when(g === lit(lvl), lit(p(lvl)))
+        }.otherwise(lit(1.0))
+      }.reduceOption(_ * _).getOrElse(lit(1.0))
+    val num = lit(lambda) * prodExpr(m)
+    val den = num + lit(1.0 - lambda) * prodExpr(u)
+    num / den
+  }
+
+  /** Full training pipeline: J3 prior + J4 u + J5 EM per training rule, averaging m
+    * across rounds for columns estimated more than once (Splink combines estimates).
+    */
+  def train(
+      df: DataFrame,
+      uid: String,
+      specs: Seq[ComparisonSpec],
+      blockingRules: Seq[String],
+      trainingRules: Seq[String],
+      uTargetPairs: Long = 100000L,
+      tol: Double = 0.01): TrainedModel = {
+    val n = df.count()
+    val lambda0 = prior(n)
+    val u = estimateU(df, uid, specs, uTargetPairs)
+
+    val mEstimates = scala.collection.mutable.Map[String, List[Array[Double]]]()
+    var lambda = lambda0
+    trainingRules.foreach { ruleStr =>
+      val rule = graft.blocking.BlockingRule.parse(ruleStr)
+      val (lam, m) = emTrain(df, uid, specs, rule, u, lambda, tol)
+      lambda = lam
+      m.foreach { case (c, arr) =>
+        mEstimates(c) = arr :: mEstimates.getOrElse(c, Nil)
+      }
+    }
+    val params = specs.map { s =>
+      val ms = mEstimates.getOrElse(s.column, List(DefaultM))
+      val avg = (0 until s.numLevels).map(g => ms.map(_(g)).sum / ms.length).toArray
+      s.column -> ColumnParams(avg, u(s.column))
+    }.toMap
+    TrainedModel(lambda, specs, params, blockingRules)
+  }
+
+  private def gammaCounts(
+      gammas: DataFrame,
+      specs: Seq[ComparisonSpec]): Map[String, Map[Int, Long]] = {
+    val stacked = gammas.select(
+      expr(s"stack(${specs.length}, " +
+        specs.map(s => s"'${s.column}', gamma_${s.column}").mkString(", ") +
+        ") as (column, gamma)"))
+    stacked.groupBy("column", "gamma").count().collect()
+      .groupBy(_.getString(0))
+      .map { case (c, rows) =>
+        c -> rows.map(r => r.getInt(1) -> r.getLong(2)).toMap
+      }
+  }
+}

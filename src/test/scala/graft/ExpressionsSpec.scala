@@ -34,9 +34,9 @@ class ExpressionsSpec extends SparkSpec {
     val m = df.agg(combinatorial_count_agg(2, 0L, 1000, "c1" -> col("c1"), "c2" -> col("c2"))
         .as("m"))
       .collect()(0).getMap[String, Long](0)
-    assert(m("c1,c2;ax") === 2L)
-    assert(m("c1,c2;ay") === 1L)
-    assert(m("c1,c2;bx") === 3L)
+    assert(m("c1,c2;a,x") === 2L)
+    assert(m("c1,c2;a,y") === 1L)
+    assert(m("c1,c2;b,x") === 3L)
   }
 
   test("merge count map agg sums per-bucket maps to the global counts") {

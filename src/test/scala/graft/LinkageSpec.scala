@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.blocking.{BlockingRule, PairGenerator, RuleGen}
+import graft.cluster.ConnectedComponents
+import graft.compare.Comparisons
+import graft.model.{ColumnParams, ComparisonSpec, TrainedModel}
+import graft.score.FellegiSunter
+import graft.train.Estimation
+
+class LinkageSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("blocking rule render/parse round-trip") {
+    val r = BlockingRule(Seq(Seq("a", "b"), Seq("c")))
+    assert(r.render === "(l.a = r.a AND l.b = r.b) OR (l.c = r.c)")
+    assert(BlockingRule.parse(r.render) === r)
+    assert(BlockingRule.parse("l.x = r.x") === BlockingRule(Seq(Seq("x"))))
+    assert(BlockingRule.parse("A&B") === BlockingRule(Seq(Seq("A", "B"))))
+  }
+
+  test("dedupe pairs: blocks on equality keys, uid_l < uid_r, dedup across OR branches") {
+    val df = Seq(
+      ("1", "x", "p"), ("2", "x", "p"), ("3", "x", "q"), ("4", "y", "q"))
+      .toDF("id", "k1", "k2")
+    val rule = BlockingRule.parse("(l.k1 = r.k1) OR (l.k2 = r.k2)")
+    val pairs = PairGenerator.dedupePairs(df, "id", Seq("k1", "k2"), Seq(rule))
+      .select("uid_l", "uid_r").as[(String, String)].collect().toSet
+    // k1 blocks: {1,2,3} → (1,2),(1,3),(2,3); k2 blocks: {1,2} dup, {3,4} → (3,4)
+    assert(pairs === Set(("1", "2"), ("1", "3"), ("2", "3"), ("3", "4")))
+  }
+
+  test("null block keys never match") {
+    val df = Seq(("1", null), ("2", null), ("3", "x")).toDF("id", "k")
+    val pairs = PairGenerator.dedupePairs(df, "id", Seq("k"),
+      Seq(BlockingRule.parse("l.k = r.k")))
+    assert(pairs.count() === 0)
+  }
+
+  test("connected components match transitive-closure oracle on random graphs") {
+    val rnd = new scala.util.Random(7)
+    (1 to 5).foreach { _ =>
+      val n = 40
+      val edges = (1 to 50).map(_ => (rnd.nextInt(n).toString, rnd.nextInt(n).toString))
+        .filter(e => e._1 != e._2)
+      // oracle: union-find on the driver
+      val parent = scala.collection.mutable.Map((0 until n).map(i => i.toString -> i.toString): _*)
+      def find(x: String): String = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) => parent(find(a)) = find(b) }
+      val expected = (0 until n).map(_.toString)
+        .groupBy(find).values.map(_.toSet).filter(_.size > 1).toSet
+
+      val got = ConnectedComponents.run(edges.toDF("src", "dst"))
+        .as[(String, String)].collect()
+        .groupBy(_._2).values.map(g => (g.map(_._1) :+ g.head._2).toSet).toSet
+      assert(got === expected)
+    }
+  }
+
+  test("cluster assignment keeps singletons as their own id") {
+    val records = Seq("1", "2", "3", "9").toDF("id")
+    val edges = Seq(("1", "2")).toDF("src", "dst")
+    val out = ConnectedComponents.assignClusters(records, "id", edges)
+      .select("id", "cluster_id").as[(String, String)].collect().toMap
+    assert(out("1") === "1" && out("2") === "1")
+    assert(out("3") === "3" && out("9") === "9")
+  }
+
+  test("gamma ladder: null → -1, exact → 2, within threshold → 1, else → 0") {
+    val specs = Seq(ComparisonSpec("name", "levenshtein", 2))
+    val pairs = Seq(
+      ("aaa", "aaa"), ("aaa", "aab"), ("aaa", "zzz"), (null, "aaa"))
+      .toDF("name_l", "name_r")
+    val g = Comparisons.withGammas(pairs, specs)
+      .select("gamma_name").as[Int].collect().toSeq
+    assert(g === Seq(2, 1, 0, -1))
+  }
+
+  test("fellegi-sunter weight and probability: closed form") {
+    val model = TrainedModel(
+      lambda = 0.25,
+      comparisons = Seq(ComparisonSpec("a", "levenshtein", 1)),
+      params = Map("a" -> ColumnParams(Array(0.05, 0.15, 0.8), Array(0.7, 0.2, 0.1))),
+      blockingRules = Seq("l.a = r.a"))
+    val df = Seq((2, "x"), (0, "y"), (-1, "z")).toDF("gamma_a", "junk")
+    val out = FellegiSunter.score(df, model)
+      .select("match_weight", "match_probability").as[(Double, Double)].collect()
+    def lg2(x: Double) = math.log(x) / math.log(2)
+    val priorW = lg2(0.25 / 0.75)
+    assert(math.abs(out(0)._1 - (priorW + lg2(0.8 / 0.1))) < 1e-12)
+    assert(math.abs(out(1)._1 - (priorW + lg2(0.05 / 0.7))) < 1e-12)
+    assert(math.abs(out(2)._1 - priorW) < 1e-12) // null gamma contributes nothing
+    val w0 = out(0)._1
+    assert(math.abs(out(0)._2 - math.pow(2, w0) / (1 + math.pow(2, w0))) < 1e-12)
+  }
+
+  test("EM increases m for matching levels on a planted-duplicate dataset") {
+    // 30 entities, each duplicated with a 1-char typo in `b`; `blk` is a shared block key.
+    val rows = (0 until 30).flatMap { i =>
+      val base = f"name$i%03d"
+      Seq((s"u${i}_a", base, s"city$i", i % 3), (s"u${i}_b", base, s"city${i}x", i % 3))
+    }
+    val df = rows.toDF("id", "a", "b", "blk")
+    val specs = Seq(ComparisonSpec("b", "levenshtein", 2))
+    val u = Map("b" -> Array(0.9, 0.05, 0.05))
+    val (lambda, m) = Estimation.emTrain(
+      df, "id", Seq(ComparisonSpec("a", "levenshtein", 1), ComparisonSpec("b", "levenshtein", 2)),
+      graft.blocking.BlockingRule.parse("l.a = r.a"), u,
+      initialLambda = 0.5)
+    // within-block pairs are true duplicates: m should concentrate on gamma 1 (typo) over 0
+    assert(m("b")(1) > 0.5, s"m=${m("b").mkString(",")}")
+    assert(lambda > 0.5)
+  }
+
+  test("u-estimation approximates value-frequency collision rates") {
+    val df = (0 until 400).map(i => (i.toString, s"v${i % 4}")).toDF("id", "c")
+    val u = Estimation.estimateU(df, "id", Seq(ComparisonSpec("c", "levenshtein", 0)), 4000)
+    // P(exact match of uniform 4-valued col) = 0.25
+    assert(math.abs(u("c")(2) - 0.25) < 0.05, u("c").mkString(","))
+  }
+
+  test("rule generation end-to-end produces plausibly-ordered candidate rules") {
+    // low-cardinality attributes: the reference's prune threshold (0.2·N/partitions)
+    // drops any block smaller than ~20%/P of rows, so only chunky blocks survive
+    val df = spark.read.parquet("/root/testdata/sf0.01/customer.parquet")
+      .select(col("c_mktsegment"),
+        (col("c_custkey") % 2).cast("string").as("p2"),
+        (col("c_custkey") % 3).cast("string").as("p3"))
+      // prune threshold is 0.2·N/P and applies progressively at partial-map merges, so
+      // a key only survives if each partial (partition × bucket cell, ~N/P² rows) already
+      // clears it — with P=2 only the 2-valued p2 column does
+      .repartition(2)
+    val rules = RuleGen.generateBlockingRules(df, 1, 2, Seq("c_mktsegment", "p2", "p3"))
+    val collected = rules.collect()
+    assert(collected.length > 0)
+    assert(collected.forall(_.getString(0).contains("l.")))
+    val parsed = BlockingRule.parse(collected.head.getString(0))
+    assert(parsed.branches.nonEmpty)
+  }
+
+  test("model JSON round-trip") {
+    val model = TrainedModel(0.01,
+      Seq(ComparisonSpec("a", "jaro_winkler", 0.9), ComparisonSpec("b", "levenshtein", 2)),
+      Map("a" -> ColumnParams(Array(0.1, 0.2, 0.7), Array(0.8, 0.15, 0.05)),
+        "b" -> ColumnParams(Array(0.2, 0.2, 0.6), Array(0.9, 0.05, 0.05))),
+      Seq("(l.a = r.a) OR (l.b = r.b)"))
+    val back = TrainedModel.fromJson(model.toJson)
+    assert(back.lambda === model.lambda)
+    assert(back.comparisons === model.comparisons)
+    assert(back.blockingRules === model.blockingRules)
+    assert(back.params("a").m.toSeq === model.params("a").m.toSeq)
+    assert(back.params("b").u.toSeq === model.params("b").u.toSeq)
+  }
+}
