@@ -13,13 +13,17 @@ import graft.queries._
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship: the end-to-end unsupervised dedupe pipeline on sf0.001
+    * (clean → block → gammas → u/EM training → Fellegi-Sunter predict → cluster).
+    */
   def entry(spark: SparkSession): DataFrame =
-    queries("e3_entropy_agg")(spark, "/root/testdata/sf0.001")
+    PipelineQueries.e2eDedupe(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ExpressionQueries.queries ++ LinkageQueries.queries
+    ExpressionQueries.queries ++ LinkageQueries.queries ++ MetricQueries.queries ++
+      PipelineQueries.queries
 
   def oracleSql: Map[String, String] =
-    ExpressionQueries.oracleSql ++ LinkageQueries.oracleSql
+    ExpressionQueries.oracleSql ++ LinkageQueries.oracleSql ++ MetricQueries.oracleSql ++
+      PipelineQueries.oracleSql
 }

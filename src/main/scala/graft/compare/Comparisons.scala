@@ -3,7 +3,7 @@ package graft.compare
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{jaro_winkler, token_set_jaccard}
+import graft.functions.{char_set_jaccard, jaro_winkler}
 import graft.model.ComparisonSpec
 
 /** J2 — per-column comparison levels over candidate pairs.
@@ -23,7 +23,7 @@ object Comparisons {
     val r = col(s"${spec.column}_r")
     val within: Column = spec.metric match {
       case "levenshtein" => levenshtein(l, r) <= lit(spec.threshold.toInt)
-      case "jaccard" => token_set_jaccard(l, r) >= lit(spec.threshold)
+      case "jaccard" => char_set_jaccard(l, r) >= lit(spec.threshold)
       case "jaro_winkler" => jaro_winkler(l, r) >= lit(spec.threshold)
     }
     when(l.isNull || r.isNull, lit(-1))

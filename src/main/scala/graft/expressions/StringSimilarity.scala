@@ -84,8 +84,38 @@ object JaroWinkler {
   }
 }
 
-/** Whitespace-token set Jaccard similarity: `|A∩B| / |A∪B|` over distinct tokens.
-  * Covers Splink's `jaccard_at_thresholds` comparison level (J2). Empty∪empty → 0.0.
+/** Character-set Jaccard similarity: `|A∩B| / |A∪B|` over the distinct characters of
+  * the two strings — the J2 `jaccard_at_thresholds` comparison metric. Matches DuckDB's
+  * `jaccard()` (typo-sensitive on single-token attribute values, unlike token Jaccard);
+  * either string empty → 0.0 (DuckDB errors there; callers guard).
+  */
+case class CharSetJaccard(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CharSetJaccard.similarity(a.toString, b.toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) =>
+      s"${ev.value} = graft.expressions.CharSetJaccard.similarity($l.toString(), $r.toString());")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CharSetJaccard =
+    copy(left = newLeft, right = newRight)
+}
+
+object CharSetJaccard {
+  def similarity(s1: String, s2: String): Double = {
+    if (s1.isEmpty || s2.isEmpty) return 0.0
+    val a = s1.toSet
+    val b = s2.toSet
+    val union = (a ++ b).size
+    if (union == 0) 0.0 else (a & b).size.toDouble / union
+  }
+}
+
+/** Whitespace-token set Jaccard similarity: `|A∩B| / |A∪B|` over distinct tokens —
+  * used by the document-dedup operators. Empty∪empty → 0.0.
   */
 case class TokenSetJaccard(left: Expression, right: Expression)
   extends BinaryExpression {

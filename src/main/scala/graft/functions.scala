@@ -64,7 +64,11 @@ object functions {
   def jaro_winkler(left: Column, right: Column): Column =
     Bridge.column(JaroWinkler(Bridge.expression(left), Bridge.expression(right)))
 
-  /** J2 — whitespace-token set Jaccard similarity (codegen-enabled). */
+  /** J2 — character-set Jaccard similarity (codegen-enabled; DuckDB `jaccard()` semantics). */
+  def char_set_jaccard(left: Column, right: Column): Column =
+    Bridge.column(CharSetJaccard(Bridge.expression(left), Bridge.expression(right)))
+
+  /** Whitespace-token set Jaccard similarity (codegen-enabled; document dedup). */
   def token_set_jaccard(left: Column, right: Column): Column =
     Bridge.column(TokenSetJaccard(Bridge.expression(left), Bridge.expression(right)))
 }

@@ -1,0 +1,72 @@
+package graft.metrics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.clean.Cleaning
+import graft.functions.entropy_agg
+
+/** Y7/Y8/Y9 — the unsupervised clustering quality metric
+  * (reference: autolinker.py:114-223; math documented in its README.md:46-76).
+  */
+object EntropyMetrics {
+
+  /** Y7 — average entropy of each attribute column; `byCluster` averages the
+    * per-cluster entropies instead (one distributed aggregation either way).
+    */
+  def datasetEntropy(
+      df: DataFrame,
+      attributes: Seq[String],
+      byCluster: Boolean = false,
+      base: Int = 0): Map[String, Double] = {
+    val grouped = Cleaning.nullSentinel(
+        df.select((attributes.map(c => col(c).cast("string").as(c)) ++
+          (if (byCluster) Seq(col("cluster_id")) else Nil)): _*),
+        attributes)
+      .groupBy(if (byCluster) col("cluster_id") else lit(1).as("g"))
+      .agg(entropy_agg(base, attributes.map(c => c -> col(c)): _*).as("ent_map"))
+    val row = grouped
+      .select(attributes.map(c => mean(col("ent_map").getItem(c)).as(c)): _*)
+      .collect()(0)
+    attributes.zipWithIndex.map { case (c, i) =>
+      c -> (if (row.isNullAt(i)) 0.0 else row.getDouble(i))
+    }.toMap
+  }
+
+  /** Y9 — adjusted entropy base: max #distinct values in any attribute column, in one
+    * aggregation pass (the reference runs one groupBy-count job per column,
+    * autolinker.py:597-602 — same number, fewer jobs).
+    */
+  def maxDistinct(df: DataFrame, attributes: Seq[String]): Long = {
+    val row = df.agg(
+      greatest(attributes.map(c => countDistinct(col(c)).cast("long")): _*).as("u"))
+      .collect()(0)
+    row.getLong(0)
+  }
+
+  /** Y8 — information-gain power ratio `I_s ^ I_a` over a clustered dataset:
+    * scaled base c = #non-singleton clusters, adjusted base u from the caller (Y9 on the
+    * original data); each I = Σ_cols (whole-matched entropy − mean per-cluster entropy).
+    */
+  def informationGainPowerRatio(
+      clusters: DataFrame,
+      attributes: Seq[String],
+      adjustedBase: Int): Double = {
+    val counts = clusters.groupBy("cluster_id").count()
+      .withColumnRenamed("count", "_cluster_count")
+    val data = clusters.join(counts, Seq("cluster_id"), "left")
+    val numClusters = counts.filter(col("_cluster_count") > 1).count().toInt
+    val matched = data.filter(col("_cluster_count") > 1).cache()
+    try {
+      val ms = datasetEntropy(matched, attributes, byCluster = false, base = numClusters)
+      val ma = datasetEntropy(matched, attributes, byCluster = false, base = adjustedBase)
+      val cs = datasetEntropy(matched, attributes, byCluster = true, base = numClusters)
+      val ca = datasetEntropy(matched, attributes, byCluster = true, base = adjustedBase)
+      val is = attributes.map(c => ms(c) - cs(c)).sum
+      val ia = attributes.map(c => ma(c) - ca(c)).sum
+      math.pow(is, ia)
+    } finally {
+      matched.unpersist()
+    }
+  }
+}

@@ -1,0 +1,76 @@
+package graft.metrics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Y17 — supervised confusion metrics for pairwise predictions against a ground-truth
+  * entity label (reference: autolinker.py:1151-1232).
+  *
+  * Definitions (matching the reference exactly):
+  *   RR = #undirected pairs of records sharing a true label
+  *   PR = #undirected predicted pairs with probability > threshold
+  *   TP = predicted pairs whose two records share the true label
+  *   FP = predicted pairs whose records differ on the true label
+  *   precision = TP/PR, recall = TP/RR, f1 = harmonic mean, jaccard = TP/(PR+FP)
+  */
+object PairwiseMetrics {
+
+  /** Joins predictions back to the truth labels (reference get_scores_df). */
+  def scores(
+      data: DataFrame,
+      predictions: DataFrame,
+      uid: String,
+      trueLabel: String): DataFrame = {
+    val left = data.select(col(uid).cast("string").as("uid_l"),
+      col(trueLabel).as("true_label"))
+    val right = data.select(col(uid).cast("string").as("uid_r"),
+      col(trueLabel).as("score_label"))
+    predictions
+      .select(col("match_probability").as("probability"), col("uid_l"), col("uid_r"))
+      .join(left, Seq("uid_l"))
+      .join(right, Seq("uid_r"))
+  }
+
+  def relevantRecordsCount(data: DataFrame, uid: String, trueLabel: String): Long = {
+    val l = data.select(col(trueLabel).as("t"), col(uid).cast("string").as("uid_l"))
+    val r = data.select(col(trueLabel).as("t"), col(uid).cast("string").as("uid_r"))
+    l.join(r, Seq("t"))
+      .filter(col("uid_l") =!= col("uid_r"))
+      .select(array_sort(array(col("uid_l"), col("uid_r"))).as("pairs"))
+      .distinct()
+      .count()
+  }
+
+  /** Full confusion metric set at one threshold, as a 1-row DataFrame. */
+  def confusionMetrics(
+      data: DataFrame,
+      predictions: DataFrame,
+      threshold: Double,
+      uid: String,
+      trueLabel: String): DataFrame = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    val sc = scores(data, predictions, uid, trueLabel).cache()
+    try {
+      val rr = relevantRecordsCount(data, uid, trueLabel)
+      val cal = sc.filter(col("probability") > threshold)
+      val agg = cal.agg(
+        sum(when(col("true_label") === col("score_label"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("true_label") =!= col("score_label"), 1L).otherwise(0L)).as("fp"))
+        .collect()(0)
+      val tp = if (agg.isNullAt(0)) 0L else agg.getLong(0)
+      val fp = if (agg.isNullAt(1)) 0L else agg.getLong(1)
+      val pr = cal
+        .select(array_sort(array(col("uid_l"), col("uid_r"))).as("pairs"))
+        .distinct().count()
+      val precision = if (pr > 0) tp.toDouble / pr else 0.0
+      val recall = if (rr > 0) tp.toDouble / rr else 0.0
+      val f1 = if (precision + recall > 0) 2 * precision * recall / (precision + recall) else 0.0
+      val jaccard = if (pr + fp > 0) tp.toDouble / (pr + fp) else 0.0
+      Seq((threshold, tp, fp, pr, rr, precision, recall, f1, jaccard))
+        .toDF("threshold", "tp", "fp", "pr", "rr", "precision", "recall", "f1_score", "jaccard")
+    } finally {
+      sc.unpersist()
+    }
+  }
+}

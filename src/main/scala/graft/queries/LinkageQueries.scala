@@ -31,7 +31,7 @@ object LinkageQueries {
     "c_name" -> ColumnParams(Array(0.05, 0.2, 0.75), Array(0.85, 0.1, 0.05)),
     "c_mktsegment" -> ColumnParams(Array(0.1, 0.2, 0.7), Array(0.6, 0.2, 0.2)))
   private val demoLambda = 0.01
-  private val demoModel = TrainedModel(demoLambda, demoSpecs, demoParams,
+  private[queries] val demoModel = TrainedModel(demoLambda, demoSpecs, demoParams,
     Seq("(l.c_nationkey = r.c_nationkey AND l.c_mktsegment = r.c_mktsegment)"))
 
   private def withUid(df: DataFrame): DataFrame =
@@ -115,19 +115,24 @@ object LinkageQueries {
     if (s.contains("E")) f"$x%.20e" else s
   }
 
-  /** gamma CASE ladder in DuckDB SQL mirroring [[Comparisons.gammaColumn]]. */
-  private def gammaSql(colName: String, spec: ComparisonSpec): String = {
-    val l = s"l.$colName"
-    val r = s"r.$colName"
+  /** gamma CASE ladder in DuckDB SQL mirroring [[Comparisons.gammaColumn]], over
+    * arbitrary lhs/rhs SQL expressions.
+    */
+  private[queries] def gammaPairSql(l: String, r: String, spec: ComparisonSpec): String = {
     val within = spec.metric match {
       case "levenshtein" => s"levenshtein($l, $r) <= ${spec.threshold.toInt}"
       case "jaro_winkler" => s"jaro_winkler_similarity($l, $r) >= ${d(spec.threshold)}"
-      case "jaccard" => throw new IllegalArgumentException("jaccard oracled elsewhere")
+      case "jaccard" =>
+        // DuckDB's jaccard() errors on empty strings; match CharSetJaccard's 0.0 there
+        s"(length($l) > 0 AND length($r) > 0 AND jaccard($l, $r) >= ${d(spec.threshold)})"
     }
     s"""CASE WHEN $l IS NULL OR $r IS NULL THEN -1
        |     WHEN $l = $r THEN 2
        |     WHEN $within THEN 1 ELSE 0 END""".stripMargin
   }
+
+  private def gammaSql(colName: String, spec: ComparisonSpec): String =
+    gammaPairSql(s"l.$colName", s"r.$colName", spec)
 
   private def bayesFactorSql(colName: String, p: ColumnParams): String = {
     val g = s"gamma_$colName"
@@ -136,7 +141,10 @@ object LinkageQueries {
     s"CASE WHEN $g = -1 THEN 0.0 $cases ELSE 0.0 END"
   }
 
-  private val predictSql: String = {
+  /** CTE chain ending in `w(uid_l, uid_r, mw)` — the demo-model Fellegi-Sunter weights
+    * over (nation, segment)-blocked customer pairs; shared with the confusion oracle.
+    */
+  private[queries] val predictPairsCte: String = {
     val priorW = d(log2(demoLambda / (1 - demoLambda)))
     val gammas = demoSpecs.map(spec =>
       s"(${gammaSql(spec.column, spec).replace('\n', ' ')}) AS gamma_${spec.column}").mkString(",\n    ")
@@ -154,11 +162,14 @@ object LinkageQueries {
        |   AND l.uid < r.uid
        |), w AS (
        |  SELECT uid_l, uid_r, ($weight) AS mw FROM pairs
-       |)
+       |)""".stripMargin
+  }
+
+  private val predictSql: String =
+    s"""$predictPairsCte
        |SELECT uid_l, uid_r, ROUND(mw, 6) AS match_weight,
        |       ROUND(POWER(2.0, mw) / (1.0 + POWER(2.0, mw)), 6) AS match_probability
        |FROM w ORDER BY uid_l, uid_r""".stripMargin
-  }
 
   val oracleSql: Map[String, String] = Map(
     "p1_count_lookup" ->

@@ -1,0 +1,314 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.clean.Cleaning
+import graft.metrics.{ClusteringMetrics, EntropyMetrics, PairwiseMetrics}
+import graft.model.ComparisonSpec
+import graft.schemamatch.SchemaMatch
+import graft.score.FellegiSunter
+import graft.train.Estimation
+
+/** SparkEntry query + oracle entries for cleaning, metrics, schema matching and training
+  * (SURVEY §2.3 Y1-Y18, §2.4 J4-J5).
+  */
+object MetricQueries {
+
+  private def cust(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/customer.parquet")
+
+  private def custTruth(s: SparkSession, dir: String): DataFrame =
+    cust(s, dir)
+      .withColumn("uid", col("c_custkey").cast("string"))
+      .withColumn("truth", (col("c_custkey") % 30).cast("string"))
+      .withColumn("c_nationkey", col("c_nationkey").cast("string"))
+
+  private val uSpecs = Seq(
+    ComparisonSpec("c_name", "levenshtein", 3),
+    ComparisonSpec("c_mktsegment", "jaro_winkler", 0.9))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "y1_clean" -> { (s, dir) =>
+      Cleaning.cleanColumns(
+          cust(s, dir).select(col("c_custkey").cast("string").as("uid"),
+            col("c_name").as("cleaned")),
+          Seq("cleaned"))
+        .orderBy("uid")
+    },
+    "y2_null_sentinel" -> { (s, dir) =>
+      Cleaning.nullSentinel(
+          cust(s, dir).select(nullif(col("c_mktsegment"), lit("BUILDING")).as("seg")),
+          Seq("seg"))
+        .groupBy("seg").agg(count(lit(1)).as("cnt"))
+        .orderBy("seg")
+    },
+    "y7_entropy_by_cluster" -> { (s, dir) =>
+      import s.implicits._
+      val df = cust(s, dir)
+        .withColumn("cluster_id", col("c_nationkey").cast("string"))
+      val ent = EntropyMetrics.datasetEntropy(df, Seq("c_mktsegment"), byCluster = true)
+      Seq(("c_mktsegment", BigDecimal(ent("c_mktsegment"))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        .toDF("column", "mean_entropy")
+    },
+    "y8_ig_power_ratio" -> { (s, dir) =>
+      import s.implicits._
+      val df = cust(s, dir)
+        .withColumn("cluster_id", col("c_nationkey").cast("string"))
+        .withColumn("k", (col("c_custkey") % 10).cast("string"))
+        .withColumn("c_mktsegment", col("c_mktsegment").cast("string"))
+      val attrs = Seq("c_mktsegment", "k")
+      val u = EntropyMetrics.maxDistinct(df, attrs).toInt
+      val m = EntropyMetrics.informationGainPowerRatio(df, attrs, u)
+      Seq(BigDecimal(m).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        .toDF("ig_power_ratio")
+    },
+    "y9_max_distinct" -> { (s, dir) =>
+      import s.implicits._
+      val df = cust(s, dir)
+      Seq(EntropyMetrics.maxDistinct(df, Seq("c_mktsegment", "c_nationkey"))).toDF("u")
+    },
+    "y10_schema_match" -> { (s, dir) =>
+      import s.implicits._
+      val left = cust(s, dir).select(col("c_mktsegment"), col("c_nationkey"))
+      val right = cust(s, dir).select(
+        col("c_mktsegment").as("segment2"), col("c_nationkey").as("nation2"))
+      SchemaMatch.pairingCounts(left, right,
+          Seq("c_mktsegment", "c_nationkey"), Seq("segment2", "nation2"))
+        .orderBy("left_col", "right_col")
+    },
+    "y17_confusion_metrics" -> { (s, dir) =>
+      val df = custTruth(s, dir)
+      val preds = FellegiSunter.predict(df, "uid", LinkageQueries.demoModel)
+      val m = PairwiseMetrics.confusionMetrics(df, preds, 0.05, "uid", "truth")
+      m.select(col("tp"), col("fp"), col("pr"), col("rr"),
+        round(col("precision"), 6).as("precision"), round(col("recall"), 6).as("recall"),
+        round(col("f1_score"), 6).as("f1_score"), round(col("jaccard"), 6).as("jaccard"))
+    },
+    "y18_clustering_metrics" -> { (s, dir) =>
+      val w = Window.partitionBy("c_nationkey", "c_mktsegment")
+      val df = custTruth(s, dir)
+        .withColumn("cluster_id", min("uid").over(w))
+      ClusteringMetrics.metrics(df, "truth")
+        .select(
+          round(col("mutual_info"), 6).as("mutual_info"),
+          round(col("normalized_mutual_info"), 6).as("normalized_mutual_info"),
+          round(col("adjusted_rand"), 6).as("adjusted_rand"),
+          round(col("rand"), 6).as("rand"),
+          round(col("fowlkes_mallows"), 6).as("fowlkes_mallows"),
+          round(col("homogeneity"), 6).as("homogeneity"),
+          round(col("completeness"), 6).as("completeness"),
+          round(col("v_measure"), 6).as("v_measure"))
+    },
+    "j4_u_estimation" -> { (s, dir) =>
+      import s.implicits._
+      val df = custTruth(s, dir)
+      val n = df.count()
+      val u = Estimation.estimateU(df, "uid", uSpecs, targetPairs = 2 * n,
+        hashShuffle = false) // uid order so the SQL oracle reproduces the pairing
+      uSpecs.flatMap(spec =>
+        (0 until spec.numLevels).map(g =>
+          (spec.column, g, BigDecimal(u(spec.column)(g))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+        .toDF("column", "gamma", "u")
+        .orderBy("column", "gamma")
+    },
+    "j5_em_train" -> { (s, dir) =>
+      import s.implicits._
+      // iterative EM — no SQL oracle (rows-only check); pinned by ScalaTest instead
+      val df = custTruth(s, dir)
+      val specs = Seq(
+        ComparisonSpec("c_name", "levenshtein", 3),
+        ComparisonSpec("c_acctbal", "levenshtein", 2))
+      val (lambda, m) = Estimation.emTrain(
+        df.withColumn("c_acctbal", col("c_acctbal").cast("string")),
+        "uid", specs,
+        graft.blocking.BlockingRule.parse(
+          "l.c_nationkey = r.c_nationkey AND l.c_mktsegment = r.c_mktsegment"),
+        u = specs.map(sp => sp.column -> Estimation.DefaultU).toMap,
+        initialLambda = 0.01)
+      m.toSeq.sortBy(_._1).flatMap { case (c, arr) =>
+        arr.zipWithIndex.map { case (v, g) => (c, g, v, lambda) }
+      }.toDF("column", "gamma", "m", "lambda")
+    })
+
+  // ---- oracle SQL ----------------------------------------------------------
+
+  /** Per-cluster base-0 entropy of one column, then mean across clusters. */
+  private val y7Sql =
+    """WITH pc AS (
+      |  SELECT CAST(c_nationkey AS VARCHAR) AS cl, c_mktsegment AS v, COUNT(*)::DOUBLE AS c
+      |  FROM customer GROUP BY 1, 2
+      |), tot AS (
+      |  SELECT cl, SUM(c) AS t, COUNT(*) AS d FROM pc GROUP BY cl
+      |), e AS (
+      |  SELECT pc.cl,
+      |    -SUM((c/t)*LOG10(c/t)) / (CASE WHEN d<2 OR d=10 THEN 1.0 ELSE LOG10(d) END) AS ent
+      |  FROM pc JOIN tot USING (cl) GROUP BY pc.cl, tot.d
+      |)
+      |SELECT 'c_mktsegment' AS "column", ROUND(AVG(ent), 6) AS mean_entropy FROM e""".stripMargin
+
+  /** Entropy with explicit base b over the whole matched set and per-cluster mean, for
+    * the two attribute columns of y8; matches EntropyMetrics.informationGainPowerRatio.
+    * All clusters (nations) have >1 member so the matched subset is the whole table.
+    */
+  private val y8Sql = {
+    def whole(colExpr: String, baseSql: String) =
+      s"""(SELECT -SUM(p*LOG10(p))/LOG10($baseSql) FROM (
+         |  SELECT COUNT(*)::DOUBLE/(SELECT COUNT(*) FROM customer) AS p
+         |  FROM customer GROUP BY $colExpr))""".stripMargin
+    def byCluster(colExpr: String, baseSql: String) =
+      s"""(WITH pc AS (
+         |  SELECT CAST(c_nationkey AS VARCHAR) AS cl, $colExpr AS v, COUNT(*)::DOUBLE AS c
+         |  FROM customer GROUP BY 1, 2
+         |), tot AS (SELECT cl, SUM(c) AS t FROM pc GROUP BY cl),
+         |e AS (SELECT pc.cl, -SUM((c/t)*LOG10(c/t))/LOG10($baseSql) AS ent
+         |      FROM pc JOIN tot USING (cl) GROUP BY pc.cl)
+         |SELECT AVG(ent) FROM e)""".stripMargin
+    val cNum = "(SELECT COUNT(*) FROM (SELECT c_nationkey FROM customer GROUP BY 1 HAVING COUNT(*) > 1))"
+    val uBase =
+      """GREATEST((SELECT COUNT(DISTINCT c_mktsegment) FROM customer),
+        |         (SELECT COUNT(DISTINCT c_custkey % 10) FROM customer))""".stripMargin
+    val cols = Seq("c_mktsegment", "CAST(c_custkey % 10 AS VARCHAR)")
+    val is = cols.map(c => s"(${whole(c, cNum)} - ${byCluster(c, cNum)})").mkString(" + ")
+    val ia = cols.map(c => s"(${whole(c, uBase)} - ${byCluster(c, uBase)})").mkString(" + ")
+    s"SELECT ROUND(POWER($is, $ia), 6) AS ig_power_ratio"
+  }
+
+  private val y10Sql = {
+    def unpivot(pairs: Seq[(String, String)], alias: String) =
+      pairs.map { case (name, c) =>
+        s"SELECT '$name' AS $alias, lower(regexp_replace(CAST($c AS VARCHAR), '[^A-Za-z0-9 ]+', '', 'g')) AS v FROM customer"
+      }.mkString(" UNION ALL ")
+    s"""WITH l AS (${unpivot(Seq("c_mktsegment" -> "c_mktsegment", "c_nationkey" -> "c_nationkey"), "lc")}),
+       |r AS (${unpivot(Seq("segment2" -> "c_mktsegment", "nation2" -> "c_nationkey"), "rc")}),
+       |lg AS (SELECT lc, v, COUNT(*) AS n1 FROM l WHERE v IS NOT NULL GROUP BY 1, 2),
+       |rg AS (SELECT rc, v, COUNT(*) AS n2 FROM r WHERE v IS NOT NULL GROUP BY 1, 2)
+       |SELECT lc AS left_col, rc AS right_col, SUM(n1*n2) AS match_count
+       |FROM lg JOIN rg USING (v) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  private val y17Sql = {
+    val preds = LinkageQueries.predictPairsCte
+    s"""$preds,
+       |lbl AS (SELECT CAST(c_custkey AS VARCHAR) AS uid, CAST(c_custkey % 30 AS VARCHAR) AS t
+       |        FROM customer),
+       |cal AS (
+       |  SELECT w.uid_l, w.uid_r, tl.t AS t_l, tr.t AS t_r
+       |  FROM w JOIN lbl tl ON w.uid_l = tl.uid JOIN lbl tr ON w.uid_r = tr.uid
+       |  WHERE POWER(2.0, mw) / (1.0 + POWER(2.0, mw)) > 0.05
+       |), agg0 AS (
+       |  SELECT SUM(CASE WHEN t_l = t_r THEN 1 ELSE 0 END) AS tp0,
+       |         SUM(CASE WHEN t_l <> t_r THEN 1 ELSE 0 END) AS fp0,
+       |         COUNT(*) AS pr0
+       |  FROM cal
+       |), agg AS (
+       |  SELECT COALESCE(tp0, 0) AS tp, COALESCE(fp0, 0) AS fp, COALESCE(pr0, 0) AS pr
+       |  FROM agg0
+       |), rr AS (
+       |  SELECT CAST(SUM(cnt*(cnt-1)//2) AS BIGINT) AS rr FROM
+       |    (SELECT COUNT(*) AS cnt FROM lbl GROUP BY t)
+       |)
+       |SELECT tp, fp, pr, rr.rr AS rr,
+       |  ROUND(CASE WHEN pr > 0 THEN tp::DOUBLE/pr ELSE 0 END, 6) AS precision,
+       |  ROUND(CASE WHEN rr.rr > 0 THEN tp::DOUBLE/rr.rr ELSE 0 END, 6) AS recall,
+       |  ROUND(CASE WHEN pr > 0 AND rr.rr > 0 AND (tp::DOUBLE/pr + tp::DOUBLE/rr.rr) > 0
+       |        THEN 2*(tp::DOUBLE/pr)*(tp::DOUBLE/rr.rr)/((tp::DOUBLE/pr)+(tp::DOUBLE/rr.rr))
+       |        ELSE 0 END, 6) AS f1_score,
+       |  ROUND(CASE WHEN pr + fp > 0 THEN tp::DOUBLE/(pr + fp) ELSE 0 END, 6) AS jaccard
+       |FROM agg, rr""".stripMargin
+  }
+
+  private val y18Sql =
+    """WITH base AS (
+      |  SELECT CAST(c_custkey AS VARCHAR) AS uid, CAST(c_custkey % 30 AS VARCHAR) AS t0,
+      |         MIN(CAST(c_custkey AS VARCHAR))
+      |           OVER (PARTITION BY c_nationkey, c_mktsegment) AS c0
+      |  FROM customer
+      |), masked AS (
+      |  SELECT CASE WHEN COUNT(*) OVER (PARTITION BY t0) = 1 THEN '-1' ELSE t0 END AS t,
+      |         CASE WHEN COUNT(*) OVER (PARTITION BY c0) = 1 THEN '-1' ELSE c0 END AS c
+      |  FROM base
+      |), cont AS (SELECT t, c, COUNT(*)::DOUBLE AS nij FROM masked GROUP BY 1, 2),
+      |rs AS (SELECT t, SUM(nij) AS ai FROM cont GROUP BY 1),
+      |cs AS (SELECT c, SUM(nij) AS bj FROM cont GROUP BY 1),
+      |scal AS (
+      |  SELECT (SELECT COUNT(*)::DOUBLE FROM masked) AS n,
+      |    (SELECT SUM(nij*(nij-1)/2) FROM cont) AS s,
+      |    (SELECT SUM(ai*(ai-1)/2) FROM rs) AS sa,
+      |    (SELECT SUM(bj*(bj-1)/2) FROM cs) AS sb,
+      |    (SELECT SUM((nij/(SELECT COUNT(*)::DOUBLE FROM masked)) *
+      |            LN(nij*(SELECT COUNT(*)::DOUBLE FROM masked)/(ai*bj)))
+      |     FROM cont JOIN rs USING (t) JOIN cs USING (c)) AS mi,
+      |    (SELECT -SUM((ai/(SELECT COUNT(*)::DOUBLE FROM masked)) *
+      |            LN(ai/(SELECT COUNT(*)::DOUBLE FROM masked))) FROM rs) AS ht,
+      |    (SELECT -SUM((bj/(SELECT COUNT(*)::DOUBLE FROM masked)) *
+      |            LN(bj/(SELECT COUNT(*)::DOUBLE FROM masked))) FROM cs) AS hc
+      |)
+      |SELECT ROUND(mi, 6) AS mutual_info,
+      |  ROUND(CASE WHEN (ht+hc)/2 = 0 THEN 1.0 ELSE mi/((ht+hc)/2) END, 6) AS normalized_mutual_info,
+      |  ROUND(CASE WHEN (sa+sb)/2 - sa*sb/(n*(n-1)/2) = 0 THEN 1.0
+      |        ELSE (s - sa*sb/(n*(n-1)/2)) / ((sa+sb)/2 - sa*sb/(n*(n-1)/2)) END, 6) AS adjusted_rand,
+      |  ROUND((n*(n-1)/2 + 2*s - sa - sb) / (n*(n-1)/2), 6) AS rand,
+      |  ROUND(CASE WHEN sa*sb > 0 THEN s/SQRT(sa*sb) ELSE 0 END, 6) AS fowlkes_mallows,
+      |  ROUND(CASE WHEN ht = 0 THEN 1.0 ELSE mi/ht END, 6) AS homogeneity,
+      |  ROUND(CASE WHEN hc = 0 THEN 1.0 ELSE mi/hc END, 6) AS completeness,
+      |  ROUND(CASE WHEN (CASE WHEN ht = 0 THEN 1.0 ELSE mi/ht END) +
+      |                  (CASE WHEN hc = 0 THEN 1.0 ELSE mi/hc END) = 0 THEN 0.0
+      |        ELSE 2*(CASE WHEN ht = 0 THEN 1.0 ELSE mi/ht END)*
+      |               (CASE WHEN hc = 0 THEN 1.0 ELSE mi/hc END)/
+      |             ((CASE WHEN ht = 0 THEN 1.0 ELSE mi/ht END) +
+      |              (CASE WHEN hc = 0 THEN 1.0 ELSE mi/hc END)) END, 6) AS v_measure
+      |FROM scal""".stripMargin
+
+  private val j4Sql = {
+    val gName = LinkageQueries.gammaPairSql("nl", "nr", uSpecs(0))
+    val gSeg = LinkageQueries.gammaPairSql("sl", "sr", uSpecs(1))
+    s"""WITH b AS (
+       |  SELECT CAST(c_custkey AS VARCHAR) AS uid, c_name, c_mktsegment FROM customer
+       |), idx AS (
+       |  SELECT uid, c_name, c_mktsegment, ROW_NUMBER() OVER (ORDER BY uid) - 1 AS rn FROM b
+       |), pairs AS (
+       |  SELECT l.c_name AS nl, r.c_name AS nr, l.c_mktsegment AS sl, r.c_mktsegment AS sr
+       |  FROM idx l JOIN idx r ON r.rn = (l.rn + 1) % (SELECT COUNT(*) FROM customer)
+       |  UNION ALL
+       |  SELECT l.c_name, r.c_name, l.c_mktsegment, r.c_mktsegment
+       |  FROM idx l JOIN idx r ON r.rn = (l.rn + 2) % (SELECT COUNT(*) FROM customer)
+       |), g AS (
+       |  SELECT ($gName) AS g_name, ($gSeg) AS g_seg FROM pairs
+       |), lvls AS (SELECT * FROM (VALUES (0), (1), (2)) v(gamma)),
+       |cols AS (SELECT 'c_name' AS "column" UNION ALL SELECT 'c_mktsegment'),
+       |cnt AS (
+       |  SELECT 'c_name' AS "column", g_name AS gamma, COUNT(*)::DOUBLE AS c FROM g GROUP BY 2
+       |  UNION ALL
+       |  SELECT 'c_mktsegment', g_seg, COUNT(*)::DOUBLE FROM g GROUP BY 2
+       |), tot AS (SELECT "column", SUM(c) AS t FROM cnt WHERE gamma >= 0 GROUP BY 1)
+       |SELECT cols."column", lvls.gamma,
+       |  ROUND(COALESCE(cnt.c / tot.t, 0.0), 6) AS u
+       |FROM cols CROSS JOIN lvls
+       |LEFT JOIN cnt ON cnt."column" = cols."column" AND cnt.gamma = lvls.gamma
+       |JOIN tot ON tot."column" = cols."column"
+       |ORDER BY cols."column", lvls.gamma""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "y1_clean" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS uid,
+        |  lower(regexp_replace(c_name, '[^A-Za-z0-9 ]+', '', 'g')) AS cleaned
+        |FROM customer ORDER BY uid""".stripMargin,
+    "y2_null_sentinel" ->
+      """SELECT COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'null_') AS seg, COUNT(*) AS cnt
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+    "y7_entropy_by_cluster" -> y7Sql,
+    "y8_ig_power_ratio" -> y8Sql,
+    "y9_max_distinct" ->
+      """SELECT GREATEST(
+        |  (SELECT COUNT(DISTINCT c_mktsegment) FROM customer),
+        |  (SELECT COUNT(DISTINCT c_nationkey) FROM customer)) AS u""".stripMargin,
+    "y10_schema_match" -> y10Sql,
+    "y17_confusion_metrics" -> y17Sql,
+    "y18_clustering_metrics" -> y18Sql,
+    "j4_u_estimation" -> j4Sql)
+}

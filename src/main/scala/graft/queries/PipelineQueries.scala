@@ -1,0 +1,60 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.auto.AutoLinker
+import graft.cluster.ConnectedComponents
+import graft.model.ComparisonSpec
+import graft.score.FellegiSunter
+import graft.train.Estimation
+
+/** End-to-end pipeline entries (SURVEY §3 EP1/EP3): fixed-parameter dedupe and the
+  * auto-search loop. Iterative/driver-looped — rows-only driver check; pinned by
+  * ScalaTest instead of SQL oracles.
+  */
+object PipelineQueries {
+
+  /** The minimum end-to-end slice from SURVEY §7: clean → block → gammas → train
+    * (u-sampling + one EM rule) → predict → cluster → cluster sizes.
+    */
+  def e2eDedupe(s: SparkSession, dir: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/customer.parquet")
+      .withColumn("uid", col("c_custkey").cast("string"))
+      .withColumn("c_nationkey", col("c_nationkey").cast("string"))
+      .withColumn("k", (col("c_custkey") % 100).cast("string"))
+    val specs = Seq(
+      ComparisonSpec("c_name", "levenshtein", 3),
+      ComparisonSpec("k", "levenshtein", 1))
+    val model = Estimation.train(
+      df, "uid", specs,
+      blockingRules = Seq("l.c_nationkey = r.c_nationkey AND l.c_mktsegment = r.c_mktsegment"),
+      trainingRules = Seq("l.c_mktsegment = r.c_mktsegment"),
+      uTargetPairs = 20000L)
+    val preds = FellegiSunter.predict(df, "uid", model)
+    val edges = preds.filter(col("match_probability") >= 0.5)
+      .select(col("uid_l").as("src"), col("uid_r").as("dst"))
+    ConnectedComponents.assignClusters(df, "uid", edges)
+      .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      .orderBy(desc("cluster_size"), asc("cluster_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ep1_e2e_dedupe" -> (e2eDedupe _),
+    "ep1_auto_link" -> { (s, dir) =>
+      import s.implicits._
+      val df = s.read.parquet(s"$dir/customer.parquet")
+        .orderBy("c_custkey").limit(1000) // bounded smoke across scale factors
+        .select(col("c_custkey").cast("string").as("unique_id"),
+          col("c_name"), col("c_mktsegment"),
+          (col("c_custkey") % 20).cast("string").as("k"))
+      val result = AutoLinker.autoLink(df,
+        attributeColumns = Some(Seq("c_name", "c_mktsegment", "k")),
+        maxEvals = 2, comparisonSizeLimit = 500000L)
+      result.trials.map(t =>
+        (t.blockingRule, t.metric, t.model.lambda, t.model.comparisons.map(_.metric).mkString(",")))
+        .toDF("blocking_rule", "metric", "lambda", "comparison_metrics")
+    })
+
+  val oracleSql: Map[String, String] = Map.empty
+}

@@ -24,21 +24,31 @@ object Estimation {
 
   /** J4 — u[col][gamma] from deterministically sampled record pairs.
     *
-    * Pairs row ranked `i` (by uid hash order) with rows `i+offset (mod N)` for
-    * `offset = 1..ceil(targetPairs/N)` — deterministic, uniformly spread, and built via
+    * Rows are ranked by a salted hash of the uid (a deterministic shuffle — adjacent
+    * rows of sorted input files are correlated, and pairing them would inflate u with
+    * true matches), then row `i` is paired with rows `i+offset (mod N)` for
+    * `offset = 1..ceil(targetPairs/N)` — reproducible, uniformly spread, and built via
     * `zipWithIndex` + equi-join (no global window, no cartesian), so it scales linearly.
+    *
+    * @param hashShuffle disable only for oracle tests that need a SQL-reproducible order
+    *                    (uid order) at the cost of the adjacency bias above.
     */
   def estimateU(
       df: DataFrame,
       uid: String,
       specs: Seq[ComparisonSpec],
-      targetPairs: Long = 100000L): Map[String, Array[Double]] = {
+      targetPairs: Long = 100000L,
+      hashShuffle: Boolean = true,
+      seed: Long = 42L): Map[String, Array[Double]] = {
     val spark = df.sparkSession
     import org.apache.spark.sql.types._
     val attrs = specs.map(_.column)
-    val projected = df.select(
+    val base = df.select(
       (col(uid).cast("string").as("uid") +:
         attrs.map(a => col(a).cast("string").as(a))): _*)
+    val projected =
+      if (hashShuffle) base.orderBy(xxhash64(col("uid"), lit(seed)))
+      else base.orderBy("uid")
     val n = projected.count()
     val offsets = math.max(1L, math.min(n - 1, targetPairs / math.max(n, 1L))).toInt
 
@@ -89,7 +99,8 @@ object Estimation {
 
     val ruleCols = trainingRule.columns.toSet
     val freeSpecs = specs.filterNot(s => ruleCols.contains(s.column))
-    val attrs = specs.map(_.column)
+    // carry both compared and blocked-on columns through the pair join
+    val attrs = (specs.map(_.column) ++ trainingRule.columns).distinct
 
     val pairs = graft.blocking.PairGenerator.dedupePairs(df, uid, attrs, Seq(trainingRule))
     val gammas = Comparisons.withGammas(pairs, freeSpecs)

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.auto.AutoLinker
+import graft.clean.Cleaning
+import graft.metrics.{ClusteringMetrics, EntropyMetrics, PairwiseMetrics}
+import graft.schemamatch.SchemaMatch
+
+class MetricsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cleaning: lowercase + strip non-alphanumerics, keep spaces") {
+    val df = Seq("Ab-C d#9!").toDF("x")
+    val out = Cleaning.cleanColumns(df, Seq("x")).as[String].collect()(0)
+    assert(out === "abc d9")
+  }
+
+  test("perfect clustering scores 1.0 on ARI/NMI/homogeneity/completeness") {
+    val df = (1 to 60).map(i => (i.toString, (i % 3).toString, (i % 3).toString))
+      .toDF("id", "truth", "cluster_id")
+    val m = ClusteringMetrics.metrics(df, "truth").collect()(0)
+    val byName = m.schema.fieldNames.zipWithIndex.map { case (n, i) => n -> m.getDouble(i) }.toMap
+    assert(math.abs(byName("adjusted_rand") - 1.0) < 1e-12)
+    assert(math.abs(byName("normalized_mutual_info") - 1.0) < 1e-12)
+    assert(math.abs(byName("homogeneity") - 1.0) < 1e-12)
+    assert(math.abs(byName("completeness") - 1.0) < 1e-12)
+    assert(math.abs(byName("v_measure") - 1.0) < 1e-12)
+    assert(math.abs(byName("rand") - 1.0) < 1e-12)
+    assert(math.abs(byName("fowlkes_mallows") - 1.0) < 1e-12)
+  }
+
+  test("random clustering scores near 0 ARI") {
+    val rnd = new scala.util.Random(3)
+    val df = (1 to 300).map(i => (i.toString, (i % 5).toString, rnd.nextInt(5).toString))
+      .toDF("id", "truth", "cluster_id")
+    val m = ClusteringMetrics.metrics(df, "truth").collect()(0)
+    assert(math.abs(m.getDouble(2)) < 0.1) // adjusted_rand ~ 0
+  }
+
+  test("confusion metrics: hand-checkable example") {
+    val data = Seq(("1", "a"), ("2", "a"), ("3", "b"), ("4", "b")).toDF("uid", "t")
+    // predictions: (1,2) correct, (1,3) wrong, both above threshold; (2,4) below
+    val preds = Seq(("1", "2", 0.9), ("1", "3", 0.8), ("2", "4", 0.2))
+      .toDF("uid_l", "uid_r", "match_probability")
+    val m = PairwiseMetrics.confusionMetrics(data, preds, 0.5, "uid", "t").collect()(0)
+    assert(m.getLong(1) === 1L) // tp
+    assert(m.getLong(2) === 1L) // fp
+    assert(m.getLong(3) === 2L) // pr
+    assert(m.getLong(4) === 2L) // rr: (1,2) and (3,4)
+    assert(math.abs(m.getDouble(5) - 0.5) < 1e-12) // precision
+    assert(math.abs(m.getDouble(6) - 0.5) < 1e-12) // recall
+  }
+
+  test("schema match pairing counts equal the reference's per-pair join counts") {
+    val left = Seq(("x", "1"), ("y", "2"), ("x", "2")).toDF("a", "b")
+    val right = Seq(("x", "9"), ("x", "8"), ("z", "1")).toDF("c", "d")
+    val counts = SchemaMatch.pairingCounts(left, right, Seq("a", "b"), Seq("c", "d"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // reference semantics: inner-join row count per pairing
+    def joinCount(lc: String, rc: String): Long =
+      left.select(col(lc).as("v")).join(right.select(col(rc).as("v")), "v").count()
+    for (lc <- Seq("a", "b"); rc <- Seq("c", "d")) {
+      assert(counts.getOrElse((lc, rc), 0L) === joinCount(lc, rc), s"($lc,$rc)")
+    }
+  }
+
+  test("information gain power ratio is computable and finite on clustered data") {
+    val df = (1 to 200).map { i =>
+      (i.toString, (i % 10).toString, s"seg${i % 4}", s"v${i % 7}")
+    }.toDF("id", "cluster_id", "a", "b")
+    val u = EntropyMetrics.maxDistinct(df, Seq("a", "b")).toInt
+    val m = EntropyMetrics.informationGainPowerRatio(df, Seq("a", "b"), u)
+    assert(!m.isNaN && !m.isInfinite)
+  }
+
+  test("auto-link end-to-end on planted duplicates finds them") {
+    // names must be mutually distant (random strings) — a `personNNN` pattern would put
+    // every pair within levenshtein 2 and make name similarity carry no signal (u1 ≈ 1)
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 80).flatMap { i =>
+      val name = (1 to 10).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+      val city = s"city${i % 5}"
+      val zip = s"z${i % 20}"
+      Seq((s"a$i", name, city, zip), (s"b$i", name + "x", city, zip)) // near-dup per entity
+    }
+    val df = rows.toDF("unique_id", "name", "city", "zip")
+    // random search: a given seed deterministically explores 4 configurations; across
+    // the seeds below at least one trial must pick a workable (rule, metric) combo
+    val found = Seq(1L, 2L, 3L).exists { seed =>
+      val res = AutoLinker.autoLink(df,
+        attributeColumns = Some(Seq("name", "city", "zip")),
+        maxEvals = 4, seed = seed, comparisonSizeLimit = 1000000L, clusterThreshold = 0.5)
+      assert(res.trials.size === 4)
+      res.clusters.groupBy("cluster_id").count().filter(col("count") > 1).count() > 0
+    }
+    assert(found, "no seed produced any non-singleton cluster on planted duplicates")
+  }
+}
