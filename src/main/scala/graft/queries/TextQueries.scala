@@ -1,0 +1,285 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamOps
+import graft.textops.{Dedup, Multimodal, Similarity, TextOps}
+
+/** SparkEntry query + oracle entries for the training-data pipeline operators: text
+  * analysis, document dedup (exact / Jaccard / MinHash-LSH / SimHash / embedding),
+  * ANN search, multimodal metadata, streaming aggregation, JSON extraction.
+  *
+  * Dedup queries run over a corpus with PLANTED duplicates (the documents table has
+  * none): exact copies for `doc_id % 7 = 0` and near-copies (one appended token) for
+  * `doc_id % 11 = 0` — reconstructed identically in the DuckDB oracles.
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader rejects;
+    * read it as long nanos (legacy conf) and convert to a microsecond timestamp.
+    */
+  private[queries] def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+  }
+
+  /** documents ∪ exact copies (id+100000, doc_id%7=0) ∪ near copies (id+200000, %11). */
+  private def plantedCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+    d.unionByName(
+        d.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text"), col("lang"), col("n_chars")))
+      .unionByName(
+        d.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            concat(col("text"), lit(" xtradup token")).as("text"), col("lang"), col("n_chars")))
+  }
+
+  private val corpusCte =
+    """corpus AS (
+      |  SELECT doc_id, text, lang, n_chars FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text, lang, n_chars FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 200000, text || ' xtradup token', lang, n_chars
+      |  FROM documents WHERE doc_id % 11 = 0
+      |)""".stripMargin
+
+  private def blockCols = Seq(col("lang"), floor(col("n_chars") / 100))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_token_count" -> { (s, dir) =>
+      docs(s, dir).select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"))
+        .orderBy("doc_id")
+    },
+    "text_quality" -> { (s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+          length(col("text")).as("len_chars"),
+          TextOps.tokenCount(col("text")).as("n_tokens"),
+          round(TextOps.punctRatio(col("text")), 6).as("punct_ratio"),
+          round(TextOps.wordSetRatio(col("text"), TextOps.EnglishStopwords), 6).as("stop_ratio"),
+          round(TextOps.qualityScore(col("text")), 6).as("quality"))
+        .orderBy("doc_id")
+    },
+    "text_langid" -> { (s, dir) =>
+      docs(s, dir).select(col("doc_id"), TextOps.langId(col("text")).as("pred_lang"))
+        .orderBy("doc_id")
+    },
+    "text_fingerprint" -> { (s, dir) =>
+      docs(s, dir).select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    },
+    "dedup_exact" -> { (s, dir) =>
+      Dedup.exact(plantedCorpus(s, dir), "doc_id", "text")
+        .orderBy("content_hash")
+    },
+    "dedup_token_jaccard" -> { (s, dir) =>
+      Dedup.tokenJaccardPairs(plantedCorpus(s, dir), "doc_id", "text", blockCols, 0.9)
+        .select(col("id_l"), col("id_r"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_l", "id_r")
+    },
+    "dedup_ngram_jaccard" -> { (s, dir) =>
+      Dedup.ngramJaccardPairs(plantedCorpus(s, dir), "doc_id", "text", 3, blockCols, 0.5)
+        .select(col("id_l"), col("id_r"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_l", "id_r")
+    },
+    "dedup_minhash_lsh" -> { (s, dir) =>
+      Dedup.minhashLshPairs(plantedCorpus(s, dir), "doc_id", "text", 0.5)
+        .select(col("id_l"), col("id_r"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_l", "id_r")
+    },
+    "dedup_simhash" -> { (s, dir) =>
+      Dedup.simhash16(docs(s, dir), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+    "dedup_embedding_cosine" -> { (s, dir) =>
+      Dedup.embeddingPairs(emb(s, dir), "vec_id", "embedding", 0.45)
+        .select(col("id_l"), col("id_r"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("id_l", "id_r")
+    },
+    "ann_cosine_topk" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+        .orderBy("query_id", "rank")
+    },
+    "ann_lsh_topk" -> { (s, dir) =>
+      // approximate — no SQL oracle; recall vs brute force pinned in ScalaTest
+      val e = emb(s, dir)
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+        .orderBy("query_id", "rank")
+    },
+    "mm_binary_meta" -> { (s, dir) =>
+      Multimodal.extractMeta(
+          docs(s, dir).withColumn("payload", col("text").cast("binary")),
+          "doc_id", "payload")
+        .toDF().orderBy("id")
+    },
+    "stream_window_agg" -> { (s, dir) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      StreamOps.windowedEventCounts(s, s"$dir/events.parquet")
+        .orderBy("window_start", "event_type")
+    },
+    "ev_json_extract" -> { (s, dir) =>
+      events(s, dir)
+        .select(get_json_object(col("props"), "$.k").as("k_val"))
+        .groupBy("k_val").agg(count(lit(1)).as("cnt"))
+        .orderBy("k_val")
+    })
+
+  // ---- oracle SQL ----------------------------------------------------------
+
+  private def toksSql(textExpr: String) =
+    s"list_filter(string_split_regex(trim($textExpr), '\\s+'), t -> length(t) > 0)"
+
+  private def inList(words: Seq[String]) = words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  private val stopList = inList(TextOps.EnglishStopwords)
+
+  private val qualitySql = {
+    val toks = toksSql("text")
+    s"""SELECT doc_id, length(text) AS len_chars, len($toks) AS n_tokens,
+       |  ROUND(CASE WHEN length(text) = 0 THEN 0.0
+       |    ELSE length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / length(text) END, 6) AS punct_ratio,
+       |  ROUND(CASE WHEN len($toks) = 0 THEN 0.0
+       |    ELSE len(list_filter($toks, t -> t IN $stopList))::DOUBLE / len($toks) END, 6) AS stop_ratio,
+       |  ROUND(0.4 * LEAST(1.0, len($toks)::DOUBLE / 100.0)
+       |      + 0.3 * (1.0 - CASE WHEN length(text) = 0 THEN 0.0
+       |          ELSE length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / length(text) END)
+       |      + 0.3 * CASE WHEN len($toks) = 0 THEN 0.0
+       |          ELSE len(list_filter($toks, t -> t IN $stopList))::DOUBLE / len($toks) END, 6) AS quality
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  private val langidSql = {
+    val toks = toksSql("text")
+    val scores = TextOps.LangMarkers.map { case (lang, ms) =>
+      s"len(list_filter($toks, t -> t IN ${inList(ms)})) AS s_$lang"
+    }.mkString(", ")
+    val langs = TextOps.LangMarkers.map(_._1)
+    val maxExpr = s"GREATEST(${langs.map(l => s"s_$l").mkString(", ")})"
+    val caseChain = langs.map(l => s"WHEN s_$l = mx AND mx > 0 THEN '$l'").mkString(" ")
+    s"""WITH sc AS (SELECT doc_id, $scores FROM documents),
+       |m AS (SELECT *, $maxExpr AS mx FROM sc)
+       |SELECT doc_id, CASE $caseChain ELSE 'und' END AS pred_lang
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  private def jaccardPairSql(setExpr: String, threshold: Double, extraCte: String) =
+    s"""WITH $extraCte,
+       |prep AS (SELECT doc_id AS id, $setExpr AS toks, lang AS blk0,
+       |                FLOOR(n_chars / 100) AS blk1 FROM corpus)
+       |SELECT l.id AS id_l, r.id AS id_r,
+       |  ROUND(CASE WHEN len(list_distinct(list_concat(l.toks, r.toks))) = 0 THEN 0.0
+       |    ELSE len(list_intersect(l.toks, r.toks))::DOUBLE /
+       |         len(list_distinct(list_concat(l.toks, r.toks))) END, 6) AS jaccard
+       |FROM prep l JOIN prep r ON l.blk0 = r.blk0 AND l.blk1 = r.blk1 AND l.id < r.id
+       |WHERE CASE WHEN len(list_distinct(list_concat(l.toks, r.toks))) = 0 THEN 0.0
+       |    ELSE len(list_intersect(l.toks, r.toks))::DOUBLE /
+       |         len(list_distinct(list_concat(l.toks, r.toks))) END >= $threshold
+       |ORDER BY id_l, id_r""".stripMargin
+
+  private def shinglesSql(textExpr: String) = {
+    val w = toksSql(textExpr)
+    s"""(CASE WHEN len($w) < 3 THEN [] ELSE
+       |  list_transform(range(1, len($w) - 1),
+       |    i -> $w[i] || ' ' || $w[i+1] || ' ' || $w[i+2]) END)""".stripMargin.replace("\n", " ")
+  }
+
+  private val minhashSql = {
+    val k = 8
+    val mins = (0 until k).map(j => s"min(md5('$j:' || s)) AS mh$j").mkString(", ")
+    val bands = (0 until 4).map(b =>
+      s"SELECT id, $b AS band, mh${2 * b} || mh${2 * b + 1} AS key FROM sig").mkString(" UNION ALL ")
+    s"""WITH $corpusCte,
+       |prep AS (SELECT doc_id AS id, list_distinct(${shinglesSql("text")}) AS toks FROM corpus),
+       |sh AS (SELECT id, unnest(toks) AS s FROM prep),
+       |sig AS (SELECT id, $mins FROM sh GROUP BY id),
+       |bands AS ($bands),
+       |cand AS (SELECT DISTINCT l.id AS id_l, r.id AS id_r
+       |         FROM bands l JOIN bands r
+       |           ON l.band = r.band AND l.key = r.key AND l.id < r.id)
+       |SELECT c.id_l, c.id_r,
+       |  ROUND(len(list_intersect(a.toks, b.toks))::DOUBLE /
+       |        len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+       |FROM cand c JOIN prep a ON c.id_l = a.id JOIN prep b ON c.id_r = b.id
+       |WHERE len(list_intersect(a.toks, b.toks))::DOUBLE /
+       |      len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5
+       |ORDER BY id_l, id_r""".stripMargin
+  }
+
+  private val simhashSql = {
+    val nibs = (0 until 4).map(j =>
+      s"strpos('0123456789abcdef', substr(h, ${j + 1}, 1)) - 1 AS n$j").mkString(", ")
+    val sums = (0 until 16).map { p =>
+      s"SUM(CASE WHEN (n${p / 4} >> ${p % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS s$p"
+    }.mkString(", ")
+    val sig = (0 until 16).map(p =>
+      s"(CASE WHEN s$p >= 0 THEN ${1 << p} ELSE 0 END)").mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(list_distinct(${toksSql("text")})) AS t FROM documents
+       |), h AS (SELECT doc_id, md5(t) AS h FROM tok),
+       |nib AS (SELECT doc_id, $nibs FROM h),
+       |sums AS (SELECT doc_id, $sums FROM nib GROUP BY doc_id)
+       |SELECT doc_id, $sig AS simhash FROM sums ORDER BY doc_id""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "text_token_count" ->
+      s"SELECT doc_id, len(${toksSql("text")}) AS n_tokens FROM documents ORDER BY doc_id",
+    "text_quality" -> qualitySql,
+    "text_langid" -> langidSql,
+    "text_fingerprint" ->
+      s"""SELECT doc_id,
+         |  md5(array_to_string(list_sort(list_distinct(${toksSql("text")})), ' ')) AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_exact" ->
+      s"""WITH $corpusCte
+         |SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+         |FROM corpus GROUP BY 1 ORDER BY content_hash""".stripMargin,
+    "dedup_token_jaccard" ->
+      jaccardPairSql(s"list_distinct(${toksSql("text")})", 0.9, corpusCte),
+    "dedup_ngram_jaccard" ->
+      jaccardPairSql(s"list_distinct(${shinglesSql("text")})", 0.5, corpusCte),
+    "dedup_minhash_lsh" -> minhashSql,
+    "dedup_simhash" -> simhashSql,
+    "dedup_embedding_cosine" ->
+      """SELECT l.vec_id AS id_l, r.vec_id AS id_r,
+        |  ROUND(list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]), 6) AS cosine
+        |FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id
+        |WHERE list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]) >= 0.45
+        |ORDER BY id_l, id_r""".stripMargin,
+    "ann_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS id,
+        |    ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS cosine
+        |  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+        |), ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, id) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, rank, id, cosine FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    "mm_binary_meta" ->
+      """SELECT doc_id AS id, octet_length(encode(text)) AS byte_len, md5(text) AS content_md5,
+        |  CAST(32 + octet_length(encode(text)) % 97 AS INT) AS width,
+        |  CAST(32 + (octet_length(encode(text)) * 7) % 89 AS INT) AS height,
+        |  CAST(1 + ascii(substr(text, 1, 1)) % 4 AS INT) AS frames
+        |FROM documents ORDER BY id""".stripMargin,
+    "stream_window_agg" ->
+      """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, COUNT(*) AS cnt, ROUND(SUM(value), 4) AS value_sum
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ev_json_extract" ->
+      """SELECT json_extract_string(props, '$.k') AS k_val, COUNT(*) AS cnt
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+}

@@ -1,0 +1,84 @@
+package graft.textops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines: tokenization,
+  * quality scoring, language-ID heuristics, fingerprinting. All pure column
+  * expressions (codegen'd, no UDFs) so they run at full scan speed over 100 TB of
+  * documents and push down through Catalyst.
+  */
+object TextOps {
+
+  /** Whitespace tokens, empty-safe. */
+  def tokens(c: Column): Column =
+    filter(split(trim(c), "\\s+"), t => length(t) > 0)
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  def distinctTokens(c: Column): Column = array_distinct(tokens(c))
+
+  /** Word n-gram shingles: `["a b c", "b c d", ...]` (1-based element_at). */
+  def shingles(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(
+        transform(sequence(lit(1), size(toks) - (n - 1)), i =>
+          concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
+  }
+
+  /** Document fingerprint: md5 over the sorted distinct token set — robust to word
+    * order and duplication, cheap to group on for near-dup candidate pruning.
+    */
+  def fingerprint(c: Column): Column =
+    md5(array_join(array_sort(distinctTokens(c)), " "))
+
+  /** Ratio of non-alphanumeric, non-space characters. */
+  def punctRatio(c: Column): Column =
+    when(length(c) === 0, lit(0.0))
+      .otherwise(length(regexp_replace(c, "[A-Za-z0-9\\s]", "")).cast("double") / length(c))
+
+  /** Fraction of tokens that appear in `words`. */
+  def wordSetRatio(c: Column, words: Seq[String]): Column = {
+    val toks = tokens(c)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(size(filter(toks, t => t.isInCollection(words))).cast("double") / size(toks))
+  }
+
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that", "for", "on", "with")
+
+  /** Composite quality score ∈ [0,1]: length saturation + low punctuation + stopword
+    * presence — the standard cheap heuristics for pretraining-corpus filtering.
+    */
+  def qualityScore(c: Column): Column = {
+    val lenScore = least(lit(1.0), tokenCount(c).cast("double") / lit(100.0))
+    val punct = lit(1.0) - punctRatio(c)
+    val stop = wordSetRatio(c, EnglishStopwords)
+    lit(0.4) * lenScore + lit(0.3) * punct + lit(0.3) * stop
+  }
+
+  /** Language marker words per language, in priority order for tie-breaking. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "is"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un"),
+    "es" -> Seq("el", "los", "las", "y", "que", "un"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "zh" -> Seq("的", "是", "了", "在", "有"))
+
+  /** Marker-hit count (with multiplicity) for one language. */
+  def langScore(c: Column, markers: Seq[String]): Column =
+    size(filter(tokens(c), t => t.isInCollection(markers)))
+
+  /** N-gram-heuristic language ID: the first language (in [[LangMarkers]] order) whose
+    * marker-hit count equals the maximum; `und` when no marker hits at all.
+    */
+  def langId(c: Column): Column = {
+    val scores = LangMarkers.map { case (lang, ms) => lang -> langScore(c, ms) }
+    val maxScore = greatest(scores.map(_._2): _*)
+    // foldRight keeps the FIRST matching language as the outermost `when`
+    scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === maxScore && maxScore > 0, lit(lang)).otherwise(acc)
+    }
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.textops.{Dedup, Multimodal, Similarity, TextOps}
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+  private lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("shingles produce n-k+1 word n-grams") {
+    val out = Seq("a b c d e").toDF("t")
+      .select(TextOps.shingles(col("t"), 3).as("s")).as[Seq[String]].collect()(0)
+    assert(out === Seq("a b c", "b c d", "c d e"))
+    val short = Seq("a b").toDF("t")
+      .select(TextOps.shingles(col("t"), 3).as("s")).as[Seq[String]].collect()(0)
+    assert(short === Seq.empty)
+  }
+
+  test("exact dedup finds planted copies and nothing else") {
+    val d = docs.select(col("doc_id"), col("text"))
+    val planted = d.unionByName(d.filter(col("doc_id") < 5)
+      .select((col("doc_id") + 1000).as("doc_id"), col("text")))
+    val out = Dedup.exact(planted, "doc_id", "text")
+    assert(out.filter(col("n_copies") === 2).count() === 5)
+    assert(out.filter(col("n_copies") > 2).count() === 0)
+  }
+
+  test("minhash LSH surfaces exact and near duplicates with high shingle jaccard") {
+    val d = docs.select(col("doc_id"), col("text"))
+    val planted = d.unionByName(d.filter(col("doc_id") < 8)
+      .select((col("doc_id") + 1000).as("doc_id"),
+        concat(col("text"), lit(" tail")).as("text")))
+    val pairs = Dedup.minhashLshPairs(planted, "doc_id", "text", 0.5)
+      .as[(Long, Long, Double)].collect()
+    val plantedFound = pairs.count { case (l, r, _) => r - l == 1000 && l < 8 }
+    assert(plantedFound >= 6, s"found only $plantedFound of 8 planted near-dups")
+    assert(pairs.forall(_._3 >= 0.5))
+  }
+
+  test("simhash: near-identical docs collide, hamming distance grows with edits") {
+    def hamming(a: Int, b: Int): Int = Integer.bitCount(a ^ b)
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),   // 1 token changed
+      (3L, "completely different words entirely unrelated content here now"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.simhash16(d, "doc_id", "text")
+      .as[(Long, Int)].collect().toMap
+    assert(hamming(sigs(1L), sigs(2L)) < hamming(sigs(1L), sigs(3L)))
+  }
+
+  test("LSH top-k recall vs brute force is usable (≥ 0.5 with multiprobe)") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall $recall")
+  }
+
+  test("multimodal metadata is deterministic and batch-extracted") {
+    val d = docs.withColumn("payload", col("text").cast("binary")).limit(50)
+    val out = Multimodal.extractMeta(d, "doc_id", "payload").collect()
+    assert(out.length === 50)
+    out.foreach { m =>
+      assert(m.width >= 32 && m.width < 129)
+      assert(m.content_md5.length === 32)
+    }
+    // deterministic: second run identical
+    val out2 = Multimodal.extractMeta(d, "doc_id", "payload").collect()
+    assert(out.sortBy(_.id).toSeq === out2.sortBy(_.id).toSeq)
+  }
+
+  test("language id picks the language with most marker hits") {
+    val d = Seq(
+      (1, "the quick fox and the dog of war"),
+      (2, "le chat et la maison des amis"),
+      (3, "xyz qqq zzz")).toDF("id", "t")
+    val out = d.select(col("id"), TextOps.langId(col("t")).as("l"))
+      .as[(Int, String)].collect().toMap
+    assert(out(1) === "en")
+    assert(out(2) === "fr")
+    assert(out(3) === "und")
+  }
+}
