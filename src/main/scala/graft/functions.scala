@@ -71,4 +71,8 @@ object functions {
   /** Whitespace-token set Jaccard similarity (codegen-enabled; document dedup). */
   def token_set_jaccard(left: Column, right: Column): Column =
     Bridge.column(TokenSetJaccard(Bridge.expression(left), Bridge.expression(right)))
+
+  /** Primitive-loop dot product over two array<double> columns (ANN hot path). */
+  def array_dot(left: Column, right: Column): Column =
+    Bridge.column(ArrayDot(Bridge.expression(left), Bridge.expression(right)))
 }

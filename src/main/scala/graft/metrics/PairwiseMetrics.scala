@@ -32,13 +32,12 @@ object PairwiseMetrics {
   }
 
   def relevantRecordsCount(data: DataFrame, uid: String, trueLabel: String): Long = {
-    val l = data.select(col(trueLabel).as("t"), col(uid).cast("string").as("uid_l"))
-    val r = data.select(col(trueLabel).as("t"), col(uid).cast("string").as("uid_r"))
-    l.join(r, Seq("t"))
-      .filter(col("uid_l") =!= col("uid_r"))
-      .select(array_sort(array(col("uid_l"), col("uid_r"))).as("pairs"))
-      .distinct()
-      .count()
+    // equivalent to the reference's self-join + distinct-sorted-pair count
+    // (autolinker.py:1164-1177) in closed form: Σ_labels C(n,2) — no quadratic join
+    val row = data.groupBy(col(trueLabel)).agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(col("n") * (col("n") - 1) / 2), lit(0L)).cast("long"))
+      .collect()(0)
+    row.getLong(0)
   }
 
   /** Full confusion metric set at one threshold, as a 1-row DataFrame. */

@@ -29,7 +29,7 @@ object PipelineQueries {
     val model = Estimation.train(
       df, "uid", specs,
       blockingRules = Seq("l.c_nationkey = r.c_nationkey AND l.c_mktsegment = r.c_mktsegment"),
-      trainingRules = Seq("l.c_mktsegment = r.c_mktsegment"),
+      trainingRules = Seq("l.c_nationkey = r.c_nationkey AND l.c_mktsegment = r.c_mktsegment"),
       uTargetPairs = 20000L)
     val preds = FellegiSunter.predict(df, "uid", model)
     val edges = preds.filter(col("match_probability") >= 0.5)

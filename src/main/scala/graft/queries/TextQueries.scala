@@ -53,7 +53,7 @@ object TextQueries {
       |  FROM documents WHERE doc_id % 11 = 0
       |)""".stripMargin
 
-  private def blockCols = Seq(col("lang"), floor(col("n_chars") / 100))
+  private def blockCols = Seq(col("lang"), floor(col("n_chars") / 25))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_count" -> { (s, dir) =>
@@ -176,7 +176,7 @@ object TextQueries {
   private def jaccardPairSql(setExpr: String, threshold: Double, extraCte: String) =
     s"""WITH $extraCte,
        |prep AS (SELECT doc_id AS id, $setExpr AS toks, lang AS blk0,
-       |                FLOOR(n_chars / 100) AS blk1 FROM corpus)
+       |                FLOOR(n_chars / 25) AS blk1 FROM corpus)
        |SELECT l.id AS id_l, r.id AS id_r,
        |  ROUND(CASE WHEN len(list_distinct(list_concat(l.toks, r.toks))) = 0 THEN 0.0
        |    ELSE len(list_intersect(l.toks, r.toks))::DOUBLE /

@@ -36,7 +36,11 @@ object Dedup {
       threshold: Double): DataFrame =
     setJaccardPairs(df, idCol, TextOps.distinctTokens(col(textCol)), blockCols, threshold)
 
-  /** Pairs within the same block whose word n-gram (shingle) Jaccard ≥ threshold. */
+  /** Pairs within the same block whose word n-gram (shingle) Jaccard ≥ threshold.
+    * Uses the per-pair array-intersection path: with tight blocking the pair count is
+    * bounded, and shingle sets collide across many documents, which makes the
+    * co-occurrence join's (block, shingle) fan-out worse than scanning the pairs.
+    */
   def ngramJaccardPairs(
       df: DataFrame,
       idCol: String,
@@ -44,10 +48,11 @@ object Dedup {
       n: Int,
       blockCols: Seq[Column],
       threshold: Double): DataFrame =
-    setJaccardPairs(df, idCol, array_distinct(TextOps.shingles(col(textCol), n)),
+    arrayJaccardPairs(df, idCol, TextOps.distinctShingles(col(textCol), n),
       blockCols, threshold)
 
-  private def setJaccardPairs(
+  /** Per-pair array-intersection Jaccard within blocks (pair-bounded work). */
+  private def arrayJaccardPairs(
       df: DataFrame,
       idCol: String,
       setExpr: Column,
@@ -68,6 +73,44 @@ object Dedup {
       .select("id_l", "id_r", "jaccard")
   }
 
+  /** Set-Jaccard pairs via co-occurrence counting instead of per-pair array
+    * intersection: explode the sets, equi-join on (block, element) to count shared
+    * elements per pair, and recover `|A∪B| = |A| + |B| − |A∩B|`. Pairs sharing no
+    * element never materialize, and the per-pair work is a counting aggregate rather
+    * than repeated hash-set construction — the difference between O(pairs · setsize)
+    * allocations and plain join/agg throughput at corpus scale. Requires threshold > 0
+    * (zero-overlap pairs are definitionally absent).
+    */
+  private def setJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      setExpr: Column,
+      blockCols: Seq[Column],
+      threshold: Double): DataFrame = {
+    require(threshold > 0, "setJaccardPairs requires a positive threshold")
+    val prepped = df.select(
+      (col(idCol).as("id") +: setExpr.as("toks") +:
+        blockCols.zipWithIndex.map { case (c, i) => c.as(s"blk$i") }): _*)
+    val keys = blockCols.indices.map(i => s"blk$i")
+    val sizes = prepped.select(col("id"), size(col("toks")).as("sz"))
+    val items = prepped.select(
+      (Seq(col("id"), explode(col("toks")).as("tok")) ++ keys.map(col)): _*)
+    val l = items.select(
+      (Seq(col("id").as("id_l"), col("tok")) ++ keys.map(col)): _*)
+    val r = items.select(
+      (Seq(col("id").as("id_r"), col("tok")) ++ keys.map(col)): _*)
+    l.join(r, keys :+ "tok")
+      .filter(col("id_l") < col("id_r"))
+      .groupBy("id_l", "id_r")
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("id").as("id_l"), col("sz").as("sz_l")), "id_l")
+      .join(sizes.select(col("id").as("id_r"), col("sz").as("sz_r")), "id_r")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_l") + col("sz_r") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_l", "id_r", "jaccard")
+  }
+
   /** MinHash signature over word `n`-gram shingles: `k` portable hash functions
     * `h_j(s) = md5(j || ':' || s)`, minimum per document. One explode + one grouped
     * aggregation (k `min`s, single shuffle).
@@ -79,7 +122,7 @@ object Dedup {
       k: Int,
       shingleN: Int): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
-      explode(array_distinct(TextOps.shingles(col(textCol), shingleN))).as("s"))
+      explode(TextOps.distinctShingles(col(textCol), shingleN)).as("s"))
     sh.groupBy("id")
       .agg(
         min(md5(concat(lit("0:"), col("s")))).as("mh0"),
@@ -113,7 +156,7 @@ object Dedup {
       .select(col("l.id").as("id_l"), col("r.id").as("id_r"))
       .distinct()
     val sets = df.select(col(idCol).as("id"),
-      array_distinct(TextOps.shingles(col(textCol), shingleN)).as("toks"))
+      TextOps.distinctShingles(col(textCol), shingleN).as("toks"))
     candidates
       .join(sets.select(col("id").as("id_l"), col("toks").as("toks_l")), "id_l")
       .join(sets.select(col("id").as("id_r"), col("toks").as("toks_r")), "id_r")
@@ -157,10 +200,11 @@ object Dedup {
       idCol: String,
       vecCol: String,
       threshold: Double): DataFrame = {
+    // normalize once per row so the per-pair work is a single primitive dot product
     val v = emb.select(col(idCol).as("id"),
-      col(vecCol).cast("array<double>").as("v"))
+      Similarity.normalized(col(vecCol).cast("array<double>")).as("v"))
     v.alias("l").join(v.alias("r"), col("l.id") < col("r.id"))
-      .withColumn("cosine", Similarity.cosine(col("l.v"), col("r.v")))
+      .withColumn("cosine", graft.functions.array_dot(col("l.v"), col("r.v")))
       .filter(col("cosine") >= threshold)
       .select(col("l.id").as("id_l"), col("r.id").as("id_r"), col("cosine"))
   }

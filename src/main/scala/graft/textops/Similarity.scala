@@ -14,14 +14,21 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity between two `array<double>` columns — pure higher-order-function
-    * expressions (codegen'd, no UDF).
+  /** Cosine similarity between two `array<double>` columns, via the primitive-loop
+    * [[graft.functions.array_dot]] expression (the HOF zip_with form allocates per
+    * element and dominates all-pairs scans).
     */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    def norm(x: Column): Column = sqrt(aggregate(x, lit(0.0), (acc, v) => acc + v * v))
-    dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.array_dot(a, b) / (vecNorm(a) * vecNorm(b))
+
+  def vecNorm(x: Column): Column = sqrt(graft.functions.array_dot(x, x))
+
+  /** Unit-normalized copy of an `array<double>` column (compute once per row, then
+    * cosine between normalized vectors is a single dot product).
+    */
+  def normalized(x: Column): Column = {
+    val n = vecNorm(x)
+    transform(x, v => v / n)
   }
 
   /** Brute-force top-k: every query row against the whole corpus. The query set is

@@ -18,14 +18,20 @@ object TextOps {
 
   def distinctTokens(c: Column): Column = array_distinct(tokens(c))
 
-  /** Word n-gram shingles: `["a b c", "b c d", ...]` (1-based element_at). */
-  def shingles(c: Column, n: Int): Column = {
-    val toks = tokens(c)
-    when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(
-        transform(sequence(lit(1), size(toks) - (n - 1)), i =>
-          concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
-  }
+  /** Word n-gram shingles `["a b c", "b c d", ...]` — native single-pass expression
+    * (the HOF composition re-tokenizes per element; see [[graft.expressions.WordShingles]]).
+    * Keeps duplicate shingles (wrap in `array_distinct` or use [[distinctShingles]]).
+    */
+  def shingles(c: Column, n: Int): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expressions.WordShingles(
+        org.apache.spark.sql.graftbridge.Bridge.expression(c), n, distinct = false))
+
+  /** Distinct word n-gram shingles in one pass — the dedup hot path. */
+  def distinctShingles(c: Column, n: Int): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expressions.WordShingles(
+        org.apache.spark.sql.graftbridge.Bridge.expression(c), n, distinct = true))
 
   /** Document fingerprint: md5 over the sorted distinct token set — robust to word
     * order and duplication, cheap to group on for near-dup candidate pruning.

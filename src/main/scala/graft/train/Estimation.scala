@@ -95,14 +95,22 @@ object Estimation {
       u: Map[String, Array[Double]],
       initialLambda: Double,
       tol: Double = 0.01,
-      maxIter: Int = 25): (Double, Map[String, Array[Double]]) = {
+      maxIter: Int = 25,
+      pairCap: Long = 2000000L,
+      seed: Long = 42L): (Double, Map[String, Array[Double]]) = {
 
     val ruleCols = trainingRule.columns.toSet
     val freeSpecs = specs.filterNot(s => ruleCols.contains(s.column))
     // carry both compared and blocked-on columns through the pair join
     val attrs = (specs.map(_.column) ++ trainingRule.columns).distinct
 
-    val pairs = graft.blocking.PairGenerator.dedupePairs(df, uid, attrs, Seq(trainingRule))
+    val allPairs = graft.blocking.PairGenerator.dedupePairs(df, uid, attrs, Seq(trainingRule))
+    // parameter estimation doesn't need every blocked pair — cap with a seeded sample
+    // so EM cost stays bounded when a training rule produces huge blocks
+    val nPairs = allPairs.count()
+    val pairs =
+      if (nPairs > pairCap) allPairs.sample(withReplacement = false, pairCap.toDouble / nPairs, seed)
+      else allPairs
     val gammas = Comparisons.withGammas(pairs, freeSpecs)
       .select(freeSpecs.map(s => col(s"gamma_${s.column}")): _*)
       .localCheckpoint()
