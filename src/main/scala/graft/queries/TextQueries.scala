@@ -128,6 +128,11 @@ object TextQueries {
       StreamOps.windowedEventCounts(s, s"$dir/events.parquet")
         .orderBy("window_start", "event_type")
     },
+    "stream_stateful_totals" -> { (s, dir) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      StreamOps.statefulUserTotals(s, s"$dir/events.parquet")
+        .orderBy("user_id")
+    },
     "ev_json_extract" -> { (s, dir) =>
       events(s, dir)
         .select(get_json_object(col("props"), "$.k").as("k_val"))
@@ -279,6 +284,9 @@ object TextQueries {
       """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |  event_type, COUNT(*) AS cnt, ROUND(SUM(value), 4) AS value_sum
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "stream_stateful_totals" ->
+      """SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS value_sum
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev_json_extract" ->
       """SELECT json_extract_string(props, '$.k') AS k_val, COUNT(*) AS cnt
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)

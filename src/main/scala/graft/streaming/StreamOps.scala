@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured-streaming operators over the events stream. The reference is batch-only;
   * these cover the streaming leg a large-scale ingest pipeline needs: windowed
@@ -46,6 +47,52 @@ object StreamOps {
       .select(
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("cnt"),
+        round(col("value_sum"), 4).as("value_sum"))
+  }
+
+  case class UserTotal(user_id: Long, n_events: Long, value_sum: Double)
+
+  /** Custom streaming state via `mapGroupsWithState`: per-user running totals held in
+    * `GroupState` across micro-batches (the building block for sessionization /
+    * per-entity accumulators). Drives the stream to completion and returns the final
+    * per-user totals — equal to the batch aggregate, which is the correctness oracle.
+    */
+  def statefulUserTotals(spark: SparkSession, eventsPath: String): DataFrame = {
+    import spark.implicits._
+    val schema = spark.read.parquet(eventsPath).schema
+    val dir = new java.io.File(eventsPath).getParent
+    val fileName = new java.io.File(eventsPath).getName
+    val name = s"stream_state_${System.nanoTime()}"
+    val raw = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", fileName)
+      .parquet(dir)
+      .select(col("user_id").cast("long").as("user_id"),
+        col("value").cast("double").as("value"))
+      .as[(Long, Double)]
+    val totals = raw
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[UserTotal]) =>
+          val prev = state.getOption.getOrElse(UserTotal(user, 0L, 0.0))
+          val next = rows.foldLeft(prev) { case (acc, (_, v)) =>
+            UserTotal(user, acc.n_events + 1, acc.value_sum + v)
+          }
+          state.update(next)
+          next
+      }
+    val q = totals.writeStream
+      .outputMode(OutputMode.Update)
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    // keep the last update per user (a single-batch file source emits one each)
+    spark.table(name)
+      .groupBy("user_id")
+      .agg(max("n_events").as("n_events"), max("value_sum").as("value_sum"))
+      .select(col("user_id"), col("n_events"),
         round(col("value_sum"), 4).as("value_sum"))
   }
 }
