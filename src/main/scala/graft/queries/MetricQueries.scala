@@ -122,7 +122,7 @@ object MetricQueries {
       val specs = Seq(
         ComparisonSpec("c_name", "levenshtein", 3),
         ComparisonSpec("c_acctbal", "levenshtein", 2))
-      val (lambda, m) = Estimation.emTrain(
+      val (lambda, m, uEm) = Estimation.emTrain(
         df.withColumn("c_acctbal", col("c_acctbal").cast("string")),
         "uid", specs,
         graft.blocking.BlockingRule.parse(
@@ -130,8 +130,8 @@ object MetricQueries {
         u = specs.map(sp => sp.column -> Estimation.DefaultU).toMap,
         initialLambda = 0.01)
       m.toSeq.sortBy(_._1).flatMap { case (c, arr) =>
-        arr.zipWithIndex.map { case (v, g) => (c, g, v, lambda) }
-      }.toDF("column", "gamma", "m", "lambda")
+        arr.zipWithIndex.map { case (v, g) => (c, g, v, uEm(c)(g), lambda) }
+      }.toDF("column", "gamma", "m", "u", "lambda")
     })
 
   // ---- oracle SQL ----------------------------------------------------------

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.streaming.StreamOps
-import graft.textops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.textops.{Dedup, Ivf, Multimodal, Similarity, TextOps}
 
 /** SparkEntry query + oracle entries for the training-data pipeline operators: text
   * analysis, document dedup (exact / Jaccard / MinHash-LSH / SimHash / embedding),
@@ -115,6 +115,13 @@ object TextQueries {
       // approximate — no SQL oracle; recall vs brute force pinned in ScalaTest
       val e = emb(s, dir)
       Similarity.lshTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+        .orderBy("query_id", "rank")
+    },
+    "ann_ivf_topk" -> { (s, dir) =>
+      // approximate — no SQL oracle; recall vs brute force pinned in ScalaTest
+      val e = emb(s, dir)
+      val model = Ivf.fit(e, "vec_id", "embedding", k = 16)
+      Ivf.topK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5, model)
         .orderBy("query_id", "rank")
     },
     "mm_binary_meta" -> { (s, dir) =>

@@ -1,0 +1,120 @@
+package graft.textops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor: partition the corpus into `k`
+  * Voronoi cells around trained centroids; a query scores only the rows of its
+  * `nprobe` closest cells.
+  *
+  * Scale design: the index is ONE extra int column (`cell`) on the corpus — at 100 TB
+  * you write it once (ideally partitionBy(cell) so probes prune files) and every query
+  * batch is a broadcast join against its probe cells. Centroids are k×dim doubles —
+  * driver-sized by construction. Training is Lloyd's algorithm with deterministic
+  * seeding; iterations are plain Spark aggregations.
+  */
+object Ivf {
+
+  case class Model(centroids: Array[Array[Double]])
+
+  /** Deterministic k-means: seed centroids = the k corpus rows with smallest salted
+    * uid hash, then `iters` Lloyd rounds (assign via broadcast centroid table, recenter
+    * via per-dimension average).
+    */
+  def fit(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int = 2,
+      seed: Long = 42L): Model = {
+    val spark = corpus.sparkSession
+    val v = corpus.select(col(idCol).as("id"),
+      Similarity.normalized(col(vecCol).cast("array<double>")).as("v"))
+      .cache()
+    try {
+      var centroids: Array[Array[Double]] = v
+        .withColumn("h", xxhash64(col("id").cast("string"), lit(seed)))
+        .orderBy("h").limit(k)
+        .select("v").collect()
+        .map(_.getSeq[Double](0).toArray)
+
+      (1 to iters).foreach { _ =>
+        val cents = centroidDf(spark, centroids)
+        val assigned = assign(v, cents)
+        val sums = assigned
+          .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy("cell", "pos")
+          .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+          .collect()
+        val dim = centroids(0).length
+        val next = centroids.zipWithIndex.map { case (old, c) =>
+          val rows = sums.filter(_.getInt(0) == c)
+          if (rows.isEmpty) old
+          else {
+            val arr = old.clone()
+            rows.foreach { r =>
+              val n = r.getLong(3)
+              if (n > 0) arr(r.getInt(1)) = r.getDouble(2) / n
+            }
+            // re-normalize so cell assignment stays a max-dot-product problem
+            val nrm = math.sqrt(arr.map(x => x * x).sum)
+            if (nrm > 0) arr.map(_ / nrm) else arr
+          }
+        }
+        centroids = next
+      }
+      Model(centroids)
+    } finally v.unpersist()
+  }
+
+  private def centroidDf(spark: org.apache.spark.sql.SparkSession,
+      centroids: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "cv")
+  }
+
+  /** Nearest-centroid assignment via broadcast cross join + argmax dot product. */
+  private def assign(v: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy("id").orderBy(desc("dot"), asc("cell"))
+    v.crossJoin(broadcast(cents))
+      .withColumn("dot", graft.functions.array_dot(col("v"), col("cv")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("id"), col("v"), col("cell"))
+  }
+
+  /** Top-k per query, probing the `nprobe` closest cells. */
+  def topK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      model: Model,
+      nprobe: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    val cents = centroidDf(spark, model.centroids)
+    val c = assign(
+      corpus.select(col(idCol).as("id"),
+        Similarity.normalized(col(vecCol).cast("array<double>")).as("v")),
+      cents)
+    val qw = Window.partitionBy("query_id").orderBy(desc("dot"), asc("cell"))
+    val probes = queries
+      .select(col(idCol).as("query_id"),
+        Similarity.normalized(col(vecCol).cast("array<double>")).as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("dot", graft.functions.array_dot(col("qv"), col("cv")))
+      .withColumn("rk", row_number().over(qw))
+      .filter(col("rk") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cell"))
+    val scored = c.join(broadcast(probes), "cell")
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("cosine", round(graft.functions.array_dot(col("v"), col("qv")), 6))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "id", "cosine")
+  }
+}

@@ -83,9 +83,11 @@ object Estimation {
 
   /** J5 — EM over pairs blocked by `trainingRule`. Columns appearing in the training
     * rule are held fixed for this round (their gammas are saturated by construction —
-    * Splink excludes them, reference autolinker.py:557-558).
+    * Splink excludes them, reference autolinker.py:557-558). Both m and u are
+    * re-estimated (Splink's default: `fix_u_probabilities=False`); [[train]] averages
+    * the per-session u with the random-sampling estimate.
     *
-    * @return (λ estimate, updated m per column) — u is taken as fixed from J4.
+    * @return (λ estimate, updated m per column, updated u per column)
     */
   def emTrain(
       df: DataFrame,
@@ -97,7 +99,7 @@ object Estimation {
       tol: Double = 0.01,
       maxIter: Int = 25,
       pairCap: Long = 2000000L,
-      seed: Long = 42L): (Double, Map[String, Array[Double]]) = {
+      seed: Long = 42L): (Double, Map[String, Array[Double]], Map[String, Array[Double]]) = {
 
     val ruleCols = trainingRule.columns.toSet
     val freeSpecs = specs.filterNot(s => ruleCols.contains(s.column))
@@ -115,16 +117,19 @@ object Estimation {
       .select(freeSpecs.map(s => col(s"gamma_${s.column}")): _*)
       .localCheckpoint()
     val total = gammas.count().toDouble
-    if (total == 0) return (initialLambda, freeSpecs.map(s => s.column -> DefaultM.clone).toMap)
+    if (total == 0)
+      return (initialLambda, freeSpecs.map(s => s.column -> DefaultM.clone).toMap,
+        freeSpecs.map(s => s.column -> u(s.column).clone).toMap)
 
     var lambda = initialLambda
     var m = freeSpecs.map(s => s.column -> DefaultM.clone).toMap
+    var uEst = freeSpecs.map(s => s.column -> u(s.column).clone).toMap
     var delta = Double.MaxValue
     var iter = 0
 
     while (delta > tol && iter < maxIter) {
       // E-step: P(match | gammas) under current params, as one literal column expression.
-      val wExpr = matchProbability(freeSpecs, lambda, m, u)
+      val wExpr = matchProbability(freeSpecs, lambda, m, uEst)
       val weighted = gammas.withColumn("w", wExpr)
 
       // M-step: one unpivot + one aggregation for every column at once (single shuffle).
@@ -139,16 +144,19 @@ object Estimation {
         .agg(sum("w").as("mw"), sum(lit(1.0) - col("w")).as("uw"))
         .collect()
 
-      val mSums = rows.groupBy(_.getString(0)).map { case (c, rs) =>
-        c -> rs.map(r => r.getInt(1) -> r.getDouble(2)).toMap
+      val sums = rows.groupBy(_.getString(0)).map { case (c, rs) =>
+        c -> rs.map(r => r.getInt(1) -> (r.getDouble(2), r.getDouble(3))).toMap
       }
-      val newM = freeSpecs.map { s =>
-        val byG = mSums.getOrElse(s.column, Map.empty)
-        val tot = byG.values.sum
-        s.column -> (0 until s.numLevels).map { g =>
-          math.max(byG.getOrElse(g, 0.0) / math.max(tot, Floor), Floor)
-        }.toArray
-      }.toMap
+      def refit(pick: ((Double, Double)) => Double): Map[String, Array[Double]] =
+        freeSpecs.map { s =>
+          val byG = sums.getOrElse(s.column, Map.empty)
+          val tot = byG.values.map(pick).sum
+          s.column -> (0 until s.numLevels).map { g =>
+            math.max(byG.get(g).map(pick).getOrElse(0.0) / math.max(tot, Floor), Floor)
+          }.toArray
+        }.toMap
+      val newM = refit(_._1)
+      val newU = refit(_._2)
 
       val newLambda = {
         val sw = weighted.agg(sum("w")).collect()(0).getDouble(0)
@@ -158,12 +166,15 @@ object Estimation {
       delta = math.max(
         math.abs(newLambda - lambda),
         freeSpecs.flatMap(s =>
-          (0 until s.numLevels).map(g => math.abs(newM(s.column)(g) - m(s.column)(g)))).max)
+          (0 until s.numLevels).map(g =>
+            math.max(math.abs(newM(s.column)(g) - m(s.column)(g)),
+              math.abs(newU(s.column)(g) - uEst(s.column)(g))))).max)
       lambda = newLambda
       m = newM
+      uEst = newU
       iter += 1
     }
-    (lambda, m)
+    (lambda, m, uEst)
   }
 
   /** P(match | gammas) as a column expression from literal parameters. */
@@ -198,22 +209,30 @@ object Estimation {
       tol: Double = 0.01): TrainedModel = {
     val n = df.count()
     val lambda0 = prior(n)
-    val u = estimateU(df, uid, specs, uTargetPairs)
+    val uSampled = estimateU(df, uid, specs, uTargetPairs)
 
     val mEstimates = scala.collection.mutable.Map[String, List[Array[Double]]]()
+    val uEstimates = scala.collection.mutable.Map[String, List[Array[Double]]](
+      specs.map(s => s.column -> List(uSampled(s.column))): _*)
     var lambda = lambda0
     trainingRules.foreach { ruleStr =>
       val rule = graft.blocking.BlockingRule.parse(ruleStr)
-      val (lam, m) = emTrain(df, uid, specs, rule, u, lambda, tol)
+      val (lam, m, uEm) = emTrain(df, uid, specs, rule, uSampled, lambda, tol)
       lambda = lam
       m.foreach { case (c, arr) =>
         mEstimates(c) = arr :: mEstimates.getOrElse(c, Nil)
       }
+      uEm.foreach { case (c, arr) =>
+        uEstimates(c) = arr :: uEstimates.getOrElse(c, Nil)
+      }
     }
+    def average(lists: List[Array[Double]], levels: Int): Array[Double] =
+      (0 until levels).map(g => lists.map(_(g)).sum / lists.length).toArray
     val params = specs.map { s =>
       val ms = mEstimates.getOrElse(s.column, List(DefaultM))
-      val avg = (0 until s.numLevels).map(g => ms.map(_(g)).sum / ms.length).toArray
-      s.column -> ColumnParams(avg, u(s.column))
+      s.column -> ColumnParams(
+        average(ms, s.numLevels),
+        average(uEstimates(s.column), s.numLevels))
     }.toMap
     TrainedModel(lambda, specs, params, blockingRules)
   }

@@ -104,7 +104,7 @@ class LinkageSpec extends SparkSpec {
     val df = rows.toDF("id", "a", "b", "blk")
     val specs = Seq(ComparisonSpec("b", "levenshtein", 2))
     val u = Map("b" -> Array(0.9, 0.05, 0.05))
-    val (lambda, m) = Estimation.emTrain(
+    val (lambda, m, _) = Estimation.emTrain(
       df, "id", Seq(ComparisonSpec("a", "levenshtein", 1), ComparisonSpec("b", "levenshtein", 2)),
       graft.blocking.BlockingRule.parse("l.a = r.a"), u,
       initialLambda = 0.5)

@@ -62,6 +62,17 @@ class TextOpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall")
   }
 
+  test("IVF top-k recall vs brute force is usable (≥ 0.5 with nprobe=4)") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val model = graft.textops.Ivf.fit(emb, "vec_id", "embedding", k = 16)
+    val ivf = graft.textops.Ivf.topK(emb, queries, "vec_id", "embedding", 5, model, nprobe = 4)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall $recall")
+  }
+
   test("multimodal metadata is deterministic and batch-extracted") {
     val d = docs.withColumn("payload", col("text").cast("binary")).limit(50)
     val out = Multimodal.extractMeta(d, "doc_id", "payload").collect()
