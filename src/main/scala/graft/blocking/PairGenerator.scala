@@ -57,6 +57,36 @@ object PairGenerator {
     joined.reduce(_ unionByName _).dropDuplicates("uid_l", "uid_r")
   }
 
+  /** Skew-balanced dedupe pairs: same output as [[dedupePairs]], but each block key is
+    * salted `saltFactor` ways — the left side gets `salt = hash(uid) % s`, the right
+    * side is replicated across all salts — so one giant block spreads over `s` tasks
+    * instead of pinning a single reducer. Output cardinality is unchanged (salting
+    * balances the quadratic block work, it cannot reduce it); AQE's skew-join handles
+    * moderate skew automatically, this is the explicit control for pathological keys.
+    */
+  def dedupePairsSalted(
+      df: DataFrame,
+      uid: String,
+      attributes: Seq[String],
+      rules: Seq[BlockingRule],
+      saltFactor: Int): DataFrame = {
+    require(saltFactor >= 1)
+    val l = sideProjection(df, uid, attributes, "_l")
+      .withColumn("_salt", pmod(xxhash64(col("uid_l")), lit(saltFactor)))
+      .alias("l")
+    val r = sideProjection(df, uid, attributes, "_r")
+      .withColumn("_salt", explode(array((0 until saltFactor).map(lit): _*)))
+      .alias("r")
+    val branches = rules.flatMap(_.branches).distinct
+    val joined = branches.map { branch =>
+      val cond = (branch.map(c => col(s"l.${c}_l") === col(s"r.${c}_r")) :+
+        (col("l._salt") === col("r._salt"))).reduce(_ && _) &&
+        col(s"l.uid_l") < col(s"r.uid_r")
+      l.join(r, cond, "inner").drop("_salt")
+    }
+    joined.reduce(_ unionByName _).dropDuplicates("uid_l", "uid_r")
+  }
+
   private def sideProjection(
       df: DataFrame,
       uid: String,

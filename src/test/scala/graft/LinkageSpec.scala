@@ -31,6 +31,19 @@ class LinkageSpec extends SparkSpec {
     assert(pairs === Set(("1", "2"), ("1", "3"), ("2", "3"), ("3", "4")))
   }
 
+  test("salted dedupe pairs produce exactly the unsalted pair set") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+      .select(col("c_custkey").cast("string").as("id"),
+        col("c_mktsegment").as("seg"), col("c_nationkey").cast("string").as("nat"))
+    val rule = BlockingRule.parse("l.seg = r.seg")
+    val plain = PairGenerator.dedupePairs(df, "id", Seq("seg", "nat"), Seq(rule))
+      .select("uid_l", "uid_r").as[(String, String)].collect().toSet
+    val salted = PairGenerator.dedupePairsSalted(df, "id", Seq("seg", "nat"), Seq(rule), 8)
+      .select("uid_l", "uid_r").as[(String, String)].collect().toSet
+    assert(salted === plain)
+    assert(plain.nonEmpty)
+  }
+
   test("null block keys never match") {
     val df = Seq(("1", null), ("2", null), ("3", "x")).toDF("id", "k")
     val pairs = PairGenerator.dedupePairs(df, "id", Seq("k"),

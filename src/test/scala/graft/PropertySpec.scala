@@ -1,0 +1,80 @@
+package graft
+
+import scala.collection.mutable
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.expressions.{CombinatorialCountAgg, CountMapSerde, EntropyAgg, JaroWinkler}
+
+/** Property-based pins (scalacheck) for the algebraic invariants the distributed
+  * aggregates rely on: merge commutativity/associativity, serde round-trip, entropy
+  * bounds, combination cardinalities.
+  */
+class PropertySpec extends SparkSpec {
+
+  private def check(name: String, prop: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, s"$name: ${res.status}")
+  }
+
+  private val countMapGen: Gen[Map[String, Long]] =
+    Gen.mapOf(Gen.zip(Gen.alphaStr.map(_.take(8)), Gen.choose(1L, 1000L)))
+
+  test("count-map merge is commutative and associative (threshold 0)") {
+    val agg = CombinatorialCountAgg(Seq.empty, Seq.empty, 1, threshold = 0L)
+    def m(x: Map[String, Long]): mutable.Map[String, Long] = mutable.HashMap(x.toSeq: _*)
+    check("commutative", Prop.forAll(countMapGen, countMapGen) { (a, b) =>
+      agg.merge(m(a), m(b)).toMap == agg.merge(m(b), m(a)).toMap
+    })
+    check("associative", Prop.forAll(countMapGen, countMapGen, countMapGen) { (a, b, c) =>
+      agg.merge(agg.merge(m(a), m(b)), m(c)).toMap ==
+        agg.merge(m(a), agg.merge(m(b), m(c))).toMap
+    })
+  }
+
+  test("count-map serde round-trips") {
+    check("serde", Prop.forAll(countMapGen) { a =>
+      CountMapSerde.read(CountMapSerde.write(mutable.HashMap(a.toSeq: _*))).toMap == a
+    })
+  }
+
+  test("merge-time threshold prune keeps exactly the keys above threshold") {
+    val agg = CombinatorialCountAgg(Seq.empty, Seq.empty, 1, threshold = 10L)
+    check("prune", Prop.forAll(countMapGen, countMapGen) { (a, b) =>
+      val merged = agg.merge(mutable.HashMap(a.toSeq: _*), mutable.HashMap(b.toSeq: _*))
+      val expected = (a.keySet ++ b.keySet).flatMap { k =>
+        val v = a.getOrElse(k, 0L) + b.getOrElse(k, 0L)
+        if (v > 10L) Some(k -> v) else None
+      }.toMap
+      merged.toMap == expected
+    })
+  }
+
+  test("entropy is within [0, log10(distinct)/divisor] and 0 for constant columns") {
+    val countsGen = Gen.nonEmptyListOf(Gen.choose(1L, 500L))
+    check("bounds", Prop.forAll(countsGen) { cs =>
+      val m = cs.zipWithIndex.map { case (c, i) => i.toString -> c }.toMap
+      val h = EntropyAgg.entropy(m, 0)
+      val d = m.size
+      val maxH = if (d < 2) 0.0 else if (d == 10) math.log10(d.toDouble) else 1.0 + 1e-9
+      h >= -1e-12 && h <= maxH + 1e-9
+    })
+    assert(EntropyAgg.entropy(Map("only" -> 99L), 0) === 0.0)
+  }
+
+  test("combinations cardinality C(n,k) for all k <= n <= 8") {
+    def fact(n: Int): Long = (1 to n).foldLeft(1L)(_ * _)
+    for (n <- 1 to 8; k <- 1 to n) {
+      val els = (1 to n).map(i => s"e$i")
+      assert(els.combinations(k).size === fact(n) / (fact(k) * fact(n - k)))
+    }
+  }
+
+  test("jaro-winkler triangle-ish sanity: appending a char can only lower similarity from 1") {
+    val strGen = Gen.nonEmptyListOf(Gen.alphaChar).map(_.take(10).mkString)
+    check("append", Prop.forAll(strGen) { s =>
+      val sim = JaroWinkler.similarity(s, s + "x")
+      sim < 1.0 && sim > 0.0
+    })
+  }
+}
