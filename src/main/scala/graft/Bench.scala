@@ -26,6 +26,10 @@ object Bench {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val sec = (System.nanoTime() - t0) / 1e9
+      // drop cached plans and leftover localCheckpoint blocks — iterative operators
+      // otherwise accumulate storage across queries and degrade later ones via GC churn
+      spark.sqlContext.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       System.err.println(f"[bench] $name%-28s $sec%8.2f s")
       name -> sec
     }
