@@ -23,18 +23,22 @@ object ConnectedComponents {
     *         (callers left-join records and default missing nodes to their own id)
     */
   def run(edges: DataFrame, maxIter: Int = 30): DataFrame = {
-    var e = edges
+    val tracker = new graft.util.CheckpointTracker(edges.sparkSession)
+    var e = tracker.rotate(edges
       .select(col("src").cast("string"), col("dst").cast("string"))
       .filter(col("src") =!= col("dst"))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
 
     var converged = false
     var iter = 0
+    var prevSig = signature(e)
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      // rotate frees the previous round's blocks once this round is materialized;
+      // the FINAL checkpoint stays alive for the caller (freed by harness cleanup)
+      val next = tracker.rotate(smallStar(largeStar(e)))
       val sig = signature(next)
-      converged = sig == signature(e)
+      converged = sig == prevSig
+      prevSig = sig
       e = next
       iter += 1
     }
@@ -83,7 +87,8 @@ object ConnectedComponents {
   }
 
   /** Order-independent convergence signature: (edge count, xor of per-edge hashes) —
-    * xor instead of sum so ANSI mode can't overflow.
+    * xor instead of sum so ANSI mode can't overflow. Each round's signature is
+    * computed once and compared against the remembered previous value.
     */
   private def signature(e: DataFrame): (Long, Long) = {
     val row = e.select(xxhash64(col("src"), col("dst")).as("h"))

@@ -52,12 +52,12 @@ object Estimation {
     val n = projected.count()
     val offsets = math.max(1L, math.min(n - 1, targetPairs / math.max(n, 1L))).toInt
 
-    val indexed = spark.createDataFrame(
+    val tracker = new graft.util.CheckpointTracker(spark)
+    val indexed = tracker.rotate(spark.createDataFrame(
       projected.rdd.zipWithIndex.map { case (row, idx) =>
         org.apache.spark.sql.Row.fromSeq(row.toSeq :+ idx)
       },
-      StructType(projected.schema.fields :+ StructField("rn", LongType)))
-      .localCheckpoint()
+      StructType(projected.schema.fields :+ StructField("rn", LongType))))
 
     val l = indexed.select(
       (col("rn") +: col("uid").as("uid_l") +: attrs.map(a => col(a).as(s"${a}_l"))): _*)
@@ -70,7 +70,9 @@ object Estimation {
     }.reduce(_ unionByName _)
 
     val gammas = Comparisons.withGammas(pairs, specs)
-    val counts = gammaCounts(gammas, specs)
+    val counts =
+      try gammaCounts(gammas, specs)
+      finally tracker.close()
     specs.map { s =>
       val byGamma = counts.getOrElse(s.column, Map.empty)
       val total = byGamma.collect { case (g, c) if g >= 0 => c }.sum.toDouble
@@ -113,9 +115,9 @@ object Estimation {
     val pairs =
       if (nPairs > pairCap) allPairs.sample(withReplacement = false, pairCap.toDouble / nPairs, seed)
       else allPairs
-    val gammas = Comparisons.withGammas(pairs, freeSpecs)
-      .select(freeSpecs.map(s => col(s"gamma_${s.column}")): _*)
-      .localCheckpoint()
+    val tracker = new graft.util.CheckpointTracker(df.sparkSession)
+    val gammas = tracker.rotate(Comparisons.withGammas(pairs, freeSpecs)
+      .select(freeSpecs.map(s => col(s"gamma_${s.column}")): _*))
     val total = gammas.count().toDouble
     if (total == 0)
       return (initialLambda, freeSpecs.map(s => s.column -> DefaultM.clone).toMap,
@@ -127,16 +129,19 @@ object Estimation {
     var delta = Double.MaxValue
     var iter = 0
 
-    while (delta > tol && iter < maxIter) {
+    try while (delta > tol && iter < maxIter) {
       // E-step: P(match | gammas) under current params, as one literal column expression.
       val wExpr = matchProbability(freeSpecs, lambda, m, uEst)
       val weighted = gammas.withColumn("w", wExpr)
 
-      // M-step: one unpivot + one aggregation for every column at once (single shuffle).
+      // M-step: one unpivot + one aggregation for every column at once (single
+      // shuffle). A synthetic '__all__' stack entry with constant gamma 0 makes the
+      // same aggregation also yield Σw for the λ update — one job per iteration.
       val stacked = weighted.select(
         col("w"),
-        expr(s"stack(${freeSpecs.length}, " +
-          freeSpecs.map(s => s"'${s.column}', gamma_${s.column}").mkString(", ") +
+        expr(s"stack(${freeSpecs.length + 1}, " +
+          (freeSpecs.map(s => s"'${s.column}', gamma_${s.column}") :+ "'__all__', 0")
+            .mkString(", ") +
           ") as (column, gamma)"))
       val rows = stacked
         .filter(col("gamma") >= 0)
@@ -147,6 +152,7 @@ object Estimation {
       val sums = rows.groupBy(_.getString(0)).map { case (c, rs) =>
         c -> rs.map(r => r.getInt(1) -> (r.getDouble(2), r.getDouble(3))).toMap
       }
+      val sumW = sums.get("__all__").flatMap(_.get(0)).map(_._1).getOrElse(0.0)
       def refit(pick: ((Double, Double)) => Double): Map[String, Array[Double]] =
         freeSpecs.map { s =>
           val byG = sums.getOrElse(s.column, Map.empty)
@@ -158,10 +164,7 @@ object Estimation {
       val newM = refit(_._1)
       val newU = refit(_._2)
 
-      val newLambda = {
-        val sw = weighted.agg(sum("w")).collect()(0).getDouble(0)
-        math.min(math.max(sw / total, Floor), 1 - Floor)
-      }
+      val newLambda = math.min(math.max(sumW / total, Floor), 1 - Floor)
 
       delta = math.max(
         math.abs(newLambda - lambda),
@@ -173,7 +176,7 @@ object Estimation {
       m = newM
       uEst = newU
       iter += 1
-    }
+    } finally tracker.close() // all estimates are driver-side; free the gamma blocks
     (lambda, m, uEst)
   }
 

@@ -1,0 +1,30 @@
+package graft.util
+
+import org.apache.spark.sql.DataFrame
+
+/** Tracks the persistent-RDD blocks created by `localCheckpoint` so iterative
+  * operators can free each round's blocks as soon as the next round has materialized
+  * (the checkpointed data of round i is only needed to compute round i+1; without
+  * explicit freeing, blocks accumulate until a driver GC triggers the context cleaner,
+  * which a large driver heap can defer for the whole session).
+  */
+final class CheckpointTracker(spark: org.apache.spark.sql.SparkSession) {
+  private val sc = spark.sparkContext
+  private var current: Set[Int] = Set.empty
+
+  /** Eagerly checkpoints `df`; frees the PREVIOUS checkpoint's blocks. */
+  def rotate(df: DataFrame): DataFrame = {
+    val before = sc.getPersistentRDDs.keySet.toSet
+    val out = df.localCheckpoint() // eager: safe to free the previous round after this
+    val created = sc.getPersistentRDDs.keySet.toSet -- before
+    free(current)
+    current = created
+    out
+  }
+
+  /** Frees the final checkpoint too — call once the consumer has materialized. */
+  def close(): Unit = { free(current); current = Set.empty }
+
+  private def free(ids: Set[Int]): Unit =
+    ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+}

@@ -71,6 +71,30 @@ class ExpressionsSpec extends SparkSpec {
     assert(math.abs(got10("a") - (-pa.map(p => p * math.log10(p)).sum)) < 1e-12)
   }
 
+  test("entropy matches the reference's pinned 8-row expectations (±1e-3 rounding)") {
+    // fidelity pin: same fixture and closed forms as the reference's unit test
+    // (reference: scala/.../ARC_EntropyAggBehaviors.scala:42-92) — entropy of column k
+    // with N_k distinct values is -Σ p·ln(p) / ln(N_k), rounded ×1000
+    val rows = Seq(
+      ("a", "b", "c", "d"), ("a", "b", "c", "c"), ("a", "b", "c", "g"),
+      ("g", "h1", ";", "a0"), ("g", "h2", "+", "a1"), ("g", "h3", "/", "a2"),
+      ("g", "h1", ";", "a2"), ("g", "h2", "1", "a1"))
+    val df = rows.toDF("a", "b", "c", "d")
+    val got = df.agg(entropy_agg(0,
+        "a" -> $"a", "b" -> $"b", "c" -> $"c", "d" -> $"d").as("e"))
+      .collect()(0).getMap[String, Double](0)
+    def h(counts: Seq[Double], base: Double): Double =
+      -counts.map(c => c / 8.0 * math.log(c / 8.0)).sum / math.log(base)
+    val expected = Map(
+      "a" -> h(Seq(3, 5), 2),
+      "b" -> h(Seq(3, 2, 2, 1), 4),
+      "c" -> h(Seq(3, 2, 1, 1, 1), 5),
+      "d" -> h(Seq(1, 1, 1, 1, 2, 2), 6))
+    expected.foreach { case (c, exp) =>
+      assert(math.round(1000 * got(c)) === math.round(1000 * exp), c)
+    }
+  }
+
   test("entropy divisor quirk: <2 distinct or exactly 10 distinct divides by 1.0") {
     assert(EntropyAgg.entropy(Map("x" -> 5L), 0) === 0.0)
     val ten = (1 to 10).map(i => i.toString -> 1L).toMap
