@@ -96,6 +96,15 @@ object TextQueries {
         .select(col("id_l"), col("id_r"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_l", "id_r")
     },
+    "dedup_apply" -> { (s, dir) =>
+      // end-to-end: minhash pairs → transitive components → keeper per group
+      // (iterative CC — rows-only check; pinned by TextOpsSpec)
+      val corpus = plantedCorpus(s, dir)
+      val pairs = Dedup.minhashLshPairs(corpus, "doc_id", "text", 0.5)
+      Dedup.deduplicate(corpus, "doc_id", pairs)
+        .groupBy("is_keeper").agg(count(lit(1)).as("n"))
+        .orderBy("is_keeper")
+    },
     "dedup_simhash" -> { (s, dir) =>
       Dedup.simhash16(docs(s, dir), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")

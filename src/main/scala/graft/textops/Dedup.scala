@@ -191,6 +191,23 @@ object Dedup {
     when(shiftright(nib, p % 4).bitwiseAND(lit(1)) === 1, lit(1)).otherwise(lit(-1))
   }
 
+  /** End-to-end dedup application: given near-duplicate pairs (from any of the pair
+    * generators above), group transitively-linked documents with connected components
+    * and keep one representative per group (the minimum id). Returns the corpus with
+    * `cluster_id` and `is_keeper` — filter `is_keeper` to materialize the deduplicated
+    * corpus. Transitive grouping matters: A≈B and B≈C must collapse to one keeper even
+    * when A≉C directly.
+    */
+  def deduplicate(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("id_l").cast("string").as("src"),
+      col("id_r").cast("string").as("dst"))
+    graft.cluster.ConnectedComponents.assignClusters(df, idCol, edges)
+      .withColumn("is_keeper", col("cluster_id") === col(idCol).cast("string"))
+  }
+
   /** Near-duplicate pairs by embedding cosine ≥ threshold. Brute-force all-pairs —
     * use only on bounded corpora or behind an LSH prefilter
     * ([[Similarity.hyperplaneSignature]]) at scale.

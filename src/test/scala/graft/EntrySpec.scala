@@ -14,7 +14,8 @@ class EntrySpec extends SparkSpec {
       "ep1_e2e_dedupe",       // trained pipeline — pinned by MetricsSpec
       "ep1_auto_link",        // random search — pinned by MetricsSpec
       "ann_lsh_topk",         // approximate — recall pinned by TextOpsSpec
-      "ann_ivf_topk")         // approximate — recall pinned by TextOpsSpec
+      "ann_ivf_topk",         // approximate — recall pinned by TextOpsSpec
+      "dedup_apply")          // iterative CC composition — pinned by TextOpsSpec
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle or justification: $missing")
     val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

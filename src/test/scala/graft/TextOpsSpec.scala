@@ -40,6 +40,26 @@ class TextOpsSpec extends SparkSpec {
     assert(pairs.forall(_._3 >= 0.5))
   }
 
+  test("deduplicate collapses transitive near-dup chains to one keeper") {
+    val d = docs.select(col("doc_id"), col("text")).limit(30)
+    // chain: x ≈ x+1000 (exact copy) and x+1000 ≈ x+2000 (near copy)
+    val planted = d
+      .unionByName(d.select((col("doc_id") + 1000).as("doc_id"), col("text")))
+      .unionByName(d.select((col("doc_id") + 2000).as("doc_id"),
+        concat(col("text"), lit(" tail")).as("text")))
+    val pairs = Dedup.minhashLshPairs(planted, "doc_id", "text", 0.5)
+    val out = Dedup.deduplicate(planted, "doc_id", pairs)
+    val total = out.count()
+    val keepers = out.filter(col("is_keeper")).count()
+    assert(total === 90)
+    // each 3-doc chain collapses to one keeper; a couple of base docs may legitimately
+    // be near-dups of each other in this tiny-vocab corpus, merging chains further
+    assert(keepers <= 30 && keepers >= 25, s"keepers=$keepers")
+    // keeper is the minimum (string) id of its component
+    val bad = out.filter(col("is_keeper") && col("cluster_id") =!= col("doc_id").cast("string"))
+    assert(bad.count() === 0)
+  }
+
   test("simhash: near-identical docs collide, hamming distance grows with edits") {
     def hamming(a: Int, b: Int): Int = Integer.bitCount(a ^ b)
     val d = Seq(
