@@ -35,7 +35,9 @@ object PairGenerator {
         .reduce(_ && _) && col(s"l.uid_l") < col(s"r.uid_r")
       l.join(r, cond, "inner")
     }
-    joined.reduce(_ unionByName _).dropDuplicates("uid_l", "uid_r")
+    // a single equi-join branch cannot emit duplicate pairs — skip the dedup shuffle
+    if (joined.size == 1) joined.head
+    else joined.reduce(_ unionByName _).dropDuplicates("uid_l", "uid_r")
   }
 
   /** Link mode: candidate pairs across two tables (same schema after Y10 matching). */
@@ -54,7 +56,8 @@ object PairGenerator {
         .reduce(_ && _)
       l.join(r, cond, "inner")
     }
-    joined.reduce(_ unionByName _).dropDuplicates("uid_l", "uid_r")
+    if (joined.size == 1) joined.head
+    else joined.reduce(_ unionByName _).dropDuplicates("uid_l", "uid_r")
   }
 
   /** Skew-balanced dedupe pairs: same output as [[dedupePairs]], but each block key is
