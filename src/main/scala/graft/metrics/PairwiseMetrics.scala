@@ -40,13 +40,20 @@ object PairwiseMetrics {
     row.getLong(0)
   }
 
-  /** Full confusion metric set at one threshold, as a 1-row DataFrame. */
+  /** Full confusion metric set at one threshold, as a 1-row DataFrame.
+    *
+    * @param assumeUniquePairs skip the distinct-sorted-pair shuffle when the caller
+    *        guarantees one row per undirected pair (true for this engine's predict
+    *        output, which enforces uid_l < uid_r and dedups across rules) — PR is then
+    *        a plain count. Semantics identical; the reference always pays the distinct.
+    */
   def confusionMetrics(
       data: DataFrame,
       predictions: DataFrame,
       threshold: Double,
       uid: String,
-      trueLabel: String): DataFrame = {
+      trueLabel: String,
+      assumeUniquePairs: Boolean = false): DataFrame = {
     val spark = data.sparkSession
     import spark.implicits._
     val sc = scores(data, predictions, uid, trueLabel).cache()
@@ -59,9 +66,11 @@ object PairwiseMetrics {
         .collect()(0)
       val tp = if (agg.isNullAt(0)) 0L else agg.getLong(0)
       val fp = if (agg.isNullAt(1)) 0L else agg.getLong(1)
-      val pr = cal
-        .select(array_sort(array(col("uid_l"), col("uid_r"))).as("pairs"))
-        .distinct().count()
+      val pr =
+        if (assumeUniquePairs) cal.count()
+        else cal
+          .select(array_sort(array(col("uid_l"), col("uid_r"))).as("pairs"))
+          .distinct().count()
       val precision = if (pr > 0) tp.toDouble / pr else 0.0
       val recall = if (rr > 0) tp.toDouble / rr else 0.0
       val f1 = if (precision + recall > 0) 2 * precision * recall / (precision + recall) else 0.0

@@ -82,7 +82,8 @@ object MetricQueries {
     "y17_confusion_metrics" -> { (s, dir) =>
       val df = custTruth(s, dir)
       val preds = FellegiSunter.predict(df, "uid", LinkageQueries.demoModel)
-      val m = PairwiseMetrics.confusionMetrics(df, preds, 0.05, "uid", "truth")
+      val m = PairwiseMetrics.confusionMetrics(df, preds, 0.05, "uid", "truth",
+        assumeUniquePairs = true) // predict output enforces uid_l < uid_r uniqueness
       m.select(col("tp"), col("fp"), col("pr"), col("rr"),
         round(col("precision"), 6).as("precision"), round(col("recall"), 6).as("recall"),
         round(col("f1_score"), 6).as("f1_score"), round(col("jaccard"), 6).as("jaccard"))
