@@ -1,8 +1,8 @@
 package graft.expressions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
 /** Primitive-loop dot product over two `array<double>` columns.
@@ -38,5 +38,81 @@ object ArrayDot {
       i += 1
     }
     acc
+  }
+}
+
+/** All sign-random-projection LSH signatures of an `array<double>` vector in one pass.
+  *
+  * `planes` is the `(nSigs · bitsPerSig) × dim` plane matrix (driver-side constants,
+  * serialized with the plan); the result is `array<int>` of length `nSigs`, where
+  * signature `s` packs bit `i` = (vec · planes(s·bitsPerSig + i)) > 0 at position `i`.
+  *
+  * The higher-order-function form (`aggregate(zip_with(vec, plane, …))` per plane)
+  * allocates a zipped struct array per element per plane — on a corpus-wide signature
+  * scan with 80 planes that allocation dominates (same pathology [[ArrayDot]] fixes,
+  * ~25× measured). This expression reads the vector once per plane with a tight
+  * primitive loop over a flattened plane matrix and stays inside whole-stage codegen.
+  */
+case class HyperplaneSignatures(
+    child: Expression,
+    planes: Array[Array[Double]],
+    bitsPerSig: Int)
+  extends UnaryExpression {
+  require(planes.nonEmpty && planes.length % bitsPerSig == 0,
+    "planes must be a non-empty multiple of bitsPerSig")
+  require(bitsPerSig >= 1 && bitsPerSig <= 31, "bitsPerSig must be in [1, 31]")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  private val dim = planes(0).length
+
+  // flattened row-major so the inner loop is a stride-1 scan of one primitive array
+  @transient private lazy val flat: Array[Double] = {
+    val out = new Array[Double](planes.length * dim)
+    var p = 0
+    while (p < planes.length) {
+      System.arraycopy(planes(p), 0, out, p * dim, dim)
+      p += 1
+    }
+    out
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    HyperplaneSignatures.compute(
+      v.asInstanceOf[ArrayData], flat, dim, planes.length, bitsPerSig)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val flatRef = ctx.addReferenceObj("planesFlat", flat, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.expressions.HyperplaneSignatures.compute(
+         |  $c, $flatRef, $dim, ${planes.length}, $bitsPerSig);""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSignatures =
+    copy(child = newChild)
+}
+
+object HyperplaneSignatures {
+  def compute(
+      v: ArrayData,
+      flat: Array[Double],
+      dim: Int,
+      nPlanes: Int,
+      bitsPerSig: Int): ArrayData = {
+    val n = math.min(v.numElements(), dim)
+    val sigs = new Array[Int](nPlanes / bitsPerSig)
+    var p = 0
+    while (p < nPlanes) {
+      var acc = 0.0
+      var i = 0
+      val off = p * dim
+      while (i < n) {
+        acc += v.getDouble(i) * flat(off + i)
+        i += 1
+      }
+      if (acc > 0) sigs(p / bitsPerSig) |= 1 << (p % bitsPerSig)
+      p += 1
+    }
+    new GenericArrayData(sigs)
   }
 }

@@ -75,4 +75,11 @@ object functions {
   /** Primitive-loop dot product over two array<double> columns (ANN hot path). */
   def array_dot(left: Column, right: Column): Column =
     Bridge.column(ArrayDot(Bridge.expression(left), Bridge.expression(right)))
+
+  /** All sign-random-projection LSH signatures of an array<double> vector in one
+    * codegen'd pass: `array<int>` of length `planes.length / bitsPerSig` (ANN and
+    * embedding-dedup candidate generation).
+    */
+  def hyperplane_signatures(vec: Column, planes: Array[Array[Double]], bitsPerSig: Int): Column =
+    Bridge.column(HyperplaneSignatures(Bridge.expression(vec), planes, bitsPerSig))
 }

@@ -116,7 +116,7 @@ object LinkQueries {
         |  FROM customer WHERE c_custkey % 2 = 1
         |), lg AS (SELECT lc, v, COUNT(*) AS n1 FROM l GROUP BY 1, 2),
         |rg AS (SELECT rc, v, COUNT(*) AS n2 FROM r GROUP BY 1, 2),
-        |pairs AS (SELECT lc, rc, SUM(n1*n2) AS match_count FROM lg JOIN rg USING (v) GROUP BY 1, 2),
+        |pairs AS (SELECT lc, rc, CAST(SUM(n1*n2) AS BIGINT) AS match_count FROM lg JOIN rg USING (v) GROUP BY 1, 2),
         |ranked AS (SELECT *, ROW_NUMBER() OVER (ORDER BY match_count DESC, lc, rc) AS rk FROM pairs)
         |SELECT lc AS left_col, rc AS right_col, match_count FROM ranked r1
         |WHERE NOT EXISTS (

@@ -187,7 +187,7 @@ object MetricQueries {
        |r AS (${unpivot(Seq("segment2" -> "c_mktsegment", "nation2" -> "c_nationkey"), "rc")}),
        |lg AS (SELECT lc, v, COUNT(*) AS n1 FROM l WHERE v IS NOT NULL GROUP BY 1, 2),
        |rg AS (SELECT rc, v, COUNT(*) AS n2 FROM r WHERE v IS NOT NULL GROUP BY 1, 2)
-       |SELECT lc AS left_col, rc AS right_col, SUM(n1*n2) AS match_count
+       |SELECT lc AS left_col, rc AS right_col, CAST(SUM(n1*n2) AS BIGINT) AS match_count
        |FROM lg JOIN rg USING (v) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
@@ -206,7 +206,8 @@ object MetricQueries {
        |         COUNT(*) AS pr0
        |  FROM cal
        |), agg AS (
-       |  SELECT COALESCE(tp0, 0) AS tp, COALESCE(fp0, 0) AS fp, COALESCE(pr0, 0) AS pr
+       |  SELECT CAST(COALESCE(tp0, 0) AS BIGINT) AS tp, CAST(COALESCE(fp0, 0) AS BIGINT) AS fp,
+       |         CAST(COALESCE(pr0, 0) AS BIGINT) AS pr
        |  FROM agg0
        |), rr AS (
        |  SELECT CAST(SUM(cnt*(cnt-1)//2) AS BIGINT) AS rr FROM

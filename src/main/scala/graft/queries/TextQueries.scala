@@ -55,6 +55,38 @@ object TextQueries {
 
   private def blockCols = Seq(col("lang"), floor(col("n_chars") / 25))
 
+  /** embeddings ∪ planted near-dup copies (vec_id+100000 for vec_id%5=0): copy i gets
+    * a deterministic perturbation `v'[j] = v[j] + d·v[(j+1) mod dim]` with
+    * d = 0.02 + (vec_id%7)·0.01 ∈ [0.02, 0.08] — cosine(v, v') ≥ ~0.995, far above the
+    * 0.9 near-dup threshold, while unrelated pairs stay ≤ ~0.61 (measured). The same
+    * arithmetic is reproduced in the DuckDB oracle (both engines evaluate the identical
+    * IEEE-double expression, so the planted vectors match bit-for-bit).
+    */
+  private def plantedEmb(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    // perturb BEFORE renaming vec_id: a lambda's outer column references resolve
+    // against the projection output, so `vec_id` inside transform() would otherwise
+    // bind to the aliased vec_id+100000 and silently change d
+    val d = lit(0.02) + (col("vec_id") % 7).cast("double") * lit(0.01)
+    val copies = e.filter(col("vec_id") % 5 === 0)
+      .withColumn("jittered", transform(col("embedding"), (x, i) =>
+        x + d * element_at(col("embedding"), ((i + 1) % size(col("embedding"))) + 1)))
+      .select((col("vec_id") + 100000).as("vec_id"), col("jittered").as("embedding"))
+    e.unionByName(copies)
+  }
+
+  private val embCorpusCte =
+    """ecorpus AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000,
+      |    list_transform(range(1, len(embedding) + 1),
+      |      i -> embedding[i]::DOUBLE
+      |           + (0.02 + (vec_id % 7) * 0.01) * embedding[(i % len(embedding)) + 1]::DOUBLE)
+      |  FROM embeddings WHERE vec_id % 5 = 0
+      |)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_count" -> { (s, dir) =>
       docs(s, dir).select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"))
@@ -111,7 +143,9 @@ object TextQueries {
         .orderBy("doc_id")
     },
     "dedup_embedding_cosine" -> { (s, dir) =>
-      Dedup.embeddingPairs(emb(s, dir), "vec_id", "embedding", 0.45)
+      // scale path: hyperplane-LSH candidates + array_dot verify over a corpus with
+      // planted near-dups (no all-pairs join; the DuckDB oracle is the brute force)
+      Dedup.embeddingLshPairs(plantedEmb(s, dir), "vec_id", "embedding", 0.9)
         .select(col("id_l"), col("id_r"), round(col("cosine"), 6).as("cosine"))
         .orderBy("id_l", "id_r")
     },
@@ -273,11 +307,12 @@ object TextQueries {
     "dedup_minhash_lsh" -> minhashSql,
     "dedup_simhash" -> simhashSql,
     "dedup_embedding_cosine" ->
-      """SELECT l.vec_id AS id_l, r.vec_id AS id_r,
-        |  ROUND(list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]), 6) AS cosine
-        |FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id
-        |WHERE list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]) >= 0.45
-        |ORDER BY id_l, id_r""".stripMargin,
+      s"""WITH $embCorpusCte
+         |SELECT l.vec_id AS id_l, r.vec_id AS id_r,
+         |  ROUND(list_cosine_similarity(l.v, r.v), 6) AS cosine
+         |FROM ecorpus l JOIN ecorpus r ON l.vec_id < r.vec_id
+         |WHERE list_cosine_similarity(l.v, r.v) >= 0.9
+         |ORDER BY id_l, id_r""".stripMargin,
     "ann_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
         |scored AS (

@@ -209,8 +209,8 @@ object Dedup {
   }
 
   /** Near-duplicate pairs by embedding cosine ≥ threshold. Brute-force all-pairs —
-    * use only on bounded corpora or behind an LSH prefilter
-    * ([[Similarity.hyperplaneSignature]]) at scale.
+    * the exact-recall baseline that [[embeddingLshPairs]] is spec-pinned against; use
+    * only on bounded corpora (the shipped corpus-scale path is [[embeddingLshPairs]]).
     */
   def embeddingPairs(
       emb: DataFrame,
@@ -224,5 +224,54 @@ object Dedup {
       .withColumn("cosine", graft.functions.array_dot(col("l.v"), col("r.v")))
       .filter(col("cosine") >= threshold)
       .select(col("l.id").as("id_l"), col("r.id").as("id_r"), col("cosine"))
+  }
+
+  /** Scale path for embedding near-dup pairs: random-hyperplane LSH candidate
+    * generation + exact cosine verification — the same shape as [[minhashLshPairs]]
+    * (signature → bucket equi-join → verify), never an all-pairs join.
+    *
+    * Each of the `nTables` tables hashes a vector to a `bitsPerTable`-bit
+    * sign-random-projection bucket (one codegen'd vector pass for all tables,
+    * [[graft.functions.hyperplane_signatures]]); rows sharing any table's bucket become
+    * candidates, verified with a primitive-loop dot product over unit-normalized
+    * vectors. Work scales with bucket collisions (candidates ≈ nTables · Σ_bucket C(n,2)),
+    * not corpus².
+    *
+    * Recall: a pair at angle θ collides in one table with p = (1 − θ/π)^bitsPerTable,
+    * and is missed entirely with (1 − p)^nTables. The defaults (20 tables × 16 bits)
+    * give a per-pair miss probability < 1e-9 at cosine ≥ 0.99 and < 1e-4 at 0.95 —
+    * sized for near-duplicate thresholds (≥ ~0.9). A threshold this function cannot
+    * serve (e.g. 0.45 on ~random vectors, θ ≈ 63°) has no sub-quadratic LSH
+    * parameterization at high recall; that regime is what [[embeddingPairs]] is for.
+    */
+  def embeddingLshPairs(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nTables: Int = 20,
+      bitsPerTable: Int = 16,
+      seed: Long = 42L): DataFrame = {
+    val dim = emb.select(size(col(vecCol))).first().getInt(0)
+    val planes = (0 until nTables).toArray
+      .flatMap(t => Similarity.randomPlanes(bitsPerTable, dim, seed + t))
+    val v = emb.select(col(idCol).as("id"),
+        Similarity.normalized(col(vecCol).cast("array<double>")).as("v"))
+      .withColumn("sigs",
+        graft.functions.hyperplane_signatures(col("v"), planes, bitsPerTable))
+    val buckets = v.select(col("id"), posexplode(col("sigs")).as(Seq("table", "sig")))
+    val candidates = buckets.alias("l")
+      .join(buckets.alias("r"),
+        col("l.table") === col("r.table") && col("l.sig") === col("r.sig") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_l"), col("r.id").as("id_r"))
+      .distinct()
+    val vecs = v.select(col("id"), col("v"))
+    candidates
+      .join(vecs.select(col("id").as("id_l"), col("v").as("v_l")), "id_l")
+      .join(vecs.select(col("id").as("id_r"), col("v").as("v_r")), "id_r")
+      .withColumn("cosine", graft.functions.array_dot(col("v_l"), col("v_r")))
+      .filter(col("cosine") >= threshold)
+      .select("id_l", "id_r", "cosine")
   }
 }

@@ -60,13 +60,13 @@ object Similarity {
     Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-random-projection signature: bit i = (v · plane_i) > 0, packed into an int. */
+  /** Sign-random-projection signature: bit i = (v · plane_i) > 0, packed into an int.
+    * One codegen'd pass over the vector ([[graft.functions.hyperplane_signatures]]) —
+    * the HOF `zip_with`+`aggregate` form allocates per element per plane and dominated
+    * the corpus-wide signature scan.
+    */
   def hyperplaneSignature(vec: Column, planes: Array[Array[Double]]): Column =
-    planes.zipWithIndex.map { case (p, i) =>
-      val planeLit = array(p.map(lit): _*)
-      val dot = aggregate(zip_with(vec, planeLit, (a, b) => a * b), lit(0.0), (acc, v) => acc + v)
-      when(dot > 0, lit(1 << i)).otherwise(lit(0))
-    }.reduce(_ + _)
+    element_at(graft.functions.hyperplane_signatures(vec, planes, planes.length), 1)
 
   /** Multi-table LSH top-k: `nTables` independent signatures of `planesPerTable` bits
     * each; a corpus row is a candidate for a query when ANY table's signature matches,
@@ -88,18 +88,17 @@ object Similarity {
       planesPerTable: Int = 5,
       seed: Long = 42L): DataFrame = {
     val dim = corpus.select(size(col(vecCol))).first().getInt(0)
-    val tables = (0 until nTables).map(t =>
-      randomPlanes(planesPerTable, dim, seed + t))
-    def sigs(vec: Column): Column = array(tables.zipWithIndex.map { case (planes, t) =>
-      struct(lit(t).as("table"), hyperplaneSignature(vec, planes).as("sig"))
-    }: _*)
+    // all tables' planes in one flat matrix: signature t of the result array is
+    // table t's `planesPerTable`-bit signature, computed in a single vector pass
+    val allPlanes: Array[Array[Double]] = (0 until nTables).toArray
+      .flatMap(t => randomPlanes(planesPerTable, dim, seed + t))
+    def sigs(vec: Column): Column =
+      graft.functions.hyperplane_signatures(vec, allPlanes, planesPerTable)
 
     val c = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-      .withColumn("ts", explode(sigs(col("v"))))
-      .select(col("id"), col("v"), col("ts.table").as("table"), col("ts.sig").as("sig"))
+      .select(col("id"), col("v"), posexplode(sigs(col("v"))).as(Seq("table", "sig")))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
-      .withColumn("ts", explode(sigs(col("qv"))))
-      .select(col("query_id"), col("qv"), col("ts.table").as("table"), col("ts.sig").as("sig"))
+      .select(col("query_id"), col("qv"), posexplode(sigs(col("qv"))).as(Seq("table", "sig")))
 
     val scored = c.join(broadcast(q), Seq("table", "sig"))
       .filter(col("id") =!= col("query_id"))

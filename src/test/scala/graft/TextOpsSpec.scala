@@ -72,6 +72,24 @@ class TextOpsSpec extends SparkSpec {
     assert(hamming(sigs(1L), sigs(2L)) < hamming(sigs(1L), sigs(3L)))
   }
 
+  test("embedding LSH dedup matches brute force exactly on planted near-dups, no cartesian") {
+    val base = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val d = lit(0.02) + (col("vec_id") % 7).cast("double") * lit(0.01)
+    val planted = base.unionByName(base.filter(col("vec_id") % 5 === 0)
+      .withColumn("jittered", transform(col("embedding"), (x, i) =>
+        x + d * element_at(col("embedding"), ((i + 1) % size(col("embedding"))) + 1)))
+      .select((col("vec_id") + 100000).as("vec_id"), col("jittered").as("embedding")))
+    val brute = Dedup.embeddingPairs(planted, "vec_id", "embedding", 0.9)
+      .select("id_l", "id_r").as[(Long, Long)].collect().toSet
+    val lshDf = Dedup.embeddingLshPairs(planted, "vec_id", "embedding", 0.9)
+    val plan = lshDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "LSH dedup plan must not contain an all-pairs join")
+    val lsh = lshDf.select("id_l", "id_r").as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty)
+    assert(lsh === brute)
+  }
+
   test("LSH top-k recall vs brute force is usable (≥ 0.5 with multiprobe)") {
     val queries = emb.filter(col("vec_id") < 20)
     val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
