@@ -61,6 +61,8 @@ case class HyperplaneSignatures(
   require(planes.nonEmpty && planes.length % bitsPerSig == 0,
     "planes must be a non-empty multiple of bitsPerSig")
   require(bitsPerSig >= 1 && bitsPerSig <= 31, "bitsPerSig must be in [1, 31]")
+  require(planes.forall(_.length == planes(0).length),
+    "all plane rows must have the same dimension")
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
@@ -99,7 +101,19 @@ object HyperplaneSignatures {
       dim: Int,
       nPlanes: Int,
       bitsPerSig: Int): ArrayData = {
-    val n = math.min(v.numElements(), dim)
+    // a silently zero-padded / truncated vector would yield a plausible-but-wrong
+    // signature; malformed input must fail loudly
+    if (v.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"hyperplane_signatures: vector has ${v.numElements()} elements, planes have dim $dim")
+    var j = 0
+    while (j < dim) {
+      if (v.isNullAt(j))
+        throw new IllegalArgumentException(
+          s"hyperplane_signatures: null element at position $j (vector elements must be non-null)")
+      j += 1
+    }
+    val n = dim
     val sigs = new Array[Int](nPlanes / bitsPerSig)
     var p = 0
     while (p < nPlanes) {

@@ -58,13 +58,17 @@ object TextQueries {
   /** embeddings ∪ planted near-dup copies (vec_id+100000 for vec_id%5=0): copy i gets
     * a deterministic perturbation `v'[j] = v[j] + d·v[(j+1) mod dim]` with
     * d = 0.02 + (vec_id%7)·0.01 ∈ [0.02, 0.08] — cosine(v, v') ≥ ~0.995, far above the
-    * 0.9 near-dup threshold, while unrelated pairs stay ≤ ~0.61 (measured). The same
-    * arithmetic is reproduced in the DuckDB oracle (both engines evaluate the identical
-    * IEEE-double expression, so the planted vectors match bit-for-bit).
+    * 0.9 near-dup threshold, while unrelated pairs stay ≤ ~0.61 (measured). The DuckDB
+    * oracle reproduces the arithmetic with literals cast to DOUBLE; any residual ulp
+    * difference is absorbed by the ROUND(…, 6) on both sides.
     */
   private def plantedEmb(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir).select(col("vec_id"),
       col("embedding").cast("array<double>").as("embedding"))
+    // planted copies live at vec_id + 100000; a corpus with real ids in that range
+    // would silently collide with the copies (and desync from the oracle CTE)
+    val maxId = e.agg(max(col("vec_id"))).first().getLong(0)
+    require(maxId < 100000, s"plantedEmb: max vec_id $maxId would collide with planted ids")
     // perturb BEFORE renaming vec_id: a lambda's outer column references resolve
     // against the projection output, so `vec_id` inside transform() would otherwise
     // bind to the aliased vec_id+100000 and silently change d
@@ -83,7 +87,7 @@ object TextQueries {
       |  SELECT vec_id + 100000,
       |    list_transform(range(1, len(embedding) + 1),
       |      i -> embedding[i]::DOUBLE
-      |           + (0.02 + (vec_id % 7) * 0.01) * embedding[(i % len(embedding)) + 1]::DOUBLE)
+      |           + (0.02::DOUBLE + (vec_id % 7) * 0.01::DOUBLE) * embedding[(i % len(embedding)) + 1]::DOUBLE)
       |  FROM embeddings WHERE vec_id % 5 = 0
       |)""".stripMargin
 
