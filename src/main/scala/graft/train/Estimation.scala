@@ -29,6 +29,8 @@ object Estimation {
     * true matches), then row `i` is paired with rows `i+offset (mod N)` for
     * `offset = 1..ceil(targetPairs/N)` — reproducible, uniformly spread, and built via
     * `zipWithIndex` + equi-join (no global window, no cartesian), so it scales linearly.
+    * Tables larger than ~2·targetPairs are seeded-sampled down to ~targetPairs rows
+    * first, so the ranking sort is O(targetPairs), never a full-table sort.
     *
     * @param hashShuffle disable only for oracle tests that need a SQL-reproducible order
     *                    (uid order) at the cost of the adjacency bias above.
@@ -46,10 +48,21 @@ object Estimation {
     val base = df.select(
       (col(uid).cast("string").as("uid") +:
         attrs.map(a => col(a).cast("string").as(a))): _*)
+    // Draw ~targetPairs rows BEFORE ranking: the rank is a total sort, and u needs
+    // only O(targetPairs) rows regardless of corpus size — at 100 TB sorting the full
+    // table to pair ~100k rows is the dominant (and pointless) cost. The sample is
+    // seeded (reproducible) and uniform, so the u estimator is statistically unchanged;
+    // the hashShuffle=false oracle path keeps the exact full-table pairing.
+    val nAll = base.count()
+    val want = math.min(nAll, targetPairs + 1)
+    val sampled =
+      if (hashShuffle && nAll > 2 * want)
+        base.sample(withReplacement = false, math.min(1.0, 1.2 * want / nAll), seed)
+      else base
     val projected =
-      if (hashShuffle) base.orderBy(xxhash64(col("uid"), lit(seed)))
-      else base.orderBy("uid")
-    val n = projected.count()
+      if (hashShuffle) sampled.orderBy(xxhash64(col("uid"), lit(seed)))
+      else sampled.orderBy("uid")
+    val n = if (sampled eq base) nAll else projected.count()
     val offsets = math.max(1L, math.min(n - 1, targetPairs / math.max(n, 1L))).toInt
 
     val tracker = new graft.util.CheckpointTracker(spark)

@@ -133,6 +133,17 @@ class LinkageSpec extends SparkSpec {
     assert(math.abs(u("c")(2) - 0.25) < 0.05, u("c").mkString(","))
   }
 
+  test("u-estimation pre-samples large tables without changing the estimate") {
+    // targetPairs ≪ rows triggers the seeded pre-sample (no full-table sort); the
+    // estimator must stay a collision-rate estimate and be run-to-run deterministic
+    val df = (0 until 5000).map(i => (i.toString, s"v${i % 4}")).toDF("id", "c")
+    val spec = Seq(ComparisonSpec("c", "levenshtein", 0))
+    val u1 = Estimation.estimateU(df, "id", spec, targetPairs = 500)
+    val u2 = Estimation.estimateU(df, "id", spec, targetPairs = 500)
+    assert(math.abs(u1("c")(2) - 0.25) < 0.1, u1("c").mkString(","))
+    assert(u1("c").sameElements(u2("c")))
+  }
+
   test("rule generation end-to-end produces plausibly-ordered candidate rules") {
     // low-cardinality attributes: the reference's prune threshold (0.2·N/partitions)
     // drops any block smaller than ~20%/P of rows, so only chunky blocks survive
