@@ -59,17 +59,33 @@ object LinkQueries {
     },
     "dedup_simhash_pairs" -> { (s, dir) =>
       // hamming-0 near-dup candidates: planted exact copies collide on the signature
-      val d = s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"), col("text"))
-      val planted = d.unionByName(
-        d.filter(col("doc_id") % 7 === 0)
-          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
-      val sigs = Dedup.simhash16(planted, "doc_id", "text")
+      val sigs = Dedup.simhash16(plantedDocs(s, dir), "doc_id", "text")
       sigs.alias("l").join(sigs.alias("r"),
           col("l.simhash") === col("r.simhash") && col("l.id") < col("r.id"))
         .select(col("l.id").as("id_l"), col("r.id").as("id_r"), col("l.simhash").as("simhash"))
         .orderBy("id_l", "id_r")
+    },
+    "dedup_simhash64" -> { (s, dir) =>
+      Dedup.simhash64(
+          s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("text")),
+          "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+    "dedup_simhash64_pairs" -> { (s, dir) =>
+      // banded-hamming candidates (exact recall at hamming ≤ 3); the oracle is the
+      // brute-force all-pairs hamming scan, so banding must find every such pair
+      Dedup.simhash64Pairs(plantedDocs(s, dir), "doc_id", "text", maxHamming = 3)
+        .orderBy("id_l", "id_r")
     })
+
+  /** documents ∪ exact copies (doc_id+100000 for doc_id%7=0) — the SimHash fixture. */
+  private def plantedDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("text"))
+    d.unionByName(
+      d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+  }
 
   private val simhashCte = {
     val nibs = (0 until 4).map(j =>
@@ -91,6 +107,37 @@ object LinkQueries {
        |sums AS (SELECT doc_id, $sums FROM nib GROUP BY doc_id),
        |sig AS (SELECT doc_id AS id, $sig AS simhash FROM sums)""".stripMargin
   }
+
+  /** 64-bit SimHash oracle CTE over `source` (must expose doc_id, text): 16 md5
+    * nibbles → 64 signed bit-sums → BIGINT signature. Bit 63 is the sign bit, and
+    * DuckDB rejects `1::BIGINT << 63` as overflow — it is OR'd in as the Long.MinValue
+    * literal instead.
+    */
+  private def simhash64Cte(source: String) = {
+    val nibs = (0 until 16).map(j =>
+      s"strpos('0123456789abcdef', substr(h, ${j + 1}, 1)) - 1 AS n$j").mkString(", ")
+    val sums = (0 until 64).map { p =>
+      s"SUM(CASE WHEN (n${p / 4} >> ${p % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS s$p"
+    }.mkString(", ")
+    val sig = (0 until 64).map { p =>
+      val bit = if (p == 63) "(-9223372036854775807 - 1)" else s"(1::BIGINT << $p)"
+      s"(CASE WHEN s$p >= 0 THEN $bit ELSE 0::BIGINT END)"
+    }.mkString(" | ")
+    s"""tok AS (
+       |  SELECT doc_id, unnest(list_distinct(list_filter(
+       |    string_split_regex(trim(text), '\\s+'), t -> length(t) > 0))) AS t FROM $source
+       |), h AS (SELECT doc_id, md5(t) AS h FROM tok),
+       |nib AS (SELECT doc_id, $nibs FROM h),
+       |sums AS (SELECT doc_id, $sums FROM nib GROUP BY doc_id),
+       |sig AS (SELECT doc_id AS id, $sig AS simhash FROM sums)""".stripMargin
+  }
+
+  private val plantedDocsCte =
+    """planted AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0
+      |)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "j1_link_pairs" ->
@@ -126,5 +173,16 @@ object LinkQueries {
       s"""WITH $simhashCte
          |SELECT l.id AS id_l, r.id AS id_r, l.simhash
          |FROM sig l JOIN sig r ON l.simhash = r.simhash AND l.id < r.id
+         |ORDER BY id_l, id_r""".stripMargin,
+    "dedup_simhash64" ->
+      s"""WITH ${simhash64Cte("documents")}
+         |SELECT id AS doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin,
+    "dedup_simhash64_pairs" ->
+      s"""WITH $plantedDocsCte,
+         |${simhash64Cte("planted")}
+         |SELECT l.id AS id_l, r.id AS id_r,
+         |  CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hamming
+         |FROM sig l JOIN sig r ON l.id < r.id
+         |WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
          |ORDER BY id_l, id_r""".stripMargin)
 }

@@ -205,6 +205,65 @@ object Dedup {
     when(shiftright(nib, p % 4).bitwiseAND(lit(1)) === 1, lit(1)).otherwise(lit(-1))
   }
 
+  /** 64-bit SimHash over the distinct-token set, from the first 16 md5 nibbles of each
+    * token — the scale replacement for [[simhash16]], whose 65,536-key space makes every
+    * bucket huge at corpus scale. Same shape: one explode + one 64-sum aggregation.
+    * Signature is a signed BIGINT (bit 63 lands in the sign bit; bitwise OR assembly,
+    * reproduced exactly by the DuckDB oracle).
+    */
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(TextOps.distinctTokens(col(textCol))).as("t"))
+      .withColumn("h", md5(col("t")))
+    val withNibbles = (0 until 16).foldLeft(toks) { (acc, j) =>
+      acc.withColumn(s"nib$j",
+        (instr(lit("0123456789abcdef"), substring(col("h"), j + 1, 1)) - 1).cast("int"))
+    }
+    val sums = withNibbles.groupBy("id").agg(
+      sum(bitTerm(0)).as("s0"),
+      (1 until 64).map(p => sum(bitTerm(p)).as(s"s$p")): _*)
+    val sig = (0 until 64).map(p =>
+      when(col(s"s$p") >= 0, lit(1L << p)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    sums.select(col("id"), sig.as("simhash"))
+  }
+
+  /** Near-duplicate pairs by 64-bit SimHash hamming distance ≤ `maxHamming`, found via
+    * banded candidate generation: the signature splits into 4 disjoint 16-bit bands,
+    * and any pair within hamming ≤ 3 must agree exactly on ≥ 1 band (pigeonhole: 3
+    * differing bits touch at most 3 of the 4 bands) — so the 4 band equi-joins find
+    * EVERY such pair, never an all-pairs scan. Candidates are verified with
+    * `bit_count(xor)` over the full signature. Work scales with per-band collisions
+    * (2^16 keys per band over near-uniform hashes), not corpus².
+    */
+  def simhash64Pairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      "4 bands of 16 bits guarantee exact recall only up to hamming 3")
+    val sigs = simhash64(df, idCol, textCol).persist()
+    val bands = sigs.select(col("id"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), 16 * b).bitwiseAND(lit(0xFFFFL)).as("key"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val candidates = bands.alias("l")
+      .join(bands.alias("r"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_l"), col("r.id").as("id_r"))
+      .distinct()
+    candidates
+      .join(sigs.select(col("id").as("id_l"), col("simhash").as("sig_l")), "id_l")
+      .join(sigs.select(col("id").as("id_r"), col("simhash").as("sig_r")), "id_r")
+      .withColumn("hamming", bit_count(col("sig_l").bitwiseXOR(col("sig_r"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_l", "id_r", "hamming")
+  }
+
   /** End-to-end dedup application: given near-duplicate pairs (from any of the pair
     * generators above), group transitively-linked documents with connected components
     * and keep one representative per group (the minimum id). Returns the corpus with

@@ -72,6 +72,24 @@ class TextOpsSpec extends SparkSpec {
     assert(hamming(sigs(1L), sigs(2L)) < hamming(sigs(1L), sigs(3L)))
   }
 
+  test("simhash64 banded pairs find exactly the brute-force hamming<=3 pairs") {
+    // docs-table corpus with planted exact copies: copies are hamming-0, everything
+    // else is typically far; banding (4×16 bits) must have EXACT recall at hamming ≤ 3
+    val d = docs.select(col("doc_id"), col("text")).limit(120)
+    val planted = d.unionByName(
+      d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+    val sigs = Dedup.simhash64(planted, "doc_id", "text").as[(Long, Long)].collect()
+    val brute = (for {
+      (i1, s1) <- sigs; (i2, s2) <- sigs
+      if i1 < i2 && java.lang.Long.bitCount(s1 ^ s2) <= 3
+    } yield (i1, i2)).toSet
+    val banded = Dedup.simhash64Pairs(planted, "doc_id", "text", maxHamming = 3)
+      .select("id_l", "id_r").as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty)
+    assert(banded === brute)
+  }
+
   test("embedding LSH dedup matches brute force exactly on planted near-dups, no cartesian") {
     val base = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
     val d = lit(0.02) + (col("vec_id") % 7).cast("double") * lit(0.01)
