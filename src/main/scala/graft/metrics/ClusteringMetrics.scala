@@ -1,10 +1,11 @@
 package graft.metrics
 
+import org.apache.commons.math3.special.Gamma.logGamma
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Y18 — clustering quality vs a ground-truth label, computed natively from the
+/** Y18 — clustering quality vs a ground-truth label, computed from the
   * `groupBy(true_label, cluster_id).count()` contingency table — no pandas/sklearn
   * boundary (reference: autolinker.py:1234-1257 collects to pandas and calls sklearn;
   * every score below is the closed form over the same contingency, so results match).
@@ -12,10 +13,11 @@ import org.apache.spark.sql.functions._
   * Reference-faithful singleton masking first: true labels occurring once → "-1",
   * clusters of size one → "-1" (two window-count passes).
   *
-  * Scale design: the only shuffles are the window counts and the contingency groupBys;
-  * all combinatorial sums are distributed aggregates — the driver sees scalars.
-  * (AMI needs the expected-MI hypergeometric sum over the collected contingency; it is
-  * intentionally omitted — NMI/v-measure cover normalized agreement.)
+  * Scale design: the only shuffles are the window counts and the contingency groupBy;
+  * the contingency (≤ #labels × #clusters non-empty cells) is collected ONCE and every
+  * score — including AMI's hypergeometric expected-MI sum, which has no distributed
+  * formulation — is computed driver-side from it, exactly as the reference does via
+  * pandas. One Spark job instead of seven sequential scalar aggregates.
   */
 object ClusteringMetrics {
 
@@ -25,61 +27,98 @@ object ClusteringMetrics {
 
     val wT = Window.partitionBy(trueLabel)
     val wC = Window.partitionBy("cluster_id")
-    val masked = clusters
+    val cont = clusters
       .withColumn("cnt_t", count(lit(1)).over(wT))
       .withColumn("t", when(col("cnt_t") === 1, lit("-1"))
         .otherwise(col(trueLabel).cast("string")))
       .withColumn("cnt_c", count(lit(1)).over(wC))
       .withColumn("c", when(col("cnt_c") === 1, lit("-1"))
         .otherwise(col("cluster_id").cast("string")))
-      .select("t", "c")
-      .cache()
+      .groupBy("t", "c").agg(count(lit(1)).cast("double").as("nij"))
+      .as[(String, String, Double)].collect()
 
-    try {
-      val n = masked.count().toDouble
-      def choose2(c: org.apache.spark.sql.Column) = c * (c - lit(1.0)) / lit(2.0)
+    val n = cont.map(_._3).sum
+    val rowSums = cont.groupBy(_._1).map { case (t, cs) => t -> cs.map(_._3).sum }
+    val colSums = cont.groupBy(_._2).map { case (c, cs) => c -> cs.map(_._3).sum }
+    def choose2(x: Double) = x * (x - 1.0) / 2.0
 
-      val cont = masked.groupBy("t", "c").agg(count(lit(1)).cast("double").as("nij"))
-        .cache()
-      val rowSums = cont.groupBy("t").agg(sum("nij").as("ai"))
-      val colSums = cont.groupBy("c").agg(sum("nij").as("bj"))
+    val s = cont.map(r => choose2(r._3)).sum
+    val sa = rowSums.values.map(choose2).sum
+    val sb = colSums.values.map(choose2).sum
+    val nPairs = n * (n - 1) / 2.0
 
-      val s = cont.agg(sum(choose2(col("nij")))).collect()(0).getDouble(0)
-      val sa = rowSums.agg(sum(choose2(col("ai")))).collect()(0).getDouble(0)
-      val sb = colSums.agg(sum(choose2(col("bj")))).collect()(0).getDouble(0)
-      val nPairs = n * (n - 1) / 2.0
+    // MI and marginal entropies (natural log, like sklearn)
+    val mi = cont.map { case (t, c, nij) =>
+      (nij / n) * math.log((nij * n) / (rowSums(t) * colSums(c)))
+    }.sum
+    val hT = -rowSums.values.map(ai => (ai / n) * math.log(ai / n)).sum
+    val hC = -colSums.values.map(bj => (bj / n) * math.log(bj / n)).sum
 
-      // MI and marginal entropies (natural log, like sklearn)
-      val mi = cont.join(rowSums, "t").join(colSums, "c")
-        .agg(sum((col("nij") / n) * log((col("nij") * n) / (col("ai") * col("bj")))))
-        .collect()(0).getDouble(0)
-      val hT = -rowSums.agg(sum((col("ai") / n) * log(col("ai") / n)))
-        .collect()(0).getDouble(0)
-      val hC = -colSums.agg(sum((col("bj") / n) * log(col("bj") / n)))
-        .collect()(0).getDouble(0)
-
-      val expected = sa * sb / nPairs
-      val ari =
-        if ((sa + sb) / 2.0 - expected == 0.0) 1.0
-        else (s - expected) / ((sa + sb) / 2.0 - expected)
-      val rand = if (nPairs == 0) 1.0 else (nPairs + 2 * s - sa - sb) / nPairs
-      val fm = if (sa * sb > 0) s / math.sqrt(sa * sb) else 0.0
-      val homogeneity = if (hT == 0.0) 1.0 else mi / hT
-      val completeness = if (hC == 0.0) 1.0 else mi / hC
-      val v =
-        if (homogeneity + completeness == 0.0) 0.0
-        else 2 * homogeneity * completeness / (homogeneity + completeness)
-      val nmi = {
-        val mean = (hT + hC) / 2.0
-        if (mean == 0.0) 1.0 else mi / mean
-      }
-
-      cont.unpersist()
-      Seq((mi, nmi, ari, rand, fm, homogeneity, completeness, v))
-        .toDF("mutual_info", "normalized_mutual_info", "adjusted_rand", "rand",
-          "fowlkes_mallows", "homogeneity", "completeness", "v_measure")
-    } finally {
-      masked.unpersist()
+    val expected = sa * sb / nPairs
+    val ari =
+      if ((sa + sb) / 2.0 - expected == 0.0) 1.0
+      else (s - expected) / ((sa + sb) / 2.0 - expected)
+    val rand = if (nPairs == 0) 1.0 else (nPairs + 2 * s - sa - sb) / nPairs
+    val fm = if (sa * sb > 0) s / math.sqrt(sa * sb) else 0.0
+    val homogeneity = if (hT == 0.0) 1.0 else mi / hT
+    val completeness = if (hC == 0.0) 1.0 else mi / hC
+    val v =
+      if (homogeneity + completeness == 0.0) 0.0
+      else 2 * homogeneity * completeness / (homogeneity + completeness)
+    val nmi = {
+      val mean = (hT + hC) / 2.0
+      if (mean == 0.0) 1.0 else mi / mean
     }
+    val ami = adjustedMutualInfo(rowSums.values.toArray, colSums.values.toArray,
+      n, mi, hT, hC)
+
+    Seq((mi, nmi, ami, ari, rand, fm, homogeneity, completeness, v))
+      .toDF("mutual_info", "normalized_mutual_info", "adjusted_mutual_info",
+        "adjusted_rand", "rand", "fowlkes_mallows", "homogeneity", "completeness",
+        "v_measure")
+  }
+
+  /** AMI with the arithmetic normalizer (sklearn's default):
+    * `(MI − E[MI]) / (mean(H_T, H_C) − E[MI])`, where E[MI] is the exact expectation
+    * of MI under the hypergeometric model of random labelings with these marginals
+    * (Vinh, Epps & Bailey 2010, JMLR 11 — the formula sklearn implements). The triple
+    * sum runs over contingency marginals on the driver; log-factorials via lgamma.
+    */
+  private[metrics] def adjustedMutualInfo(
+      a: Array[Double],
+      b: Array[Double],
+      n: Double,
+      mi: Double,
+      hT: Double,
+      hC: Double): Double = {
+    if (a.length == 1 && b.length == 1) return 1.0 // single cluster both sides
+    def lf(x: Double) = logGamma(x + 1.0) // log(x!)
+    val logN = lf(n)
+    var emi = 0.0
+    var i = 0
+    while (i < a.length) {
+      val ai = a(i)
+      var j = 0
+      while (j < b.length) {
+        val bj = b(j)
+        val lo = math.max(1.0, ai + bj - n)
+        val hi = math.min(ai, bj)
+        var nij = lo
+        while (nij <= hi) {
+          val logTerm = lf(ai) + lf(bj) + lf(n - ai) + lf(n - bj) -
+            (logN + lf(nij) + lf(ai - nij) + lf(bj - nij) + lf(n - ai - bj + nij))
+          emi += (nij / n) * math.log((n * nij) / (ai * bj)) * math.exp(logTerm)
+          nij += 1.0
+        }
+        j += 1
+      }
+      i += 1
+    }
+    val mean = (hT + hC) / 2.0
+    val denom0 = mean - emi
+    // sklearn's guard: keep the denominator away from 0 preserving its sign
+    val eps = java.lang.Double.MIN_VALUE
+    val denom = if (denom0 < 0) math.min(denom0, -eps) else math.max(denom0, eps)
+    (mi - emi) / denom
   }
 }

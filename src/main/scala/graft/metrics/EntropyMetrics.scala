@@ -44,9 +44,39 @@ object EntropyMetrics {
     row.getLong(0)
   }
 
+  /** Both entropy bases in ONE aggregation job: two `entropy_agg` buffers over the same
+    * grouped scan (the 4-job form — one job per (grouping × base) — paid the full scan
+    * 4 times for identical group keys).
+    */
+  private def dualBaseEntropy(
+      df: DataFrame,
+      attributes: Seq[String],
+      byCluster: Boolean,
+      baseS: Int,
+      baseA: Int): (Map[String, Double], Map[String, Double]) = {
+    val grouped = Cleaning.nullSentinel(
+        df.select((attributes.map(c => col(c).cast("string").as(c)) ++
+          (if (byCluster) Seq(col("cluster_id")) else Nil)): _*),
+        attributes)
+      .groupBy(if (byCluster) col("cluster_id") else lit(1).as("g"))
+      .agg(
+        entropy_agg(baseS, attributes.map(c => c -> col(c)): _*).as("ent_s"),
+        entropy_agg(baseA, attributes.map(c => c -> col(c)): _*).as("ent_a"))
+    val row = grouped
+      .select((attributes.map(c => mean(col("ent_s").getItem(c)).as(s"s_$c")) ++
+        attributes.map(c => mean(col("ent_a").getItem(c)).as(s"a_$c"))): _*)
+      .collect()(0)
+    def part(off: Int) = attributes.zipWithIndex.map { case (c, i) =>
+      c -> (if (row.isNullAt(off + i)) 0.0 else row.getDouble(off + i))
+    }.toMap
+    (part(0), part(attributes.length))
+  }
+
   /** Y8 — information-gain power ratio `I_s ^ I_a` over a clustered dataset:
     * scaled base c = #non-singleton clusters, adjusted base u from the caller (Y9 on the
     * original data); each I = Σ_cols (whole-matched entropy − mean per-cluster entropy).
+    * Both bases ride the same aggregation, so the whole metric is 2 entropy jobs
+    * (whole + by-cluster), not 4.
     */
   def informationGainPowerRatio(
       clusters: DataFrame,
@@ -58,10 +88,10 @@ object EntropyMetrics {
     val numClusters = counts.filter(col("_cluster_count") > 1).count().toInt
     val matched = data.filter(col("_cluster_count") > 1).cache()
     try {
-      val ms = datasetEntropy(matched, attributes, byCluster = false, base = numClusters)
-      val ma = datasetEntropy(matched, attributes, byCluster = false, base = adjustedBase)
-      val cs = datasetEntropy(matched, attributes, byCluster = true, base = numClusters)
-      val ca = datasetEntropy(matched, attributes, byCluster = true, base = adjustedBase)
+      val (ms, ma) = dualBaseEntropy(matched, attributes, byCluster = false,
+        numClusters, adjustedBase)
+      val (cs, ca) = dualBaseEntropy(matched, attributes, byCluster = true,
+        numClusters, adjustedBase)
       val is = attributes.map(c => ms(c) - cs(c)).sum
       val ia = attributes.map(c => ma(c) - ca(c)).sum
       math.pow(is, ia)

@@ -28,14 +28,30 @@ class MetricsSpec extends SparkSpec {
     assert(math.abs(byName("v_measure") - 1.0) < 1e-12)
     assert(math.abs(byName("rand") - 1.0) < 1e-12)
     assert(math.abs(byName("fowlkes_mallows") - 1.0) < 1e-12)
+    assert(math.abs(byName("adjusted_mutual_info") - 1.0) < 1e-12)
   }
 
-  test("random clustering scores near 0 ARI") {
+  test("random clustering scores near 0 ARI and AMI") {
     val rnd = new scala.util.Random(3)
     val df = (1 to 300).map(i => (i.toString, (i % 5).toString, rnd.nextInt(5).toString))
       .toDF("id", "truth", "cluster_id")
     val m = ClusteringMetrics.metrics(df, "truth").collect()(0)
-    assert(math.abs(m.getDouble(2)) < 0.1) // adjusted_rand ~ 0
+    val byName = m.schema.fieldNames.zipWithIndex.map { case (n, i) => n -> m.getDouble(i) }.toMap
+    assert(math.abs(byName("adjusted_rand")) < 0.1)
+    assert(math.abs(byName("adjusted_mutual_info")) < 0.1)
+  }
+
+  test("AMI matches the Vinh et al. expected-MI formula on a hand-computed fixture") {
+    // contingency: t1={x:2,y:1} t2={x:1,y:2} t3={z:2}; expected values computed
+    // independently with python math.lgamma replicating sklearn's formula
+    val rows = Seq(("1", "x"), ("1", "x"), ("1", "y"), ("2", "y"), ("2", "y"), ("2", "x"),
+      ("3", "z"), ("3", "z")).zipWithIndex
+      .map { case ((t, c), i) => (i.toString, t, c) }
+    val df = rows.toDF("id", "truth", "cluster_id")
+    val m = ClusteringMetrics.metrics(df, "truth").collect()(0)
+    val byName = m.schema.fieldNames.zipWithIndex.map { case (n, i) => n -> m.getDouble(i) }.toMap
+    assert(math.abs(byName("mutual_info") - 0.6048099038176576) < 1e-9)
+    assert(math.abs(byName("adjusted_mutual_info") - 0.3196726505696455) < 1e-9)
   }
 
   test("confusion metrics: hand-checkable example") {
