@@ -4,23 +4,34 @@ import scala.util.Random
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
-import graft.blocking.{BlockingRule, RuleGen}
+import graft.blocking.RuleGen
 import graft.clean.Cleaning
 import graft.cluster.ConnectedComponents
-import graft.metrics.EntropyMetrics
+import graft.metrics.{ClusteringMetrics, EntropyMetrics, PairwiseMetrics}
 import graft.model.{ComparisonSpec, TrainedModel}
+import graft.schemamatch.SchemaMatch
 import graft.score.FellegiSunter
 import graft.train.Estimation
 
 /** Y16 + EP1 — the unsupervised auto-linking search loop (reference:
-  * AutoLinker.auto_link, autolinker.py:688-847).
+  * AutoLinker.auto_link, autolinker.py:688-847), in dedupe mode ([[autoLink]]) and
+  * two-table link mode ([[autoLinkTables]], reference autolinker.py:688-707,961-1020:
+  * schema-match the columns, align, then block/train/predict across the tables only).
   *
   * Differences from the reference, by design:
-  *   - seeded random search instead of Hyperopt TPE (the reference only seeds Hyperopt;
-  *     we thread one seed through sampling, bucketing and the search so runs reproduce);
+  *   - TPE-lite adaptive search instead of Hyperopt TPE: after a uniform warmup,
+  *     candidates are drawn by perturbing a trial sampled from the top quartile, with
+  *     a 30% uniform exploration floor — the same exploit-the-good-region idea with one
+  *     seeded RNG threaded through sampling, bucketing and the search so runs
+  *     reproduce (`searchStrategy = "random"` recovers pure random search);
   *   - no metastore temp tables to GC (Y15) — intermediates are DataFrames;
   *   - run log returned as a DataFrame instead of MLflow calls (Y19).
+  *
+  * When `trueLabelCol` is given, every trial also computes the supervised confusion
+  * and clustering metrics against it (reference autolinker.py:591-621), recorded on
+  * [[Trial.supervised]].
   *
   * Search space matches autolinker.py:345-365: per column one of
   * levenshtein threshold ∈ {1..5}, jaccard ∈ [0.7,0.99], jaro_winkler ∈ [0.7,0.99];
@@ -32,7 +43,8 @@ object AutoLinker {
   case class Trial(
       model: TrainedModel,
       metric: Double,
-      blockingRule: String)
+      blockingRule: String,
+      supervised: Map[String, Double] = Map.empty)
 
   case class Result(
       best: Trial,
@@ -50,68 +62,217 @@ object AutoLinker {
       clusterThreshold: Double = 0.8,
       cleaningMode: String = "all",
       ruleCombinationSize: Int = 1,
-      maxOrSize: Int = 2): Result = {
+      maxOrSize: Int = 2,
+      trueLabelCol: Option[String] = None,
+      searchStrategy: String = "adaptive"): Result = {
 
     val rnd = new Random(seed)
     val withId = Cleaning.withUniqueId(data, uidCol)
     val attrs = attributeColumns.getOrElse(
-      withId.columns.filterNot(_ == uidCol).toSeq)
+      withId.columns.filterNot(c => c == uidCol || trueLabelCol.contains(c)).toSeq)
     val stringified = withId.select(
       (col(uidCol).cast("string").as(uidCol) +:
-        attrs.map(c => col(c).cast("string").as(c))): _*)
+        attrs.map(c => col(c).cast("string").as(c))) ++
+        trueLabelCol.map(c => col(c).cast("string").as(c)).toSeq: _*)
     val cleaned = Cleaning.cleanColumns(stringified, attrs, cleaningMode).cache()
     val n = cleaned.count()
 
-    // Y3 — candidate blocking rules from a ≤10k sample, filtered by estimated cost
+    val ruleChoices = candidateRules(cleaned, n, attrs, ruleCombinationSize, maxOrSize,
+      comparisonSizeLimit, seed)
+    val adjustedBase = EntropyMetrics.maxDistinct(cleaned, attrs).toInt
+
+    runSearch(cleaned, None, cleaned, uidCol, attrs, ruleChoices, adjustedBase,
+      maxEvals, rnd, searchStrategy, clusterThreshold,
+      uTargetPairs = math.min(n * 4, 100000L), trueLabelCol)
+  }
+
+  /** Link-mode end-to-end: recover the left↔right column correspondence (Y10), align
+    * the right table to the left's names, then search/train/predict over CROSS-table
+    * pairs only and cluster the union. Uids are prefixed `l-`/`r-` so the two tables
+    * cannot collide in the cluster space.
+    */
+  def autoLinkTables(
+      left: DataFrame,
+      right: DataFrame,
+      uidCol: String = "unique_id",
+      leftAttributes: Option[Seq[String]] = None,
+      rightAttributes: Option[Seq[String]] = None,
+      maxEvals: Int = 5,
+      seed: Long = 42L,
+      comparisonSizeLimit: Long = 100000L,
+      clusterThreshold: Double = 0.8,
+      cleaningMode: String = "all",
+      ruleCombinationSize: Int = 1,
+      maxOrSize: Int = 2,
+      trueLabelCol: Option[String] = None,
+      searchStrategy: String = "adaptive"): Result = {
+
+    val rnd = new Random(seed)
+    val lAttrs = leftAttributes.getOrElse(
+      left.columns.filterNot(c => c == uidCol || trueLabelCol.contains(c)).toSeq)
+    val rAttrs = rightAttributes.getOrElse(
+      right.columns.filterNot(c => c == uidCol || trueLabelCol.contains(c)).toSeq)
+
+    // Y10 — recover the column correspondence, keep left's names for the mapped pairs
+    val mapping = SchemaMatch.greedyMapping(left, right, lAttrs, rAttrs)
+    require(mapping.nonEmpty, "autoLinkTables: no column correspondence found")
+    val attrs = mapping.map(_._1)
+
+    def prep(df: DataFrame, tag: String, sel: Seq[(String, String)]) =
+      df.select((concat(lit(tag), col(uidCol).cast("string")).as(uidCol) +:
+        sel.map { case (out, in) => col(in).cast("string").as(out) }) ++
+        trueLabelCol.map(c => col(c).cast("string").as(c)).toSeq: _*)
+    val lSel = prep(Cleaning.withUniqueId(left, uidCol), "l-", attrs.map(a => a -> a))
+    val rSel = prep(Cleaning.withUniqueId(right, uidCol), "r-",
+      mapping.map { case (lc, rc, _) => lc -> rc })
+    val cleanedL = Cleaning.cleanColumns(lSel, attrs, cleaningMode).cache()
+    val cleanedR = Cleaning.cleanColumns(rSel, attrs, cleaningMode).cache()
+    val union = cleanedL.unionByName(cleanedR).cache()
+    val n = union.count()
+
+    val ruleChoices = candidateRules(union, n, attrs, ruleCombinationSize, maxOrSize,
+      comparisonSizeLimit, seed)
+    val adjustedBase = EntropyMetrics.maxDistinct(union, attrs).toInt
+
+    runSearch(cleanedL, Some(cleanedR), union, uidCol, attrs, ruleChoices, adjustedBase,
+      maxEvals, rnd, searchStrategy, clusterThreshold,
+      uTargetPairs = math.min(n * 4, 100000L), trueLabelCol)
+  }
+
+  /** Y3 — candidate blocking rules from a ≤10k sample, filtered by estimated cost. */
+  private def candidateRules(
+      df: DataFrame,
+      n: Long,
+      attrs: Seq[String],
+      ruleCombinationSize: Int,
+      maxOrSize: Int,
+      comparisonSizeLimit: Long,
+      seed: Long): Seq[String] = {
     val sample =
-      if (n > 10000) cleaned.sample(withReplacement = false, 10000.0 / n, seed)
-      else cleaned
+      if (n > 10000) df.sample(withReplacement = false, 10000.0 / n, seed)
+      else df
     val candidates = RuleGen
       .generateBlockingRules(sample, ruleCombinationSize, maxOrSize, attrs, seed)
       .cache()
-    val accepted = candidates
-      .filter(col("rule_squared_count") < comparisonSizeLimit)
-      .select("splink_rule")
-      .collect().map(_.getString(0)).toSeq
-    val ruleChoices =
+    try {
+      val accepted = candidates
+        .filter(col("rule_squared_count") < comparisonSizeLimit)
+        .select("splink_rule")
+        .collect().map(_.getString(0)).toSeq
       if (accepted.nonEmpty) accepted
       // robustness fallback (the reference would raise): single-column rules
       else attrs.map(c => s"l.$c = r.$c")
+    } finally candidates.unpersist()
+  }
 
-    val adjustedBase = EntropyMetrics.maxDistinct(cleaned, attrs).toInt
+  /** One parameter draw. Uniform during warmup or with `searchStrategy = "random"`;
+    * otherwise TPE-lite: with 70% probability perturb a trial sampled from the top
+    * quartile (thresholds jittered, 20% per-column metric re-draw, 30% rule re-draw),
+    * else draw uniformly — exploiting the good region while keeping an exploration
+    * floor, the same shape Hyperopt TPE gives the reference.
+    */
+  private def drawParams(
+      rnd: Random,
+      attrs: Seq[String],
+      ruleChoices: Seq[String],
+      past: Seq[Trial],
+      strategy: String): (Seq[ComparisonSpec], String) = {
+    def uniformSpec(c: String): ComparisonSpec = rnd.nextInt(3) match {
+      case 0 => ComparisonSpec(c, "levenshtein", 1 + rnd.nextInt(5).toDouble)
+      case 1 => ComparisonSpec(c, "jaccard", 0.7 + rnd.nextDouble() * 0.29)
+      case _ => ComparisonSpec(c, "jaro_winkler", 0.7 + rnd.nextDouble() * 0.29)
+    }
+    def uniform(): (Seq[ComparisonSpec], String) =
+      (attrs.map(uniformSpec), ruleChoices(rnd.nextInt(ruleChoices.size)))
 
-    var best: Option[(Trial, DataFrame, DataFrame)] = None
-    val trials = (1 to maxEvals).map { _ =>
-      val specs = attrs.map { c =>
-        rnd.nextInt(3) match {
-          case 0 => ComparisonSpec(c, "levenshtein", 1 + rnd.nextInt(5).toDouble)
-          case 1 => ComparisonSpec(c, "jaccard", 0.7 + rnd.nextDouble() * 0.29)
-          case _ => ComparisonSpec(c, "jaro_winkler", 0.7 + rnd.nextDouble() * 0.29)
+    val warmup = 3
+    if (strategy != "adaptive" || past.size < warmup || rnd.nextDouble() < 0.3) uniform()
+    else {
+      val top = past.sortBy(-_.metric).take(math.max(1, past.size / 4 + 1))
+      val parent = top(rnd.nextInt(top.size))
+      val specs = parent.model.comparisons.map { s =>
+        if (rnd.nextDouble() < 0.2) uniformSpec(s.column)
+        else s.metric match {
+          case "levenshtein" =>
+            s.copy(threshold =
+              math.max(1.0, math.min(5.0, s.threshold + (rnd.nextInt(3) - 1))))
+          case _ =>
+            s.copy(threshold =
+              math.max(0.7, math.min(0.99, s.threshold + rnd.nextGaussian() * 0.03)))
         }
       }
-      val rule = ruleChoices(rnd.nextInt(ruleChoices.size))
+      val rule =
+        if (rnd.nextDouble() < 0.7) parent.blockingRule
+        else ruleChoices(rnd.nextInt(ruleChoices.size))
+      (specs, rule)
+    }
+  }
+
+  /** The trial loop shared by dedupe and link mode: draw params → train → predict →
+    * cluster → unsupervised metric (+ supervised metrics when a label is given).
+    */
+  private def runSearch(
+      trainDf: DataFrame,
+      linkRight: Option[DataFrame],
+      clusterBase: DataFrame,
+      uidCol: String,
+      attrs: Seq[String],
+      ruleChoices: Seq[String],
+      adjustedBase: Int,
+      maxEvals: Int,
+      rnd: Random,
+      strategy: String,
+      clusterThreshold: Double,
+      uTargetPairs: Long,
+      trueLabelCol: Option[String]): Result = {
+
+    var best: Option[(Trial, DataFrame, DataFrame)] = None
+    val past = scala.collection.mutable.ArrayBuffer[Trial]()
+    (1 to maxEvals).foreach { _ =>
+      val (specs, rule) = drawParams(rnd, attrs, ruleChoices, past.toSeq, strategy)
       // Y6 — training rules from 3 random columns, paired
       val tcols = rnd.shuffle(attrs.toList).take(3)
       val trainingRules =
         if (tcols.size < 2) Seq(attrs.map(c => s"l.$c = r.$c").mkString(" AND "))
         else tcols.combinations(2).map(p => s"${p(0)}&${p(1)}").toSeq
 
-      val model = Estimation.train(cleaned, uidCol, specs, Seq(rule), trainingRules,
-        uTargetPairs = math.min(n * 4, 100000L))
-      val predictions = FellegiSunter.predict(cleaned, uidCol, model)
+      val model = Estimation.train(trainDf, uidCol, specs, Seq(rule), trainingRules,
+        uTargetPairs = uTargetPairs, linkRight = linkRight)
+      val predictions = linkRight match {
+        case Some(right) => FellegiSunter.predictLink(trainDf, right, uidCol, model)
+        case None => FellegiSunter.predict(trainDf, uidCol, model)
+      }
       val edges = predictions
         .filter(col("match_probability") >= clusterThreshold)
         .select(col("uid_l").as("src"), col("uid_r").as("dst"))
-      val clusters = ConnectedComponents.assignClusters(cleaned, uidCol, edges)
+      val clusters = ConnectedComponents.assignClusters(clusterBase, uidCol, edges)
       val metric = EntropyMetrics.informationGainPowerRatio(clusters, attrs, adjustedBase)
-      val trial = Trial(model, metric, rule)
+      val supervised = trueLabelCol.map { label =>
+        val labelDf = clusterBase.select(col(uidCol), col(label))
+        rowToMap(PairwiseMetrics.confusionMetrics(
+          labelDf, predictions, clusterThreshold, uidCol, label)) ++
+          rowToMap(ClusteringMetrics.metrics(clusters, label))
+      }.getOrElse(Map.empty[String, Double])
+      val trial = Trial(model, metric, rule, supervised)
       if (best.isEmpty || metric > best.get._1.metric)
         best = Some((trial, clusters, predictions))
-      trial
+      past += trial
     }
 
-    candidates.unpersist()
     val (b, clusters, predictions) = best.get
-    Result(b, clusters, predictions, trials)
+    Result(b, clusters, predictions, past.toSeq)
+  }
+
+  /** First row of a 1-row metric frame as name → double (longs widened). */
+  private def rowToMap(df: DataFrame): Map[String, Double] = {
+    val row = df.collect()(0)
+    row.schema.fields.zipWithIndex.flatMap { case (f, i) =>
+      if (row.isNullAt(i)) None
+      else f.dataType match {
+        case DoubleType => Some(f.name -> row.getDouble(i))
+        case LongType => Some(f.name -> row.getLong(i).toDouble)
+        case _ => None
+      }
+    }.toMap
   }
 }

@@ -54,6 +54,26 @@ object PipelineQueries {
       result.trials.map(t =>
         (t.blockingRule, t.metric, t.model.lambda, t.model.comparisons.map(_.metric).mkString(",")))
         .toDF("blocking_rule", "metric", "lambda", "comparison_metrics")
+    },
+    "ep1_auto_link_two_tables" -> { (s, dir) =>
+      import s.implicits._
+      // link mode: two halves of customer with renamed columns — Y10 recovers the
+      // mapping, then blocking/training/prediction run across the tables only
+      // (iterative search loop — rows-only check; pinned by MetricsSpec)
+      val c = s.read.parquet(s"$dir/customer.parquet").orderBy("c_custkey").limit(1000)
+      val left = c.filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey").cast("string").as("id"),
+          substring(col("c_name"), 1, 12).as("name_prefix"),
+          col("c_mktsegment").as("segment"), col("c_nationkey").cast("string").as("nation"))
+      val right = c.filter(col("c_custkey") % 2 === 1)
+        .select(col("c_custkey").cast("string").as("id"),
+          substring(col("c_name"), 1, 12).as("prefix"),
+          col("c_mktsegment").as("mkt"), col("c_nationkey").cast("string").as("nat"))
+      val result = AutoLinker.autoLinkTables(left, right, uidCol = "id",
+        maxEvals = 2, comparisonSizeLimit = 500000L)
+      result.trials.map(t =>
+        (t.blockingRule, t.metric, t.model.lambda, t.model.comparisons.map(_.metric).mkString(",")))
+        .toDF("blocking_rule", "metric", "lambda", "comparison_metrics")
     })
 
   val oracleSql: Map[String, String] = Map.empty

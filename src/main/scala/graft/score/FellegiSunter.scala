@@ -52,4 +52,17 @@ object FellegiSunter {
     val gammas = graft.compare.Comparisons.withGammas(pairs, model.comparisons)
     score(gammas, model)
   }
+
+  /** Link-mode predict: candidate pairs cross the two (schema-aligned) tables only. */
+  def predictLink(
+      left: DataFrame,
+      right: DataFrame,
+      uid: String,
+      model: TrainedModel): DataFrame = {
+    val rules = model.blockingRules.map(graft.blocking.BlockingRule.parse)
+    val attrs = (model.comparisons.map(_.column) ++ rules.flatMap(_.columns)).distinct
+    val pairs = graft.blocking.PairGenerator.linkPairs(left, right, uid, attrs, rules)
+    val gammas = graft.compare.Comparisons.withGammas(pairs, model.comparisons)
+    score(gammas, model)
+  }
 }

@@ -114,14 +114,23 @@ object Estimation {
       tol: Double = 0.01,
       maxIter: Int = 25,
       pairCap: Long = 2000000L,
-      seed: Long = 42L): (Double, Map[String, Array[Double]], Map[String, Array[Double]]) = {
+      seed: Long = 42L,
+      linkRight: Option[DataFrame] = None): (Double, Map[String, Array[Double]], Map[String, Array[Double]]) = {
 
     val ruleCols = trainingRule.columns.toSet
     val freeSpecs = specs.filterNot(s => ruleCols.contains(s.column))
+    // a rule that blocks on every compared column leaves nothing to estimate
+    if (freeSpecs.isEmpty) return (initialLambda, Map.empty, Map.empty)
     // carry both compared and blocked-on columns through the pair join
     val attrs = (specs.map(_.column) ++ trainingRule.columns).distinct
 
-    val allPairs = graft.blocking.PairGenerator.dedupePairs(df, uid, attrs, Seq(trainingRule))
+    // link mode: pairs cross the two tables only (Splink link_only semantics)
+    val allPairs = linkRight match {
+      case Some(right) =>
+        graft.blocking.PairGenerator.linkPairs(df, right, uid, attrs, Seq(trainingRule))
+      case None =>
+        graft.blocking.PairGenerator.dedupePairs(df, uid, attrs, Seq(trainingRule))
+    }
     // parameter estimation doesn't need every blocked pair — cap with a seeded sample
     // so EM cost stays bounded when a training rule produces huge blocks
     val nPairs = allPairs.count()
@@ -214,6 +223,10 @@ object Estimation {
 
   /** Full training pipeline: J3 prior + J4 u + J5 EM per training rule, averaging m
     * across rounds for columns estimated more than once (Splink combines estimates).
+    *
+    * `linkRight` switches to link mode (Splink link_only): u is estimated over the
+    * union of both tables (random pairs are overwhelmingly non-matches either way) and
+    * EM pairs cross the two tables only.
     */
   def train(
       df: DataFrame,
@@ -222,10 +235,17 @@ object Estimation {
       blockingRules: Seq[String],
       trainingRules: Seq[String],
       uTargetPairs: Long = 100000L,
-      tol: Double = 0.01): TrainedModel = {
-    val n = df.count()
+      tol: Double = 0.01,
+      linkRight: Option[DataFrame] = None): TrainedModel = {
+    val uSource = linkRight match {
+      case Some(right) =>
+        val shared = (df.columns.toSet intersect right.columns.toSet).toSeq.sorted
+        df.select(shared.map(col): _*).unionByName(right.select(shared.map(col): _*))
+      case None => df
+    }
+    val n = uSource.count()
     val lambda0 = prior(n)
-    val uSampled = estimateU(df, uid, specs, uTargetPairs)
+    val uSampled = estimateU(uSource, uid, specs, uTargetPairs)
 
     val mEstimates = scala.collection.mutable.Map[String, List[Array[Double]]]()
     val uEstimates = scala.collection.mutable.Map[String, List[Array[Double]]](
@@ -233,7 +253,8 @@ object Estimation {
     var lambda = lambda0
     trainingRules.foreach { ruleStr =>
       val rule = graft.blocking.BlockingRule.parse(ruleStr)
-      val (lam, m, uEm) = emTrain(df, uid, specs, rule, uSampled, lambda, tol)
+      val (lam, m, uEm) = emTrain(df, uid, specs, rule, uSampled, lambda, tol,
+        linkRight = linkRight)
       lambda = lam
       m.foreach { case (c, arr) =>
         mEstimates(c) = arr :: mEstimates.getOrElse(c, Nil)

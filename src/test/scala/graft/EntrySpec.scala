@@ -12,7 +12,8 @@ class EntrySpec extends SparkSpec {
     val rowsOnly = Set(
       "j5_em_train",          // iterative EM — pinned by LinkageSpec
       "ep1_e2e_dedupe",       // trained pipeline — pinned by MetricsSpec
-      "ep1_auto_link",        // random search — pinned by MetricsSpec
+      "ep1_auto_link",        // adaptive search — pinned by MetricsSpec
+      "ep1_auto_link_two_tables", // link-mode search loop — pinned by MetricsSpec
       "ann_lsh_topk",         // approximate — recall pinned by TextOpsSpec
       "ann_ivf_topk",         // approximate — recall pinned by TextOpsSpec
       "dedup_apply")          // iterative CC composition — pinned by TextOpsSpec

@@ -112,4 +112,67 @@ class MetricsSpec extends SparkSpec {
     }
     assert(found, "no seed produced any non-singleton cluster on planted duplicates")
   }
+
+  test("auto-link records supervised metrics per trial when a true label is given") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 60).flatMap { i =>
+      val name = (1 to 10).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+      Seq((s"a$i", name, s"city${i % 5}", s"e$i"), (s"b$i", name + "x", s"city${i % 5}", s"e$i"))
+    }
+    val df = rows.toDF("unique_id", "name", "city", "ent")
+    val res = AutoLinker.autoLink(df,
+      attributeColumns = Some(Seq("name", "city")),
+      maxEvals = 2, seed = 1L, comparisonSizeLimit = 1000000L, clusterThreshold = 0.5,
+      trueLabelCol = Some("ent"))
+    assert(res.trials.forall(_.supervised.nonEmpty))
+    assert(res.best.supervised.contains("f1_score"))
+    assert(res.best.supervised.contains("adjusted_mutual_info"))
+    assert(res.best.supervised("rr") > 0) // 60 relevant (true-dup) pairs exist
+  }
+
+  test("link-mode auto-link recovers the column mapping and links entities across tables") {
+    val rnd = new scala.util.Random(5)
+    val ents = (0 until 60).map { i =>
+      ((1 to 10).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString,
+        s"city${i % 5}", s"z${i % 12}")
+    }
+    // same entities in both tables under renamed columns; a third of the right cities
+    // carry a typo (Y10 needs value overlap per pairing, the linker needs fuzz to chew on)
+    val left = ents.zipWithIndex.map { case ((n, c, z), i) => (s"L$i", n, c, z) }
+      .toDF("id", "name", "city", "zip")
+    val right = ents.zipWithIndex.map { case ((n, c, z), i) =>
+      (s"R$i", n, if (i % 3 == 0) c + "x" else c, z)
+    }.toDF("id", "fullname", "town", "postcode")
+    val found = Seq(2L, 3L, 4L).exists { seed =>
+      val res = AutoLinker.autoLinkTables(left, right, uidCol = "id",
+        maxEvals = 3, seed = seed, comparisonSizeLimit = 1000000L, clusterThreshold = 0.5)
+      // aligned to left's names: gammas are over left columns
+      assert(res.predictions.columns.count(_.startsWith("gamma_")) > 0)
+      assert(res.clusters.count() === 120)
+      res.clusters
+        .groupBy("cluster_id")
+        .agg(
+          sum(when(col("id").startsWith("l-"), 1).otherwise(0)).as("nl"),
+          sum(when(col("id").startsWith("r-"), 1).otherwise(0)).as("nr"))
+        .filter(col("nl") > 0 && col("nr") > 0).count() > 0
+    }
+    assert(found, "no seed produced a cluster spanning both tables")
+  }
+
+  test("adaptive search does at least as well as random search at equal budget") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 80).flatMap { i =>
+      val name = (1 to 10).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+      Seq((s"a$i", name, s"city${i % 5}", s"z${i % 20}"),
+        (s"b$i", name + "x", s"city${i % 5}", s"z${i % 20}"))
+    }
+    val df = rows.toDF("unique_id", "name", "city", "zip")
+    def run(strategy: String) = AutoLinker.autoLink(df,
+      attributeColumns = Some(Seq("name", "city", "zip")),
+      maxEvals = 5, seed = 3L, comparisonSizeLimit = 1000000L, clusterThreshold = 0.5,
+      searchStrategy = strategy).best.metric
+    val adaptive = run("adaptive")
+    val random = run("random")
+    assert(adaptive >= random - 1e-9, s"adaptive=$adaptive random=$random")
+  }
 }
