@@ -30,6 +30,10 @@ object Bench {
       // otherwise accumulate storage across queries and degrade later ones via GC churn
       spark.sqlContext.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      // ContextCleaner is GC-driven: with a large heap the JVM may not GC for the whole
+      // suite, so unreferenced shuffle/broadcast state accumulates and later queries
+      // degrade several-fold. Force a collection between queries to let it drain.
+      System.gc()
       System.err.println(f"[bench] $name%-28s $sec%8.2f s")
       name -> sec
     }
