@@ -94,6 +94,68 @@ case class HyperplaneSignatures(
     copy(child = newChild)
 }
 
+/** Index of the centroid with the largest dot product against the vector (ties → the
+  * lowest index). Centroids are driver-side constants serialized with the plan, so
+  * IVF cell assignment is ONE codegen'd projection — no centroid join, no k×N shuffle
+  * through a window.
+  */
+case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
+  extends UnaryExpression {
+  require(centroids.nonEmpty, "centroids must be non-empty")
+  require(centroids.forall(_.length == centroids(0).length),
+    "all centroids must have the same dimension")
+
+  override def dataType: DataType = IntegerType
+
+  private val dim = centroids(0).length
+
+  @transient private lazy val flat: Array[Double] = {
+    val out = new Array[Double](centroids.length * dim)
+    var c = 0
+    while (c < centroids.length) {
+      System.arraycopy(centroids(c), 0, out, c * dim, dim)
+      c += 1
+    }
+    out
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    NearestCentroid.compute(v.asInstanceOf[ArrayData], flat, dim, centroids.length)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val flatRef = ctx.addReferenceObj("centroidsFlat", flat, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.expressions.NearestCentroid.compute(
+         |  $c, $flatRef, $dim, ${centroids.length});""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+}
+
+object NearestCentroid {
+  def compute(v: ArrayData, flat: Array[Double], dim: Int, k: Int): Int = {
+    if (v.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"nearest_centroid: vector has ${v.numElements()} elements, centroids have dim $dim")
+    var best = 0
+    var bestDot = Double.NegativeInfinity
+    var c = 0
+    while (c < k) {
+      var acc = 0.0
+      var i = 0
+      val off = c * dim
+      while (i < dim) {
+        acc += v.getDouble(i) * flat(off + i)
+        i += 1
+      }
+      if (acc > bestDot) { bestDot = acc; best = c }
+      c += 1
+    }
+    best
+  }
+}
+
 object HyperplaneSignatures {
   def compute(
       v: ArrayData,

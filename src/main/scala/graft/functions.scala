@@ -82,4 +82,10 @@ object functions {
     */
   def hyperplane_signatures(vec: Column, planes: Array[Array[Double]], bitsPerSig: Int): Column =
     Bridge.column(HyperplaneSignatures(Bridge.expression(vec), planes, bitsPerSig))
+
+  /** Index of the max-dot-product centroid (ties → lowest index); IVF cell assignment
+    * as one codegen'd projection over driver-side centroid constants.
+    */
+  def nearest_centroid(vec: Column, centroids: Array[Array[Double]]): Column =
+    Bridge.column(NearestCentroid(Bridge.expression(vec), centroids))
 }

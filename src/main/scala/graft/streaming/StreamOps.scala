@@ -36,14 +36,20 @@ object StreamOps {
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("cnt"), sum(col("value")).as("value_sum"))
+    // update mode: the watermark purges closed-window state (complete mode never
+    // purges — unbounded state on a real stream), yet unlike append the still-open
+    // final windows are emitted too, so a bounded drive yields the full result.
+    // Each window's LAST update (highest cnt) is the final value.
     val q = stream.writeStream
-      .outputMode("complete")
+      .outputMode("update")
       .format("memory")
       .queryName(name)
       .start()
     try q.processAllAvailable()
     finally q.stop()
     spark.table(name)
+      .groupBy(col("w"), col("event_type"))
+      .agg(max("cnt").as("cnt"), expr("max_by(value_sum, cnt)").as("value_sum"))
       .select(
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("cnt"),

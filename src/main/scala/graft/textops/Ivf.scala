@@ -29,7 +29,6 @@ object Ivf {
       k: Int,
       iters: Int = 2,
       seed: Long = 42L): Model = {
-    val spark = corpus.sparkSession
     val v = corpus.select(col(idCol).as("id"),
       Similarity.normalized(col(vecCol).cast("array<double>")).as("v"))
       .cache()
@@ -41,8 +40,7 @@ object Ivf {
         .map(_.getSeq[Double](0).toArray)
 
       (1 to iters).foreach { _ =>
-        val cents = centroidDf(spark, centroids)
-        val assigned = assign(v, cents)
+        val assigned = assign(v, centroids)
         val sums = assigned
           .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
           .groupBy("cell", "pos")
@@ -75,15 +73,13 @@ object Ivf {
     centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "cv")
   }
 
-  /** Nearest-centroid assignment via broadcast cross join + argmax dot product. */
-  private def assign(v: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy("id").orderBy(desc("dot"), asc("cell"))
-    v.crossJoin(broadcast(cents))
-      .withColumn("dot", graft.functions.array_dot(col("v"), col("cv")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
+  /** Nearest-centroid assignment: one codegen'd argmax projection over the literal
+    * centroid matrix — the broadcast-join + per-id window form shuffled k×N rows to
+    * pick each row's maximum.
+    */
+  private def assign(v: DataFrame, centroids: Array[Array[Double]]): DataFrame =
+    v.withColumn("cell", graft.functions.nearest_centroid(col("v"), centroids))
       .select(col("id"), col("v"), col("cell"))
-  }
 
   /** Top-k per query, probing the `nprobe` closest cells. */
   def topK(
@@ -99,7 +95,7 @@ object Ivf {
     val c = assign(
       corpus.select(col(idCol).as("id"),
         Similarity.normalized(col(vecCol).cast("array<double>")).as("v")),
-      cents)
+      model.centroids)
     val qw = Window.partitionBy("query_id").orderBy(desc("dot"), asc("cell"))
     val probes = queries
       .select(col(idCol).as("query_id"),
