@@ -42,12 +42,16 @@ object Multimodal {
     df.select(col(idCol).cast("long").as("id"), col(binCol).cast("binary").as("b"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        // real pipeline: initialize the codec once per partition here
+        // once-per-partition init — this is the point of mapPartitions; a real codec
+        // handle goes here too. digest() resets the instance after each call.
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        val hex = "0123456789abcdef".toCharArray
         rows.map { case (id, bytes) =>
-          val digest = java.security.MessageDigest.getInstance("MD5")
-          val md5hex = digest.digest(bytes).map("%02x".format(_)).mkString
+          val d = digest.digest(bytes)
+          val sb = new java.lang.StringBuilder(32)
+          d.foreach { b => sb.append(hex((b >> 4) & 0xf)).append(hex(b & 0xf)) }
           val (w, h, f) = decodeStub(bytes)
-          MediaMeta(id, bytes.length.toLong, md5hex, w, h, f)
+          MediaMeta(id, bytes.length.toLong, sb.toString, w, h, f)
         }
       }
   }
