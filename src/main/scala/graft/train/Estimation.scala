@@ -138,29 +138,127 @@ object Estimation {
       if (nPairs > pairCap) allPairs.sample(withReplacement = false, pairCap.toDouble / nPairs, seed)
       else allPairs
     val tracker = new graft.util.CheckpointTracker(df.sparkSession)
-    val gammas = tracker.rotate(Comparisons.withGammas(pairs, freeSpecs)
-      .select(freeSpecs.map(s => col(s"gamma_${s.column}")): _*))
-    val total = gammas.count().toDouble
-    if (total == 0)
-      return (initialLambda, freeSpecs.map(s => s.column -> DefaultM.clone).toMap,
-        freeSpecs.map(s => s.column -> u(s.column).clone).toMap)
+    // Agreement-pattern aggregation (the same trick Splink's EM uses): the E- and
+    // M-steps depend only on the gamma VECTOR, so collapse the pairs to distinct
+    // patterns with counts — at most 4^K rows for K free columns, usually a handful —
+    // and iterate over those. The whole EM loop then costs ONE Spark aggregation
+    // regardless of iteration count; with a bounded pattern table the iterations are
+    // pure driver arithmetic (the distributed per-iteration path remains as a
+    // fallback for pathologically wide comparison spaces).
+    val gammaCols = freeSpecs.map(s => col(s"gamma_${s.column}"))
+    val patterns = tracker.rotate(Comparisons.withGammas(pairs, freeSpecs)
+      .groupBy(gammaCols: _*)
+      .agg(count(lit(1)).as("cnt")))
+    try {
+      val patCount = patterns.count()
+      if (patCount == 0)
+        (initialLambda, freeSpecs.map(s => s.column -> DefaultM.clone).toMap,
+          freeSpecs.map(s => s.column -> u(s.column).clone).toMap)
+      else if (patCount <= MaxDriverPatterns) {
+        val pats = patterns.collect().map { r =>
+          (freeSpecs.indices.map(i => r.getInt(i)).toArray, r.getLong(freeSpecs.length))
+        }
+        emOverPatterns(pats, freeSpecs, u, initialLambda, tol, maxIter)
+      } else emDistributed(patterns, freeSpecs, u, initialLambda, tol, maxIter)
+    } finally tracker.close() // all estimates are driver-side; free the pattern blocks
+  }
 
+  private val MaxDriverPatterns = 100000L
+
+  /** EM iterations over a driver-sized agreement-pattern table: per iteration one
+    * tight pass over (gamma vector, count) rows — no Spark jobs at all.
+    */
+  private def emOverPatterns(
+      pats: Array[(Array[Int], Long)],
+      freeSpecs: Seq[ComparisonSpec],
+      u0: Map[String, Array[Double]],
+      initialLambda: Double,
+      tol: Double,
+      maxIter: Int): (Double, Map[String, Array[Double]], Map[String, Array[Double]]) = {
+    val total = pats.map(_._2).sum.toDouble
+    val k = freeSpecs.length
     var lambda = initialLambda
     var m = freeSpecs.map(s => s.column -> DefaultM.clone).toMap
-    var uEst = freeSpecs.map(s => s.column -> u(s.column).clone).toMap
+    var uEst = freeSpecs.map(s => s.column -> u0(s.column).clone).toMap
     var delta = Double.MaxValue
     var iter = 0
+    while (delta > tol && iter < maxIter) {
+      val mw = freeSpecs.map(s => s.column -> new Array[Double](s.numLevels)).toMap
+      val uw = freeSpecs.map(s => s.column -> new Array[Double](s.numLevels)).toMap
+      var sumW = 0.0
+      pats.foreach { case (gs, cnt) =>
+        // E-step: P(match | pattern); gamma −1 (null) contributes factor 1 to both sides
+        var num = lambda
+        var den = 1.0 - lambda
+        var i = 0
+        while (i < k) {
+          val g = gs(i)
+          if (g >= 0) {
+            val c = freeSpecs(i).column
+            num *= m(c)(g)
+            den *= uEst(c)(g)
+          }
+          i += 1
+        }
+        val w = num / (num + den)
+        sumW += cnt * w
+        i = 0
+        while (i < k) {
+          val g = gs(i)
+          if (g >= 0) {
+            val c = freeSpecs(i).column
+            mw(c)(g) += cnt * w
+            uw(c)(g) += cnt * (1.0 - w)
+          }
+          i += 1
+        }
+      }
+      def refit(sums: Map[String, Array[Double]]): Map[String, Array[Double]] =
+        freeSpecs.map { s =>
+          val arr = sums(s.column)
+          val tot = arr.sum
+          s.column -> arr.map(x => math.max(x / math.max(tot, Floor), Floor))
+        }.toMap
+      val newM = refit(mw)
+      val newU = refit(uw)
+      val newLambda = math.min(math.max(sumW / total, Floor), 1 - Floor)
+      delta = math.max(
+        math.abs(newLambda - lambda),
+        freeSpecs.flatMap(s =>
+          (0 until s.numLevels).map(g =>
+            math.max(math.abs(newM(s.column)(g) - m(s.column)(g)),
+              math.abs(newU(s.column)(g) - uEst(s.column)(g))))).max)
+      lambda = newLambda
+      m = newM
+      uEst = newU
+      iter += 1
+    }
+    (lambda, m, uEst)
+  }
 
-    try while (delta > tol && iter < maxIter) {
-      // E-step: P(match | gammas) under current params, as one literal column expression.
+  /** Distributed EM fallback for pattern tables too large to collect: per iteration
+    * one unpivoted count-weighted aggregation over the pattern table (still a fraction
+    * of the raw pair count). A synthetic '__all__' stack entry with constant gamma 0
+    * makes the same aggregation yield Σw for the λ update — one job per iteration.
+    */
+  private def emDistributed(
+      patterns: DataFrame,
+      freeSpecs: Seq[ComparisonSpec],
+      u0: Map[String, Array[Double]],
+      initialLambda: Double,
+      tol: Double,
+      maxIter: Int): (Double, Map[String, Array[Double]], Map[String, Array[Double]]) = {
+    val total = patterns.agg(sum("cnt")).collect()(0).getLong(0).toDouble
+    var lambda = initialLambda
+    var m = freeSpecs.map(s => s.column -> DefaultM.clone).toMap
+    var uEst = freeSpecs.map(s => s.column -> u0(s.column).clone).toMap
+    var delta = Double.MaxValue
+    var iter = 0
+    while (delta > tol && iter < maxIter) {
       val wExpr = matchProbability(freeSpecs, lambda, m, uEst)
-      val weighted = gammas.withColumn("w", wExpr)
-
-      // M-step: one unpivot + one aggregation for every column at once (single
-      // shuffle). A synthetic '__all__' stack entry with constant gamma 0 makes the
-      // same aggregation also yield Σw for the λ update — one job per iteration.
+      val weighted = patterns.withColumn("w", wExpr)
       val stacked = weighted.select(
-        col("w"),
+        col("w"), col("cnt"),
         expr(s"stack(${freeSpecs.length + 1}, " +
           (freeSpecs.map(s => s"'${s.column}', gamma_${s.column}") :+ "'__all__', 0")
             .mkString(", ") +
@@ -168,7 +266,8 @@ object Estimation {
       val rows = stacked
         .filter(col("gamma") >= 0)
         .groupBy("column", "gamma")
-        .agg(sum("w").as("mw"), sum(lit(1.0) - col("w")).as("uw"))
+        .agg(sum(col("w") * col("cnt")).as("mw"),
+          sum((lit(1.0) - col("w")) * col("cnt")).as("uw"))
         .collect()
 
       val sums = rows.groupBy(_.getString(0)).map { case (c, rs) =>
@@ -185,9 +284,7 @@ object Estimation {
         }.toMap
       val newM = refit(_._1)
       val newU = refit(_._2)
-
       val newLambda = math.min(math.max(sumW / total, Floor), 1 - Floor)
-
       delta = math.max(
         math.abs(newLambda - lambda),
         freeSpecs.flatMap(s =>
@@ -198,7 +295,7 @@ object Estimation {
       m = newM
       uEst = newU
       iter += 1
-    } finally tracker.close() // all estimates are driver-side; free the gamma blocks
+    }
     (lambda, m, uEst)
   }
 
