@@ -47,15 +47,29 @@ object Dedup {
     arrayJaccardPairs(df, idCol, TextOps.distinctShingles(col(textCol), n),
       blockCols, threshold)
 
-  /** Distinct-set Jaccard from one intersection size: |A∪B| = |A| + |B| − |A∩B|.
-    * Evaluating `array_union` per pair builds a bigger hash set than the intersection
-    * and the naive `when` form evaluates it twice — this computes one intersection
-    * against per-row precomputed sizes (~3× less per-pair work on the pair scan).
+  /** Threshold predicate for distinct-set Jaccard from precomputed sizes
+    * (|A∪B| = |A| + |B| − |A∩B|).
+    *
+    * Catalyst pushes the filter through the projection and re-inlines the
+    * `array_intersect` behind `inter` for EVERY reference — a `when`-based jaccard
+    * column referenced it 3× per scanned pair. Here the short-circuit conjunction
+    * evaluates a cheap NECESSARY condition (`inter·(1+t) ≥ t·(|A|+|B|)` ⇔ jaccard ≥ t
+    * in real arithmetic, loosened by a scale-aware epsilon for float rounding) that
+    * references `inter` once, and only pairs passing it reach the exact division-form
+    * comparison — whose operand order matches the SQL oracle, so boundary rounding
+    * agrees bit-for-bit. The `|A|+|B| > 0` guard reproduces the empty-sets→0.0
+    * convention.
     */
-  private def jaccardFromInter(inter: Column, szL: Column, szR: Column): Column = {
-    val union = szL + szR - inter
-    when(union === 0, lit(0.0)).otherwise(inter.cast("double") / union)
+  private def jaccardAtLeast(inter: Column, szL: Column, szR: Column, t: Double): Column = {
+    val szSum = szL + szR
+    val loose = inter.cast("double") * lit(1.0 + t) >=
+      lit(t) * szSum - lit(1e-6) * (szSum + lit(1.0))
+    val exact = inter.cast("double") / (szSum - inter) >= lit(t)
+    (szSum > 0) && loose && exact
   }
+
+  private def jaccardOf(inter: Column, szL: Column, szR: Column): Column =
+    inter.cast("double") / (szL + szR - inter)
 
   /** Per-pair array-intersection Jaccard within blocks (pair-bounded work). */
   private def arrayJaccardPairs(
@@ -64,6 +78,7 @@ object Dedup {
       setExpr: Column,
       blockCols: Seq[Column],
       threshold: Double): DataFrame = {
+    require(threshold > 0, "arrayJaccardPairs requires a positive threshold")
     val prepped = df.select(
       (col(idCol).as("id") +: setExpr.as("toks") +:
         blockCols.zipWithIndex.map { case (c, i) => c.as(s"blk$i") }): _*)
@@ -78,9 +93,9 @@ object Dedup {
     l.join(r, keys)
       .filter(col("id_l") < col("id_r"))
       .withColumn("inter", size(array_intersect(col("toks_l"), col("toks_r"))))
-      .withColumn("jaccard", jaccardFromInter(col("inter"), col("sz_l"), col("sz_r")))
-      .filter(col("jaccard") >= threshold)
-      .select("id_l", "id_r", "jaccard")
+      .filter(jaccardAtLeast(col("inter"), col("sz_l"), col("sz_r"), threshold))
+      .select(col("id_l"), col("id_r"),
+        jaccardOf(col("inter"), col("sz_l"), col("sz_r")).as("jaccard"))
   }
 
   /** Set-Jaccard pairs via co-occurrence counting instead of per-pair array
@@ -151,6 +166,7 @@ object Dedup {
       k: Int = 8,
       bandSize: Int = 2,
       shingleN: Int = 3): DataFrame = {
+    require(threshold > 0, "minhashLshPairs requires a positive threshold")
     val sigs = minhashSignatures(df, idCol, textCol, k, shingleN)
     val nBands = k / bandSize
     val bands = sigs.select(col("id"),
@@ -174,9 +190,9 @@ object Dedup {
       .join(sets.select(col("id").as("id_r"), col("toks").as("toks_r"),
         col("sz").as("sz_r")), "id_r")
       .withColumn("inter", size(array_intersect(col("toks_l"), col("toks_r"))))
-      .withColumn("jaccard", jaccardFromInter(col("inter"), col("sz_l"), col("sz_r")))
-      .filter(col("jaccard") >= threshold)
-      .select("id_l", "id_r", "jaccard")
+      .filter(jaccardAtLeast(col("inter"), col("sz_l"), col("sz_r"), threshold))
+      .select(col("id_l"), col("id_r"),
+        jaccardOf(col("inter"), col("sz_l"), col("sz_r")).as("jaccard"))
   }
 
   /** 16-bit SimHash over the distinct-token set, from the first 4 md5 nibbles of each
