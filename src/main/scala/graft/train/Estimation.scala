@@ -115,7 +115,8 @@ object Estimation {
       maxIter: Int = 25,
       pairCap: Long = 2000000L,
       seed: Long = 42L,
-      linkRight: Option[DataFrame] = None): (Double, Map[String, Array[Double]], Map[String, Array[Double]]) = {
+      linkRight: Option[DataFrame] = None,
+      maxDriverPatterns: Long = MaxDriverPatterns): (Double, Map[String, Array[Double]], Map[String, Array[Double]]) = {
 
     val ruleCols = trainingRule.columns.toSet
     val freeSpecs = specs.filterNot(s => ruleCols.contains(s.column))
@@ -154,7 +155,7 @@ object Estimation {
       if (patCount == 0)
         (initialLambda, freeSpecs.map(s => s.column -> DefaultM.clone).toMap,
           freeSpecs.map(s => s.column -> u(s.column).clone).toMap)
-      else if (patCount <= MaxDriverPatterns) {
+      else if (patCount <= maxDriverPatterns) {
         val pats = patterns.collect().map { r =>
           (freeSpecs.indices.map(i => r.getInt(i)).toArray, r.getLong(freeSpecs.length))
         }

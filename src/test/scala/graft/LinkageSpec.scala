@@ -126,6 +126,30 @@ class LinkageSpec extends SparkSpec {
     assert(lambda > 0.5)
   }
 
+  test("EM driver-side and distributed paths produce identical estimates") {
+    val rows = (0 until 30).flatMap { i =>
+      val base = f"name$i%03d"
+      Seq((s"u${i}_a", base, s"city$i", i % 3), (s"u${i}_b", base, s"city${i}x", i % 3))
+    }
+    val df = rows.toDF("id", "a", "b", "blk")
+    val specs = Seq(ComparisonSpec("a", "levenshtein", 1), ComparisonSpec("b", "levenshtein", 2))
+    val u = Map("a" -> Array(0.9, 0.05, 0.05), "b" -> Array(0.9, 0.05, 0.05))
+    val rule = graft.blocking.BlockingRule.parse("l.blk = r.blk")
+    val driver = Estimation.emTrain(df, "id", specs, rule, u, initialLambda = 0.5)
+    // maxDriverPatterns = 0 forces the distributed per-iteration aggregation path
+    val dist = Estimation.emTrain(df, "id", specs, rule, u, initialLambda = 0.5,
+      maxDriverPatterns = 0L)
+    assert(math.abs(driver._1 - dist._1) < 1e-9)
+    specs.foreach { s =>
+      (0 until s.numLevels).foreach { g =>
+        assert(math.abs(driver._2(s.column)(g) - dist._2(s.column)(g)) < 1e-9,
+          s"m ${s.column} $g")
+        assert(math.abs(driver._3(s.column)(g) - dist._3(s.column)(g)) < 1e-9,
+          s"u ${s.column} $g")
+      }
+    }
+  }
+
   test("u-estimation approximates value-frequency collision rates") {
     val df = (0 until 400).map(i => (i.toString, s"v${i % 4}")).toDF("id", "c")
     val u = Estimation.estimateU(df, "id", Seq(ComparisonSpec("c", "levenshtein", 0)), 4000)
