@@ -94,6 +94,48 @@ case class HyperplaneSignatures(
     copy(child = newChild)
 }
 
+/** Unit-normalized copy of an `array<double>` vector in one pass (zero vectors pass
+  * through unchanged). The `transform(x, v => v / sqrt(dot(x,x)))` HOF form
+  * re-evaluates the norm per ELEMENT — no common-subexpression elimination crosses a
+  * lambda boundary — making normalization O(d²) per row.
+  */
+case class ArrayNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    ArrayNormalize.compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.ArrayNormalize.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): ArrayNormalize =
+    copy(child = newChild)
+}
+
+object ArrayNormalize {
+  def compute(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Double](n)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = v.getDouble(i)
+      out(i) = x
+      acc += x * x
+      i += 1
+    }
+    if (acc > 0) {
+      // divide (not multiply-by-reciprocal): bit-identical to the x/norm the HOF
+      // form produced, so existing round-6 oracle comparisons are unaffected
+      val nrm = math.sqrt(acc)
+      i = 0
+      while (i < n) { out(i) /= nrm; i += 1 }
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Index of the centroid with the largest dot product against the vector (ties → the
   * lowest index). Centroids are driver-side constants serialized with the plan, so
   * IVF cell assignment is ONE codegen'd projection — no centroid join, no k×N shuffle

@@ -88,4 +88,8 @@ object functions {
     */
   def nearest_centroid(vec: Column, centroids: Array[Array[Double]]): Column =
     Bridge.column(NearestCentroid(Bridge.expression(vec), centroids))
+
+  /** Unit-normalized array<double> in one codegen'd pass (zero vectors unchanged). */
+  def array_normalize(vec: Column): Column =
+    Bridge.column(ArrayNormalize(Bridge.expression(vec)))
 }

@@ -24,12 +24,11 @@ object Similarity {
   def vecNorm(x: Column): Column = sqrt(graft.functions.array_dot(x, x))
 
   /** Unit-normalized copy of an `array<double>` column (compute once per row, then
-    * cosine between normalized vectors is a single dot product).
+    * cosine between normalized vectors is a single dot product). Native expression:
+    * the `transform` HOF form re-evaluates the norm per element (no CSE across lambda
+    * boundaries), i.e. O(d²) per row.
     */
-  def normalized(x: Column): Column = {
-    val n = vecNorm(x)
-    transform(x, v => v / n)
-  }
+  def normalized(x: Column): Column = graft.functions.array_normalize(x)
 
   /** Brute-force top-k: every query row against the whole corpus. The query set is
     * broadcast (it is small by construction); ranking uses `round(sim, 6)` then id so
@@ -41,11 +40,15 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+    // normalize each side ONCE so the per-pair work is a single dot product — the
+    // cosine() form re-derives both norms per pair (3 dots instead of 1)
+    val c = corpus.select(col(idCol).as("id"),
+      normalized(col(vecCol).cast("array<double>")).as("v"))
+    val q = queries.select(col(idCol).as("query_id"),
+      normalized(col(vecCol).cast("array<double>")).as("qv"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("id") =!= col("query_id"))
-      .withColumn("cosine", round(cosine(col("v"), col("qv")), 6))
+      .withColumn("cosine", round(graft.functions.array_dot(col("v"), col("qv")), 6))
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -95,15 +98,19 @@ object Similarity {
     def sigs(vec: Column): Column =
       graft.functions.hyperplane_signatures(vec, allPlanes, planesPerTable)
 
-    val c = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    // normalized once per side: signatures are scale-invariant and the verify dot
+    // needs unit vectors anyway (single dot per candidate instead of 3)
+    val c = corpus.select(col(idCol).as("id"),
+        normalized(col(vecCol).cast("array<double>")).as("v"))
       .select(col("id"), col("v"), posexplode(sigs(col("v"))).as(Seq("table", "sig")))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+    val q = queries.select(col(idCol).as("query_id"),
+        normalized(col(vecCol).cast("array<double>")).as("qv"))
       .select(col("query_id"), col("qv"), posexplode(sigs(col("qv"))).as(Seq("table", "sig")))
 
     val scored = c.join(broadcast(q), Seq("table", "sig"))
       .filter(col("id") =!= col("query_id"))
       .dropDuplicates("query_id", "id")
-      .withColumn("cosine", round(cosine(col("v"), col("qv")), 6))
+      .withColumn("cosine", round(graft.functions.array_dot(col("v"), col("qv")), 6))
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
