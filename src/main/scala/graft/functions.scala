@@ -92,4 +92,10 @@ object functions {
   /** Unit-normalized array<double> in one codegen'd pass (zero vectors unchanged). */
   def array_normalize(vec: Column): Column =
     Bridge.column(ArrayNormalize(Bridge.expression(vec)))
+
+  /** First 8 bytes of md5(s) as a big-endian long (hex nibble j = bits 60−4j..63−4j);
+    * the allocation-free route to md5-derived bit signatures.
+    */
+  def md5_prefix_long(s: Column): Column =
+    Bridge.column(Md5PrefixLong(Bridge.expression(s)))
 }

@@ -224,20 +224,23 @@ object Dedup {
   /** 64-bit SimHash over the distinct-token set, from the first 16 md5 nibbles of each
     * token — the scale replacement for [[simhash16]], whose 65,536-key space makes every
     * bucket huge at corpus scale. Same shape: one explode + one 64-sum aggregation.
+    * Token hashing uses [[graft.functions.md5_prefix_long]] so nibble extraction is
+    * pure bit arithmetic on one long (the md5-hex-string route allocates ~17 strings
+    * per token row); bit p of hex char p/4 is bit `60 − 4·(p/4) + p%4` of the long.
     * Signature is a signed BIGINT (bit 63 lands in the sign bit; bitwise OR assembly,
-    * reproduced exactly by the DuckDB oracle).
+    * reproduced exactly by the DuckDB oracle's hex-string parse).
     */
   def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
       explode(TextOps.distinctTokens(col(textCol))).as("t"))
-      .withColumn("h", md5(col("t")))
-    val withNibbles = (0 until 16).foldLeft(toks) { (acc, j) =>
-      acc.withColumn(s"nib$j",
-        (instr(lit("0123456789abcdef"), substring(col("h"), j + 1, 1)) - 1).cast("int"))
+      .withColumn("h", graft.functions.md5_prefix_long(col("t")))
+    def term(p: Int): Column = {
+      val bit = shiftright(col("h"), 60 - 4 * (p / 4) + p % 4).bitwiseAND(lit(1L))
+      when(bit === 1, lit(1)).otherwise(lit(-1))
     }
-    val sums = withNibbles.groupBy("id").agg(
-      sum(bitTerm(0)).as("s0"),
-      (1 until 64).map(p => sum(bitTerm(p)).as(s"s$p")): _*)
+    val sums = toks.groupBy("id").agg(
+      sum(term(0)).as("s0"),
+      (1 until 64).map(p => sum(term(p)).as(s"s$p")): _*)
     val sig = (0 until 64).map(p =>
       when(col(s"s$p") >= 0, lit(1L << p)).otherwise(lit(0L)))
       .reduce(_ bitwiseOR _)
