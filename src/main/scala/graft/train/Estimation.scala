@@ -102,6 +102,12 @@ object Estimation {
     * re-estimated (Splink's default: `fix_u_probabilities=False`); [[train]] averages
     * the per-session u with the random-sampling estimate.
     *
+    * The reference caps huge training-pair sets with a sample; here the agreement-
+    * pattern aggregation makes that unnecessary — EM cost scales with DISTINCT gamma
+    * patterns, not pairs, so every blocked pair feeds one aggregation pass (a cap
+    * would still have scanned them all just to count). Quadratic blow-ups are guarded
+    * where they must be: at rule selection, by the E8 cost estimate.
+    *
     * @return (λ estimate, updated m per column, updated u per column)
     */
   def emTrain(
@@ -113,8 +119,6 @@ object Estimation {
       initialLambda: Double,
       tol: Double = 0.01,
       maxIter: Int = 25,
-      pairCap: Long = 2000000L,
-      seed: Long = 42L,
       linkRight: Option[DataFrame] = None,
       maxDriverPatterns: Long = MaxDriverPatterns): (Double, Map[String, Array[Double]], Map[String, Array[Double]]) = {
 
@@ -126,18 +130,12 @@ object Estimation {
     val attrs = (specs.map(_.column) ++ trainingRule.columns).distinct
 
     // link mode: pairs cross the two tables only (Splink link_only semantics)
-    val allPairs = linkRight match {
+    val pairs = linkRight match {
       case Some(right) =>
         graft.blocking.PairGenerator.linkPairs(df, right, uid, attrs, Seq(trainingRule))
       case None =>
         graft.blocking.PairGenerator.dedupePairs(df, uid, attrs, Seq(trainingRule))
     }
-    // parameter estimation doesn't need every blocked pair — cap with a seeded sample
-    // so EM cost stays bounded when a training rule produces huge blocks
-    val nPairs = allPairs.count()
-    val pairs =
-      if (nPairs > pairCap) allPairs.sample(withReplacement = false, pairCap.toDouble / nPairs, seed)
-      else allPairs
     val tracker = new graft.util.CheckpointTracker(df.sparkSession)
     // Agreement-pattern aggregation (the same trick Splink's EM uses): the E- and
     // M-steps depend only on the gamma VECTOR, so collapse the pairs to distinct
