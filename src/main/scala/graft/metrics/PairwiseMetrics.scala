@@ -56,29 +56,47 @@ object PairwiseMetrics {
       assumeUniquePairs: Boolean = false): DataFrame = {
     val spark = data.sparkSession
     import spark.implicits._
-    val sc = scores(data, predictions, uid, trueLabel).cache()
-    try {
-      val rr = relevantRecordsCount(data, uid, trueLabel)
-      val cal = sc.filter(col("probability") > threshold)
-      val agg = cal.agg(
-        sum(when(col("true_label") === col("score_label"), 1L).otherwise(0L)).as("tp"),
-        sum(when(col("true_label") =!= col("score_label"), 1L).otherwise(0L)).as("fp"))
-        .collect()(0)
-      val tp = if (agg.isNullAt(0)) 0L else agg.getLong(0)
-      val fp = if (agg.isNullAt(1)) 0L else agg.getLong(1)
-      val pr =
-        if (assumeUniquePairs) cal.count()
-        else cal
-          .select(array_sort(array(col("uid_l"), col("uid_r"))).as("pairs"))
-          .distinct().count()
-      val precision = if (pr > 0) tp.toDouble / pr else 0.0
-      val recall = if (rr > 0) tp.toDouble / rr else 0.0
-      val f1 = if (precision + recall > 0) 2 * precision * recall / (precision + recall) else 0.0
-      val jaccard = if (pr + fp > 0) tp.toDouble / (pr + fp) else 0.0
-      Seq((threshold, tp, fp, pr, rr, precision, recall, f1, jaccard))
-        .toDF("threshold", "tp", "fp", "pr", "rr", "precision", "recall", "f1_score", "jaccard")
-    } finally {
-      sc.unpersist()
-    }
+    // threshold first, labels after: only above-threshold pairs pay the label joins
+    // (the reference joins labels to every prediction before calibrating)
+    val left = data.select(col(uid).cast("string").as("uid_l"),
+      col(trueLabel).as("true_label"))
+    val right = data.select(col(uid).cast("string").as("uid_r"),
+      col(trueLabel).as("score_label"))
+    val cal = predictions
+      .select(col("match_probability").as("probability"), col("uid_l"), col("uid_r"))
+      .filter(col("probability") > threshold)
+      .join(left, Seq("uid_l"))
+      .join(right, Seq("uid_r"))
+    val rr = relevantRecordsCount(data, uid, trueLabel)
+    val (tp, fp, pr) =
+      if (assumeUniquePairs) {
+        // one row per undirected pair ⇒ PR is the row count — tp/fp/pr in ONE job
+        val agg = cal.agg(
+          sum(when(col("true_label") === col("score_label"), 1L).otherwise(0L)).as("tp"),
+          sum(when(col("true_label") =!= col("score_label"), 1L).otherwise(0L)).as("fp"),
+          count(lit(1)).as("pr"))
+          .collect()(0)
+        (if (agg.isNullAt(0)) 0L else agg.getLong(0),
+          if (agg.isNullAt(1)) 0L else agg.getLong(1),
+          agg.getLong(2))
+      } else {
+        val cached = cal.cache()
+        try {
+          val agg = cached.agg(
+            sum(when(col("true_label") === col("score_label"), 1L).otherwise(0L)).as("tp"),
+            sum(when(col("true_label") =!= col("score_label"), 1L).otherwise(0L)).as("fp"))
+            .collect()(0)
+          (if (agg.isNullAt(0)) 0L else agg.getLong(0),
+            if (agg.isNullAt(1)) 0L else agg.getLong(1),
+            cached.select(array_sort(array(col("uid_l"), col("uid_r"))).as("pairs"))
+              .distinct().count())
+        } finally cached.unpersist()
+      }
+    val precision = if (pr > 0) tp.toDouble / pr else 0.0
+    val recall = if (rr > 0) tp.toDouble / rr else 0.0
+    val f1 = if (precision + recall > 0) 2 * precision * recall / (precision + recall) else 0.0
+    val jaccard = if (pr + fp > 0) tp.toDouble / (pr + fp) else 0.0
+    Seq((threshold, tp, fp, pr, rr, precision, recall, f1, jaccard))
+      .toDF("threshold", "tp", "fp", "pr", "rr", "precision", "recall", "f1_score", "jaccard")
   }
 }
