@@ -70,6 +70,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("md5 prefix long equals parsing the first 16 hex chars of md5") {
+    import org.apache.spark.unsafe.types.UTF8String
+    check("hex-compat", Prop.forAll(Gen.alphaNumStr.map(_.take(40))) { s =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+      graft.expressions.Md5PrefixLong.compute(UTF8String.fromString(s)) ==
+        java.lang.Long.parseUnsignedLong(hex, 16)
+    })
+  }
+
+  test("array normalize yields unit vectors and passes zero vectors through") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val vecGen = Gen.nonEmptyListOf(Gen.choose(-100.0, 100.0)).map(_.toArray)
+    check("unit-norm", Prop.forAll(vecGen) { v =>
+      val out = graft.expressions.ArrayNormalize
+        .compute(new GenericArrayData(v.map(java.lang.Double.valueOf)))
+      val n = math.sqrt((0 until out.numElements()).map(i => {
+        val x = out.getDouble(i); x * x
+      }).sum)
+      val inNorm = math.sqrt(v.map(x => x * x).sum)
+      if (inNorm == 0.0) (0 until out.numElements()).forall(i => out.getDouble(i) == 0.0)
+      else math.abs(n - 1.0) < 1e-9
+    })
+  }
+
   test("jaro-winkler triangle-ish sanity: appending a char can only lower similarity from 1") {
     val strGen = Gen.nonEmptyListOf(Gen.alphaChar).map(_.take(10).mkString)
     check("append", Prop.forAll(strGen) { s =>
