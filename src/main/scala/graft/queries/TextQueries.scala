@@ -192,6 +192,21 @@ object TextQueries {
         .select(get_json_object(col("props"), "$.k").as("k_val"))
         .groupBy("k_val").agg(count(lit(1)).as("cnt"))
         .orderBy("k_val")
+    },
+    "ep2_corpus_curation" -> { (s, dir) =>
+      // the LLM-pipeline composition end-to-end: score (quality, langid, tokens) →
+      // filter → exact-dedup → keeper corpus, fully DuckDB-oracle-checked
+      val scored = plantedCorpus(s, dir).select(col("doc_id"), col("text"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        round(TextOps.qualityScore(col("text")), 6).as("quality"),
+        TextOps.langId(col("text")).as("pred_lang"))
+      scored
+        .filter(col("pred_lang") =!= "und" && col("n_tokens") >= 5 && col("quality") >= 0.3)
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(min(col("doc_id")).as("doc_id"), min(col("n_tokens")).as("n_tokens"),
+          min(col("quality")).as("quality"), count(lit(1)).as("n_copies"))
+        .select("doc_id", "n_tokens", "quality", "n_copies")
+        .orderBy("doc_id")
     })
 
   // ---- oracle SQL ----------------------------------------------------------
@@ -203,6 +218,30 @@ object TextQueries {
 
   private val stopList = inList(TextOps.EnglishStopwords)
 
+  /** DuckDB quality-score expression over a `text` column (round-6, matches
+    * [[TextOps.qualityScore]] term for term).
+    */
+  private val qualityExprSql = {
+    val toks = toksSql("text")
+    s"""ROUND(0.4 * LEAST(1.0, len($toks)::DOUBLE / 100.0)
+       |      + 0.3 * (1.0 - CASE WHEN length(text) = 0 THEN 0.0
+       |          ELSE length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / length(text) END)
+       |      + 0.3 * CASE WHEN len($toks) = 0 THEN 0.0
+       |          ELSE len(list_filter($toks, t -> t IN $stopList))::DOUBLE / len($toks) END, 6)""".stripMargin
+  }
+
+  private val langScoresSql = {
+    val toks = toksSql("text")
+    TextOps.LangMarkers.map { case (lang, ms) =>
+      s"len(list_filter($toks, t -> t IN ${inList(ms)})) AS s_$lang"
+    }.mkString(", ")
+  }
+  private val langMaxSql =
+    s"GREATEST(${TextOps.LangMarkers.map(l => s"s_${l._1}").mkString(", ")})"
+  private val langCaseSql =
+    "CASE " + TextOps.LangMarkers.map(l => s"WHEN s_${l._1} = mx AND mx > 0 THEN '${l._1}'")
+      .mkString(" ") + " ELSE 'und' END"
+
   private val qualitySql = {
     val toks = toksSql("text")
     s"""SELECT doc_id, length(text) AS len_chars, len($toks) AS n_tokens,
@@ -210,27 +249,15 @@ object TextQueries {
        |    ELSE length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / length(text) END, 6) AS punct_ratio,
        |  ROUND(CASE WHEN len($toks) = 0 THEN 0.0
        |    ELSE len(list_filter($toks, t -> t IN $stopList))::DOUBLE / len($toks) END, 6) AS stop_ratio,
-       |  ROUND(0.4 * LEAST(1.0, len($toks)::DOUBLE / 100.0)
-       |      + 0.3 * (1.0 - CASE WHEN length(text) = 0 THEN 0.0
-       |          ELSE length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / length(text) END)
-       |      + 0.3 * CASE WHEN len($toks) = 0 THEN 0.0
-       |          ELSE len(list_filter($toks, t -> t IN $stopList))::DOUBLE / len($toks) END, 6) AS quality
+       |  $qualityExprSql AS quality
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
-  private val langidSql = {
-    val toks = toksSql("text")
-    val scores = TextOps.LangMarkers.map { case (lang, ms) =>
-      s"len(list_filter($toks, t -> t IN ${inList(ms)})) AS s_$lang"
-    }.mkString(", ")
-    val langs = TextOps.LangMarkers.map(_._1)
-    val maxExpr = s"GREATEST(${langs.map(l => s"s_$l").mkString(", ")})"
-    val caseChain = langs.map(l => s"WHEN s_$l = mx AND mx > 0 THEN '$l'").mkString(" ")
-    s"""WITH sc AS (SELECT doc_id, $scores FROM documents),
-       |m AS (SELECT *, $maxExpr AS mx FROM sc)
-       |SELECT doc_id, CASE $caseChain ELSE 'und' END AS pred_lang
+  private val langidSql =
+    s"""WITH sc AS (SELECT doc_id, $langScoresSql FROM documents),
+       |m AS (SELECT *, $langMaxSql AS mx FROM sc)
+       |SELECT doc_id, $langCaseSql AS pred_lang
        |FROM m ORDER BY doc_id""".stripMargin
-  }
 
   private def jaccardPairSql(setExpr: String, threshold: Double, extraCte: String) =
     s"""WITH $extraCte,
@@ -344,5 +371,19 @@ object TextQueries {
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev_json_extract" ->
       """SELECT json_extract_string(props, '$.k') AS k_val, COUNT(*) AS cnt
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ep2_corpus_curation" -> {
+      val toks = toksSql("text")
+      s"""WITH $corpusCte,
+         |sc AS (SELECT doc_id, text, len($toks) AS n_tokens,
+         |              $qualityExprSql AS quality, $langScoresSql FROM corpus),
+         |m AS (SELECT *, $langMaxSql AS mx FROM sc),
+         |f AS (SELECT doc_id, text, n_tokens, quality, $langCaseSql AS pred_lang FROM m)
+         |SELECT MIN(doc_id) AS doc_id, MIN(n_tokens) AS n_tokens,
+         |       MIN(quality) AS quality, COUNT(*) AS n_copies
+         |FROM f
+         |WHERE pred_lang <> 'und' AND n_tokens >= 5 AND quality >= 0.3
+         |GROUP BY md5(text)
+         |ORDER BY doc_id""".stripMargin
+    })
 }
