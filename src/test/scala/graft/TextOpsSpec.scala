@@ -90,6 +90,22 @@ class TextOpsSpec extends SparkSpec {
     assert(banded === brute)
   }
 
+  test("candidate-generation pipelines never plan an all-pairs join") {
+    // regression guard: every near-dup pair generator must stay equi-join shaped —
+    // a cartesian / nested-loop join here is the canonical 100TB scale-killer
+    val d = docs.select(col("doc_id"), col("text"), col("lang"))
+    Seq(
+      Dedup.simhash64Pairs(d, "doc_id", "text"),
+      Dedup.minhashLshPairs(d, "doc_id", "text", 0.5),
+      Dedup.tokenJaccardPairs(d, "doc_id", "text", Seq(col("lang")), 0.9),
+      Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, Seq(col("lang")), 0.5)
+    ).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"all-pairs join in plan:\n${plan.take(2000)}")
+    }
+  }
+
   test("embedding LSH dedup matches brute force exactly on planted near-dups, no cartesian") {
     val base = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
     val d = lit(0.02) + (col("vec_id") % 7).cast("double") * lit(0.01)
