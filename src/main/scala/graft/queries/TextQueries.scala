@@ -193,6 +193,26 @@ object TextQueries {
         .groupBy("k_val").agg(count(lit(1)).as("cnt"))
         .orderBy("k_val")
     },
+    "stream_dedup" -> { (s, dir) =>
+      // streaming exact dedup across micro-batches: batch 1 = the documents, batch 2 =
+      // planted exact copies (doc_id%7) — every copy must be dropped by the stateful
+      // dropDuplicates even though it arrives in a later batch
+      val d = docs(s, dir).select(col("doc_id"), col("text"), col("lang"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_dedup").toString
+      d.coalesce(1).write.mode("overwrite").parquet(s"$tmp/batch=1")
+      d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"), col("lang"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/batch=2")
+      // flatten the two parts into one source dir (the file source streams files)
+      val target = java.nio.file.Paths.get(tmp, "in")
+      java.nio.file.Files.createDirectories(target)
+      Seq(1, 2).foreach { b =>
+        val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp, s"batch=$b"))
+          .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+        java.nio.file.Files.copy(part, target.resolve(s"$b.parquet"))
+      }
+      StreamOps.streamingExactDedup(s, target.toString).orderBy("lang")
+    },
     "ep2_corpus_curation" -> { (s, dir) =>
       // the LLM-pipeline composition end-to-end: score (quality, langid, tokens) →
       // filter → exact-dedup → keeper corpus, fully DuckDB-oracle-checked
@@ -372,6 +392,9 @@ object TextQueries {
     "ev_json_extract" ->
       """SELECT json_extract_string(props, '$.k') AS k_val, COUNT(*) AS cnt
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "stream_dedup" ->
+      """SELECT lang, COUNT(DISTINCT md5(text)) AS n_unique
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "ep2_corpus_curation" -> {
       val toks = toksSql("text")
       s"""WITH $corpusCte,

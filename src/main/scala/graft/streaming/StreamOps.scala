@@ -56,6 +56,37 @@ object StreamOps {
         round(col("value_sum"), 4).as("value_sum"))
   }
 
+  /** Streaming exact dedup: `dropDuplicates` on the content hash holds every seen
+    * hash in state, so duplicates arriving in ANY later micro-batch are dropped —
+    * the ingest-time shape of training-data dedup (batch equivalent:
+    * [[graft.textops.Dedup.exact]]). Emits per-`lang` unique-document counts.
+    *
+    * On a real unbounded stream the state needs an eviction contract:
+    * `dropDuplicatesWithinWatermark` bounds it to the dedup horizon (requires an
+    * event-time column; the documents corpus has none, so the test path keeps full
+    * state, which is exact and bounded by #unique documents).
+    */
+  def streamingExactDedup(spark: SparkSession, corpusDir: String): DataFrame = {
+    val schema = spark.read.parquet(corpusDir).schema
+    val name = s"stream_dedup_${System.nanoTime()}"
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1) // one file per micro-batch: dedup must cross batches
+      .parquet(corpusDir)
+      .withColumn("h", md5(col("text")))
+      .dropDuplicates("h")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_unique"))
+    val q = stream.writeStream
+      .outputMode("complete") // tiny keyed aggregate (one row per lang), not raw state
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+  }
+
   case class UserTotal(user_id: Long, n_events: Long, value_sum: Double)
 
   /** Custom streaming state via `mapGroupsWithState`: per-user running totals held in
