@@ -67,7 +67,7 @@ object Estimation {
 
     val tracker = new graft.util.CheckpointTracker(spark)
     val indexed = tracker.rotate(spark.createDataFrame(
-      projected.rdd.zipWithIndex.map { case (row, idx) =>
+      projected.rdd.zipWithIndex().map { case (row, idx) =>
         org.apache.spark.sql.Row.fromSeq(row.toSeq :+ idx)
       },
       StructType(projected.schema.fields :+ StructField("rn", LongType))))
