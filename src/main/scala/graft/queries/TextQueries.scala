@@ -213,6 +213,27 @@ object TextQueries {
       }
       StreamOps.streamingExactDedup(s, target.toString).orderBy("lang")
     },
+    "stream_dedup_watermark" -> { (s, dir) =>
+      // bounded-state streaming dedup: batch 1 = the events (ts as long nanos),
+      // batch 2 = exact re-emits of user_id%5 events — dropDuplicatesWithinWatermark
+      // must drop every re-emit from state (delay covers the whole ts range)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = s.read.parquet(s"$dir/events.parquet") // ts as long nanos
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_dedup_wm").toString
+      val target = java.nio.file.Paths.get(tmp, "in")
+      java.nio.file.Files.createDirectories(target)
+      raw.coalesce(1).write.mode("overwrite").parquet(s"$tmp/b1")
+      raw.filter(col("user_id") % 5 === 0)
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/b2")
+      Seq(1, 2).foreach { b =>
+        val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp, s"b$b"))
+          .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+        java.nio.file.Files.copy(part, target.resolve(s"$b.parquet"))
+      }
+      StreamOps.streamingDedupWithinWatermark(s, target.toString)
+        .groupBy("event_type").agg(count(lit(1)).as("n_unique"))
+        .orderBy("event_type")
+    },
     "ep2_corpus_curation" -> { (s, dir) =>
       // the LLM-pipeline composition end-to-end: score (quality, langid, tokens) →
       // filter → exact-dedup → keeper corpus, fully DuckDB-oracle-checked
@@ -395,6 +416,10 @@ object TextQueries {
     "stream_dedup" ->
       """SELECT lang, COUNT(DISTINCT md5(text)) AS n_unique
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "stream_dedup_watermark" ->
+      """SELECT event_type,
+        |  COUNT(DISTINCT user_id || '|' || event_type || '|' || epoch_ns(ts)) AS n_unique
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "ep2_corpus_curation" -> {
       val toks = toksSql("text")
       s"""WITH $corpusCte,

@@ -87,6 +87,37 @@ object StreamOps {
     spark.table(name)
   }
 
+  /** Streaming dedup with BOUNDED state: `dropDuplicatesWithinWatermark` evicts a
+    * key's state once the watermark passes its event time + `delay`, so state holds
+    * only the dedup horizon — the production shape for unbounded streams (plain
+    * `dropDuplicates` state grows forever). Expects `ts` as long nanoseconds (the
+    * events schema); dedup key = (user_id, event_type, ts). Emits the deduplicated
+    * rows (append mode — each key exactly once).
+    */
+  def streamingDedupWithinWatermark(
+      spark: SparkSession,
+      eventsDir: String,
+      delay: String = "365 days"): DataFrame = {
+    val schema = spark.read.parquet(eventsDir).schema
+    val name = s"stream_dedup_wm_${System.nanoTime()}"
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1) // duplicates arrive in later micro-batches
+      .parquet(eventsDir)
+      .withColumn("k", concat_ws("|", col("user_id"), col("event_type"), col("ts")))
+      .withColumn("event_ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      .withWatermark("event_ts", delay)
+      .dropDuplicatesWithinWatermark("k")
+    val q = stream.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+  }
+
   case class UserTotal(user_id: Long, n_events: Long, value_sum: Double)
 
   /** Custom streaming state via `mapGroupsWithState`: per-user running totals held in
