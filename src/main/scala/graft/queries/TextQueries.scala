@@ -80,6 +80,31 @@ object TextQueries {
     e.unionByName(copies)
   }
 
+  /** Stages each DataFrame as one parquet file in a temp dir (one micro-batch each,
+    * in order), runs `consume` (a run-to-completion streaming function whose results
+    * land in a memory sink), then removes the staging files — by then the results
+    * live in the sink, not on disk.
+    */
+  private def stagedStream(batches: Seq[DataFrame])(consume: String => DataFrame): DataFrame = {
+    import java.nio.file.{Files, Path}
+    val tmp = Files.createTempDirectory("graft_stream")
+    val target = tmp.resolve("in")
+    Files.createDirectories(target)
+    try {
+      batches.zipWithIndex.foreach { case (b, i) =>
+        val part = tmp.resolve(s"b$i")
+        b.coalesce(1).write.mode("overwrite").parquet(part.toString)
+        val file = Files.list(part)
+          .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+        Files.copy(file, target.resolve(s"$i.parquet"))
+      }
+      consume(target.toString)
+    } finally {
+      Files.walk(tmp).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+  }
+
   private val embCorpusCte =
     """ecorpus AS (
       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -198,20 +223,10 @@ object TextQueries {
       // planted exact copies (doc_id%7) — every copy must be dropped by the stateful
       // dropDuplicates even though it arrives in a later batch
       val d = docs(s, dir).select(col("doc_id"), col("text"), col("lang"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_dedup").toString
-      d.coalesce(1).write.mode("overwrite").parquet(s"$tmp/batch=1")
-      d.filter(col("doc_id") % 7 === 0)
+      val copies = d.filter(col("doc_id") % 7 === 0)
         .select((col("doc_id") + 100000).as("doc_id"), col("text"), col("lang"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/batch=2")
-      // flatten the two parts into one source dir (the file source streams files)
-      val target = java.nio.file.Paths.get(tmp, "in")
-      java.nio.file.Files.createDirectories(target)
-      Seq(1, 2).foreach { b =>
-        val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp, s"batch=$b"))
-          .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
-        java.nio.file.Files.copy(part, target.resolve(s"$b.parquet"))
-      }
-      StreamOps.streamingExactDedup(s, target.toString).orderBy("lang")
+      stagedStream(Seq(d, copies))(
+        src => StreamOps.streamingExactDedup(s, src)).orderBy("lang")
     },
     "stream_dedup_watermark" -> { (s, dir) =>
       // bounded-state streaming dedup: batch 1 = the events (ts as long nanos),
@@ -219,18 +234,8 @@ object TextQueries {
       // must drop every re-emit from state (delay covers the whole ts range)
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = s.read.parquet(s"$dir/events.parquet") // ts as long nanos
-      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_dedup_wm").toString
-      val target = java.nio.file.Paths.get(tmp, "in")
-      java.nio.file.Files.createDirectories(target)
-      raw.coalesce(1).write.mode("overwrite").parquet(s"$tmp/b1")
-      raw.filter(col("user_id") % 5 === 0)
-        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/b2")
-      Seq(1, 2).foreach { b =>
-        val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp, s"b$b"))
-          .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
-        java.nio.file.Files.copy(part, target.resolve(s"$b.parquet"))
-      }
-      StreamOps.streamingDedupWithinWatermark(s, target.toString)
+      stagedStream(Seq(raw, raw.filter(col("user_id") % 5 === 0)))(
+        src => StreamOps.streamingDedupWithinWatermark(s, src))
         .groupBy("event_type").agg(count(lit(1)).as("n_unique"))
         .orderBy("event_type")
     },
