@@ -163,4 +163,25 @@ class ExpressionsSpec extends SparkSpec {
     assert(rows(1).getDouble(0) === 1.0)
     assert(rows(0).getInt(2) === 2)
   }
+
+  test("vector expressions: dot, argmax centroid with lowest-index ties, signatures") {
+    import graft.functions.{array_dot, nearest_centroid, hyperplane_signatures}
+    val centroids = Array(Array(1.0, 0.0), Array(0.0, 1.0), Array(1.0, 0.0)) // 0 and 2 tie
+    val df = Seq(
+      (Seq(2.0, 1.0), Seq(3.0, 4.0)),  // dot = 10; nearest = centroid 0 (tie with 2 → 0)
+      (Seq(0.0, 5.0), Seq(1.0, 0.0))   // dot = 0;  nearest = centroid 1
+    ).toDF("v", "w")
+      .select(array_dot($"v", $"w").as("dot"),
+        nearest_centroid($"v", centroids).as("cell"),
+        hyperplane_signatures($"v", Array(Array(1.0, -1.0), Array(-1.0, 1.0)), 2).as("sig"))
+    val rows = df.collect()
+    assert(rows(0).getDouble(0) === 10.0)
+    assert(rows(0).getInt(1) === 0) // tie between equal centroids resolves to lowest index
+    assert(rows(1).getDouble(0) === 0.0)
+    assert(rows(1).getInt(1) === 1)
+    // v=(2,1): v·(1,-1)=1>0 → bit 0; v·(-1,1)=-1≤0 → no bit 1 ⇒ signature 1
+    assert(rows(0).getSeq[Int](2) === Seq(1))
+    // v=(0,5): v·(1,-1)=-5≤0; v·(-1,1)=5>0 → bit 1 ⇒ signature 2
+    assert(rows(1).getSeq[Int](2) === Seq(2))
+  }
 }
