@@ -121,6 +121,11 @@ object TextQueries {
       docs(s, dir).select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"))
         .orderBy("doc_id")
     },
+    "text_token_count_bpe" -> { (s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+          TextOps.bpeishTokenCount(col("text")).as("n_subwords"))
+        .orderBy("doc_id")
+    },
     "text_quality" -> { (s, dir) =>
       docs(s, dir).select(col("doc_id"),
           length(col("text")).as("len_chars"),
@@ -367,6 +372,12 @@ object TextQueries {
   val oracleSql: Map[String, String] = Map(
     "text_token_count" ->
       s"SELECT doc_id, len(${toksSql("text")}) AS n_tokens FROM documents ORDER BY doc_id",
+    "text_token_count_bpe" -> {
+      // same lookahead-free pattern; '' escapes the leading quote in the SQL literal
+      val pat = "''" + TextOps.BpeishPattern.drop(1)
+      s"""SELECT doc_id, CAST(len(regexp_extract_all(text, '$pat')) AS INT) AS n_subwords
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
     "text_quality" -> qualitySql,
     "text_langid" -> langidSql,
     "text_fingerprint" ->

@@ -16,6 +16,21 @@ object TextOps {
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
+  /** GPT-2-style pre-tokenizer pattern (contractions | leading-space letter runs |
+    * digit runs | punctuation runs | whitespace), restricted to the lookahead-free
+    * subset so Java regex (Spark) and RE2 (DuckDB oracle) agree match-for-match.
+    * Subword counts from this pattern approximate BPE token counts well enough for
+    * corpus budgeting — the usual pipeline use — without a vocabulary file.
+    */
+  val BpeishPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+
+  /** BPE-ish subword count: one codegen'd `regexp_count` pass, no match-array
+    * materialization.
+    */
+  def bpeishTokenCount(c: Column): Column =
+    regexp_count(c, lit(BpeishPattern))
+
   def distinctTokens(c: Column): Column = array_distinct(tokens(c))
 
   /** Word n-gram shingles `["a b c", "b c d", ...]` — native single-pass expression
