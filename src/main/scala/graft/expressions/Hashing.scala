@@ -30,6 +30,75 @@ case class Md5PrefixLong(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003):
+  * Rabin-Karp rolling hashes of character `k`-grams (`h = (h·B + c) mod M`, computed
+  * in O(len) with the leading term subtracted per step), then the minimum hash of
+  * every sliding window of `w` positions, deduplicated and sorted.
+  *
+  * Character = UTF-16 code unit (≡ code point ≡ ASCII byte for ASCII text — the
+  * DuckDB oracle reproduces the arithmetic with `ascii()` code points, so the
+  * semantic is defined on code points ≤ BMP). B = 131, M = 1e9+7: every intermediate
+  * fits a signed 64-bit integer in both engines.
+  */
+case class RollingFingerprints(child: Expression, k: Int, w: Int)
+  extends UnaryExpression {
+  require(k >= 1 && w >= 1, "k and w must be positive")
+
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(s: Any): Any =
+    RollingFingerprints.compute(s.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.RollingFingerprints.compute($c, $k, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingFingerprints =
+    copy(child = newChild)
+}
+
+object RollingFingerprints {
+  val B = 131L
+  val M = 1000000007L
+
+  def compute(s: UTF8String, k: Int, w: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val str = s.toString
+    val n = str.length
+    val empty = new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    if (n < k) return empty
+    // rolling k-gram hashes
+    val nh = n - k + 1
+    val hashes = new Array[Long](nh)
+    var pow = 1L // B^(k-1) mod M
+    var j = 1
+    while (j < k) { pow = pow * B % M; j += 1 }
+    var h = 0L
+    var i = 0
+    while (i < k) { h = (h * B + str.charAt(i)) % M; i += 1 }
+    hashes(0) = h
+    i = 1
+    while (i < nh) {
+      h = ((h - str.charAt(i - 1) * pow % M + M) % M * B + str.charAt(i + k - 1)) % M
+      hashes(i) = h
+      i += 1
+    }
+    // sliding-window minima via monotonic deque (O(nh))
+    val win = math.min(w, nh)
+    val mins = scala.collection.mutable.SortedSet[Long]()
+    val deque = new java.util.ArrayDeque[Int]()
+    i = 0
+    while (i < nh) {
+      while (!deque.isEmpty && hashes(deque.peekLast()) >= hashes(i)) deque.pollLast()
+      deque.addLast(i)
+      if (deque.peekFirst() <= i - win) deque.pollFirst()
+      if (i >= win - 1) mins += hashes(deque.peekFirst())
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins.toArray)
+  }
+}
+
 object Md5PrefixLong {
   // MessageDigest is not thread-safe and allocation is the expensive part — one
   // instance per executor thread, reset implicitly by digest()

@@ -98,4 +98,10 @@ object functions {
     */
   def md5_prefix_long(s: Column): Column =
     Bridge.column(Md5PrefixLong(Bridge.expression(s)))
+
+  /** Winnowing fingerprints: sorted distinct sliding-window minima of k-gram
+    * Rabin-Karp rolling hashes (one O(len) codegen'd pass).
+    */
+  def rolling_fingerprints(s: Column, k: Int, w: Int): Column =
+    Bridge.column(RollingFingerprints(Bridge.expression(s), k, w))
 }

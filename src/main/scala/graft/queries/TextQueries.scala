@@ -143,6 +143,13 @@ object TextQueries {
       docs(s, dir).select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")
     },
+    "text_fingerprint_rolling" -> { (s, dir) =>
+      // winnowing fingerprints (rolling k-gram hashes → window minima), exploded to
+      // one row per selected fingerprint
+      docs(s, dir).select(col("doc_id"),
+          explode(graft.functions.rolling_fingerprints(col("text"), 8, 4)).as("fp"))
+        .orderBy("doc_id", "fp")
+    },
     "dedup_exact" -> { (s, dir) =>
       Dedup.exact(plantedCorpus(s, dir), "doc_id", "text")
         .orderBy("content_hash")
@@ -372,6 +379,33 @@ object TextQueries {
   val oracleSql: Map[String, String] = Map(
     "text_token_count" ->
       s"SELECT doc_id, len(${toksSql("text")}) AS n_tokens FROM documents ORDER BY doc_id",
+    "text_fingerprint_rolling" -> {
+      // identical arithmetic: per-position polynomial hash (sum of code·131^j fits
+      // BIGINT before the mod), sliding-window list_min, distinct+sort, unnest
+      val k = 8
+      val w = 4
+      val pows = Seq(662062621900811L, 5053913144281L, 38579489651L, 294499921L,
+        2248091L, 17161L, 131L, 1L)
+      val terms = pows.zipWithIndex
+        .map { case (p, j) => s"ascii(substr(text, (i + $j)::INT, 1))::BIGINT * $p" }
+        .mkString(" + ")
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    list_transform(range(1, length(text) - $k + 2), i -> ($terms) % 1000000007)
+         |      AS hs
+         |  FROM documents
+         |), m AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(hs) = 0 THEN []
+         |         WHEN len(hs) < $w THEN [list_min(hs)]
+         |         ELSE list_transform(range(1, len(hs) - $w + 2),
+         |                             j -> list_min(hs[j:(j + $w - 1)::INT]))
+         |    END AS mins
+         |  FROM h
+         |)
+         |SELECT doc_id, unnest(list_sort(list_distinct(mins))) AS fp
+         |FROM m ORDER BY doc_id, fp""".stripMargin
+    },
     "text_token_count_bpe" -> {
       // same lookahead-free pattern; '' escapes the leading quote in the SQL literal
       val pat = "''" + TextOps.BpeishPattern.drop(1)

@@ -90,6 +90,17 @@ class TextOpsSpec extends SparkSpec {
     assert(banded === brute)
   }
 
+  test("rolling fingerprints match hand-computed winnowing values") {
+    // expected values computed independently in python (B=131, M=1e9+7, k=8, w=4)
+    val out = Seq("the quick brown fox jumps", "abcdefgh", "abc").toDF("t")
+      .select(graft.functions.rolling_fingerprints(col("t"), 8, 4).as("fp"))
+      .as[Seq[Long]].collect()
+    assert(out(0) === Seq(51176257L, 115199380L, 151386197L, 186527843L, 203183807L,
+      257891742L, 506694683L))
+    assert(out(1) === Seq(407772522L)) // fewer hashes than the window: one global min
+    assert(out(2) === Seq.empty)       // shorter than k: no fingerprints
+  }
+
   test("candidate-generation pipelines never plan an all-pairs join") {
     // regression guard: every near-dup pair generator must stay equi-join shaped —
     // a cartesian / nested-loop join here is the canonical 100TB scale-killer
