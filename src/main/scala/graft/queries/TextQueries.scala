@@ -214,6 +214,24 @@ object TextQueries {
           "doc_id", "payload")
         .toDF().orderBy("id")
     },
+    "mm_resize" -> { (s, dir) =>
+      // binary→binary batch transform; compare by length+md5 (payload is deterministic)
+      Multimodal.resize(
+          docs(s, dir).withColumn("payload", col("text").cast("binary")),
+          "doc_id", "payload", targetWidth = 16, targetHeight = 16)
+        .toDF()
+        .select(col("id"), col("width"), col("height"),
+          length(col("payload")).as("out_len"), md5(col("payload")).as("payload_md5"))
+        .orderBy("id")
+    },
+    "mm_frame_sample" -> { (s, dir) =>
+      // flatMap batch shape: one row per sampled frame (every 2nd of the stub header's
+      // frame count), fingerprinted
+      Multimodal.sampleFrames(
+          docs(s, dir).withColumn("payload", col("text").cast("binary")),
+          "doc_id", "payload", stride = 2)
+        .toDF().orderBy("id", "frame_index")
+    },
     "stream_window_agg" -> { (s, dir) =>
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       StreamOps.windowedEventCounts(s, s"$dir/events.parquet")
@@ -453,6 +471,41 @@ object TextQueries {
         |  CAST(32 + (octet_length(encode(text)) * 7) % 89 AS INT) AS height,
         |  CAST(1 + ascii(substr(text, 1, 1)) % 4 AS INT) AS frames
         |FROM documents ORDER BY id""".stripMargin,
+    "mm_resize" ->
+      """WITH base AS (
+        |  SELECT doc_id AS id, text, octet_length(encode(text)) AS blen FROM documents
+        |), dims AS (
+        |  SELECT id, text, blen,
+        |    LEAST(16, (32 + blen % 97)) AS width,
+        |    LEAST(16, (32 + (blen * 7) % 89)) AS height
+        |  FROM base
+        |), keepd AS (
+        |  SELECT *, GREATEST(1, blen // (width * height)) AS keep FROM dims
+        |)
+        |SELECT id, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+        |  CAST(len(range(1, blen + 1, keep::INT)) AS INT) AS out_len,
+        |  md5(array_to_string(
+        |    list_transform(range(1, blen + 1, keep::INT), i -> substr(text, i::INT, 1)),
+        |    '')) AS payload_md5
+        |FROM keepd ORDER BY id""".stripMargin,
+    "mm_frame_sample" ->
+      """WITH base AS (
+        |  SELECT doc_id AS id, text, octet_length(encode(text)) AS blen,
+        |         1 + ascii(substr(text, 1, 1)) % 4 AS frames
+        |  FROM documents
+        |), fr AS (
+        |  SELECT id, text, blen, frames, GREATEST(1, blen // frames) AS span,
+        |         unnest(range(0, frames, 2)) AS f
+        |  FROM base
+        |), rng AS (
+        |  SELECT id, CAST(f AS INT) AS frame_index, text,
+        |    (f * span)::BIGINT AS lo,
+        |    CASE WHEN f = frames - 1 THEN blen ELSE LEAST(blen, f * span + span) END AS hi
+        |  FROM fr
+        |)
+        |SELECT id, frame_index,
+        |  md5(substr(text, (LEAST(lo, hi) + 1)::INT, GREATEST(hi - lo, 0)::INT)) AS frame_md5
+        |FROM rng ORDER BY id, frame_index""".stripMargin,
     "stream_window_agg" ->
       """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |  event_type, COUNT(*) AS cnt, ROUND(SUM(value), 4) AS value_sum

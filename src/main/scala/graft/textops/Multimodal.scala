@@ -55,4 +55,78 @@ object Multimodal {
         }
       }
   }
+
+  case class ResizedMedia(
+      id: Long,
+      width: Int,
+      height: Int,
+      payload: Array[Byte])
+
+  /** Resize plumbing: per-partition batch transform binary → binary with target
+    * dimensions. The pixel work is a STUB (deterministic byte subsample standing in
+    * for a real scaler); the contract a production codec slots into — binary in/out,
+    * once-per-partition codec init, output dims clamped to the source — is real.
+    */
+  def resize(
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      targetWidth: Int,
+      targetHeight: Int): Dataset[ResizedMedia] = {
+    require(targetWidth > 0 && targetHeight > 0, "target dimensions must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(binCol).cast("binary").as("b"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition "scaler" init lives here in production
+        rows.map { case (id, bytes) =>
+          val (w, h, _) = decodeStub(bytes)
+          val outW = math.min(targetWidth, w)
+          val outH = math.min(targetHeight, h)
+          // stub scale: keep every ceil(n/target)-th byte — deterministic, size-reduced
+          val keep = math.max(1, bytes.length / math.max(1, outW * outH))
+          val out = bytes.indices.collect { case i if i % keep == 0 => bytes(i) }.toArray
+          ResizedMedia(id, outW, outH, out)
+        }
+      }
+  }
+
+  case class SampledFrame(
+      id: Long,
+      frame_index: Int,
+      frame_md5: String)
+
+  /** Frame sampling plumbing: explode each media payload into every `stride`-th frame
+    * (one output row per sampled frame — the flatMap batch shape real video sampling
+    * needs). Frame extraction is a STUB: the payload is split into `frames` equal
+    * byte ranges (from the stub header) and each sampled range is fingerprinted.
+    */
+  def sampleFrames(
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      stride: Int = 2): Dataset[SampledFrame] = {
+    require(stride >= 1, "stride must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(binCol).cast("binary").as("b"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        val hex = "0123456789abcdef".toCharArray
+        rows.flatMap { case (id, bytes) =>
+          val (_, _, frames) = decodeStub(bytes)
+          val span = math.max(1, bytes.length / frames)
+          (0 until frames by stride).iterator.map { f =>
+            val lo = f * span
+            val hi = if (f == frames - 1) bytes.length else math.min(bytes.length, lo + span)
+            val d = digest.digest(java.util.Arrays.copyOfRange(bytes, math.min(lo, hi), hi))
+            val sb = new java.lang.StringBuilder(32)
+            d.foreach { b => sb.append(hex((b >> 4) & 0xf)).append(hex(b & 0xf)) }
+            SampledFrame(id, f, sb.toString)
+          }
+        }
+      }
+  }
 }

@@ -90,6 +90,22 @@ class TextOpsSpec extends SparkSpec {
     assert(banded === brute)
   }
 
+  test("multimodal resize and frame sampling are deterministic batch transforms") {
+    val df = docs.limit(50).withColumn("payload", col("text").cast("binary"))
+    val r1 = Multimodal.resize(df, "doc_id", "payload", 16, 16).collect().sortBy(_.id)
+    val r2 = Multimodal.resize(df, "doc_id", "payload", 16, 16).collect().sortBy(_.id)
+    assert(r1.length === 50)
+    assert(r1.zip(r2).forall { case (a, b) =>
+      a.id == b.id && a.width == b.width && java.util.Arrays.equals(a.payload, b.payload)
+    })
+    assert(r1.forall(r => r.width <= 16 && r.height <= 16 && r.payload.nonEmpty))
+    val frames = Multimodal.sampleFrames(df, "doc_id", "payload", stride = 2).collect()
+    // stub header yields 1..4 frames; stride 2 samples ceil(frames/2) of them
+    val byDoc = frames.groupBy(_.id)
+    assert(byDoc.size === 50)
+    assert(frames.forall(f => f.frame_index % 2 == 0 && f.frame_md5.length == 32))
+  }
+
   test("rolling fingerprints match hand-computed winnowing values") {
     // expected values computed independently in python (B=131, M=1e9+7, k=8, w=4)
     val out = Seq("the quick brown fox jumps", "abcdefgh", "abc").toDF("t")
