@@ -104,4 +104,11 @@ object functions {
     */
   def rolling_fingerprints(s: Column, k: Int, w: Int): Column =
     Bridge.column(RollingFingerprints(Bridge.expression(s), k, w))
+
+  /** Gopher-style repetition counters (token count, top-token multiplicity,
+    * total/distinct 2- and 3-grams, adjacent repeats) in one tokenization pass;
+    * returns a struct of exact integer counts.
+    */
+  def repetition_stats(s: Column): Column =
+    Bridge.column(RepetitionStats(Bridge.expression(s)))
 }

@@ -1,0 +1,236 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.textops.{Curation, TextOps}
+
+/** SparkEntry query + oracle entries for corpus curation: repetition metrics,
+  * deterministic domain mixing / splits, token-budget sequence packing, boilerplate
+  * stats, benchmark contamination, PII redaction.
+  *
+  * Every query here is DuckDB-oracle-checked: sampling draws are md5-prefix
+  * comparisons, ratios are exact integer counts divided and rounded identically on
+  * both sides, and regexes are restricted to the Java-regex ∩ RE2 subset.
+  */
+object CurationQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** Domain-mixing target rates (en is over-represented in the synthetic corpus). */
+  private val MixRates: Map[String, Double] =
+    Map("en" -> 0.25, "es" -> 0.5, "fr" -> 0.5, "de" -> 0.75, "zh" -> 1.0)
+  private val MixSalt = "mix1"
+  private val SplitSalt = "split1"
+  private val TrainFrac = 0.8
+  private val PackBudget = 512
+  private val BoilerMinDf = 5L
+  private val ContamThreshold = 0.5
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_repetition" -> { (s, dir) =>
+      // Gopher-style repetition: one native single-pass stats struct per document,
+      // ratios derived from its exact integer counts
+      val r = graft.functions.repetition_stats(col("text"))
+      docs(s, dir).select(col("doc_id"), r.as("r"))
+        .select(col("doc_id"),
+          col("r.n_tokens").as("n_tokens"),
+          round(when(col("r.n_tokens") === 0, lit(0.0))
+            .otherwise(col("r.top_token").cast("double") / col("r.n_tokens")), 6)
+            .as("top_token_ratio"),
+          round(when(col("r.n2") === 0, lit(0.0))
+            .otherwise((col("r.n2") - col("r.d2")).cast("double") / col("r.n2")), 6)
+            .as("dup_2gram_ratio"),
+          round(when(col("r.n3") === 0, lit(0.0))
+            .otherwise((col("r.n3") - col("r.d3")).cast("double") / col("r.n3")), 6)
+            .as("dup_3gram_ratio"),
+          round(when(col("r.n2") === 0, lit(0.0))
+            .otherwise(col("r.adj").cast("double") / col("r.n2")), 6)
+            .as("adjacent_repeat_ratio"))
+        .orderBy("doc_id")
+    },
+    "curation_mix_sample" -> { (s, dir) =>
+      // deterministic per-language downsampling toward MixRates; pure filter, no RNG
+      Curation.stratifiedSample(docs(s, dir), col("doc_id"), col("lang"),
+          MixRates, defaultRate = 1.0, salt = MixSalt)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(TextOps.tokenCount(col("text"))).as("tokens_kept"))
+        .orderBy("lang")
+    },
+    "curation_split" -> { (s, dir) =>
+      Curation.assignSplit(docs(s, dir), col("doc_id"), TrainFrac, SplitSalt)
+        .groupBy("lang", "split").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "split")
+    },
+    "curation_pack" -> { (s, dir) =>
+      // concatenate-then-chunk packing into 512-token sequences, sharded by lang
+      val sized = docs(s, dir).select(col("doc_id"), col("lang"),
+        TextOps.tokenCount(col("text")).as("n_tokens"))
+      Curation.packSequences(sized, col("n_tokens"), Seq(col("lang")),
+          col("doc_id"), PackBudget)
+        .groupBy("lang", "seq_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("seq_tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("lang", "seq_id")
+    },
+    "curation_boilerplate" -> { (s, dir) =>
+      // share of each document's 3-shingles that are corpus-frequent (doc-freq ≥ 5);
+      // runs over the planted corpus so copies push shingles over the threshold
+      Curation.boilerplateShingleStats(
+          TextQueries.plantedCorpus(s, dir), "doc_id", "text", 3, BoilerMinDf)
+        .select(col("doc_id"), col("n_shingles"), col("n_boiler"),
+          round(col("n_boiler").cast("double") / col("n_shingles"), 6).as("boiler_ratio"))
+        .orderBy("doc_id")
+    },
+    "curation_contamination" -> { (s, dir) =>
+      // benchmark = original docs with doc_id % 13 = 0; corpus = planted corpus minus
+      // those ids — planted exact/near copies of benchmark docs must be flagged
+      val corpus = TextQueries.plantedCorpus(s, dir).filter(col("doc_id") % 13 =!= 0)
+      val bench = docs(s, dir).filter(col("doc_id") % 13 === 0)
+      Curation.contaminationStats(corpus, bench, "doc_id", "text", 3)
+        .withColumn("contamination",
+          round(col("n_overlap").cast("double") / col("n_shingles"), 6))
+        .filter(col("contamination") >= ContamThreshold)
+        .orderBy("doc_id")
+    },
+    "curation_pii_redact" -> { (s, dir) =>
+      // plant deterministic emails + an IPv4 per doc (the corpus itself has none),
+      // then count and redact them in one codegen'd regex scan
+      val planted = docs(s, dir).withColumn("pii_text", concat(
+        col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" cc admin"), col("doc_id").cast("string"), lit("@ex.org")))
+          .otherwise(lit("")),
+        lit(" at 10."), (col("doc_id") % 200).cast("string"),
+        lit("."), (col("doc_id") % 250).cast("string"),
+        lit("."), (col("doc_id") % 97).cast("string"), lit(" end")))
+      planted.select(col("doc_id"),
+          Curation.emailCount(col("pii_text")).as("n_emails"),
+          Curation.ipv4Count(col("pii_text")).as("n_ips"),
+          length(Curation.redactPii(col("pii_text"))).as("redacted_len"),
+          md5(Curation.redactPii(col("pii_text"))).as("redacted_md5"))
+        .orderBy("doc_id")
+    })
+
+  // ---- oracle SQL ----------------------------------------------------------
+
+  private def toksSql(textExpr: String) =
+    s"list_filter(string_split_regex(trim($textExpr), '\\s+'), t -> length(t) > 0)"
+
+  private def shinglesSql(textExpr: String) = {
+    val w = toksSql(textExpr)
+    s"""(CASE WHEN len($w) < 3 THEN [] ELSE
+       |  list_transform(range(1, len($w) - 1),
+       |    i -> $w[i] || ' ' || $w[i+1] || ' ' || $w[i+2]) END)""".stripMargin.replace("\n", " ")
+  }
+
+  /** CASE ladder selecting the per-stratum keep threshold — generated from the SAME
+    * rate map and [[Curation.rateThreshold]] rendering as the Spark plan, so the two
+    * sides cannot drift.
+    */
+  private def thresholdCaseSql(stratumExpr: String, rates: Map[String, Double],
+      defaultRate: Double): String = {
+    val whens = rates.toSeq.sortBy(_._1)
+      .map { case (k, r) => s"WHEN '$k' THEN '${Curation.rateThreshold(r)}'" }
+      .mkString(" ")
+    s"CASE $stratumExpr $whens ELSE '${Curation.rateThreshold(defaultRate)}' END"
+  }
+
+  private def drawSql(salt: String, keyExpr: String) =
+    s"substr(md5('$salt:' || $keyExpr), 1, 8)"
+
+  val oracleSql: Map[String, String] = Map(
+    "text_repetition" -> {
+      val toks = toksSql("text")
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |c AS (SELECT doc_id, len(toks) AS n,
+         |  CASE WHEN len(toks) = 0 THEN 0 ELSE list_max(list_transform(list_distinct(toks),
+         |    u -> len(list_filter(toks, x -> x = u)))) END AS top,
+         |  GREATEST(len(toks) - 1, 0) AS n2,
+         |  len(list_distinct(list_transform(range(1, len(toks)),
+         |    i -> toks[i] || ' ' || toks[i+1]))) AS d2,
+         |  GREATEST(len(toks) - 2, 0) AS n3,
+         |  len(list_distinct(list_transform(range(1, len(toks) - 1),
+         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS d3,
+         |  len(list_filter(range(1, len(toks)), i -> toks[i] = toks[i+1])) AS adj
+         |FROM t)
+         |SELECT doc_id, n AS n_tokens,
+         |  ROUND(CASE WHEN n = 0 THEN 0.0 ELSE top::DOUBLE / n END, 6) AS top_token_ratio,
+         |  ROUND(CASE WHEN n2 = 0 THEN 0.0 ELSE (n2 - d2)::DOUBLE / n2 END, 6) AS dup_2gram_ratio,
+         |  ROUND(CASE WHEN n3 = 0 THEN 0.0 ELSE (n3 - d3)::DOUBLE / n3 END, 6) AS dup_3gram_ratio,
+         |  ROUND(CASE WHEN n2 = 0 THEN 0.0 ELSE adj::DOUBLE / n2 END, 6) AS adjacent_repeat_ratio
+         |FROM c ORDER BY doc_id""".stripMargin
+    },
+    "curation_mix_sample" ->
+      s"""SELECT lang, COUNT(*) AS n_kept,
+         |  CAST(SUM(len(${toksSql("text")})) AS BIGINT) AS tokens_kept
+         |FROM documents
+         |WHERE ${drawSql(MixSalt, "doc_id")} < ${thresholdCaseSql("lang", MixRates, 1.0)}
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "curation_split" ->
+      s"""SELECT lang,
+         |  CASE WHEN ${drawSql(SplitSalt, "doc_id")} < '${Curation.rateThreshold(TrainFrac)}'
+         |       THEN 'train' ELSE 'val' END AS split,
+         |  COUNT(*) AS n
+         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "curation_pack" ->
+      s"""WITH t AS (SELECT doc_id, lang, len(${toksSql("text")}) AS n_tokens FROM documents),
+         |c AS (SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM t),
+         |sq AS (SELECT *, CAST(cum_before // $PackBudget AS BIGINT) AS seq_id FROM c)
+         |SELECT lang, seq_id, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |FROM sq GROUP BY lang, seq_id ORDER BY lang, seq_id""".stripMargin,
+    "curation_boilerplate" ->
+      s"""WITH ${TextQueries.corpusCte},
+         |pr AS (SELECT doc_id, list_distinct(${shinglesSql("text")}) AS sh FROM corpus),
+         |ex AS (SELECT doc_id, unnest(sh) AS shingle FROM pr),
+         |dfq AS (SELECT shingle FROM ex GROUP BY shingle HAVING COUNT(*) >= $BoilerMinDf),
+         |per AS (SELECT doc_id, COUNT(*) AS n_shingles FROM ex GROUP BY doc_id),
+         |bo AS (SELECT e.doc_id, COUNT(*) AS n_boiler FROM ex e JOIN dfq USING (shingle)
+         |       GROUP BY e.doc_id)
+         |SELECT p.doc_id, p.n_shingles, COALESCE(bo.n_boiler, 0) AS n_boiler,
+         |  ROUND(COALESCE(bo.n_boiler, 0)::DOUBLE / p.n_shingles, 6) AS boiler_ratio
+         |FROM per p LEFT JOIN bo ON p.doc_id = bo.doc_id
+         |ORDER BY p.doc_id""".stripMargin,
+    "curation_contamination" ->
+      s"""WITH ${TextQueries.corpusCte},
+         |bsh AS (SELECT DISTINCT unnest(list_distinct(${shinglesSql("text")})) AS shingle
+         |        FROM documents WHERE doc_id % 13 = 0),
+         |cx AS (SELECT doc_id, unnest(list_distinct(${shinglesSql("text")})) AS shingle
+         |       FROM corpus WHERE doc_id % 13 <> 0),
+         |per AS (SELECT doc_id, COUNT(*) AS n_shingles FROM cx GROUP BY doc_id),
+         |ov AS (SELECT cx.doc_id, COUNT(*) AS n_overlap FROM cx JOIN bsh USING (shingle)
+         |       GROUP BY cx.doc_id)
+         |SELECT p.doc_id, p.n_shingles, ov.n_overlap,
+         |  ROUND(ov.n_overlap::DOUBLE / p.n_shingles, 6) AS contamination
+         |FROM per p JOIN ov ON p.doc_id = ov.doc_id
+         |WHERE ROUND(ov.n_overlap::DOUBLE / p.n_shingles, 6) >= $ContamThreshold
+         |ORDER BY p.doc_id""".stripMargin,
+    "curation_pii_redact" -> {
+      val email = Curation.EmailPattern
+      val ip = Curation.Ipv4Pattern
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |    text || ' contact user' || doc_id || '@mail.example.com'
+         |      || CASE WHEN doc_id % 3 = 0 THEN ' cc admin' || doc_id || '@ex.org' ELSE '' END
+         |      || ' at 10.' || (doc_id % 200) || '.' || (doc_id % 250) || '.' || (doc_id % 97)
+         |      || ' end' AS pii_text
+         |  FROM documents
+         |), r AS (
+         |  SELECT doc_id, pii_text,
+         |    regexp_replace(regexp_replace(pii_text, '$email', '<EMAIL>', 'g'),
+         |                   '$ip', '<IP>', 'g') AS redacted
+         |  FROM p
+         |)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(pii_text, '$email')) AS n_emails,
+         |  len(regexp_extract_all(pii_text, '$ip')) AS n_ips,
+         |  length(redacted) AS redacted_len, md5(redacted) AS redacted_md5
+         |FROM r ORDER BY doc_id""".stripMargin
+    })
+}

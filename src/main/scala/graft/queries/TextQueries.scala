@@ -32,7 +32,7 @@ object TextQueries {
   }
 
   /** documents ∪ exact copies (id+100000, doc_id%7=0) ∪ near copies (id+200000, %11). */
-  private def plantedCorpus(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def plantedCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
     d.unionByName(
         d.filter(col("doc_id") % 7 === 0)
@@ -43,7 +43,7 @@ object TextQueries {
             concat(col("text"), lit(" xtradup token")).as("text"), col("lang"), col("n_chars")))
   }
 
-  private val corpusCte =
+  private[queries] val corpusCte =
     """corpus AS (
       |  SELECT doc_id, text, lang, n_chars FROM documents
       |  UNION ALL

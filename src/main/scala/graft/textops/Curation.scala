@@ -1,0 +1,194 @@
+package graft.textops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for large-scale training-data pipelines: deterministic
+  * hash sampling / domain mixing / train-val splits, token-budget sequence packing,
+  * boilerplate detection and removal, benchmark-contamination checks, and PII
+  * redaction. Designed scale-first:
+  *
+  *   - sampling and splits are pure filters over an md5-derived draw — no shuffle, no
+  *     RNG state, reproducible on any engine (incl. the DuckDB correctness oracle);
+  *   - packing windows are per-shard (a global order would serialize the cluster);
+  *   - boilerplate / contamination sets are high-doc-frequency or benchmark n-grams —
+  *     small by construction — and join broadcast, so the corpus side streams;
+  *   - redaction is a codegen'd `regexp_replace` scan.
+  */
+object Curation {
+
+  // ---- deterministic hash sampling -----------------------------------------
+
+  /** Uniform draw in [0, 2^32) for `salt:key`, rendered as the first 8 hex digits of
+    * the md5 — lexicographic comparison against [[rateThreshold]] keeps ~rate of rows
+    * identically in any engine with md5.
+    */
+  def hashDraw(key: Column, salt: String): Column =
+    substring(md5(concat(lit(salt + ":"), key.cast("string"))), 1, 8)
+
+  /** Hex threshold string for a keep rate: draws lexicographically below it are kept.
+    * Rates ≥ 1 map to "g" — every 8-hex-digit draw sorts below it (hex digits < 'g'),
+    * so the stratum is kept whole with the same single string comparison.
+    */
+  def rateThreshold(rate: Double): String = {
+    require(rate >= 0.0, s"rate must be >= 0, got $rate")
+    if (rate >= 1.0) "g" else f"${math.floor(rate * 4294967296.0).toLong}%08x"
+  }
+
+  /** Deterministic Bernoulli(rate) sample keyed on `key`. */
+  def hashSample(df: DataFrame, key: Column, rate: Double, salt: String): DataFrame =
+    if (rate >= 1.0) df else df.filter(hashDraw(key, salt) < lit(rateThreshold(rate)))
+
+  /** Domain mixing: per-stratum deterministic downsampling toward target rates.
+    * The draw column is referenced exactly once (the per-stratum ladder selects the
+    * THRESHOLD, not the comparison) — Catalyst re-inlines a projected column's full
+    * expression at every reference site inside a filter, so a when-ladder of
+    * comparisons would compute the md5 once per stratum.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      key: Column,
+      stratum: Column,
+      rates: Map[String, Double],
+      defaultRate: Double,
+      salt: String): DataFrame = {
+    val threshold = rates.toSeq.sortBy(_._1).foldLeft(lit(rateThreshold(defaultRate))) {
+      case (acc, (s, r)) => when(stratum === s, lit(rateThreshold(r))).otherwise(acc)
+    }
+    df.filter(hashDraw(key, salt) < threshold)
+  }
+
+  /** Deterministic train/validation assignment (adds a `split` column). */
+  def assignSplit(df: DataFrame, key: Column, trainFrac: Double, salt: String): DataFrame =
+    df.withColumn("split",
+      when(hashDraw(key, salt) < lit(rateThreshold(trainFrac)), lit("train"))
+        .otherwise(lit("val")))
+
+  // ---- token-budget sequence packing ---------------------------------------
+
+  /** Concatenate-then-chunk sequence packing: within each shard, documents are laid
+    * end-to-end in `orderCol` order and assigned to the training sequence their first
+    * token lands in (`seq_id = tokens_before / budget`). Adds `cum_before` and
+    * `seq_id`. Sharding bounds the sequential window — a single global order would
+    * funnel 100 TB through one partition; pack within (source, date, …) shards and
+    * the window sort is per-shard.
+    */
+  def packSequences(
+      df: DataFrame,
+      tokensCol: Column,
+      shardCols: Seq[Column],
+      orderCol: Column,
+      budget: Int): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w = Window.partitionBy(shardCols: _*).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("cum_before", coalesce(sum(tokensCol).over(w), lit(0L)))
+      .withColumn("seq_id", floor(col("cum_before") / lit(budget)))
+  }
+
+  // ---- boilerplate ---------------------------------------------------------
+
+  /** Per-document boilerplate share: the fraction of its distinct word n-gram
+    * shingles whose corpus document-frequency is ≥ `minDocFreq`. The high-frequency
+    * shingle set is small by construction and broadcast; the per-document side is one
+    * explode + semi-join + count.
+    */
+  def boilerplateShingleStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      minDocFreq: Long): DataFrame = {
+    val sh = df.select(col(idCol),
+        explode(TextOps.distinctShingles(col(textCol), n)).as("shingle"))
+    val boiler = sh.groupBy("shingle").agg(count(lit(1)).as("doc_freq"))
+      .filter(col("doc_freq") >= minDocFreq)
+      .select("shingle")
+    val perDoc = sh.groupBy(idCol).agg(count(lit(1)).as("n_shingles"))
+    val boilerPerDoc = sh.join(broadcast(boiler), Seq("shingle"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("n_boiler"))
+    perDoc.join(boilerPerDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
+  }
+
+  /** Remove lines whose corpus document-frequency exceeds `maxDocFreq` (CCNet-style
+    * boilerplate stripping: navbars, cookie banners, license headers). Rebuilds each
+    * document from its surviving lines in original order; returns
+    * (id, text, n_removed). The boilerplate line set (doc-freq > maxDocFreq) is small
+    * and broadcast for the anti-join.
+    */
+  def removeBoilerplateLines(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      delim: String,
+      maxDocFreq: Long): DataFrame = {
+    val lines = df.select(col(idCol), posexplode(split(col(textCol), delim)))
+      .toDF(idCol, "pos", "line")
+    val boiler = lines.groupBy("line")
+      .agg(countDistinct(col(idCol)).as("doc_freq"))
+      .filter(col("doc_freq") > maxDocFreq)
+      .select("line")
+    val kept = lines.join(broadcast(boiler), Seq("line"), "left_anti")
+      .groupBy(idCol)
+      .agg(array_sort(collect_list(struct(col("pos"), col("line")))).as("parts"))
+      .select(col(idCol),
+        array_join(transform(col("parts"), p => p.getField("line")), delim).as(textCol))
+    df.select(col(idCol), size(split(col(textCol), delim)).as("n_lines"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col(textCol), lit("")).as(textCol),
+        (col("n_lines") - coalesce(size(split(col(textCol), delim)), lit(0)))
+          .as("n_removed"))
+  }
+
+  // ---- benchmark contamination ---------------------------------------------
+
+  /** Benchmark-contamination stats: for each corpus document, the number and fraction
+    * of its distinct word n-gram shingles that appear anywhere in the benchmark set.
+    * The benchmark shingle set is broadcast (eval sets are tiny next to a pretraining
+    * corpus); the corpus side is one explode + semi-join + count.
+    */
+  def contaminationStats(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame = {
+    val benchShingles = benchmark
+      .select(explode(TextOps.distinctShingles(col(textCol), n)).as("shingle"))
+      .distinct()
+    val sh = corpus.select(col(idCol),
+        explode(TextOps.distinctShingles(col(textCol), n)).as("shingle"))
+    val overlap = sh.join(broadcast(benchShingles), Seq("shingle"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("n_overlap"))
+    sh.groupBy(idCol).agg(count(lit(1)).as("n_shingles"))
+      .join(overlap, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+  }
+
+  // ---- PII redaction -------------------------------------------------------
+
+  /** Email address pattern — restricted to the lookahead-free subset so Java regex
+    * (Spark) and RE2 (the DuckDB oracle) agree match-for-match.
+    */
+  val EmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Dotted-quad IPv4 pattern (word-bounded; both engines support `\b`). */
+  val Ipv4Pattern: String = "\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b"
+
+  /** Redacted copy of `text`: emails → `<EMAIL>` first (so their host dots can never
+    * be re-matched), then IPv4s → `<IP>`. One codegen'd scan, no UDFs.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      Ipv4Pattern, "<IP>")
+
+  def emailCount(text: Column): Column = regexp_count(text, lit(EmailPattern))
+
+  def ipv4Count(text: Column): Column = regexp_count(text, lit(Ipv4Pattern))
+}

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.textops.Curation
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("repetition_stats counts match hand computation") {
+    val r = Seq("a b a b c c", "x", "", "w w w w")
+      .toDF("t").select(graft.functions.repetition_stats(col("t")).as("r"))
+      .select("r.n_tokens", "r.top_token", "r.n2", "r.d2", "r.n3", "r.d3", "r.adj")
+      .as[(Int, Int, Int, Int, Int, Int, Int)].collect()
+    // "a b a b c c": toks=6, top=2(a/b/c all twice), 2-grams {ab,ba,ab,bc,cc}→d2=4,
+    // 3-grams {aba,bab,abc,bcc}→d3=4, adjacent repeats: cc→1
+    assert(r(0) === ((6, 2, 5, 4, 4, 4, 1)))
+    assert(r(1) === ((1, 1, 0, 0, 0, 0, 0)))
+    assert(r(2) === ((0, 0, 0, 0, 0, 0, 0)))
+    // "w w w w": top=4, 2-grams all "w w"→d2=1, 3-grams all "w w w"→d3=1, adj=3
+    assert(r(3) === ((4, 4, 3, 1, 2, 1, 3)))
+  }
+
+  test("hash sampling is deterministic, nested across rates, and near the target rate") {
+    val keys = spark.range(4000).toDF("id")
+    val at20 = Curation.hashSample(keys, col("id"), 0.2, "s").as[Long].collect().toSet
+    val at50 = Curation.hashSample(keys, col("id"), 0.5, "s").as[Long].collect().toSet
+    val at50again = Curation.hashSample(keys, col("id"), 0.5, "s").as[Long].collect().toSet
+    assert(at50 === at50again)
+    assert(at20.subsetOf(at50), "a lower rate must select a subset of a higher rate")
+    assert(math.abs(at20.size / 4000.0 - 0.2) < 0.03)
+    assert(math.abs(at50.size / 4000.0 - 0.5) < 0.03)
+    assert(Curation.hashSample(keys, col("id"), 1.0, "s").count() === 4000)
+  }
+
+  test("stratified sample applies per-stratum rates; split covers every row once") {
+    val df = docs.select(col("doc_id"), col("lang"))
+    val kept = Curation.stratifiedSample(df, col("doc_id"), col("lang"),
+      Map("en" -> 0.0, "zh" -> 1.0), defaultRate = 0.5, salt = "t")
+    assert(kept.filter(col("lang") === "en").count() === 0)
+    assert(kept.filter(col("lang") === "zh").count() ===
+      df.filter(col("lang") === "zh").count())
+    val split = Curation.assignSplit(df, col("doc_id"), 0.8, "t")
+    assert(split.count() === df.count())
+    assert(split.select("split").distinct().as[String].collect().toSet === Set("train", "val"))
+  }
+
+  test("packSequences assigns chunked sequences with per-shard running offsets") {
+    val rows = Seq(("s", 1L, 100), ("s", 2L, 100), ("s", 3L, 100), ("s", 4L, 50),
+      ("t", 1L, 220), ("t", 2L, 220)).toDF("shard", "id", "n_tokens")
+    val out = Curation.packSequences(rows, col("n_tokens"), Seq(col("shard")),
+        col("id"), budget = 256)
+      .select("shard", "id", "cum_before", "seq_id")
+      .as[(String, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    // shard s: offsets 0,100,200,300 → seqs 0,0,0,1; shard t: 0,220 → seqs 0,0
+    assert(out.map(r => (r._3, r._4)).toSeq ===
+      Seq((0L, 0L), (100L, 0L), (200L, 0L), (300L, 1L), (0L, 0L), (220L, 0L)))
+  }
+
+  test("removeBoilerplateLines strips corpus-frequent lines and keeps order") {
+    val df = Seq(
+      (1L, "cookie banner\nreal content one\nfooter"),
+      (2L, "cookie banner\nreal content two\nfooter"),
+      (3L, "cookie banner\nunique text\nmore unique\nfooter"),
+      (4L, "only original prose here")).toDF("id", "text")
+    val out = Curation.removeBoilerplateLines(df, "id", "text", "\n", maxDocFreq = 2)
+      .as[(Long, String, Int)].collect().sortBy(_._1)
+    assert(out(0) === ((1L, "real content one", 2)))
+    assert(out(1) === ((2L, "real content two", 2)))
+    assert(out(2) === ((3L, "unique text\nmore unique", 2)))
+    assert(out(3) === ((4L, "only original prose here", 0)))
+  }
+
+  test("contaminationStats flags full and partial benchmark overlap") {
+    val bench = Seq((10L, "alpha beta gamma delta")).toDF("id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"),        // exact copy: ratio 1.0
+      (2L, "alpha beta gamma other words"),  // partial overlap
+      (3L, "totally different tokens here")) // no overlap
+      .toDF("id", "text")
+    val out = Curation.contaminationStats(corpus, bench, "id", "text", 3)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(out(0) === ((1L, 2L, 2L)))
+    assert(out(1)._1 === 2L && out(1)._3 === 1L) // "alpha beta gamma" only
+    assert(out(2) === ((3L, 2L, 0L)))
+  }
+
+  test("boilerplate and contamination joins broadcast the small set (no all-pairs join)") {
+    val d = docs.select(col("doc_id"), col("text"))
+    Seq(
+      Curation.boilerplateShingleStats(d, "doc_id", "text", 3, 5),
+      Curation.contaminationStats(d, d.filter(col("doc_id") % 13 === 0), "doc_id", "text", 3)
+    ).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"all-pairs join in plan:\n${plan.take(2000)}")
+      assert(plan.contains("BroadcastHashJoin"),
+        s"frequent/benchmark shingle set must broadcast:\n${plan.take(2000)}")
+    }
+  }
+
+  test("redactPii masks emails and IPv4s and counts them") {
+    val out = Seq("write a.user+tag@sub.example.co.uk from 192.168.0.1 or 8.8.8.8 v1.2 x")
+      .toDF("t")
+      .select(Curation.redactPii(col("t")).as("red"),
+        Curation.emailCount(col("t")).as("ne"), Curation.ipv4Count(col("t")).as("ni"))
+      .as[(String, Int, Int)].collect()(0)
+    assert(out._1 === "write <EMAIL> from <IP> or <IP> v1.2 x")
+    assert(out._2 === 1)
+    assert(out._3 === 2)
+  }
+}
