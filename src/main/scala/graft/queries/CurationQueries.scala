@@ -95,6 +95,13 @@ object CurationQueries {
         .filter(col("contamination") >= ContamThreshold)
         .orderBy("doc_id")
     },
+    "curation_chunk" -> { (s, dir) =>
+      // RAG-style passage chunking: 32-token windows every 24 tokens (25% overlap),
+      // final partial window kept
+      Curation.chunkPassages(docs(s, dir), "doc_id", "text",
+          windowTokens = 32, strideTokens = 24)
+        .orderBy("doc_id", "chunk_index")
+    },
     "curation_pii_redact" -> { (s, dir) =>
       // plant deterministic emails + an IPv4 per doc (the corpus itself has none),
       // then count and redact them in one codegen'd regex scan
@@ -211,6 +218,20 @@ object CurationQueries {
          |FROM per p JOIN ov ON p.doc_id = ov.doc_id
          |WHERE ROUND(ov.n_overlap::DOUBLE / p.n_shingles, 6) >= $ContamThreshold
          |ORDER BY p.doc_id""".stripMargin,
+    "curation_chunk" -> {
+      val toks = toksSql("text")
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+         |c AS (SELECT doc_id, toks,
+         |        unnest(range(0, 1 + CAST(CEIL(GREATEST(n - 32, 0) / 24.0) AS BIGINT)))
+         |          AS chunk_index
+         |      FROM n)
+         |SELECT doc_id, chunk_index,
+         |  len(toks[(chunk_index*24 + 1)::INT : (chunk_index*24 + 32)::INT]) AS n_tokens,
+         |  array_to_string(toks[(chunk_index*24 + 1)::INT : (chunk_index*24 + 32)::INT], ' ')
+         |    AS chunk
+         |FROM c ORDER BY doc_id, chunk_index""".stripMargin
+    },
     "curation_pii_redact" -> {
       val email = Curation.EmailPattern
       val ip = Curation.Ipv4Pattern

@@ -87,6 +87,37 @@ object Curation {
       .withColumn("seq_id", floor(col("cum_before") / lit(budget)))
   }
 
+  // ---- passage chunking ----------------------------------------------------
+
+  /** Overlapping token-window passages (RAG-style chunking): windows of
+    * `windowTokens` starting every `strideTokens`, with a final partial window when
+    * the tail doesn't align. One row per chunk: (id, chunk_index, n_tokens, chunk).
+    * Row-local work only — the explode carries the token array, so chunks of one
+    * document never cross partitions and no shuffle is introduced.
+    */
+  def chunkPassages(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int,
+      strideTokens: Int): DataFrame = {
+    require(windowTokens > 0 && strideTokens > 0,
+      s"window/stride must be positive, got $windowTokens/$strideTokens")
+    // n_chunks = 1 + ceil(max(n - window, 0) / stride), docs with no tokens dropped
+    val base = df.select(col(idCol), TextOps.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val over = greatest(size(col("toks")) - windowTokens, lit(0))
+    val nChunks =
+      (lit(1) + floor((over + lit(strideTokens - 1)) / lit(strideTokens))).cast("int")
+    base
+      .select(col(idCol), col("toks"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_index"))
+      .select(col(idCol), col("chunk_index"),
+        slice(col("toks"), col("chunk_index") * strideTokens + 1, lit(windowTokens)).as("w"))
+      .select(col(idCol), col("chunk_index"),
+        size(col("w")).as("n_tokens"), array_join(col("w"), " ").as("chunk"))
+  }
+
   // ---- boilerplate ---------------------------------------------------------
 
   /** Per-document boilerplate share: the fraction of its distinct word n-gram

@@ -59,6 +59,19 @@ class CurationSpec extends SparkSpec {
       Seq((0L, 0L), (100L, 0L), (200L, 0L), (300L, 1L), (0L, 0L), (220L, 0L)))
   }
 
+  test("chunkPassages produces overlapping windows with a partial tail") {
+    val df = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")), (2L, "a b"), (3L, " "))
+      .toDF("id", "text")
+    val out = Curation.chunkPassages(df, "id", "text", windowTokens = 4, strideTokens = 3)
+      .as[(Long, Int, Int, String)].collect().sortBy(r => (r._1, r._2))
+    // doc 1: 10 tokens → chunks at 0,3,6,9 → n_chunks = 1 + ceil(6/3) = 3? starts 0,3,6
+    // cover t1..t10 (start 6 → t7..t10); formula: 1 + ceil((10-4)/3) = 3 chunks
+    assert(out.filter(_._1 == 1L).map(r => (r._2, r._4)) === Seq(
+      (0, "t1 t2 t3 t4"), (1, "t4 t5 t6 t7"), (2, "t7 t8 t9 t10")))
+    assert(out.filter(_._1 == 2L) === Seq((2L, 0, 2, "a b")))
+    assert(!out.exists(_._1 == 3L), "all-whitespace docs produce no chunks")
+  }
+
   test("removeBoilerplateLines strips corpus-frequent lines and keeps order") {
     val df = Seq(
       (1L, "cookie banner\nreal content one\nfooter"),
