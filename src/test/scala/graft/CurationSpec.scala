@@ -114,6 +114,24 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("quality classifier distills the heuristic quality label; loss collapses") {
+    import graft.textops.{QualityClassifier, TextOps}
+    val d = docs.select(col("doc_id"), col("text"))
+      .withColumn("y", (TextOps.qualityScore(col("text")) >= 0.54).cast("int"))
+    val model = QualityClassifier.fit(d,
+      QualityClassifier.textFeatures(col("text")), col("y"), dim = 9, iters = 8)
+    assert(model.losses.last < model.losses.head * 0.2,
+      s"loss did not collapse: ${model.losses.head} -> ${model.losses.last}")
+    assert(model.losses.sliding(2).forall(p => p(1) <= p(0) + 1e-9),
+      s"Newton loss not monotone: ${model.losses}")
+    val scored = QualityClassifier.predict(d,
+      QualityClassifier.textFeatures(col("text")), model)
+    val acc = scored
+      .select(((col("p_quality") >= 0.5) === (col("y") === 1)).cast("int").as("ok"))
+      .agg(avg("ok")).first().getDouble(0)
+    assert(acc >= 0.95, s"accuracy $acc below 0.95")
+  }
+
   test("redactPii masks emails and IPv4s and counts them") {
     val out = Seq("write a.user+tag@sub.example.co.uk from 192.168.0.1 or 8.8.8.8 v1.2 x")
       .toDF("t")
