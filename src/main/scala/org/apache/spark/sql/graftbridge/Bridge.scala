@@ -15,4 +15,16 @@ object Bridge {
   def aggColumn(a: AggregateFunction): Column =
     ExpressionUtils.column(a.toAggregateExpression())
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a SQL function on a LIVE session (`sessionState` is `private[sql]`;
+    * cluster deployments use `spark.sql.extensions=graft.GraftExtensions` instead,
+    * which needs no bridge).
+    */
+  def registerFunction(
+      spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier(name), info, builder)
 }

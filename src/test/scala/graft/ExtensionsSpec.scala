@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+class ExtensionsSpec extends SparkSpec {
+
+  test("registered SQL functions match the Column facade") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+
+    val sim = spark.sql("SELECT jaro_winkler('martha', 'marhta') AS s").as[Double].first()
+    assert(math.abs(sim - 0.9611111111111111) < 1e-9)
+
+    val sh = spark.sql("SELECT word_shingles('a b c d', 3) AS s").as[Seq[String]].first()
+    assert(sh === Seq("a b c", "b c d"))
+
+    val dot = spark.sql("SELECT array_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .as[Double].first()
+    assert(dot === 11.0)
+
+    val draw = spark.sql("SELECT hash_draw(42, 'mix1') AS d").as[String].first()
+    assert(draw.matches("[0-9a-f]{8}"))
+
+    // aggregates resolve through the registry and wrap correctly
+    Seq(("a", "x"), ("a", "y"), ("b", "x")).toDF("c1", "c2").createOrReplaceTempView("t")
+    val ent = spark.sql("SELECT entropy_agg(0, c1, c2) AS e FROM t")
+      .selectExpr("e['c1']").as[Double].first()
+    // entropy of {a:2, b:1}: −Σ p·log10(p) / log10(#distinct=2)
+    val expected =
+      -(2.0 / 3 * math.log10(2.0 / 3) + 1.0 / 3 * math.log10(1.0 / 3)) / math.log10(2.0)
+    assert(math.abs(ent - expected) < 1e-9)
+
+    val combo = spark.sql(
+      "SELECT combinatorial_count_agg(1, 0, 1000, c1) AS m FROM t")
+      .selectExpr("m['c1;a']").as[Long].first()
+    assert(combo === 2L)
+  }
+
+  test("non-literal static parameters are rejected with a clear error") {
+    GraftExtensions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT word_shingles('a b c', length('xx')) AS s").collect()
+    }
+    assert(e.getMessage.contains("integer literal"))
+  }
+
+  test("the extensions class injects every description without error") {
+    new GraftExtensions().apply(new SparkSessionExtensions)
+  }
+}
