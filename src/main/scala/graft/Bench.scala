@@ -19,6 +19,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed JVM/codegen warm-up: without it the alphabetically-first query absorbs
+    // classloading + whole-stage-codegen compiler start-up and reads several× slower
+    // than steady state
+    locally {
+      import org.apache.spark.sql.functions._
+      val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      d.groupBy("lang").agg(count(lit(1))).count()
+      val sm = d.limit(50).select(col("doc_id"), col("text"))
+      d.join(broadcast(sm), Seq("doc_id"), "left_semi").count()
+      spark.sqlContext.clearCache()
+      System.gc()
+    }
     val selected = SparkEntry.queries
       .filter { case (name, _) => filter.forall(_.findFirstIn(name).isDefined) }
       .toSeq.sortBy(_._1)
