@@ -12,8 +12,8 @@ import graft.expressions.{CombinatorialCountAgg, CountMapSerde, EntropyAgg, Jaro
   */
 class PropertySpec extends SparkSpec {
 
-  private def check(name: String, prop: Prop): Unit = {
-    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+  private def check(name: String, prop: Prop, minOk: Int = 200): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(minOk), prop)
     assert(res.passed, s"$name: ${res.status}")
   }
 
@@ -68,6 +68,40 @@ class PropertySpec extends SparkSpec {
       val els = (1 to n).map(i => s"e$i")
       assert(els.combinations(k).size === fact(n) / (fact(k) * fact(n - k)))
     }
+  }
+
+  test("repetition stats invariants hold for arbitrary token sequences") {
+    val textGen = Gen.listOf(Gen.oneOf("a", "b", "c", "d", "aa")).map(_.mkString(" "))
+    check("repetition-invariants", Prop.forAll(textGen) { t =>
+      val r = graft.expressions.RepetitionStats.compute(t)
+      val toks = t.trim.split("\\s+").filter(_.nonEmpty)
+      val n = r.getInt(0)
+      val (top, n2, d2, n3, d3, adj) =
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6))
+      n == toks.length &&
+        (if (n == 0) top == 0 else top >= 1 && top <= n) &&
+        n2 == math.max(n - 1, 0) && d2 >= 0 && d2 <= n2 &&
+        n3 == math.max(n - 2, 0) && d3 >= 0 && d3 <= n3 &&
+        adj >= 0 && adj <= n2 &&
+        // exact cross-checks against direct set construction
+        d2 == toks.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSet.size &&
+        adj == toks.sliding(2).count(w => w.length == 2 && w(0) == w(1))
+    })
+  }
+
+  test("chunking at stride == window partitions the token sequence exactly") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val textGen = Gen.choose(1, 40).flatMap(k =>
+      Gen.listOfN(k, Gen.oneOf("x", "y", "z")).map(_.mkString(" ")))
+    check("chunk-partition", Prop.forAll(textGen, Gen.choose(1, 8)) { (t, w) =>
+      val out = graft.textops.Curation
+        .chunkPassages(Seq((1L, t)).toDF("id", "text"), "id", "text", w, w)
+        .orderBy("chunk_index").as[(Long, Int, Int, String)].collect()
+      val toks = t.trim.split("\\s+").filter(_.nonEmpty)
+      out.flatMap(_._4.split(" ")).toSeq == toks.toSeq &&
+        out.forall(_._3 <= w) && out.dropRight(1).forall(_._3 == w)
+    }, minOk = 30)
   }
 
   test("md5 prefix long equals parsing the first 16 hex chars of md5") {
