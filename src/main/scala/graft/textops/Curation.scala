@@ -131,8 +131,12 @@ object Curation {
       textCol: String,
       n: Int,
       minDocFreq: Long): DataFrame = {
+    // persisted: referenced by the doc-frequency agg, the per-doc count, and the
+    // boilerplate semi-join — without it the shingle explode scan re-executes 3×
+    // (the caller's clearCache/unpersist hygiene frees it, as with the LSH scans)
     val sh = df.select(col(idCol),
         explode(TextOps.distinctShingles(col(textCol), n)).as("shingle"))
+      .persist()
     val boiler = sh.groupBy("shingle").agg(count(lit(1)).as("doc_freq"))
       .filter(col("doc_freq") >= minDocFreq)
       .select("shingle")
@@ -191,8 +195,11 @@ object Curation {
     val benchShingles = benchmark
       .select(explode(TextOps.distinctShingles(col(textCol), n)).as("shingle"))
       .distinct()
+    // persisted: the corpus shingle scan feeds both the overlap count and the
+    // per-doc shingle count
     val sh = corpus.select(col(idCol),
         explode(TextOps.distinctShingles(col(textCol), n)).as("shingle"))
+      .persist()
     val overlap = sh.join(broadcast(benchShingles), Seq("shingle"), "left_semi")
       .groupBy(idCol).agg(count(lit(1)).as("n_overlap"))
     sh.groupBy(idCol).agg(count(lit(1)).as("n_shingles"))
