@@ -170,13 +170,13 @@ object TextQueries {
         .orderBy("id_l", "id_r")
     },
     "dedup_apply" -> { (s, dir) =>
-      // end-to-end: minhash pairs → transitive components → keeper per group
-      // (iterative CC — rows-only check; pinned by TextOpsSpec)
+      // end-to-end: minhash pairs → transitive components → keeper per doc, checked
+      // in full against a recursive-CTE closure oracle (cluster ids are string minima)
       val corpus = plantedCorpus(s, dir)
       val pairs = Dedup.minhashLshPairs(corpus, "doc_id", "text", 0.5)
       Dedup.deduplicate(corpus, "doc_id", pairs)
-        .groupBy("is_keeper").agg(count(lit(1)).as("n"))
-        .orderBy("is_keeper")
+        .select(col("doc_id"), col("cluster_id"), col("is_keeper"))
+        .orderBy("doc_id")
     },
     "dedup_simhash" -> { (s, dir) =>
       Dedup.simhash16(docs(s, dir), "doc_id", "text")
@@ -356,27 +356,57 @@ object TextQueries {
        |    i -> $w[i] || ' ' || $w[i+1] || ' ' || $w[i+2]) END)""".stripMargin.replace("\n", " ")
   }
 
-  private val minhashSql = {
+  /** CTE chain ending in `mh_pairs(id_l, id_r)` — the MinHash-LSH near-dup pairs at
+    * jaccard ≥ 0.5 over the planted corpus; shared by the pair query and the
+    * dedup-apply closure oracle.
+    */
+  private val minhashPairsCtes = {
     val k = 8
     val mins = (0 until k).map(j => s"min(md5('$j:' || s)) AS mh$j").mkString(", ")
     val bands = (0 until 4).map(b =>
       s"SELECT id, $b AS band, mh${2 * b} || mh${2 * b + 1} AS key FROM sig").mkString(" UNION ALL ")
-    s"""WITH $corpusCte,
+    s"""$corpusCte,
        |prep AS (SELECT doc_id AS id, list_distinct(${shinglesSql("text")}) AS toks FROM corpus),
        |sh AS (SELECT id, unnest(toks) AS s FROM prep),
        |sig AS (SELECT id, $mins FROM sh GROUP BY id),
        |bands AS ($bands),
        |cand AS (SELECT DISTINCT l.id AS id_l, r.id AS id_r
        |         FROM bands l JOIN bands r
-       |           ON l.band = r.band AND l.key = r.key AND l.id < r.id)
-       |SELECT c.id_l, c.id_r,
-       |  ROUND(len(list_intersect(a.toks, b.toks))::DOUBLE /
-       |        len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
-       |FROM cand c JOIN prep a ON c.id_l = a.id JOIN prep b ON c.id_r = b.id
-       |WHERE len(list_intersect(a.toks, b.toks))::DOUBLE /
-       |      len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5
-       |ORDER BY id_l, id_r""".stripMargin
+       |           ON l.band = r.band AND l.key = r.key AND l.id < r.id),
+       |mh_pairs AS (
+       |  SELECT c.id_l, c.id_r,
+       |    len(list_intersect(a.toks, b.toks))::DOUBLE /
+       |    len(list_distinct(list_concat(a.toks, b.toks))) AS jac
+       |  FROM cand c JOIN prep a ON c.id_l = a.id JOIN prep b ON c.id_r = b.id
+       |  WHERE len(list_intersect(a.toks, b.toks))::DOUBLE /
+       |        len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5)""".stripMargin
   }
+
+  private val minhashSql =
+    s"""WITH $minhashPairsCtes
+       |SELECT id_l, id_r, ROUND(jac, 6) AS jaccard
+       |FROM mh_pairs ORDER BY id_l, id_r""".stripMargin
+
+  /** dedup-apply oracle: transitive closure of the MinHash pairs by recursive
+    * min-label propagation; cluster ids are LEXICOGRAPHIC string minima (the CC
+    * implementation orders string node ids), keeper = the representative.
+    */
+  private val dedupApplySql =
+    s"""WITH RECURSIVE $minhashPairsCtes,
+       |edges AS (
+       |  SELECT id_l::VARCHAR AS src, id_r::VARCHAR AS dst FROM mh_pairs
+       |  UNION ALL
+       |  SELECT id_r::VARCHAR, id_l::VARCHAR FROM mh_pairs),
+       |reach(node, root) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node),
+       |clusters AS (SELECT node, MIN(root) AS cluster_id FROM reach GROUP BY node)
+       |SELECT c.doc_id,
+       |  COALESCE(cl.cluster_id, c.doc_id::VARCHAR) AS cluster_id,
+       |  COALESCE(cl.cluster_id, c.doc_id::VARCHAR) = c.doc_id::VARCHAR AS is_keeper
+       |FROM corpus c LEFT JOIN clusters cl ON c.doc_id::VARCHAR = cl.node
+       |ORDER BY c.doc_id""".stripMargin
 
   private val simhashSql = {
     val nibs = (0 until 4).map(j =>
@@ -445,6 +475,7 @@ object TextQueries {
     "dedup_ngram_jaccard" ->
       jaccardPairSql(s"list_distinct(${shinglesSql("text")})", 0.5, corpusCte),
     "dedup_minhash_lsh" -> minhashSql,
+    "dedup_apply" -> dedupApplySql,
     "dedup_simhash" -> simhashSql,
     "dedup_embedding_cosine" ->
       s"""WITH $embCorpusCte

@@ -16,7 +16,6 @@ class EntrySpec extends SparkSpec {
       "ep1_auto_link_two_tables", // link-mode search loop — pinned by MetricsSpec
       "ann_lsh_topk",         // approximate — recall pinned by TextOpsSpec
       "ann_ivf_topk",         // approximate — recall pinned by TextOpsSpec
-      "dedup_apply",          // iterative CC composition — pinned by TextOpsSpec
       "ml_quality_train")     // iterative GD — accuracy/loss pinned by CurationSpec
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle or justification: $missing")
