@@ -269,6 +269,24 @@ object TextQueries {
         .groupBy("event_type").agg(count(lit(1)).as("n_unique"))
         .orderBy("event_type")
     },
+    "stream_quality_filter" -> { (s, dir) =>
+      // the curation expressions on the streaming code path: stateless score+filter,
+      // then a tiny keyed aggregate
+      StreamOps.streamingQualityFilter(s, s"$dir/documents.parquet")
+        .orderBy("pred_lang")
+    },
+    "ev_sessionize" -> { (s, dir) =>
+      // event-log sessionization (30-minute gap): per user, session and event counts
+      // plus the largest session — one window pass, shuffled once on user_id
+      val sessions = graft.events.Sessionize.assign(
+        events(s, dir), col("user_id"), col("ts"), gapSeconds = 1800L)
+      sessions.groupBy("user_id", "session_index")
+        .agg(count(lit(1)).as("n"))
+        .groupBy("user_id")
+        .agg(sum("n").as("n_events"), count(lit(1)).as("n_sessions"),
+          max("n").as("max_session_events"))
+        .orderBy("user_id")
+    },
     "ep2_corpus_curation" -> { (s, dir) =>
       // the LLM-pipeline composition end-to-end: score (quality, langid, tokens) →
       // filter → exact-dedup → keeper corpus, fully DuckDB-oracle-checked
@@ -554,6 +572,37 @@ object TextQueries {
       """SELECT event_type,
         |  COUNT(DISTINCT user_id || '|' || event_type || '|' || epoch_ns(ts)) AS n_unique
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "stream_quality_filter" -> {
+      val toks = toksSql("text")
+      s"""WITH sc AS (SELECT doc_id, text, len($toks) AS n_tokens,
+         |              $qualityExprSql AS quality, $langScoresSql FROM documents),
+         |m AS (SELECT *, $langMaxSql AS mx FROM sc),
+         |f AS (SELECT n_tokens, quality, $langCaseSql AS pred_lang FROM m)
+         |SELECT pred_lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS tokens
+         |FROM f
+         |WHERE pred_lang <> 'und' AND n_tokens >= 5 AND quality >= 0.3
+         |GROUP BY pred_lang ORDER BY pred_lang""".stripMargin
+    },
+    "ev_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events
+        |), s AS (
+        |  SELECT user_id, us,
+        |    CASE WHEN LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL THEN 0
+        |         WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us) > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM e
+        |), x AS (
+        |  SELECT user_id,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY us
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_index
+        |  FROM s
+        |), g AS (
+        |  SELECT user_id, session_index, COUNT(*) AS n FROM x GROUP BY 1, 2
+        |)
+        |SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_events, COUNT(*) AS n_sessions,
+        |  CAST(MAX(n) AS BIGINT) AS max_session_events
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
     "ep2_corpus_curation" -> {
       val toks = toksSql("text")
       s"""WITH $corpusCte,

@@ -87,6 +87,38 @@ object StreamOps {
     spark.table(name)
   }
 
+  /** Streaming corpus curation: the codegen'd quality/language expressions run
+    * unchanged under Structured Streaming (stateless projection + filter, then a tiny
+    * keyed aggregate) — the ingest-time filter shape for a training-data feed. Emits
+    * per predicted language: surviving doc count + token sum.
+    */
+  def streamingQualityFilter(spark: SparkSession, docsPath: String): DataFrame = {
+    import graft.textops.TextOps
+    val schema = spark.read.parquet(docsPath).schema
+    val name = s"stream_quality_${System.nanoTime()}"
+    val dir = new java.io.File(docsPath).getParent
+    val fileName = new java.io.File(docsPath).getName
+    val stream = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", fileName)
+      .parquet(dir)
+      .select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        round(TextOps.qualityScore(col("text")), 6).as("quality"),
+        TextOps.langId(col("text")).as("pred_lang"))
+      .filter(col("pred_lang") =!= "und" && col("n_tokens") >= 5 && col("quality") >= 0.3)
+      .groupBy("pred_lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens"))
+    val q = stream.writeStream
+      .outputMode("complete") // tiny keyed aggregate (≤ #languages rows)
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+  }
+
   /** Streaming dedup with BOUNDED state: `dropDuplicatesWithinWatermark` evicts a
     * key's state once the watermark passes its event time + `delay`, so state holds
     * only the dedup horizon — the production shape for unbounded streams (plain

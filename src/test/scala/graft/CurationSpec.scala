@@ -132,6 +132,19 @@ class CurationSpec extends SparkSpec {
     assert(acc >= 0.95, s"accuracy $acc below 0.95")
   }
 
+  test("sessionize splits on gaps strictly greater than the threshold") {
+    import org.apache.spark.sql.functions.timestamp_micros
+    // user u: events at 0s, 10s, 1810s (gap 1800 = NOT new), 3611s (gap 1801 > 1800 = new)
+    val ev = Seq(("u", 0L), ("u", 10L), ("u", 1810L), ("u", 3611L), ("v", 5L))
+      .toDF("user_id", "sec")
+      .withColumn("ts", timestamp_micros(col("sec") * 1000000L))
+    val out = graft.events.Sessionize.assign(ev, col("user_id"), col("ts"), 1800L)
+      .select("user_id", "sec", "session_index")
+      .as[(String, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(out === Array(("u", 0L, 0L), ("u", 10L, 0L), ("u", 1810L, 0L),
+      ("u", 3611L, 1L), ("v", 5L, 0L)))
+  }
+
   test("redactPii masks emails and IPv4s and counts them") {
     val out = Seq("write a.user+tag@sub.example.co.uk from 192.168.0.1 or 8.8.8.8 v1.2 x")
       .toDF("t")
