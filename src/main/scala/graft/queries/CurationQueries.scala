@@ -102,6 +102,11 @@ object CurationQueries {
           windowTokens = 32, strideTokens = 24)
         .orderBy("doc_id", "chunk_index")
     },
+    "curation_vocab" -> { (s, dir) =>
+      // word-level vocabulary: top-50 tokens by corpus frequency, deterministic ids
+      Curation.buildVocab(docs(s, dir), col("text"), topK = 50)
+        .orderBy("token_id")
+    },
     "curation_pii_redact" -> { (s, dir) =>
       // plant deterministic emails + an IPv4 per doc (the corpus itself has none),
       // then count and redact them in one codegen'd regex scan
@@ -232,6 +237,13 @@ object CurationQueries {
          |    AS chunk
          |FROM c ORDER BY doc_id, chunk_index""".stripMargin
     },
+    "curation_vocab" ->
+      s"""WITH tok AS (SELECT unnest(${toksSql("text")}) AS token FROM documents),
+         |c AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token
+         |      ORDER BY n DESC, token LIMIT 50)
+         |SELECT token, n,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS INT) AS token_id
+         |FROM c ORDER BY token_id""".stripMargin,
     "curation_pii_redact" -> {
       val email = Curation.EmailPattern
       val ip = Curation.Ipv4Pattern

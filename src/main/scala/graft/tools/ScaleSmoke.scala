@@ -1,0 +1,87 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-slope smoke test for the candidate-generation-heavy operators.
+  *
+  * Usage: `runMain graft.tools.ScaleSmoke [sizes...]` (default 100000 400000).
+  *
+  * Generates a synthetic corpus of N md5-token documents (near-dup-free by
+  * construction) plus planted near-dups for every 101st doc, and N unit vectors,
+  * then times MinHash-LSH, 64-bit SimHash banded hamming, embedding LSH, and
+  * connected components at each size. A scale-safe operator's wall time must grow
+  * ~linearly in N (candidate pairs stay bounded by true collisions); a quadratic
+  * blowup shows up immediately as a super-linear slope between the two sizes.
+  */
+object ScaleSmoke {
+
+  private def corpus(spark: SparkSession, n: Long): DataFrame = {
+    // 40 pseudo-random 4-hex-char words per doc: distinct docs share almost no
+    // shingles, so candidate pairs ≈ planted pairs only
+    val words = (0 until 40).map(j =>
+      substring(md5(concat(col("id").cast("string"), lit(s":$j"))), 1, 4))
+    val base = spark.range(n).select(col("id").as("doc_id"),
+      concat_ws(" ", words: _*).as("text"))
+    base.unionByName(
+      base.filter(col("doc_id") % 101 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          concat(col("text"), lit(" xtra")).as("text")))
+  }
+
+  private def vectors(spark: SparkSession, n: Long, dim: Int): DataFrame = {
+    val comps = (0 until dim).map(j =>
+      (conv(substring(md5(concat(col("id").cast("string"), lit(s"v$j"))), 1, 6), 16, 10)
+        .cast("double") / lit(16777215.0) - lit(0.5)))
+    val base = spark.range(n).select(col("id").as("vec_id"), array(comps: _*).as("embedding"))
+    base.unionByName(
+      base.filter(col("vec_id") % 101 === 0)
+        .select((col("vec_id") + 10000000L).as("vec_id"),
+          transform(col("embedding"), x => x * 1.0001).as("embedding")))
+  }
+
+  private def time(name: String, n: Long)(body: => Long): Unit = {
+    val t0 = System.nanoTime()
+    val rows = body
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"[scale] n=$n%-8d $name%-24s $sec%8.2f s  ($rows rows)")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sizes = if (args.nonEmpty) args.toSeq.map(_.toLong) else Seq(100000L, 400000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (n <- sizes) {
+      val docs = corpus(spark, n).persist()
+      docs.count() // materialize outside the timed section
+      time("minhash_lsh_pairs", n) {
+        graft.textops.Dedup.minhashLshPairs(docs, "doc_id", "text", 0.5).count()
+      }
+      time("simhash64_pairs", n) {
+        graft.textops.Dedup.simhash64Pairs(docs, "doc_id", "text").count()
+      }
+      time("connected_components", n) {
+        val pairs = graft.textops.Dedup.minhashLshPairs(docs, "doc_id", "text", 0.5)
+        graft.cluster.ConnectedComponents.run(
+          pairs.select(col("id_l").as("src"), col("id_r").as("dst"))).count()
+      }
+      docs.unpersist()
+      val vecs = vectors(spark, n, 32).persist()
+      vecs.count()
+      time("embedding_lsh_pairs", n) {
+        graft.textops.Dedup.embeddingLshPairs(vecs, "vec_id", "embedding", 0.99).count()
+      }
+      vecs.unpersist()
+      spark.sqlContext.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      System.gc()
+    }
+    spark.stop()
+  }
+}
