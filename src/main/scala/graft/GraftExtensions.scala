@@ -100,10 +100,11 @@ object GraftExtensions {
       arity("md5_prefix_long", a, 1 to 1); Md5PrefixLong(a(0))
     },
     fn("word_shingles",
-      "word_shingles(text, n[, distinct]) - word n-gram shingles.") { a =>
+      "word_shingles(text, n[, distinct]) - word n-gram shingles, with multiplicity " +
+        "unless distinct=true (matches graft.textops.TextOps.shingles).") { a =>
       arity("word_shingles", a, 2 to 3)
       WordShingles(a(0), litInt(a(1), "n"),
-        if (a.length > 2) litBool(a(2), "distinct") else true)
+        if (a.length > 2) litBool(a(2), "distinct") else false)
     },
     fn("rolling_fingerprints",
       "rolling_fingerprints(text, k, w) - winnowing fingerprints.") { a =>

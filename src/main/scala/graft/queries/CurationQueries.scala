@@ -129,15 +129,10 @@ object CurationQueries {
 
   // ---- oracle SQL ----------------------------------------------------------
 
-  private def toksSql(textExpr: String) =
-    s"list_filter(string_split_regex(trim($textExpr), '\\s+'), t -> length(t) > 0)"
-
-  private def shinglesSql(textExpr: String) = {
-    val w = toksSql(textExpr)
-    s"""(CASE WHEN len($w) < 3 THEN [] ELSE
-       |  list_transform(range(1, len($w) - 1),
-       |    i -> $w[i] || ' ' || $w[i+1] || ' ' || $w[i+2]) END)""".stripMargin.replace("\n", " ")
-  }
+  // DuckDB tokenization/shingle fragments are the cross-engine contract — single
+  // source in TextQueries so the copies cannot drift
+  private def toksSql(textExpr: String) = TextQueries.toksSql(textExpr)
+  private def shinglesSql(textExpr: String) = TextQueries.shinglesSql(textExpr)
 
   /** CASE ladder selecting the per-stratum keep threshold — generated from the SAME
     * rate map and [[Curation.rateThreshold]] rendering as the Spark plan, so the two

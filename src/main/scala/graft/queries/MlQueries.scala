@@ -51,10 +51,9 @@ object MlQueries {
 
   // ---- oracle SQL ----------------------------------------------------------
 
-  private def toksSql(textExpr: String) =
-    s"list_filter(string_split_regex(trim($textExpr), '\\s+'), t -> length(t) > 0)"
+  private def toksSql(textExpr: String) = TextQueries.toksSql(textExpr)
 
-  private def inList(words: Seq[String]) = words.map(w => s"'$w'").mkString("(", ", ", ")")
+  private def inList(words: Seq[String]) = TextQueries.inList(words)
 
   private def ratioSql(words: Seq[String]) =
     s"""CASE WHEN len(toks) = 0 THEN 0.0

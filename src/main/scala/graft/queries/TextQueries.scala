@@ -28,7 +28,7 @@ object TextQueries {
   private[queries] def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** documents ∪ exact copies (id+100000, doc_id%7=0) ∪ near copies (id+200000, %11). */
@@ -305,10 +305,10 @@ object TextQueries {
 
   // ---- oracle SQL ----------------------------------------------------------
 
-  private def toksSql(textExpr: String) =
+  private[queries] def toksSql(textExpr: String) =
     s"list_filter(string_split_regex(trim($textExpr), '\\s+'), t -> length(t) > 0)"
 
-  private def inList(words: Seq[String]) = words.map(w => s"'$w'").mkString("(", ", ", ")")
+  private[queries] def inList(words: Seq[String]) = words.map(w => s"'$w'").mkString("(", ", ", ")")
 
   private val stopList = inList(TextOps.EnglishStopwords)
 
@@ -367,7 +367,7 @@ object TextQueries {
        |         len(list_distinct(list_concat(l.toks, r.toks))) END >= $threshold
        |ORDER BY id_l, id_r""".stripMargin
 
-  private def shinglesSql(textExpr: String) = {
+  private[queries] def shinglesSql(textExpr: String) = {
     val w = toksSql(textExpr)
     s"""(CASE WHEN len($w) < 3 THEN [] ELSE
        |  list_transform(range(1, len($w) - 1),

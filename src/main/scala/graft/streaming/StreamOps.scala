@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 
 /** Structured-streaming operators over the events stream. The reference is batch-only;
   * these cover the streaming leg a large-scale ingest pipeline needs: windowed
@@ -12,24 +12,44 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamOps {
 
+  /** Stream a SINGLE parquet file: the streaming file source wants a directory, so
+    * read the parent with a filename glob. (Directory-shaped sources use their own
+    * readStream with `maxFilesPerTrigger` — see the dedup ops.)
+    */
+  private def fileStream(spark: SparkSession, path: String): DataFrame = {
+    val schema = spark.read.parquet(path).schema
+    val f = new java.io.File(path)
+    spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", f.getName)
+      .parquet(f.getParent)
+  }
+
+  /** Drive a streaming DataFrame to completion into a uniquely-named memory sink and
+    * return the sink table — the synchronous verification harness for every
+    * streaming operator here.
+    */
+  private def driveToMemory(stream: DataFrame, mode: String, prefix: String): DataFrame = {
+    val name = s"${prefix}_${System.nanoTime()}"
+    val q = stream.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    stream.sparkSession.table(name)
+  }
+
   /** Tumbling 1-hour windows per event type: count + value sum. Runs the streaming
     * query to completion over the parquet-backed source and returns the result table.
     */
   def windowedEventCounts(spark: SparkSession, eventsPath: String): DataFrame = {
-    val schema = spark.read.parquet(eventsPath).schema
-    val name = s"stream_agg_${System.nanoTime()}"
-    // the streaming file source wants a directory: stream the parent dir with a
-    // filename glob so only the events file feeds the query
-    val dir = new java.io.File(eventsPath).getParent
-    val fileName = new java.io.File(eventsPath).getName
-    val raw = spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", fileName)
-      .parquet(dir)
+    val raw = fileStream(spark, eventsPath)
     // ts may arrive as long nanos (legacy parquet nanos) — normalize to timestamp
-    val withTs = schema("ts").dataType match {
+    val withTs = raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => raw
     }
     val stream = withTs
@@ -40,14 +60,7 @@ object StreamOps {
     // purges — unbounded state on a real stream), yet unlike append the still-open
     // final windows are emitted too, so a bounded drive yields the full result.
     // Each window's LAST update (highest cnt) is the final value.
-    val q = stream.writeStream
-      .outputMode("update")
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
-    spark.table(name)
+    driveToMemory(stream, "update", "stream_agg")
       .groupBy(col("w"), col("event_type"))
       .agg(max("cnt").as("cnt"), expr("max_by(value_sum, cnt)").as("value_sum"))
       .select(
@@ -68,7 +81,6 @@ object StreamOps {
     */
   def streamingExactDedup(spark: SparkSession, corpusDir: String): DataFrame = {
     val schema = spark.read.parquet(corpusDir).schema
-    val name = s"stream_dedup_${System.nanoTime()}"
     val stream = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", 1) // one file per micro-batch: dedup must cross batches
@@ -77,14 +89,8 @@ object StreamOps {
       .dropDuplicates("h")
       .groupBy("lang")
       .agg(count(lit(1)).as("n_unique"))
-    val q = stream.writeStream
-      .outputMode("complete") // tiny keyed aggregate (one row per lang), not raw state
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
-    spark.table(name)
+    // complete mode: tiny keyed aggregate (one row per lang), not raw state
+    driveToMemory(stream, "complete", "stream_dedup")
   }
 
   /** Streaming corpus curation: the codegen'd quality/language expressions run
@@ -94,14 +100,7 @@ object StreamOps {
     */
   def streamingQualityFilter(spark: SparkSession, docsPath: String): DataFrame = {
     import graft.textops.TextOps
-    val schema = spark.read.parquet(docsPath).schema
-    val name = s"stream_quality_${System.nanoTime()}"
-    val dir = new java.io.File(docsPath).getParent
-    val fileName = new java.io.File(docsPath).getName
-    val stream = spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", fileName)
-      .parquet(dir)
+    val stream = fileStream(spark, docsPath)
       .select(col("doc_id"),
         TextOps.tokenCount(col("text")).as("n_tokens"),
         round(TextOps.qualityScore(col("text")), 6).as("quality"),
@@ -109,14 +108,8 @@ object StreamOps {
       .filter(col("pred_lang") =!= "und" && col("n_tokens") >= 5 && col("quality") >= 0.3)
       .groupBy("pred_lang")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens"))
-    val q = stream.writeStream
-      .outputMode("complete") // tiny keyed aggregate (≤ #languages rows)
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
-    spark.table(name)
+    // complete mode: tiny keyed aggregate (≤ #languages rows)
+    driveToMemory(stream, "complete", "stream_quality")
   }
 
   /** Streaming dedup with BOUNDED state: `dropDuplicatesWithinWatermark` evicts a
@@ -131,23 +124,15 @@ object StreamOps {
       eventsDir: String,
       delay: String = "365 days"): DataFrame = {
     val schema = spark.read.parquet(eventsDir).schema
-    val name = s"stream_dedup_wm_${System.nanoTime()}"
     val stream = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", 1) // duplicates arrive in later micro-batches
       .parquet(eventsDir)
       .withColumn("k", concat_ws("|", col("user_id"), col("event_type"), col("ts")))
-      .withColumn("event_ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("event_ts", delay)
       .dropDuplicatesWithinWatermark("k")
-    val q = stream.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
-    spark.table(name)
+    driveToMemory(stream, "append", "stream_dedup_wm")
   }
 
   case class UserTotal(user_id: Long, n_events: Long, value_sum: Double)
@@ -159,14 +144,7 @@ object StreamOps {
     */
   def statefulUserTotals(spark: SparkSession, eventsPath: String): DataFrame = {
     import spark.implicits._
-    val schema = spark.read.parquet(eventsPath).schema
-    val dir = new java.io.File(eventsPath).getParent
-    val fileName = new java.io.File(eventsPath).getName
-    val name = s"stream_state_${System.nanoTime()}"
-    val raw = spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", fileName)
-      .parquet(dir)
+    val raw = fileStream(spark, eventsPath)
       .select(col("user_id").cast("long").as("user_id"),
         col("value").cast("double").as("value"))
       .as[(Long, Double)]
@@ -181,15 +159,8 @@ object StreamOps {
           state.update(next)
           next
       }
-    val q = totals.writeStream
-      .outputMode(OutputMode.Update)
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
     // keep the last update per user (a single-batch file source emits one each)
-    spark.table(name)
+    driveToMemory(totals.toDF(), "update", "stream_state")
       .groupBy("user_id")
       .agg(max("n_events").as("n_events"), max("value_sum").as("value_sum"))
       .select(col("user_id"), col("n_events"),

@@ -160,7 +160,9 @@ object Curation {
       textCol: String,
       delim: String,
       maxDocFreq: Long): DataFrame = {
-    val lines = df.select(col(idCol), posexplode(split(col(textCol), delim)))
+    // `split` takes a REGEX: quote the delimiter so "|" or "." split literally
+    val delimRe = java.util.regex.Pattern.quote(delim)
+    val lines = df.select(col(idCol), posexplode(split(col(textCol), delimRe)))
       .toDF(idCol, "pos", "line")
     val boiler = lines.groupBy("line")
       .agg(countDistinct(col(idCol)).as("doc_freq"))
@@ -171,7 +173,7 @@ object Curation {
       .agg(array_sort(collect_list(struct(col("pos"), col("line")))).as("parts"))
       .select(col(idCol),
         array_join(transform(col("parts"), p => p.getField("line")), delim).as(textCol))
-    df.select(col(idCol), size(split(col(textCol), delim)).as("n_lines"))
+    df.select(col(idCol), size(split(col(textCol), delimRe)).as("n_lines"))
       .join(kept, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col(textCol), lit("")).as(textCol),

@@ -342,12 +342,15 @@ object Dedup {
     * Bucket sizing: for a FIXED signature width, random-pair collisions grow as
     * N²·2^−bits — quadratic no matter the bucket count (measured: 27× wall time for
     * 4× corpus at 16 bits / 400k vectors). The signature width therefore auto-widens
-    * with the corpus, `bits = max(bitsPerTable, ⌈log2 N⌉ + 3)`, which pins expected
-    * random collisions per table to ~N/8 and keeps the scan linear; recall at the
-    * dedup thresholds stays high (cosine 0.99, 28 bits, 20 tables → miss < 1e-5) and
-    * widening only engages above 2^(bitsPerTable−3) rows, so small-corpus results are
-    * unchanged. For maximum recall at billions of rows, raise `nTables` (cost is
-    * linear in tables) or lower `bitsPerTable` per-call.
+    * with the corpus, `bits = max(bitsPerTable, ⌈log2 N⌉ + 3)`, pinning expected
+    * random collisions per table to ~N/8, and the table count widens
+    * proportionally (`⌈nTables · bits / bitsPerTable⌉`) to pay back the per-table
+    * recall that wider signatures cost. Net recall at the near-dup thresholds:
+    * cosine 0.99 at 28 bits × 35 tables misses a true pair with (1 − 0.968²⁸)³⁵
+    * ≈ 2e-8 (16 bits × 20 tables: ≈ 2e-8 as well); at cosine 0.95 the miss is a few
+    * percent either way — the inherent LSH trade at angle ~18°; raise `nTables` if
+    * that tail matters. Widening only engages above 2^(bitsPerTable−3) rows, so
+    * small-corpus results are unchanged; total work stays linear in N · tables.
     */
   def embeddingLshPairs(
       emb: DataFrame,
@@ -366,11 +369,16 @@ object Dedup {
     val n = v.count()
     val bits = math.min(28,
       math.max(bitsPerTable, (math.log(n.toDouble.max(2.0)) / math.log(2.0)).ceil.toInt + 3))
-    val planes = (0 until nTables).toArray
+    // widen tables with the signature so per-pair recall survives the extra bits
+    val tables = math.ceil(nTables.toDouble * bits / bitsPerTable).toInt
+    val planes = (0 until tables).toArray
       .flatMap(t => Similarity.randomPlanes(bits, dim, seed + t))
+    // persisted: the self-join references both sides — without it the signature
+    // pass (tables × bits dots per row) runs twice
     val buckets = v
       .withColumn("sigs", graft.functions.hyperplane_signatures(col("v"), planes, bits))
       .select(col("id"), posexplode(col("sigs")).as(Seq("table", "sig")))
+      .persist()
     val candidates = buckets.alias("l")
       .join(buckets.alias("r"),
         col("l.table") === col("r.table") && col("l.sig") === col("r.sig") &&
