@@ -81,7 +81,74 @@ object Ivf {
     v.withColumn("cell", graft.functions.nearest_centroid(col("v"), centroids))
       .select(col("id"), col("v"), col("cell"))
 
-  /** Top-k per query, probing the `nprobe` closest cells. */
+  /** Write the indexed corpus partitioned by cell. At corpus scale this is the
+    * one-time index build: each Voronoi cell becomes a parquet directory, so probe
+    * reads prune whole directories (partition pruning on the `cell` filter) instead
+    * of scanning the corpus.
+    */
+  def writeIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: Model,
+      path: String): Unit =
+    assign(
+      corpus.select(col(idCol).as("id"),
+        Similarity.normalized(col(vecCol).cast("array<double>")).as("v")),
+      model.centroids)
+      .write.partitionBy("cell").mode("overwrite").parquet(path)
+
+  /** Top-k over a written index: reads ONLY the probed cell partitions. The probed
+    * cell set is ≤ queries × nprobe (driver-sized by construction), so it becomes an
+    * `IN` filter on the partition column and the scan never touches other cells.
+    */
+  def topKFromIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      model: Model,
+      nprobe: Int = 4): DataFrame = {
+    val probes = queryProbes(queries, idCol, vecCol, model, nprobe)
+    val cells = probes.select("cell").distinct().collect().map(_.getInt(0))
+    val c = spark.read.parquet(path).filter(col("cell").isin(cells.map(Int.box): _*))
+    rank(c, probes, k)
+  }
+
+  /** Per-query probe cells: the `nprobe` centroids with the largest dot product. */
+  private def queryProbes(
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: Model,
+      nprobe: Int): DataFrame = {
+    val cents = centroidDf(queries.sparkSession, model.centroids)
+    val qw = Window.partitionBy("query_id").orderBy(desc("dot"), asc("cell"))
+    queries
+      .select(col(idCol).as("query_id"),
+        Similarity.normalized(col(vecCol).cast("array<double>")).as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("dot", graft.functions.array_dot(col("qv"), col("cv")))
+      .withColumn("rk", row_number().over(qw))
+      .filter(col("rk") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cell"))
+  }
+
+  private def rank(indexed: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val scored = indexed.join(broadcast(probes), "cell")
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("cosine", round(graft.functions.array_dot(col("v"), col("qv")), 6))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "id", "cosine")
+  }
+
+  /** Top-k per query, probing the `nprobe` closest cells (in-memory assignment;
+    * use [[writeIndex]] + [[topKFromIndex]] when the corpus is indexed on disk).
+    */
   def topK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -90,27 +157,10 @@ object Ivf {
       k: Int,
       model: Model,
       nprobe: Int = 4): DataFrame = {
-    val spark = corpus.sparkSession
-    val cents = centroidDf(spark, model.centroids)
     val c = assign(
       corpus.select(col(idCol).as("id"),
         Similarity.normalized(col(vecCol).cast("array<double>")).as("v")),
       model.centroids)
-    val qw = Window.partitionBy("query_id").orderBy(desc("dot"), asc("cell"))
-    val probes = queries
-      .select(col(idCol).as("query_id"),
-        Similarity.normalized(col(vecCol).cast("array<double>")).as("qv"))
-      .crossJoin(broadcast(cents))
-      .withColumn("dot", graft.functions.array_dot(col("qv"), col("cv")))
-      .withColumn("rk", row_number().over(qw))
-      .filter(col("rk") <= nprobe)
-      .select(col("query_id"), col("qv"), col("cell"))
-    val scored = c.join(broadcast(probes), "cell")
-      .filter(col("id") =!= col("query_id"))
-      .withColumn("cosine", round(graft.functions.array_dot(col("v"), col("qv")), 6))
-    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "id", "cosine")
+    rank(c, queryProbes(queries, idCol, vecCol, model, nprobe), k)
   }
 }

@@ -172,6 +172,27 @@ class TextOpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall")
   }
 
+  test("IVF on-disk index equals in-memory topK and prunes unprobed cell partitions") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val model = graft.textops.Ivf.fit(emb, "vec_id", "embedding", k = 16)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    try {
+      graft.textops.Ivf.writeIndex(emb, "vec_id", "embedding", model, tmp)
+      val fromIndex = graft.textops.Ivf.topKFromIndex(
+        spark, tmp, queries, "vec_id", "embedding", 5, model, nprobe = 4)
+      val inMemory = graft.textops.Ivf.topK(
+        emb, queries, "vec_id", "embedding", 5, model, nprobe = 4)
+      assert(fromIndex.collect().toSet === inMemory.collect().toSet)
+      val scan = fromIndex.queryExecution.executedPlan.toString
+      assert(scan.contains("PartitionFilters") && scan.contains("cell"),
+        s"index scan must prune on the cell partition column:\n${scan.take(2000)}")
+    } finally {
+      import java.nio.file.{Files, Path, Paths}
+      Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+  }
+
   test("multimodal metadata is deterministic and batch-extracted") {
     val d = docs.withColumn("payload", col("text").cast("binary")).limit(50)
     val out = Multimodal.extractMeta(d, "doc_id", "payload").collect()
