@@ -14,6 +14,13 @@ class ExtensionsSpec extends SparkSpec {
     val sh = spark.sql("SELECT word_shingles('a b c d', 3) AS s").as[Seq[String]].first()
     assert(sh === Seq("a b c", "b c d"))
 
+    // default keeps multiplicity (matches TextOps.shingles); distinct=true dedups
+    val dup = spark.sql("SELECT word_shingles('a b a b a', 2) AS s").as[Seq[String]].first()
+    assert(dup === Seq("a b", "b a", "a b", "b a"))
+    val dis = spark.sql("SELECT word_shingles('a b a b a', 2, true) AS s")
+      .as[Seq[String]].first()
+    assert(dis === Seq("a b", "b a"))
+
     val dot = spark.sql("SELECT array_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
       .as[Double].first()
     assert(dot === 11.0)
