@@ -50,7 +50,24 @@ object AutoLinker {
       best: Trial,
       clusters: DataFrame,
       predictions: DataFrame,
-      trials: Seq[Trial])
+      trials: Seq[Trial]) {
+
+    /** EP3 — re-cluster the retained predictions at an arbitrary threshold without
+      * re-training or re-predicting (reference: `best_clusters_at_threshold`,
+      * autolinker.py:1069-1094): filter the scored pairs, run connected components,
+      * re-attach to the records carried in `clusters` (minus their old assignment).
+      */
+    def clustersAtThreshold(uidCol: String, threshold: Double): DataFrame = {
+      // predictions carry the pipeline's canonical pair columns uid_l/uid_r
+      // (the same ones the search loop clusters on), whatever the caller's uid name
+      val edges = predictions
+        .filter(org.apache.spark.sql.functions.col("match_probability") >= threshold)
+        .select(org.apache.spark.sql.functions.col("uid_l").as("src"),
+          org.apache.spark.sql.functions.col("uid_r").as("dst"))
+      graft.cluster.ConnectedComponents.assignClusters(
+        clusters.drop("cluster_id"), uidCol, edges)
+    }
+  }
 
   def autoLink(
       data: DataFrame,

@@ -113,6 +113,27 @@ class MetricsSpec extends SparkSpec {
     assert(found, "no seed produced any non-singleton cluster on planted duplicates")
   }
 
+  test("clustersAtThreshold re-clusters without retraining; 1.0 yields only exact-score merges") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 60).flatMap { i =>
+      val name = (1 to 10).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+      Seq((s"a$i", name, s"city${i % 5}", s"z${i % 20}"),
+        (s"b$i", name + "x", s"city${i % 5}", s"z${i % 20}"))
+    }
+    val df = rows.toDF("unique_id", "name", "city", "zip")
+    val res = AutoLinker.autoLink(df,
+      attributeColumns = Some(Seq("name", "city", "zip")),
+      maxEvals = 2, seed = 2L, comparisonSizeLimit = 1000000L, clusterThreshold = 0.5)
+    def nontrivial(c: org.apache.spark.sql.DataFrame) =
+      c.groupBy("cluster_id").count().filter(col("count") > 1).count()
+    val at05 = res.clustersAtThreshold("unique_id", 0.5)
+    // same threshold as the original run → identical cluster structure
+    assert(nontrivial(at05) === nontrivial(res.clusters))
+    assert(at05.count() === res.clusters.count())
+    // a stricter threshold can only split (fewer or equal merged clusters)
+    assert(nontrivial(res.clustersAtThreshold("unique_id", 0.999)) <= nontrivial(at05))
+  }
+
   test("auto-link records supervised metrics per trial when a true label is given") {
     val rnd = new scala.util.Random(7)
     val rows = (0 until 60).flatMap { i =>
