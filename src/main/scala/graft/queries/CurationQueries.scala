@@ -107,6 +107,36 @@ object CurationQueries {
       Curation.buildVocab(docs(s, dir), col("text"), topK = 50)
         .orderBy("token_id")
     },
+    "ep3_training_mix" -> { (s, dir) =>
+      // the curation pipeline end-to-end: quality filter → decontaminate against the
+      // benchmark (doc_id % 13) → exact-dedup to keepers → deterministic domain mix
+      // → pack into 512-token sequences; per-(lang, seq) stats, fully oracle-checked
+      val bench = docs(s, dir).filter(col("doc_id") % 13 === 0)
+      val scored = TextQueries.plantedCorpus(s, dir)
+        .filter(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"), col("text"), col("lang"),
+          TextOps.tokenCount(col("text")).as("n_tokens"),
+          round(TextOps.qualityScore(col("text")), 6).as("quality"),
+          TextOps.langId(col("text")).as("pred_lang"))
+        .filter(col("pred_lang") =!= "und" && col("n_tokens") >= 5 && col("quality") >= 0.3)
+      val contaminated = Curation.contaminationStats(scored, bench, "doc_id", "text", 3)
+        .filter(round(col("n_overlap").cast("double") / col("n_shingles"), 6)
+          >= ContamThreshold)
+        .select("doc_id")
+      val clean = scored.join(contaminated, Seq("doc_id"), "left_anti")
+      val deduped = clean
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"), min(col("lang")).as("lang"),
+          min(col("n_tokens")).as("n_tokens"))
+      val mixed = Curation.stratifiedSample(deduped, col("doc_id"), col("lang"),
+        MixRates, defaultRate = 1.0, salt = MixSalt)
+      Curation.packSequences(mixed, col("n_tokens"), Seq(col("lang")),
+          col("doc_id"), PackBudget)
+        .groupBy("lang", "seq_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("seq_tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("lang", "seq_id")
+    },
     "curation_pii_redact" -> { (s, dir) =>
       // plant deterministic emails + an IPv4 per doc (the corpus itself has none),
       // then count and redact them in one codegen'd regex scan
@@ -239,6 +269,37 @@ object CurationQueries {
          |SELECT token, n,
          |  CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS INT) AS token_id
          |FROM c ORDER BY token_id""".stripMargin,
+    "ep3_training_mix" -> {
+      val toks = toksSql("text")
+      s"""WITH ${TextQueries.corpusCte},
+         |sc AS (SELECT doc_id, text, lang, len($toks) AS n_tokens,
+         |         ${TextQueries.qualityExprSql} AS quality, ${TextQueries.langScoresSql}
+         |       FROM corpus WHERE doc_id % 13 <> 0),
+         |m AS (SELECT *, ${TextQueries.langMaxSql} AS mx FROM sc),
+         |f AS (SELECT doc_id, text, lang, n_tokens FROM m
+         |      WHERE ${TextQueries.langCaseSql} <> 'und' AND n_tokens >= 5 AND quality >= 0.3),
+         |bsh AS (SELECT DISTINCT unnest(list_distinct(${shinglesSql("text")})) AS shingle
+         |        FROM documents WHERE doc_id % 13 = 0),
+         |cx AS (SELECT doc_id, unnest(list_distinct(${shinglesSql("text")})) AS shingle FROM f),
+         |per AS (SELECT doc_id, COUNT(*) AS n_sh FROM cx GROUP BY doc_id),
+         |ov AS (SELECT cx.doc_id, COUNT(*) AS n_ov FROM cx JOIN bsh USING (shingle)
+         |       GROUP BY cx.doc_id),
+         |bad AS (SELECT p.doc_id FROM per p JOIN ov o ON p.doc_id = o.doc_id
+         |        WHERE ROUND(o.n_ov::DOUBLE / p.n_sh, 6) >= $ContamThreshold),
+         |clean AS (SELECT * FROM f WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+         |ded AS (SELECT MIN(doc_id) AS doc_id, MIN(lang) AS lang,
+         |               MIN(n_tokens) AS n_tokens
+         |        FROM clean GROUP BY md5(text)),
+         |mixed AS (SELECT * FROM ded
+         |          WHERE ${drawSql(MixSalt, "doc_id")} < ${thresholdCaseSql("lang", MixRates, 1.0)}),
+         |c AS (SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM mixed),
+         |sq AS (SELECT *, CAST(cum_before // $PackBudget AS BIGINT) AS seq_id FROM c)
+         |SELECT lang, seq_id, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |FROM sq GROUP BY lang, seq_id ORDER BY lang, seq_id""".stripMargin
+    },
     "curation_pii_redact" -> {
       val email = Curation.EmailPattern
       val ip = Curation.Ipv4Pattern

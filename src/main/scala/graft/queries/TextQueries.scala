@@ -315,7 +315,7 @@ object TextQueries {
   /** DuckDB quality-score expression over a `text` column (round-6, matches
     * [[TextOps.qualityScore]] term for term).
     */
-  private val qualityExprSql = {
+  private[queries] val qualityExprSql = {
     val toks = toksSql("text")
     s"""ROUND(0.4 * LEAST(1.0, len($toks)::DOUBLE / 100.0)
        |      + 0.3 * (1.0 - CASE WHEN length(text) = 0 THEN 0.0
@@ -324,15 +324,15 @@ object TextQueries {
        |          ELSE len(list_filter($toks, t -> t IN $stopList))::DOUBLE / len($toks) END, 6)""".stripMargin
   }
 
-  private val langScoresSql = {
+  private[queries] val langScoresSql = {
     val toks = toksSql("text")
     TextOps.LangMarkers.map { case (lang, ms) =>
       s"len(list_filter($toks, t -> t IN ${inList(ms)})) AS s_$lang"
     }.mkString(", ")
   }
-  private val langMaxSql =
+  private[queries] val langMaxSql =
     s"GREATEST(${TextOps.LangMarkers.map(l => s"s_${l._1}").mkString(", ")})"
-  private val langCaseSql =
+  private[queries] val langCaseSql =
     "CASE " + TextOps.LangMarkers.map(l => s"WHEN s_${l._1} = mx AND mx > 0 THEN '${l._1}'")
       .mkString(" ") + " ELSE 'und' END"
 
