@@ -116,8 +116,9 @@ object ClusteringMetrics {
     }
     val mean = (hT + hC) / 2.0
     val denom0 = mean - emi
-    // sklearn's guard: keep the denominator away from 0 preserving its sign
-    val eps = java.lang.Double.MIN_VALUE
+    // sklearn's guard: keep the denominator away from 0 preserving its sign,
+    // using machine epsilon (np.finfo("float64").eps) exactly as sklearn does
+    val eps = 2.220446049250313e-16
     val denom = if (denom0 < 0) math.min(denom0, -eps) else math.max(denom0, eps)
     (mi - emi) / denom
   }

@@ -94,9 +94,13 @@ object TextQueries {
       batches.zipWithIndex.foreach { case (b, i) =>
         val part = tmp.resolve(s"b$i")
         b.coalesce(1).write.mode("overwrite").parquet(part.toString)
-        val file = Files.list(part)
-          .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
-        Files.copy(file, target.resolve(s"$i.parquet"))
+        // close the directory stream (it holds an fd); zero-pad so lexicographic
+        // file ordering stays correct past 9 staged batches
+        val listing = Files.list(part)
+        val file =
+          try listing.filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+          finally listing.close()
+        Files.copy(file, target.resolve(f"$i%04d.parquet"))
       }
       consume(target.toString)
     } finally {

@@ -124,6 +124,10 @@ object Curation {
     * shingles whose corpus document-frequency is ≥ `minDocFreq`. The high-frequency
     * shingle set is small by construction and broadcast; the per-document side is one
     * explode + semi-join + count.
+    *
+    * Lifecycle: the returned plan references a persisted shingle scan. After
+    * materializing the result in a long-lived session, free it with
+    * `spark.sqlContext.clearCache()` (or unpersist).
     */
   def boilerplateShingleStats(
       df: DataFrame,
@@ -177,7 +181,7 @@ object Curation {
       .join(kept, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col(textCol), lit("")).as(textCol),
-        (col("n_lines") - coalesce(size(split(col(textCol), delim)), lit(0)))
+        (col("n_lines") - coalesce(size(split(col(textCol), delimRe)), lit(0)))
           .as("n_removed"))
   }
 
@@ -204,6 +208,10 @@ object Curation {
     * of its distinct word n-gram shingles that appear anywhere in the benchmark set.
     * The benchmark shingle set is broadcast (eval sets are tiny next to a pretraining
     * corpus); the corpus side is one explode + semi-join + count.
+    *
+    * Lifecycle: the returned plan references a persisted corpus shingle scan. After
+    * materializing the result in a long-lived session, free it with
+    * `spark.sqlContext.clearCache()` (or unpersist).
     */
   def contaminationStats(
       corpus: DataFrame,

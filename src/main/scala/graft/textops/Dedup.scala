@@ -254,6 +254,11 @@ object Dedup {
     * EVERY such pair, never an all-pairs scan. Candidates are verified with
     * `bit_count(xor)` over the full signature. Work scales with per-band collisions
     * (2^16 keys per band over near-uniform hashes), not corpus².
+    *
+    * Lifecycle: the returned plan references a persisted signature scan. After
+    * materializing the result in a long-lived session, free it with
+    * `spark.sqlContext.clearCache()` (or unpersist) — repeated calls without it
+    * accumulate cached state until executors spill.
     */
   def simhash64Pairs(
       df: DataFrame,
@@ -351,6 +356,11 @@ object Dedup {
     * percent either way — the inherent LSH trade at angle ~18°; raise `nTables` if
     * that tail matters. Widening only engages above 2^(bitsPerTable−3) rows, so
     * small-corpus results are unchanged; total work stays linear in N · tables.
+    *
+    * Lifecycle: the returned plan references persisted vector and bucket scans. After
+    * materializing the result in a long-lived session, free them with
+    * `spark.sqlContext.clearCache()` (or unpersist) — repeated calls without it
+    * accumulate cached state until executors spill.
     */
   def embeddingLshPairs(
       emb: DataFrame,

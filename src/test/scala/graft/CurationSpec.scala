@@ -86,6 +86,18 @@ class CurationSpec extends SparkSpec {
     assert(out(3) === ((4L, "only original prose here", 0)))
   }
 
+  test("removeBoilerplateLines handles regex-metachar delimiters literally") {
+    val df = Seq(
+      (1L, "ad block|keep this|tail"),
+      (2L, "ad block|keep that|tail"),
+      (3L, "ad block|solo line|tail")).toDF("id", "text")
+    val out = Curation.removeBoilerplateLines(df, "id", "text", "|", maxDocFreq = 2)
+      .as[(Long, String, Int)].collect().sortBy(_._1)
+    assert(out(0) === ((1L, "keep this", 2)))
+    assert(out(1) === ((2L, "keep that", 2)))
+    assert(out(2) === ((3L, "solo line", 2)))
+  }
+
   test("contaminationStats flags full and partial benchmark overlap") {
     val bench = Seq((10L, "alpha beta gamma delta")).toDF("id", "text")
     val corpus = Seq(
