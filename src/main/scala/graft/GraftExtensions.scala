@@ -111,6 +111,10 @@ object GraftExtensions {
       arity("rolling_fingerprints", a, 3 to 3)
       RollingFingerprints(a(0), litInt(a(1), "k"), litInt(a(2), "w"))
     },
+    fn("simhash64",
+      "simhash64(text) - 64-bit SimHash of the distinct token set; NULL if token-less.") { a =>
+      arity("simhash64", a, 1 to 1); SimHash64(a(0))
+    },
     fn("repetition_stats",
       "repetition_stats(text) - struct of Gopher-style repetition counters.") { a =>
       arity("repetition_stats", a, 1 to 1); RepetitionStats(a(0))

@@ -99,6 +99,68 @@ object RollingFingerprints {
   }
 }
 
+/** 64-bit SimHash of the distinct whitespace-token set, one pass per row.
+  *
+  * Semantics are identical to the explode → 64-sum-aggregate formulation (and its
+  * DuckDB oracle): tokens = `split(trim(s), "\\s+")` minus empties, deduplicated;
+  * per token, bit `p` of the signature reads bit `60 − 4·(p/4) + p%4` of
+  * [[Md5PrefixLong]] (hex nibble `p/4`, bit `p%4`); counters accumulate ±1 and bit
+  * `p` is set when its counter ends ≥ 0. NULL for a token-less document — exactly
+  * the rows the aggregate formulation dropped.
+  *
+  * This replaces a corpus-wide explode + shuffle (every token row through a 64-column
+  * hash aggregate keyed by doc) with a stateless projection: no shuffle at any scale.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(s: Any): Any =
+    SimHash64.compute(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""java.lang.Long ${ev.value}_r = graft.expressions.SimHash64.compute($c);
+         |if (${ev.value}_r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}_r.longValue(); }""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  /** Boxed so a token-less document can yield SQL NULL. */
+  def compute(s: UTF8String): java.lang.Long = {
+    val str = s.toString.trim
+    if (str.isEmpty) return null
+    val seen = new java.util.HashSet[String]()
+    val counters = new Array[Int](64)
+    val parts = str.split("\\s+")
+    var t = 0
+    while (t < parts.length) {
+      val tok = parts(t)
+      if (tok.nonEmpty && seen.add(tok)) {
+        val h = Md5PrefixLong.compute(UTF8String.fromString(tok))
+        var p = 0
+        while (p < 64) {
+          val bit = (h >>> (60 - 4 * (p / 4) + p % 4)) & 1L
+          counters(p) += (if (bit == 1L) 1 else -1)
+          p += 1
+        }
+      }
+      t += 1
+    }
+    if (seen.isEmpty) return null
+    var sig = 0L
+    var p = 0
+    while (p < 64) {
+      if (counters(p) >= 0) sig |= (1L << p)
+      p += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+}
+
 object Md5PrefixLong {
   // MessageDigest is not thread-safe and allocation is the expensive part — one
   // instance per executor thread, reset implicitly by digest()

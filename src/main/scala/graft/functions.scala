@@ -99,6 +99,12 @@ object functions {
   def md5_prefix_long(s: Column): Column =
     Bridge.column(Md5PrefixLong(Bridge.expression(s)))
 
+  /** 64-bit SimHash of the distinct whitespace-token set in one stateless pass —
+    * no explode, no shuffle; NULL for token-less input.
+    */
+  def simhash64(s: Column): Column =
+    Bridge.column(SimHash64(Bridge.expression(s)))
+
   /** Winnowing fingerprints: sorted distinct sliding-window minima of k-gram
     * Rabin-Karp rolling hashes (one O(len) codegen'd pass).
     */

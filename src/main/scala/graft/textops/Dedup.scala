@@ -223,29 +223,17 @@ object Dedup {
 
   /** 64-bit SimHash over the distinct-token set, from the first 16 md5 nibbles of each
     * token — the scale replacement for [[simhash16]], whose 65,536-key space makes every
-    * bucket huge at corpus scale. Same shape: one explode + one 64-sum aggregation.
-    * Token hashing uses [[graft.functions.md5_prefix_long]] so nibble extraction is
-    * pure bit arithmetic on one long (the md5-hex-string route allocates ~17 strings
-    * per token row); bit p of hex char p/4 is bit `60 − 4·(p/4) + p%4` of the long.
-    * Signature is a signed BIGINT (bit 63 lands in the sign bit; bitwise OR assembly,
-    * reproduced exactly by the DuckDB oracle's hex-string parse).
+    * bucket huge at corpus scale. One stateless codegen'd pass per document
+    * ([[graft.expressions.SimHash64]]) — no explode, no shuffle; the earlier
+    * explode + 64-sum-aggregate formulation shuffled every token row, and the DuckDB
+    * oracle still computes that formulation and hash-matches this one. Token-less
+    * documents are dropped (the aggregate form never produced a row for them).
+    * Signature is a signed BIGINT (bit 63 lands in the sign bit).
     */
-  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
-      explode(TextOps.distinctTokens(col(textCol))).as("t"))
-      .withColumn("h", graft.functions.md5_prefix_long(col("t")))
-    def term(p: Int): Column = {
-      val bit = shiftright(col("h"), 60 - 4 * (p / 4) + p % 4).bitwiseAND(lit(1L))
-      when(bit === 1, lit(1)).otherwise(lit(-1))
-    }
-    val sums = toks.groupBy("id").agg(
-      sum(term(0)).as("s0"),
-      (1 until 64).map(p => sum(term(p)).as(s"s$p")): _*)
-    val sig = (0 until 64).map(p =>
-      when(col(s"s$p") >= 0, lit(1L << p)).otherwise(lit(0L)))
-      .reduce(_ bitwiseOR _)
-    sums.select(col("id"), sig.as("simhash"))
-  }
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        graft.functions.simhash64(col(textCol)).as("simhash"))
+      .filter(col("simhash").isNotNull)
 
   /** Near-duplicate pairs by 64-bit SimHash hamming distance ≤ `maxHamming`, found via
     * banded candidate generation: the signature splits into 4 disjoint 16-bit bands,
