@@ -196,30 +196,16 @@ object Dedup {
   }
 
   /** 16-bit SimHash over the distinct-token set, from the first 4 md5 nibbles of each
-    * token (portable hex-nibble parse). Bit p is set when the signed sum over tokens
-    * of (±1 by token-bit p) is non-negative. One explode + one 16-sum aggregation.
+    * token. Bit p is set when the signed sum over tokens of (±1 by token-bit p) is
+    * non-negative — exactly bits 0..15 of [[graft.expressions.SimHash64]] (same
+    * nibble/bit indexing, same counters), so the signature is one stateless masked
+    * pass per document; the former explode + 16-sum shuffle is gone.
     */
-  def simhash16(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
-      explode(TextOps.distinctTokens(col(textCol))).as("t"))
-      .withColumn("h", md5(col("t")))
-    val withNibbles = (0 until 4).foldLeft(toks) { (acc, j) =>
-      acc.withColumn(s"nib$j",
-        (instr(lit("0123456789abcdef"), substring(col("h"), j + 1, 1)) - 1).cast("int"))
-    }
-    val sums = withNibbles.groupBy("id").agg(
-      sum(bitTerm(0)).as("s0"),
-      (1 until 16).map(p => sum(bitTerm(p)).as(s"s$p")): _*)
-    val sig = (0 until 16).map(p =>
-      when(col(s"s$p") >= 0, lit(1 << p)).otherwise(lit(0)))
-      .reduce(_ + _)
-    sums.select(col("id"), sig.as("simhash"))
-  }
-
-  private def bitTerm(p: Int): Column = {
-    val nib = col(s"nib${p / 4}")
-    when(shiftright(nib, p % 4).bitwiseAND(lit(1)) === 1, lit(1)).otherwise(lit(-1))
-  }
+  def simhash16(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        graft.functions.simhash64(col(textCol))
+          .bitwiseAND(lit(0xffffL)).cast("int").as("simhash"))
+      .filter(col("simhash").isNotNull)
 
   /** 64-bit SimHash over the distinct-token set, from the first 16 md5 nibbles of each
     * token — the scale replacement for [[simhash16]], whose 65,536-key space makes every
