@@ -115,6 +115,12 @@ object GraftExtensions {
       "simhash64(text) - 64-bit SimHash of the distinct token set; NULL if token-less.") { a =>
       arity("simhash64", a, 1 to 1); SimHash64(a(0))
     },
+    fn("minhash_signatures",
+      "minhash_signatures(text, k, n) - k min-md5 MinHash values over word n-gram " +
+        "shingles; NULL if shingle-less.") { a =>
+      arity("minhash_signatures", a, 3 to 3)
+      MinhashSignatures(a(0), litInt(a(1), "k"), litInt(a(2), "n"))
+    },
     fn("repetition_stats",
       "repetition_stats(text) - struct of Gopher-style repetition counters.") { a =>
       arity("repetition_stats", a, 1 to 1); RepetitionStats(a(0))

@@ -99,6 +99,96 @@ object RollingFingerprints {
   }
 }
 
+/** MinHash signature of the distinct word n-gram shingle set, one pass per row.
+  *
+  * Element `j` (0-based) is `min(md5(concat(j, ':', shingle)))` over the shingles,
+  * as the lowercase hex string — identical to the explode → k-min-aggregate
+  * formulation (and its DuckDB oracle): hex encoding is order-preserving, so the
+  * minimum is tracked on the 16 raw digest bytes and encoded once at the end.
+  * NULL for a document with no shingles (fewer than `n` words) — exactly the rows
+  * the aggregate formulation dropped.
+  *
+  * This replaces a corpus-wide shingle explode + shuffle through a k-column min
+  * aggregate keyed by doc with a stateless projection: no shuffle at any scale.
+  */
+case class MinhashSignatures(child: Expression, k: Int, shingleN: Int)
+  extends UnaryExpression {
+  require(k >= 1 && shingleN >= 1, "k and shingleN must be positive")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(s: Any): Any =
+    MinhashSignatures.compute(s.asInstanceOf[UTF8String], k, shingleN)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""org.apache.spark.sql.catalyst.util.GenericArrayData ${ev.value}_r =
+         |  graft.expressions.MinhashSignatures.compute($c, $k, $shingleN);
+         |if (${ev.value}_r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}_r; }""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSignatures =
+    copy(child = newChild)
+}
+
+object MinhashSignatures {
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  def compute(s: UTF8String, k: Int, shingleN: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val shingles = WordShingles.shingle(s.toString, shingleN, distinct = true)
+    val n = shingles.numElements()
+    if (n == 0) return null
+    val md = Md5PrefixLong.threadDigest()
+    val mins = Array.ofDim[Byte](k, 16)
+    var first = true
+    var i = 0
+    while (i < n) {
+      val shingleBytes =
+        shingles.getUTF8String(i).toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var j = 0
+      while (j < k) {
+        md.reset()
+        md.update(String.valueOf(j).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        md.update(':'.toByte)
+        md.update(shingleBytes)
+        val d = md.digest()
+        if (first || unsignedLess(d, mins(j))) System.arraycopy(d, 0, mins(j), 0, 16)
+        j += 1
+      }
+      first = false
+      i += 1
+    }
+    val out = new Array[Any](k)
+    var j = 0
+    while (j < k) {
+      val hex = new Array[Char](32)
+      var b = 0
+      while (b < 16) {
+        hex(2 * b) = HexDigits((mins(j)(b) >> 4) & 0xf)
+        hex(2 * b + 1) = HexDigits(mins(j)(b) & 0xf)
+        b += 1
+      }
+      out(j) = UTF8String.fromString(new String(hex))
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < 16) {
+      val ai = a(i) & 0xff
+      val bi = b(i) & 0xff
+      if (ai != bi) return ai < bi
+      i += 1
+    }
+    false
+  }
+}
+
 /** 64-bit SimHash of the distinct whitespace-token set, one pass per row.
   *
   * Semantics are identical to the explode → 64-sum-aggregate formulation (and its
@@ -166,6 +256,8 @@ object Md5PrefixLong {
   // instance per executor thread, reset implicitly by digest()
   private val digests: ThreadLocal[MessageDigest] =
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  private[expressions] def threadDigest(): MessageDigest = digests.get()
 
   def compute(s: UTF8String): Long = {
     val bytes = digests.get().digest(s.getBytes)

@@ -105,6 +105,12 @@ object functions {
   def simhash64(s: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(s)))
 
+  /** MinHash signature (k min-md5 hex strings over distinct word n-gram shingles) in
+    * one stateless pass — no explode, no shuffle; NULL for shingle-less input.
+    */
+  def minhash_signatures(s: Column, k: Int, shingleN: Int): Column =
+    Bridge.column(MinhashSignatures(Bridge.expression(s), k, shingleN))
+
   /** Winnowing fingerprints: sorted distinct sliding-window minima of k-gram
     * Rabin-Karp rolling hashes (one O(len) codegen'd pass).
     */

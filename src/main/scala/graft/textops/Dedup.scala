@@ -137,22 +137,24 @@ object Dedup {
   }
 
   /** MinHash signature over word `n`-gram shingles: `k` portable hash functions
-    * `h_j(s) = md5(j || ':' || s)`, minimum per document. One explode + one grouped
-    * aggregation (k `min`s, single shuffle).
+    * `h_j(s) = md5(j || ':' || s)`, minimum per document. One stateless codegen'd
+    * pass per document ([[graft.expressions.MinhashSignatures]]) — no explode, no
+    * shuffle; the earlier explode + k-min-aggregate formulation shuffled every
+    * shingle row, and the DuckDB oracle still computes that formulation and
+    * hash-matches this one. Shingle-less documents are dropped (the aggregate form
+    * never produced a row for them).
     */
   def minhashSignatures(
       df: DataFrame,
       idCol: String,
       textCol: String,
       k: Int,
-      shingleN: Int): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-      explode(TextOps.distinctShingles(col(textCol), shingleN)).as("s"))
-    sh.groupBy("id")
-      .agg(
-        min(md5(concat(lit("0:"), col("s")))).as("mh0"),
-        (1 until k).map(j => min(md5(concat(lit(s"$j:"), col("s")))).as(s"mh$j")): _*)
-  }
+      shingleN: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        graft.functions.minhash_signatures(col(textCol), k, shingleN).as("mhs"))
+      .filter(col("mhs").isNotNull)
+      .select(col("id") +:
+        (0 until k).map(j => element_at(col("mhs"), j + 1).as(s"mh$j")): _*)
 
   /** LSH banding over the minhash signature: `k/bandSize` bands, band key = concat of
     * its rows. Documents sharing any band key become candidate pairs; candidates are
