@@ -123,4 +123,33 @@ object functions {
     */
   def repetition_stats(s: Column): Column =
     Bridge.column(RepetitionStats(Bridge.expression(s)))
+
+  /** Distributed Bloom-filter build over `xxhash64`-hashed items (Spark's own
+    * runtime-filter aggregate, `BloomFilterAggregate`): returns the filter as one
+    * `binary` value. Bit count is sized from `expectedItems` and the target
+    * false-positive probability (`m = -n·ln(p)/ln(2)²`).
+    *
+    * `items` must be LongType — hash the actual key with
+    * `org.apache.spark.sql.functions.xxhash64` (the probe side must use the same hash).
+    */
+  def bloom_filter_agg(items: Column, expectedItems: Long, fpp: Double): Column = {
+    require(expectedItems > 0, s"expectedItems must be positive, got $expectedItems")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val ln2 = math.log(2)
+    val numBits = math.max(64L, math.ceil(-expectedItems * math.log(fpp) / (ln2 * ln2)).toLong)
+    Bridge.aggColumn(new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+      Bridge.expression(items),
+      org.apache.spark.sql.catalyst.expressions.Literal(expectedItems),
+      org.apache.spark.sql.catalyst.expressions.Literal(numBits)))
+  }
+
+  /** Codegen'd Bloom-filter membership probe (Spark's `BloomFilterMightContain`).
+    * `bloom` must be a constant (a `lit` of the bytes from [[bloom_filter_agg]]);
+    * `value` is the `xxhash64` of the probed key. False positives at the build fpp,
+    * never false negatives — follow with an exact verification join when exactness
+    * matters.
+    */
+  def bloom_might_contain(bloom: Column, value: Column): Column =
+    Bridge.column(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      Bridge.expression(bloom), Bridge.expression(value)))
 }

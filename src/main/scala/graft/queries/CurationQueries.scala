@@ -95,6 +95,16 @@ object CurationQueries {
         .filter(col("contamination") >= ContamThreshold)
         .orderBy("doc_id")
     },
+    "curation_decontaminate" -> { (s, dir) =>
+      // exact decontamination via Bloom prefilter + verification semi-join: every
+      // planted copy of a benchmark doc must vanish from the cleaned corpus (the
+      // Bloom filter only prunes — false positives die in the verify join)
+      val corpus = TextQueries.plantedCorpus(s, dir).filter(col("doc_id") % 13 =!= 0)
+      val bench = docs(s, dir).filter(col("doc_id") % 13 === 0)
+      Curation.bloomDecontaminate(corpus, bench, "doc_id", "text", 3)
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    },
     "curation_chunk" -> { (s, dir) =>
       // RAG-style passage chunking: 32-token windows every 24 tokens (25% overlap),
       // final partial window kept
@@ -248,6 +258,16 @@ object CurationQueries {
          |FROM per p JOIN ov ON p.doc_id = ov.doc_id
          |WHERE ROUND(ov.n_overlap::DOUBLE / p.n_shingles, 6) >= $ContamThreshold
          |ORDER BY p.doc_id""".stripMargin,
+    "curation_decontaminate" ->
+      s"""WITH ${TextQueries.corpusCte},
+         |bsh AS (SELECT DISTINCT unnest(list_distinct(${shinglesSql("text")})) AS shingle
+         |        FROM documents WHERE doc_id % 13 = 0),
+         |cx AS (SELECT doc_id, unnest(list_distinct(${shinglesSql("text")})) AS shingle
+         |       FROM corpus WHERE doc_id % 13 <> 0),
+         |bad AS (SELECT DISTINCT doc_id FROM cx JOIN bsh USING (shingle))
+         |SELECT doc_id FROM corpus
+         |WHERE doc_id % 13 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+         |ORDER BY doc_id""".stripMargin,
     "curation_chunk" -> {
       val toks = toksSql("text")
       s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),

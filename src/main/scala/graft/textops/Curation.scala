@@ -235,6 +235,61 @@ object Curation {
         coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
   }
 
+  /** Doc ids whose shingle set intersects the benchmark's — exact, via a Bloom
+    * prefilter. The benchmark shingle set is built into a Bloom filter with ONE
+    * distributed aggregate (only the fixed-size filter bytes reach the driver — never
+    * the shingle set itself), the corpus shingle stream is cut down by a codegen'd
+    * `might_contain` scalar filter (no shuffle, no hash relation: the filter is
+    * `-n·ln(p)/ln(2)²` bits — ~1.2 GB for 10⁹ shingles at 1% fpp, vs 100s of GB for a
+    * broadcast hash set), and only the surviving ~fpp fraction pays the exact
+    * verification semi-join. False positives are removed by the verify step, so the
+    * result is exact; false negatives don't exist by Bloom construction.
+    *
+    * Scale contrast with [[contaminationStats]]: that broadcasts the benchmark
+    * shingle set as a hash relation (right for eval-set-sized benchmarks); this path
+    * is for decontaminating against *large* held-out corpora where a hash relation
+    * would not fit but a bit array does.
+    *
+    * Lifecycle: persists the benchmark shingle scan while building; callers free it
+    * with `spark.sqlContext.clearCache()` after materializing results.
+    */
+  def bloomContaminatedIds(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      fpp: Double = 0.01): DataFrame = {
+    val benchShingles = benchmark
+      .select(explode(TextOps.distinctShingles(col(textCol), n)).as("shingle"))
+      .distinct()
+      .persist()
+    // sizing count + build agg both ride the persisted scan
+    val expected = math.max(1L, benchShingles.count())
+    val bloomBytes = benchShingles
+      .agg(graft.functions.bloom_filter_agg(xxhash64(col("shingle")), expected, fpp)
+        .as("bloom"))
+      .head().getAs[Array[Byte]](0)
+    val candidates = corpus
+      .select(col(idCol), explode(TextOps.distinctShingles(col(textCol), n)).as("shingle"))
+      .filter(graft.functions.bloom_might_contain(lit(bloomBytes), xxhash64(col("shingle"))))
+    candidates.join(broadcast(benchShingles), Seq("shingle"), "left_semi")
+      .select(col(idCol)).distinct()
+  }
+
+  /** Corpus minus benchmark-contaminated documents (exact; see
+    * [[bloomContaminatedIds]] for the Bloom-prefilter scale design).
+    */
+  def bloomDecontaminate(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      fpp: Double = 0.01): DataFrame =
+    corpus.join(bloomContaminatedIds(corpus, benchmark, idCol, textCol, n, fpp),
+      Seq(idCol), "left_anti")
+
   // ---- PII redaction -------------------------------------------------------
 
   /** Email address pattern — restricted to the lookahead-free subset so Java regex

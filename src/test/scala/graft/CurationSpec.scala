@@ -112,6 +112,41 @@ class CurationSpec extends SparkSpec {
     assert(out(2) === ((3L, 2L, 0L)))
   }
 
+  test("bloom decontamination is exact even at an absurd false-positive rate") {
+    val bench = Seq((10L, "alpha beta gamma delta")).toDF("id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"),        // overlaps: removed
+      (2L, "alpha beta gamma other words"),  // overlaps: removed
+      (3L, "totally different tokens here"), // clean: kept
+      (4L, "no"))                            // < 3 tokens, no shingles: kept
+      .toDF("id", "text")
+    // fpp 0.5 floods the probe with false positives; the verify join must still
+    // produce the exact answer
+    for (fpp <- Seq(0.5, 0.01)) {
+      val kept = Curation.bloomDecontaminate(corpus, bench, "id", "text", 3, fpp)
+        .select("id").as[Long].collect().sorted
+      assert(kept === Array(3L, 4L), s"fpp=$fpp")
+      spark.sqlContext.clearCache()
+    }
+  }
+
+  test("bloom probe is a scalar filter before the verify join (no corpus-wide shuffle)") {
+    val d = docs.select(col("doc_id"), col("text"))
+    val ids = Curation.bloomContaminatedIds(d, d.filter(col("doc_id") % 13 === 0),
+      "doc_id", "text", 3)
+    val plan = ids.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"bloom prefilter missing from plan:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in plan:\n${plan.take(2000)}")
+    // exactness vs the hash-relation path on real data
+    val viaStats = Curation.contaminationStats(d, d.filter(col("doc_id") % 13 === 0),
+        "doc_id", "text", 3)
+      .filter(col("n_overlap") > 0).select("doc_id").as[Long].collect().sorted
+    assert(ids.select("doc_id").as[Long].collect().sorted === viaStats)
+    spark.sqlContext.clearCache()
+  }
+
   test("boilerplate and contamination joins broadcast the small set (no all-pairs join)") {
     val d = docs.select(col("doc_id"), col("text"))
     Seq(
