@@ -1,0 +1,44 @@
+package graft.metrics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Column profiling — the native replacement for the reference's `profile_columns`
+  * dashboard passthrough (reference: autolinker.py:1097-1148 delegates to Splink's
+  * HTML profiler; we expose the underlying statistics as a DataFrame instead).
+  *
+  * One pass over the data: unpivot to `(col_name, value)` rows (scan stays single;
+  * the C× row blow-up is collapsed by map-side combine before the only data-sized
+  * shuffle), then a per-column rollup over the bounded distinct-value table. Top
+  * value ties break (count desc, value desc) via one `max(struct(n, value))` — no
+  * window over the raw data.
+  */
+object Profile {
+
+  /** Per-column stats: row/non-null/distinct counts, the modal value with its count,
+    * and Shannon entropy (natural log) of the non-null value distribution.
+    *
+    * Values are compared as strings (the engine's canonical attribute type —
+    * reference semantics, SURVEY §1).
+    */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profileColumns needs at least one column")
+    val stackArgs = cols
+      .map(c => s"'${c.replace("'", "''")}', cast(`$c` as string)")
+      .mkString(", ")
+    val stacked = df.selectExpr(s"stack(${cols.length}, $stackArgs) as (col_name, value)")
+    val counts = stacked.groupBy("col_name", "value").agg(count(lit(1)).as("n"))
+    val nonNull = col("value").isNotNull
+    counts.groupBy("col_name").agg(
+        sum("n").as("n_rows"),
+        coalesce(sum(when(nonNull, col("n"))), lit(0L)).as("n_nonnull"),
+        count(when(nonNull, lit(1))).as("n_distinct"),
+        max(when(nonNull, struct(col("n"), col("value")))).as("top"),
+        sum(when(nonNull, col("n") * log(col("n")))).as("sum_n_ln_n"))
+      .select(col("col_name"), col("n_rows"), col("n_nonnull"), col("n_distinct"),
+        col("top.value").as("top_value"), col("top.n").as("top_count"),
+        when(col("n_nonnull") > 0,
+          log(col("n_nonnull")) - col("sum_n_ln_n") / col("n_nonnull"))
+          .as("entropy"))
+  }
+}

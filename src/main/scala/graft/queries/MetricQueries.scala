@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.clean.Cleaning
-import graft.metrics.{ClusteringMetrics, EntropyMetrics, PairwiseMetrics}
+import graft.metrics.{ClusteringMetrics, EntropyMetrics, PairwiseMetrics, Profile}
 import graft.model.ComparisonSpec
 import graft.schemamatch.SchemaMatch
 import graft.score.FellegiSunter
@@ -78,6 +78,17 @@ object MetricQueries {
       SchemaMatch.pairingCounts(left, right,
           Seq("c_mktsegment", "c_nationkey"), Seq("segment2", "nation2"))
         .orderBy("left_col", "right_col")
+    },
+    "y20_profile_columns" -> { (s, dir) =>
+      // native profile_columns: per-column counts, modal value, entropy — includes a
+      // null-bearing column to exercise the non-null accounting
+      val df = cust(s, dir).select(
+        col("c_mktsegment"), col("c_nationkey"),
+        nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_null"))
+      Profile.profileColumns(df, Seq("c_mktsegment", "c_nationkey", "seg_null"))
+        .select(col("col_name"), col("n_rows"), col("n_nonnull"), col("n_distinct"),
+          col("top_value"), col("top_count"), round(col("entropy"), 6).as("entropy"))
+        .orderBy("col_name")
     },
     "y17_confusion_metrics" -> { (s, dir) =>
       val df = custTruth(s, dir)
@@ -310,6 +321,33 @@ object MetricQueries {
         |  (SELECT COUNT(DISTINCT c_mktsegment) FROM customer),
         |  (SELECT COUNT(DISTINCT c_nationkey) FROM customer)) AS u""".stripMargin,
     "y10_schema_match" -> y10Sql,
+    "y20_profile_columns" ->
+      """WITH long AS (
+        |  SELECT 'c_mktsegment' AS col_name, c_mktsegment::VARCHAR AS value FROM customer
+        |  UNION ALL
+        |  SELECT 'c_nationkey', c_nationkey::VARCHAR FROM customer
+        |  UNION ALL
+        |  SELECT 'seg_null', NULLIF(c_mktsegment, 'BUILDING') FROM customer
+        |),
+        |c AS (SELECT col_name, value, COUNT(*) AS n FROM long GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT col_name,
+        |    CAST(SUM(n) AS BIGINT) AS n_rows,
+        |    CAST(COALESCE(SUM(CASE WHEN value IS NOT NULL THEN n END), 0) AS BIGINT)
+        |      AS n_nonnull,
+        |    CAST(COUNT(CASE WHEN value IS NOT NULL THEN 1 END) AS BIGINT) AS n_distinct,
+        |    ROUND(LN(SUM(CASE WHEN value IS NOT NULL THEN n END))
+        |      - SUM(CASE WHEN value IS NOT NULL THEN n * LN(n) END)
+        |        / SUM(CASE WHEN value IS NOT NULL THEN n END), 6) AS entropy
+        |  FROM c GROUP BY col_name),
+        |top AS (
+        |  SELECT col_name, value AS top_value, CAST(n AS BIGINT) AS top_count,
+        |    ROW_NUMBER() OVER (PARTITION BY col_name ORDER BY n DESC, value DESC) AS rn
+        |  FROM c WHERE value IS NOT NULL)
+        |SELECT a.col_name, a.n_rows, a.n_nonnull, a.n_distinct,
+        |  t.top_value, t.top_count, a.entropy
+        |FROM agg a JOIN top t ON a.col_name = t.col_name AND t.rn = 1
+        |ORDER BY a.col_name""".stripMargin,
     "y17_confusion_metrics" -> y17Sql,
     "y18_clustering_metrics" -> y18Sql,
     "j4_u_estimation" -> j4Sql)

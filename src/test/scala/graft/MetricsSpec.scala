@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.auto.AutoLinker
 import graft.clean.Cleaning
-import graft.metrics.{ClusteringMetrics, EntropyMetrics, PairwiseMetrics}
+import graft.metrics.{ClusteringMetrics, EntropyMetrics, PairwiseMetrics, Profile}
 import graft.schemamatch.SchemaMatch
 
 class MetricsSpec extends SparkSpec {
@@ -14,6 +14,27 @@ class MetricsSpec extends SparkSpec {
     val df = Seq("Ab-C d#9!").toDF("x")
     val out = Cleaning.cleanColumns(df, Seq("x")).as[String].collect()(0)
     assert(out === "abc d9")
+  }
+
+  test("profileColumns: hand-computed counts, modal value, and entropy") {
+    val df = Seq(
+      ("a", Some(1)), ("a", Some(1)), ("b", Some(2)), ("b", None), ("c", Some(2)))
+      .toDF("s", "i")
+    val out = Profile.profileColumns(df, Seq("s", "i"))
+      .orderBy("col_name")
+      .as[(String, Long, Long, Long, String, Long, Double)].collect()
+    // i: values 1,1,2,2,null → 5 rows, 4 nonnull, 2 distinct, top (2,"2") ties
+    // (n desc, value desc) → "2"; entropy of {2,2}/4 = ln 2
+    assert(out(0)._1 === "i")
+    assert((out(0)._2, out(0)._3, out(0)._4) === ((5L, 4L, 2L)))
+    assert((out(0)._5, out(0)._6) === (("2", 2L)))
+    assert(math.abs(out(0)._7 - math.log(2)) < 1e-9)
+    // s: a,a,b,b,c → top tie between a and b at n=2 → value desc picks "b";
+    // entropy = ln 5 - (2 ln 2 + 2 ln 2 + 0)/5
+    assert(out(1)._1 === "s")
+    assert((out(1)._2, out(1)._3, out(1)._4) === ((5L, 5L, 3L)))
+    assert((out(1)._5, out(1)._6) === (("b", 2L)))
+    assert(math.abs(out(1)._7 - (math.log(5) - 4 * math.log(2) / 5)) < 1e-9)
   }
 
   test("perfect clustering scores 1.0 on ARI/NMI/homogeneity/completeness") {
