@@ -173,6 +173,21 @@ object TextQueries {
         .select(col("id_l"), col("id_r"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_l", "id_r")
     },
+    "dedup_minhash_incremental" -> { (s, dir) =>
+      // daily-ingest shape: originals are the corpus, planted copies/near-copies are
+      // the incoming batch; the corpus side never self-joins (candidate work scales
+      // with the batch). Same verified pairs as the full run restricted to
+      // batch-touching pairs — the oracle states exactly that.
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val incoming = d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+        .unionByName(d.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            concat(col("text"), lit(" xtradup token")).as("text")))
+      Dedup.incrementalMinhashPairs(d, incoming, "doc_id", "text", 0.5)
+        .select(col("id_l"), col("id_r"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_l", "id_r")
+    },
     "dedup_apply" -> { (s, dir) =>
       // end-to-end: minhash pairs → transitive components → keeper per doc, checked
       // in full against a recursive-CTE closure oracle (cluster ids are string minima)
@@ -497,6 +512,10 @@ object TextQueries {
     "dedup_ngram_jaccard" ->
       jaccardPairSql(s"list_distinct(${shinglesSql("text")})", 0.5, corpusCte),
     "dedup_minhash_lsh" -> minhashSql,
+    "dedup_minhash_incremental" ->
+      s"""WITH $minhashPairsCtes
+         |SELECT id_l, id_r, ROUND(jac, 6) AS jaccard
+         |FROM mh_pairs WHERE id_r >= 100000 ORDER BY id_l, id_r""".stripMargin,
     "dedup_apply" -> dedupApplySql,
     "dedup_simhash" -> simhashSql,
     "dedup_embedding_cosine" ->

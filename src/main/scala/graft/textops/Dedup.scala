@@ -169,22 +169,80 @@ object Dedup {
       bandSize: Int = 2,
       shingleN: Int = 3): DataFrame = {
     require(threshold > 0, "minhashLshPairs requires a positive threshold")
-    val sigs = minhashSignatures(df, idCol, textCol, k, shingleN)
-    val nBands = k / bandSize
-    val bands = sigs.select(col("id"),
-      explode(array((0 until nBands).map { b =>
-        struct(lit(b).as("band"),
-          concat((0 until bandSize).map(i => col(s"mh${b * bandSize + i}")): _*).as("key"))
-      }: _*)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val bands = minhashBands(minhashSignatures(df, idCol, textCol, k, shingleN), k, bandSize)
     val candidates = bands.alias("l")
       .join(bands.alias("r"),
         col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
           col("l.id") < col("r.id"))
       .select(col("l.id").as("id_l"), col("r.id").as("id_r"))
       .distinct()
-    val sets = df.select(col(idCol).as("id"),
-        TextOps.distinctShingles(col(textCol), shingleN).as("toks"))
+    verifyShingleJaccard(candidates,
+      df.select(col(idCol).as("id"), col(textCol).as("text")), threshold, shingleN)
+  }
+
+  /** Near-dup pairs of an incoming batch against an already-ingested corpus, plus
+    * within-batch pairs — the daily-ingest shape: the corpus NEVER self-joins, so the
+    * candidate work scales with (batch bands × collisions), not corpus². Corpus
+    * signatures are recomputed here from the stateless expression; a production
+    * pipeline stores them once (they are plain columns) and reuses the stored side.
+    *
+    * Output: `(id_l, id_r, jaccard)`; cross pairs are oriented (corpus id, batch id),
+    * within-batch pairs (smaller id, larger id). Ids must be disjoint across the two
+    * inputs.
+    */
+  def incrementalMinhashPairs(
+      corpus: DataFrame,
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      k: Int = 8,
+      bandSize: Int = 2,
+      shingleN: Int = 3): DataFrame = {
+    require(threshold > 0, "incrementalMinhashPairs requires a positive threshold")
+    val corpusBands =
+      minhashBands(minhashSignatures(corpus, idCol, textCol, k, shingleN), k, bandSize)
+    // persisted: probes the corpus join AND self-joins for within-batch pairs
+    // (caller frees with clearCache after materializing, as with the other LSH ops)
+    val newBands =
+      minhashBands(minhashSignatures(incoming, idCol, textCol, k, shingleN), k, bandSize)
+        .persist()
+    val cross = corpusBands.alias("l")
+      .join(newBands.alias("r"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key"))
+      .select(col("l.id").as("id_l"), col("r.id").as("id_r"))
+    val within = newBands.alias("l")
+      .join(newBands.alias("r"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_l"), col("r.id").as("id_r"))
+    val candidates = cross.unionByName(within).distinct()
+    val texts = corpus.select(col(idCol).as("id"), col(textCol).as("text"))
+      .unionByName(incoming.select(col(idCol).as("id"), col(textCol).as("text")))
+    verifyShingleJaccard(candidates, texts, threshold, shingleN)
+  }
+
+  /** k/bandSize LSH bands per signature row; band key = concat of its minhash rows. */
+  private def minhashBands(sigs: DataFrame, k: Int, bandSize: Int): DataFrame = {
+    val nBands = k / bandSize
+    sigs.select(col("id"),
+      explode(array((0 until nBands).map { b =>
+        struct(lit(b).as("band"),
+          concat((0 until bandSize).map(i => col(s"mh${b * bandSize + i}")): _*).as("key"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** Exact shingle-Jaccard verification of candidate `(id_l, id_r)` pairs against
+    * `texts(id, text)`, filtered at `threshold`.
+    */
+  private def verifyShingleJaccard(
+      candidates: DataFrame,
+      texts: DataFrame,
+      threshold: Double,
+      shingleN: Int): DataFrame = {
+    val sets = texts.select(col("id"),
+        TextOps.distinctShingles(col("text"), shingleN).as("toks"))
       .withColumn("sz", size(col("toks")))
     candidates
       .join(sets.select(col("id").as("id_l"), col("toks").as("toks_l"),

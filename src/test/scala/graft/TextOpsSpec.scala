@@ -40,6 +40,21 @@ class TextOpsSpec extends SparkSpec {
     assert(pairs.forall(_._3 >= 0.5))
   }
 
+  test("incremental minhash pairs equal the full run restricted to batch-touching pairs") {
+    val d = docs.select(col("doc_id"), col("text"))
+    val incoming = d.filter(col("doc_id") < 8)
+      .select((col("doc_id") + 1000).as("doc_id"),
+        concat(col("text"), lit(" tail")).as("text"))
+    val incremental = Dedup.incrementalMinhashPairs(d, incoming, "doc_id", "text", 0.5)
+      .as[(Long, Long, Double)].collect().sorted
+    val full = Dedup.minhashLshPairs(d.unionByName(incoming), "doc_id", "text", 0.5)
+      .as[(Long, Long, Double)].collect()
+      .filter { case (l, r, _) => l >= 1000 || r >= 1000 }.sorted
+    assert(incremental === full)
+    assert(incremental.nonEmpty) // planted near-dups must actually surface
+    spark.sqlContext.clearCache()
+  }
+
   test("deduplicate collapses transitive near-dup chains to one keeper") {
     val d = docs.select(col("doc_id"), col("text")).limit(30)
     // chain: x ≈ x+1000 (exact copy) and x+1000 ≈ x+2000 (near copy)
