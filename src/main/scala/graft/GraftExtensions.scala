@@ -84,6 +84,11 @@ object GraftExtensions {
     fn("jaro_winkler", "jaro_winkler(l, r) - Jaro-Winkler similarity in [0,1].") { a =>
       arity("jaro_winkler", a, 2 to 2); JaroWinkler(a(0), a(1))
     },
+    fn("bounded_levenshtein",
+      "bounded_levenshtein(l, r, t) - Levenshtein distance if <= t, else -1.") { a =>
+      arity("bounded_levenshtein", a, 3 to 3)
+      BoundedLevenshtein(a(0), a(1), litInt(a(2), "t"))
+    },
     fn("char_set_jaccard", "char_set_jaccard(l, r) - character-set Jaccard.") { a =>
       arity("char_set_jaccard", a, 2 to 2); CharSetJaccard(a(0), a(1))
     },

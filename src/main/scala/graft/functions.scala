@@ -64,6 +64,13 @@ object functions {
   def jaro_winkler(left: Column, right: Column): Column =
     Bridge.column(JaroWinkler(Bridge.expression(left), Bridge.expression(right)))
 
+  /** J2 — banded Levenshtein: exact distance when ≤ threshold, −1 otherwise
+    * (codegen-enabled; O(t·len) per pair — the gamma-ladder hot path).
+    */
+  def bounded_levenshtein(left: Column, right: Column, threshold: Int): Column =
+    Bridge.column(BoundedLevenshtein(
+      Bridge.expression(left), Bridge.expression(right), threshold))
+
   /** J2 — character-set Jaccard similarity (codegen-enabled; DuckDB `jaccard()` semantics). */
   def char_set_jaccard(left: Column, right: Column): Column =
     Bridge.column(CharSetJaccard(Bridge.expression(left), Bridge.expression(right)))

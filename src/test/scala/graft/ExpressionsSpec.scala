@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
-import graft.expressions.{EntropyAgg, EstimateSquaredCountOR, JaroWinkler, TokenSetJaccard, ToSplinkRule}
+import graft.expressions.{BoundedLevenshtein, EntropyAgg, EstimateSquaredCountOR, JaroWinkler, TokenSetJaccard, ToSplinkRule}
 import graft.functions._
 
 class ExpressionsSpec extends SparkSpec {
@@ -145,6 +145,39 @@ class ExpressionsSpec extends SparkSpec {
       assert(math.abs(s - JaroWinkler.similarity(b, a)) < 1e-15)
       if (a == b && a.nonEmpty) assert(s === 1.0)
     }
+  }
+
+  test("bounded levenshtein equals the full distance capped at t (property)") {
+    def full(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(7)
+    def randStr(): String =
+      (1 to rnd.nextInt(15)).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    (1 to 2000).foreach { _ =>
+      val a = randStr(); val b = randStr(); val t = rnd.nextInt(6)
+      val exp = { val d = full(a, b); if (d <= t) d else -1 }
+      assert(BoundedLevenshtein.within(a, b, t) === exp, s"($a,$b,t=$t)")
+    }
+    assert(BoundedLevenshtein.within("", "", 0) === 0)
+    assert(BoundedLevenshtein.within("abc", "", 3) === 3)
+    assert(BoundedLevenshtein.within("abc", "", 2) === -1)
+  }
+
+  test("bounded levenshtein agrees with Spark's built-in on pair columns") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+      .select(col("c_name").as("l"),
+        concat(substring(col("c_name"), 1, 15), lit("xyz")).as("r"))
+    val mismatches = df.filter(
+      (graft.functions.bounded_levenshtein(col("l"), col("r"), 3) >= 0) =!=
+        (levenshtein(col("l"), col("r")) <= 3)).count()
+    assert(mismatches === 0)
   }
 
   test("token jaccard") {
