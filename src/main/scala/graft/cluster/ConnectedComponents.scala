@@ -14,20 +14,34 @@ import org.apache.spark.sql.functions._
   * Scale design: both steps are aggregate+join (no per-node adjacency lists collected),
   * so a skewed giant component never materializes one huge row; `localCheckpoint` per
   * iteration cuts lineage growth; convergence is detected with an O(1)-row aggregate
-  * (count + order-independent hash sum) instead of a full `except`.
+  * (count + order-independent hash sum) instead of a full `except`. Small edge sets
+  * (bounded by `localThreshold`) short-circuit to a driver union-find — ~log(diameter)
+  * rounds of shuffles are pure overhead when the deduped graph fits in tens of MB.
   */
 object ConnectedComponents {
 
   /** @param edges two string columns `src`, `dst` (one row per predicted matching pair)
+    * @param localThreshold deduped edge sets at or below this size short-circuit to a
+    *        driver union-find (the count is already paid by the first checkpoint; the
+    *        collect is bounded by this parameter — ~50 MB at the default). Identical
+    *        output: component minimum ids either way. At cluster scale the loop runs
+    *        distributed; the fallback only removes ~log(diameter) rounds of tiny
+    *        shuffles when the graph is small anyway.
     * @return mapping `node` → `cluster_id` covering every node present in `edges`
     *         (callers left-join records and default missing nodes to their own id)
     */
-  def run(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+  def run(edges: DataFrame, maxIter: Int = 30, localThreshold: Long = 500000L): DataFrame = {
     val tracker = new graft.util.CheckpointTracker(edges.sparkSession)
     var e = tracker.rotate(edges
       .select(col("src").cast("string"), col("dst").cast("string"))
       .filter(col("src") =!= col("dst"))
       .distinct())
+
+    if (e.count() <= localThreshold) {
+      val out = localRun(e)
+      tracker.close()
+      return out
+    }
 
     var converged = false
     var iter = 0
@@ -46,6 +60,45 @@ object ConnectedComponents {
     val asMember = e.select(col("src").as("node"), col("dst").as("cluster_id"))
     val asRoot = e.select(col("dst").as("node"), col("dst").as("cluster_id"))
     asMember.union(asRoot).groupBy("node").agg(min("cluster_id").as("cluster_id"))
+  }
+
+  /** Driver union-find (path compression + union by rank) over a bounded edge list;
+    * cluster id = lexicographic minimum node id of the component, exactly as the
+    * distributed fixpoint produces.
+    */
+  private def localRun(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val pairs = e.as[(String, String)].collect()
+    val index = scala.collection.mutable.HashMap.empty[String, Int]
+    val nodes = scala.collection.mutable.ArrayBuffer.empty[String]
+    def idOf(s: String): Int = index.getOrElseUpdate(s, { nodes += s; nodes.length - 1 })
+    pairs.foreach { case (a, b) => idOf(a); idOf(b) }
+    val parent = Array.tabulate(nodes.length)(identity)
+    val rank = new Array[Int](nodes.length)
+    def find(x: Int): Int = {
+      var root = x
+      while (parent(root) != root) root = parent(root)
+      var cur = x
+      while (parent(cur) != root) { val nxt = parent(cur); parent(cur) = root; cur = nxt }
+      root
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(idOf(a)), find(idOf(b)))
+      if (ra != rb) {
+        if (rank(ra) < rank(rb)) parent(ra) = rb
+        else if (rank(ra) > rank(rb)) parent(rb) = ra
+        else { parent(rb) = ra; rank(ra) += 1 }
+      }
+    }
+    val minOfRoot = scala.collection.mutable.HashMap.empty[Int, String]
+    nodes.indices.foreach { i =>
+      val r = find(i)
+      val s = nodes(i)
+      if (!minOfRoot.get(r).exists(_ <= s)) minOfRoot(r) = s
+    }
+    nodes.indices.map(i => (nodes(i), minOfRoot(find(i))))
+      .toDF("node", "cluster_id")
   }
 
   /** Attaches records: adds `cluster_id` (own uid for singletons) — the reference's

@@ -39,26 +39,18 @@ object Scratch {
     // warm-up
     df.groupBy("c_mktsegment").count().count()
 
-    val preds = FellegiSunter.predict(df, "uid", demoModel)
-    val pairs = graft.blocking.PairGenerator.dedupePairs(df, "uid",
-      Seq("c_name", "c_mktsegment", "c_nationkey"),
-      demoModel.blockingRules.map(graft.blocking.BlockingRule.parse))
-    time("pairs count only")(preds.select("uid_l").count())
-    time("sum(levenshtein)")(
-      pairs.agg(sum(levenshtein(col("c_name_l"), col("c_name_r")))).collect())
-    time("sum(jw)")(
-      pairs.agg(sum(graft.functions.jaro_winkler(
-        col("c_mktsegment_l"), col("c_mktsegment_r")))).collect())
-    time("sum(gamma_c_name)")(
-      pairs.agg(sum(graft.compare.Comparisons.gammaColumn(demoSpecs(0)))).collect())
-    time("sum(gamma_mkt)")(
-      pairs.agg(sum(graft.compare.Comparisons.gammaColumn(demoSpecs(1)))).collect())
-    time("scored agg (sum weight)")(
-      preds.agg(sum("match_weight")).collect())
-    time("filtered count p>0.05")(
-      preds.filter(col("match_probability") > 0.05).count())
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("c_nationkey", "c_mktsegment").orderBy("uid")
+    val edges = df
+      .withColumn("nxt", lead("uid", 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("uid").as("src"), col("nxt").as("dst"))
+    time("j7 cc full")(
+      graft.cluster.ConnectedComponents.assignClusters(df, "uid", edges)
+        .select(col("uid"), col("cluster_id")).count())
     time("y17 full")(
-      graft.metrics.PairwiseMetrics.confusionMetrics(df, preds, 0.05, "uid", "truth",
+      graft.metrics.PairwiseMetrics.confusionMetrics(df,
+        FellegiSunter.predict(df, "uid", demoModel), 0.05, "uid", "truth",
         assumeUniquePairs = true).count())
     spark.stop()
   }

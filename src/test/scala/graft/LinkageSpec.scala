@@ -64,10 +64,15 @@ class LinkageSpec extends SparkSpec {
       val expected = (0 until n).map(_.toString)
         .groupBy(find).values.map(_.toSet).filter(_.size > 1).toSet
 
-      val got = ConnectedComponents.run(edges.toDF("src", "dst"))
-        .as[(String, String)].collect()
-        .groupBy(_._2).values.map(g => (g.map(_._1) :+ g.head._2).toSet).toSet
-      assert(got === expected)
+      // both execution paths must agree with the oracle: the driver union-find
+      // fallback (default threshold) and the distributed star loop (threshold 0)
+      for (threshold <- Seq(500000L, 0L)) {
+        val got = ConnectedComponents.run(edges.toDF("src", "dst"),
+            localThreshold = threshold)
+          .as[(String, String)].collect()
+          .groupBy(_._2).values.map(g => (g.map(_._1) :+ g.head._2).toSet).toSet
+        assert(got === expected, s"localThreshold=$threshold")
+      }
     }
   }
 
