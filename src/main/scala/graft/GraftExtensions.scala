@@ -84,6 +84,15 @@ object GraftExtensions {
     fn("jaro_winkler", "jaro_winkler(l, r) - Jaro-Winkler similarity in [0,1].") { a =>
       arity("jaro_winkler", a, 2 to 2); JaroWinkler(a(0), a(1))
     },
+    fn("vocab_encode",
+      "vocab_encode(tokens, vocab_json, unk) - token ids from a bounded vocab; " +
+        "vocab_json is a {\"token\": id} object literal.") { a =>
+      arity("vocab_encode", a, 2 to 3)
+      val json = litString(a(1), "vocab_json")
+      val vocab = graft.model.Json.parse(json).asInstanceOf[Map[String, Any]]
+        .map { case (k, v) => k -> v.asInstanceOf[Double].toInt }
+      VocabEncode(a(0), vocab, if (a.length > 2) litInt(a(2), "unk") else 0)
+    },
     fn("bounded_levenshtein",
       "bounded_levenshtein(l, r, t) - Levenshtein distance if <= t, else -1.") { a =>
       arity("bounded_levenshtein", a, 3 to 3)

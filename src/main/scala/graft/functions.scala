@@ -131,6 +131,12 @@ object functions {
   def repetition_stats(s: Column): Column =
     Bridge.column(RepetitionStats(Bridge.expression(s)))
 
+  /** Vocabulary encoding: array<string> tokens → array<int> ids via a driver-bounded
+    * hash table riding the expression (no join, no shuffle); OOV → unkId.
+    */
+  def vocab_encode(tokens: Column, vocab: Map[String, Int], unkId: Int = 0): Column =
+    Bridge.column(VocabEncode(Bridge.expression(tokens), vocab, unkId))
+
   /** Distributed Bloom-filter build over `xxhash64`-hashed items (Spark's own
     * runtime-filter aggregate, `BloomFilterAggregate`): returns the filter as one
     * `binary` value. Bit count is sized from `expectedItems` and the target

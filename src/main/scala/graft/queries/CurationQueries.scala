@@ -117,6 +117,14 @@ object CurationQueries {
       Curation.buildVocab(docs(s, dir), col("text"), topK = 50)
         .orderBy("token_id")
     },
+    "curation_vocab_encode" -> { (s, dir) =>
+      // text → token ids through the top-50 vocabulary (OOV → 0), plus the OOV count
+      val vocab = Curation.buildVocab(docs(s, dir), col("text"), topK = 50)
+      Curation.encodeTokens(docs(s, dir), "doc_id", "text", vocab)
+        .select(col("doc_id"), col("token_ids"),
+          size(filter(col("token_ids"), _ === 0)).cast("long").as("n_oov"))
+        .orderBy("doc_id")
+    },
     "ep3_training_mix" -> { (s, dir) =>
       // the curation pipeline end-to-end: quality filter → decontaminate against the
       // benchmark (doc_id % 13) → exact-dedup to keepers → deterministic domain mix
@@ -281,6 +289,27 @@ object CurationQueries {
          |  array_to_string(toks[(chunk_index*24 + 1)::INT : (chunk_index*24 + 32)::INT], ' ')
          |    AS chunk
          |FROM c ORDER BY doc_id, chunk_index""".stripMargin
+    },
+    "curation_vocab_encode" -> {
+      val toks = toksSql("text")
+      s"""WITH tok AS (SELECT unnest($toks) AS token FROM documents),
+         |c AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token
+         |      ORDER BY n DESC, token LIMIT 50),
+         |v AS (SELECT token, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS INT)
+         |        AS token_id FROM c),
+         |t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |e AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, toks FROM t),
+         |x AS (SELECT doc_id, pos, toks[pos] AS token FROM e),
+         |j AS (SELECT x.doc_id, x.pos, COALESCE(v.token_id, 0) AS id
+         |      FROM x LEFT JOIN v USING (token)),
+         |enc AS (SELECT doc_id, array_agg(id ORDER BY pos) AS token_ids,
+         |          CAST(SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+         |        FROM j GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  COALESCE(enc.token_ids, CAST([] AS INT[])) AS token_ids,
+         |  COALESCE(enc.n_oov, 0) AS n_oov
+         |FROM documents d LEFT JOIN enc ON d.doc_id = enc.doc_id
+         |ORDER BY d.doc_id""".stripMargin
     },
     "curation_vocab" ->
       s"""WITH tok AS (SELECT unnest(${toksSql("text")}) AS token FROM documents),

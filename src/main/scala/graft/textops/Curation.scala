@@ -202,6 +202,24 @@ object Curation {
       row_number().over(Window.orderBy(desc("n"), asc("token"))))
   }
 
+  /** Encode each document's tokens as vocabulary ids (OOV → `unkId`). The vocabulary
+    * (e.g. from [[buildVocab]]) is bounded by construction, so it collects to a
+    * driver map and rides the [[graft.expressions.VocabEncode]] expression — one
+    * codegen'd hash probe per token, no join against the corpus.
+    */
+  def encodeTokens(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocab: DataFrame,
+      unkId: Int = 0): DataFrame = {
+    val m = vocab.select(col("token"), col("token_id")).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    df.select(col(idCol),
+      graft.functions.vocab_encode(TextOps.tokens(col(textCol)), m, unkId)
+        .as("token_ids"))
+  }
+
   // ---- benchmark contamination ---------------------------------------------
 
   /** Benchmark-contamination stats: for each corpus document, the number and fraction

@@ -39,19 +39,19 @@ object Scratch {
     // warm-up
     df.groupBy("c_mktsegment").count().count()
 
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("c_nationkey", "c_mktsegment").orderBy("uid")
-    val edges = df
-      .withColumn("nxt", lead("uid", 1).over(w))
-      .filter(col("nxt").isNotNull)
-      .select(col("uid").as("src"), col("nxt").as("dst"))
-    time("j7 cc full")(
-      graft.cluster.ConnectedComponents.assignClusters(df, "uid", edges)
-        .select(col("uid"), col("cluster_id")).count())
-    time("y17 full")(
-      graft.metrics.PairwiseMetrics.confusionMetrics(df,
-        FellegiSunter.predict(df, "uid", demoModel), 0.05, "uid", "truth",
-        assumeUniquePairs = true).count())
+    val al = spark.read.parquet(s"$dir/customer.parquet")
+      .orderBy("c_custkey").limit(1000)
+      .select(col("c_custkey").cast("string").as("unique_id"),
+        col("c_name"), col("c_mktsegment"),
+        (col("c_custkey") % 20).cast("string").as("k"))
+    time("autoLink 2 trials")(
+      graft.auto.AutoLinker.autoLink(al,
+        attributeColumns = Some(Seq("c_name", "c_mktsegment", "k")),
+        maxEvals = 2, comparisonSizeLimit = 500000L).trials.size)
+    time("autoLink 0 trials-ish (1 eval)")(
+      graft.auto.AutoLinker.autoLink(al,
+        attributeColumns = Some(Seq("c_name", "c_mktsegment", "k")),
+        maxEvals = 1, comparisonSizeLimit = 500000L).trials.size)
     spark.stop()
   }
 }

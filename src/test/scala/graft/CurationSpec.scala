@@ -112,6 +112,15 @@ class CurationSpec extends SparkSpec {
     assert(out(2) === ((3L, 2L, 0L)))
   }
 
+  test("encodeTokens maps tokens through the vocab with OOV fallback") {
+    val d = Seq((1L, "a b a zz"), (2L, " ")).toDF("id", "text")
+    val vocab = Seq(("a", 1), ("b", 2)).toDF("token", "token_id")
+    val out = Curation.encodeTokens(d, "id", "text", vocab)
+      .orderBy("id").as[(Long, Seq[Int])].collect()
+    assert(out(0) === ((1L, Seq(1, 2, 1, 0))))
+    assert(out(1)._2.isEmpty)
+  }
+
   test("bloom decontamination is exact even at an absurd false-positive rate") {
     val bench = Seq((10L, "alpha beta gamma delta")).toDF("id", "text")
     val corpus = Seq(
