@@ -209,6 +209,13 @@ object TextQueries {
         .select(col("id_l"), col("id_r"), round(col("cosine"), 6).as("cosine"))
         .orderBy("id_l", "id_r")
     },
+    "dedup_semantic" -> { (s, dir) =>
+      // SemDeDup: within-cluster exact-verified pairs (iterative Lloyd training —
+      // rows-only driver check; subset/recall vs brute force pinned in TextOpsSpec)
+      Dedup.semanticPairs(plantedEmb(s, dir), "vec_id", "embedding", 0.9, k = 16)
+        .select(col("id_l"), col("id_r"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("id_l", "id_r")
+    },
     "ann_cosine_topk" -> { (s, dir) =>
       val e = emb(s, dir)
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
