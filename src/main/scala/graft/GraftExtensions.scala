@@ -84,6 +84,10 @@ object GraftExtensions {
     fn("jaro_winkler", "jaro_winkler(l, r) - Jaro-Winkler similarity in [0,1].") { a =>
       arity("jaro_winkler", a, 2 to 2); JaroWinkler(a(0), a(1))
     },
+    fn("strip_accents",
+      "strip_accents(s) - drop diacritics (NFD decompose, remove combining marks).") { a =>
+      arity("strip_accents", a, 1 to 1); StripAccents(a(0))
+    },
     fn("vocab_encode",
       "vocab_encode(tokens, vocab_json, unk) - token ids from a bounded vocab; " +
         "vocab_json is a {\"token\": id} object literal.") { a =>

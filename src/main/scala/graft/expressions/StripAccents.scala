@@ -1,0 +1,45 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Accent/diacritic folding: NFD-decompose, drop combining marks (Unicode category
+  * Mn), recompose implicitly by leaving base characters in order — "Café" → "Cafe",
+  * "naïve" → "naive". Matches DuckDB's `strip_accents` (utf8proc does the same
+  * decompose-and-drop), which the correctness oracle uses.
+  *
+  * One codegen'd scan with an ASCII fast path: pure-ASCII strings (the overwhelming
+  * majority of a web corpus) return the input UTF8String untouched — no normalizer,
+  * no allocation.
+  */
+case class StripAccents(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(v: Any): Any =
+    StripAccents.fold(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.StripAccents.fold($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): StripAccents =
+    copy(child = newChild)
+}
+
+object StripAccents {
+  def fold(s: UTF8String): UTF8String = {
+    // ASCII fast path: bytes >= 0x80 are the only way accents can appear
+    if (s.isFullAscii) return s
+    val decomposed = java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(decomposed.length)
+    var i = 0
+    while (i < decomposed.length) {
+      val cp = decomposed.codePointAt(i)
+      if (Character.getType(cp) != Character.NON_SPACING_MARK) sb.appendCodePoint(cp)
+      i += Character.charCount(cp)
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}

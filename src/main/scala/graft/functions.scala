@@ -131,6 +131,12 @@ object functions {
   def repetition_stats(s: Column): Column =
     Bridge.column(RepetitionStats(Bridge.expression(s)))
 
+  /** Accent/diacritic folding (NFD-decompose, drop combining marks) with an ASCII
+    * fast path; matches DuckDB `strip_accents`.
+    */
+  def strip_accents(s: Column): Column =
+    Bridge.column(StripAccents(Bridge.expression(s)))
+
   /** Vocabulary encoding: array<string> tokens → array<int> ids via a driver-bounded
     * hash table riding the expression (no join, no shuffle); OOV → unkId.
     */

@@ -117,6 +117,14 @@ object CurationQueries {
       Curation.buildVocab(docs(s, dir), col("text"), topK = 50)
         .orderBy("token_id")
     },
+    "curation_fold_text" -> { (s, dir) =>
+      // accent+case folding; the appended literal plants non-ASCII content so the
+      // fold is actually exercised (the synthetic corpus is mostly ASCII)
+      docs(s, dir).select(col("doc_id"),
+          TextOps.foldText(concat(col("text"), lit(" Café NAÏVE Straße ÉLAN")))
+            .as("folded"))
+        .orderBy("doc_id")
+    },
     "curation_vocab_encode" -> { (s, dir) =>
       // text → token ids through the top-50 vocabulary (OOV → 0), plus the OOV count
       val vocab = Curation.buildVocab(docs(s, dir), col("text"), topK = 50)
@@ -290,6 +298,10 @@ object CurationQueries {
          |    AS chunk
          |FROM c ORDER BY doc_id, chunk_index""".stripMargin
     },
+    "curation_fold_text" ->
+      """SELECT doc_id,
+        |  lower(strip_accents(text || ' Café NAÏVE Straße ÉLAN')) AS folded
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "curation_vocab_encode" -> {
       val toks = toksSql("text")
       s"""WITH tok AS (SELECT unnest($toks) AS token FROM documents),

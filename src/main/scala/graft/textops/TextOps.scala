@@ -54,6 +54,12 @@ object TextOps {
   def fingerprint(c: Column): Column =
     md5(array_join(array_sort(distinctTokens(c)), " "))
 
+  /** Case + accent folding for match-insensitive dedup/comparison keys:
+    * `lower(strip_accents(text))` in one codegen'd scan (ASCII fast path inside).
+    */
+  def foldText(c: Column): Column =
+    lower(graft.functions.strip_accents(c))
+
   /** Ratio of non-alphanumeric, non-space characters. */
   def punctRatio(c: Column): Column =
     when(length(c) === 0, lit(0.0))

@@ -112,6 +112,15 @@ class CurationSpec extends SparkSpec {
     assert(out(2) === ((3L, 2L, 0L)))
   }
 
+  test("foldText strips accents and lowercases; pure ASCII passes through") {
+    import graft.textops.TextOps
+    val d = Seq("Café NAÏVE Straße ÉLAN", "plain ASCII 123", "étude").toDF("t")
+    val out = d.select(TextOps.foldText(col("t"))).as[String].collect()
+    assert(out(0) === "cafe naive straße elan")
+    assert(out(1) === "plain ascii 123")
+    assert(out(2) === "etude") // decomposed input folds identically
+  }
+
   test("encodeTokens maps tokens through the vocab with OOV fallback") {
     val d = Seq((1L, "a b a zz"), (2L, " ")).toDF("id", "text")
     val vocab = Seq(("a", 1), ("b", 2)).toDF("token", "token_id")
