@@ -301,6 +301,21 @@ object TextQueries {
       StreamOps.streamingQualityFilter(s, s"$dir/documents.parquet")
         .orderBy("pred_lang")
     },
+    "ev_asof_join" -> { (s, dir) =>
+      // point-in-time join: each view event gets the user's latest purchase at or
+      // before it (leakage-safe) — one union + window pass, never a range join
+      val ev = events(s, dir)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("purchase_id"), col("value"))
+      graft.events.AsofJoin.leftAsof(views, purchases, "user_id", "ts",
+          Seq("purchase_id", "value"), rightTie = "purchase_id")
+        .select(col("event_id"), col("user_id"), col("purchase_id_asof"),
+          round(col("value_asof"), 6).as("value_asof"))
+        .orderBy("event_id")
+    },
     "ev_sessionize" -> { (s, dir) =>
       // event-log sessionization (30-minute gap): per user, session and event counts
       // plus the largest session — one window pass, shuffled once on user_id
@@ -613,6 +628,16 @@ object TextQueries {
          |WHERE pred_lang <> 'und' AND n_tokens >= 5 AND quality >= 0.3
          |GROUP BY pred_lang ORDER BY pred_lang""".stripMargin
     },
+    "ev_asof_join" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+        |r AS (SELECT user_id, ts, event_id AS purchase_id, value FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT l.event_id, l.user_id,
+        |  (SELECT r.purchase_id FROM r WHERE r.user_id = l.user_id AND r.ts <= l.ts
+        |   ORDER BY r.ts DESC, r.purchase_id DESC LIMIT 1) AS purchase_id_asof,
+        |  ROUND((SELECT r.value FROM r WHERE r.user_id = l.user_id AND r.ts <= l.ts
+        |   ORDER BY r.ts DESC, r.purchase_id DESC LIMIT 1), 6) AS value_asof
+        |FROM l ORDER BY l.event_id""".stripMargin,
     "ev_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events

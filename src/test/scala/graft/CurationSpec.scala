@@ -197,6 +197,23 @@ class CurationSpec extends SparkSpec {
     assert(acc >= 0.95, s"accuracy $acc below 0.95")
   }
 
+  test("leftAsof attaches the latest at-or-before right row per key") {
+    import graft.events.AsofJoin
+    val l = Seq((1L, 10L, 100L), (2L, 10L, 205L), (3L, 20L, 50L))
+      .toDF("id", "k", "t")
+    val r = Seq(
+      (10L, 100L, 7L, 1.5), // equal ts: inclusive
+      (10L, 200L, 8L, 2.5), (10L, 200L, 9L, 3.5), // tie at ts 200: largest rid wins
+      (20L, 60L, 5L, 9.9)) // after left's t=50: no match
+      .toDF("k", "t", "rid", "v")
+    val out = AsofJoin.leftAsof(l, r, "k", "t", Seq("rid", "v"), rightTie = "rid")
+      .orderBy("id")
+      .as[(Long, Long, Long, Option[Long], Option[Double])].collect()
+    assert(out(0) === ((1L, 10L, 100L, Some(7L), Some(1.5))))
+    assert(out(1) === ((2L, 10L, 205L, Some(9L), Some(3.5))))
+    assert(out(2) === ((3L, 20L, 50L, None, None)))
+  }
+
   test("sessionize splits on gaps strictly greater than the threshold") {
     import org.apache.spark.sql.functions.timestamp_micros
     // user u: events at 0s, 10s, 1810s (gap 1800 = NOT new), 3611s (gap 1801 > 1800 = new)
