@@ -117,6 +117,16 @@ object CurationQueries {
       Curation.buildVocab(docs(s, dir), col("text"), topK = 50)
         .orderBy("token_id")
     },
+    "curation_shard_manifest" -> { (s, dir) =>
+      // sharded sink: deterministic md5 shards, partitioned write, manifest
+      // aggregated from the files READ BACK (proves the sink round-trip)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_shards/documents"
+      val back = Curation.writeShards(docs(s, dir), col("doc_id"), 8, path, "shard1")
+      back.groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextOps.tokenCount(col("text"))).as("n_tokens"))
+        .orderBy("shard")
+    },
     "curation_fold_text" -> { (s, dir) =>
       // accent+case folding; the appended literal plants non-ASCII content so the
       // fold is actually exercised (the synthetic corpus is mostly ASCII)
@@ -297,6 +307,16 @@ object CurationQueries {
          |  array_to_string(toks[(chunk_index*24 + 1)::INT : (chunk_index*24 + 32)::INT], ' ')
          |    AS chunk
          |FROM c ORDER BY doc_id, chunk_index""".stripMargin
+    },
+    "curation_shard_manifest" -> {
+      val toks = toksSql("text")
+      """WITH s AS (
+        |  SELECT CAST(('0x' || substr(md5('shard1:' || doc_id::VARCHAR), 1, 8))::BIGINT
+        |           % 8 AS INT) AS shard, text
+        |  FROM documents)
+        |SELECT shard, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(""".stripMargin + toks + """)) AS BIGINT) AS n_tokens
+        |FROM s GROUP BY shard ORDER BY shard""".stripMargin
     },
     "curation_fold_text" ->
       """SELECT doc_id,

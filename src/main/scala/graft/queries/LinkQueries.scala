@@ -113,7 +113,7 @@ object LinkQueries {
     * DuckDB rejects `1::BIGINT << 63` as overflow — it is OR'd in as the Long.MinValue
     * literal instead.
     */
-  private def simhash64Cte(source: String) = {
+  private[queries] def simhash64Cte(source: String) = {
     val nibs = (0 until 16).map(j =>
       s"strpos('0123456789abcdef', substr(h, ${j + 1}, 1)) - 1 AS n$j").mkString(", ")
     val sums = (0 until 64).map { p =>

@@ -295,6 +295,15 @@ object TextQueries {
         .groupBy("event_type").agg(count(lit(1)).as("n_unique"))
         .orderBy("event_type")
     },
+    "stream_simhash_dedup" -> { (s, dir) =>
+      // streaming NEAR-dup dedup: batch 2 plants exact copies (same token set ⇒ same
+      // simhash64) — the (lang, signature) state must drop them across batches
+      val d = docs(s, dir).select(col("doc_id"), col("text"), col("lang"))
+      val copies = d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"), col("lang"))
+      stagedStream(Seq(d, copies))(
+        src => StreamOps.streamingSimhashDedup(s, src)).orderBy("lang")
+    },
     "stream_quality_filter" -> { (s, dir) =>
       // the curation expressions on the streaming code path: stateless score+filter,
       // then a tiny keyed aggregate
@@ -638,6 +647,16 @@ object TextQueries {
         |  ROUND((SELECT r.value FROM r WHERE r.user_id = l.user_id AND r.ts <= l.ts
         |   ORDER BY r.ts DESC, r.purchase_id DESC LIMIT 1), 6) AS value_asof
         |FROM l ORDER BY l.event_id""".stripMargin,
+    "stream_simhash_dedup" ->
+      s"""WITH planted AS (
+         |  SELECT doc_id, text, lang FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000, text, lang FROM documents WHERE doc_id % 7 = 0
+         |),
+         |${LinkQueries.simhash64Cte("planted")},
+         |j AS (SELECT p.lang, s.simhash FROM planted p JOIN sig s ON p.doc_id = s.id)
+         |SELECT lang, CAST(COUNT(DISTINCT simhash) AS BIGINT) AS n_unique
+         |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
     "ev_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events

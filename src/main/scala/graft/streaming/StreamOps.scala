@@ -93,6 +93,29 @@ object StreamOps {
     driveToMemory(stream, "complete", "stream_dedup")
   }
 
+  /** Streaming near-dup dedup: the stateless [[graft.expressions.SimHash64]]
+    * expression runs unchanged on the stream, and `dropDuplicates(lang, signature)`
+    * drops any later-arriving document whose distinct-token set hashes identically
+    * (exact copies, token-reordered/duplicated variants) — ingest-time near-dup
+    * filtering with state of ONE 8-byte key per kept document, far lighter than
+    * holding text hashes. Token-less documents carry no signature and pass through
+    * the filter upstream of dedup. Emits per-lang unique counts.
+    */
+  def streamingSimhashDedup(spark: SparkSession, corpusDir: String): DataFrame = {
+    val schema = spark.read.parquet(corpusDir).schema
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1) // near-dups must be caught across batches
+      .parquet(corpusDir)
+      .withColumn("sig", graft.functions.simhash64(col("text")))
+      .filter(col("sig").isNotNull)
+      .dropDuplicates("lang", "sig")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_unique"))
+    // complete mode: tiny keyed aggregate (one row per lang), not raw state
+    driveToMemory(stream, "complete", "stream_simhash_dedup")
+  }
+
   /** Streaming corpus curation: the codegen'd quality/language expressions run
     * unchanged under Structured Streaming (stateless projection + filter, then a tiny
     * keyed aggregate) — the ingest-time filter shape for a training-data feed. Emits

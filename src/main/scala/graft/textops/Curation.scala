@@ -65,6 +65,36 @@ object Curation {
       when(hashDraw(key, salt) < lit(rateThreshold(trainFrac)), lit("train"))
         .otherwise(lit("val")))
 
+  /** Deterministic shard id in [0, numShards): first 8 md5 hex digits of
+    * `salt:key`, parsed as an unsigned 32-bit value, mod `numShards` — engine-portable
+    * (the DuckDB oracle reproduces it digit for digit) and stable across runs, so
+    * re-sharding a grown corpus only moves rows whose keys changed.
+    */
+  def shardId(key: Column, numShards: Int, salt: String): Column = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    (conv(hashDraw(key, salt), 16, 10).cast("long") % numShards).cast("int")
+  }
+
+  /** Sharded training-corpus sink: assign deterministic shards and write
+    * `partitionBy(shard)` parquet — the layout training jobs consume (one reader per
+    * shard, partition-pruned access to any shard subset). Returns the corpus read
+    * BACK from the written files, so callers aggregate manifests from what is
+    * actually on disk. The shuffle-free assignment is a pure column expression; the
+    * write itself fans rows to shard directories without a repartition (each task
+    * writes the shards it holds — at cluster scale add `.repartition(col("shard"))`
+    * upstream when one-file-per-shard output matters more than write parallelism).
+    */
+  def writeShards(
+      df: DataFrame,
+      key: Column,
+      numShards: Int,
+      path: String,
+      salt: String): DataFrame = {
+    val sharded = df.withColumn("shard", shardId(key, numShards, salt))
+    sharded.write.mode("overwrite").partitionBy("shard").parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
+
   // ---- token-budget sequence packing ---------------------------------------
 
   /** Concatenate-then-chunk sequence packing: within each shard, documents are laid

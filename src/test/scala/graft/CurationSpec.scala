@@ -197,6 +197,19 @@ class CurationSpec extends SparkSpec {
     assert(acc >= 0.95, s"accuracy $acc below 0.95")
   }
 
+  test("writeShards round-trips deterministically with shards in range") {
+    val d = docs.select(col("doc_id"), col("text")).limit(100)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_spec_shards"
+    val a = Curation.writeShards(d, col("doc_id"), 4, path, "s")
+      .select("doc_id", "shard").as[(Long, Int)].collect().toMap
+    val b = Curation.writeShards(d, col("doc_id"), 4, path, "s")
+      .select("doc_id", "shard").as[(Long, Int)].collect().toMap
+    assert(a.size === 100)
+    assert(a === b) // same keys → same shards, run to run
+    assert(a.values.forall(s => s >= 0 && s < 4))
+    assert(a.values.toSet.size > 1) // actually spreads
+  }
+
   test("leftAsof attaches the latest at-or-before right row per key") {
     import graft.events.AsofJoin
     val l = Seq((1L, 10L, 100L), (2L, 10L, 205L), (3L, 20L, 50L))

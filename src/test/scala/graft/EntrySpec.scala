@@ -16,7 +16,8 @@ class EntrySpec extends SparkSpec {
       "ep1_auto_link_two_tables", // link-mode search loop — pinned by MetricsSpec
       "ann_lsh_topk",         // approximate — recall pinned by TextOpsSpec
       "ann_ivf_topk",         // approximate — recall pinned by TextOpsSpec
-      "ml_quality_train")     // iterative GD — accuracy/loss pinned by CurationSpec
+      "ml_quality_train",     // iterative GD — accuracy/loss pinned by CurationSpec
+      "dedup_semantic")       // iterative Lloyd — subset/recall pinned by TextOpsSpec
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle or justification: $missing")
     val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
