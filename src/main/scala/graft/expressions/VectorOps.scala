@@ -198,6 +198,84 @@ object NearestCentroid {
   }
 }
 
+/** Indices of the `nprobe` max-dot-product centroids, best first (ties → lowest
+  * index) — the IVF probe-cell assignment as ONE codegen'd projection per query:
+  * no centroid cross-join, no per-query ranking window.
+  */
+case class TopCentroids(child: Expression, centroids: Array[Array[Double]], nprobe: Int)
+  extends UnaryExpression {
+  require(centroids.nonEmpty, "centroids must be non-empty")
+  require(centroids.forall(_.length == centroids(0).length),
+    "all centroids must have the same dimension")
+  require(nprobe > 0, s"nprobe must be positive, got $nprobe")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  private val dim = centroids(0).length
+
+  @transient private lazy val flat: Array[Double] = {
+    val out = new Array[Double](centroids.length * dim)
+    var c = 0
+    while (c < centroids.length) {
+      System.arraycopy(centroids(c), 0, out, c * dim, dim)
+      c += 1
+    }
+    out
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    TopCentroids.compute(v.asInstanceOf[ArrayData], flat, dim, centroids.length, nprobe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val flatRef = ctx.addReferenceObj("centroidsFlat", flat, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.expressions.TopCentroids.compute(
+         |  $c, $flatRef, $dim, ${centroids.length}, $nprobe);""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TopCentroids =
+    copy(child = newChild)
+}
+
+object TopCentroids {
+  def compute(v: ArrayData, flat: Array[Double], dim: Int, k: Int, nprobe: Int): ArrayData = {
+    if (v.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"top_centroids: vector has ${v.numElements()} elements, centroids have dim $dim")
+    val dots = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      var acc = 0.0
+      var i = 0
+      val off = c * dim
+      while (i < dim) {
+        acc += v.getDouble(i) * flat(off + i)
+        i += 1
+      }
+      dots(c) = acc
+      c += 1
+    }
+    // partial selection, best first; strict > keeps the lowest index on ties —
+    // identical order to (dot DESC, cell ASC)
+    val n = math.min(nprobe, k)
+    val chosen = new Array[Int](n)
+    val used = new Array[Boolean](k)
+    var s = 0
+    while (s < n) {
+      var best = -1
+      c = 0
+      while (c < k) {
+        if (!used(c) && (best < 0 || dots(c) > dots(best))) best = c
+        c += 1
+      }
+      used(best) = true
+      chosen(s) = best
+      s += 1
+    }
+    new GenericArrayData(chosen)
+  }
+}
+
 object HyperplaneSignatures {
   def compute(
       v: ArrayData,

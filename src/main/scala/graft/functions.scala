@@ -96,6 +96,12 @@ object functions {
   def nearest_centroid(vec: Column, centroids: Array[Array[Double]]): Column =
     Bridge.column(NearestCentroid(Bridge.expression(vec), centroids))
 
+  /** Indices of the nprobe max-dot-product centroids, best first (IVF probe cells)
+    * in one codegen'd projection — no centroid cross-join, no ranking window.
+    */
+  def top_centroids(vec: Column, centroids: Array[Array[Double]], nprobe: Int): Column =
+    Bridge.column(TopCentroids(Bridge.expression(vec), centroids, nprobe))
+
   /** Unit-normalized array<double> in one codegen'd pass (zero vectors unchanged). */
   def array_normalize(vec: Column): Column =
     Bridge.column(ArrayNormalize(Bridge.expression(vec)))

@@ -67,12 +67,6 @@ object Ivf {
     } finally v.unpersist()
   }
 
-  private def centroidDf(spark: org.apache.spark.sql.SparkSession,
-      centroids: Array[Array[Double]]): DataFrame = {
-    import spark.implicits._
-    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "cv")
-  }
-
   /** Nearest-centroid assignment: one codegen'd argmax projection over the literal
     * centroid matrix — the broadcast-join + per-id window form shuffled k×N rows to
     * pick each row's maximum.
@@ -117,24 +111,22 @@ object Ivf {
     rank(c, probes, k)
   }
 
-  /** Per-query probe cells: the `nprobe` centroids with the largest dot product. */
+  /** Per-query probe cells: the `nprobe` centroids with the largest dot product —
+    * one codegen'd `TopCentroids` projection + explode (formerly a centroid
+    * cross-join and a per-query ranking window; same (dot DESC, cell ASC) order).
+    */
   private def queryProbes(
       queries: DataFrame,
       idCol: String,
       vecCol: String,
       model: Model,
-      nprobe: Int): DataFrame = {
-    val cents = centroidDf(queries.sparkSession, model.centroids)
-    val qw = Window.partitionBy("query_id").orderBy(desc("dot"), asc("cell"))
+      nprobe: Int): DataFrame =
     queries
       .select(col(idCol).as("query_id"),
         Similarity.normalized(col(vecCol).cast("array<double>")).as("qv"))
-      .crossJoin(broadcast(cents))
-      .withColumn("dot", graft.functions.array_dot(col("qv"), col("cv")))
-      .withColumn("rk", row_number().over(qw))
-      .filter(col("rk") <= nprobe)
-      .select(col("query_id"), col("qv"), col("cell"))
-  }
+      .select(col("query_id"), col("qv"),
+        explode(graft.functions.top_centroids(col("qv"), model.centroids, nprobe))
+          .as("cell"))
 
   private def rank(indexed: DataFrame, probes: DataFrame, k: Int): DataFrame = {
     val scored = indexed.join(broadcast(probes), "cell")

@@ -1,0 +1,34 @@
+package graft
+
+/** Plan-shape regression net over the ENTIRE driver surface: every query's executed
+  * plan is audited for the two patterns that kill 100 TB runs — cartesian products
+  * (never acceptable) and nested-loop broadcast joins (acceptable only where one side
+  * is bounded by construction and an equi-key genuinely doesn't exist).
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  /** Nested-loop joins with a BOUNDED broadcast side, by design:
+    * - ann_cosine_topk: brute-force baseline broadcasts the (small, caller-bounded)
+    *   query set against the corpus — there is no equi-key in exact top-k.
+    */
+  private val boundedNestedLoop = Set("ann_cosine_topk")
+
+  test("no query plans a cartesian; nested-loop joins only where a side is bounded") {
+    val dir = "/root/testdata/sf0.001"
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val plan = fn(spark, dir).queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct"))
+          failures += s"$name: CartesianProduct"
+        if (!boundedNestedLoop(name) && plan.contains("BroadcastNestedLoopJoin"))
+          failures += s"$name: BroadcastNestedLoopJoin outside the bounded allowlist"
+      } catch {
+        case e: Throwable => failures += s"$name: failed to build plan: ${e.getMessage}"
+      }
+      spark.sqlContext.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+    assert(failures.isEmpty, s"plan audit failures:\n${failures.mkString("\n")}")
+  }
+}
