@@ -337,6 +337,36 @@ object TextQueries {
           max("n").as("max_session_events"))
         .orderBy("user_id")
     },
+    "ep4_training_corpus" -> { (s, dir) =>
+      // the full training-data pipeline, one plan, fully oracle-checked:
+      // score → filter → accent/case-fold dedup (keeper = min id) → Bloom
+      // decontamination vs benchmark → vocab build+encode → sharded manifest
+      val corpus = plantedCorpus(s, dir).filter(col("doc_id") % 13 =!= 0)
+      val bench = docs(s, dir).filter(col("doc_id") % 13 === 0)
+      val kept = corpus.select(col("doc_id"), col("text"),
+          TextOps.tokenCount(col("text")).as("n_tokens"),
+          round(TextOps.qualityScore(col("text")), 6).as("quality"),
+          TextOps.langId(col("text")).as("pred_lang"))
+        .filter(col("pred_lang") =!= "und" && col("n_tokens") >= 5 &&
+          col("quality") >= 0.3)
+      val deduped = kept
+        .groupBy(md5(TextOps.foldText(col("text"))).as("fold_key"))
+        .agg(min(struct(col("doc_id"), col("text"), col("n_tokens"))).as("k"))
+        .select(col("k.doc_id").as("doc_id"), col("k.text").as("text"),
+          col("k.n_tokens").as("n_tokens"))
+      val clean = graft.textops.Curation.bloomDecontaminate(
+        deduped, bench, "doc_id", "text", 3)
+      val vocab = graft.textops.Curation.buildVocab(clean, col("text"), 50)
+      val oov = graft.textops.Curation.encodeTokens(clean, "doc_id", "text", vocab)
+        .select(col("doc_id"),
+          size(filter(col("token_ids"), _ === 0)).cast("long").as("n_oov"))
+      clean.join(oov, "doc_id")
+        .withColumn("shard", graft.textops.Curation.shardId(col("doc_id"), 4, "ep4"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+          sum("n_oov").as("n_oov"))
+        .orderBy("shard")
+    },
     "ep2_corpus_curation" -> { (s, dir) =>
       // the LLM-pipeline composition end-to-end: score (quality, langid, tokens) →
       // filter → exact-dedup → keeper corpus, fully DuckDB-oracle-checked
@@ -636,6 +666,40 @@ object TextQueries {
          |FROM f
          |WHERE pred_lang <> 'und' AND n_tokens >= 5 AND quality >= 0.3
          |GROUP BY pred_lang ORDER BY pred_lang""".stripMargin
+    },
+    "ep4_training_corpus" -> {
+      val toks = toksSql("text")
+      s"""WITH $corpusCte,
+         |sc AS (SELECT doc_id, text, len($toks) AS n_tokens,
+         |         $qualityExprSql AS quality, $langScoresSql
+         |       FROM corpus WHERE doc_id % 13 <> 0),
+         |m AS (SELECT *, $langMaxSql AS mx FROM sc),
+         |f AS (SELECT doc_id, text, n_tokens FROM m
+         |      WHERE $langCaseSql <> 'und' AND n_tokens >= 5 AND quality >= 0.3),
+         |d AS (SELECT MIN(doc_id) AS doc_id, arg_min(text, doc_id) AS text,
+         |        arg_min(n_tokens, doc_id) AS n_tokens
+         |      FROM f GROUP BY md5(lower(strip_accents(text)))),
+         |bsh AS (SELECT DISTINCT unnest(list_distinct(${shinglesSql("text")})) AS shingle
+         |        FROM documents WHERE doc_id % 13 = 0),
+         |dx AS (SELECT doc_id, unnest(list_distinct(${shinglesSql("text")})) AS shingle
+         |       FROM d),
+         |bad AS (SELECT DISTINCT doc_id FROM dx JOIN bsh USING (shingle)),
+         |cl AS (SELECT * FROM d WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+         |tok AS (SELECT unnest($toks) AS token FROM cl),
+         |c AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token
+         |      ORDER BY n DESC, token LIMIT 50),
+         |v AS (SELECT token FROM c),
+         |q AS (SELECT doc_id, unnest($toks) AS token FROM cl),
+         |o AS (SELECT q.doc_id, COUNT(*) FILTER (WHERE v.token IS NULL) AS n_oov
+         |      FROM q LEFT JOIN v USING (token) GROUP BY q.doc_id),
+         |s AS (SELECT cl.doc_id, cl.n_tokens, COALESCE(o.n_oov, 0) AS n_oov,
+         |        CAST(('0x' || substr(md5('ep4:' || cl.doc_id::VARCHAR), 1, 8))::BIGINT
+         |          % 4 AS INT) AS shard
+         |      FROM cl LEFT JOIN o ON cl.doc_id = o.doc_id)
+         |SELECT shard, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(n_oov) AS BIGINT) AS n_oov
+         |FROM s GROUP BY shard ORDER BY shard""".stripMargin
     },
     "ev_asof_join" ->
       """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),

@@ -69,13 +69,31 @@ object ScaleSmoke {
       time("connected_components", n) {
         val pairs = graft.textops.Dedup.minhashLshPairs(docs, "doc_id", "text", 0.5)
         graft.cluster.ConnectedComponents.run(
-          pairs.select(col("id_l").as("src"), col("id_r").as("dst"))).count()
+          pairs.select(col("id_l").as("src"), col("id_r").as("dst")),
+          localThreshold = 0L).count() // force the distributed loop — that's the slope under test
+      }
+      time("incremental_minhash", n) {
+        // batch = the planted copies; the corpus side must not self-join
+        val incoming = docs.filter(col("doc_id") >= 10000000L)
+        val base = docs.filter(col("doc_id") < 10000000L)
+        graft.textops.Dedup.incrementalMinhashPairs(
+          base, incoming, "doc_id", "text", 0.5).count()
+      }
+      time("bloom_decontaminate", n) {
+        // benchmark = every 101st doc; corpus streams through the bloom probe
+        val bench = docs.filter(col("doc_id") % 101 === 50)
+        graft.textops.Curation.bloomDecontaminate(
+          docs, bench, "doc_id", "text", 3).count()
       }
       docs.unpersist()
       val vecs = vectors(spark, n, 32).persist()
       vecs.count()
       time("embedding_lsh_pairs", n) {
         graft.textops.Dedup.embeddingLshPairs(vecs, "vec_id", "embedding", 0.99).count()
+      }
+      time("semantic_pairs", n) {
+        graft.textops.Dedup.semanticPairs(
+          vecs, "vec_id", "embedding", 0.99, k = 64).count()
       }
       vecs.unpersist()
       spark.sqlContext.clearCache()
