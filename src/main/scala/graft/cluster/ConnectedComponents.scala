@@ -95,10 +95,28 @@ object ConnectedComponents {
     nodes.indices.foreach { i =>
       val r = find(i)
       val s = nodes(i)
-      if (!minOfRoot.get(r).exists(_ <= s)) minOfRoot(r) = s
+      if (!minOfRoot.get(r).exists(m => cpCompare(m, s) <= 0)) minOfRoot(r) = s
     }
     nodes.indices.map(i => (nodes(i), minOfRoot(find(i))))
       .toDF("node", "cluster_id")
+  }
+
+  /** Code-point order — identical to Spark's UTF8String binary (UTF-8 byte) order.
+    * Java's String.compareTo is UTF-16 order, which ranks supplementary characters
+    * BELOW U+E000..U+FFFF and would pick a different component minimum than the
+    * distributed path for such ids.
+    */
+  private def cpCompare(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
   }
 
   /** Attaches records: adds `cluster_id` (own uid for singletons) — the reference's

@@ -46,7 +46,10 @@ object AsofJoin {
       s"left side must not contain ${reserved.mkString("/")}")
     val leftCols = left.columns.toSeq
 
-    val rPrep = right.select(col(keyCol), col(tsCol), col(rightTie).as("_tie"),
+    // a null-ts right row can never satisfy `right.ts <= left.ts` — and unfiltered it
+    // would sort first in the window and leak its payload to every left row
+    val rPrep = right.filter(col(tsCol).isNotNull)
+      .select(col(keyCol), col(tsCol), col(rightTie).as("_tie"),
         struct(valueCols.map(col): _*).as("_rv"))
       .withColumn("_side", lit(0))
     val lPrep = left

@@ -137,22 +137,36 @@ case class MinhashSignatures(child: Expression, k: Int, shingleN: Int)
 object MinhashSignatures {
   private val HexDigits = "0123456789abcdef".toCharArray
 
+  // "j:" prefixes never change — precompute per hash index, cached across calls
+  // (the k's seen by one executor are a handful of constants)
+  @volatile private var prefixCache: Array[Array[Byte]] = Array.empty
+  private def prefixes(k: Int): Array[Array[Byte]] = {
+    val cached = prefixCache
+    if (cached.length >= k) cached
+    else {
+      val built = Array.tabulate(k)(j =>
+        (String.valueOf(j) + ":").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      prefixCache = built
+      built
+    }
+  }
+
   def compute(s: UTF8String, k: Int, shingleN: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
     val shingles = WordShingles.shingle(s.toString, shingleN, distinct = true)
     val n = shingles.numElements()
     if (n == 0) return null
     val md = Md5PrefixLong.threadDigest()
+    val pre = prefixes(k)
     val mins = Array.ofDim[Byte](k, 16)
     var first = true
     var i = 0
     while (i < n) {
-      val shingleBytes =
-        shingles.getUTF8String(i).toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      // getBytes returns the UTF-8 bytes directly — no String decode/re-encode
+      val shingleBytes = shingles.getUTF8String(i).getBytes
       var j = 0
       while (j < k) {
         md.reset()
-        md.update(String.valueOf(j).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        md.update(':'.toByte)
+        md.update(pre(j))
         md.update(shingleBytes)
         val d = md.digest()
         if (first || unsignedLess(d, mins(j))) System.arraycopy(d, 0, mins(j), 0, 16)

@@ -5,10 +5,10 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Accent/diacritic folding: NFD-decompose, drop combining marks (Unicode category
-  * Mn), recompose implicitly by leaving base characters in order — "Café" → "Cafe",
-  * "naïve" → "naive". Matches DuckDB's `strip_accents` (utf8proc does the same
-  * decompose-and-drop), which the correctness oracle uses.
+/** Accent/diacritic folding: NFD-decompose, drop ALL combining marks (Unicode
+  * categories Mn, Mc, Me), leaving base characters in order — "Café" → "Cafe",
+  * "naïve" → "naive", Devanagari "का" → "क". Matches DuckDB's `strip_accents`
+  * (utf8proc STRIPMARK drops every M* mark), which the correctness oracle uses.
   *
   * One codegen'd scan with an ASCII fast path: pure-ASCII strings (the overwhelming
   * majority of a web corpus) return the input UTF8String untouched — no normalizer,
@@ -37,7 +37,9 @@ object StripAccents {
     var i = 0
     while (i < decomposed.length) {
       val cp = decomposed.codePointAt(i)
-      if (Character.getType(cp) != Character.NON_SPACING_MARK) sb.appendCodePoint(cp)
+      val t = Character.getType(cp)
+      if (t != Character.NON_SPACING_MARK && t != Character.COMBINING_SPACING_MARK &&
+        t != Character.ENCLOSING_MARK) sb.appendCodePoint(cp)
       i += Character.charCount(cp)
     }
     UTF8String.fromString(sb.toString)

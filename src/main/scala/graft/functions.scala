@@ -162,6 +162,16 @@ object functions {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
     val ln2 = math.log(2)
     val numBits = math.max(64L, math.ceil(-expectedItems * math.log(fpp) / (ln2 * ln2)).toLong)
+    // BloomFilterAggregate SILENTLY clamps to the runtime-filter conf caps
+    // (maxNumBits default 8M bits, maxNumItems default 4M) — a clamped filter has
+    // effective fpp near 1 and the "prefilter" passes everything. Raise the caps to
+    // the requested size so the sizing actually takes effect.
+    org.apache.spark.sql.SparkSession.getActiveSession.foreach { s =>
+      def raise(key: String, v: Long): Unit =
+        if (s.conf.getOption(key).forall(_.toLong < v)) s.conf.set(key, v.toString)
+      raise("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", numBits)
+      raise("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", expectedItems)
+    }
     Bridge.aggColumn(new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
       Bridge.expression(items),
       org.apache.spark.sql.catalyst.expressions.Literal(expectedItems),

@@ -321,7 +321,10 @@ object Curation {
     val candidates = corpus
       .select(col(idCol), explode(TextOps.distinctShingles(col(textCol), n)).as("shingle"))
       .filter(graft.functions.bloom_might_contain(lit(bloomBytes), xxhash64(col("shingle"))))
-    candidates.join(broadcast(benchShingles), Seq("shingle"), "left_semi")
+    // NO broadcast hint on the verify join: the stated use case is a benchmark set
+    // too large for a hash relation, so the survivors (a ~fpp fraction) meet it in a
+    // shuffled semi-join; Catalyst still picks broadcast on its own for small sets
+    candidates.join(benchShingles, Seq("shingle"), "left_semi")
       .select(col(idCol)).distinct()
   }
 

@@ -360,6 +360,39 @@ object Dedup {
       .select(col("l.id").as("id_l"), col("r.id").as("id_r"), col("cosine"))
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023): cluster normalized embeddings
+    * into `k` cells with the deterministic IVF Lloyd trainer, generate candidate pairs
+    * WITHIN each cell only, verify with an exact `array_dot` cosine at `threshold`.
+    *
+    * Scale design: candidate work is Σ_cell |cell|² instead of N² — `k` bounds the
+    * quadratic blow-up and the within-cell join is a plain equi-join on the cell id
+    * (shuffle, never a cartesian; a skewed giant cell is the `k`-too-small signal).
+    * Every emitted pair is exact-verified, so output ⊆ the brute-force pair set;
+    * pairs straddling a cell boundary are missed — the SemDeDup tradeoff. Use
+    * [[embeddingLshPairs]] when multi-table recall matters more than cluster locality.
+    */
+  def semanticPairs(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      k: Int = 64,
+      iters: Int = 2,
+      seed: Long = 42L): DataFrame = {
+    val model = Ivf.fit(emb, idCol, vecCol, k, iters, seed)
+    // persisted: both sides of the within-cell self-join (caller frees with
+    // clearCache after materializing, as with the other LSH ops)
+    val v = emb.select(col(idCol).as("id"),
+        Similarity.normalized(col(vecCol).cast("array<double>")).as("v"))
+      .withColumn("cell", graft.functions.nearest_centroid(col("v"), model.centroids))
+      .persist()
+    v.alias("l")
+      .join(v.alias("r"), col("l.cell") === col("r.cell") && col("l.id") < col("r.id"))
+      .withColumn("cosine", graft.functions.array_dot(col("l.v"), col("r.v")))
+      .filter(col("cosine") >= threshold)
+      .select(col("l.id").as("id_l"), col("r.id").as("id_r"), col("cosine"))
+  }
+
   /** Scale path for embedding near-dup pairs: random-hyperplane LSH candidate
     * generation + exact cosine verification — the same shape as [[minhashLshPairs]]
     * (signature → bucket equi-join → verify), never an all-pairs join.
@@ -396,38 +429,6 @@ object Dedup {
     * `spark.sqlContext.clearCache()` (or unpersist) — repeated calls without it
     * accumulate cached state until executors spill.
     */
-  /** SemDeDup-style semantic dedup (Abbas et al. 2023): cluster normalized embeddings
-    * into `k` cells with the deterministic IVF Lloyd trainer, generate candidate pairs
-    * WITHIN each cell only, verify with an exact `array_dot` cosine at `threshold`.
-    *
-    * Scale design: candidate work is Σ_cell |cell|² instead of N² — `k` bounds the
-    * quadratic blow-up and the within-cell join is a plain equi-join on the cell id
-    * (shuffle, never a cartesian; a skewed giant cell is the `k`-too-small signal).
-    * Every emitted pair is exact-verified, so output ⊆ the brute-force pair set;
-    * pairs straddling a cell boundary are missed — the SemDeDup tradeoff. Use
-    * [[embeddingLshPairs]] when multi-table recall matters more than cluster locality.
-    */
-  def semanticPairs(
-      emb: DataFrame,
-      idCol: String,
-      vecCol: String,
-      threshold: Double,
-      k: Int = 64,
-      iters: Int = 2,
-      seed: Long = 42L): DataFrame = {
-    val model = Ivf.fit(emb, idCol, vecCol, k, iters, seed)
-    // persisted: both sides of the within-cell self-join (caller frees with
-    // clearCache after materializing, as with the other LSH ops)
-    val v = emb.select(col(idCol).as("id"),
-        Similarity.normalized(col(vecCol).cast("array<double>")).as("v"))
-      .withColumn("cell", graft.functions.nearest_centroid(col("v"), model.centroids))
-      .persist()
-    v.alias("l")
-      .join(v.alias("r"), col("l.cell") === col("r.cell") && col("l.id") < col("r.id"))
-      .withColumn("cosine", graft.functions.array_dot(col("l.v"), col("r.v")))
-      .filter(col("cosine") >= threshold)
-      .select(col("l.id").as("id_l"), col("r.id").as("id_r"), col("cosine"))
-  }
 
   def embeddingLshPairs(
       emb: DataFrame,

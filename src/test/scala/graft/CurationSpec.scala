@@ -119,6 +119,11 @@ class CurationSpec extends SparkSpec {
     assert(out(0) === "cafe naive straße elan")
     assert(out(1) === "plain ascii 123")
     assert(out(2) === "etude") // decomposed input folds identically
+    // spacing (Mc) and enclosing (Me) marks drop too — DuckDB STRIPMARK semantics
+    val marks = Seq("का", "a⃝").toDF("t")
+      .select(graft.functions.strip_accents(col("t"))).as[String].collect()
+    assert(marks(0) === "क")
+    assert(marks(1) === "a")
   }
 
   test("encodeTokens maps tokens through the vocab with OOV fallback") {
@@ -225,6 +230,13 @@ class CurationSpec extends SparkSpec {
     assert(out(0) === ((1L, 10L, 100L, Some(7L), Some(1.5))))
     assert(out(1) === ((2L, 10L, 205L, Some(9L), Some(3.5))))
     assert(out(2) === ((3L, 20L, 50L, None, None)))
+    // a null-ts right row must never leak its payload (ts <= left.ts is unsatisfiable)
+    val rNull = Seq((Some(20L), Option.empty[Long], Some(5L), Some(9.9)))
+      .toDF("k", "t", "rid", "v")
+    val outNull = AsofJoin.leftAsof(l.filter(col("k") === 20), rNull, "k", "t",
+        Seq("rid", "v"), rightTie = "rid")
+      .as[(Long, Long, Long, Option[Long], Option[Double])].collect()
+    assert(outNull(0)._4.isEmpty && outNull(0)._5.isEmpty)
   }
 
   test("sessionize splits on gaps strictly greater than the threshold") {

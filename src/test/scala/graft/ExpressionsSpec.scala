@@ -168,6 +168,9 @@ class ExpressionsSpec extends SparkSpec {
     assert(BoundedLevenshtein.within("", "", 0) === 0)
     assert(BoundedLevenshtein.within("abc", "", 3) === 3)
     assert(BoundedLevenshtein.within("abc", "", 2) === -1)
+    // code-point semantics: a supplementary character is ONE edit, not two
+    assert(BoundedLevenshtein.within("😀a", "xa", 1) === 1)
+    assert(BoundedLevenshtein.within("😀", "😀", 0) === 0)
   }
 
   test("bounded levenshtein agrees with Spark's built-in on pair columns") {
