@@ -117,6 +117,21 @@ object CurationQueries {
       Curation.buildVocab(docs(s, dir), col("text"), topK = 50)
         .orderBy("token_id")
     },
+    "curation_dedup_paragraphs" -> { (s, dir) =>
+      // corpus-wide paragraph dedup: the fixture re-chunks each doc into 8-token
+      // newline-joined paragraphs; planted full copies come back empty, near-copies
+      // keep only their novel tail paragraph
+      val toks = TextOps.tokens(col("text"))
+      val para8 = when(size(toks) === 0, lit("")).otherwise(array_join(
+        transform(sequence(lit(0), ceil(size(toks) / lit(8.0)).cast("int") - 1),
+          i => array_join(slice(toks, i * lit(8) + 1, lit(8)), " ")),
+        "\n"))
+      val corpus = TextQueries.plantedCorpus(s, dir)
+        .select(col("doc_id"), para8.as("text"))
+      Curation.dedupParagraphs(corpus, "doc_id", "text", "\n")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
     "curation_shard_manifest" -> { (s, dir) =>
       // sharded sink: deterministic md5 shards, partitioned write, manifest
       // aggregated from the files READ BACK (proves the sink round-trip)
@@ -307,6 +322,31 @@ object CurationQueries {
          |  array_to_string(toks[(chunk_index*24 + 1)::INT : (chunk_index*24 + 32)::INT], ' ')
          |    AS chunk
          |FROM c ORDER BY doc_id, chunk_index""".stripMargin
+    },
+    "curation_dedup_paragraphs" -> {
+      val toks = toksSql("text")
+      s"""WITH ${TextQueries.corpusCte},
+         |t AS (SELECT doc_id, $toks AS toks FROM corpus),
+         |p8 AS (SELECT doc_id,
+         |         array_to_string(list_transform(
+         |           range(0, CAST(CEIL(len(toks) / 8.0) AS BIGINT)),
+         |           i -> array_to_string(toks[(i*8 + 1)::INT : (i*8 + 8)::INT], ' ')),
+         |           chr(10)) AS text
+         |       FROM t),
+         |sp AS (SELECT doc_id, string_split(text, chr(10)) AS parts FROM p8),
+         |e AS (SELECT doc_id, unnest(range(1, len(parts) + 1)) AS pos, parts FROM sp),
+         |pa AS (SELECT doc_id, pos, parts[pos] AS para FROM e
+         |       WHERE length(trim(parts[pos])) > 0),
+         |rk AS (SELECT doc_id, pos, para,
+         |         ROW_NUMBER() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos) AS rk
+         |       FROM pa),
+         |kept AS (SELECT doc_id, COUNT(*) AS n_kept,
+         |           string_agg(para, chr(10) ORDER BY pos) AS text_deduped
+         |         FROM rk WHERE rk = 1 GROUP BY doc_id),
+         |tot AS (SELECT doc_id, COUNT(*) AS n_paras FROM pa GROUP BY doc_id)
+         |SELECT t.doc_id, t.n_paras, COALESCE(k.n_kept, 0) AS n_kept,
+         |  COALESCE(k.text_deduped, '') AS text_deduped
+         |FROM tot t LEFT JOIN kept k USING (doc_id) ORDER BY t.doc_id""".stripMargin
     },
     "curation_shard_manifest" -> {
       val toks = toksSql("text")

@@ -283,6 +283,44 @@ object Curation {
         coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
   }
 
+  /** Corpus-wide paragraph-level exact dedup (RefinedWeb/CCNet-style): every
+    * paragraph keeps only its FIRST occurrence across the whole corpus (first =
+    * smallest `(id, position)`), and each document is rebuilt from its surviving
+    * paragraphs in order. Catches boilerplate and partial copies that document-level
+    * dedup misses; a fully-duplicated document comes back empty.
+    *
+    * Scale shape: one shuffle partitioned by the paragraph hash (the ranking window
+    * runs per identical-paragraph group, bounded by that paragraph's occurrence
+    * count) and one groupBy(id) to rebuild — both plain hash shuffles of the
+    * paragraph stream, no joins against the corpus text.
+    */
+  def dedupParagraphs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      delim: String): DataFrame = {
+    val delimRe = java.util.regex.Pattern.quote(delim)
+    val paras = df
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), delimRe)).as(Seq("pos", "para")))
+      .filter(length(trim(col("para"))) > 0)
+    val firstWin = Window.partitionBy(md5(col("para"))).orderBy("id", "pos")
+    val kept = paras
+      .withColumn("rk", row_number().over(firstWin))
+      .filter(col("rk") === 1)
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("para")))),
+            _.getField("para")),
+          delim).as("text_deduped"))
+    paras.groupBy("id").agg(count(lit(1)).as("n_paras"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id"), col("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_deduped"), lit("")).as("text_deduped"))
+  }
+
   /** Doc ids whose shingle set intersects the benchmark's — exact, via a Bloom
     * prefilter. The benchmark shingle set is built into a Bloom filter with ONE
     * distributed aggregate (only the fixed-size filter bytes reach the driver — never

@@ -202,6 +202,21 @@ class CurationSpec extends SparkSpec {
     assert(acc >= 0.95, s"accuracy $acc below 0.95")
   }
 
+  test("dedupParagraphs keeps first occurrences corpus-wide and rebuilds in order") {
+    val d = Seq(
+      (1L, "intro\nbody\noutro"),
+      (2L, "body\nnew stuff"),   // "body" already seen in doc 1 → removed
+      (3L, "intro\nbody\noutro"), // full copy → everything removed
+      (4L, "solo\nsolo"))        // in-doc repeat → second removed
+      .toDF("doc_id", "text")
+    val out = Curation.dedupParagraphs(d, "doc_id", "text", "\n")
+      .orderBy("id").as[(Long, Long, Long, String)].collect()
+    assert(out(0) === ((1L, 3L, 3L, "intro\nbody\noutro")))
+    assert(out(1) === ((2L, 2L, 1L, "new stuff")))
+    assert(out(2) === ((3L, 3L, 0L, "")))
+    assert(out(3) === ((4L, 2L, 1L, "solo")))
+  }
+
   test("writeShards round-trips deterministically with shards in range") {
     val d = docs.select(col("doc_id"), col("text")).limit(100)
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_spec_shards"
