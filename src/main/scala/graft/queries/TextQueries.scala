@@ -354,8 +354,10 @@ object TextQueries {
         .agg(min(struct(col("doc_id"), col("text"), col("n_tokens"))).as("k"))
         .select(col("k.doc_id").as("doc_id"), col("k.text").as("text"),
           col("k.n_tokens").as("n_tokens"))
+        .persist() // feeds the bloom probe AND the decontamination anti-join
       val clean = graft.textops.Curation.bloomDecontaminate(
-        deduped, bench, "doc_id", "text", 3)
+          deduped, bench, "doc_id", "text", 3)
+        .persist() // feeds vocab build, encoding, and the manifest join
       val vocab = graft.textops.Curation.buildVocab(clean, col("text"), 50)
       val oov = graft.textops.Curation.encodeTokens(clean, "doc_id", "text", vocab)
         .select(col("doc_id"),

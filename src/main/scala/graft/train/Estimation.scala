@@ -149,12 +149,15 @@ object Estimation {
       .groupBy(gammaCols: _*)
       .agg(count(lit(1)).as("cnt")))
     try {
-      val patCount = patterns.count()
-      if (patCount == 0)
+      // one collect with a limit probe replaces the former count + collect pair:
+      // an extra row past the cap proves the table is too wide without counting it
+      val probe = patterns.limit(
+        math.min(maxDriverPatterns + 1, Int.MaxValue.toLong).toInt).collect()
+      if (probe.isEmpty)
         (initialLambda, freeSpecs.map(s => s.column -> DefaultM.clone).toMap,
           freeSpecs.map(s => s.column -> u(s.column).clone).toMap)
-      else if (patCount <= maxDriverPatterns) {
-        val pats = patterns.collect().map { r =>
+      else if (probe.length <= maxDriverPatterns) {
+        val pats = probe.map { r =>
           (freeSpecs.indices.map(i => r.getInt(i)).toArray, r.getLong(freeSpecs.length))
         }
         emOverPatterns(pats, freeSpecs, u, initialLambda, tol, maxIter)
