@@ -173,6 +173,22 @@ object TextQueries {
         .select(col("id_l"), col("id_r"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_l", "id_r")
     },
+    "dedup_fingerprint_overlap" -> { (s, dir) =>
+      // substring-containment detection: exact copies (%35) and near copies (%55)
+      // planted into a %5 subcorpus must surface at containment >= 0.5
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val sub = d.filter(col("doc_id") % 5 === 0)
+        .unionByName(d.filter(col("doc_id") % 35 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        .unionByName(d.filter(col("doc_id") % 55 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            concat(col("text"), lit(" xtradup token")).as("text")))
+      Dedup.fingerprintOverlapPairs(sub, "doc_id", "text", k = 8, w = 4,
+          minContainment = 0.5)
+        .select(col("id_l"), col("id_r"), col("shared"),
+          round(col("containment"), 6).as("containment"))
+        .orderBy("id_l", "id_r")
+    },
     "dedup_minhash_incremental" -> { (s, dir) =>
       // daily-ingest shape: originals are the corpus, planted copies/near-copies are
       // the incoming batch; the corpus side never self-joins (candidate work scales
@@ -387,6 +403,35 @@ object TextQueries {
 
   // ---- oracle SQL ----------------------------------------------------------
 
+  /** Winnowing CTEs `h` (rolling k-gram hashes) and `m` (window minima) over
+    * `source(doc_id, text)` — identical arithmetic to
+    * [[graft.expressions.RollingFingerprints]]: per-position polynomial hash (sum of
+    * code·131^j fits BIGINT before the mod), sliding-window list_min.
+    */
+  private def winnowCtes(source: String): String = {
+    val k = 8
+    val w = 4
+    val pows = Seq(662062621900811L, 5053913144281L, 38579489651L, 294499921L,
+      2248091L, 17161L, 131L, 1L)
+    val terms = pows.zipWithIndex
+      .map { case (p, j) => s"ascii(substr(text, (i + $j)::INT, 1))::BIGINT * $p" }
+      .mkString(" + ")
+    s"""h AS (
+       |  SELECT doc_id,
+       |    list_transform(range(1, length(text) - $k + 2), i -> ($terms) % 1000000007)
+       |      AS hs
+       |  FROM $source
+       |), m AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(hs) = 0 THEN []
+       |         WHEN len(hs) < $w THEN [list_min(hs)]
+       |         ELSE list_transform(range(1, len(hs) - $w + 2),
+       |                             j -> list_min(hs[j:(j + $w - 1)::INT]))
+       |    END AS mins
+       |  FROM h
+       |)""".stripMargin
+  }
+
   private[queries] def toksSql(textExpr: String) =
     s"list_filter(string_split_regex(trim($textExpr), '\\s+'), t -> length(t) > 0)"
 
@@ -527,33 +572,32 @@ object TextQueries {
   val oracleSql: Map[String, String] = Map(
     "text_token_count" ->
       s"SELECT doc_id, len(${toksSql("text")}) AS n_tokens FROM documents ORDER BY doc_id",
-    "text_fingerprint_rolling" -> {
-      // identical arithmetic: per-position polynomial hash (sum of code·131^j fits
-      // BIGINT before the mod), sliding-window list_min, distinct+sort, unnest
-      val k = 8
-      val w = 4
-      val pows = Seq(662062621900811L, 5053913144281L, 38579489651L, 294499921L,
-        2248091L, 17161L, 131L, 1L)
-      val terms = pows.zipWithIndex
-        .map { case (p, j) => s"ascii(substr(text, (i + $j)::INT, 1))::BIGINT * $p" }
-        .mkString(" + ")
-      s"""WITH h AS (
-         |  SELECT doc_id,
-         |    list_transform(range(1, length(text) - $k + 2), i -> ($terms) % 1000000007)
-         |      AS hs
-         |  FROM documents
-         |), m AS (
-         |  SELECT doc_id,
-         |    CASE WHEN len(hs) = 0 THEN []
-         |         WHEN len(hs) < $w THEN [list_min(hs)]
-         |         ELSE list_transform(range(1, len(hs) - $w + 2),
-         |                             j -> list_min(hs[j:(j + $w - 1)::INT]))
-         |    END AS mins
-         |  FROM h
-         |)
+    "text_fingerprint_rolling" ->
+      s"""WITH ${winnowCtes("documents")}
          |SELECT doc_id, unnest(list_sort(list_distinct(mins))) AS fp
-         |FROM m ORDER BY doc_id, fp""".stripMargin
-    },
+         |FROM m ORDER BY doc_id, fp""".stripMargin,
+    "dedup_fingerprint_overlap" ->
+      s"""WITH planted AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 35 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 200000, text || ' xtradup token' FROM documents
+         |  WHERE doc_id % 55 = 0
+         |),
+         |${winnowCtes("planted")},
+         |fp AS (SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM m),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM fp GROUP BY doc_id),
+         |pair AS (SELECT l.doc_id AS id_l, r.doc_id AS id_r,
+         |           CAST(COUNT(*) AS BIGINT) AS shared
+         |         FROM fp l JOIN fp r ON l.fp = r.fp AND l.doc_id < r.doc_id
+         |         GROUP BY 1, 2),
+         |sc AS (SELECT id_l, id_r, shared,
+         |         shared::DOUBLE / LEAST(sa.n, sb.n) AS containment
+         |       FROM pair JOIN sz sa ON id_l = sa.doc_id
+         |       JOIN sz sb ON id_r = sb.doc_id)
+         |SELECT id_l, id_r, shared, ROUND(containment, 6) AS containment
+         |FROM sc WHERE containment >= 0.5 ORDER BY id_l, id_r""".stripMargin,
     "text_token_count_bpe" -> {
       // same lookahead-free pattern; '' escapes the leading quote in the SQL literal
       val pat = "''" + TextOps.BpeishPattern.drop(1)

@@ -360,6 +360,45 @@ object Dedup {
       .select(col("l.id").as("id_l"), col("r.id").as("id_r"), col("cosine"))
   }
 
+  /** Substring-containment pairs via shared winnowing fingerprints: documents whose
+    * shared fingerprint count reaches `minContainment` of the SMALLER side's
+    * fingerprint set. Catches one-document-quotes-a-chunk-of-another overlap that
+    * whole-document similarity (Jaccard over all shingles) dilutes away — the
+    * plagiarism/quotation detection shape (winnowing: Schleimer et al., SIGMOD 2003).
+    *
+    * Scale design: fingerprints ARE the blocking — the self-join collides only on
+    * shared substrings (work ∝ collisions, like the MinHash band join), and the
+    * containment score needs only per-doc fingerprint counts, joined after the
+    * pair aggregation. [[graft.expressions.RollingFingerprints]] emits the distinct
+    * sorted set in one O(len) pass, so `shared` counts each fingerprint once.
+    *
+    * Lifecycle: persists the fingerprint scan (feeds the self-join and the size
+    * aggregate); callers free with `clearCache` after materializing.
+    */
+  def fingerprintOverlapPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      w: Int,
+      minContainment: Double): DataFrame = {
+    require(minContainment > 0, "fingerprintOverlapPairs requires a positive threshold")
+    val fps = df.select(col(idCol).as("id"),
+        explode(graft.functions.rolling_fingerprints(col(textCol), k, w)).as("fp"))
+      .persist()
+    val sizes = fps.groupBy("id").agg(count(lit(1)).as("n"))
+    fps.alias("l")
+      .join(fps.alias("r"), col("l.fp") === col("r.fp") && col("l.id") < col("r.id"))
+      .groupBy(col("l.id").as("id_l"), col("r.id").as("id_r"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("id").as("id_l"), col("n").as("n_l")), "id_l")
+      .join(sizes.select(col("id").as("id_r"), col("n").as("n_r")), "id_r")
+      .withColumn("containment",
+        col("shared").cast("double") / least(col("n_l"), col("n_r")))
+      .filter(col("containment") >= minContainment)
+      .select(col("id_l"), col("id_r"), col("shared"), col("containment"))
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023): cluster normalized embeddings
     * into `k` cells with the deterministic IVF Lloyd trainer, generate candidate pairs
     * WITHIN each cell only, verify with an exact `array_dot` cosine at `threshold`.

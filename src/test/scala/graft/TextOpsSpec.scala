@@ -40,6 +40,22 @@ class TextOpsSpec extends SparkSpec {
     assert(pairs.forall(_._3 >= 0.5))
   }
 
+  test("fingerprint overlap finds containment: a doc quoting a chunk of another") {
+    val d = docs.select(col("doc_id"), col("text")).filter(col("doc_id") < 40)
+    // doc 1000+i quotes the middle 200 chars of doc i inside otherwise-unrelated text
+    val quoting = d.filter(col("doc_id") < 5)
+      .select((col("doc_id") + 1000).as("doc_id"),
+        concat(lit("completely unrelated preamble text here "),
+          substring(col("text"), 30, 200)).as("text"))
+    val pairs = Dedup.fingerprintOverlapPairs(d.unionByName(quoting),
+        "doc_id", "text", k = 8, w = 4, minContainment = 0.5)
+      .as[(Long, Long, Long, Double)].collect()
+    val found = pairs.count { case (l, r, _, _) => r - l == 1000 && l < 5 }
+    assert(found >= 4, s"found only $found of 5 planted quotations: ${pairs.toSeq}")
+    assert(pairs.forall(_._4 >= 0.5))
+    spark.sqlContext.clearCache()
+  }
+
   test("incremental minhash pairs equal the full run restricted to batch-touching pairs") {
     val d = docs.select(col("doc_id"), col("text"))
     val incoming = d.filter(col("doc_id") < 8)
