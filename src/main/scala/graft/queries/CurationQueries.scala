@@ -344,9 +344,12 @@ object CurationQueries {
          |           string_agg(para, chr(10) ORDER BY pos) AS text_deduped
          |         FROM rk WHERE rk = 1 GROUP BY doc_id),
          |tot AS (SELECT doc_id, COUNT(*) AS n_paras FROM pa GROUP BY doc_id)
-         |SELECT t.doc_id, t.n_paras, COALESCE(k.n_kept, 0) AS n_kept,
+         |SELECT c.doc_id, COALESCE(t.n_paras, 0) AS n_paras,
+         |  COALESCE(k.n_kept, 0) AS n_kept,
          |  COALESCE(k.text_deduped, '') AS text_deduped
-         |FROM tot t LEFT JOIN kept k USING (doc_id) ORDER BY t.doc_id""".stripMargin
+         |FROM corpus c LEFT JOIN tot t ON c.doc_id = t.doc_id
+         |LEFT JOIN kept k ON c.doc_id = k.doc_id
+         |ORDER BY c.doc_id""".stripMargin
     },
     "curation_shard_manifest" -> {
       val toks = toksSql("text")

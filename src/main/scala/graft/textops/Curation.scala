@@ -305,18 +305,24 @@ object Curation {
         posexplode(split(col(textCol), delimRe)).as(Seq("pos", "para")))
       .filter(length(trim(col("para"))) > 0)
     val firstWin = Window.partitionBy(md5(col("para"))).orderBy("id", "pos")
-    val kept = paras
+    // one groupBy over the ranked frame computes totals, survivors, and the rebuilt
+    // text together (collect_list skips the nulls the `when` leaves for losers)
+    val agg = paras
       .withColumn("rk", row_number().over(firstWin))
-      .filter(col("rk") === 1)
       .groupBy("id")
-      .agg(count(lit(1)).as("n_kept"),
+      .agg(count(lit(1)).as("n_paras"),
+        count(when(col("rk") === 1, lit(1))).as("n_kept"),
         array_join(
-          transform(array_sort(collect_list(struct(col("pos"), col("para")))),
+          transform(
+            array_sort(collect_list(when(col("rk") === 1,
+              struct(col("pos"), col("para"))))),
             _.getField("para")),
           delim).as("text_deduped"))
-    paras.groupBy("id").agg(count(lit(1)).as("n_paras"))
-      .join(kept, Seq("id"), "left")
-      .select(col("id"), col("n_paras"),
+    // anchor on the input so empty / delimiter-only documents survive as (0, 0, "")
+    df.select(col(idCol).as("id"))
+      .join(agg, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_paras"), lit(0L)).as("n_paras"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("text_deduped"), lit("")).as("text_deduped"))
   }

@@ -151,12 +151,15 @@ object Estimation {
     try {
       // one collect with a limit probe replaces the former count + collect pair:
       // an extra row past the cap proves the table is too wide without counting it
-      val probe = patterns.limit(
-        math.min(maxDriverPatterns + 1, Int.MaxValue.toLong).toInt).collect()
+      // (cap BEFORE the +1 so a Long.MaxValue "no cap" sentinel can't overflow)
+      // 0 is the force-distributed sentinel (cap 0 → any pattern exceeds it)
+      require(maxDriverPatterns >= 0, s"maxDriverPatterns must be >= 0, got $maxDriverPatterns")
+      val cap = math.min(maxDriverPatterns, Int.MaxValue.toLong - 1).toInt
+      val probe = patterns.limit(cap + 1).collect()
       if (probe.isEmpty)
         (initialLambda, freeSpecs.map(s => s.column -> DefaultM.clone).toMap,
           freeSpecs.map(s => s.column -> u(s.column).clone).toMap)
-      else if (probe.length <= maxDriverPatterns) {
+      else if (probe.length <= cap) {
         val pats = probe.map { r =>
           (freeSpecs.indices.map(i => r.getInt(i)).toArray, r.getLong(freeSpecs.length))
         }

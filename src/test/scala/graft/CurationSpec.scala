@@ -207,7 +207,8 @@ class CurationSpec extends SparkSpec {
       (1L, "intro\nbody\noutro"),
       (2L, "body\nnew stuff"),   // "body" already seen in doc 1 → removed
       (3L, "intro\nbody\noutro"), // full copy → everything removed
-      (4L, "solo\nsolo"))        // in-doc repeat → second removed
+      (4L, "solo\nsolo"),        // in-doc repeat → second removed
+      (5L, "\n \n"))             // delimiter-only doc must SURVIVE as (0, 0, "")
       .toDF("doc_id", "text")
     val out = Curation.dedupParagraphs(d, "doc_id", "text", "\n")
       .orderBy("id").as[(Long, Long, Long, String)].collect()
@@ -215,6 +216,7 @@ class CurationSpec extends SparkSpec {
     assert(out(1) === ((2L, 2L, 1L, "new stuff")))
     assert(out(2) === ((3L, 3L, 0L, "")))
     assert(out(3) === ((4L, 2L, 1L, "solo")))
+    assert(out(4) === ((5L, 0L, 0L, "")))
   }
 
   test("writeShards round-trips deterministically with shards in range") {

@@ -52,7 +52,22 @@ class TextOpsSpec extends SparkSpec {
       .as[(Long, Long, Long, Double)].collect()
     val found = pairs.count { case (l, r, _, _) => r - l == 1000 && l < 5 }
     assert(found >= 4, s"found only $found of 5 planted quotations: ${pairs.toSeq}")
-    assert(pairs.forall(_._4 >= 0.5))
+    // pin the SCORE itself (not just the function's own >= threshold filter): the
+    // driver recompute of shared / min must equal the reported values exactly
+    import org.apache.spark.unsafe.types.UTF8String
+    def fps(s: String): Set[Long] = {
+      val a = graft.expressions.RollingFingerprints.compute(UTF8String.fromString(s), 8, 4)
+      (0 until a.numElements()).map(a.getLong).toSet
+    }
+    val texts = d.unionByName(quoting).as[(Long, String)].collect().toMap
+    pairs.filter { case (l, r, _, _) => r - l == 1000 && l < 5 }.foreach {
+      case (l, r, shared, containment) =>
+        val (fa, fb) = (fps(texts(l)), fps(texts(r)))
+        val expShared = (fa & fb).size.toLong
+        assert(shared === expShared, s"pair ($l,$r)")
+        assert(containment === expShared.toDouble / math.min(fa.size, fb.size),
+          s"pair ($l,$r)")
+    }
     spark.sqlContext.clearCache()
   }
 
