@@ -41,6 +41,20 @@ class ExtensionsSpec extends SparkSpec {
       "SELECT combinatorial_count_agg(1, 0, 1000, c1) AS m FROM t")
       .selectExpr("m['c1;a']").as[Long].first()
     assert(combo === 2L)
+
+    // round-4 registrations
+    val lev = spark.sql("SELECT bounded_levenshtein('kitten', 'sitting', 3) AS d")
+      .as[Int].first()
+    assert(lev === 3)
+    val levOver = spark.sql("SELECT bounded_levenshtein('kitten', 'sitting', 2) AS d")
+      .as[Int].first()
+    assert(levOver === -1)
+    val folded = spark.sql("SELECT strip_accents('Café NAÏVE') AS s").as[String].first()
+    assert(folded === "Cafe NAIVE")
+    val ids = spark.sql(
+      """SELECT vocab_encode(array('a', 'b', 'zz'), '{"a": 1, "b": 2}') AS ids""")
+      .as[Seq[Int]].first()
+    assert(ids === Seq(1, 2, 0))
   }
 
   test("non-literal static parameters are rejected with a clear error") {
