@@ -353,6 +353,18 @@ object TextQueries {
           max("n").as("max_session_events"))
         .orderBy("user_id")
     },
+    "curation_leakage_safe_split" -> { (s, dir) =>
+      // leakage-safe train/val split: near-duplicate documents must land in the SAME
+      // split, so the deterministic draw is keyed on the near-dup CLUSTER id, not the
+      // doc id — the recipe behind honest eval sets (dedup → CC → split by cluster)
+      val corpus = plantedCorpus(s, dir)
+      val pairs = Dedup.minhashLshPairs(corpus, "doc_id", "text", 0.5)
+      val clustered = Dedup.deduplicate(corpus, "doc_id", pairs)
+      graft.textops.Curation.assignSplit(
+          clustered.select(col("doc_id"), col("cluster_id")),
+          col("cluster_id"), 0.8, "lsplit")
+        .orderBy("doc_id")
+    },
     "ep4_training_corpus" -> { (s, dir) =>
       // the full training-data pipeline, one plan, fully oracle-checked:
       // score → filter → accent/case-fold dedup (keeper = min id) → Bloom
@@ -553,6 +565,26 @@ object TextQueries {
        |FROM corpus c LEFT JOIN clusters cl ON c.doc_id::VARCHAR = cl.node
        |ORDER BY c.doc_id""".stripMargin
 
+  private val leakageSafeSplitSql =
+    s"""WITH RECURSIVE $minhashPairsCtes,
+       |edges AS (
+       |  SELECT id_l::VARCHAR AS src, id_r::VARCHAR AS dst FROM mh_pairs
+       |  UNION ALL
+       |  SELECT id_r::VARCHAR, id_l::VARCHAR FROM mh_pairs),
+       |reach(node, root) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node),
+       |clusters AS (SELECT node, MIN(root) AS cluster_id FROM reach GROUP BY node),
+       |asg AS (SELECT c.doc_id,
+       |          COALESCE(cl.cluster_id, c.doc_id::VARCHAR) AS cluster_id
+       |        FROM corpus c LEFT JOIN clusters cl ON c.doc_id::VARCHAR = cl.node)
+       |SELECT doc_id, cluster_id,
+       |  CASE WHEN substr(md5('lsplit:' || cluster_id), 1, 8)
+       |         < '${graft.textops.Curation.rateThreshold(0.8)}'
+       |       THEN 'train' ELSE 'val' END AS split
+       |FROM asg ORDER BY doc_id""".stripMargin
+
   private val simhashSql = {
     val nibs = (0 until 4).map(j =>
       s"strpos('0123456789abcdef', substr(h, ${j + 1}, 1)) - 1 AS n$j").mkString(", ")
@@ -624,6 +656,7 @@ object TextQueries {
          |SELECT id_l, id_r, ROUND(jac, 6) AS jaccard
          |FROM mh_pairs WHERE id_r >= 100000 ORDER BY id_l, id_r""".stripMargin,
     "dedup_apply" -> dedupApplySql,
+    "curation_leakage_safe_split" -> leakageSafeSplitSql,
     "dedup_simhash" -> simhashSql,
     "dedup_embedding_cosine" ->
       s"""WITH $embCorpusCte

@@ -85,6 +85,16 @@ object ScaleSmoke {
         graft.textops.Curation.bloomDecontaminate(
           docs, bench, "doc_id", "text", 3).count()
       }
+      time("paragraph_dedup", n) {
+        // re-chunk each doc into 8-word lines; only planted copies share paragraphs
+        val lined = docs.withColumn("text",
+          regexp_replace(col("text"), "((\\S+ ){7}\\S+) ", "$1\n"))
+        graft.textops.Curation.dedupParagraphs(lined, "doc_id", "text", "\n").count()
+      }
+      time("fingerprint_overlap", n) {
+        graft.textops.Dedup.fingerprintOverlapPairs(
+          docs, "doc_id", "text", k = 8, w = 4, minContainment = 0.5).count()
+      }
       docs.unpersist()
       val vecs = vectors(spark, n, 32).persist()
       vecs.count()
