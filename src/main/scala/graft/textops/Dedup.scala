@@ -159,6 +159,11 @@ object Dedup {
   /** LSH banding over the minhash signature: `k/bandSize` bands, band key = concat of
     * its rows. Documents sharing any band key become candidate pairs; candidates are
     * verified with exact shingle Jaccard and filtered at `threshold`.
+    *
+    * Lifecycle: persists the band scan (both sides of the self-join would otherwise
+    * recompute the signature pass) and the verify step persists the shingle sets;
+    * callers free them with `clearCache` after materializing, as with the other LSH
+    * ops.
     */
   def minhashLshPairs(
       df: DataFrame,
@@ -170,6 +175,7 @@ object Dedup {
       shingleN: Int = 3): DataFrame = {
     require(threshold > 0, "minhashLshPairs requires a positive threshold")
     val bands = minhashBands(minhashSignatures(df, idCol, textCol, k, shingleN), k, bandSize)
+      .persist()
     val candidates = bands.alias("l")
       .join(bands.alias("r"),
         col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
@@ -241,9 +247,11 @@ object Dedup {
       texts: DataFrame,
       threshold: Double,
       shingleN: Int): DataFrame = {
+    // persisted: both the id_l and id_r joins stream this scan (caller clears cache)
     val sets = texts.select(col("id"),
         TextOps.distinctShingles(col("text"), shingleN).as("toks"))
       .withColumn("sz", size(col("toks")))
+      .persist()
     candidates
       .join(sets.select(col("id").as("id_l"), col("toks").as("toks_l"),
         col("sz").as("sz_l")), "id_l")
