@@ -71,7 +71,10 @@ object Dedup {
   private def jaccardOf(inter: Column, szL: Column, szR: Column): Column =
     inter.cast("double") / (szL + szR - inter)
 
-  /** Per-pair array-intersection Jaccard within blocks (pair-bounded work). */
+  /** Per-pair array-intersection Jaccard within blocks (pair-bounded work).
+    * Persists the shingle scan — it feeds both sides of the block self-join
+    * (caller clears cache after materializing).
+    */
   private def arrayJaccardPairs(
       df: DataFrame,
       idCol: String,
@@ -83,6 +86,7 @@ object Dedup {
       (col(idCol).as("id") +: setExpr.as("toks") +:
         blockCols.zipWithIndex.map { case (c, i) => c.as(s"blk$i") }): _*)
       .withColumn("sz", size(col("toks")))
+      .persist()
     val keys = blockCols.indices.map(i => s"blk$i")
     val l = prepped.select(
       (Seq(col("id").as("id_l"), col("toks").as("toks_l"), col("sz").as("sz_l")) ++
@@ -113,9 +117,12 @@ object Dedup {
       blockCols: Seq[Column],
       threshold: Double): DataFrame = {
     require(threshold > 0, "setJaccardPairs requires a positive threshold")
+    // persisted: the token scan feeds the size projection AND both exploded join
+    // sides (caller clears cache after materializing)
     val prepped = df.select(
       (col(idCol).as("id") +: setExpr.as("toks") +:
         blockCols.zipWithIndex.map { case (c, i) => c.as(s"blk$i") }): _*)
+      .persist()
     val keys = blockCols.indices.map(i => s"blk$i")
     val sizes = prepped.select(col("id"), size(col("toks")).as("sz"))
     val items = prepped.select(
