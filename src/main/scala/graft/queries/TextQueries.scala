@@ -139,6 +139,21 @@ object TextQueries {
           round(TextOps.qualityScore(col("text")), 6).as("quality"))
         .orderBy("doc_id")
     },
+    "text_url_density" -> { (s, dir) =>
+      // link-density quality signal; URLs planted (the synthetic corpus has none):
+      // every %3 doc gains one link, every %9 doc a second
+      val planted = docs(s, dir).withColumn("text",
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" see https://ex"), col("doc_id") % 7,
+              lit(".com/a?b=1 and http://t.co/x"))).otherwise(lit("")),
+          when(col("doc_id") % 9 === 0, lit(" ftp ignored http://only.this/counts"))
+            .otherwise(lit(""))))
+      planted.select(col("doc_id"),
+          TextOps.urlCount(col("text")).as("n_urls"),
+          round(TextOps.urlDensity(col("text")), 6).as("url_density"))
+        .orderBy("doc_id")
+    },
     "text_langid" -> { (s, dir) =>
       docs(s, dir).select(col("doc_id"), TextOps.langId(col("text")).as("pred_lang"))
         .orderBy("doc_id")
@@ -638,6 +653,24 @@ object TextQueries {
     },
     "text_quality" -> qualitySql,
     "text_langid" -> langidSql,
+    "text_url_density" -> {
+      val pat = TextOps.UrlPattern.replace("'", "''")
+      val toks = toksSql("text")
+      s"""WITH p AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 3 = 0
+         |         THEN ' see https://ex' || (doc_id % 7) || '.com/a?b=1 and http://t.co/x'
+         |         ELSE '' END ||
+         |    CASE WHEN doc_id % 9 = 0
+         |         THEN ' ftp ignored http://only.this/counts' ELSE '' END AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$pat')) AS INT) AS n_urls,
+         |  ROUND(CASE WHEN len($toks) = 0 THEN 0.0
+         |    ELSE len(regexp_extract_all(text, '$pat'))::DOUBLE / len($toks) END, 6)
+         |    AS url_density
+         |FROM p ORDER BY doc_id""".stripMargin
+    },
     "text_fingerprint" ->
       s"""SELECT doc_id,
          |  md5(array_to_string(list_sort(list_distinct(${toksSql("text")})), ' ')) AS fp

@@ -85,6 +85,20 @@ object TextOps {
     lit(0.4) * lenScore + lit(0.3) * punct + lit(0.3) * stop
   }
 
+  /** URL pattern — lookahead-free so Java regex (Spark) and RE2 (the DuckDB oracle)
+    * agree match-for-match; covers the http(s) links a web corpus carries.
+    */
+  val UrlPattern: String = "https?://[A-Za-z0-9._~:/?#@!$&'()*+,;=%-]+"
+
+  /** Link count per document (C4/FineWeb-style link-density quality signal). */
+  def urlCount(c: Column): Column = regexp_count(c, lit(UrlPattern))
+
+  /** Links per token, 0 for token-less docs — link-heavy pages are boilerplate-prone. */
+  def urlDensity(c: Column): Column = {
+    val n = tokenCount(c)
+    when(n === 0, lit(0.0)).otherwise(urlCount(c).cast("double") / n)
+  }
+
   /** Language marker words per language, in priority order for tie-breaking. */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "and", "of", "to", "is"),
