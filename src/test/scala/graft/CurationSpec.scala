@@ -256,6 +256,32 @@ class CurationSpec extends SparkSpec {
     assert(outNull(0)._4.isEmpty && outNull(0)._5.isEmpty)
   }
 
+  test("leftAsof equals a brute-force inequality join on random data (property)") {
+    import graft.events.AsofJoin
+    val rnd = new scala.util.Random(11)
+    val left = (1 to 300).map(i =>
+      (i.toLong, (rnd.nextInt(5) + 1).toLong, rnd.nextInt(50).toLong))
+    val right = (1 to 200).map(i =>
+      ((i + 1000).toLong, (rnd.nextInt(5) + 1).toLong, rnd.nextInt(50).toLong,
+        rnd.nextInt(1000) / 10.0))
+    val out = AsofJoin.leftAsof(
+        left.toDF("id", "k", "t"),
+        right.toDF("rid", "k", "t", "v").select(col("k"), col("t"), col("rid"), col("v")),
+        "k", "t", Seq("rid", "v"), rightTie = "rid")
+      .as[(Long, Long, Long, Option[Long], Option[Double])].collect()
+      .map(r => r._1 -> ((r._4, r._5))).toMap
+    left.foreach { case (id, k, t) =>
+      val cand = right.filter(r => r._2 == k && r._3 <= t)
+      val exp =
+        if (cand.isEmpty) (None, None)
+        else {
+          val best = cand.maxBy(r => (r._3, r._1)) // latest ts, then largest tie id
+          (Some(best._1), Some(best._4))
+        }
+      assert(out(id) === exp, s"left row ($id, k=$k, t=$t)")
+    }
+  }
+
   test("sessionize splits on gaps strictly greater than the threshold") {
     import org.apache.spark.sql.functions.timestamp_micros
     // user u: events at 0s, 10s, 1810s (gap 1800 = NOT new), 3611s (gap 1801 > 1800 = new)
