@@ -141,7 +141,7 @@ object TextQueries {
     },
     "text_url_density" -> { (s, dir) =>
       // link-density quality signal; URLs planted (the synthetic corpus has none):
-      // every %3 doc gains one link, every %9 doc a second
+      // every %3 doc gains TWO links (ex<N>.com + t.co/x), every %9 doc a THIRD
       val planted = docs(s, dir).withColumn("text",
         concat(col("text"),
           when(col("doc_id") % 3 === 0,

@@ -23,7 +23,10 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
-  /** Pairs within the same block whose distinct-token Jaccard ≥ threshold. */
+  /** Pairs within the same block whose distinct-token Jaccard ≥ threshold.
+    * Lifecycle: persists the shared token scan; callers free it with `clearCache`
+    * after materializing, as with the LSH ops.
+    */
   def tokenJaccardPairs(
       df: DataFrame,
       idCol: String,
@@ -36,6 +39,8 @@ object Dedup {
     * Uses the per-pair array-intersection path: with tight blocking the pair count is
     * bounded, and shingle sets collide across many documents, which makes the
     * co-occurrence join's (block, shingle) fan-out worse than scanning the pairs.
+    * Lifecycle: persists the shared shingle scan; callers free it with `clearCache`
+    * after materializing, as with the LSH ops.
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -248,15 +253,24 @@ object Dedup {
 
   /** Exact shingle-Jaccard verification of candidate `(id_l, id_r)` pairs against
     * `texts(id, text)`, filtered at `threshold`.
+    *
+    * `texts` is semi-join-pruned to candidate-touched ids BEFORE shingling, so both
+    * the shingle computation and the cached verify relation are bounded by the
+    * candidate set, not the corpus — at batch-vs-corpus scale the corpus side would
+    * otherwise be shingled and cached wholesale for a batch-sized pair set.
     */
   private def verifyShingleJaccard(
-      candidates: DataFrame,
+      candidates0: DataFrame,
       texts: DataFrame,
       threshold: Double,
       shingleN: Int): DataFrame = {
-    // persisted: both the id_l and id_r joins stream this scan (caller clears cache)
-    val sets = texts.select(col("id"),
-        TextOps.distinctShingles(col("text"), shingleN).as("toks"))
+    // persisted: feeds the id prune and both verify joins (caller clears cache)
+    val candidates = candidates0.persist()
+    val touched = candidates.select(col("id_l").as("id"))
+      .unionByName(candidates.select(col("id_r").as("id")))
+      .distinct()
+    val sets = texts.join(touched, Seq("id"), "left_semi")
+      .select(col("id"), TextOps.distinctShingles(col("text"), shingleN).as("toks"))
       .withColumn("sz", size(col("toks")))
       .persist()
     candidates

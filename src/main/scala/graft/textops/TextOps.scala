@@ -93,11 +93,12 @@ object TextOps {
   /** Link count per document (C4/FineWeb-style link-density quality signal). */
   def urlCount(c: Column): Column = regexp_count(c, lit(UrlPattern))
 
-  /** Links per token, 0 for token-less docs — link-heavy pages are boilerplate-prone. */
-  def urlDensity(c: Column): Column = {
-    val n = tokenCount(c)
-    when(n === 0, lit(0.0)).otherwise(urlCount(c).cast("double") / n)
-  }
+  /** Links per token, 0 for token-less docs — link-heavy pages are boilerplate-prone.
+    * `nullif`/`coalesce` form so the tokenization is referenced ONCE (a zero-guard
+    * `when` would re-inline the split+filter pipeline for the guard and the divisor).
+    */
+  def urlDensity(c: Column): Column =
+    coalesce(urlCount(c).cast("double") / nullif(tokenCount(c), lit(0)), lit(0.0))
 
   /** Language marker words per language, in priority order for tie-breaking. */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(

@@ -40,17 +40,24 @@ object ScaleSmoke {
           transform(col("embedding"), x => x * 1.0001).as("embedding")))
   }
 
-  private def time(name: String, n: Long)(body: => Long): Unit = {
+  private def time(name: String, n: Long)(body: => Long)(implicit spark: SparkSession): Unit = {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
     val t0 = System.nanoTime()
     val rows = body
     val sec = (System.nanoTime() - t0) / 1e9
     println(f"[scale] n=$n%-8d $name%-24s $sec%8.2f s  ($rows rows)")
+    // free only the caches this section created, so one operator's internal persists
+    // neither spill-pressure nor cache-feed the next timing; the shared fixture
+    // persists (created before the section) stay warm
+    (sc.getPersistentRDDs.keySet.toSet -- before)
+      .foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
   }
 
   def main(args: Array[String]): Unit = {
     val sizes = if (args.nonEmpty) args.toSeq.map(_.toLong) else Seq(100000L, 400000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    implicit val spark: SparkSession = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
