@@ -438,16 +438,25 @@ object Dedup {
     * Every emitted pair is exact-verified, so output ⊆ the brute-force pair set;
     * pairs straddling a cell boundary are missed — the SemDeDup tradeoff. Use
     * [[embeddingLshPairs]] when multi-table recall matters more than cluster locality.
+    *
+    * `k <= 0` auto-sizes to `max(8, ⌈N / targetCellSize⌉)` — the SemDeDup recipe is a
+    * CONSTANT cell size, because within-cell work is Σ|cell|² ∝ N²/k and any fixed k
+    * eventually goes quadratic (measured: 5× wall time at 4× corpus with k=64).
     */
   def semanticPairs(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double,
-      k: Int = 64,
+      k: Int = 0,
       iters: Int = 2,
-      seed: Long = 42L): DataFrame = {
-    val model = Ivf.fit(emb, idCol, vecCol, k, iters, seed)
+      seed: Long = 42L,
+      targetCellSize: Int = 512): DataFrame = {
+    require(targetCellSize > 0, s"targetCellSize must be positive, got $targetCellSize")
+    val cells =
+      if (k > 0) k
+      else math.max(8L, (emb.count() + targetCellSize - 1) / targetCellSize).toInt
+    val model = Ivf.fit(emb, idCol, vecCol, cells, iters, seed)
     // persisted: both sides of the within-cell self-join (caller frees with
     // clearCache after materializing, as with the other LSH ops)
     val v = emb.select(col(idCol).as("id"),

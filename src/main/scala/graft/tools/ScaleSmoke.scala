@@ -109,8 +109,9 @@ object ScaleSmoke {
         graft.textops.Dedup.embeddingLshPairs(vecs, "vec_id", "embedding", 0.99).count()
       }
       time("semantic_pairs", n) {
+        // auto-sized k (constant cell size) — the scale-safe SemDeDup configuration
         graft.textops.Dedup.semanticPairs(
-          vecs, "vec_id", "embedding", 0.99, k = 64).count()
+          vecs, "vec_id", "embedding", 0.99).count()
       }
       vecs.unpersist()
       spark.sqlContext.clearCache()
