@@ -439,9 +439,14 @@ object Dedup {
     * pairs straddling a cell boundary are missed — the SemDeDup tradeoff. Use
     * [[embeddingLshPairs]] when multi-table recall matters more than cluster locality.
     *
-    * `k <= 0` auto-sizes to `max(8, ⌈N / targetCellSize⌉)` — the SemDeDup recipe is a
-    * CONSTANT cell size, because within-cell work is Σ|cell|² ∝ N²/k and any fixed k
-    * eventually goes quadratic (measured: 5× wall time at 4× corpus with k=64).
+    * `k <= 0` auto-sizes to `max(8, ⌈N / targetCellSize⌉)`, capped at `maxCells` —
+    * the SemDeDup recipe is a CONSTANT cell size, because within-cell work is
+    * Σ|cell|² ∝ N²/k and any fixed k eventually goes quadratic (measured: 5× wall
+    * time at 4× corpus with k=64). The cap exists because cell ASSIGNMENT is a
+    * linear scan over the centroids (O(N·k·dim)) — uncapped auto-k would just move
+    * the quadratic there. Past `maxCells · targetCellSize` rows, cells grow beyond
+    * the target: raise `maxCells` consciously (assignment cost scales with it) or
+    * pre-partition the corpus and run per partition.
     */
   def semanticPairs(
       emb: DataFrame,
@@ -451,16 +456,23 @@ object Dedup {
       k: Int = 0,
       iters: Int = 2,
       seed: Long = 42L,
-      targetCellSize: Int = 512): DataFrame = {
+      targetCellSize: Int = 512,
+      maxCells: Int = 4096): DataFrame = {
     require(targetCellSize > 0, s"targetCellSize must be positive, got $targetCellSize")
+    require(maxCells > 0, s"maxCells must be positive, got $maxCells")
+    // normalize ONCE and persist: the count (auto-k), Lloyd fit, and both sides of
+    // the within-cell self-join all ride this scan — an uncached emb lineage would
+    // otherwise be re-executed three times (caller frees with clearCache after
+    // materializing, as with the other LSH ops)
+    val norm = emb.select(col(idCol).as("id"),
+        Similarity.normalized(col(vecCol).cast("array<double>")).as("v"))
+      .persist()
     val cells =
       if (k > 0) k
-      else math.max(8L, (emb.count() + targetCellSize - 1) / targetCellSize).toInt
-    val model = Ivf.fit(emb, idCol, vecCol, cells, iters, seed)
-    // persisted: both sides of the within-cell self-join (caller frees with
-    // clearCache after materializing, as with the other LSH ops)
-    val v = emb.select(col(idCol).as("id"),
-        Similarity.normalized(col(vecCol).cast("array<double>")).as("v"))
+      else math.min(maxCells.toLong,
+        math.max(8L, (norm.count() + targetCellSize - 1) / targetCellSize)).toInt
+    val model = Ivf.fit(norm, "id", "v", cells, iters, seed)
+    val v = norm
       .withColumn("cell", graft.functions.nearest_centroid(col("v"), model.centroids))
       .persist()
     v.alias("l")

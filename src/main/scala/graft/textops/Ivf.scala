@@ -46,19 +46,21 @@ object Ivf {
           .groupBy("cell", "pos")
           .agg(sum("x").as("sx"), count(lit(1)).as("n"))
           .collect()
-        val dim = centroids(0).length
+        // one pass to bucket by cell — a per-centroid filter over the collected rows
+        // would be O(k²·dim) on the driver, real time once k is corpus-derived
+        val byCell = sums.groupBy(_.getInt(0))
         val next = centroids.zipWithIndex.map { case (old, c) =>
-          val rows = sums.filter(_.getInt(0) == c)
-          if (rows.isEmpty) old
-          else {
-            val arr = old.clone()
-            rows.foreach { r =>
-              val n = r.getLong(3)
-              if (n > 0) arr(r.getInt(1)) = r.getDouble(2) / n
-            }
-            // re-normalize so cell assignment stays a max-dot-product problem
-            val nrm = math.sqrt(arr.map(x => x * x).sum)
-            if (nrm > 0) arr.map(_ / nrm) else arr
+          byCell.get(c) match {
+            case None => old
+            case Some(rows) =>
+              val arr = old.clone()
+              rows.foreach { r =>
+                val n = r.getLong(3)
+                if (n > 0) arr(r.getInt(1)) = r.getDouble(2) / n
+              }
+              // re-normalize so cell assignment stays a max-dot-product problem
+              val nrm = math.sqrt(arr.map(x => x * x).sum)
+              if (nrm > 0) arr.map(_ / nrm) else arr
           }
         }
         centroids = next

@@ -199,22 +199,32 @@ class TextOpsSpec extends SparkSpec {
 
   test("semantic dedup pairs are a subset of brute force with high planted recall") {
     import graft.textops.Similarity
-    val planted = emb.select(col("vec_id"), col("embedding")).unionByName(
-      emb.filter(col("vec_id") % 5 === 0).select((col("vec_id") + 100000).as("vec_id"),
-        transform(col("embedding"), x => x * 1.01f).as("embedding")))
-    val semantic = Dedup.semanticPairs(planted, "vec_id", "embedding", 0.9, k = 8)
-      .select("id_l", "id_r").as[(Long, Long)].collect().toSet
+    // PERTURBED copies (component-shifted, cosine ≈ 0.995 but not 1.0) so cell
+    // co-location is genuinely tested, not guaranteed by identical directions
+    val d = lit(0.02)
+    val planted = emb.select(col("vec_id"), col("embedding").cast("array<double>")
+        .as("embedding"))
+      .unionByName(
+        emb.filter(col("vec_id") % 5 === 0)
+          .select((col("vec_id") + 100000).as("vec_id"),
+            transform(col("embedding").cast("array<double>"), (x, i) =>
+              x + d * element_at(col("embedding").cast("array<double>"),
+                ((i + 1) % size(col("embedding"))) + 1)).as("embedding")))
     val brute = Dedup.embeddingPairs(planted, "vec_id", "embedding", 0.9)
       .select("id_l", "id_r").as[(Long, Long)].collect().toSet
-    assert(semantic.subsetOf(brute),
-      s"semantic pairs must be exact-verified: ${(semantic -- brute).take(5)}")
-    // planted scaled copies have cosine 1.0 with their source; same-direction vectors
-    // land in the same max-dot cell, so recall on them is total
-    val plantedPairs = brute.filter { case (l, r) => r - l == 100000 }
-    val found = plantedPairs.count(semantic.contains)
-    assert(found >= (plantedPairs.size * 0.8).toInt,
-      s"found $found of ${plantedPairs.size} planted semantic dups")
-    spark.sqlContext.clearCache()
+    // explicit k AND the auto-k default must both hold subset + recall
+    for ((kArg, cellSize) <- Seq(8 -> 512, 0 -> 64)) {
+      val semantic = Dedup.semanticPairs(planted, "vec_id", "embedding", 0.9,
+          k = kArg, targetCellSize = cellSize)
+        .select("id_l", "id_r").as[(Long, Long)].collect().toSet
+      assert(semantic.subsetOf(brute),
+        s"k=$kArg: semantic pairs must be exact-verified: ${(semantic -- brute).take(5)}")
+      val plantedPairs = brute.filter { case (l, r) => r - l == 100000 }
+      val found = plantedPairs.count(semantic.contains)
+      assert(found >= (plantedPairs.size * 0.8).toInt,
+        s"k=$kArg: found $found of ${plantedPairs.size} planted semantic dups")
+      spark.sqlContext.clearCache()
+    }
   }
 
   test("LSH top-k recall vs brute force is usable (≥ 0.5 with multiprobe)") {
