@@ -41,9 +41,13 @@ object AsofJoin {
       valueCols: Seq[String],
       rightTie: String): DataFrame = {
     require(valueCols.nonEmpty, "leftAsof needs at least one value column")
-    val reserved = Seq("_side", "_tie", "_rv")
+    val reserved = Seq("_side", "_tie", "_rv", "_carried")
     require(left.columns.intersect(reserved).isEmpty,
       s"left side must not contain ${reserved.mkString("/")}")
+    // output columns <valueCol>_asof must not silently shadow existing left columns
+    val asofClashes = valueCols.map(c => s"${c}_asof").intersect(left.columns.toSeq)
+    require(asofClashes.isEmpty,
+      s"left side already contains output column(s) ${asofClashes.mkString(", ")}")
     val leftCols = left.columns.toSeq
 
     // a null-ts right row can never satisfy `right.ts <= left.ts` — and unfiltered it

@@ -156,6 +156,13 @@ object functions {
     *
     * `items` must be LongType — hash the actual key with
     * `org.apache.spark.sql.functions.xxhash64` (the probe side must use the same hash).
+    *
+    * Session-wide side effect (documented, deliberate): the runtime-filter conf caps
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumBits`/`maxNumItems` are raised on
+    * the ACTIVE session to at least the requested size, and stay raised — the caps
+    * are consulted when the aggregate EXECUTES, not here, so they cannot be restored
+    * after this (lazy) Column is built. They only ever ratchet upward and bound
+    * nothing but this aggregate's own allocation.
     */
   def bloom_filter_agg(items: Column, expectedItems: Long, fpp: Double): Column = {
     require(expectedItems > 0, s"expectedItems must be positive, got $expectedItems")
@@ -165,13 +172,21 @@ object functions {
     // BloomFilterAggregate SILENTLY clamps to the runtime-filter conf caps
     // (maxNumBits default 8M bits, maxNumItems default 4M) — a clamped filter has
     // effective fpp near 1 and the "prefilter" passes everything. Raise the caps to
-    // the requested size so the sizing actually takes effect.
-    org.apache.spark.sql.SparkSession.getActiveSession.foreach { s =>
-      def raise(key: String, v: Long): Unit =
-        if (s.conf.getOption(key).forall(_.toLong < v)) s.conf.set(key, v.toString)
-      raise("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", numBits)
-      raise("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", expectedItems)
+    // the requested size so the sizing actually takes effect; with no active session
+    // the caps CANNOT be raised and the clamp would silently degrade — fail loudly.
+    val session = org.apache.spark.sql.SparkSession.getActiveSession.getOrElse(
+      throw new IllegalStateException(
+        "bloom_filter_agg requires an active SparkSession: the runtime bloomFilter " +
+          "caps must be raised or BloomFilterAggregate silently clamps the filter " +
+          s"(requested $numBits bits for $expectedItems items at fpp=$fpp)"))
+    def raise(key: String, v: Long): Unit = {
+      if (session.conf.getOption(key).forall(_.toLong < v)) session.conf.set(key, v.toString)
+      val effective = session.conf.get(key).toLong
+      assert(effective >= v,
+        s"$key=$effective still below requested $v after raising — filter would clamp")
     }
+    raise("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", numBits)
+    raise("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", expectedItems)
     Bridge.aggColumn(new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
       Bridge.expression(items),
       org.apache.spark.sql.catalyst.expressions.Literal(expectedItems),

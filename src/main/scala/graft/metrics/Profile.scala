@@ -23,8 +23,10 @@ object Profile {
     */
   def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profileColumns needs at least one column")
+    // escape quotes in the label literal AND backticks in the identifier — a
+    // backtick in a column name would otherwise break out of the quoted identifier
     val stackArgs = cols
-      .map(c => s"'${c.replace("'", "''")}', cast(`$c` as string)")
+      .map(c => s"'${c.replace("'", "''")}', cast(`${c.replace("`", "``")}` as string)")
       .mkString(", ")
     val stacked = df.selectExpr(s"stack(${cols.length}, $stackArgs) as (col_name, value)")
     val counts = stacked.groupBy("col_name", "value").agg(count(lit(1)).as("n"))

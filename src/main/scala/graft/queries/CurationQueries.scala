@@ -28,6 +28,11 @@ object CurationQueries {
   private val BoilerMinDf = 5L
   private val ContamThreshold = 0.5
 
+  /** Per-JVM token for scratch paths (shard-sink fixture): concurrent harness runs
+    * must not share a temp directory.
+    */
+  private val RunToken = java.util.UUID.randomUUID().toString.take(8)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_repetition" -> { (s, dir) =>
       // Gopher-style repetition: one native single-pass stats struct per document,
@@ -134,8 +139,10 @@ object CurationQueries {
     },
     "curation_shard_manifest" -> { (s, dir) =>
       // sharded sink: deterministic md5 shards, partitioned write, manifest
-      // aggregated from the files READ BACK (proves the sink round-trip)
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_shards/documents"
+      // aggregated from the files READ BACK (proves the sink round-trip).
+      // The temp path is unique per JVM so concurrent harness runs never clobber
+      // each other's half-written shard directories.
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_shards/$RunToken/documents"
       val back = Curation.writeShards(docs(s, dir), col("doc_id"), 8, path, "shard1")
       back.groupBy("shard")
         .agg(count(lit(1)).as("n_docs"),
@@ -151,10 +158,15 @@ object CurationQueries {
         .orderBy("doc_id")
     },
     "curation_vocab_encode" -> { (s, dir) =>
-      // text → token ids through the top-50 vocabulary (OOV → 0), plus the OOV count
+      // text → token ids through the top-50 vocabulary (OOV → 0), plus the OOV count.
+      // The id sequence is compared as a CSV string: the driver's pandas comparator
+      // sorts result rows, and raw array cells are unhashable there — a scalar
+      // rendering makes the same data hash-comparable on both engines.
       val vocab = Curation.buildVocab(docs(s, dir), col("text"), topK = 50)
       Curation.encodeTokens(docs(s, dir), "doc_id", "text", vocab)
-        .select(col("doc_id"), col("token_ids"),
+        .select(col("doc_id"),
+          array_join(transform(col("token_ids"), _.cast("string")), ",")
+            .as("token_ids_csv"),
           size(filter(col("token_ids"), _ === 0)).cast("long").as("n_oov"))
         .orderBy("doc_id")
     },
@@ -381,7 +393,7 @@ object CurationQueries {
          |          CAST(SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
          |        FROM j GROUP BY doc_id)
          |SELECT d.doc_id,
-         |  COALESCE(enc.token_ids, CAST([] AS INT[])) AS token_ids,
+         |  COALESCE(array_to_string(enc.token_ids, ','), '') AS token_ids_csv,
          |  COALESCE(enc.n_oov, 0) AS n_oov
          |FROM documents d LEFT JOIN enc ON d.doc_id = enc.doc_id
          |ORDER BY d.doc_id""".stripMargin

@@ -3,6 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.util.Caching.CacheSyntax
+
 import graft.streaming.StreamOps
 import graft.textops.{Dedup, Ivf, Multimodal, Similarity, TextOps}
 
@@ -397,10 +399,10 @@ object TextQueries {
         .agg(min(struct(col("doc_id"), col("text"), col("n_tokens"))).as("k"))
         .select(col("k.doc_id").as("doc_id"), col("k.text").as("text"),
           col("k.n_tokens").as("n_tokens"))
-        .persist() // feeds the bloom probe AND the decontamination anti-join
+        .scopedPersist() // feeds the bloom probe AND the decontamination anti-join
       val clean = graft.textops.Curation.bloomDecontaminate(
           deduped, bench, "doc_id", "text", 3)
-        .persist() // feeds vocab build, encoding, and the manifest join
+        .scopedPersist() // feeds vocab build, encoding, and the manifest join
       val vocab = graft.textops.Curation.buildVocab(clean, col("text"), 50)
       val oov = graft.textops.Curation.encodeTokens(clean, "doc_id", "text", vocab)
         .select(col("doc_id"),

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.util.Caching.CacheSyntax
+
 /** Corpus-curation operators for large-scale training-data pipelines: deterministic
   * hash sampling / domain mixing / train-val splits, token-budget sequence packing,
   * boilerplate detection and removal, benchmark-contamination checks, and PII
@@ -90,6 +92,9 @@ object Curation {
       numShards: Int,
       path: String,
       salt: String): DataFrame = {
+    // mirror AsofJoin's reserved-name check: never silently replace a user column
+    require(!df.columns.contains("shard"),
+      "writeShards adds a 'shard' column; the input must not already contain one")
     val sharded = df.withColumn("shard", shardId(key, numShards, salt))
     sharded.write.mode("overwrite").partitionBy("shard").parquet(path)
     df.sparkSession.read.parquet(path)
@@ -155,9 +160,8 @@ object Curation {
     * shingle set is small by construction and broadcast; the per-document side is one
     * explode + semi-join + count.
     *
-    * Lifecycle: the returned plan references a persisted shingle scan. After
-    * materializing the result in a long-lived session, free it with
-    * `spark.sqlContext.clearCache()` (or unpersist).
+    * Lifecycle: persists intermediates via [[graft.util.Caching]]; bracket
+    * materialization in `Caching.withCached { ... }` to release exactly them.
     */
   def boilerplateShingleStats(
       df: DataFrame,
@@ -167,10 +171,10 @@ object Curation {
       minDocFreq: Long): DataFrame = {
     // persisted: referenced by the doc-frequency agg, the per-doc count, and the
     // boilerplate semi-join — without it the shingle explode scan re-executes 3×
-    // (the caller's clearCache/unpersist hygiene frees it, as with the LSH scans)
+    // (released by the caller's Caching.withCached bracket)
     val sh = df.select(col(idCol),
         explode(TextOps.distinctShingles(col(textCol), n)).as("shingle"))
-      .persist()
+      .scopedPersist()
     val boiler = sh.groupBy("shingle").agg(count(lit(1)).as("doc_freq"))
       .filter(col("doc_freq") >= minDocFreq)
       .select("shingle")
@@ -196,8 +200,12 @@ object Curation {
       maxDocFreq: Long): DataFrame = {
     // `split` takes a REGEX: quote the delimiter so "|" or "." split literally
     val delimRe = java.util.regex.Pattern.quote(delim)
+    // persisted: the line explode feeds both the doc-frequency aggregate and the
+    // anti-join — without it the corpus split+posexplode scan executes twice
+    // (released by the caller's Caching.withCached bracket)
     val lines = df.select(col(idCol), posexplode(split(col(textCol), delimRe)))
       .toDF(idCol, "pos", "line")
+      .scopedPersist()
     val boiler = lines.groupBy("line")
       .agg(countDistinct(col(idCol)).as("doc_freq"))
       .filter(col("doc_freq") > maxDocFreq)
@@ -257,9 +265,8 @@ object Curation {
     * The benchmark shingle set is broadcast (eval sets are tiny next to a pretraining
     * corpus); the corpus side is one explode + semi-join + count.
     *
-    * Lifecycle: the returned plan references a persisted corpus shingle scan. After
-    * materializing the result in a long-lived session, free it with
-    * `spark.sqlContext.clearCache()` (or unpersist).
+    * Lifecycle: persists intermediates via [[graft.util.Caching]]; bracket
+    * materialization in `Caching.withCached { ... }` to release exactly them.
     */
   def contaminationStats(
       corpus: DataFrame,
@@ -274,7 +281,7 @@ object Curation {
     // per-doc shingle count
     val sh = corpus.select(col(idCol),
         explode(TextOps.distinctShingles(col(textCol), n)).as("shingle"))
-      .persist()
+      .scopedPersist()
     val overlap = sh.join(broadcast(benchShingles), Seq("shingle"), "left_semi")
       .groupBy(idCol).agg(count(lit(1)).as("n_overlap"))
     sh.groupBy(idCol).agg(count(lit(1)).as("n_shingles"))
@@ -342,8 +349,8 @@ object Curation {
     * is for decontaminating against *large* held-out corpora where a hash relation
     * would not fit but a bit array does.
     *
-    * Lifecycle: persists the benchmark shingle scan while building; callers free it
-    * with `spark.sqlContext.clearCache()` after materializing results.
+    * Lifecycle: persists intermediates via [[graft.util.Caching]]; bracket
+    * materialization in `Caching.withCached { ... }` to release exactly them.
     */
   def bloomContaminatedIds(
       corpus: DataFrame,
@@ -355,7 +362,7 @@ object Curation {
     val benchShingles = benchmark
       .select(explode(TextOps.distinctShingles(col(textCol), n)).as("shingle"))
       .distinct()
-      .persist()
+      .scopedPersist()
     // sizing count + build agg both ride the persisted scan
     val expected = math.max(1L, benchShingles.count())
     val bloomBytes = benchShingles

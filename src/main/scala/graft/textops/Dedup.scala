@@ -3,6 +3,8 @@ package graft.textops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.util.Caching.CacheSyntax
+
 /** Document deduplication for training-data pipelines: exact, token/n-gram Jaccard,
   * MinHash+LSH, SimHash. Designed scale-first:
   *
@@ -24,8 +26,8 @@ object Dedup {
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
   /** Pairs within the same block whose distinct-token Jaccard ≥ threshold.
-    * Lifecycle: persists the shared token scan; callers free it with `clearCache`
-    * after materializing, as with the LSH ops.
+    * Lifecycle: persists intermediates via [[graft.util.Caching]]; bracket
+    * materialization in `Caching.withCached { ... }` to release exactly them.
     */
   def tokenJaccardPairs(
       df: DataFrame,
@@ -39,8 +41,8 @@ object Dedup {
     * Uses the per-pair array-intersection path: with tight blocking the pair count is
     * bounded, and shingle sets collide across many documents, which makes the
     * co-occurrence join's (block, shingle) fan-out worse than scanning the pairs.
-    * Lifecycle: persists the shared shingle scan; callers free it with `clearCache`
-    * after materializing, as with the LSH ops.
+    * Lifecycle: persists intermediates via [[graft.util.Caching]]; bracket
+    * materialization in `Caching.withCached { ... }` to release exactly them.
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -78,7 +80,7 @@ object Dedup {
 
   /** Per-pair array-intersection Jaccard within blocks (pair-bounded work).
     * Persists the shingle scan — it feeds both sides of the block self-join
-    * (caller clears cache after materializing).
+    * (released by the caller's [[graft.util.Caching.withCached]] bracket).
     */
   private def arrayJaccardPairs(
       df: DataFrame,
@@ -91,7 +93,7 @@ object Dedup {
       (col(idCol).as("id") +: setExpr.as("toks") +:
         blockCols.zipWithIndex.map { case (c, i) => c.as(s"blk$i") }): _*)
       .withColumn("sz", size(col("toks")))
-      .persist()
+      .scopedPersist()
     val keys = blockCols.indices.map(i => s"blk$i")
     val l = prepped.select(
       (Seq(col("id").as("id_l"), col("toks").as("toks_l"), col("sz").as("sz_l")) ++
@@ -123,11 +125,11 @@ object Dedup {
       threshold: Double): DataFrame = {
     require(threshold > 0, "setJaccardPairs requires a positive threshold")
     // persisted: the token scan feeds the size projection AND both exploded join
-    // sides (caller clears cache after materializing)
+    // sides (released by the caller's Caching.withCached bracket)
     val prepped = df.select(
       (col(idCol).as("id") +: setExpr.as("toks") +:
         blockCols.zipWithIndex.map { case (c, i) => c.as(s"blk$i") }): _*)
-      .persist()
+      .scopedPersist()
     val keys = blockCols.indices.map(i => s"blk$i")
     val sizes = prepped.select(col("id"), size(col("toks")).as("sz"))
     val items = prepped.select(
@@ -173,9 +175,8 @@ object Dedup {
     * verified with exact shingle Jaccard and filtered at `threshold`.
     *
     * Lifecycle: persists the band scan (both sides of the self-join would otherwise
-    * recompute the signature pass) and the verify step persists the shingle sets;
-    * callers free them with `clearCache` after materializing, as with the other LSH
-    * ops.
+    * recompute the signature pass) and the verify step persists the shingle sets —
+    * bracket materialization in [[graft.util.Caching.withCached]] to release them.
     */
   def minhashLshPairs(
       df: DataFrame,
@@ -187,7 +188,7 @@ object Dedup {
       shingleN: Int = 3): DataFrame = {
     require(threshold > 0, "minhashLshPairs requires a positive threshold")
     val bands = minhashBands(minhashSignatures(df, idCol, textCol, k, shingleN), k, bandSize)
-      .persist()
+      .scopedPersist()
     val candidates = bands.alias("l")
       .join(bands.alias("r"),
         col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
@@ -221,10 +222,10 @@ object Dedup {
     val corpusBands =
       minhashBands(minhashSignatures(corpus, idCol, textCol, k, shingleN), k, bandSize)
     // persisted: probes the corpus join AND self-joins for within-batch pairs
-    // (caller frees with clearCache after materializing, as with the other LSH ops)
+    // (released by the caller's Caching.withCached bracket)
     val newBands =
       minhashBands(minhashSignatures(incoming, idCol, textCol, k, shingleN), k, bandSize)
-        .persist()
+        .scopedPersist()
     val cross = corpusBands.alias("l")
       .join(newBands.alias("r"),
         col("l.band") === col("r.band") && col("l.key") === col("r.key"))
@@ -264,15 +265,15 @@ object Dedup {
       texts: DataFrame,
       threshold: Double,
       shingleN: Int): DataFrame = {
-    // persisted: feeds the id prune and both verify joins (caller clears cache)
-    val candidates = candidates0.persist()
+    // persisted: feeds the id prune and both verify joins (scoped via Caching)
+    val candidates = candidates0.scopedPersist()
     val touched = candidates.select(col("id_l").as("id"))
       .unionByName(candidates.select(col("id_r").as("id")))
       .distinct()
     val sets = texts.join(touched, Seq("id"), "left_semi")
       .select(col("id"), TextOps.distinctShingles(col("text"), shingleN).as("toks"))
       .withColumn("sz", size(col("toks")))
-      .persist()
+      .scopedPersist()
     candidates
       .join(sets.select(col("id").as("id_l"), col("toks").as("toks_l"),
         col("sz").as("sz_l")), "id_l")
@@ -318,10 +319,8 @@ object Dedup {
     * `bit_count(xor)` over the full signature. Work scales with per-band collisions
     * (2^16 keys per band over near-uniform hashes), not corpus².
     *
-    * Lifecycle: the returned plan references a persisted signature scan. After
-    * materializing the result in a long-lived session, free it with
-    * `spark.sqlContext.clearCache()` (or unpersist) — repeated calls without it
-    * accumulate cached state until executors spill.
+    * Lifecycle: persists intermediates via [[graft.util.Caching]]; bracket
+    * materialization in `Caching.withCached { ... }` to release exactly them.
     */
   def simhash64Pairs(
       df: DataFrame,
@@ -330,7 +329,7 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3,
       "4 bands of 16 bits guarantee exact recall only up to hamming 3")
-    val sigs = simhash64(df, idCol, textCol).persist()
+    val sigs = simhash64(df, idCol, textCol).scopedPersist()
     // the signature is 8 bytes — carry BOTH through the band join and verify inline,
     // so the hamming filter runs before any shuffle. The alternative (distinct
     // candidates, then join signatures back) shuffles every raw collision: boilerplate
@@ -402,7 +401,8 @@ object Dedup {
     * sorted set in one O(len) pass, so `shared` counts each fingerprint once.
     *
     * Lifecycle: persists the fingerprint scan (feeds the self-join and the size
-    * aggregate); callers free with `clearCache` after materializing.
+    * aggregate) via [[graft.util.Caching]]; bracket materialization in
+    * `Caching.withCached { ... }` to release it.
     */
   def fingerprintOverlapPairs(
       df: DataFrame,
@@ -414,7 +414,7 @@ object Dedup {
     require(minContainment > 0, "fingerprintOverlapPairs requires a positive threshold")
     val fps = df.select(col(idCol).as("id"),
         explode(graft.functions.rolling_fingerprints(col(textCol), k, w)).as("fp"))
-      .persist()
+      .scopedPersist()
     val sizes = fps.groupBy("id").agg(count(lit(1)).as("n"))
     fps.alias("l")
       .join(fps.alias("r"), col("l.fp") === col("r.fp") && col("l.id") < col("r.id"))
@@ -462,11 +462,11 @@ object Dedup {
     require(maxCells > 0, s"maxCells must be positive, got $maxCells")
     // normalize ONCE and persist: the count (auto-k), Lloyd fit, and both sides of
     // the within-cell self-join all ride this scan — an uncached emb lineage would
-    // otherwise be re-executed three times (caller frees with clearCache after
-    // materializing, as with the other LSH ops)
+    // otherwise be re-executed three times (released by the caller's Caching.withCached
+    // bracket)
     val norm = emb.select(col(idCol).as("id"),
         Similarity.normalized(col(vecCol).cast("array<double>")).as("v"))
-      .persist()
+      .scopedPersist()
     val cells =
       if (k > 0) k
       else math.min(maxCells.toLong,
@@ -474,7 +474,7 @@ object Dedup {
     val model = Ivf.fit(norm, "id", "v", cells, iters, seed)
     val v = norm
       .withColumn("cell", graft.functions.nearest_centroid(col("v"), model.centroids))
-      .persist()
+      .scopedPersist()
     v.alias("l")
       .join(v.alias("r"), col("l.cell") === col("r.cell") && col("l.id") < col("r.id"))
       .withColumn("cosine", graft.functions.array_dot(col("l.v"), col("r.v")))
@@ -513,10 +513,8 @@ object Dedup {
     * that tail matters. Widening only engages above 2^(bitsPerTable−3) rows, so
     * small-corpus results are unchanged; total work stays linear in N · tables.
     *
-    * Lifecycle: the returned plan references persisted vector and bucket scans. After
-    * materializing the result in a long-lived session, free them with
-    * `spark.sqlContext.clearCache()` (or unpersist) — repeated calls without it
-    * accumulate cached state until executors spill.
+    * Lifecycle: persists the vector and bucket scans via [[graft.util.Caching]];
+    * bracket materialization in `Caching.withCached { ... }` to release exactly them.
     */
 
   def embeddingLshPairs(
@@ -532,7 +530,7 @@ object Dedup {
     // without it the normalize scan (and whatever lineage produced `emb`) re-executes
     val v = emb.select(col(idCol).as("id"),
         Similarity.normalized(col(vecCol).cast("array<double>")).as("v"))
-      .persist()
+      .scopedPersist()
     val n = v.count()
     val bits = math.min(28,
       math.max(bitsPerTable, (math.log(n.toDouble.max(2.0)) / math.log(2.0)).ceil.toInt + 3))
@@ -545,7 +543,7 @@ object Dedup {
     val buckets = v
       .withColumn("sigs", graft.functions.hyperplane_signatures(col("v"), planes, bits))
       .select(col("id"), posexplode(col("sigs")).as(Seq("table", "sig")))
-      .persist()
+      .scopedPersist()
     val candidates = buckets.alias("l")
       .join(buckets.alias("r"),
         col("l.table") === col("r.table") && col("l.sig") === col("r.sig") &&
