@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.textops.{Curation, TextOps}
+import graft.util.Caching.CacheSyntax
 
 /** SparkEntry query + oracle entries for corpus curation: repetition metrics,
   * deterministic domain mixing / splits, token-budget sequence packing, boilerplate
@@ -175,6 +176,9 @@ object CurationQueries {
       // benchmark (doc_id % 13) → exact-dedup to keepers → deterministic domain mix
       // → pack into 512-token sequences; per-(lang, seq) stats, fully oracle-checked
       val bench = docs(s, dir).filter(col("doc_id") % 13 === 0)
+      // persisted: the scored+filtered corpus feeds BOTH the contamination shingle
+      // scan and the decontamination anti-join — without it the tokenize/quality/
+      // langid projection (the pipeline's priciest scan) executes twice
       val scored = TextQueries.plantedCorpus(s, dir)
         .filter(col("doc_id") % 13 =!= 0)
         .select(col("doc_id"), col("text"), col("lang"),
@@ -182,6 +186,7 @@ object CurationQueries {
           round(TextOps.qualityScore(col("text")), 6).as("quality"),
           TextOps.langId(col("text")).as("pred_lang"))
         .filter(col("pred_lang") =!= "und" && col("n_tokens") >= 5 && col("quality") >= 0.3)
+        .scopedPersist()
       val contaminated = Curation.contaminationStats(scored, bench, "doc_id", "text", 3)
         .filter(round(col("n_overlap").cast("double") / col("n_shingles"), 6)
           >= ContamThreshold)

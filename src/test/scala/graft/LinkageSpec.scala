@@ -155,6 +155,49 @@ class LinkageSpec extends SparkSpec {
     }
   }
 
+  test("EM single-iteration update matches the closed form at double precision") {
+    // 5 records, 2 blocks, 4 pairs → agreement patterns (γa,γb): (2,2)×1, (0,0)×2,
+    // (2,1)×1. The expected values below are the Fellegi–Sunter EM equations written
+    // out independently (E-step responsibilities from the INITIAL parameters, M-step
+    // count-weighted refits) — not a re-run of the implementation. One iteration
+    // exactly: tol = 0 never converges early, maxIter = 1 stops after the update.
+    val df = Seq(
+      ("1", "x", "aa", "pp"), ("2", "x", "aa", "pp"), ("3", "x", "zz", "qq"),
+      ("4", "y", "mm", "rr"), ("5", "y", "mm", "rs")).toDF("id", "blk", "a", "b")
+    val specs = Seq(ComparisonSpec("a", "levenshtein", 1), ComparisonSpec("b", "levenshtein", 1))
+    val u0 = Map("a" -> Array(0.7, 0.2, 0.1), "b" -> Array(0.6, 0.3, 0.1))
+    val lambda0 = 0.25
+    val (lambda1, m1, u1) = Estimation.emTrain(df, "id", specs,
+      graft.blocking.BlockingRule.parse("l.blk = r.blk"), u0, lambda0,
+      tol = 0.0, maxIter = 1)
+
+    // E-step: w(γ) = λ·∏m0[γ] / (λ·∏m0[γ] + (1−λ)·∏u0[γ]), m0 = DefaultM (.1,.3,.6)
+    val w22 = lambda0 * 0.6 * 0.6 / (lambda0 * 0.6 * 0.6 + 0.75 * 0.1 * 0.1)
+    val w00 = lambda0 * 0.1 * 0.1 / (lambda0 * 0.1 * 0.1 + 0.75 * 0.7 * 0.6)
+    val w21 = lambda0 * 0.6 * 0.3 / (lambda0 * 0.6 * 0.3 + 0.75 * 0.1 * 0.3)
+    val floor = 1e-9
+
+    // M-step, column a: γ2 from patterns (2,2)+(2,1), γ0 from (0,0)×2, γ1 empty→floor
+    val mTotA = w22 + w21 + 2 * w00
+    val uTotA = (1 - w22) + (1 - w21) + 2 * (1 - w00)
+    val expM_a = Array(2 * w00 / mTotA, floor, (w22 + w21) / mTotA)
+    val expU_a = Array(2 * (1 - w00) / uTotA, floor, ((1 - w22) + (1 - w21)) / uTotA)
+    // column b: γ2 from (2,2), γ1 from (2,1), γ0 from (0,0)×2
+    val mTotB = w22 + w21 + 2 * w00
+    val uTotB = (1 - w22) + (1 - w21) + 2 * (1 - w00)
+    val expM_b = Array(2 * w00 / mTotB, w21 / mTotB, w22 / mTotB)
+    val expU_b = Array(2 * (1 - w00) / uTotB, (1 - w21) / uTotB, (1 - w22) / uTotB)
+    val expLambda = (w22 + 2 * w00 + w21) / 4.0
+
+    assert(math.abs(lambda1 - expLambda) < 1e-12, s"lambda $lambda1 vs $expLambda")
+    Seq(("a", expM_a, expU_a), ("b", expM_b, expU_b)).foreach { case (c, em, eu) =>
+      (0 until 3).foreach { g =>
+        assert(math.abs(m1(c)(g) - em(g)) < 1e-12, s"m($c)($g)=${m1(c)(g)} vs ${em(g)}")
+        assert(math.abs(u1(c)(g) - eu(g)) < 1e-12, s"u($c)($g)=${u1(c)(g)} vs ${eu(g)}")
+      }
+    }
+  }
+
   test("u-estimation approximates value-frequency collision rates") {
     val df = (0 until 400).map(i => (i.toString, s"v${i % 4}")).toDF("id", "c")
     val u = Estimation.estimateU(df, "id", Seq(ComparisonSpec("c", "levenshtein", 0)), 4000)

@@ -248,6 +248,46 @@ class TextOpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall")
   }
 
+  test("LSH and IVF top-k pin >= 0.9 planted near-dup recall on a clustered+uniform mix") {
+    import graft.textops.Ivf
+    // Adversarial corpus: the uniform base + 8 DENSE clusters (40 jittered copies of
+    // each of 8 base vectors — they crowd LSH buckets and soak up IVF centroids) +
+    // a planted near-dup (cosine ≈ 0.9995) for every query. The ≥0.5 tests above
+    // cover the arbitrary-angle regime; THIS is the near-dup regime the default
+    // parameters are sized for (hyperplane miss math in Dedup.embeddingLshPairs),
+    // so the gate is 0.9, with the default fixed seeds.
+    val base = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val clusters = base.filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding"),
+        explode(sequence(lit(0), lit(39))).as("c"))
+      .select((col("vec_id") * 100 + col("c") + 300000).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x + (lit(0.05) + col("c").cast("double") * lit(0.003)) *
+            element_at(col("embedding"),
+              ((i + col("c")) % size(col("embedding"))) + 1)).as("embedding"))
+    val queries = base.filter(col("vec_id") >= 10 && col("vec_id") < 200 &&
+      col("vec_id") % 5 === 0)
+    val dups = queries.select((col("vec_id") + 100000).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        x + lit(0.02) * element_at(col("embedding"),
+          ((i + 1) % size(col("embedding"))) + 1)).as("embedding"))
+    val corpus = base.unionByName(clusters).unionByName(dups)
+    val nQueries = queries.count()
+    assert(nQueries === 38L) // fixture sanity: the gate below divides by this
+
+    val lshFound = Similarity.lshTopK(corpus, queries, "vec_id", "embedding", 5)
+      .filter(col("id") === col("query_id") + 100000).count()
+    assert(lshFound >= math.ceil(nQueries * 0.9).toLong,
+      s"LSH found $lshFound of $nQueries planted near-dups in top-5")
+
+    val model = Ivf.fit(corpus, "vec_id", "embedding", k = 24)
+    val ivfFound = Ivf.topK(corpus, queries, "vec_id", "embedding", 5, model, nprobe = 4)
+      .filter(col("id") === col("query_id") + 100000).count()
+    assert(ivfFound >= math.ceil(nQueries * 0.9).toLong,
+      s"IVF found $ivfFound of $nQueries planted near-dups in top-5")
+    spark.sqlContext.clearCache()
+  }
+
   test("IVF on-disk index equals in-memory topK and prunes unprobed cell partitions") {
     val queries = emb.filter(col("vec_id") < 20)
     val model = graft.textops.Ivf.fit(emb, "vec_id", "embedding", k = 16)
