@@ -34,6 +34,13 @@ object CurationQueries {
     */
   private val RunToken = java.util.UUID.randomUUID().toString.take(8)
 
+  /** Epochs per language for the epoch-mix fixture: <1 downsamples, >1 repeats. */
+  private val EpochRates: Map[String, Double] =
+    Map("en" -> 0.5, "es" -> 1.0, "fr" -> 1.5, "de" -> 2.0, "zh" -> 2.25)
+  private val EpochSalt = "epoch1"
+  private val TopFraction = 0.3
+  private val GopherMinWords = 20
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_repetition" -> { (s, dir) =>
       // Gopher-style repetition: one native single-pass stats struct per document,
@@ -204,6 +211,45 @@ object CurationQueries {
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("seq_tokens"),
           min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
         .orderBy("lang", "seq_id")
+    },
+    "text_gopher_rules" -> { (s, dir) =>
+      // Gopher rule stats + keep/drop decision; bullets/ellipsis/symbols planted
+      // (the synthetic corpus is single-line prose) so every rule is exercised
+      val g = concat(col("text"),
+        when(col("doc_id") % 4 === 0, lit("\n- bullet item\n- another bullet"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 6 === 0, lit("\nto be continued...")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit(" ## # ###")).otherwise(lit("")))
+      docs(s, dir).select(col("doc_id"),
+          TextOps.tokenCount(g).cast("long").as("n_words"),
+          round(TextOps.meanWordLength(g), 6).as("mean_word_len"),
+          round(TextOps.symbolWordRatio(g), 6).as("symbol_ratio"),
+          round(TextOps.bulletLineFraction(g), 6).as("bullet_frac"),
+          round(TextOps.ellipsisLineFraction(g), 6).as("ellipsis_frac"),
+          round(TextOps.alphaWordFraction(g), 6).as("alpha_frac"),
+          TextOps.passesGopherRules(g, minWords = GopherMinWords).as("passes_gopher"))
+        .orderBy("doc_id")
+    },
+    "curation_quality_topk" -> { (s, dir) =>
+      // "keep the best 30% per language by quality" — rank on the ROUNDED score so
+      // sub-ULP drift between engines cannot flip an ordering
+      val scored = docs(s, dir).select(col("doc_id"), col("lang"),
+        round(TextOps.qualityScore(col("text")), 6).as("quality"))
+      Curation.keepTopFraction(scored, col("quality"), Seq(col("lang")),
+          col("doc_id"), TopFraction)
+        .orderBy("lang", "qrank")
+    },
+    "curation_epoch_mix" -> { (s, dir) =>
+      // epoch-based domain mixing: whole-number copies + a deterministic fractional
+      // draw; per-(lang, epoch) counts prove the replication structure
+      Curation.epochMix(docs(s, dir), col("doc_id"), col("lang"),
+          EpochRates, defaultEpochs = 1.0, salt = EpochSalt)
+        .groupBy("lang", "epoch").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "epoch")
+    },
+    "text_tfidf_keywords" -> { (s, dir) =>
+      Curation.tfidfKeywords(docs(s, dir), "doc_id", "text", 3)
+        .orderBy("doc_id", "keyword_rank")
     },
     "curation_pii_redact" -> { (s, dir) =>
       // plant deterministic emails + an IPv4 per doc (the corpus itself has none),
@@ -440,6 +486,81 @@ object CurationQueries {
          |  CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
          |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
          |FROM sq GROUP BY lang, seq_id ORDER BY lang, seq_id""".stripMargin
+    },
+    "text_gopher_rules" -> {
+      val gtext = "text" +
+        " || CASE WHEN doc_id % 4 = 0 THEN chr(10) || '- bullet item' || chr(10) || '- another bullet' ELSE '' END" +
+        " || CASE WHEN doc_id % 6 = 0 THEN chr(10) || 'to be continued...' ELSE '' END" +
+        " || CASE WHEN doc_id % 5 = 0 THEN ' ## # ###' ELSE '' END"
+      val toks = toksSql("gtext")
+      val stopList = TextQueries.inList(
+        (TextOps.EnglishStopwords ++ TextOps.LangMarkers.flatMap(_._2)).distinct)
+      s"""WITH p AS (SELECT doc_id, $gtext AS gtext FROM documents),
+         |s AS (SELECT doc_id, gtext, $toks AS toks,
+         |        string_split(gtext, chr(10)) AS lines FROM p),
+         |c AS (SELECT doc_id, len(toks) AS n_words,
+         |  CASE WHEN len(toks) = 0 THEN 0.0
+         |       ELSE list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks) END AS mean_raw,
+         |  CASE WHEN len(toks) = 0 THEN 0.0
+         |       ELSE len(regexp_extract_all(gtext, '#|\\.\\.\\.'))::DOUBLE / len(toks) END AS sym_raw,
+         |  CASE WHEN len(lines) = 0 THEN 0.0
+         |       ELSE len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•]')))::DOUBLE / len(lines) END AS bullet_raw,
+         |  CASE WHEN len(lines) = 0 THEN 0.0
+         |       ELSE len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.$$')))::DOUBLE / len(lines) END AS ell_raw,
+         |  CASE WHEN len(toks) = 0 THEN 0.0
+         |       ELSE len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))::DOUBLE / len(toks) END AS alpha_raw,
+         |  len(list_filter(toks, t -> t IN $stopList)) AS stop_hits
+         |FROM s)
+         |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+         |  ROUND(mean_raw, 6) AS mean_word_len, ROUND(sym_raw, 6) AS symbol_ratio,
+         |  ROUND(bullet_raw, 6) AS bullet_frac, ROUND(ell_raw, 6) AS ellipsis_frac,
+         |  ROUND(alpha_raw, 6) AS alpha_frac,
+         |  (n_words >= $GopherMinWords AND n_words <= 100000
+         |   AND mean_raw >= 3.0 AND mean_raw <= 10.0 AND sym_raw < 0.1
+         |   AND bullet_raw < 0.9 AND ell_raw < 0.3 AND alpha_raw > 0.8
+         |   AND stop_hits >= 2) AS passes_gopher
+         |FROM c ORDER BY doc_id""".stripMargin
+    },
+    "curation_quality_topk" ->
+      s"""WITH sc AS (SELECT doc_id, lang, ${TextQueries.qualityExprSql} AS quality
+         |            FROM documents),
+         |rk AS (SELECT *,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS INT)
+         |    AS qrank,
+         |  COUNT(*) OVER (PARTITION BY lang) AS n
+         |FROM sc)
+         |SELECT doc_id, lang, quality, qrank FROM rk
+         |WHERE qrank <= CEIL(n * $TopFraction)
+         |ORDER BY lang, qrank""".stripMargin,
+    "curation_epoch_mix" -> {
+      def caseSql(f: Double => String): String =
+        "CASE lang " + EpochRates.toSeq.sortBy(_._1)
+          .map { case (k, e) => s"WHEN '$k' THEN ${f(e)}" }.mkString(" ") +
+          s" ELSE ${f(1.0)} END"
+      val wholeSql = caseSql(e => math.floor(e).toLong.toString)
+      val thrSql = caseSql(e => s"'${Curation.rateThreshold(e - math.floor(e))}'")
+      s"""WITH e AS (SELECT doc_id, lang, $wholeSql AS whole, $thrSql AS thr
+         |           FROM documents),
+         |f AS (SELECT lang, unnest(range(0, whole)) AS epoch FROM e),
+         |fr AS (SELECT lang, whole AS epoch FROM e
+         |       WHERE ${drawSql(EpochSalt, "doc_id")} < thr),
+         |u AS (SELECT * FROM f UNION ALL SELECT * FROM fr)
+         |SELECT lang, epoch, COUNT(*) AS n FROM u
+         |GROUP BY lang, epoch ORDER BY lang, epoch""".stripMargin
+    },
+    "text_tfidf_keywords" -> {
+      val toks = toksSql("text")
+      s"""WITH t AS (SELECT doc_id, unnest($toks) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+         |dfq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+         |nn AS (SELECT COUNT(*) AS n FROM documents),
+         |sc AS (SELECT tf.doc_id, tf.token,
+         |         ROUND(tf.tf * LN(nn.n::DOUBLE / dfq.df), 6) AS tfidf
+         |       FROM tf JOIN dfq USING (token) CROSS JOIN nn),
+         |rk AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+         |         ORDER BY tfidf DESC, token) AS INT) AS keyword_rank FROM sc)
+         |SELECT doc_id, keyword_rank, token, tfidf FROM rk
+         |WHERE keyword_rank <= 3 ORDER BY doc_id, keyword_rank""".stripMargin
     },
     "curation_pii_redact" -> {
       val email = Curation.EmailPattern

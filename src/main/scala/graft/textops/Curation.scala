@@ -122,6 +122,100 @@ object Curation {
       .withColumn("seq_id", floor(col("cum_before") / lit(budget)))
   }
 
+  /** Keep the best `fraction` of each stratum by `scoreCol` (ties broken by
+    * `tieCol` asc) — the "top X% by quality per domain" curation step. Keeps
+    * `ceil(fraction · stratumSize)` rows, so a non-empty stratum always keeps ≥ 1.
+    *
+    * One shuffle: rank and stratum size come from two window functions over the SAME
+    * partitioning, so Catalyst plans a single exchange + sort. Rank on a ROUNDED
+    * score when the score is float-derived — the correctness oracle ranks the same
+    * rounded value, and sub-ULP drift must not flip an ordering.
+    *
+    * Scale: the per-stratum sort is the inherent cost of exact ranking. For corpora
+    * where a stratum outgrows a partition's sort budget, pre-aggregate a score
+    * histogram and cut at the quantile instead (approx path, not implemented — the
+    * exact path IS the oracle-checkable contract).
+    */
+  def keepTopFraction(
+      df: DataFrame,
+      scoreCol: Column,
+      stratumCols: Seq[Column],
+      tieCol: Column,
+      fraction: Double): DataFrame = {
+    require(fraction > 0 && fraction <= 1, s"fraction must be in (0,1], got $fraction")
+    val w = Window.partitionBy(stratumCols: _*).orderBy(scoreCol.desc, tieCol.asc)
+    val wAll = Window.partitionBy(stratumCols: _*)
+    df.withColumn("qrank", row_number().over(w))
+      .withColumn("stratum_n", count(lit(1)).over(wAll))
+      .filter(col("qrank") <= ceil(col("stratum_n") * fraction))
+      .drop("stratum_n")
+  }
+
+  /** Epoch-based domain mixing (the "repeat under-represented domains" recipe):
+    * stratum s is replicated `floor(epochs(s))` times, plus one more copy for the
+    * deterministic `frac(epochs(s))` fraction of its rows (md5 draw keyed on `key`,
+    * same contract as [[hashSample]]). Adds an `epoch` column (0-based copy index).
+    * Epochs < 1 downsample (0 full copies + fractional draw) — [[stratifiedSample]]
+    * with an epoch column.
+    *
+    * Shuffle-free: replication is a row-local `explode(sequence(...))`, the
+    * fractional copy is a filtered union — both scans stream.
+    */
+  def epochMix(
+      df: DataFrame,
+      key: Column,
+      stratum: Column,
+      epochs: Map[String, Double],
+      defaultEpochs: Double,
+      salt: String): DataFrame = {
+    require((epochs.values ++ Seq(defaultEpochs)).forall(_ >= 0), "epochs must be >= 0")
+    def ladder(f: Double => Column): Column =
+      epochs.toSeq.sortBy(_._1).foldLeft(f(defaultEpochs)) {
+        case (acc, (s, e)) => when(stratum === s, f(e)).otherwise(acc)
+      }
+    val whole = ladder(e => lit(math.floor(e).toLong))
+    val fracThreshold = ladder(e => lit(rateThreshold(e - math.floor(e))))
+    val full = df
+      .withColumn("epoch",
+        explode(when(whole >= 1, sequence(lit(0L), whole - 1))
+          .otherwise(array().cast("array<bigint>"))))
+    val fractional = df
+      .filter(hashDraw(key, salt) < fracThreshold)
+      .withColumn("epoch", whole)
+    full.unionByName(fractional)
+  }
+
+  /** Top-`k` TF-IDF keywords per document: tf = in-doc term count, idf = ln(N/df)
+    * over document frequency, ranked by (rounded score desc, token asc). Returns
+    * (id, keyword_rank, token, tfidf).
+    *
+    * Scale shape: one token explode feeds both the df aggregate and the tf
+    * aggregate (persisted via [[graft.util.Caching]]); the join back to per-doc
+    * terms is on the token key (broadcast when the vocabulary is small, shuffled
+    * hash join otherwise — Catalyst's call); the rank window partitions by document,
+    * bounded by per-doc distinct terms. Ranking uses the ROUNDED score so sub-ULP
+    * `ln` differences between engines cannot flip an ordering.
+    */
+  def tfidfKeywords(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val n = df.count()
+    val terms = df.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy(idCol, "token").agg(count(lit(1)).as("tf"))
+      .scopedPersist()
+    val dfreq = terms.groupBy("token").agg(count(lit(1)).as("df"))
+    val scored = terms.join(dfreq, "token")
+      .withColumn("tfidf",
+        round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+    val w = Window.partitionBy(idCol).orderBy(desc("tfidf"), asc("token"))
+    scored.withColumn("keyword_rank", row_number().over(w))
+      .filter(col("keyword_rank") <= k)
+      .select(col(idCol), col("keyword_rank"), col("token"), col("tfidf"))
+  }
+
   // ---- passage chunking ----------------------------------------------------
 
   /** Overlapping token-window passages (RAG-style chunking): windows of

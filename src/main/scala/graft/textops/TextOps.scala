@@ -85,6 +85,71 @@ object TextOps {
     lit(0.4) * lenScore + lit(0.3) * punct + lit(0.3) * stop
   }
 
+  // ---- Gopher rule stats (Rae et al. 2021, appendix A1.1) -------------------
+  // Each stat is a plain codegen'd column expression over one tokenization /
+  // line-split; divisions are exact-int-over-exact-int doubles, so the rule
+  // BOOLEANS reproduce bit-for-bit on any engine (the DuckDB oracle compares them
+  // unrounded). Patterns stay in the Java-regex ∩ RE2 subset.
+
+  /** Mean token length in characters (0 for token-less docs). */
+  def meanWordLength(c: Column): Column = {
+    val toks = tokens(c)
+    coalesce(
+      aggregate(toks, lit(0), (acc, t) => acc + length(t)).cast("double")
+        / nullif(size(toks), lit(0)),
+      lit(0.0))
+  }
+
+  /** Hash/ellipsis symbols per token — the Gopher symbol-to-word ratio. */
+  def symbolWordRatio(c: Column): Column =
+    coalesce(
+      regexp_count(c, lit("#|\\.\\.\\.")).cast("double") / nullif(tokenCount(c), lit(0)),
+      lit(0.0))
+
+  private def lineFraction(c: Column, linePattern: String): Column = {
+    val lines = split(c, "\n")
+    coalesce(
+      size(filter(lines, l => l.rlike(linePattern))).cast("double")
+        / nullif(size(lines), lit(0)),
+      lit(0.0))
+  }
+
+  /** Fraction of lines starting with a bullet marker. */
+  def bulletLineFraction(c: Column): Column = lineFraction(c, "^\\s*[-*•]")
+
+  /** Fraction of lines ending with an ellipsis. */
+  def ellipsisLineFraction(c: Column): Column = lineFraction(c, "\\.\\.\\.$")
+
+  /** Fraction of tokens containing at least one alphabetic character. */
+  def alphaWordFraction(c: Column): Column = {
+    val toks = tokens(c)
+    coalesce(
+      size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double")
+        / nullif(size(toks), lit(0)),
+      lit(0.0))
+  }
+
+  /** The Gopher keep/drop decision from the published thresholds (word count in
+    * [minWords, maxWords], mean word length in [3, 10], symbol ratio < 0.1, bullet
+    * lines < 0.9, ellipsis lines < 0.3, alpha-word fraction > 0.8, ≥ 2 stopword
+    * hits). Thresholds compare UNROUNDED exact ratios — reproducible cross-engine.
+    * `minWords` defaults to 50 as published; corpora of short documents tune it.
+    */
+  def passesGopherRules(c: Column, minWords: Int = 50, maxWords: Int = 100000): Column = {
+    val n = tokenCount(c)
+    // multilingual stopword list: English stopwords ∪ every language's markers
+    // (the published rule is English-only; the union keeps it meaningful corpus-wide)
+    val stopList = (EnglishStopwords ++ LangMarkers.flatMap(_._2)).distinct
+    val stopHits = size(filter(tokens(c), t => t.isInCollection(stopList)))
+    (n >= minWords) && (n <= maxWords) &&
+      (meanWordLength(c) >= 3.0) && (meanWordLength(c) <= 10.0) &&
+      (symbolWordRatio(c) < 0.1) &&
+      (bulletLineFraction(c) < 0.9) &&
+      (ellipsisLineFraction(c) < 0.3) &&
+      (alphaWordFraction(c) > 0.8) &&
+      (stopHits >= 2)
+  }
+
   /** URL pattern — lookahead-free so Java regex (Spark) and RE2 (the DuckDB oracle)
     * agree match-for-match; covers the http(s) links a web corpus carries.
     */

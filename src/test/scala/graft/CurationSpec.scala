@@ -295,6 +295,72 @@ class CurationSpec extends SparkSpec {
       ("u", 3611L, 1L), ("v", 5L, 0L)))
   }
 
+  test("keepTopFraction keeps ceil(frac*n) per stratum with deterministic ties") {
+    // stratum a: 4 rows, frac 0.5 → keep 2; equal scores break by id ASC.
+    // stratum b: 1 row → ceil(0.5) = 1 keeps it (non-empty strata never vanish).
+    val d = Seq(("a", 1L, 0.9), ("a", 2L, 0.9), ("a", 3L, 0.5), ("a", 4L, 0.1),
+      ("b", 9L, 0.2)).toDF("g", "id", "score")
+    val out = Curation.keepTopFraction(d, col("score"), Seq(col("g")), col("id"), 0.5)
+      .select("g", "id", "qrank").as[(String, Long, Int)].collect().sortBy(r => (r._1, r._3))
+    assert(out === Array(("a", 1L, 1), ("a", 2L, 2), ("b", 9L, 1)))
+  }
+
+  test("epochMix replicates whole epochs and draws the fractional copy") {
+    val d = (0 until 200).map(i => (i.toString, if (i % 2 == 0) "x" else "y"))
+      .toDF("id", "g")
+    // x: 2.5 epochs → 2 full copies each + ~half get a third; y: 0.25 → ~quarter kept
+    val out = Curation.epochMix(d, col("id"), col("g"),
+        Map("x" -> 2.5, "y" -> 0.25), defaultEpochs = 1.0, salt = "s")
+      .groupBy("g", "epoch").count()
+      .as[(String, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(out(("x", 0L)) === 100L && out(("x", 1L)) === 100L)
+    val xFrac = out(("x", 2L)); val yFrac = out(("y", 0L))
+    assert(xFrac > 30 && xFrac < 70, s"x fractional draw $xFrac ~ Binomial(100, .5)")
+    assert(yFrac > 10 && yFrac < 40, s"y fractional draw $yFrac ~ Binomial(100, .25)")
+    assert(!out.contains(("y", 1L))) // no full copy below 1 epoch
+    // determinism: identical draw on a second run
+    val again = Curation.epochMix(d, col("id"), col("g"),
+        Map("x" -> 2.5, "y" -> 0.25), defaultEpochs = 1.0, salt = "s")
+      .groupBy("g", "epoch").count()
+      .as[(String, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(again === out)
+  }
+
+  test("gopher rule stats match hand-computed values") {
+    import graft.textops.TextOps
+    // 2 lines: 6 tokens "aa bbbb cc#" / "- x..." ; mean len = (2+4+3+1+1+4)/6? No:
+    // tokens are [aa, bbbb, cc#, -, x..., the] → lens 2,4,3,1,4,3 → mean 17/6
+    val t = "aa bbbb cc# the\n- x..."
+    val out = Seq(t).toDF("t").select(
+      TextOps.tokenCount(col("t")).as("n"),
+      TextOps.meanWordLength(col("t")).as("mean"),
+      TextOps.symbolWordRatio(col("t")).as("sym"),
+      TextOps.bulletLineFraction(col("t")).as("bullet"),
+      TextOps.ellipsisLineFraction(col("t")).as("ell"),
+      TextOps.alphaWordFraction(col("t")).as("alpha"))
+      .as[(Int, Double, Double, Double, Double, Double)].collect()(0)
+    assert(out._1 === 6)
+    assert(math.abs(out._2 - (2 + 4 + 3 + 3 + 1 + 4) / 6.0) < 1e-12)
+    assert(math.abs(out._3 - 2.0 / 6.0) < 1e-12) // one '#', one '...'
+    assert(math.abs(out._4 - 0.5) < 1e-12)       // line 2 of 2 starts with '-'
+    assert(math.abs(out._5 - 0.5) < 1e-12)       // line 2 of 2 ends with '...'
+    assert(math.abs(out._6 - 5.0 / 6.0) < 1e-12) // all but "-" contain a letter
+  }
+
+  test("tfidf keywords rank rare terms above common ones") {
+    val d = Seq((1L, "apple apple banana shared"), (2L, "cherry shared shared"),
+      (3L, "durian shared")).toDF("doc_id", "text")
+    val out = Curation.tfidfKeywords(d, "doc_id", "text", 2)
+      .as[(Long, Int, String, Double)].collect().sortBy(r => (r._1, r._2))
+    spark.sqlContext.clearCache()
+    // doc 1: apple tf=2 df=1 → 2·ln3 ≈ 2.197; banana 1·ln3 ≈ 1.099; shared ln1 = 0
+    assert(out.filter(_._1 == 1L).map(_._3).toSeq === Seq("apple", "banana"))
+    assert(math.abs(out.find(r => r._1 == 1L && r._3 == "apple").get._4
+      - BigDecimal(2 * math.log(3.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    // shared appears in every doc → idf 0 → never outranks a unique term
+    assert(out.filter(_._1 == 2L).head._3 === "cherry")
+  }
+
   test("redactPii masks emails and IPv4s and counts them") {
     val out = Seq("write a.user+tag@sub.example.co.uk from 192.168.0.1 or 8.8.8.8 v1.2 x")
       .toDF("t")
