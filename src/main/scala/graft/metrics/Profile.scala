@@ -43,4 +43,25 @@ object Profile {
           log(col("n_nonnull")) - col("sum_n_ln_n") / col("n_nonnull"))
           .as("entropy"))
   }
+
+  /** Sketch-based profile for UNBOUNDED-cardinality columns, where
+    * [[profileColumns]]'s exact distinct-value table would itself be data-sized:
+    * `approx_count_distinct` (HyperLogLog++, ~`rsd` relative error) per column in
+    * ONE aggregation pass over the unpivoted scan — no per-value table, no second
+    * shuffle, fixed sketch memory per column regardless of cardinality. Entropy and
+    * modal value need the value table and are deliberately absent here — at sketch
+    * scale they want CMS/heavy-hitter machinery; this covers the
+    * row/non-null/distinct triple that capacity planning actually reads.
+    */
+  def profileColumnsApprox(df: DataFrame, cols: Seq[String], rsd: Double = 0.05): DataFrame = {
+    require(cols.nonEmpty, "profileColumnsApprox needs at least one column")
+    val stackArgs = cols
+      .map(c => s"'${c.replace("'", "''")}', cast(`${c.replace("`", "``")}` as string)")
+      .mkString(", ")
+    val stacked = df.selectExpr(s"stack(${cols.length}, $stackArgs) as (col_name, value)")
+    stacked.groupBy("col_name").agg(
+      count(lit(1)).as("n_rows"),
+      count(col("value")).as("n_nonnull"),
+      approx_count_distinct(col("value"), rsd).as("n_distinct_approx"))
+  }
 }

@@ -151,6 +151,34 @@ object Curation {
       .drop("stratum_n")
   }
 
+  /** Scale path for [[keepTopFraction]]: cut each stratum at its approximate
+    * `1 − fraction` score quantile instead of ranking — one aggregation pass
+    * (`percentile_approx` sketch per stratum) plus one broadcast-joined filter scan,
+    * NO per-stratum sort. Keeps rows with score ≥ the threshold, so the kept count
+    * is approximate where the sketch blurs the boundary (and ties at the threshold
+    * all survive); `accuracy` is the `percentile_approx` knob (higher = tighter,
+    * more sketch memory). Use the exact variant when the oracle-checkable
+    * ceil(frac·n) contract matters; use this when a stratum outgrows a partition's
+    * sort budget.
+    */
+  def keepTopFractionApprox(
+      df: DataFrame,
+      scoreCol: Column,
+      stratumCols: Seq[Column],
+      fraction: Double,
+      accuracy: Int = 10000): DataFrame = {
+    require(fraction > 0 && fraction <= 1, s"fraction must be in (0,1], got $fraction")
+    val keyed = df.withColumn("_score", scoreCol)
+      .withColumns(stratumCols.zipWithIndex.map { case (c, i) => s"_st$i" -> c }.toMap)
+    val keys = stratumCols.indices.map(i => s"_st$i")
+    val cuts = keyed.groupBy(keys.map(col): _*)
+      .agg(percentile_approx(col("_score"), lit(1.0 - fraction), lit(accuracy))
+        .as("_cut"))
+    keyed.join(broadcast(cuts), keys)
+      .filter(col("_score") >= col("_cut"))
+      .drop((keys ++ Seq("_score", "_cut")): _*)
+  }
+
   /** Epoch-based domain mixing (the "repeat under-represented domains" recipe):
     * stratum s is replicated `floor(epochs(s))` times, plus one more copy for the
     * deterministic `frac(epochs(s))` fraction of its rows (md5 draw keyed on `key`,

@@ -361,6 +361,26 @@ class CurationSpec extends SparkSpec {
     assert(out.filter(_._1 == 2L).head._3 === "cherry")
   }
 
+  test("keepTopFractionApprox tracks the exact ranking without a per-stratum sort") {
+    import graft.textops.TextOps
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("lang"),
+        round(TextOps.qualityScore(col("text")), 6).as("quality"))
+    val exact = Curation.keepTopFraction(docs, col("quality"), Seq(col("lang")),
+      col("doc_id"), 0.3).select("doc_id").as[Long].collect().toSet
+    val approx = Curation.keepTopFractionApprox(docs, col("quality"), Seq(col("lang")), 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    // the sketch blurs only the cut boundary: overlap stays high, size stays close
+    val overlap = (exact & approx).size.toDouble / exact.size
+    assert(overlap >= 0.85, s"overlap $overlap")
+    assert(math.abs(approx.size - exact.size) <= math.max(5, exact.size / 5),
+      s"approx kept ${approx.size} vs exact ${exact.size}")
+    // plan shape: no row_number window (the whole point); the sort-free path
+    val plan = Curation.keepTopFractionApprox(docs, col("quality"), Seq(col("lang")), 0.3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("row_number"), "approx path must not rank")
+  }
+
   test("redactPii masks emails and IPv4s and counts them") {
     val out = Seq("write a.user+tag@sub.example.co.uk from 192.168.0.1 or 8.8.8.8 v1.2 x")
       .toDF("t")

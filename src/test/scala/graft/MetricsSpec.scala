@@ -37,6 +37,19 @@ class MetricsSpec extends SparkSpec {
     assert(math.abs(out(1)._7 - (math.log(5) - 4 * math.log(2) / 5)) < 1e-9)
   }
 
+  test("profileColumnsApprox: exact counts, sketch distinct within rsd, one agg pass") {
+    val df = spark.range(5000).selectExpr("cast(id as string) as hi", "cast(id % 7 as string) as lo")
+    val out = Profile.profileColumnsApprox(df, Seq("hi", "lo"), rsd = 0.05)
+      .orderBy("col_name").as[(String, Long, Long, Long)].collect()
+    assert(out(0)._1 === "hi" && out(0)._2 === 5000L && out(0)._3 === 5000L)
+    assert(math.abs(out(0)._4 - 5000L) <= 500, s"hll distinct ${out(0)._4}")
+    assert(out(1)._1 === "lo" && out(1)._4 === 7L) // HLL is exact at tiny cardinality
+    // the scale contract: no per-value table, so no second shuffle in the plan
+    val exchanges = "Exchange".r.findAllIn(
+      Profile.profileColumnsApprox(df, Seq("hi", "lo")).queryExecution.executedPlan.toString).size
+    assert(exchanges <= 1, s"expected one shuffle, saw $exchanges")
+  }
+
   test("perfect clustering scores 1.0 on ARI/NMI/homogeneity/completeness") {
     val df = (1 to 60).map(i => (i.toString, (i % 3).toString, (i % 3).toString))
       .toDF("id", "truth", "cluster_id")
