@@ -307,6 +307,13 @@ object TextQueries {
         .groupBy("k_val").agg(count(lit(1)).as("cnt"))
         .orderBy("k_val")
     },
+    "stream_sessionize" -> { (s, dir) =>
+      // flatMapGroupsWithState + event-time timeout: emits every session whose close
+      // is proven by the final watermark; oracle = batch sessions with end+gap < max ts
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      StreamOps.streamingSessionize(s, s"$dir/events.parquet", gapSeconds = 1800L)
+        .orderBy("user_id", "session_start_us")
+    },
     "stream_dedup" -> { (s, dir) =>
       // streaming exact dedup across micro-batches: batch 1 = the documents, batch 2 =
       // planted exact copies (doc_id%7) — every copy must be dropped by the stateful
@@ -763,6 +770,23 @@ object TextQueries {
     "ev_json_extract" ->
       """SELECT json_extract_string(props, '$.k') AS k_val, COUNT(*) AS cnt
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "stream_sessionize" ->
+      """WITH e AS (SELECT CAST(user_id AS BIGINT) AS user_id,
+        |             epoch_ns(ts) // 1000 AS us FROM events),
+        |m AS (SELECT MAX(us) AS wm FROM e),
+        |d AS (SELECT user_id, us,
+        |        CASE WHEN LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+        |             OR us - LAG(us) OVER (PARTITION BY user_id ORDER BY us) > 1800000000
+        |             THEN 1 ELSE 0 END AS brk
+        |      FROM e),
+        |s AS (SELECT user_id, us, SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+        |        ROWS UNBOUNDED PRECEDING) AS sid FROM d),
+        |g AS (SELECT user_id, sid, MIN(us) AS session_start_us,
+        |        MAX(us) AS session_end_us, COUNT(*) AS n_events
+        |      FROM s GROUP BY 1, 2)
+        |SELECT user_id, session_start_us, session_end_us, n_events
+        |FROM g, m WHERE session_end_us + 1800000000 < wm
+        |ORDER BY user_id, session_start_us""".stripMargin,
     "stream_dedup" ->
       """SELECT lang, COUNT(DISTINCT md5(text)) AS n_unique
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,

@@ -158,6 +158,73 @@ object StreamOps {
     driveToMemory(stream, "append", "stream_dedup_wm")
   }
 
+  case class OpenSession(start_us: Long, last_us: Long, n: Long)
+  case class SessionRow(user_id: Long, session_start_us: Long, session_end_us: Long,
+    n_events: Long)
+
+  /** Streaming sessionization — `flatMapGroupsWithState` + EVENT-TIME timeout, the
+    * canonical custom-state streaming shape: per-user open sessions live in
+    * `GroupState`, close when a later event arrives past the gap (same rule as the
+    * batch [[graft.events.Sessionize]]: strictly-greater gap splits), and the
+    * watermark fires the timeout that closes a session no later event will extend.
+    * Append mode: each closed session is emitted exactly once; state per user is one
+    * (start, last, count) triple, evicted on close — bounded by concurrently-open
+    * sessions, never by history.
+    *
+    * A bounded drive emits exactly the sessions whose close is PROVEN by the final
+    * watermark (= max event time, delay 0): sessions closed by a later event, plus
+    * timed-out sessions with `last + gap < max_ts`. Still-provisional sessions stay
+    * in state — on a real stream they'd emit as the watermark passes them.
+    */
+  def streamingSessionize(
+      spark: SparkSession,
+      eventsPath: String,
+      gapSeconds: Long): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    val gapUs = gapSeconds * 1000000L
+    // the watermark COLUMN must survive into the stateful operator (dropping it
+    // disables event-time timeout), so event_ts rides along unused in the tuple
+    val raw = fileStream(spark, eventsPath)
+      .select(col("user_id").cast("long").as("user_id"),
+        expr("ts div 1000").as("us"))
+      .withColumn("event_ts", timestamp_micros(col("us")))
+      .withWatermark("event_ts", "0 seconds")
+      .as[(Long, Long, java.sql.Timestamp)]
+    val sessions = raw.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
+            state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionRow(user, s.start_us, s.last_us, s.n))
+          } else {
+            // sort within the batch: micro-batch iterators carry no order guarantee
+            val ts = rows.map(_._2).toArray.sorted
+            val closed = Seq.newBuilder[SessionRow]
+            var open = state.getOption
+            ts.foreach { t =>
+              open match {
+                case Some(s) if t - s.last_us <= gapUs =>
+                  open = Some(OpenSession(s.start_us, t, s.n + 1))
+                case Some(s) =>
+                  closed += SessionRow(user, s.start_us, s.last_us, s.n)
+                  open = Some(OpenSession(t, t, 1))
+                case None =>
+                  open = Some(OpenSession(t, t, 1))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last_us / 1000L + gapSeconds * 1000L)
+            }
+            closed.result().iterator
+          }
+      }
+    driveToMemory(sessions.toDF(), "append", "stream_sessions")
+  }
+
   case class UserTotal(user_id: Long, n_events: Long, value_sum: Double)
 
   /** Custom streaming state via `mapGroupsWithState`: per-user running totals held in
