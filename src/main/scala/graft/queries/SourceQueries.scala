@@ -6,12 +6,15 @@ import org.apache.spark.sql.functions._
 import graft.sources.BucketedTables
 
 /** SparkEntry query + oracle entries for the source/sink layer: bucketed co-located
-  * joins (shuffle moved to write time).
+  * joins (shuffle moved to write time), JSONL corpus interchange.
   */
 object SourceQueries {
 
   private def tmp(name: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_bucketed/$name"
+
+  /** Per-JVM token for scratch paths — concurrent harness runs must not collide. */
+  private val RunToken = java.util.UUID.randomUUID().toString.take(8)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_bucketed_join" -> { (s, dir) =>
@@ -32,6 +35,21 @@ object SourceQueries {
         .agg(count(lit(1)).as("n_orders"),
           sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
         .orderBy("c_mktsegment")
+    },
+    "src_jsonl_roundtrip" -> { (s, dir) =>
+      // JSONL is the de-facto LLM-corpus interchange format: write the documents
+      // table as gzip JSONL, read it back with an EXPLICIT schema (schema inference
+      // costs a full extra pass at corpus scale), and prove the round-trip lossless
+      // by aggregating content hashes of what is actually on disk
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl/$RunToken/documents"
+      docs.write.mode("overwrite").option("compression", "gzip").json(path)
+      val back = s.read.schema(docs.schema).json(path)
+      back.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("n_chars"),
+          count_distinct(md5(col("text"))).as("n_unique"))
+        .orderBy("lang")
     })
 
   val oracleSql: Map[String, String] = Map(
@@ -40,5 +58,12 @@ object SourceQueries {
         |  CAST(COUNT(*) AS BIGINT) AS n_orders,
         |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM customer JOIN orders ON c_custkey = o_custkey
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // the oracle reads the PARQUET originals: equality proves the JSONL round-trip
+    // preserved every document byte-for-byte
+    "src_jsonl_roundtrip" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+        |  COUNT(DISTINCT md5(text)) AS n_unique
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
 }

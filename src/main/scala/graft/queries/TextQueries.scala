@@ -314,6 +314,13 @@ object TextQueries {
       StreamOps.streamingSessionize(s, s"$dir/events.parquet", gapSeconds = 1800L)
         .orderBy("user_id", "session_start_us")
     },
+    "stream_enrich" -> { (s, dir) =>
+      // stream-static broadcast join: events enriched with the customer dimension
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      StreamOps.streamStaticEnrich(s, s"$dir/events.parquet",
+          s.read.parquet(s"$dir/customer.parquet"))
+        .orderBy("c_mktsegment", "event_type")
+    },
     "stream_dedup" -> { (s, dir) =>
       // streaming exact dedup across micro-batches: batch 1 = the documents, batch 2 =
       // planted exact copies (doc_id%7) — every copy must be dropped by the stateful
@@ -770,6 +777,11 @@ object TextQueries {
     "ev_json_extract" ->
       """SELECT json_extract_string(props, '$.k') AS k_val, COUNT(*) AS cnt
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "stream_enrich" ->
+      """SELECT c_mktsegment, event_type, COUNT(*) AS n,
+        |  ROUND(SUM(value), 4) AS value_sum
+        |FROM events LEFT JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "stream_sessionize" ->
       """WITH e AS (SELECT CAST(user_id AS BIGINT) AS user_id,
         |             epoch_ns(ts) // 1000 AS us FROM events),

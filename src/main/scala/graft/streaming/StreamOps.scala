@@ -158,6 +158,27 @@ object StreamOps {
     driveToMemory(stream, "append", "stream_dedup_wm")
   }
 
+  /** Stream-static enrichment: join the event stream against a broadcast dimension
+    * table (the feature-store / reference-data shape). The static side is planned as
+    * a broadcast hash join per micro-batch — no stream-side shuffle, no state; at
+    * cluster scale the dimension refresh is a re-broadcast, never a stateful join.
+    * Emits per (mktsegment, event_type) counts and value sums.
+    */
+  def streamStaticEnrich(
+      spark: SparkSession,
+      eventsPath: String,
+      dim: DataFrame): DataFrame = {
+    val stream = fileStream(spark, eventsPath)
+      .join(broadcast(dim.select(col("c_custkey").as("user_id"), col("c_mktsegment"))),
+        Seq("user_id"), "left")
+      .groupBy("c_mktsegment", "event_type")
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("value_sum"))
+    // complete mode: bounded keyed aggregate (segments × event types)
+    driveToMemory(stream, "complete", "stream_enrich")
+      .select(col("c_mktsegment"), col("event_type"), col("n"),
+        round(col("value_sum"), 4).as("value_sum"))
+  }
+
   case class OpenSession(start_us: Long, last_us: Long, n: Long)
   case class SessionRow(user_id: Long, session_start_us: Long, session_end_us: Long,
     n_events: Long)
