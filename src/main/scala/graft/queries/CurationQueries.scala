@@ -251,6 +251,19 @@ object CurationQueries {
       Curation.tfidfKeywords(docs(s, dir), "doc_id", "text", 3)
         .orderBy("doc_id", "keyword_rank")
     },
+    "curation_sample_exact_n" -> { (s, dir) =>
+      // fixed-size per-language draw: exactly 40 docs per lang, membership pinned
+      Curation.sampleExactN(docs(s, dir), col("doc_id"), Seq(col("lang")), 40, "exact1")
+        .select(col("doc_id"), col("lang"), col("draw_rank"))
+        .orderBy("lang", "draw_rank")
+    },
+    "curation_bpe_merges" -> { (s, dir) =>
+      // tokenizer training: top-20 BPE merges over the corpus word vocabulary
+      // (rows-only: the merge loop is iterative — CurationSpec pins the classic
+      // Sennrich fixture exactly)
+      Curation.trainBpeMerges(docs(s, dir), col("text"), numMerges = 20)
+        .orderBy("merge_rank")
+    },
     "curation_pii_redact" -> { (s, dir) =>
       // plant deterministic emails + an IPv4 per doc (the corpus itself has none),
       // then count and redact them in one codegen'd regex scan
@@ -548,6 +561,13 @@ object CurationQueries {
          |SELECT lang, epoch, COUNT(*) AS n FROM u
          |GROUP BY lang, epoch ORDER BY lang, epoch""".stripMargin
     },
+    "curation_sample_exact_n" ->
+      s"""WITH rk AS (SELECT doc_id, lang,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY lang
+         |    ORDER BY ${drawSql("exact1", "doc_id")}, doc_id) AS INT) AS draw_rank
+         |FROM documents)
+         |SELECT doc_id, lang, draw_rank FROM rk WHERE draw_rank <= 40
+         |ORDER BY lang, draw_rank""".stripMargin,
     "text_tfidf_keywords" -> {
       val toks = toksSql("text")
       s"""WITH t AS (SELECT doc_id, unnest($toks) AS token FROM documents),

@@ -61,6 +61,25 @@ object Curation {
     df.filter(hashDraw(key, salt) < threshold)
   }
 
+  /** Exactly `n` rows per stratum (or the whole stratum when smaller), chosen by the
+    * deterministic md5 draw — the fixed-size-eval-set / per-domain-budget shape that
+    * rate-based sampling can't give. Adds `draw_rank` (1-based within the stratum).
+    * One window exchange per call; rows beyond rank `n` never survive the filter, and
+    * the draw is reproducible on any engine with md5 (the DuckDB oracle re-derives
+    * the same ranks digit for digit).
+    */
+  def sampleExactN(
+      df: DataFrame,
+      key: Column,
+      stratumCols: Seq[Column],
+      n: Int,
+      salt: String): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val w = Window.partitionBy(stratumCols: _*).orderBy(hashDraw(key, salt), key)
+    df.withColumn("draw_rank", row_number().over(w))
+      .filter(col("draw_rank") <= n)
+  }
+
   /** Deterministic train/validation assignment (adds a `split` column). */
   def assignSplit(df: DataFrame, key: Column, trainFrac: Double, salt: String): DataFrame =
     df.withColumn("split",
@@ -360,6 +379,70 @@ object Curation {
       .limit(topK)
     counts.withColumn("token_id",
       row_number().over(Window.orderBy(desc("n"), asc("token"))))
+  }
+
+  /** Byte-pair-encoding merge training (Sennrich et al. 2016): learn the `numMerges`
+    * highest-count symbol merges over the corpus word vocabulary. Returns one row per
+    * merge: (merge_rank, left, right, pair_count), deterministic (ties break on the
+    * symbol pair lexicographically).
+    *
+    * Scale design — the shape every real BPE trainer uses: the CORPUS-sized work is
+    * one distributed word-count aggregation; the merge loop then runs on the driver
+    * over the BOUNDED word vocabulary (top `maxVocabWords` by count — beyond it the
+    * frequency tail cannot influence top merges materially), so iteration cost is
+    * independent of corpus size. Words are split to characters with a terminal
+    * `</w>` marker, so merges never cross word boundaries.
+    */
+  def trainBpeMerges(
+      df: DataFrame,
+      textCol: Column,
+      numMerges: Int,
+      maxVocabWords: Int = 100000): DataFrame = {
+    require(numMerges > 0, s"numMerges must be positive, got $numMerges")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = df.select(explode(TextOps.tokens(textCol)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("w"))
+      .limit(maxVocabWords)
+      .as[(String, Long)].collect()
+    // vocab as mutable symbol sequences; counts never change, only the splits do
+    val reps = words.map { case (w, n) => (w.map(_.toString).toArray :+ "</w>", n) }
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 1
+    var continue = true
+    while (rank <= numMerges && continue) {
+      val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      reps.foreach { case (syms, n) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          pairCounts(k) = pairCounts.getOrElse(k, 0L) + n
+          i += 1
+        }
+      }
+      if (pairCounts.isEmpty) continue = false
+      else {
+        val ((l, r), n) = pairCounts.minBy { case ((a, b), c) => (-c, a, b) }
+        merges += ((rank, l, r, n))
+        val merged = l + r
+        reps.indices.foreach { i =>
+          val (syms, cnt) = reps(i)
+          if (syms.length > 1) {
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var j = 0
+            while (j < syms.length) {
+              if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
+                out += merged; j += 2
+              } else { out += syms(j); j += 1 }
+            }
+            reps(i) = (out.toArray, cnt)
+          }
+        }
+        rank += 1
+      }
+    }
+    merges.result().toDF("merge_rank", "left", "right", "pair_count")
   }
 
   /** Encode each document's tokens as vocabulary ids (OOV → `unkId`). The vocabulary

@@ -361,6 +361,19 @@ class CurationSpec extends SparkSpec {
     assert(out.filter(_._1 == 2L).head._3 === "cherry")
   }
 
+  test("BPE merges reproduce the classic Sennrich fixture with deterministic ties") {
+    // word counts: low×5, lower×2, newest×6, widest×3 — es/st/t</w> all tie at 9;
+    // lexicographic tie-break picks (e,s), then the merged (es,t), then (est,</w>)
+    val corpus = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val df = Seq(corpus.mkString(" ")).toDF("text")
+    val out = Curation.trainBpeMerges(df, col("text"), numMerges = 5)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1)
+    assert(out === Array(
+      (1, "e", "s", 9L), (2, "es", "t", 9L), (3, "est", "</w>", 9L),
+      (4, "l", "o", 7L), (5, "lo", "w", 7L)))
+  }
+
   test("keepTopFractionApprox tracks the exact ranking without a per-stratum sort") {
     import graft.textops.TextOps
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

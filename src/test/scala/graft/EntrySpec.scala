@@ -17,7 +17,8 @@ class EntrySpec extends SparkSpec {
       "ann_lsh_topk",         // approximate — recall pinned by TextOpsSpec
       "ann_ivf_topk",         // approximate — recall pinned by TextOpsSpec
       "ml_quality_train",     // iterative GD — accuracy/loss pinned by CurationSpec
-      "dedup_semantic")       // iterative Lloyd — subset/recall pinned by TextOpsSpec
+      "dedup_semantic",       // iterative Lloyd — subset/recall pinned by TextOpsSpec
+      "curation_bpe_merges")  // iterative merge loop — pinned by CurationSpec (Sennrich fixture)
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle or justification: $missing")
     val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
