@@ -264,6 +264,25 @@ object CurationQueries {
       Curation.trainBpeMerges(docs(s, dir), col("text"), numMerges = 20)
         .orderBy("merge_rank")
     },
+    "ep5_data_card" -> { (s, dir) =>
+      // the per-domain "data card" every corpus release publishes, one aggregation
+      // pass: volume, exact-dup rate, quality distribution (mean + exact median),
+      // Gopher pass rate, token budget — composed from this round's operators
+      val scored = docs(s, dir).select(col("lang"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        round(TextOps.qualityScore(col("text")), 6).as("quality"),
+        md5(col("text")).as("h"),
+        TextOps.passesGopherRules(col("text"), minWords = GopherMinWords)
+          .as("passes"))
+      scored.groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          count_distinct(col("h")).as("n_unique"),
+          sum("n_tokens").as("n_tokens"),
+          round(avg("quality"), 6).as("mean_quality"),
+          round(expr("percentile(n_tokens, 0.5)"), 6).as("median_tokens"),
+          sum(when(col("passes"), 1L).otherwise(0L)).as("n_gopher_pass"))
+        .orderBy("lang")
+    },
     "curation_pii_redact" -> { (s, dir) =>
       // plant deterministic emails + an IPv4 per doc (the corpus itself has none),
       // then count and redact them in one codegen'd regex scan
@@ -581,6 +600,35 @@ object CurationQueries {
          |         ORDER BY tfidf DESC, token) AS INT) AS keyword_rank FROM sc)
          |SELECT doc_id, keyword_rank, token, tfidf FROM rk
          |WHERE keyword_rank <= 3 ORDER BY doc_id, keyword_rank""".stripMargin
+    },
+    "ep5_data_card" -> {
+      val toks = toksSql("text")
+      val stopList = TextQueries.inList(
+        (TextOps.EnglishStopwords ++ TextOps.LangMarkers.flatMap(_._2)).distinct)
+      s"""WITH s AS (SELECT lang, text, $toks AS toks,
+         |             string_split(text, chr(10)) AS lines FROM documents),
+         |c AS (SELECT lang, len(toks) AS n_tokens,
+         |  ${TextQueries.qualityExprSql} AS quality, md5(text) AS h,
+         |  (len(toks) >= $GopherMinWords AND len(toks) <= 100000
+         |   AND (CASE WHEN len(toks) = 0 THEN 0.0
+         |        ELSE list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks) END)
+         |       BETWEEN 3.0 AND 10.0
+         |   AND (CASE WHEN len(toks) = 0 THEN 0.0
+         |        ELSE len(regexp_extract_all(text, '#|\\.\\.\\.'))::DOUBLE / len(toks) END) < 0.1
+         |   AND (CASE WHEN len(lines) = 0 THEN 0.0
+         |        ELSE len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•]')))::DOUBLE / len(lines) END) < 0.9
+         |   AND (CASE WHEN len(lines) = 0 THEN 0.0
+         |        ELSE len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.$$')))::DOUBLE / len(lines) END) < 0.3
+         |   AND (CASE WHEN len(toks) = 0 THEN 0.0
+         |        ELSE len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))::DOUBLE / len(toks) END) > 0.8
+         |   AND len(list_filter(toks, t -> t IN $stopList)) >= 2) AS passes
+         |FROM s)
+         |SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT h) AS n_unique,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |  ROUND(AVG(quality), 6) AS mean_quality,
+         |  ROUND(quantile_cont(n_tokens, 0.5), 6) AS median_tokens,
+         |  CAST(SUM(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_pass
+         |FROM c GROUP BY lang ORDER BY lang""".stripMargin
     },
     "curation_pii_redact" -> {
       val email = Curation.EmailPattern
