@@ -102,6 +102,27 @@ object ScaleSmoke {
         graft.textops.Dedup.fingerprintOverlapPairs(
           docs, "doc_id", "text", k = 8, w = 4, minContainment = 0.5).count()
       }
+      time("tfidf_keywords", n) {
+        graft.textops.Curation.tfidfKeywords(docs, "doc_id", "text", 3).count()
+      }
+      // top-fraction selection: the exact ranking path vs the quantile-sketch path
+      // on the same stratum layout (16 strata)
+      val scored = docs.select(col("doc_id"),
+        (col("doc_id") % 16).as("g"),
+        (xxhash64(col("doc_id")) % 1000000L).cast("double").as("score"))
+      time("keep_top_fraction_exact", n) {
+        graft.textops.Curation.keepTopFraction(
+          scored, col("score"), Seq(col("g")), col("doc_id"), 0.3).count()
+      }
+      time("keep_top_fraction_approx", n) {
+        graft.textops.Curation.keepTopFractionApprox(
+          scored, col("score"), Seq(col("g")), 0.3).count()
+      }
+      time("epoch_mix", n) {
+        graft.textops.Curation.epochMix(docs, col("doc_id"),
+          (col("doc_id") % 4).cast("string"),
+          Map("0" -> 0.5, "1" -> 1.5, "2" -> 2.0), 1.0, "sm").count()
+      }
       docs.unpersist()
       val vecs = vectors(spark, n, 32).persist()
       vecs.count()
