@@ -21,6 +21,14 @@ object Ivf {
   /** Deterministic k-means: seed centroids = the k corpus rows with smallest salted
     * uid hash, then `iters` Lloyd rounds (assign via broadcast centroid table, recenter
     * via per-dimension average).
+    *
+    * Training runs on a bounded seeded SAMPLE (`trainSampleRows`, the standard IVF
+    * recipe — centroid quality needs a statistical picture of the distribution, not
+    * every row): each Lloyd round costs O(sample·k·dim) instead of O(N·k·dim), so
+    * fit cost is corpus-size-independent past the sample bound. The full corpus
+    * still pays exactly ONE O(N·k·dim) assignment pass wherever the caller assigns
+    * cells — that pass is the IVF contract, not a training artifact. Sampling only
+    * engages above `2·trainSampleRows` rows, so small-corpus fits are unchanged.
     */
   def fit(
       corpus: DataFrame,
@@ -28,10 +36,18 @@ object Ivf {
       vecCol: String,
       k: Int,
       iters: Int = 2,
-      seed: Long = 42L): Model = {
-    val v = corpus.select(col(idCol).as("id"),
+      seed: Long = 42L,
+      trainSampleRows: Long = 100000L): Model = {
+    require(trainSampleRows > 0, s"trainSampleRows must be positive, got $trainSampleRows")
+    val full = corpus.select(col(idCol).as("id"),
       Similarity.normalized(col(vecCol).cast("array<double>")).as("v"))
       .cache()
+    val n = full.count()
+    val v =
+      if (n > 2 * trainSampleRows)
+        full.sample(withReplacement = false,
+          math.min(1.0, 1.2 * trainSampleRows / n), seed).cache()
+      else full
     try {
       var centroids: Array[Array[Double]] = v
         .withColumn("h", xxhash64(col("id").cast("string"), lit(seed)))
@@ -66,7 +82,10 @@ object Ivf {
         centroids = next
       }
       Model(centroids)
-    } finally v.unpersist()
+    } finally {
+      if (!(v eq full)) v.unpersist()
+      full.unpersist()
+    }
   }
 
   /** Nearest-centroid assignment: one codegen'd argmax projection over the literal
