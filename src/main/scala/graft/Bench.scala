@@ -44,6 +44,8 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       // drop cached plans and leftover localCheckpoint blocks — iterative operators
       // otherwise accumulate storage across queries and degrade later ones via GC churn
+      // (releaseAll drains any unscoped operator persists the bracket didn't cover)
+      graft.util.Caching.releaseAll()
       spark.sqlContext.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       // ContextCleaner is GC-driven: with a large heap the JVM may not GC for the whole

@@ -30,6 +30,8 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // free cached plans + leftover localCheckpoint blocks between queries
+      // (releaseAll drains any unscoped operator persists the bracket didn't cover)
+      graft.util.Caching.releaseAll()
       spark.sqlContext.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }

@@ -148,9 +148,10 @@ object CurationQueries {
     "curation_shard_manifest" -> { (s, dir) =>
       // sharded sink: deterministic md5 shards, partitioned write, manifest
       // aggregated from the files READ BACK (proves the sink round-trip).
-      // The temp path is unique per JVM so concurrent harness runs never clobber
-      // each other's half-written shard directories.
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_shards/$RunToken/documents"
+      // The temp path is unique per JVM (concurrent harness runs never clobber each
+      // other) and registered for deletion at exit (repeated runs don't accumulate)
+      val path = graft.util.Scratch.deleteOnExit(
+        s"${System.getProperty("java.io.tmpdir")}/graft_shards/$RunToken") + "/documents"
       val back = Curation.writeShards(docs(s, dir), col("doc_id"), 8, path, "shard1")
       back.groupBy("shard")
         .agg(count(lit(1)).as("n_docs"),

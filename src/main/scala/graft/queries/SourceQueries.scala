@@ -42,7 +42,9 @@ object SourceQueries {
       // costs a full extra pass at corpus scale), and prove the round-trip lossless
       // by aggregating content hashes of what is actually on disk
       val docs = s.read.parquet(s"$dir/documents.parquet")
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl/$RunToken/documents"
+      // per-JVM token (concurrent-run safe) + delete-at-exit (no tmp accumulation)
+      val path = graft.util.Scratch.deleteOnExit(
+        s"${System.getProperty("java.io.tmpdir")}/graft_jsonl/$RunToken") + "/documents"
       docs.write.mode("overwrite").option("compression", "gzip").json(path)
       val back = s.read.schema(docs.schema).json(path)
       back.groupBy("lang")

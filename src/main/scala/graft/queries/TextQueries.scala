@@ -782,10 +782,16 @@ object TextQueries {
         |  ROUND(SUM(value), 4) AS value_sum
         |FROM events LEFT JOIN customer ON user_id = c_custkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Emission contract, mirroring Spark's mechanics exactly: every session closed
+    // by a LATER EVENT of the same user emits (no timeout involved); a user's LAST
+    // session emits via event-time timeout, which Spark tracks in MILLISECONDS —
+    // timeout = floor(last_us/1000) + gap_ms fires when strictly below the watermark
+    // floor(max_us/1000). The microsecond form (end+gap < max) would disagree when
+    // the deadline and watermark land in the same millisecond.
     "stream_sessionize" ->
       """WITH e AS (SELECT CAST(user_id AS BIGINT) AS user_id,
         |             epoch_ns(ts) // 1000 AS us FROM events),
-        |m AS (SELECT MAX(us) AS wm FROM e),
+        |m AS (SELECT MAX(us) // 1000 AS wm_ms FROM e),
         |d AS (SELECT user_id, us,
         |        CASE WHEN LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
         |             OR us - LAG(us) OVER (PARTITION BY user_id ORDER BY us) > 1800000000
@@ -795,10 +801,13 @@ object TextQueries {
         |        ROWS UNBOUNDED PRECEDING) AS sid FROM d),
         |g AS (SELECT user_id, sid, MIN(us) AS session_start_us,
         |        MAX(us) AS session_end_us, COUNT(*) AS n_events
-        |      FROM s GROUP BY 1, 2)
-        |SELECT user_id, session_start_us, session_end_us, n_events
-        |FROM g, m WHERE session_end_us + 1800000000 < wm
-        |ORDER BY user_id, session_start_us""".stripMargin,
+        |      FROM s GROUP BY 1, 2),
+        |lastsid AS (SELECT user_id, MAX(sid) AS last_sid FROM g GROUP BY user_id)
+        |SELECT g.user_id, session_start_us, session_end_us, n_events
+        |FROM g JOIN lastsid ON g.user_id = lastsid.user_id, m
+        |WHERE g.sid < last_sid
+        |   OR (session_end_us // 1000 + 1800000) < wm_ms
+        |ORDER BY g.user_id, session_start_us""".stripMargin,
     "stream_dedup" ->
       """SELECT lang, COUNT(DISTINCT md5(text)) AS n_unique
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,

@@ -238,6 +238,9 @@ object StreamOps {
             }
             open.foreach { s =>
               state.update(s)
+              // timeouts are MILLISECOND-granular: floor(last/1000) + gap_ms. The
+              // oracle reproduces exactly this quantization — a µs-precise deadline
+              // in the same ms as the watermark would otherwise disagree.
               state.setTimeoutTimestamp(s.last_us / 1000L + gapSeconds * 1000L)
             }
             closed.result().iterator

@@ -75,6 +75,8 @@ object Curation {
       n: Int,
       salt: String): DataFrame = {
     require(n > 0, s"n must be positive, got $n")
+    require(!df.columns.contains("draw_rank"),
+      "sampleExactN adds a 'draw_rank' column; the input must not already contain one")
     val w = Window.partitionBy(stratumCols: _*).orderBy(hashDraw(key, salt), key)
     df.withColumn("draw_rank", row_number().over(w))
       .filter(col("draw_rank") <= n)
@@ -150,10 +152,9 @@ object Curation {
     * score when the score is float-derived — the correctness oracle ranks the same
     * rounded value, and sub-ULP drift must not flip an ordering.
     *
-    * Scale: the per-stratum sort is the inherent cost of exact ranking. For corpora
-    * where a stratum outgrows a partition's sort budget, pre-aggregate a score
-    * histogram and cut at the quantile instead (approx path, not implemented — the
-    * exact path IS the oracle-checkable contract).
+    * Scale: the per-stratum sort is the inherent cost of exact ranking; when a
+    * stratum outgrows a partition's sort budget, use [[keepTopFractionApprox]] (the
+    * quantile-sketch path). This exact path IS the oracle-checkable contract.
     */
   def keepTopFraction(
       df: DataFrame,
@@ -162,6 +163,8 @@ object Curation {
       tieCol: Column,
       fraction: Double): DataFrame = {
     require(fraction > 0 && fraction <= 1, s"fraction must be in (0,1], got $fraction")
+    require(!df.columns.contains("qrank"),
+      "keepTopFraction adds a 'qrank' column; the input must not already contain one")
     val w = Window.partitionBy(stratumCols: _*).orderBy(scoreCol.desc, tieCol.asc)
     val wAll = Window.partitionBy(stratumCols: _*)
     df.withColumn("qrank", row_number().over(w))
@@ -179,6 +182,11 @@ object Curation {
     * more sketch memory). Use the exact variant when the oracle-checkable
     * ceil(frac·n) contract matters; use this when a stratum outgrows a partition's
     * sort budget.
+    *
+    * Null handling matches the exact path's useful half: NULL stratum keys form
+    * their own stratum (null-safe join), but NULL scores are dropped —
+    * `percentile_approx` ignores them, so they have no defined cut; the exact path
+    * ranks them last instead. Score your rows before cutting.
     */
   def keepTopFractionApprox(
       df: DataFrame,
@@ -187,14 +195,21 @@ object Curation {
       fraction: Double,
       accuracy: Int = 10000): DataFrame = {
     require(fraction > 0 && fraction <= 1, s"fraction must be in (0,1], got $fraction")
+    val internal = Seq("_score", "_cut") ++ stratumCols.indices.map(i => s"_st$i")
+    val clashes = df.columns.toSeq.intersect(internal)
+    require(clashes.isEmpty,
+      s"keepTopFractionApprox uses internal column(s) ${clashes.mkString(", ")}")
     val keyed = df.withColumn("_score", scoreCol)
       .withColumns(stratumCols.zipWithIndex.map { case (c, i) => s"_st$i" -> c }.toMap)
     val keys = stratumCols.indices.map(i => s"_st$i")
     val cuts = keyed.groupBy(keys.map(col): _*)
       .agg(percentile_approx(col("_score"), lit(1.0 - fraction), lit(accuracy))
         .as("_cut"))
-    keyed.join(broadcast(cuts), keys)
+    // null-SAFE join: a NULL stratum key is a stratum, not a dropped row
+    val cond = keys.map(k => keyed(k) <=> cuts(k)).reduce(_ && _)
+    keyed.join(broadcast(cuts), cond)
       .filter(col("_score") >= col("_cut"))
+      // name-based drop removes BOTH sides' copies of the _st* join keys
       .drop((keys ++ Seq("_score", "_cut")): _*)
   }
 
@@ -216,6 +231,8 @@ object Curation {
       defaultEpochs: Double,
       salt: String): DataFrame = {
     require((epochs.values ++ Seq(defaultEpochs)).forall(_ >= 0), "epochs must be >= 0")
+    require(!df.columns.contains("epoch"),
+      "epochMix adds an 'epoch' column; the input must not already contain one")
     def ladder(f: Double => Column): Column =
       epochs.toSeq.sortBy(_._1).foldLeft(f(defaultEpochs)) {
         case (acc, (s, e)) => when(stratum === s, f(e)).otherwise(acc)

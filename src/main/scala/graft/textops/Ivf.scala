@@ -39,15 +39,18 @@ object Ivf {
       seed: Long = 42L,
       trainSampleRows: Long = 100000L): Model = {
     require(trainSampleRows > 0, s"trainSampleRows must be positive, got $trainSampleRows")
+    // full is deliberately NOT cached: it is scanned once for the count and once to
+    // draw the sample — caching it would pin N normalized vectors for the whole
+    // Lloyd loop, exactly the memory pressure the bounded sample avoids (callers
+    // that reuse the corpus persist their own projection)
     val full = corpus.select(col(idCol).as("id"),
       Similarity.normalized(col(vecCol).cast("array<double>")).as("v"))
-      .cache()
     val n = full.count()
     val v =
-      if (n > 2 * trainSampleRows)
+      (if (n > 2 * trainSampleRows)
         full.sample(withReplacement = false,
-          math.min(1.0, 1.2 * trainSampleRows / n), seed).cache()
-      else full
+          math.min(1.0, 1.2 * trainSampleRows / n), seed)
+      else full).cache()
     try {
       var centroids: Array[Array[Double]] = v
         .withColumn("h", xxhash64(col("id").cast("string"), lit(seed)))
@@ -82,10 +85,7 @@ object Ivf {
         centroids = next
       }
       Model(centroids)
-    } finally {
-      if (!(v eq full)) v.unpersist()
-      full.unpersist()
-    }
+    } finally v.unpersist()
   }
 
   /** Nearest-centroid assignment: one codegen'd argmax projection over the literal

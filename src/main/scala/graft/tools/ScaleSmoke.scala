@@ -135,6 +135,7 @@ object ScaleSmoke {
           vecs, "vec_id", "embedding", 0.99).count()
       }
       vecs.unpersist()
+      graft.util.Caching.releaseAll()
       spark.sqlContext.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       System.gc()

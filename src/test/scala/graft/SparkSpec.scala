@@ -18,6 +18,13 @@ object TestSpark {
   }
 }
 
-abstract class SparkSpec extends AnyFunSuite {
+abstract class SparkSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
   lazy val spark: SparkSession = TestSpark.spark
+
+  override protected def afterAll(): Unit = {
+    // specs call operators outside Caching.withCached brackets; drain the unscoped
+    // registry per suite so the shared JVM doesn't accumulate persisted plans
+    graft.util.Caching.releaseAll()
+    super.afterAll()
+  }
 }
