@@ -136,4 +136,47 @@ class PropertySpec extends SparkSpec {
       sim < 1.0 && sim > 0.0
     })
   }
+
+  test("keepTopFraction keeps exactly ceil(frac*n) rows per stratum for random layouts") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val layoutGen = Gen.zip(
+      Gen.nonEmptyListOf(Gen.choose(1, 12)).map(_.take(4)),
+      Gen.choose(0.05, 1.0))
+    check("topfrac", Prop.forAll(layoutGen) { case (sizes, frac) =>
+      val rows = sizes.zipWithIndex.flatMap { case (n, g) =>
+        (0 until n).map(i => (s"g$g", (g * 100 + i).toLong, (i % 5).toDouble))
+      }
+      val out = graft.textops.Curation.keepTopFraction(
+          rows.toDF("g", "id", "score"), col("score"), Seq(col("g")), col("id"), frac)
+        .groupBy("g").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      sizes.zipWithIndex.forall { case (n, g) =>
+        out.getOrElse(s"g$g", 0L) == math.ceil(n * frac).toLong
+      }
+    }, minOk = 10)
+  }
+
+  test("sampleExactN draws min(n, |stratum|) rows with order-invariant membership") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val layoutGen = Gen.zip(
+      Gen.nonEmptyListOf(Gen.choose(1, 15)).map(_.take(3)),
+      Gen.choose(1, 10))
+    check("exactn", Prop.forAll(layoutGen) { case (sizes, n) =>
+      val rows = sizes.zipWithIndex.flatMap { case (sz, g) =>
+        (0 until sz).map(i => (s"g$g", (g * 100 + i).toLong))
+      }
+      val df = rows.toDF("g", "id")
+      def draw(d: org.apache.spark.sql.DataFrame) =
+        graft.textops.Curation.sampleExactN(d, col("id"), Seq(col("g")), n, "p")
+          .select("g", "id").as[(String, Long)].collect().toSet
+      val a = draw(df)
+      val b = draw(df.orderBy(col("id").desc)) // input order must not matter
+      val perStratum = a.groupBy(_._1).view.mapValues(_.size).toMap
+      a == b && sizes.zipWithIndex.forall { case (sz, g) =>
+        perStratum.getOrElse(s"g$g", 0) == math.min(sz, n)
+      }
+    }, minOk = 10)
+  }
 }
