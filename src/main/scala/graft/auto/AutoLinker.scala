@@ -245,6 +245,20 @@ object AutoLinker {
 
     var best: Option[(Trial, DataFrame, DataFrame)] = None
     val past = scala.collection.mutable.ArrayBuffer[Trial]()
+    // the u-estimation pair table is spec-independent — build it ONCE for the whole
+    // search (sample + rank + index + offset-join), and let every trial reuse it;
+    // per-trial work is then just the gamma aggregation over ~uTargetPairs rows
+    val uSource = linkRight match {
+      case Some(right) =>
+        val shared = (trainDf.columns.toSet intersect right.columns.toSet).toSeq.sorted
+        trainDf.select(shared.map(col): _*)
+          .unionByName(right.select(shared.map(col): _*))
+      case None => trainDf
+    }
+    val tracker = new graft.util.CheckpointTracker(trainDf.sparkSession)
+    val uPairs = Estimation.uSamplePairs(uSource, uidCol, attrs, uTargetPairs,
+      hashShuffle = true, seed = 42L, tracker)
+    try {
     (1 to maxEvals).foreach { _ =>
       val (specs, rule) = drawParams(rnd, attrs, ruleChoices, past.toSeq, strategy)
       // Y6 — training rules from 3 random columns, paired
@@ -254,7 +268,7 @@ object AutoLinker {
         else tcols.combinations(2).map(p => s"${p(0)}&${p(1)}").toSeq
 
       val model = Estimation.train(trainDf, uidCol, specs, Seq(rule), trainingRules,
-        uTargetPairs = uTargetPairs, linkRight = linkRight)
+        uTargetPairs = uTargetPairs, linkRight = linkRight, uPairs = Some(uPairs))
       val predictions = linkRight match {
         case Some(right) => FellegiSunter.predictLink(trainDf, right, uidCol, model)
         case None => FellegiSunter.predict(trainDf, uidCol, model)
@@ -275,6 +289,7 @@ object AutoLinker {
         best = Some((trial, clusters, predictions))
       past += trial
     }
+    } finally tracker.close()
 
     val (b, clusters, predictions) = best.get
     Result(b, clusters, predictions, past.toSeq)

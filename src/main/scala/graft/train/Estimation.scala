@@ -42,9 +42,30 @@ object Estimation {
       targetPairs: Long = 100000L,
       hashShuffle: Boolean = true,
       seed: Long = 42L): Map[String, Array[Double]] = {
+    val tracker = new graft.util.CheckpointTracker(df.sparkSession)
+    try {
+      val pairs = uSamplePairs(df, uid, specs.map(_.column), targetPairs,
+        hashShuffle, seed, tracker)
+      estimateUFromPairs(pairs, specs)
+    } finally tracker.close()
+  }
+
+  /** The spec-independent half of [[estimateU]]: the deterministically sampled,
+    * ranked, offset-paired record pairs carrying `<attr>_l`/`<attr>_r` for every
+    * attribute. Build ONCE and reuse across trials whose comparison specs differ —
+    * the sample/sort/index/join pipeline depends only on (data, uid, targetPairs,
+    * seed), and rides `tracker`-rotated checkpoints until the caller closes it.
+    */
+  def uSamplePairs(
+      df: DataFrame,
+      uid: String,
+      attrs: Seq[String],
+      targetPairs: Long,
+      hashShuffle: Boolean,
+      seed: Long,
+      tracker: graft.util.CheckpointTracker): DataFrame = {
     val spark = df.sparkSession
     import org.apache.spark.sql.types._
-    val attrs = specs.map(_.column)
     val base = df.select(
       (col(uid).cast("string").as("uid") +:
         attrs.map(a => col(a).cast("string").as(a))): _*)
@@ -65,7 +86,6 @@ object Estimation {
     val n = if (sampled eq base) nAll else projected.count()
     val offsets = math.max(1L, math.min(n - 1, targetPairs / math.max(n, 1L))).toInt
 
-    val tracker = new graft.util.CheckpointTracker(spark)
     val indexed = tracker.rotate(spark.createDataFrame(
       projected.rdd.zipWithIndex().map { case (row, idx) =>
         org.apache.spark.sql.Row.fromSeq(row.toSeq :+ idx)
@@ -77,15 +97,17 @@ object Estimation {
     val r = indexed.select(
       (col("rn").as("rn_r") +: col("uid").as("uid_r") +: attrs.map(a => col(a).as(s"${a}_r"))): _*)
 
-    val pairs = (1 to offsets).map { off =>
+    (1 to offsets).map { off =>
       l.withColumn("rn_r", pmod(col("rn") + lit(off.toLong), lit(n)))
         .join(r, "rn_r")
     }.reduce(_ unionByName _)
+  }
 
-    val gammas = Comparisons.withGammas(pairs, specs)
-    val counts =
-      try gammaCounts(gammas, specs)
-      finally tracker.close()
+  /** u[col][gamma] from a prebuilt pair table (see [[uSamplePairs]]). */
+  def estimateUFromPairs(
+      pairs: DataFrame,
+      specs: Seq[ComparisonSpec]): Map[String, Array[Double]] = {
+    val counts = gammaCounts(Comparisons.withGammas(pairs, specs), specs)
     specs.map { s =>
       val byGamma = counts.getOrElse(s.column, Map.empty)
       val total = byGamma.collect { case (g, c) if g >= 0 => c }.sum.toDouble
@@ -338,7 +360,8 @@ object Estimation {
       trainingRules: Seq[String],
       uTargetPairs: Long = 100000L,
       tol: Double = 0.01,
-      linkRight: Option[DataFrame] = None): TrainedModel = {
+      linkRight: Option[DataFrame] = None,
+      uPairs: Option[DataFrame] = None): TrainedModel = {
     val uSource = linkRight match {
       case Some(right) =>
         val shared = (df.columns.toSet intersect right.columns.toSet).toSeq.sorted
@@ -347,7 +370,13 @@ object Estimation {
     }
     val n = uSource.count()
     val lambda0 = prior(n)
-    val uSampled = estimateU(uSource, uid, specs, uTargetPairs)
+    // a search loop training many candidate models passes the prebuilt sampled
+    // pair table (uPairs) — the sample/sort/index pipeline is spec-independent and
+    // re-running it per trial is pure waste
+    val uSampled = uPairs match {
+      case Some(p) => estimateUFromPairs(p, specs)
+      case None => estimateU(uSource, uid, specs, uTargetPairs)
+    }
 
     val mEstimates = scala.collection.mutable.Map[String, List[Array[Double]]]()
     val uEstimates = scala.collection.mutable.Map[String, List[Array[Double]]](
