@@ -1,0 +1,69 @@
+package graft.events
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-analytics operators: ordered funnels and cohort retention — the two
+  * aggregate shapes product/event pipelines run constantly.
+  *
+  * Both are compositions of keyed aggregates and equi-joins on the user key (one
+  * shuffle partitioning reused across stages), never window-over-everything or
+  * self-joins on time ranges — the shapes that survive a 1000-executor event table.
+  */
+object Analytics {
+
+  /** Ordered-step funnel: a user reaches step i when they completed steps 1..i in
+    * strictly increasing timestamp order (first qualifying occurrence each — the
+    * standard "first touch" funnel). Returns one row per stage:
+    * (stage_index, stage, n_users), where `stage` names the step path so far.
+    *
+    * Work per step: one filtered aggregate + an equi-join against the (shrinking)
+    * reached-users table — users drop out monotonically, so later stages cost less.
+    */
+  def funnelCounts(
+      events: DataFrame,
+      userCol: Column,
+      tsCol: Column,
+      typeCol: Column,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnelCounts needs at least one step")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val first = events.filter(typeCol === steps.head)
+      .groupBy(userCol.as("u")).agg(min(tsCol).as("t"))
+    val reached = steps.tail.scanLeft(first) { (prev, step) =>
+      events.filter(typeCol === step)
+        .select(userCol.as("u"), tsCol.as("ts"))
+        .join(prev, "u")
+        .filter(col("ts") > col("t"))
+        .groupBy("u").agg(min(col("ts")).as("t"))
+    }
+    val counts = reached.map(_.count())
+    steps.indices.map { i =>
+      (i + 1, steps.take(i + 1).mkString(">"), counts(i))
+    }.toDF("stage_index", "stage", "n_users")
+  }
+
+  /** Cohort retention: users are cohorted by the calendar date of their FIRST event;
+    * for each (cohort_date, day_offset ≤ maxOffsetDays) counts the distinct cohort
+    * users active that day. Returns (cohort_date, day_offset, n_users);
+    * day_offset 0 is the cohort size by construction.
+    *
+    * Two aggregates and one user-keyed join — the cohort table is one row per user.
+    */
+  def cohortRetention(
+      events: DataFrame,
+      userCol: Column,
+      tsCol: Column,
+      maxOffsetDays: Int): DataFrame = {
+    require(maxOffsetDays >= 0, s"maxOffsetDays must be >= 0, got $maxOffsetDays")
+    val cohort = events.groupBy(userCol.as("u"))
+      .agg(min(to_date(tsCol)).as("cohort_date"))
+    events.select(userCol.as("u"), to_date(tsCol).as("d")).distinct()
+      .join(cohort, "u")
+      .withColumn("day_offset", datediff(col("d"), col("cohort_date")))
+      .filter(col("day_offset") <= maxOffsetDays)
+      .groupBy("cohort_date", "day_offset")
+      .agg(count_distinct(col("u")).as("n_users"))
+  }
+}

@@ -314,6 +314,19 @@ object TextQueries {
       StreamOps.streamingSessionize(s, s"$dir/events.parquet", gapSeconds = 1800L)
         .orderBy("user_id", "session_start_us")
     },
+    "ev_funnel" -> { (s, dir) =>
+      // first-touch ordered funnel over the event stream: view → click → purchase
+      graft.events.Analytics.funnelCounts(events(s, dir),
+          col("user_id"), col("ts"), col("event_type"),
+          Seq("view", "click", "purchase"))
+        .orderBy("stage_index")
+    },
+    "ev_retention" -> { (s, dir) =>
+      // calendar-day cohorts by first event; distinct active users per day offset
+      graft.events.Analytics.cohortRetention(events(s, dir),
+          col("user_id"), col("ts"), maxOffsetDays = 7)
+        .orderBy("cohort_date", "day_offset")
+    },
     "stream_enrich" -> { (s, dir) =>
       // stream-static broadcast join: events enriched with the customer dimension
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -777,6 +790,31 @@ object TextQueries {
     "ev_json_extract" ->
       """SELECT json_extract_string(props, '$.k') AS k_val, COUNT(*) AS cnt
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ev_funnel" ->
+      """WITH s1 AS (SELECT user_id AS u, MIN(ts) AS t FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id AS u, MIN(e.ts) AS t FROM events e
+        |       JOIN s1 ON e.user_id = s1.u AND e.ts > s1.t
+        |       WHERE e.event_type = 'click' GROUP BY 1),
+        |s3 AS (SELECT e.user_id AS u, MIN(e.ts) AS t FROM events e
+        |       JOIN s2 ON e.user_id = s2.u AND e.ts > s2.t
+        |       WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT 1 AS stage_index, 'view' AS stage, COUNT(*) AS n_users FROM s1
+        |  UNION ALL
+        |  SELECT 2, 'view>click', COUNT(*) FROM s2
+        |  UNION ALL
+        |  SELECT 3, 'view>click>purchase', COUNT(*) FROM s3
+        |) ORDER BY stage_index""".stripMargin,
+    "ev_retention" ->
+      """WITH c AS (SELECT user_id AS u, MIN(CAST(ts AS DATE)) AS cohort_date
+        |           FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events)
+        |SELECT cohort_date, CAST(date_diff('day', cohort_date, d) AS INT) AS day_offset,
+        |  COUNT(DISTINCT a.u) AS n_users
+        |FROM a JOIN c ON a.u = c.u
+        |WHERE date_diff('day', cohort_date, d) <= 7
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "stream_enrich" ->
       """SELECT c_mktsegment, event_type, COUNT(*) AS n,
         |  ROUND(SUM(value), 4) AS value_sum
