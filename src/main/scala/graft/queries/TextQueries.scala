@@ -221,6 +221,24 @@ object TextQueries {
         .select(col("id_l"), col("id_r"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_l", "id_r")
     },
+    "dedup_minhash_index" -> { (s, dir) =>
+      // same semantics as dedup_minhash_incremental, but the corpus side reads the
+      // PERSISTED band index (signatures computed once at ingest, stored, reused) —
+      // same oracle proves the stored index is equivalent to recomputation
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val incoming = d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+        .unionByName(d.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            concat(col("text"), lit(" xtradup token")).as("text")))
+      val path = graft.util.Scratch.deleteOnExit(
+        s"${System.getProperty("java.io.tmpdir")}/graft_mhidx/${graft.util.Scratch.runToken}") +
+        "/bands"
+      Dedup.writeMinhashIndex(d, "doc_id", "text", path)
+      Dedup.incrementalMinhashPairsFromIndex(path, d, incoming, "doc_id", "text", 0.5)
+        .select(col("id_l"), col("id_r"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_l", "id_r")
+    },
     "dedup_apply" -> { (s, dir) =>
       // end-to-end: minhash pairs → transitive components → keeper per doc, checked
       // in full against a recursive-CTE closure oracle (cluster ids are string minima)
@@ -714,6 +732,12 @@ object TextQueries {
       jaccardPairSql(s"list_distinct(${shinglesSql("text")})", 0.5, corpusCte),
     "dedup_minhash_lsh" -> minhashSql,
     "dedup_minhash_incremental" ->
+      s"""WITH $minhashPairsCtes
+         |SELECT id_l, id_r, ROUND(jac, 6) AS jaccard
+         |FROM mh_pairs WHERE id_r >= 100000 ORDER BY id_l, id_r""".stripMargin,
+    // identical semantics to the incremental run — the stored band index must be
+    // indistinguishable from recomputing signatures
+    "dedup_minhash_index" ->
       s"""WITH $minhashPairsCtes
          |SELECT id_l, id_r, ROUND(jac, 6) AS jaccard
          |FROM mh_pairs WHERE id_r >= 100000 ORDER BY id_l, id_r""".stripMargin,

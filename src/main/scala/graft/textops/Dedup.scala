@@ -241,6 +241,62 @@ object Dedup {
     verifyShingleJaccard(candidates, texts, threshold, shingleN)
   }
 
+  /** Persist the corpus MinHash band table — the production shape for
+    * [[incrementalMinhashPairs]]: signatures are deterministic (portable md5), so
+    * compute them ONCE at ingest and store `(id, band, key)`; daily batches then
+    * join against the stored table instead of re-shingling the whole corpus
+    * (the analogue of [[Ivf.writeIndex]] for text near-dup state). Appending a new
+    * batch's bands to the index after deduplication keeps it current.
+    */
+  def writeMinhashIndex(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      k: Int = 8,
+      bandSize: Int = 2,
+      shingleN: Int = 3): Unit =
+    minhashBands(minhashSignatures(corpus, idCol, textCol, k, shingleN), k, bandSize)
+      .write.mode("overwrite").parquet(path)
+
+  /** [[incrementalMinhashPairs]] against a stored band index: identical output (the
+    * signatures are deterministic), but the corpus side reads `(id, band, key)` rows
+    * from the index instead of recomputing the shingle+minhash pass over every
+    * corpus document. `corpusTexts` supplies the text only for exact verification,
+    * and is semi-join-pruned to candidate-touched ids before shingling — so the
+    * per-batch cost is (batch signature pass + collisions), never a corpus scan
+    * of the text.
+    */
+  def incrementalMinhashPairsFromIndex(
+      indexPath: String,
+      corpusTexts: DataFrame,
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      k: Int = 8,
+      bandSize: Int = 2,
+      shingleN: Int = 3): DataFrame = {
+    require(threshold > 0, "incrementalMinhashPairsFromIndex requires a positive threshold")
+    val corpusBands = incoming.sparkSession.read.parquet(indexPath)
+    val newBands =
+      minhashBands(minhashSignatures(incoming, idCol, textCol, k, shingleN), k, bandSize)
+        .scopedPersist()
+    val cross = corpusBands.alias("l")
+      .join(newBands.alias("r"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key"))
+      .select(col("l.id").as("id_l"), col("r.id").as("id_r"))
+    val within = newBands.alias("l")
+      .join(newBands.alias("r"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_l"), col("r.id").as("id_r"))
+    val candidates = cross.unionByName(within).distinct()
+    val texts = corpusTexts.select(col(idCol).as("id"), col(textCol).as("text"))
+      .unionByName(incoming.select(col(idCol).as("id"), col(textCol).as("text")))
+    verifyShingleJaccard(candidates, texts, threshold, shingleN)
+  }
+
   /** k/bandSize LSH bands per signature row; band key = concat of its minhash rows. */
   private def minhashBands(sigs: DataFrame, k: Int, bandSize: Int): DataFrame = {
     val nBands = k / bandSize

@@ -10,6 +10,9 @@ import java.io.File
   */
 object Scratch {
 
+  /** Per-JVM run token for scratch paths (concurrent harness runs never collide). */
+  val runToken: String = java.util.UUID.randomUUID().toString.take(8)
+
   private val registered = scala.collection.mutable.Set.empty[String]
 
   /** Register `path` for recursive deletion at JVM exit; returns it for chaining. */

@@ -248,6 +248,23 @@ class TextOpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall")
   }
 
+  test("stored minhash band index reproduces in-memory incremental pairs exactly") {
+    val d = docs.select(col("doc_id"), col("text"))
+    val incoming = d.filter(col("doc_id") % 9 === 0)
+      .select((col("doc_id") + 5000).as("doc_id"),
+        concat(col("text"), lit(" tail")).as("text"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mhidx_spec").toString
+    val direct = Dedup.incrementalMinhashPairs(d, incoming, "doc_id", "text", 0.5)
+      .select("id_l", "id_r").as[(Long, Long)].collect().toSet
+    Dedup.writeMinhashIndex(d, "doc_id", "text", tmp)
+    val fromIndex = Dedup.incrementalMinhashPairsFromIndex(
+        tmp, d, incoming, "doc_id", "text", 0.5)
+      .select("id_l", "id_r").as[(Long, Long)].collect().toSet
+    spark.sqlContext.clearCache()
+    assert(direct.nonEmpty)
+    assert(fromIndex === direct)
+  }
+
   test("LSH and IVF top-k pin >= 0.9 planted near-dup recall on a clustered+uniform mix") {
     import graft.textops.Ivf
     // Adversarial corpus: the uniform base + 8 DENSE clusters (40 jittered copies of
