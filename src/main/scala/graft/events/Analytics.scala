@@ -16,9 +16,12 @@ object Analytics {
     * strictly increasing timestamp order (first qualifying occurrence each — the
     * standard "first touch" funnel). Returns one row per stage:
     * (stage_index, stage, n_users), where `stage` names the step path so far.
+    * EAGER: stage counts are computed when called (the result is a local frame).
     *
     * Work per step: one filtered aggregate + an equi-join against the (shrinking)
     * reached-users table — users drop out monotonically, so later stages cost less.
+    * Each stage frame is persisted through the scoped cache while counting: stage
+    * i's lineage contains stages 1..i−1, which would otherwise recompute per count.
     */
   def funnelCounts(
       events: DataFrame,
@@ -29,14 +32,17 @@ object Analytics {
     require(steps.nonEmpty, "funnelCounts needs at least one step")
     val spark = events.sparkSession
     import spark.implicits._
+    import graft.util.Caching.CacheSyntax
     val first = events.filter(typeCol === steps.head)
       .groupBy(userCol.as("u")).agg(min(tsCol).as("t"))
+      .scopedPersist()
     val reached = steps.tail.scanLeft(first) { (prev, step) =>
       events.filter(typeCol === step)
         .select(userCol.as("u"), tsCol.as("ts"))
         .join(prev, "u")
         .filter(col("ts") > col("t"))
         .groupBy("u").agg(min(col("ts")).as("t"))
+        .scopedPersist()
     }
     val counts = reached.map(_.count())
     steps.indices.map { i =>
