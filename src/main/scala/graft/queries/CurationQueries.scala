@@ -252,6 +252,19 @@ object CurationQueries {
       Curation.tfidfKeywords(docs(s, dir), "doc_id", "text", 3)
         .orderBy("doc_id", "keyword_rank")
     },
+    "curation_ngram_stats" -> { (s, dir) =>
+      // corpus bigram frequency table (top-30): the n-gram analysis staple —
+      // one shingle explode + hash agg, ranking window over the bounded top-K only
+      val bigrams = docs(s, dir)
+        .select(explode(TextOps.shingles(col("text"), 2)).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("bigram"))
+        .limit(30)
+      bigrams.withColumn("rank",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(desc("n"), asc("bigram"))))
+        .orderBy("rank")
+    },
     "curation_sample_exact_n" -> { (s, dir) =>
       // fixed-size per-language draw: exactly 40 docs per lang, membership pinned
       Curation.sampleExactN(docs(s, dir), col("doc_id"), Seq(col("lang")), 40, "exact1")
@@ -580,6 +593,17 @@ object CurationQueries {
          |u AS (SELECT * FROM f UNION ALL SELECT * FROM fr)
          |SELECT lang, epoch, COUNT(*) AS n FROM u
          |GROUP BY lang, epoch ORDER BY lang, epoch""".stripMargin
+    },
+    "curation_ngram_stats" -> {
+      val toks = toksSql("text")
+      s"""WITH t AS (SELECT $toks AS toks FROM documents),
+         |b AS (SELECT unnest(list_transform(range(1, len(toks)),
+         |        i -> toks[i] || ' ' || toks[i+1])) AS bigram FROM t),
+         |c AS (SELECT bigram, COUNT(*) AS n FROM b GROUP BY 1
+         |      ORDER BY n DESC, bigram LIMIT 30)
+         |SELECT bigram, n,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY n DESC, bigram) AS INT) AS rank
+         |FROM c ORDER BY rank""".stripMargin
     },
     "curation_sample_exact_n" ->
       s"""WITH rk AS (SELECT doc_id, lang,

@@ -332,6 +332,18 @@ object TextQueries {
       StreamOps.streamingSessionize(s, s"$dir/events.parquet", gapSeconds = 1800L)
         .orderBy("user_id", "session_start_us")
     },
+    "ev_transitions" -> { (s, dir) =>
+      // event transition matrix: consecutive-event-type counts per user (the Markov
+      // view of the event stream); (ts, event_id) ordering makes ties deterministic
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("from_type", "to_type")
+    },
     "ev_funnel" -> { (s, dir) =>
       // first-touch ordered funnel over the event stream: view → click → purchase
       graft.events.Analytics.funnelCounts(events(s, dir),
@@ -814,6 +826,13 @@ object TextQueries {
     "ev_json_extract" ->
       """SELECT json_extract_string(props, '$.k') AS k_val, COUNT(*) AS cnt
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ev_transitions" ->
+      """WITH o AS (SELECT user_id, event_type,
+        |  LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |FROM events)
+        |SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+        |FROM o WHERE next_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "ev_funnel" ->
       """WITH s1 AS (SELECT user_id AS u, MIN(ts) AS t FROM events
         |            WHERE event_type = 'view' GROUP BY 1),
