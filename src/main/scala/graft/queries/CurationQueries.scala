@@ -252,6 +252,12 @@ object CurationQueries {
       Curation.tfidfKeywords(docs(s, dir), "doc_id", "text", 3)
         .orderBy("doc_id", "keyword_rank")
     },
+    "text_lm_score" -> { (s, dir) =>
+      // perplexity-style quality filter: per-doc cross-entropy under the
+      // corpus-trained Laplace-smoothed word-bigram LM
+      Curation.bigramCrossEntropy(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    },
     "curation_ngram_stats" -> { (s, dir) =>
       // corpus bigram frequency table (top-30): the n-gram analysis staple —
       // one shingle explode + hash agg, ranking window over the bounded top-K only
@@ -593,6 +599,28 @@ object CurationQueries {
          |u AS (SELECT * FROM f UNION ALL SELECT * FROM fr)
          |SELECT lang, epoch, COUNT(*) AS n FROM u
          |GROUP BY lang, epoch ORDER BY lang, epoch""".stripMargin
+    },
+    "text_lm_score" -> {
+      val toks = toksSql("text")
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+         |         i -> toks[i] || ' ' || toks[i+1])) AS bigram FROM t),
+         |model AS (SELECT bigram, COUNT(*) AS n FROM bg GROUP BY 1),
+         |firsts AS (SELECT split_part(bigram, ' ', 1) AS w1, SUM(n) AS n1
+         |           FROM model GROUP BY 1),
+         |v AS (SELECT COUNT(DISTINCT tok) AS v FROM
+         |        (SELECT unnest(toks) AS tok FROM t)),
+         |sc AS (SELECT bg.doc_id,
+         |         -LN((model.n + 1)::DOUBLE / (firsts.n1 + v.v)) AS nll
+         |       FROM bg JOIN model USING (bigram)
+         |       JOIN firsts ON split_part(bg.bigram, ' ', 1) = firsts.w1
+         |       CROSS JOIN v),
+         |agg AS (SELECT doc_id, COUNT(*) AS n_bigrams, ROUND(AVG(nll), 6) AS xent
+         |        FROM sc GROUP BY 1)
+         |SELECT d.doc_id, COALESCE(agg.n_bigrams, 0) AS n_bigrams,
+         |  COALESCE(agg.xent, 0.0) AS xent
+         |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+         |ORDER BY d.doc_id""".stripMargin
     },
     "curation_ngram_stats" -> {
       val toks = toksSql("text")

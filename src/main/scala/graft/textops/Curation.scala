@@ -249,6 +249,48 @@ object Curation {
     full.unionByName(fractional)
   }
 
+  /** Per-document cross-entropy under a corpus-trained word-bigram language model —
+    * the perplexity-style quality filter (CCNet/KenLM shape): documents whose token
+    * transitions are improbable under the corpus distribution score high and get
+    * filtered. Laplace-smoothed: P(w2|w1) = (n(w1,w2)+1) / (n1(w1)+V), with n1 the
+    * bigram count starting at w1 and V the corpus distinct-token count. Returns
+    * (id, n_bigrams, xent) with xent = mean −ln P over the document's bigrams
+    * (0.0 with n_bigrams = 0 when the document has < 2 tokens); exact integer
+    * counts divide into doubles identically on any engine.
+    *
+    * Scale shape: training is one bigram hash aggregate over the corpus; scoring
+    * joins the exploded document bigrams against the model on the bigram key (the
+    * model is vocabulary-sized — Catalyst broadcasts when it fits). Production
+    * pipelines score against a FIXED stored model table — the same join, minus the
+    * training aggregate. The shared bigram explode is persisted via the scoped
+    * cache; every document bigram exists in a model trained on the same corpus, so
+    * the scoring join is inner with no lost rows.
+    */
+  def bigramCrossEntropy(
+      df: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val bg = df.select(col(idCol),
+        explode(TextOps.shingles(col(textCol), 2)).as("bigram"))
+      .scopedPersist()
+    val model = bg.groupBy("bigram").agg(count(lit(1)).as("n"))
+    val firsts = model
+      .groupBy(substring_index(col("bigram"), " ", 1).as("w1"))
+      .agg(sum("n").as("n1"))
+    val v = df.select(explode(TextOps.tokens(col(textCol))).as("t"))
+      .agg(count_distinct(col("t"))).first().getLong(0)
+    val scored = bg.join(model, "bigram")
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .join(firsts, "w1")
+      .withColumn("nll",
+        -log((col("n") + 1).cast("double") / (col("n1") + lit(v))))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), round(avg("nll"), 6).as("xent"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("xent"), lit(0.0)).as("xent"))
+  }
+
   /** Top-`k` TF-IDF keywords per document: tf = in-doc term count, idf = ln(N/df)
     * over document frequency, ranked by (rounded score desc, token asc). Returns
     * (id, keyword_rank, token, tfidf).

@@ -347,6 +347,24 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(out._6 - 5.0 / 6.0) < 1e-12) // all but "-" contain a letter
   }
 
+  test("bigram cross-entropy matches the hand-computed Laplace-smoothed model") {
+    // corpus bigrams: "a b"×3, "b a"×1; V = |{a,b,c}| = 3
+    // P(a b) = (3+1)/(3+3) = 2/3, P(b a) = (1+1)/(1+3) = 1/2
+    val d = Seq((1L, "a b a b"), (2L, "a b"), (3L, "c")).toDF("doc_id", "text")
+    val out = Curation.bigramCrossEntropy(d, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    spark.sqlContext.clearCache()
+    val nllAB = -math.log(2.0 / 3.0)
+    val nllBA = -math.log(1.0 / 2.0)
+    assert(out(0)._2 === 3L)
+    assert(math.abs(out(0)._3 - BigDecimal((2 * nllAB + nllBA) / 3.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(out(1)._2 === 1L)
+    assert(math.abs(out(1)._3 - BigDecimal(nllAB)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(out(2) === ((3L, 0L, 0.0))) // single-token doc: no bigrams, zero score
+  }
+
   test("tfidf keywords rank rare terms above common ones") {
     val d = Seq((1L, "apple apple banana shared"), (2L, "cherry shared shared"),
       (3L, "durian shared")).toDF("doc_id", "text")
