@@ -24,6 +24,15 @@ object TextQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Fixed retrieval queries for `text_bm25_topk` — rendered identically into the
+    * DuckDB oracle's VALUES list so the two sides cannot drift.
+    */
+  private val BM25Queries: Seq[(Int, String)] = Seq(
+    0 -> "spark window agg",
+    1 -> "hash join table",
+    2 -> "stream batch filter sort",
+    3 -> "customer query vector")
+
   /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader rejects;
     * read it as long nanos (legacy conf) and convert to a microsecond timestamp.
     */
@@ -175,6 +184,12 @@ object TextQueries {
       Dedup.exact(plantedCorpus(s, dir), "doc_id", "text")
         .orderBy("content_hash")
     },
+    "dedup_ngram_coverage" -> { (s, dir) =>
+      // Lee et al. memorization signal: fraction of each doc's 5-grams that are
+      // corpus-duplicated; planted exact copies must score 1.0
+      Dedup.duplicatedNgramCoverage(plantedCorpus(s, dir), "doc_id", "text", 5)
+        .orderBy("id")
+    },
     "dedup_token_jaccard" -> { (s, dir) =>
       Dedup.tokenJaccardPairs(plantedCorpus(s, dir), "doc_id", "text", blockCols, 0.9)
         .select(col("id_l"), col("id_r"), round(col("jaccard"), 6).as("jaccard"))
@@ -272,6 +287,13 @@ object TextQueries {
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
         .orderBy("query_id", "rank")
     },
+    "text_bm25_topk" -> { (s, dir) =>
+      // lexical retrieval: Okapi BM25 over the relational inverted index
+      import s.implicits._
+      val q = BM25Queries.toDF("query_id", "qtext")
+      Similarity.bm25TopK(docs(s, dir), "doc_id", "text", q, 5)
+        .orderBy("query_id", "rank")
+    },
     "ann_lsh_topk" -> { (s, dir) =>
       // approximate — no SQL oracle; recall vs brute force pinned in ScalaTest
       val e = emb(s, dir)
@@ -363,6 +385,12 @@ object TextQueries {
       StreamOps.streamStaticEnrich(s, s"$dir/events.parquet",
           s.read.parquet(s"$dir/customer.parquet"))
         .orderBy("c_mktsegment", "event_type")
+    },
+    "stream_stream_join" -> { (s, dir) =>
+      // stream-stream interval join: views × same-user purchases within 30 min
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      StreamOps.streamStreamIntervalJoin(s, s"$dir/events.parquet", 30)
+        .orderBy("user_id")
     },
     "stream_dedup" -> { (s, dir) =>
       // streaming exact dedup across micro-batches: batch 1 = the documents, batch 2 =
@@ -587,6 +615,14 @@ object TextQueries {
        |    i -> $w[i] || ' ' || $w[i+1] || ' ' || $w[i+2]) END)""".stripMargin.replace("\n", " ")
   }
 
+  /** `shinglesSql` for arbitrary n — one rendered expression per call site. */
+  private[queries] def shinglesSqlN(textExpr: String, n: Int) = {
+    val w = toksSql(textExpr)
+    val terms = (0 until n)
+      .map(j => if (j == 0) s"$w[i]" else s"$w[i+$j]").mkString(" || ' ' || ")
+    s"(CASE WHEN len($w) < $n THEN [] ELSE list_transform(range(1, len($w) - ${n - 2}), i -> $terms) END)"
+  }
+
   /** CTE chain ending in `mh_pairs(id_l, id_r)` — the MinHash-LSH near-dup pairs at
     * jaccard ≥ 0.5 over the planted corpus; shared by the pair query and the
     * dedup-apply closure oracle.
@@ -738,6 +774,23 @@ object TextQueries {
       s"""WITH $corpusCte
          |SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
          |FROM corpus GROUP BY 1 ORDER BY content_hash""".stripMargin,
+    "dedup_ngram_coverage" -> {
+      val sh = shinglesSqlN("text", 5)
+      s"""WITH $corpusCte,
+         |s AS (SELECT doc_id, unnest($sh) AS ngram FROM corpus),
+         |d AS (SELECT ngram FROM (SELECT ngram, COUNT(DISTINCT doc_id) AS nd
+         |        FROM s GROUP BY 1) WHERE nd >= 2),
+         |per AS (SELECT doc_id, COUNT(*) AS n_ngrams FROM s GROUP BY 1),
+         |hit AS (SELECT doc_id, COUNT(*) AS n_dup FROM s
+         |        WHERE ngram IN (SELECT ngram FROM d) GROUP BY 1)
+         |SELECT c.doc_id AS id, COALESCE(per.n_ngrams, 0) AS n_ngrams,
+         |  COALESCE(hit.n_dup, 0) AS n_dup,
+         |  CASE WHEN COALESCE(per.n_ngrams, 0) = 0 THEN 0.0
+         |       ELSE ROUND(COALESCE(hit.n_dup, 0)::DOUBLE / per.n_ngrams, 6)
+         |  END AS dup_fraction
+         |FROM corpus c LEFT JOIN per USING (doc_id) LEFT JOIN hit USING (doc_id)
+         |ORDER BY id""".stripMargin
+    },
     "dedup_token_jaccard" ->
       jaccardPairSql(s"list_distinct(${toksSql("text")})", 0.9, corpusCte),
     "dedup_ngram_jaccard" ->
@@ -763,6 +816,29 @@ object TextQueries {
          |FROM ecorpus l JOIN ecorpus r ON l.vec_id < r.vec_id
          |WHERE list_cosine_similarity(l.v, r.v) >= 0.9
          |ORDER BY id_l, id_r""".stripMargin,
+    "text_bm25_topk" -> {
+      val toks = toksSql("text")
+      val qvals = BM25Queries.map { case (qid, qt) => s"($qid, '$qt')" }.mkString(", ")
+      s"""WITH t AS (SELECT doc_id, unnest($toks) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+         |dfq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+         |st AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+         |q(query_id, qtext) AS (VALUES $qvals),
+         |qt AS (SELECT query_id, unnest(list_distinct(${toksSql("qtext")})) AS token FROM q),
+         |qi AS (SELECT query_id, qt.token,
+         |         LN(1.0 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)) AS idf
+         |       FROM qt JOIN dfq USING (token) CROSS JOIN st),
+         |co AS (SELECT qi.query_id, tf.doc_id,
+         |         ROUND(qi.idf * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)), 6) AS c
+         |       FROM tf JOIN qi USING (token) JOIN dl USING (doc_id) CROSS JOIN st),
+         |sc AS (SELECT query_id, doc_id, ROUND(SUM(c), 6) AS bm25, COUNT(*) AS n_terms
+         |       FROM co GROUP BY 1, 2),
+         |rk AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |         ORDER BY bm25 DESC, doc_id) AS INT) AS rank FROM sc)
+         |SELECT query_id, rank, doc_id, bm25, n_terms FROM rk
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
     "ann_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
         |scored AS (
@@ -863,6 +939,14 @@ object TextQueries {
         |  ROUND(SUM(value), 4) AS value_sum
         |FROM events LEFT JOIN customer ON user_id = c_custkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "stream_stream_join" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us, value FROM events),
+        |v AS (SELECT user_id, us FROM e WHERE event_type = 'view'),
+        |p AS (SELECT user_id, us, value FROM e WHERE event_type = 'purchase')
+        |SELECT v.user_id, COUNT(*) AS n_pairs, ROUND(SUM(p.value), 4) AS value_sum
+        |FROM v JOIN p ON v.user_id = p.user_id
+        |  AND p.us >= v.us AND p.us <= v.us + 1800000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Emission contract, mirroring Spark's mechanics exactly: every session closed
     // by a LATER EVENT of the same user emits (no timeout involved); a user's LAST
     // session emits via event-time timeout, which Spark tracks in MILLISECONDS —

@@ -179,6 +179,37 @@ object StreamOps {
         round(col("value_sum"), 4).as("value_sum"))
   }
 
+  /** Stream-stream interval join — the remaining Structured Streaming join mode
+    * (enrich covers stream-static): every `view` event joins the same user's
+    * `purchase` events with `view.ts <= purchase.ts <= view.ts + windowMinutes`.
+    * Both sides carry a watermark and the join condition bounds event-time on both
+    * sides, which is exactly what lets Spark evict join state — without the time
+    * range, both buffers grow forever on a real stream. Append mode (the only mode
+    * stream-stream joins support); the per-user rollup happens on the sink table.
+    *
+    * `ts` arrives as long nanos (legacy parquet nanos source) and joins at
+    * microsecond precision — the DuckDB oracle replicates with `epoch_ns // 1000`.
+    */
+  def streamStreamIntervalJoin(
+      spark: SparkSession,
+      eventsPath: String,
+      windowMinutes: Int): DataFrame = {
+    def side(tag: String, tpe: String) = fileStream(spark, eventsPath)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .filter(col("event_type") === tpe)
+      .select(col("user_id").as(s"${tag}_user"), col("ts").as(s"${tag}_ts"), col("value"))
+      .withWatermark(s"${tag}_ts", "1 hour")
+    val views = side("v", "view").drop("value")
+    val purchases = side("p", "purchase")
+    val joined = views.join(purchases,
+      col("v_user") === col("p_user") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+    driveToMemory(joined, "append", "stream_join")
+      .groupBy(col("v_user").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"), round(sum("value"), 4).as("value_sum"))
+  }
+
   case class OpenSession(start_us: Long, last_us: Long, n: Long)
   case class SessionRow(user_id: Long, session_start_us: Long, session_end_us: Long,
     n_events: Long)

@@ -484,6 +484,44 @@ object Dedup {
       .select(col("id_l"), col("id_r"), col("shared"), col("containment"))
   }
 
+  /** Per-document duplicated n-gram coverage — the "deduplicating training data"
+    * memorization signal (Lee et al. 2022): the fraction of a document's word
+    * n-grams that occur in at least `minDocs` distinct documents corpus-wide. Exact
+    * copies score 1.0; clean documents score near 0 for n large enough that chance
+    * collisions vanish.
+    *
+    * Scale shape: ONE shingle explode feeds the duplicated-n-gram aggregate, the
+    * per-doc totals, and the hit counts through the scoped cache; the hit count is a
+    * left-semi join on the n-gram key (work ∝ duplicated instances, never corpus²).
+    * Documents with fewer than `n` tokens have no n-grams and report 0.0.
+    *
+    * Returns (id, n_ngrams, n_dup, dup_fraction) for every input document.
+    */
+  def duplicatedNgramCoverage(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      minDocs: Int = 2): DataFrame = {
+    require(n > 0 && minDocs >= 2,
+      s"need n > 0 and minDocs >= 2, got n=$n minDocs=$minDocs")
+    val sh = df.select(col(idCol).as("id"),
+        explode(TextOps.shingles(col(textCol), n)).as("ngram"))
+      .scopedPersist()
+    val dup = sh.groupBy("ngram").agg(count_distinct(col("id")).as("nd"))
+      .filter(col("nd") >= minDocs).select("ngram")
+    val per = sh.groupBy("id").agg(count(lit(1)).as("n_ngrams"))
+    val hit = sh.join(dup, Seq("ngram"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_dup"))
+    df.select(col(idCol).as("id")).join(per, Seq("id"), "left").join(hit, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        when(coalesce(col("n_ngrams"), lit(0L)) === 0, lit(0.0))
+          .otherwise(round(coalesce(col("n_dup"), lit(0L)) / col("n_ngrams"), 6))
+          .as("dup_fraction"))
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023): cluster normalized embeddings
     * into `k` cells with the deterministic IVF Lloyd trainer, generate candidate pairs
     * WITHIN each cell only, verify with an exact `array_dot` cosine at `threshold`.

@@ -116,4 +116,67 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "id", "cosine")
   }
+
+  /** Okapi BM25 top-k retrieval — the lexical counterpart of the embedding paths.
+    *
+    * Relational inverted index: the per-(doc, token) term-frequency table IS the
+    * posting lists, and scoring is an equi-join of the (tiny, broadcast) query-term
+    * side against it — each query term touches only its own postings, never a corpus
+    * scan per query. Doc-length normalization joins back on the document key with the
+    * posting side already filtered to query-matching rows, so the join's probe side
+    * is bounded by matching postings regardless of corpus size. One token explode
+    * feeds tf, doc length, and document frequency through the scoped cache.
+    *
+    * Determinism across engines: per-term contributions and the final score are
+    * rounded to 6 dp, and ties rank by document id, so sub-ULP `ln`/summation-order
+    * differences cannot flip a row. `n_docs`/`avgdl` count only docs with ≥1 token.
+    *
+    * Returns (query_id, rank, doc_id, bm25, n_terms) with rank ≤ k per query.
+    */
+  def bm25TopK(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: DataFrame, // (query_id, qtext)
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    import graft.util.Caching.CacheSyntax
+    val terms = corpus
+      .select(col(idCol).as("doc_id"), explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .scopedPersist()
+    val dl = terms.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val dfreq = terms.groupBy("token").agg(count(lit(1)).as("df"))
+    // bounded 1-row collect (corpus-level constants ride the plan as literals; long
+    // sums stay exact in double below 2^53 tokens, so avgdl is bit-identical across
+    // engines and summation orders)
+    val statsRow = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl")).first()
+    val nDocs = statsRow.getLong(0)
+    val avgdl = statsRow.getDouble(1)
+    // query terms are a set (classic BM25); idf attaches on the tiny side so the
+    // postings probe is ONE broadcast hash join
+    val qidf = broadcast(
+      queries
+        .select(col("query_id"),
+          explode(array_distinct(TextOps.tokens(col("qtext")))).as("token"))
+        .join(dfreq, "token")
+        .withColumn("idf",
+          log(lit(1.0) + (lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5)))
+        .select(col("query_id"), col("token"), col("idf")))
+    val dln = dl.select(col("doc_id"),
+      (lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl))).as("dl_norm"))
+    val contrib = terms
+      .join(qidf, "token")
+      .join(dln, "doc_id")
+      .withColumn("c",
+        round(col("idf") * col("tf") * lit(k1 + 1.0) / (col("tf") + col("dl_norm")), 6))
+    val scored = contrib.groupBy("query_id", "doc_id")
+      .agg(round(sum("c"), 6).as("bm25"), count(lit(1)).as("n_terms"))
+    val w = Window.partitionBy("query_id").orderBy(desc("bm25"), asc("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "bm25", "n_terms")
+  }
 }

@@ -339,6 +339,55 @@ class TextOpsSpec extends SparkSpec {
     assert(out.sortBy(_.id).toSeq === out2.sortBy(_.id).toSeq)
   }
 
+  test("duplicated n-gram coverage: copies score 1.0, short and unique docs 0.0") {
+    val corpus = Seq(
+      (1L, "a b c d"),   // bigrams: "a b","b c","c d" — all shared with doc 2
+      (2L, "a b c d"),
+      (3L, "x y z q"),   // unique bigrams
+      (4L, "e b c f"),   // shares only "b c" with docs 1/2
+      (5L, "w")          // no bigrams at all
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedNgramCoverage(corpus, "doc_id", "text", 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out(1L) === ((3L, 3L, 1.0)))
+    assert(out(2L) === ((3L, 3L, 1.0)))
+    assert(out(3L) === ((3L, 0L, 0.0)))
+    assert(out(4L) === ((3L, 1L, round6(1.0 / 3))))
+    assert(out(5L) === ((0L, 0L, 0.0)))
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("bm25 top-k matches the hand-computed Okapi formula on a 3-doc corpus") {
+    // corpus: dl = 3, 4, 2; "fox" appears in docs 1 (tf=1) and 2 (tf=2); "cat" only in 3
+    val corpus = Seq(
+      (1L, "fox dog bird"),
+      (2L, "fox fox dog bird"),
+      (3L, "cat bird")).toDF("doc_id", "text")
+    val q = Seq((0, "fox cat")).toDF("query_id", "qtext")
+    val out = Similarity.bm25TopK(corpus, "doc_id", "text", q, 5)
+      .orderBy("rank").collect()
+
+    val k1 = 1.2; val b = 0.75; val n = 3.0; val avgdl = 3.0
+    def idf(df: Int) = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def c(tf: Long, dl: Long, df: Int) =
+      r6(idf(df) * tf * (k1 + 1.0) / (tf + k1 * (1 - b + b * dl / avgdl)))
+    // doc 2: fox tf=2 dl=4; doc 1: fox tf=1 dl=3; doc 3: cat tf=1 dl=2
+    val expected = Map(
+      2L -> r6(c(2, 4, 2)), 1L -> r6(c(1, 3, 2)), 3L -> r6(c(1, 2, 1)))
+    assert(out.length === 3)
+    out.foreach { row =>
+      val (doc, score, nTerms) = (row.getLong(2), row.getDouble(3), row.getLong(4))
+      assert(nTerms === 1L)
+      assert(math.abs(score - expected(doc)) < 1e-9, s"doc $doc: $score vs ${expected(doc)}")
+    }
+    // rarer "cat" (df=1) outscores common "fox" hits despite tf — rank order pins idf
+    assert(out.map(_.getLong(2)).toSeq === Seq(3L, 2L, 1L))
+  }
+
   test("language id picks the language with most marker hits") {
     val d = Seq(
       (1, "the quick fox and the dog of war"),
