@@ -72,4 +72,36 @@ object Analytics {
       .groupBy("cohort_date", "day_offset")
       .agg(count_distinct(col("u")).as("n_users"))
   }
+
+  /** Per-key daily volume anomalies: z-score of each (key, day) event count against
+    * that key's own daily distribution. Returns (key, day, n, z, is_anomaly) with
+    * |z| ≥ `threshold` flagged.
+    *
+    * The variance comes from the CLOSED FORM over exact integer sums —
+    * `(Σn² − (Σn)²/c) / (c−1)` — instead of `stddev_samp`, deliberately: streaming
+    * moment aggregates are summation-order-dependent in the last ULP (and differ
+    * between engines), while integer sums are exact, so the resulting doubles are
+    * bit-identical on every engine and every partition order. Two keyed aggregates,
+    * joined on the (tiny: one row per key) stats side.
+    */
+  def dailyAnomalies(
+      events: DataFrame,
+      keyCol: Column,
+      tsCol: Column,
+      threshold: Double): DataFrame = {
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    val daily = events.groupBy(keyCol.as("key"), to_date(tsCol).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val stats = daily.groupBy("key").agg(
+      sum("n").as("s1"), sum(col("n") * col("n")).as("s2"), count(lit(1)).as("c"))
+    daily.join(stats, "key")
+      .withColumn("mu", col("s1") / col("c"))
+      .withColumn("var",
+        (col("s2") - col("s1") * col("s1") / col("c")) / (col("c") - 1))
+      .withColumn("z",
+        when(col("c") <= 1 || col("var") <= 0, lit(0.0))
+          .otherwise(round((col("n") - col("mu")) / sqrt(col("var")), 4)))
+      .select(col("key"), col("day"), col("n"), col("z"),
+        (abs(col("z")) >= threshold).as("is_anomaly"))
+  }
 }

@@ -64,4 +64,30 @@ object Profile {
       count(col("value")).as("n_nonnull"),
       approx_count_distinct(col("value"), rsd).as("n_distinct_approx"))
   }
+
+  /** Top-`k` heavy hitters of a join/partition key with their share of the table and
+    * skew factor vs the uniform expectation (`n · n_keys / total`) — the diagnostic
+    * that says whether a shuffle join on this key needs salting or AQE skew handling
+    * before it runs.
+    *
+    * Scale shape: one hash aggregate on the key, a bounded top-k (`TakeOrdered` —
+    * never a full sort of the count table), and a 1-row collect for the totals. The
+    * rank window runs over the k collected survivors only.
+    */
+  def keySkew(df: DataFrame, key: org.apache.spark.sql.Column, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    import graft.util.Caching.CacheSyntax
+    val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("n")).scopedPersist()
+    val statsRow = counts.agg(sum("n").as("total"), count(lit(1)).as("n_keys")).first()
+    val total = statsRow.getLong(0)
+    val nKeys = statsRow.getLong(1)
+    val top = counts.orderBy(desc("n"), asc("key")).limit(k)
+    top
+      .withColumn("rank",
+        row_number().over(Window.orderBy(desc("n"), asc("key"))))
+      .select(col("rank"), col("key"), col("n"),
+        round(col("n") / lit(total.toDouble), 6).as("share"),
+        round(col("n") * lit(nKeys.toDouble) / lit(total.toDouble), 6).as("skew"))
+  }
 }

@@ -373,6 +373,21 @@ object TextQueries {
           Seq("view", "click", "purchase"))
         .orderBy("stage_index")
     },
+    "ev_anomaly" -> { (s, dir) =>
+      // per-event-type daily volume z-scores (closed-form variance over exact
+      // integer sums — bit-identical across engines); |z| >= 2 flagged
+      graft.events.Analytics.dailyAnomalies(events(s, dir),
+          col("event_type"), col("ts"), threshold = 2.0)
+        .select(col("key"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n"), col("z"), col("is_anomaly"))
+        .orderBy("key", "day")
+    },
+    "prof_key_skew" -> { (s, dir) =>
+      // heavy-hitter / skew diagnostic on the events join key: top-10 users by
+      // volume with share and skew-vs-uniform factor
+      graft.metrics.Profile.keySkew(events(s, dir), col("user_id"), 10)
+        .orderBy("rank")
+    },
     "ev_retention" -> { (s, dir) =>
       // calendar-day cohorts by first event; distinct active users per day offset
       graft.events.Analytics.cohortRetention(events(s, dir),
@@ -909,6 +924,26 @@ object TextQueries {
         |SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
         |FROM o WHERE next_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ev_anomaly" ->
+      """WITH d AS (SELECT event_type AS key, CAST(ts AS DATE) AS dd, COUNT(*) AS n
+        |           FROM events GROUP BY 1, 2),
+        |st AS (SELECT key, SUM(n) AS s1, SUM(n * n) AS s2, COUNT(*) AS c
+        |       FROM d GROUP BY 1),
+        |z AS (SELECT d.key, dd, n,
+        |        CASE WHEN c <= 1 OR (s2 - s1 * s1 / c) / (c - 1) <= 0 THEN 0.0
+        |             ELSE ROUND((n - s1 / c) / SQRT((s2 - s1 * s1 / c) / (c - 1)), 4)
+        |        END AS z
+        |      FROM d JOIN st USING (key))
+        |SELECT key, STRFTIME(dd, '%Y-%m-%d') AS day, n, z, ABS(z) >= 2.0 AS is_anomaly
+        |FROM z ORDER BY key, day""".stripMargin,
+    "prof_key_skew" ->
+      """WITH c AS (SELECT user_id AS key, COUNT(*) AS n FROM events GROUP BY 1),
+        |st AS (SELECT SUM(n) AS total, COUNT(*) AS n_keys FROM c),
+        |rk AS (SELECT key, n,
+        |         CAST(ROW_NUMBER() OVER (ORDER BY n DESC, key) AS INT) AS rank FROM c)
+        |SELECT rank, key, n, ROUND(n::DOUBLE / st.total, 6) AS share,
+        |  ROUND(n::DOUBLE * st.n_keys / st.total, 6) AS skew
+        |FROM rk CROSS JOIN st WHERE rank <= 10 ORDER BY rank""".stripMargin,
     "ev_funnel" ->
       """WITH s1 AS (SELECT user_id AS u, MIN(ts) AS t FROM events
         |            WHERE event_type = 'view' GROUP BY 1),

@@ -105,6 +105,20 @@ object ScaleSmoke {
       time("tfidf_keywords", n) {
         graft.textops.Curation.tfidfKeywords(docs, "doc_id", "text", 3).count()
       }
+      time("bm25_topk", n) {
+        // 4 queries built from corpus docs 0-3's own leading words, so each probe
+        // actually hits postings (worst case for the broadcast term join)
+        val q = spark.range(4).select(col("id").cast("int").as("query_id"),
+          concat_ws(" ",
+            substring(md5(concat(col("id").cast("string"), lit(":0"))), 1, 4),
+            substring(md5(concat(col("id").cast("string"), lit(":1"))), 1, 4)).as("qtext"))
+        graft.textops.Similarity.bm25TopK(docs, "doc_id", "text", q, 10).count()
+      }
+      time("dup_ngram_coverage", n) {
+        // duplicated 5-grams come only from the planted copies — the semi-join side
+        // stays bounded by true duplication, which is what the slope verifies
+        graft.textops.Dedup.duplicatedNgramCoverage(docs, "doc_id", "text", 5).count()
+      }
       // top-fraction selection: the exact ranking path vs the quantile-sketch path
       // on the same stratum layout (16 strata)
       val scored = docs.select(col("doc_id"),

@@ -16,6 +16,38 @@ class MetricsSpec extends SparkSpec {
     assert(out === "abc d9")
   }
 
+  test("keySkew: hand-computed shares and skew-vs-uniform factors, top-k only") {
+    val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq("c")).toDF("k")
+    val out = Profile.keySkew(df, col("k"), 2).orderBy("rank").collect()
+    assert(out.length === 2)
+    // total=10, n_keys=3: a → share .6, skew 6·3/10 = 1.8; b → .3 / 0.9
+    assert((out(0).getInt(0), out(0).getString(1), out(0).getLong(2),
+      out(0).getDouble(3), out(0).getDouble(4)) === ((1, "a", 6L, 0.6, 1.8)))
+    assert((out(1).getInt(0), out(1).getString(1), out(1).getLong(2),
+      out(1).getDouble(3), out(1).getDouble(4)) === ((2, "b", 3L, 0.3, 0.9)))
+  }
+
+  test("dailyAnomalies: closed-form z flags the planted spike day only") {
+    // key "x": 10 events/day for 9 days, 30 on day 10 → mu=12, var=40,
+    // z_spike = 18/√40 = 2.846 (anomaly at 2.0), z_normal = −2/√40 = −0.3162
+    val rows = for {
+      day <- 1 to 10
+      i <- 1 to (if (day == 10) 30 else 10)
+    } yield ("x", java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00"), i)
+    val df = rows.toDF("t", "ts", "i")
+    val out = graft.events.Analytics.dailyAnomalies(df, col("t"), col("ts"), 2.0)
+      .orderBy("day").collect()
+    assert(out.length === 10)
+    val spike = out.last
+    assert(spike.getLong(2) === 30L)
+    assert(spike.getDouble(3) === 2.846)
+    assert(spike.getBoolean(4))
+    out.dropRight(1).foreach { r =>
+      assert(r.getDouble(3) === -0.3162)
+      assert(!r.getBoolean(4))
+    }
+  }
+
   test("profileColumns: hand-computed counts, modal value, and entropy") {
     val df = Seq(
       ("a", Some(1)), ("a", Some(1)), ("b", Some(2)), ("b", None), ("c", Some(2)))
