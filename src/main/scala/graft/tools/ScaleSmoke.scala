@@ -40,7 +40,13 @@ object ScaleSmoke {
           transform(col("embedding"), x => x * 1.0001).as("embedding")))
   }
 
+  /** Optional operator-name regex (any non-numeric CLI arg) — untimed operators are
+    * skipped entirely, so one operator can be re-smoked without the full sweep.
+    */
+  private var only: Option[scala.util.matching.Regex] = None
+
   private def time(name: String, n: Long)(body: => Long)(implicit spark: SparkSession): Unit = {
+    if (!only.forall(_.findFirstIn(name).isDefined)) return
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet.toSet
     val t0 = System.nanoTime()
@@ -55,7 +61,9 @@ object ScaleSmoke {
   }
 
   def main(args: Array[String]): Unit = {
-    val sizes = if (args.nonEmpty) args.toSeq.map(_.toLong) else Seq(100000L, 400000L)
+    val (nums, pats) = args.partition(_.matches("\\d+"))
+    only = pats.headOption.map(_.r)
+    val sizes = if (nums.nonEmpty) nums.toSeq.map(_.toLong) else Seq(100000L, 400000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     implicit val spark: SparkSession = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -116,8 +124,11 @@ object ScaleSmoke {
       }
       time("dup_ngram_coverage", n) {
         // duplicated 5-grams come only from the planted copies — the semi-join side
-        // stays bounded by true duplication, which is what the slope verifies
-        graft.textops.Dedup.duplicatedNgramCoverage(docs, "doc_id", "text", 5).count()
+        // stays bounded by true duplication, which is what the slope verifies.
+        // Aggregate a COMPUTED column: a bare count() lets Catalyst prune the
+        // cardinality-preserving left joins and skip the n-gram work entirely.
+        graft.textops.Dedup.duplicatedNgramCoverage(docs, "doc_id", "text", 5)
+          .filter(col("n_dup") > 0).count()
       }
       // top-fraction selection: the exact ranking path vs the quantile-sketch path
       // on the same stratum layout (16 strata)
