@@ -407,6 +407,23 @@ object TextQueries {
       StreamOps.streamStreamIntervalJoin(s, s"$dir/events.parquet", 30)
         .orderBy("user_id")
     },
+    "stream_sharded_sink" -> { (s, dir) =>
+      // streaming ingest into the sharded training layout: two micro-batches
+      // (doc_id parity split) append into the same deterministic shard dirs;
+      // the manifest over the read-back MUST equal the batch sink's manifest
+      val d = docs(s, dir).select(col("doc_id"), col("text"), col("lang"))
+      // unique per CALL (not just per JVM): a second run in the same JVM would
+      // otherwise append into the first run's shard dirs and double the manifest
+      val out = graft.util.Scratch.deleteOnExit(
+        s"${System.getProperty("java.io.tmpdir")}/graft_stream_shards/" +
+          s"${graft.util.Scratch.runToken}_${System.nanoTime()}") + "/documents"
+      stagedStream(Seq(d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1)))(
+        src => StreamOps.streamingShardedSink(s, src, "doc_id", 8, out, "shard1")
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(TextOps.tokenCount(col("text"))).as("n_tokens")))
+        .orderBy("shard")
+    },
     "stream_dedup" -> { (s, dir) =>
       // streaming exact dedup across micro-batches: batch 1 = the documents, batch 2 =
       // planted exact copies (doc_id%7) — every copy must be dropped by the stateful
@@ -974,6 +991,18 @@ object TextQueries {
         |  ROUND(SUM(value), 4) AS value_sum
         |FROM events LEFT JOIN customer ON user_id = c_custkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // identical to the batch curation_shard_manifest oracle — the streaming sink
+    // must land the exact same deterministic layout the batch sink does
+    "stream_sharded_sink" -> {
+      val toks = toksSql("text")
+      """WITH s AS (
+        |  SELECT CAST(('0x' || substr(md5('shard1:' || doc_id::VARCHAR), 1, 8))::BIGINT
+        |           % 8 AS INT) AS shard, text
+        |  FROM documents)
+        |SELECT shard, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(""".stripMargin + toks + """)) AS BIGINT) AS n_tokens
+        |FROM s GROUP BY shard ORDER BY shard""".stripMargin
+    },
     "stream_stream_join" ->
       """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us, value FROM events),
         |v AS (SELECT user_id, us FROM e WHERE event_type = 'view'),

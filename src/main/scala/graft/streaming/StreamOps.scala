@@ -93,6 +93,39 @@ object StreamOps {
     driveToMemory(stream, "complete", "stream_dedup")
   }
 
+  /** Streaming sharded corpus sink — the ingest shape of
+    * [[graft.textops.Curation.writeShards]]: every micro-batch assigns the SAME
+    * deterministic md5 shard ids and appends `partitionBy(shard)` parquet via
+    * `foreachBatch`. Shard assignment depends only on (key, salt), so replays and
+    * restarts route a row to the same shard directory — the layout is idempotent
+    * and training readers see one stable partition-pruned view regardless of how
+    * many batches produced it. Returns the corpus read BACK from disk (manifest
+    * aggregation happens on what was actually written, as in the batch sink).
+    */
+  def streamingShardedSink(
+      spark: SparkSession,
+      corpusDir: String,
+      keyCol: String,
+      numShards: Int,
+      outPath: String,
+      salt: String): DataFrame = {
+    val schema = spark.read.parquet(corpusDir).schema
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1) // one file per micro-batch: appends must cross batches
+      .parquet(corpusDir)
+      .withColumn("shard",
+        graft.textops.Curation.shardId(col(keyCol), numShards, salt))
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("append").partitionBy("shard").parquet(outPath)
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.read.parquet(outPath)
+  }
+
   /** Streaming near-dup dedup: the stateless [[graft.expressions.SimHash64]]
     * expression runs unchanged on the stream, and `dropDuplicates(lang, signature)`
     * drops any later-arriving document whose distinct-token set hashes identically
