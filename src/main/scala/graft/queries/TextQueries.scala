@@ -294,6 +294,21 @@ object TextQueries {
       Similarity.bm25TopK(docs(s, dir), "doc_id", "text", q, 5)
         .orderBy("query_id", "rank")
     },
+    "ep6_retrieval" -> { (s, dir) =>
+      // end-to-end RAG retrieval: chunk into overlapping passages, score with the
+      // same BM25 operator over the passage index, return top-3 passages per query
+      import s.implicits._
+      val chunks = graft.textops.Curation.chunkPassages(docs(s, dir), "doc_id", "text",
+          windowTokens = 32, strideTokens = 24)
+        .select((col("doc_id") * 1000 + col("chunk_index")).as("chunk_id"), col("chunk"))
+      val q = BM25Queries.toDF("query_id", "qtext")
+      Similarity.bm25TopK(chunks, "chunk_id", "chunk", q, 3)
+        .select(col("query_id"), col("rank"),
+          expr("doc_id div 1000").as("doc_id"),
+          (col("doc_id") % 1000).cast("int").as("chunk_index"),
+          col("bm25"), col("n_terms"))
+        .orderBy("query_id", "rank")
+    },
     "ann_lsh_topk" -> { (s, dir) =>
       // approximate — no SQL oracle; recall vs brute force pinned in ScalaTest
       val e = emb(s, dir)
@@ -647,6 +662,38 @@ object TextQueries {
        |    i -> $w[i] || ' ' || $w[i+1] || ' ' || $w[i+2]) END)""".stripMargin.replace("\n", " ")
   }
 
+  /** Okapi BM25 oracle over an arbitrary corpus CTE — shared by the document-level
+    * and passage-level retrieval oracles so the scoring SQL cannot drift between
+    * them. `pre` must define `bmcorpus(bid, btext)`; `idSelect` renders the output
+    * id column(s) from `bid` (rank already tie-breaks on `bid`, so ordering by
+    * (query_id, rank) is total).
+    * Constants mirror [[graft.textops.Similarity.bm25TopK]] defaults
+    * (k1 = 1.2, b = 0.75 → k1+1 = 2.2, 1−b = 0.25).
+    */
+  private def bm25Sql(pre: String, k: Int, idSelect: String): String = {
+    val qvals = BM25Queries.map { case (qid, qt) => s"($qid, '$qt')" }.mkString(", ")
+    s"""WITH $pre,
+       |t AS (SELECT bid, unnest(${toksSql("btext")}) AS token FROM bmcorpus),
+       |tf AS (SELECT bid, token, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+       |dl AS (SELECT bid, SUM(tf) AS dl FROM tf GROUP BY 1),
+       |dfq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+       |st AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+       |q(query_id, qtext) AS (VALUES $qvals),
+       |qt AS (SELECT query_id, unnest(list_distinct(${toksSql("qtext")})) AS token FROM q),
+       |qi AS (SELECT query_id, qt.token,
+       |         LN(1.0 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)) AS idf
+       |       FROM qt JOIN dfq USING (token) CROSS JOIN st),
+       |co AS (SELECT qi.query_id, tf.bid,
+       |         ROUND(qi.idf * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)), 6) AS c
+       |       FROM tf JOIN qi USING (token) JOIN dl USING (bid) CROSS JOIN st),
+       |sc AS (SELECT query_id, bid, ROUND(SUM(c), 6) AS bm25, COUNT(*) AS n_terms
+       |       FROM co GROUP BY 1, 2),
+       |rk AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |         ORDER BY bm25 DESC, bid) AS INT) AS rank FROM sc)
+       |SELECT query_id, rank, $idSelect, bm25, n_terms FROM rk
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   /** `shinglesSql` for arbitrary n — one rendered expression per call site. */
   private[queries] def shinglesSqlN(textExpr: String, n: Int) = {
     val w = toksSql(textExpr)
@@ -848,28 +895,24 @@ object TextQueries {
          |FROM ecorpus l JOIN ecorpus r ON l.vec_id < r.vec_id
          |WHERE list_cosine_similarity(l.v, r.v) >= 0.9
          |ORDER BY id_l, id_r""".stripMargin,
-    "text_bm25_topk" -> {
+    "text_bm25_topk" ->
+      bm25Sql("bmcorpus AS (SELECT doc_id AS bid, text AS btext FROM documents)", 5,
+        "bid AS doc_id"),
+    "ep6_retrieval" -> {
+      // passage index = the curation_chunk CTE keyed as doc_id*1000 + chunk_index
       val toks = toksSql("text")
-      val qvals = BM25Queries.map { case (qid, qt) => s"($qid, '$qt')" }.mkString(", ")
-      s"""WITH t AS (SELECT doc_id, unnest($toks) AS token FROM documents),
-         |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM t GROUP BY 1, 2),
-         |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
-         |dfq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
-         |st AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
-         |q(query_id, qtext) AS (VALUES $qvals),
-         |qt AS (SELECT query_id, unnest(list_distinct(${toksSql("qtext")})) AS token FROM q),
-         |qi AS (SELECT query_id, qt.token,
-         |         LN(1.0 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)) AS idf
-         |       FROM qt JOIN dfq USING (token) CROSS JOIN st),
-         |co AS (SELECT qi.query_id, tf.doc_id,
-         |         ROUND(qi.idf * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)), 6) AS c
-         |       FROM tf JOIN qi USING (token) JOIN dl USING (doc_id) CROSS JOIN st),
-         |sc AS (SELECT query_id, doc_id, ROUND(SUM(c), 6) AS bm25, COUNT(*) AS n_terms
-         |       FROM co GROUP BY 1, 2),
-         |rk AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-         |         ORDER BY bm25 DESC, doc_id) AS INT) AS rank FROM sc)
-         |SELECT query_id, rank, doc_id, bm25, n_terms FROM rk
-         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+      bm25Sql(
+        s"""ct AS (SELECT doc_id, $toks AS toks FROM documents),
+           |cn AS (SELECT doc_id, toks, len(toks) AS n FROM ct WHERE len(toks) > 0),
+           |cc AS (SELECT doc_id, toks,
+           |         unnest(range(0, 1 + CAST(CEIL(GREATEST(n - 32, 0) / 24.0) AS BIGINT)))
+           |           AS chunk_index
+           |       FROM cn),
+           |bmcorpus AS (SELECT doc_id * 1000 + chunk_index AS bid,
+           |         array_to_string(toks[(chunk_index*24 + 1)::INT : (chunk_index*24 + 32)::INT], ' ')
+           |           AS btext
+           |       FROM cc)""".stripMargin, 3,
+        "bid // 1000 AS doc_id, CAST(bid % 1000 AS INT) AS chunk_index")
     },
     "ann_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),

@@ -388,6 +388,44 @@ class TextOpsSpec extends SparkSpec {
     assert(out.map(_.getLong(2)).toSeq === Seq(3L, 2L, 1L))
   }
 
+  test("streaming sharded sink lands the exact batch writeShards layout") {
+    import java.nio.file.Files
+    val d = (1L to 200L).map(i => (i, s"doc $i word${i % 7}")).toDF("doc_id", "text")
+    val tmp = Files.createTempDirectory("graft_sink_spec")
+    try {
+      val batchPath = s"$tmp/batch"
+      val streamSrc = s"$tmp/src"
+      val streamOut = s"$tmp/stream"
+      // batch layout
+      val batchManifest = graft.textops.Curation
+        .writeShards(d, col("doc_id"), 4, batchPath, "s1")
+        .groupBy("shard").agg(count(lit(1)).as("n"), sum(length(col("text"))).as("len"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+      // streamed in two files → two micro-batches appending into the same dirs
+      // (staged OUTSIDE the source dir: the file index lists leaves recursively,
+      // so nested write dirs inside the source would double-count)
+      Files.createDirectories(java.nio.file.Paths.get(streamSrc))
+      Seq(d.filter(col("doc_id") <= 100), d.filter(col("doc_id") > 100))
+        .zipWithIndex.foreach { case (half, i) =>
+          val stage = s"$tmp/stage$i"
+          half.coalesce(1).write.parquet(stage)
+          val ls = Files.list(java.nio.file.Paths.get(stage))
+          try ls.filter(_.toString.endsWith(".parquet")).forEach(p =>
+            Files.copy(p, java.nio.file.Paths.get(streamSrc, s"$i.parquet")))
+          finally ls.close()
+        }
+      val streamManifest = graft.streaming.StreamOps
+        .streamingShardedSink(spark, streamSrc, "doc_id", 4, streamOut, "s1")
+        .groupBy("shard").agg(count(lit(1)).as("n"), sum(length(col("text"))).as("len"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+      assert(streamManifest === batchManifest)
+    } finally {
+      import java.nio.file.Path
+      Files.walk(tmp).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+  }
+
   test("language id picks the language with most marker hits") {
     val d = Seq(
       (1, "the quick fox and the dog of war"),
