@@ -72,6 +72,15 @@ object CurationQueries {
           sum(TextOps.tokenCount(col("text"))).as("tokens_kept"))
         .orderBy("lang")
     },
+    "curation_importance_sample" -> { (s, dir) =>
+      // quality-weighted sampling: each doc keeps with probability = its own
+      // (rounded) quality score — better docs survive more often, deterministically
+      val scored = docs(s, dir)
+        .withColumn("q", round(TextOps.qualityScore(col("text")), 6))
+      Curation.importanceSample(scored, col("doc_id"), col("q"), "imp1")
+        .select(col("doc_id"), col("lang"), col("q"))
+        .orderBy("doc_id")
+    },
     "curation_split" -> { (s, dir) =>
       Curation.assignSplit(docs(s, dir), col("doc_id"), TrainFrac, SplitSalt)
         .groupBy("lang", "split").agg(count(lit(1)).as("n"))
@@ -373,6 +382,12 @@ object CurationQueries {
          |FROM documents
          |WHERE ${drawSql(MixSalt, "doc_id")} < ${thresholdCaseSql("lang", MixRates, 1.0)}
          |GROUP BY lang ORDER BY lang""".stripMargin,
+    "curation_importance_sample" ->
+      s"""WITH s AS (SELECT doc_id, lang, ${TextQueries.qualityExprSql} AS q FROM documents)
+         |SELECT doc_id, lang, q FROM s
+         |WHERE ('0x' || ${drawSql("imp1", "doc_id")})::BIGINT::DOUBLE / 4294967296.0
+         |      < LEAST(GREATEST(q, 0.0), 1.0)
+         |ORDER BY doc_id""".stripMargin,
     "curation_split" ->
       s"""SELECT lang,
          |  CASE WHEN ${drawSql(SplitSalt, "doc_id")} < '${Curation.rateThreshold(TrainFrac)}'

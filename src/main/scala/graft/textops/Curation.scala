@@ -42,6 +42,19 @@ object Curation {
   def hashSample(df: DataFrame, key: Column, rate: Double, salt: String): DataFrame =
     if (rate >= 1.0) df else df.filter(hashDraw(key, salt) < lit(rateThreshold(rate)))
 
+  /** Quality-weighted (importance) sampling: keep each row with its OWN probability
+    * `probCol`, clamped to [0,1] — the keep-good-data-more-often knob of a curation
+    * pipeline. Same md5 draw machinery as the fixed-rate samplers (shuffle-free,
+    * reproducible, engine-portable); the draw fraction is `draw / 2^32`, exact in
+    * double, so engines agree on every boundary. Round `probCol` consistently on
+    * both engines when it is itself computed (sub-ULP drift at `draw == prob`
+    * would otherwise flip a row).
+    */
+  def importanceSample(df: DataFrame, key: Column, probCol: Column, salt: String): DataFrame =
+    df.filter(
+      conv(hashDraw(key, salt), 16, 10).cast("double") / lit(4294967296.0) <
+        least(greatest(probCol, lit(0.0)), lit(1.0)))
+
   /** Domain mixing: per-stratum deterministic downsampling toward target rates.
     * The draw column is referenced exactly once (the per-stratum ladder selects the
     * THRESHOLD, not the comparison) — Catalyst re-inlines a projected column's full

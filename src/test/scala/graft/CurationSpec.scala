@@ -35,6 +35,23 @@ class CurationSpec extends SparkSpec {
     assert(Curation.hashSample(keys, col("id"), 1.0, "s").count() === 4000)
   }
 
+  test("importance sample: prob clamps, determinism, and agreement with hashSample") {
+    val df = spark.range(100).toDF("id")
+    assert(Curation.importanceSample(df, col("id"), lit(1.5), "s").count() === 100)
+    assert(Curation.importanceSample(df, col("id"), lit(-0.2), "s").count() === 0)
+    val a = Curation.importanceSample(df, col("id"), lit(0.5), "s")
+      .collect().map(_.getLong(0)).toSet
+    val b = Curation.importanceSample(df, col("id"), lit(0.5), "s")
+      .collect().map(_.getLong(0)).toSet
+    assert(a === b)
+    assert(a.nonEmpty && a.size < 100)
+    // same draw machinery as the fixed-rate sampler: at a power-of-two rate the
+    // numeric (draw/2^32 < p) and hex-threshold (draw < floor(p·2^32)) cuts agree
+    // exactly (they can differ by the single draw == floor(p·2^32) otherwise)
+    val c = Curation.hashSample(df, col("id"), 0.5, "s").collect().map(_.getLong(0)).toSet
+    assert(a === c)
+  }
+
   test("stratified sample applies per-stratum rates; split covers every row once") {
     val df = docs.select(col("doc_id"), col("lang"))
     val kept = Curation.stratifiedSample(df, col("doc_id"), col("lang"),
