@@ -80,7 +80,9 @@ object Profile {
     import graft.util.Caching.CacheSyntax
     val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("n")).scopedPersist()
     val statsRow = counts.agg(sum("n").as("total"), count(lit(1)).as("n_keys")).first()
-    val total = statsRow.getLong(0)
+    // empty table: sum is NULL — report zero rows rather than NPE (the top-k below
+    // is empty either way; the placeholders never reach a row)
+    val total = if (statsRow.isNullAt(0)) 1L else statsRow.getLong(0)
     val nKeys = statsRow.getLong(1)
     val top = counts.orderBy(desc("n"), asc("key")).limit(k)
     top

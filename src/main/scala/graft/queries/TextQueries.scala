@@ -296,16 +296,20 @@ object TextQueries {
     },
     "ep6_retrieval" -> { (s, dir) =>
       // end-to-end RAG retrieval: chunk into overlapping passages, score with the
-      // same BM25 operator over the passage index, return top-3 passages per query
+      // same BM25 operator over the passage index, return top-3 passages per query.
+      // chunk_id packs (doc_id, chunk_index) into one long at a 2^32 radix — safe
+      // for any chunk count a real document can produce (a collision would need
+      // 2^32 chunks ≈ 10^11 tokens in ONE doc) and for doc_id < 2^31
       import s.implicits._
+      val Radix = 4294967296L // 2^32
       val chunks = graft.textops.Curation.chunkPassages(docs(s, dir), "doc_id", "text",
           windowTokens = 32, strideTokens = 24)
-        .select((col("doc_id") * 1000 + col("chunk_index")).as("chunk_id"), col("chunk"))
+        .select((col("doc_id") * Radix + col("chunk_index")).as("chunk_id"), col("chunk"))
       val q = BM25Queries.toDF("query_id", "qtext")
       Similarity.bm25TopK(chunks, "chunk_id", "chunk", q, 3)
         .select(col("query_id"), col("rank"),
-          expr("doc_id div 1000").as("doc_id"),
-          (col("doc_id") % 1000).cast("int").as("chunk_index"),
+          expr(s"doc_id div $Radix").as("doc_id"),
+          (col("doc_id") % Radix).cast("int").as("chunk_index"),
           col("bm25"), col("n_terms"))
         .orderBy("query_id", "rank")
     },
@@ -655,12 +659,7 @@ object TextQueries {
        |         len(list_distinct(list_concat(l.toks, r.toks))) END >= $threshold
        |ORDER BY id_l, id_r""".stripMargin
 
-  private[queries] def shinglesSql(textExpr: String) = {
-    val w = toksSql(textExpr)
-    s"""(CASE WHEN len($w) < 3 THEN [] ELSE
-       |  list_transform(range(1, len($w) - 1),
-       |    i -> $w[i] || ' ' || $w[i+1] || ' ' || $w[i+2]) END)""".stripMargin.replace("\n", " ")
-  }
+  private[queries] def shinglesSql(textExpr: String) = shinglesSqlN(textExpr, 3)
 
   /** Okapi BM25 oracle over an arbitrary corpus CTE — shared by the document-level
     * and passage-level retrieval oracles so the scoring SQL cannot drift between
@@ -899,7 +898,8 @@ object TextQueries {
       bm25Sql("bmcorpus AS (SELECT doc_id AS bid, text AS btext FROM documents)", 5,
         "bid AS doc_id"),
     "ep6_retrieval" -> {
-      // passage index = the curation_chunk CTE keyed as doc_id*1000 + chunk_index
+      // passage index = the curation_chunk CTE keyed as doc_id*2^32 + chunk_index
+      // (matches the Spark fixture's collision-safe radix)
       val toks = toksSql("text")
       bm25Sql(
         s"""ct AS (SELECT doc_id, $toks AS toks FROM documents),
@@ -908,11 +908,11 @@ object TextQueries {
            |         unnest(range(0, 1 + CAST(CEIL(GREATEST(n - 32, 0) / 24.0) AS BIGINT)))
            |           AS chunk_index
            |       FROM cn),
-           |bmcorpus AS (SELECT doc_id * 1000 + chunk_index AS bid,
+           |bmcorpus AS (SELECT doc_id * 4294967296 + chunk_index AS bid,
            |         array_to_string(toks[(chunk_index*24 + 1)::INT : (chunk_index*24 + 32)::INT], ' ')
            |           AS btext
            |       FROM cc)""".stripMargin, 3,
-        "bid // 1000 AS doc_id, CAST(bid % 1000 AS INT) AS chunk_index")
+        "bid // 4294967296 AS doc_id, CAST(bid % 4294967296 AS INT) AS chunk_index")
     },
     "ann_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),

@@ -96,10 +96,17 @@ object StreamOps {
   /** Streaming sharded corpus sink — the ingest shape of
     * [[graft.textops.Curation.writeShards]]: every micro-batch assigns the SAME
     * deterministic md5 shard ids and appends `partitionBy(shard)` parquet via
-    * `foreachBatch`. Shard assignment depends only on (key, salt), so replays and
-    * restarts route a row to the same shard directory — the layout is idempotent
-    * and training readers see one stable partition-pruned view regardless of how
-    * many batches produced it. Returns the corpus read BACK from disk (manifest
+    * `foreachBatch`. Shard assignment depends only on (key, salt), so every batch
+    * routes a row to the same shard directory and training readers see one stable
+    * partition-pruned view regardless of how many batches produced it.
+    *
+    * Delivery contract: the LAYOUT is idempotent; the DATA is at-least-once.
+    * `foreachBatch` may re-run a micro-batch after a mid-append failure, and a
+    * plain parquet append would then duplicate those rows. Production deployments
+    * pair this with a checkpoint location plus either batchId-versioned output
+    * (write batch `b` under `_batch=b` and overwrite that subdir on retry) or a
+    * downstream exact dedup on the document key — the same [[graft.textops.Dedup]]
+    * operators this engine ships. Returns the corpus read BACK from disk (manifest
     * aggregation happens on what was actually written, as in the batch sink).
     */
   def streamingShardedSink(

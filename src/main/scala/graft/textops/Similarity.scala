@@ -154,7 +154,9 @@ object Similarity {
     // engines and summation orders)
     val statsRow = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl")).first()
     val nDocs = statsRow.getLong(0)
-    val avgdl = statsRow.getDouble(1)
+    // empty or all-empty-text corpus: no postings to score — return the empty
+    // result instead of NPE-ing on the NULL average
+    val avgdl = if (nDocs == 0) 1.0 else statsRow.getDouble(1)
     // query terms are a set (classic BM25); idf attaches on the tiny side so the
     // postings probe is ONE broadcast hash join
     val qidf = broadcast(

@@ -64,6 +64,11 @@ object ScaleSmoke {
     val (nums, pats) = args.partition(_.matches("\\d+"))
     only = pats.headOption.map(_.r)
     val sizes = if (nums.nonEmpty) nums.toSeq.map(_.toLong) else Seq(100000L, 400000L)
+    // make a mis-typed size (e.g. "400k") visible: it would otherwise become a
+    // filter matching nothing and the sweep would silently no-op
+    println(s"[scale] sizes=${sizes.mkString(",")}" +
+      only.map(p => s" filter=$p").getOrElse(""))
+    require(pats.length <= 1, s"at most one name filter, got: ${pats.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     implicit val spark: SparkSession = SparkSession.builder()
       .master(s"local[$cpus]")
