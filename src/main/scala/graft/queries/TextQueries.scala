@@ -184,6 +184,13 @@ object TextQueries {
       Dedup.exact(plantedCorpus(s, dir), "doc_id", "text")
         .orderBy("content_hash")
     },
+    "dedup_corpus_overlap" -> { (s, dir) =>
+      // incoming = the planted copies; exact copies (+100000) fully overlap the
+      // base, near copies (+200000, one appended token) must not
+      val incoming = plantedCorpus(s, dir).filter(col("doc_id") >= 100000)
+      Dedup.corpusOverlap(docs(s, dir), incoming, "text", col("lang"))
+        .orderBy("stratum")
+    },
     "dedup_ngram_coverage" -> { (s, dir) =>
       // Lee et al. memorization signal: fraction of each doc's 5-grams that are
       // corpus-duplicated; planted exact copies must score 1.0
@@ -852,6 +859,16 @@ object TextQueries {
       s"""WITH $corpusCte
          |SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
          |FROM corpus GROUP BY 1 ORDER BY content_hash""".stripMargin,
+    "dedup_corpus_overlap" ->
+      s"""WITH $corpusCte,
+         |inc AS (SELECT lang AS stratum, md5(text) AS h FROM corpus WHERE doc_id >= 100000),
+         |bh AS (SELECT DISTINCT md5(text) AS h FROM documents)
+         |SELECT stratum, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN bh.h IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_overlap,
+         |  ROUND(SUM(CASE WHEN bh.h IS NULL THEN 0 ELSE 1 END)::DOUBLE / COUNT(*), 6)
+         |    AS overlap_frac
+         |FROM inc LEFT JOIN bh USING (h)
+         |GROUP BY stratum ORDER BY stratum""".stripMargin,
     "dedup_ngram_coverage" -> {
       val sh = shinglesSqlN("text", 5)
       s"""WITH $corpusCte,

@@ -484,6 +484,32 @@ object Dedup {
       .select(col("id_l"), col("id_r"), col("shared"), col("containment"))
   }
 
+  /** Exact cross-corpus overlap: per stratum of the incoming corpus, how many
+    * documents already exist (byte-identical text) in the base corpus — the
+    * snapshot-vs-snapshot diagnostic run before merging a new crawl into an
+    * existing training set.
+    *
+    * Scale shape: the base collapses to its distinct content-hash set once; the
+    * incoming side left-joins on that hash key (distinct-built, so cardinality is
+    * preserved) and one hash aggregate per stratum produces the counts. Content
+    * hashes are md5 — portable to any engine, incl. the DuckDB oracle.
+    *
+    * Returns (stratum, n_docs, n_overlap, overlap_frac).
+    */
+  def corpusOverlap(
+      base: DataFrame,
+      incoming: DataFrame,
+      textCol: String,
+      stratum: Column): DataFrame = {
+    val bh = base.select(md5(col(textCol)).as("h")).distinct()
+    incoming.select(stratum.as("stratum"), md5(col(textCol)).as("h"))
+      .join(bh.withColumn("in_base", lit(1)), Seq("h"), "left")
+      .groupBy("stratum")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("in_base"), lit(0))).as("n_overlap"))
+      .withColumn("overlap_frac", round(col("n_overlap") / col("n_docs"), 6))
+  }
+
   /** Per-document duplicated n-gram coverage — the "deduplicating training data"
     * memorization signal (Lee et al. 2022): the fraction of a document's word
     * n-grams that occur in at least `minDocs` distinct documents corpus-wide. Exact
