@@ -150,6 +150,17 @@ object TextQueries {
           round(TextOps.qualityScore(col("text")), 6).as("quality"))
         .orderBy("doc_id")
     },
+    "text_mojibake" -> { (s, dir) =>
+      // encoding-damage signal; damage planted (the synthetic corpus is clean):
+      // every %5 doc gains a replacement char and a BEL control char
+      val planted = docs(s, dir).withColumn("text",
+        concat(col("text"),
+          when(col("doc_id") % 5 === 0, lit(" b\ufffdd\u0007")).otherwise(lit(""))))
+      planted.select(col("doc_id"),
+          TextOps.mojibakeCount(col("text")).cast("long").as("n_bad"),
+          round(TextOps.mojibakeRatio(col("text")), 6).as("bad_ratio"))
+        .orderBy("doc_id")
+    },
     "text_url_density" -> { (s, dir) =>
       // link-density quality signal; URLs planted (the synthetic corpus has none):
       // every %3 doc gains TWO links (ex<N>.com + t.co/x), every %9 doc a THIRD
@@ -833,6 +844,20 @@ object TextQueries {
     },
     "text_quality" -> qualitySql,
     "text_langid" -> langidSql,
+    "text_mojibake" -> {
+      val pat = TextOps.MojibakePattern
+      s"""WITH p AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 5 = 0 THEN ' b' || chr(65533) || 'd' || chr(7)
+         |         ELSE '' END AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_bad,
+         |  ROUND(CASE WHEN length(text) = 0 THEN 0.0
+         |        ELSE len(regexp_extract_all(text, '$pat'))::DOUBLE / length(text) END, 6)
+         |    AS bad_ratio
+         |FROM p ORDER BY doc_id""".stripMargin
+    },
     "text_url_density" -> {
       val pat = TextOps.UrlPattern.replace("'", "''")
       val toks = toksSql("text")

@@ -156,6 +156,22 @@ object TextOps {
   val UrlPattern: String = "https?://[A-Za-z0-9._~:/?#@!$&'()*+,;=%-]+"
 
   /** Link count per document (C4/FineWeb-style link-density quality signal). */
+  /** Encoding-damage signals: the Unicode replacement char (U+FFFD — the classic
+    * mojibake tell) plus C0/C1 control characters other than tab/LF/CR. The class
+    * stays in the Java-regex ∩ RE2 subset (`\x{..}` escapes) so the DuckDB oracle
+    * matches char-for-char; all members are BMP, so Spark's UTF-16 `length` and
+    * DuckDB's codepoint `length` agree on every ratio divisor.
+    */
+  val MojibakePattern: String =
+    "[\\x{00}-\\x{08}\\x{0B}\\x{0C}\\x{0E}-\\x{1F}\\x{7F}-\\x{9F}\\x{FFFD}]"
+
+  def mojibakeCount(c: Column): Column = regexp_count(c, lit(MojibakePattern))
+
+  /** Damaged-character fraction, 0 for empty docs — the drop-broken-decodes filter. */
+  def mojibakeRatio(c: Column): Column =
+    when(length(c) === 0, lit(0.0))
+      .otherwise(mojibakeCount(c).cast("double") / length(c))
+
   def urlCount(c: Column): Column = regexp_count(c, lit(UrlPattern))
 
   /** Links per token, 0 for token-less docs — link-heavy pages are boilerplate-prone.

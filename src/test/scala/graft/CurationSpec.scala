@@ -50,6 +50,10 @@ class CurationSpec extends SparkSpec {
     // exactly (they can differ by the single draw == floor(p·2^32) otherwise)
     val c = Curation.hashSample(df, col("id"), 0.5, "s").collect().map(_.getLong(0)).toSet
     assert(a === c)
+    // nested like the rate samplers: raising a row's probability can only ADD rows
+    val lo = Curation.importanceSample(df, col("id"), lit(0.25), "s")
+      .collect().map(_.getLong(0)).toSet
+    assert(lo.subsetOf(a))
   }
 
   test("stratified sample applies per-stratum rates; split covers every row once") {
