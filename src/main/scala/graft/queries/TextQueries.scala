@@ -195,6 +195,38 @@ object TextQueries {
       Dedup.exact(plantedCorpus(s, dir), "doc_id", "text")
         .orderBy("content_hash")
     },
+    "ep7_incremental_ingest" -> { (s, dir) =>
+      // day-2 ingest pipeline: screen an incoming batch against the base corpus —
+      // exact-overlap drop (hash anti), near-dup drop (incremental MinHash vs base
+      // only; the corpus never self-joins), then the quality gate. Per-lang
+      // manifest of what each stage removed and what survived.
+      val base = docs(s, dir).select(col("doc_id"), col("text"), col("lang"))
+      val incoming = plantedCorpus(s, dir).filter(col("doc_id") >= 100000)
+        .select(col("doc_id"), col("text"), col("lang"))
+      val bh = base.select(md5(col("text")).as("h")).distinct()
+      val flagged = incoming.withColumn("h", md5(col("text")))
+        .join(bh.withColumn("x", lit(1)), Seq("h"), "left")
+        .withColumn("is_exact", col("x").isNotNull).drop("h", "x")
+      val afterExact = flagged.filter(!col("is_exact"))
+      // near-dup ids: batch docs verified >= 0.5 jaccard against a BASE partner
+      // (id_l < 100000 keeps the base-batch pairs; batch-batch pairs are not drops)
+      val near = Dedup.incrementalMinhashPairs(base,
+          afterExact.select("doc_id", "text"), "doc_id", "text", 0.5)
+        .filter(col("id_l") < 100000 && col("id_r") >= 100000)
+        .select(col("id_r").as("doc_id")).distinct().withColumn("nn", lit(1))
+      flagged.join(near, Seq("doc_id"), "left")
+        .withColumn("in_near", col("nn").isNotNull)
+        .withColumn("q", round(TextOps.qualityScore(col("text")), 6))
+        .withColumn("kept", !col("is_exact") && !col("in_near") && col("q") >= 0.5)
+        .groupBy("lang").agg(
+          count(lit(1)).as("n_incoming"),
+          sum(when(col("is_exact"), 1L).otherwise(0L)).as("n_exact_dup"),
+          sum(when(!col("is_exact") && col("in_near"), 1L).otherwise(0L)).as("n_near_dup"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("kept"), TextOps.tokenCount(col("text")).cast("long"))
+            .otherwise(0L)).as("tokens_kept"))
+        .orderBy("lang")
+    },
     "dedup_corpus_overlap" -> { (s, dir) =>
       // incoming = the planted copies; exact copies (+100000) fully overlap the
       // base, near copies (+200000, one appended token) must not
@@ -884,6 +916,27 @@ object TextQueries {
       s"""WITH $corpusCte
          |SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
          |FROM corpus GROUP BY 1 ORDER BY content_hash""".stripMargin,
+    "ep7_incremental_ingest" -> {
+      val toks = toksSql("text")
+      s"""WITH $minhashPairsCtes,
+         |near_ids AS (SELECT DISTINCT id_r FROM mh_pairs
+         |             WHERE id_l < 100000 AND id_r >= 100000),
+         |inc AS (SELECT doc_id, text, lang FROM corpus WHERE doc_id >= 100000),
+         |f AS (SELECT doc_id, lang, text,
+         |        md5(text) IN (SELECT md5(text) FROM documents) AS is_exact,
+         |        doc_id IN (SELECT id_r FROM near_ids) AS in_near,
+         |        $qualityExprSql AS q
+         |      FROM inc)
+         |SELECT lang, COUNT(*) AS n_incoming,
+         |  CAST(SUM(CASE WHEN is_exact THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+         |  CAST(SUM(CASE WHEN NOT is_exact AND in_near THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_near_dup,
+         |  CAST(SUM(CASE WHEN NOT is_exact AND NOT in_near AND q >= 0.5
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(SUM(CASE WHEN NOT is_exact AND NOT in_near AND q >= 0.5
+         |           THEN len($toks) ELSE 0 END) AS BIGINT) AS tokens_kept
+         |FROM f GROUP BY lang ORDER BY lang""".stripMargin
+    },
     "dedup_corpus_overlap" ->
       s"""WITH $corpusCte,
          |inc AS (SELECT lang AS stratum, md5(text) AS h FROM corpus WHERE doc_id >= 100000),
