@@ -435,6 +435,24 @@ object TextQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy("from_type", "to_type")
     },
+    "ev_paths" -> { (s, dir) =>
+      // top-10 3-step event paths (path-mining staple): two lags over the same
+      // (ts, event_id)-ordered user window, hash agg on the path string, bounded
+      // top-k — the rank window runs over the 10 survivors only
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val top = events(s, dir)
+        .withColumn("p1", lag(col("event_type"), 2).over(w))
+        .withColumn("p2", lag(col("event_type"), 1).over(w))
+        .filter(col("p1").isNotNull)
+        .select(concat_ws(">", col("p1"), col("p2"), col("event_type")).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("path")).limit(10)
+      top.withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(desc("n"), asc("path"))))
+        .select("rank", "path", "n")
+        .orderBy("rank")
+    },
     "ev_funnel" -> { (s, dir) =>
       // first-touch ordered funnel over the event stream: view → click → purchase
       graft.events.Analytics.funnelCounts(events(s, dir),
@@ -1079,6 +1097,16 @@ object TextQueries {
         |SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
         |FROM o WHERE next_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ev_paths" ->
+      """WITH o AS (SELECT user_id, event_type,
+        |  LAG(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p1,
+        |  LAG(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p2
+        |FROM events),
+        |c AS (SELECT p1 || '>' || p2 || '>' || event_type AS path, COUNT(*) AS n
+        |      FROM o WHERE p1 IS NOT NULL GROUP BY 1
+        |      ORDER BY n DESC, path LIMIT 10)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, path) AS INT) AS rank, path, n
+        |FROM c ORDER BY rank""".stripMargin,
     "ev_anomaly" ->
       """WITH d AS (SELECT event_type AS key, CAST(ts AS DATE) AS dd, COUNT(*) AS n
         |           FROM events GROUP BY 1, 2),
