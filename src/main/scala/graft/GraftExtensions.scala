@@ -166,6 +166,10 @@ object GraftExtensions {
       "merge_count_map_agg(m) - key-wise sum of count maps (aggregate).") { a =>
       arity("merge_count_map_agg", a, 1 to 1); MergeCountMapAgg(a(0))
     },
+    fn("array_avg_agg",
+      "array_avg_agg(v) - element-wise average of array<double> rows (aggregate).") { a =>
+      arity("array_avg_agg", a, 1 to 1); ArrayAvgAgg(a(0))
+    },
     fn("combinatorial_count_agg",
       "combinatorial_count_agg(n, threshold, top_k, col, ...) - co-occurrence counts " +
         "over every n-combination of the columns (aggregate).") { a =>

@@ -106,6 +106,12 @@ object functions {
   def array_normalize(vec: Column): Column =
     Bridge.column(ArrayNormalize(Bridge.expression(vec)))
 
+  /** Element-wise average of array<double> rows per group (embedding mean-pooling):
+    * buffer = one (sum vector, count) per group — never a per-position explode.
+    */
+  def array_avg_agg(vec: Column): Column =
+    Bridge.aggColumn(ArrayAvgAgg(Bridge.expression(vec)))
+
   /** First 8 bytes of md5(s) as a big-endian long (hex nibble j = bits 60−4j..63−4j);
     * the allocation-free route to md5-derived bit signatures.
     */

@@ -363,6 +363,17 @@ object TextQueries {
           col("bm25"), col("n_terms"))
         .orderBy("query_id", "rank")
     },
+    "sim_mean_pool" -> { (s, dir) =>
+      // embedding mean-pooling (chunk→doc) via the native ArrayAvgAgg buffer
+      // aggregate — one (sum, count) buffer per group, never a position explode;
+      // the pooled vectors explode to (group, pos, val) rows ONLY for the comparator
+      val pooled = emb(s, dir)
+        .groupBy((col("vec_id") % 50).as("group_id"))
+        .agg(graft.functions.array_avg_agg(col("embedding").cast("array<double>")).as("v"))
+      pooled.select(col("group_id"), posexplode(col("v")).as(Seq("pos", "val")))
+        .select(col("group_id"), col("pos"), round(col("val"), 6).as("val"))
+        .orderBy("group_id", "pos")
+    },
     "ann_lsh_topk" -> { (s, dir) =>
       // approximate — no SQL oracle; recall vs brute force pinned in ScalaTest
       val e = emb(s, dir)
@@ -1027,6 +1038,11 @@ object TextQueries {
            |       FROM cc)""".stripMargin, 3,
         "bid // 4294967296 AS doc_id, CAST(bid % 4294967296 AS INT) AS chunk_index")
     },
+    "sim_mean_pool" ->
+      """WITH e AS (SELECT vec_id % 50 AS group_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |u AS (SELECT group_id, unnest(range(len(v))) AS pos, unnest(v) AS x FROM e)
+        |SELECT group_id, CAST(pos AS INT) AS pos, ROUND(AVG(x), 6) AS val
+        |FROM u GROUP BY 1, 2 ORDER BY group_id, pos""".stripMargin,
     "ann_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
         |scored AS (

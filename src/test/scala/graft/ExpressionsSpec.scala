@@ -51,6 +51,26 @@ class ExpressionsSpec extends SparkSpec {
     expected.foreach { case (v, n) => assert(merged(s"c1;$v") === n) }
   }
 
+  test("array avg agg: hand-computed mean, nulls ignored, empty group is null, merge across buckets") {
+    val df = Seq(
+      (1, Some(Seq(1.0, 2.0))),
+      (1, Some(Seq(3.0, 6.0))),
+      (1, None),
+      (2, None)).toDF("g", "v")
+    val out = df.groupBy("g")
+      .agg(graft.functions.array_avg_agg(col("v")).as("m"))
+      .collect().map(r => r.getInt(0) -> Option(r.getSeq[Double](1))).toMap
+    assert(out(1).get === Seq(2.0, 4.0))
+    assert(out(2).isEmpty)
+    // partial-buffer merge path: pre-bucketed partials combine to the global mean
+    val big = (1 to 64).map(i => (i % 8, Seq(i.toDouble, -i.toDouble))).toDF("b", "v")
+    val merged = big.groupBy("b").agg(graft.functions.array_avg_agg(col("v")).as("m"))
+      .agg(graft.functions.array_avg_agg(col("m")).as("m"))
+      .collect()(0).getSeq[Double](0)
+    // each bucket mean averages to the global mean only because buckets are equal-sized
+    assert(merged === Seq(32.5, -32.5))
+  }
+
   test("entropy agg matches closed form (base 0 with divisor quirk, and base > 0)") {
     // 8 rows: colA has 4 distinct with counts 4,2,1,1; colB has 2 distinct 6,2.
     val rows = Seq("p", "p", "p", "p", "q", "q", "r", "s").zip(

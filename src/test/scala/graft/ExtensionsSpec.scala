@@ -43,6 +43,11 @@ class ExtensionsSpec extends SparkSpec {
     assert(combo === 2L)
 
     // round-4 registrations
+    val pooled = spark.sql(
+      "SELECT array_avg_agg(v) AS m FROM (SELECT array(1.0d, 3.0d) AS v UNION ALL SELECT array(3.0d, 5.0d))")
+      .as[Seq[Double]].first()
+    assert(pooled === Seq(2.0, 4.0))
+
     val lev = spark.sql("SELECT bounded_levenshtein('kitten', 'sitting', 3) AS d")
       .as[Int].first()
     assert(lev === 3)
