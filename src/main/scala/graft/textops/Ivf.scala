@@ -60,28 +60,19 @@ object Ivf {
 
       (1 to iters).foreach { _ =>
         val assigned = assign(v, centroids)
-        val sums = assigned
-          .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-          .groupBy("cell", "pos")
-          .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+        // one (sum-vector, count) buffer per cell — the position-explode form
+        // shuffled dim rows per member and reassembled arrays on the driver
+        val means = assigned.groupBy("cell")
+          .agg(graft.functions.array_avg_agg(col("v")).as("m"))
           .collect()
-        // one pass to bucket by cell — a per-centroid filter over the collected rows
-        // would be O(k²·dim) on the driver, real time once k is corpus-derived
-        val byCell = sums.groupBy(_.getInt(0))
-        val next = centroids.zipWithIndex.map { case (old, c) =>
-          byCell.get(c) match {
-            case None => old
-            case Some(rows) =>
-              val arr = old.clone()
-              rows.foreach { r =>
-                val n = r.getLong(3)
-                if (n > 0) arr(r.getInt(1)) = r.getDouble(2) / n
-              }
-              // re-normalize so cell assignment stays a max-dot-product problem
-              val nrm = math.sqrt(arr.map(x => x * x).sum)
-              if (nrm > 0) arr.map(_ / nrm) else arr
-          }
+        val next = centroids.clone()
+        means.foreach { r =>
+          val arr = r.getSeq[Double](1).toArray
+          // re-normalize so cell assignment stays a max-dot-product problem
+          val nrm = math.sqrt(arr.map(x => x * x).sum)
+          next(r.getInt(0)) = if (nrm > 0) arr.map(_ / nrm) else arr
         }
+        // cells with no members keep their previous centroid (absent from `means`)
         centroids = next
       }
       Model(centroids)
