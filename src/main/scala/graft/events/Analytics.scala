@@ -77,12 +77,15 @@ object Analytics {
     * that key's own daily distribution. Returns (key, day, n, z, is_anomaly) with
     * |z| ≥ `threshold` flagged.
     *
-    * The variance comes from the CLOSED FORM over exact integer sums —
+    * The variance comes from the CLOSED FORM over integer-valued sums —
     * `(Σn² − (Σn)²/c) / (c−1)` — instead of `stddev_samp`, deliberately: streaming
     * moment aggregates are summation-order-dependent in the last ULP (and differ
-    * between engines), while integer sums are exact, so the resulting doubles are
-    * bit-identical on every engine and every partition order. Two keyed aggregates,
-    * joined on the (tiny: one row per key) stats side.
+    * between engines). The squared terms accumulate as DOUBLES holding integer
+    * values: exact (hence order-independent and engine-identical) while every
+    * partial sum stays below 2^53, and gracefully imprecise past that — a pure
+    * Long Σn² would instead WRAP silently around 3e9 events/day in non-ANSI Spark
+    * and error in DuckDB. Two keyed aggregates, joined on the (tiny: one row per
+    * key) stats side.
     */
   def dailyAnomalies(
       events: DataFrame,
@@ -93,11 +96,13 @@ object Analytics {
     val daily = events.groupBy(keyCol.as("key"), to_date(tsCol).as("day"))
       .agg(count(lit(1)).as("n"))
     val stats = daily.groupBy("key").agg(
-      sum("n").as("s1"), sum(col("n") * col("n")).as("s2"), count(lit(1)).as("c"))
+      sum("n").as("s1"),
+      sum(col("n").cast("double") * col("n")).as("s2"),
+      count(lit(1)).as("c"))
     daily.join(stats, "key")
       .withColumn("mu", col("s1") / col("c"))
       .withColumn("var",
-        (col("s2") - col("s1") * col("s1") / col("c")) / (col("c") - 1))
+        (col("s2") - col("s1").cast("double") * col("s1") / col("c")) / (col("c") - 1))
       .withColumn("z",
         when(col("c") <= 1 || col("var") <= 0, lit(0.0))
           .otherwise(round((col("n") - col("mu")) / sqrt(col("var")), 4)))

@@ -17,9 +17,11 @@ import org.apache.spark.sql.types._
   * `dim` rows per input vector and needs a second stage to rebuild arrays; this
   * shuffles one small buffer per group.
   *
-  * NULL rows and NULL inputs are ignored (SQL AVG semantics); an empty group
-  * evaluates to NULL. Mismatched dimensions raise — ragged embeddings are a data
-  * bug, not mergeable state.
+  * NULL rows — and rows whose array CONTAINS a null element — are ignored whole
+  * (SQL AVG semantics at row granularity; silently reading a null slot as 0.0
+  * would skew the pooled vector with no error). An empty group evaluates to NULL.
+  * Mismatched dimensions raise — ragged embeddings are a data bug, not mergeable
+  * state.
   */
 case class ArrayAvgAgg(
     child: Expression,
@@ -38,6 +40,13 @@ case class ArrayAvgAgg(
     if (v == null) return buffer
     val arr = v.asInstanceOf[ArrayData]
     val dim = arr.numElements()
+    // a null ELEMENT would read back as 0.0 from the array data — drop the row
+    // whole rather than silently pool a fabricated zero
+    var j = 0
+    while (j < dim) {
+      if (arr.isNullAt(j)) return buffer
+      j += 1
+    }
     if (buffer.sum == null) buffer.sum = new Array[Double](dim)
     require(buffer.sum.length == dim,
       s"array_avg_agg: mismatched dimensions ${buffer.sum.length} vs $dim")

@@ -211,7 +211,8 @@ object TextQueries {
       // near-dup ids: batch docs verified >= 0.5 jaccard against a BASE partner
       // (id_l < 100000 keeps the base-batch pairs; batch-batch pairs are not drops)
       val near = Dedup.incrementalMinhashPairs(base,
-          afterExact.select("doc_id", "text"), "doc_id", "text", 0.5)
+          afterExact.select("doc_id", "text"), "doc_id", "text", 0.5,
+          includeWithin = false) // batch-batch pairs are not drops — don't compute them
         .filter(col("id_l") < 100000 && col("id_r") >= 100000)
         .select(col("id_r").as("doc_id")).distinct().withColumn("nn", lit(1))
       flagged.join(near, Seq("doc_id"), "left")
@@ -1126,11 +1127,11 @@ object TextQueries {
     "ev_anomaly" ->
       """WITH d AS (SELECT event_type AS key, CAST(ts AS DATE) AS dd, COUNT(*) AS n
         |           FROM events GROUP BY 1, 2),
-        |st AS (SELECT key, SUM(n) AS s1, SUM(n * n) AS s2, COUNT(*) AS c
+        |st AS (SELECT key, SUM(n) AS s1, SUM(n::DOUBLE * n) AS s2, COUNT(*) AS c
         |       FROM d GROUP BY 1),
         |z AS (SELECT d.key, dd, n,
-        |        CASE WHEN c <= 1 OR (s2 - s1 * s1 / c) / (c - 1) <= 0 THEN 0.0
-        |             ELSE ROUND((n - s1 / c) / SQRT((s2 - s1 * s1 / c) / (c - 1)), 4)
+        |        CASE WHEN c <= 1 OR (s2 - s1::DOUBLE * s1 / c) / (c - 1) <= 0 THEN 0.0
+        |             ELSE ROUND((n - s1 / c) / SQRT((s2 - s1::DOUBLE * s1 / c) / (c - 1)), 4)
         |        END AS z
         |      FROM d JOIN st USING (key))
         |SELECT key, STRFTIME(dd, '%Y-%m-%d') AS day, n, z, ABS(z) >= 2.0 AS is_anomaly

@@ -234,11 +234,20 @@ object StreamOps {
       spark: SparkSession,
       eventsPath: String,
       windowMinutes: Int): DataFrame = {
-    def side(tag: String, tpe: String) = fileStream(spark, eventsPath)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .filter(col("event_type") === tpe)
-      .select(col("user_id").as(s"${tag}_user"), col("ts").as(s"${tag}_ts"), col("value"))
-      .withWatermark(s"${tag}_ts", "1 hour")
+    def side(tag: String, tpe: String) = {
+      val raw = fileStream(spark, eventsPath)
+      // ts may arrive as long nanos (legacy parquet nanos) — normalize to timestamp,
+      // same schema-typed branch as windowedEventCounts
+      val withTs = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ => raw
+      }
+      withTs
+        .filter(col("event_type") === tpe)
+        .select(col("user_id").as(s"${tag}_user"), col("ts").as(s"${tag}_ts"), col("value"))
+        .withWatermark(s"${tag}_ts", "1 hour")
+    }
     val views = side("v", "view").drop("value")
     val purchases = side("p", "purchase")
     val joined = views.join(purchases,

@@ -217,12 +217,13 @@ object Dedup {
       threshold: Double,
       k: Int = 8,
       bandSize: Int = 2,
-      shingleN: Int = 3): DataFrame = {
+      shingleN: Int = 3,
+      includeWithin: Boolean = true): DataFrame = {
     require(threshold > 0, "incrementalMinhashPairs requires a positive threshold")
     val corpusBands =
       minhashBands(minhashSignatures(corpus, idCol, textCol, k, shingleN), k, bandSize)
-    // persisted: probes the corpus join AND self-joins for within-batch pairs
-    // (released by the caller's Caching.withCached bracket)
+    // persisted: probes the corpus join AND (optionally) self-joins for
+    // within-batch pairs (released by the caller's Caching.withCached bracket)
     val newBands =
       minhashBands(minhashSignatures(incoming, idCol, textCol, k, shingleN), k, bandSize)
         .scopedPersist()
@@ -230,12 +231,17 @@ object Dedup {
       .join(newBands.alias("r"),
         col("l.band") === col("r.band") && col("l.key") === col("r.key"))
       .select(col("l.id").as("id_l"), col("r.id").as("id_r"))
-    val within = newBands.alias("l")
-      .join(newBands.alias("r"),
-        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
-          col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_l"), col("r.id").as("id_r"))
-    val candidates = cross.unionByName(within).distinct()
+    // includeWithin = false skips the batch self-join AND its pair verification —
+    // callers that only screen against the corpus (ep7 ingest) shouldn't pay for
+    // batch-batch candidates they immediately discard
+    val candidates = (if (includeWithin) {
+      val within = newBands.alias("l")
+        .join(newBands.alias("r"),
+          col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+            col("l.id") < col("r.id"))
+        .select(col("l.id").as("id_l"), col("r.id").as("id_r"))
+      cross.unionByName(within)
+    } else cross).distinct()
     val texts = corpus.select(col(idCol).as("id"), col(textCol).as("text"))
       .unionByName(incoming.select(col(idCol).as("id"), col(textCol).as("text")))
     verifyShingleJaccard(candidates, texts, threshold, shingleN)

@@ -155,7 +155,6 @@ object TextOps {
     */
   val UrlPattern: String = "https?://[A-Za-z0-9._~:/?#@!$&'()*+,;=%-]+"
 
-  /** Link count per document (C4/FineWeb-style link-density quality signal). */
   /** Encoding-damage signals: the Unicode replacement char (U+FFFD — the classic
     * mojibake tell) plus C0/C1 control characters other than tab/LF/CR. The class
     * stays in the Java-regex ∩ RE2 subset (`\x{..}` escapes) so the DuckDB oracle
@@ -172,6 +171,7 @@ object TextOps {
     when(length(c) === 0, lit(0.0))
       .otherwise(mojibakeCount(c).cast("double") / length(c))
 
+  /** Link count per document (C4/FineWeb-style link-density quality signal). */
   def urlCount(c: Column): Column = regexp_count(c, lit(UrlPattern))
 
   /** Links per token, 0 for token-less docs — link-heavy pages are boilerplate-prone.

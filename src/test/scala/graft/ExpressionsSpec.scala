@@ -62,6 +62,14 @@ class ExpressionsSpec extends SparkSpec {
       .collect().map(r => r.getInt(0) -> Option(r.getSeq[Double](1))).toMap
     assert(out(1).get === Seq(2.0, 4.0))
     assert(out(2).isEmpty)
+    // a null ELEMENT drops the row whole — it must not pool as a fabricated 0.0
+    val withNullElem = Seq(
+      (1, Seq[java.lang.Double](1.0, 2.0)),
+      (1, Seq[java.lang.Double](3.0, null))).toDF("g", "v")
+    val m = withNullElem.groupBy("g")
+      .agg(graft.functions.array_avg_agg(col("v")).as("m"))
+      .collect()(0).getSeq[Double](1)
+    assert(m === Seq(1.0, 2.0))
     // partial-buffer merge path: pre-bucketed partials combine to the global mean
     val big = (1 to 64).map(i => (i % 8, Seq(i.toDouble, -i.toDouble))).toDF("b", "v")
     val merged = big.groupBy("b").agg(graft.functions.array_avg_agg(col("v")).as("m"))
