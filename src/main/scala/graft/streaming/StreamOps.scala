@@ -25,19 +25,48 @@ object StreamOps {
       .parquet(f.getParent)
   }
 
+  /** Set `spark.sql.shuffle.partitions` for the duration of `body` (streaming picks
+    * the value up at query start), restoring the session default after. `n = None`
+    * leaves the session default in place.
+    */
+  private def withStatePartitions[A](spark: SparkSession, n: Option[Int])(body: => A): A =
+    n match {
+      case None => body
+      case Some(parts) =>
+        val key = "spark.sql.shuffle.partitions"
+        val prev = spark.conf.get(key)
+        spark.conf.set(key, parts.toString)
+        try body finally spark.conf.set(key, prev)
+    }
+
   /** Drive a streaming DataFrame to completion into a uniquely-named memory sink and
     * return the sink table — the synchronous verification harness for every
     * streaming operator here.
+    *
+    * `statePartitions` pins `spark.sql.shuffle.partitions` for this query: unlike
+    * batch shuffles (AQE coalesces empty partitions at runtime), streaming state
+    * partitions are FIXED at the first micro-batch and each costs a state-store
+    * instance — file create + delta write + commit per partition PER BATCH — so an
+    * oversized count is fixed overhead no optimizer claws back. Operators whose
+    * per-batch state work is small relative to that fixed cost (the stream-stream
+    * join runs FOUR stores per partition) pass a count sized to the stream volume;
+    * ops that chew real per-row state keep the session default for parallelism.
     */
-  private def driveToMemory(stream: DataFrame, mode: String, prefix: String): DataFrame = {
+  private def driveToMemory(
+      stream: DataFrame,
+      mode: String,
+      prefix: String,
+      statePartitions: Option[Int] = None): DataFrame = {
     val name = s"${prefix}_${System.nanoTime()}"
-    val q = stream.writeStream
-      .outputMode(mode)
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    withStatePartitions(stream.sparkSession, statePartitions) {
+      val q = stream.writeStream
+        .outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     stream.sparkSession.table(name)
   }
 
@@ -123,13 +152,15 @@ object StreamOps {
       .parquet(corpusDir)
       .withColumn("shard",
         graft.textops.Curation.shardId(col(keyCol), numShards, salt))
-    val q = stream.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        batch.write.mode("append").partitionBy("shard").parquet(outPath)
-      }
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    withStatePartitions(spark, None) {
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.write.mode("append").partitionBy("shard").parquet(outPath)
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     spark.read.parquet(outPath)
   }
 
@@ -254,7 +285,10 @@ object StreamOps {
       col("v_user") === col("p_user") &&
         col("p_ts") >= col("v_ts") &&
         col("p_ts") <= col("v_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
-    driveToMemory(joined, "append", "stream_join")
+    // 4 state stores per partition per batch: size partitions to the stream, not
+    // the machine — 100k events across 8 partitions keeps useful parallelism while
+    // shedding 3/4 of the per-batch store-commit fixed cost
+    driveToMemory(joined, "append", "stream_join", statePartitions = Some(8))
       .groupBy(col("v_user").as("user_id"))
       .agg(count(lit(1)).as("n_pairs"), round(sum("value"), 4).as("value_sum"))
   }
