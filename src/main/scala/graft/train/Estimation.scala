@@ -382,10 +382,21 @@ object Estimation {
     val uEstimates = scala.collection.mutable.Map[String, List[Array[Double]]](
       specs.map(s => s.column -> List(uSampled(s.column))): _*)
     var lambda = lambda0
-    trainingRules.foreach { ruleStr =>
-      val rule = graft.blocking.BlockingRule.parse(ruleStr)
-      val (lam, m, uEm) = emTrain(df, uid, specs, rule, uSampled, lambda, tol,
-        linkRight = linkRight)
+    // the per-rule EM sessions chain only the scalar λ — the expensive part (pair
+    // join + gamma aggregation) is rule-independent, so collect every rule's
+    // pattern table in ONE Spark pass and run the chained driver EMs over the
+    // collected arrays; falls back to per-rule emTrain when the combined table
+    // exceeds the driver cap (the distributed path handles pathological widths)
+    val parsedRules = trainingRules.map(graft.blocking.BlockingRule.parse)
+    val batched = batchPatternTables(df, uid, specs, parsedRules, linkRight)
+    parsedRules.zipWithIndex.foreach { case (rule, idx) =>
+      val (lam, m, uEm) = batched match {
+        case Some(byRule) =>
+          emFromPatterns(byRule.getOrElse(idx, Array.empty), specs, rule, uSampled,
+            lambda, tol)
+        case None =>
+          emTrain(df, uid, specs, rule, uSampled, lambda, tol, linkRight = linkRight)
+      }
       lambda = lam
       m.foreach { case (c, arr) =>
         mEstimates(c) = arr :: mEstimates.getOrElse(c, Nil)
@@ -403,6 +414,76 @@ object Estimation {
         average(uEstimates(s.column), s.numLevels))
     }.toMap
     TrainedModel(lambda, specs, params, blockingRules)
+  }
+
+  /** Agreement-pattern tables for several training rules in one Spark pass, keyed by
+    * rule index. Each rule's pairs carry a rule tag through a single unioned gamma
+    * aggregation over ALL spec columns; [[emFromPatterns]] marginalizes each table to
+    * the rule's free columns on the driver (summing over the blocked columns' gammas
+    * is exactly the per-rule aggregation [[emTrain]] would have computed). Returns
+    * None when the combined table exceeds [[MaxDriverPatterns]] — callers then fall
+    * back to per-rule [[emTrain]].
+    */
+  private def batchPatternTables(
+      df: DataFrame,
+      uid: String,
+      specs: Seq[ComparisonSpec],
+      rules: Seq[graft.blocking.BlockingRule],
+      linkRight: Option[DataFrame]): Option[Map[Int, Array[(Array[Int], Long)]]] = {
+    // rules blocking on every compared column have nothing to estimate — skip them
+    val active = rules.zipWithIndex.filter { case (r, _) =>
+      val blocked = r.columns.toSet
+      specs.exists(s => !blocked.contains(s.column))
+    }
+    if (active.isEmpty) return Some(Map.empty)
+    val attrs = (specs.map(_.column) ++ rules.flatMap(_.columns)).distinct
+    val tagged = active.map { case (rule, i) =>
+      val pairs = linkRight match {
+        case Some(right) =>
+          graft.blocking.PairGenerator.linkPairs(df, right, uid, attrs, Seq(rule))
+        case None =>
+          graft.blocking.PairGenerator.dedupePairs(df, uid, attrs, Seq(rule))
+      }
+      pairs.withColumn("_rule_idx", lit(i))
+    }
+    val gammaCols = specs.map(s => col(s"gamma_${s.column}"))
+    val patterns = Comparisons.withGammas(tagged.reduce(_ unionByName _), specs)
+      .groupBy((col("_rule_idx") +: gammaCols): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val cap = math.min(MaxDriverPatterns, Int.MaxValue.toLong - 1).toInt
+    val probe = patterns.limit(cap + 1).collect()
+    if (probe.length > cap) None
+    else Some(probe.groupBy(_.getInt(0)).map { case (i, rows) =>
+      i -> rows.map { r =>
+        (specs.indices.map(k => r.getInt(k + 1)).toArray, r.getLong(specs.length + 1))
+      }
+    })
+  }
+
+  /** One rule's EM session over a pre-collected full-gamma pattern table: marginalize
+    * to the rule's free columns, then iterate driver-side. Mirrors [[emTrain]]'s
+    * outcomes exactly — no-free-columns and empty-block cases included.
+    */
+  private def emFromPatterns(
+      full: Array[(Array[Int], Long)],
+      specs: Seq[ComparisonSpec],
+      rule: graft.blocking.BlockingRule,
+      u: Map[String, Array[Double]],
+      initialLambda: Double,
+      tol: Double): (Double, Map[String, Array[Double]], Map[String, Array[Double]]) = {
+    val blocked = rule.columns.toSet
+    val freeIdx = specs.indices.filter(i => !blocked.contains(specs(i).column))
+    val freeSpecs = freeIdx.map(specs)
+    if (freeSpecs.isEmpty) (initialLambda, Map.empty, Map.empty)
+    else if (full.isEmpty)
+      (initialLambda, freeSpecs.map(s => s.column -> DefaultM.clone).toMap,
+        freeSpecs.map(s => s.column -> u(s.column).clone).toMap)
+    else {
+      val pats = full.groupBy { case (g, _) => freeIdx.map(g).toSeq }
+        .map { case (key, rows) => (key.toArray, rows.map(_._2).sum) }
+        .toArray
+      emOverPatterns(pats, freeSpecs, u, initialLambda, tol, 25)
+    }
   }
 
   private def gammaCounts(
