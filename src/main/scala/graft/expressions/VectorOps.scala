@@ -312,3 +312,189 @@ object HyperplaneSignatures {
     new GenericArrayData(sigs)
   }
 }
+
+/** Product-quantization codes of an `array<double>` vector: the vector is split into
+  * `m` contiguous subvectors (dim must be divisible by `m`) and each is assigned the
+  * index of the nearest (squared-L2) centroid in its OWN subspace codebook — one
+  * codegen'd projection per row, `array<int>` of length `m`. PQ quantizes residual
+  * geometry, so the metric is L2 (argmax-dot is only equivalent for unit-norm FULL
+  * vectors, which subvectors are not); argmin ||x−c||² is computed as
+  * argmax (x·c − ||c||²/2) with the centroid half-norms precomputed driver-side.
+  */
+case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
+  extends UnaryExpression {
+  require(codebooks.nonEmpty, "codebooks must be non-empty")
+  private val m = codebooks.length
+  private val ksub = codebooks(0).length
+  private val subDim = codebooks(0)(0).length
+  require(codebooks.forall(cb => cb.length == ksub && cb.forall(_.length == subDim)),
+    "all subspace codebooks must have the same shape")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  // [sub][code][i] flattened row-major; half-norms alongside so the inner loop is
+  // one fused multiply-accumulate pass per centroid
+  @transient private lazy val flat: Array[Double] = {
+    val out = new Array[Double](m * ksub * subDim)
+    var s = 0
+    while (s < m) {
+      var c = 0
+      while (c < ksub) {
+        System.arraycopy(codebooks(s)(c), 0, out, (s * ksub + c) * subDim, subDim)
+        c += 1
+      }
+      s += 1
+    }
+    out
+  }
+  @transient private lazy val halfNorms: Array[Double] = {
+    val out = new Array[Double](m * ksub)
+    var s = 0
+    while (s < m) {
+      var c = 0
+      while (c < ksub) {
+        out(s * ksub + c) = 0.5 * codebooks(s)(c).map(x => x * x).sum
+        c += 1
+      }
+      s += 1
+    }
+    out
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    PqEncode.compute(v.asInstanceOf[ArrayData], flat, halfNorms, m, ksub, subDim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val flatRef = ctx.addReferenceObj("pqFlat", flat, "double[]")
+    val normRef = ctx.addReferenceObj("pqHalfNorms", halfNorms, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.expressions.PqEncode.compute(
+         |  $c, $flatRef, $normRef, $m, $ksub, $subDim);""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+object PqEncode {
+  def compute(
+      v: ArrayData,
+      flat: Array[Double],
+      halfNorms: Array[Double],
+      m: Int,
+      ksub: Int,
+      subDim: Int): ArrayData = {
+    if (v.numElements() != m * subDim)
+      throw new IllegalArgumentException(
+        s"pq_encode: vector has ${v.numElements()} elements, codebooks expect ${m * subDim}")
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val vOff = s * subDim
+      var best = 0
+      var bestScore = Double.NegativeInfinity
+      var c = 0
+      while (c < ksub) {
+        val cOff = (s * ksub + c) * subDim
+        var acc = 0.0
+        var i = 0
+        while (i < subDim) {
+          acc += v.getDouble(vOff + i) * flat(cOff + i)
+          i += 1
+        }
+        // argmin L2 == argmax (dot − halfNorm); strict > keeps the lowest code on ties
+        val score = acc - halfNorms(s * ksub + c)
+        if (score > bestScore) { bestScore = score; best = c }
+        c += 1
+      }
+      codes(s) = best
+      s += 1
+    }
+    new GenericArrayData(codes)
+  }
+}
+
+/** Asymmetric-distance (ADC) dot-product estimate between a PQ `codes` row
+  * (`array<int>`, left) and a full query vector (`array<double>`, right):
+  * Σ_sub q_sub · codebook[sub][codes[sub]]. The original corpus vector is never
+  * read — candidates are scored from their `m`-int codes alone, which is the whole
+  * point of PQ at scale: the scored set rides a column ~dim/m times smaller than the
+  * raw embeddings.
+  */
+case class PqAdcScore(
+    left: Expression,
+    right: Expression,
+    codebooks: Array[Array[Array[Double]]])
+  extends BinaryExpression {
+  require(codebooks.nonEmpty, "codebooks must be non-empty")
+  private val m = codebooks.length
+  private val ksub = codebooks(0).length
+  private val subDim = codebooks(0)(0).length
+  require(codebooks.forall(cb => cb.length == ksub && cb.forall(_.length == subDim)),
+    "all subspace codebooks must have the same shape")
+
+  override def dataType: DataType = DoubleType
+
+  @transient private lazy val flat: Array[Double] = {
+    val out = new Array[Double](m * ksub * subDim)
+    var s = 0
+    while (s < m) {
+      var c = 0
+      while (c < ksub) {
+        System.arraycopy(codebooks(s)(c), 0, out, (s * ksub + c) * subDim, subDim)
+        c += 1
+      }
+      s += 1
+    }
+    out
+  }
+
+  override def nullSafeEval(codes: Any, q: Any): Any =
+    PqAdcScore.compute(codes.asInstanceOf[ArrayData], q.asInstanceOf[ArrayData],
+      flat, m, ksub, subDim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val flatRef = ctx.addReferenceObj("pqFlat", flat, "double[]")
+    nullSafeCodeGen(ctx, ev, (c, q) =>
+      s"""${ev.value} = graft.expressions.PqAdcScore.compute(
+         |  $c, $q, $flatRef, $m, $ksub, $subDim);""".stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcScore =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqAdcScore {
+  def compute(
+      codes: ArrayData,
+      q: ArrayData,
+      flat: Array[Double],
+      m: Int,
+      ksub: Int,
+      subDim: Int): Double = {
+    if (codes.numElements() != m)
+      throw new IllegalArgumentException(
+        s"pq_adc_score: codes row has ${codes.numElements()} entries, codebooks have $m subspaces")
+    if (q.numElements() != m * subDim)
+      throw new IllegalArgumentException(
+        s"pq_adc_score: query has ${q.numElements()} elements, codebooks expect ${m * subDim}")
+    var acc = 0.0
+    var s = 0
+    while (s < m) {
+      val code = codes.getInt(s)
+      if (code < 0 || code >= ksub)
+        throw new IllegalArgumentException(
+          s"pq_adc_score: code $code out of range [0, $ksub) in subspace $s")
+      val cOff = (s * ksub + code) * subDim
+      val qOff = s * subDim
+      var i = 0
+      while (i < subDim) {
+        acc += q.getDouble(qOff + i) * flat(cOff + i)
+        i += 1
+      }
+      s += 1
+    }
+    acc
+  }
+}

@@ -112,6 +112,19 @@ object functions {
   def array_avg_agg(vec: Column): Column =
     Bridge.aggColumn(ArrayAvgAgg(Bridge.expression(vec)))
 
+  /** Product-quantization codes (`array<int>`, length = number of subspaces) of an
+    * array<double> vector against per-subspace codebooks: one codegen'd projection,
+    * argmin squared-L2 per subspace.
+    */
+  def pq_encode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    Bridge.column(PqEncode(Bridge.expression(vec), codebooks))
+
+  /** Asymmetric-distance dot-product estimate between a PQ codes row and a full
+    * query vector — candidates are scored from codes alone, never their raw vectors.
+    */
+  def pq_adc_score(codes: Column, query: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    Bridge.column(PqAdcScore(Bridge.expression(codes), Bridge.expression(query), codebooks))
+
   /** First 8 bytes of md5(s) as a big-endian long (hex nibble j = bits 60−4j..63−4j);
     * the allocation-free route to md5-derived bit signatures.
     */

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.util.Caching.CacheSyntax
 
 import graft.streaming.StreamOps
-import graft.textops.{Dedup, Ivf, Multimodal, Similarity, TextOps}
+import graft.textops.{Dedup, Ivf, Multimodal, Pq, Similarity, TextOps}
 
 /** SparkEntry query + oracle entries for the training-data pipeline operators: text
   * analysis, document dedup (exact / Jaccard / MinHash-LSH / SimHash / embedding),
@@ -386,6 +386,15 @@ object TextQueries {
       val e = emb(s, dir)
       val model = Ivf.fit(e, "vec_id", "embedding", k = 16)
       Ivf.topK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5, model)
+        .orderBy("query_id", "rank")
+    },
+    "ann_pq_topk" -> { (s, dir) =>
+      // IVF-PQ: candidates scored from 4-int codes (ADC), exact re-rank of the
+      // refine list only. Approximate — no SQL oracle; recall pinned in ScalaTest
+      val e = emb(s, dir)
+      val ivf = Ivf.fit(e, "vec_id", "embedding", k = 16)
+      val pq = Pq.fit(e, "vec_id", "embedding", dim = 64)
+      Pq.topK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5, ivf, pq)
         .orderBy("query_id", "rank")
     },
     "mm_binary_meta" -> { (s, dir) =>

@@ -248,6 +248,43 @@ class TextOpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall")
   }
 
+  test("PQ encode/ADC match hand-computed codes and scores on explicit codebooks") {
+    import graft.textops.Pq
+    // m=2 subspaces of dim 2, ksub=2 — small enough to argmin by hand:
+    //   sub 0 codebook: c0=(1,0), c1=(0,1);  sub 1 codebook: c0=(1,1), c1=(-1,0)
+    val model = Pq.Model(Array(
+      Array(Array(1.0, 0.0), Array(0.0, 1.0)),
+      Array(Array(1.0, 1.0), Array(-1.0, 0.0))))
+    val df = Seq(
+      (1L, Seq(0.9, 0.1, 0.8, 1.2)), // sub0 → c0, sub1 → c0
+      (2L, Seq(0.2, 1.1, -0.7, 0.1)) // sub0 → c1, sub1 → c1
+    ).toDF("id", "v")
+    val coded = df.select(col("id"),
+        graft.functions.pq_encode(col("v"), model.codebooks).as("codes"),
+        round(graft.functions.pq_adc_score(
+          graft.functions.pq_encode(col("v"), model.codebooks),
+          col("v"), model.codebooks), 6).as("adc"))
+      .as[(Long, Seq[Int], Double)].collect().sortBy(_._1)
+    assert(coded.map(r => (r._1, r._2)).toSeq ===
+      Seq((1L, Seq(0, 0)), (2L, Seq(1, 1))))
+    // ADC of a row against ITSELF = dot(v_sub, chosen centroid) summed:
+    //   row 1: (0.9·1 + 0.1·0) + (0.8·1 + 1.2·1) = 0.9 + 2.0 = 2.9
+    //   row 2: (0.2·0 + 1.1·1) + (−0.7·−1 + 0.1·0) = 1.1 + 0.7 = 1.8
+    assert(coded.map(_._3).toSeq === Seq(2.9, 1.8))
+  }
+
+  test("IVF-PQ top-k recall vs brute force is usable (≥ 0.5 with refine re-rank)") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val ivf = graft.textops.Ivf.fit(emb, "vec_id", "embedding", k = 16)
+    val pq = graft.textops.Pq.fit(emb, "vec_id", "embedding", dim = 64)
+    val found = graft.textops.Pq.topK(emb, queries, "vec_id", "embedding", 5, ivf, pq)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val recall = (brute & found).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall $recall")
+  }
+
   test("stored minhash band index reproduces in-memory incremental pairs exactly") {
     val d = docs.select(col("doc_id"), col("text"))
     val incoming = d.filter(col("doc_id") % 9 === 0)
@@ -302,6 +339,15 @@ class TextOpsSpec extends SparkSpec {
       .filter(col("id") === col("query_id") + 100000).count()
     assert(ivfFound >= math.ceil(nQueries * 0.9).toLong,
       s"IVF found $ivfFound of $nQueries planted near-dups in top-5")
+
+    // IVF-PQ shares IVF's probe geometry; the coarse quantizer must not lose the
+    // planted near-dup, and the 4-int ADC shortlist must keep it for the refine pass
+    val pqModel = graft.textops.Pq.fit(corpus, "vec_id", "embedding", dim = 64)
+    val pqFound = graft.textops.Pq.topK(
+        corpus, queries, "vec_id", "embedding", 5, model, pqModel, nprobe = 4)
+      .filter(col("id") === col("query_id") + 100000).count()
+    assert(pqFound >= math.ceil(nQueries * 0.9).toLong,
+      s"IVF-PQ found $pqFound of $nQueries planted near-dups in top-5")
     spark.sqlContext.clearCache()
   }
 
