@@ -99,6 +99,52 @@ object Pq {
         Similarity.normalized(col(vecCol).cast("array<double>")).as("v"))
       .withColumn("codes", graft.functions.pq_encode(col("v"), model.codebooks))
 
+  /** Write the code-only index partitioned by IVF cell: `(id, codes)` per row — the
+    * raw vectors stay in the base table, so the index is ~`m`/dim·(4/8) the size of
+    * the embedding store and probe reads prune whole cell directories. This is the
+    * on-disk layout the ADC scan rides at corpus scale.
+    */
+  def writeIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      ivfModel: Ivf.Model,
+      pqModel: Model,
+      path: String): Unit =
+    withCodes(corpus, idCol, vecCol, pqModel)
+      .withColumn("cell", graft.functions.nearest_centroid(col("v"), ivfModel.centroids))
+      .select("cell", "id", "codes")
+      .write.partitionBy("cell").mode("overwrite").parquet(path)
+
+  /** Top-k over a written code index: reads ONLY the probed cell partitions and ONLY
+    * the `m`-int code column; the exact re-rank fetches raw vectors from the base
+    * `corpus` for just the ADC shortlist (≤ queries · refine · k rows — a bounded
+    * semi-join against the vector store, never a second corpus scan of vectors).
+    * Identical results to the in-memory [[topK]].
+    */
+  def topKFromIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      ivfModel: Ivf.Model,
+      pqModel: Model,
+      nprobe: Int = 4,
+      refine: Int = 16): DataFrame = {
+    require(refine >= 1, s"refine must be >= 1, got $refine")
+    val probes = queryProbes(queries, idCol, vecCol, ivfModel, nprobe)
+    val cells = probes.select("cell").distinct().collect().map(_.getInt(0))
+    val coded = spark.read.parquet(path)
+      .filter(col("cell").isin(cells.map(Int.box): _*))
+    val shortlist = adcShortlist(coded, probes, pqModel, k, refine)
+    val vectors = corpus.select(col(idCol).as("id"),
+      Similarity.normalized(col(vecCol).cast("array<double>")).as("v"))
+    rerank(shortlist.join(vectors, "id"), k)
+  }
+
   /** IVF-PQ top-k: IVF probes bound the candidate set, ADC over the code column
     * ranks it, and only the top `refine·k` candidates per query are re-ranked with
     * their exact vectors (output cosine is exact, so results are directly comparable
@@ -117,19 +163,45 @@ object Pq {
     require(refine >= 1, s"refine must be >= 1, got $refine")
     val coded = withCodes(corpus, idCol, vecCol, pqModel)
       .withColumn("cell", graft.functions.nearest_centroid(col("v"), ivfModel.centroids))
-    val probes = queries
+    val probes = queryProbes(queries, idCol, vecCol, ivfModel, nprobe)
+    // the in-memory path already carries `v`, so the shortlist re-ranks in place
+    rerank(adcShortlist(coded, probes, pqModel, k, refine), k)
+  }
+
+  /** Per-query probe cells with the normalized query vector attached. */
+  private def queryProbes(
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      ivfModel: Ivf.Model,
+      nprobe: Int): DataFrame =
+    queries
       .select(col(idCol).as("query_id"),
         Similarity.normalized(col(vecCol).cast("array<double>")).as("qv"))
       .select(col("query_id"), col("qv"),
         explode(graft.functions.top_centroids(col("qv"), ivfModel.centroids, nprobe))
           .as("cell"))
+
+  /** Top `refine·k` candidates per query by ADC score over the code column alone;
+    * ties broken on id for determinism.
+    */
+  private def adcShortlist(
+      coded: DataFrame,
+      probes: DataFrame,
+      pqModel: Model,
+      k: Int,
+      refine: Int): DataFrame = {
     val adc = coded.join(broadcast(probes), "cell")
       .filter(col("id") =!= col("query_id"))
-      .withColumn("adc", graft.functions.pq_adc_score(col("codes"), col("qv"), pqModel.codebooks))
-    // ADC picks the shortlist from codes alone; ties broken on id for determinism
+      .withColumn("adc",
+        graft.functions.pq_adc_score(col("codes"), col("qv"), pqModel.codebooks))
     val wApprox = Window.partitionBy("query_id").orderBy(desc("adc"), asc("id"))
-    val shortlist = adc.withColumn("arank", row_number().over(wApprox))
+    adc.withColumn("arank", row_number().over(wApprox))
       .filter(col("arank") <= refine * k)
+  }
+
+  /** Exact-cosine re-rank of a shortlist carrying (query_id, qv, id, v). */
+  private def rerank(shortlist: DataFrame, k: Int): DataFrame = {
     val wExact = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("id"))
     shortlist
       .withColumn("cosine", round(graft.functions.array_dot(col("v"), col("qv")), 6))

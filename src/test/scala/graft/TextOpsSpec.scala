@@ -372,6 +372,34 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("PQ on-disk code index equals in-memory topK, prunes cells, reads no vectors") {
+    import graft.textops.{Ivf, Pq}
+    val queries = emb.filter(col("vec_id") < 20)
+    val ivf = Ivf.fit(emb, "vec_id", "embedding", k = 16)
+    val pq = Pq.fit(emb, "vec_id", "embedding", dim = 64)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pq").toString
+    try {
+      Pq.writeIndex(emb, "vec_id", "embedding", ivf, pq, tmp)
+      val inMem = Pq.topK(emb, queries, "vec_id", "embedding", 5, ivf, pq)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      val fromIndex = Pq.topKFromIndex(
+        spark, tmp, emb, queries, "vec_id", "embedding", 5, ivf, pq)
+      val got = fromIndex
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(got === inMem)
+      val scan = fromIndex.queryExecution.executedPlan.toString
+      assert(scan.contains("PartitionFilters") && scan.contains("cell"),
+        s"index scan must prune on the cell partition column:\n${scan.take(2000)}")
+      // the index itself must never store raw vectors — codes only
+      val indexSchema = spark.read.parquet(tmp).schema.fieldNames.toSet
+      assert(indexSchema === Set("cell", "id", "codes"))
+    } finally {
+      import java.nio.file.{Files, Path, Paths}
+      Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+  }
+
   test("multimodal metadata is deterministic and batch-extracted") {
     val d = docs.withColumn("payload", col("text").cast("binary")).limit(50)
     val out = Multimodal.extractMeta(d, "doc_id", "payload").collect()
