@@ -81,6 +81,14 @@ object CurationQueries {
         .select(col("doc_id"), col("lang"), col("q"))
         .orderBy("doc_id")
     },
+    "curation_temperature_mix" -> { (s, dir) =>
+      // the n^alpha pretraining-mixture recipe: alpha=0.5 upsamples small languages
+      // relative to proportional; per-domain rates derive from the data, capped at 1
+      Curation.temperatureMix(docs(s, dir), col("doc_id"), col("lang"),
+          alpha = 0.5, budgetRows = 200, salt = "temp1")
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    },
     "curation_split" -> { (s, dir) =>
       Curation.assignSplit(docs(s, dir), col("doc_id"), TrainFrac, SplitSalt)
         .groupBy("lang", "split").agg(count(lit(1)).as("n"))
@@ -388,6 +396,15 @@ object CurationQueries {
          |WHERE ('0x' || ${drawSql("imp1", "doc_id")})::BIGINT::DOUBLE / 4294967296.0
          |      < LEAST(GREATEST(q, 0.0), 1.0)
          |ORDER BY doc_id""".stripMargin,
+    "curation_temperature_mix" ->
+      s"""WITH c AS (SELECT lang, COUNT(*)::DOUBLE AS n FROM documents GROUP BY lang),
+         |r AS (SELECT lang,
+         |        ROUND(LEAST(1.0, 200.0 * POWER(n, 0.5) / (SELECT SUM(POWER(n, 0.5)) FROM c) / n), 6) AS rate
+         |      FROM c)
+         |SELECT d.doc_id, d.lang
+         |FROM documents d JOIN r ON d.lang = r.lang
+         |WHERE ('0x' || ${drawSql("temp1", "doc_id")})::BIGINT::DOUBLE / 4294967296.0 < r.rate
+         |ORDER BY d.doc_id""".stripMargin,
     "curation_split" ->
       s"""SELECT lang,
          |  CASE WHEN ${drawSql(SplitSalt, "doc_id")} < '${Curation.rateThreshold(TrainFrac)}'

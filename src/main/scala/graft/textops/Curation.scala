@@ -74,6 +74,45 @@ object Curation {
     df.filter(hashDraw(key, salt) < threshold)
   }
 
+  /** Temperature-scaled domain mixing — the `w_d ∝ n_d^α` recipe of LLM pretraining
+    * mixtures (GPT-3/PaLM style): a target of `budgetRows` rows is split across
+    * domains by softened size weights, so α < 1 UPSAMPLES small domains relative to
+    * proportional sampling (α = 1 is proportional; α → 0 approaches uniform across
+    * domains). Per-domain keep rate = `min(1, budget · n_d^(α−1) / Σ n_d^α)`, rounded
+    * to 6 decimals so both engines agree on every draw boundary (counts are exact
+    * integers; only the pow/divide is floating) — rates above 1 are capped, not
+    * replicated (compose with [[epochMix]] for > 1 pass over a small domain).
+    *
+    * One bounded aggregation (domain count table, collected — #domains is
+    * dashboard-sized by construction) feeds a literal rate ladder; the row filter is
+    * the same shuffle-free md5 draw as every sampler here.
+    */
+  def temperatureMix(
+      df: DataFrame,
+      key: Column,
+      stratum: Column,
+      alpha: Double,
+      budgetRows: Long,
+      salt: String): DataFrame = {
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    require(budgetRows > 0, s"budgetRows must be positive, got $budgetRows")
+    val counts = df.groupBy(stratum.cast("string").as("_stratum"))
+      .agg(count(lit(1)).as("_n"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .sortBy(_._1) // deterministic summation order for the weight total
+    val totalW = counts.map { case (_, n) => math.pow(n.toDouble, alpha) }.sum
+    val rates = counts.map { case (s, n) =>
+      s -> BigDecimal(math.min(1.0, budgetRows * math.pow(n.toDouble, alpha) / totalW / n))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val rate = rates.foldLeft(lit(0.0)) {
+      case (acc, (s, r)) => when(stratum.cast("string") === s, lit(r)).otherwise(acc)
+    }
+    df.filter(
+      conv(hashDraw(key, salt), 16, 10).cast("double") / lit(4294967296.0) < rate)
+  }
+
   /** Exactly `n` rows per stratum (or the whole stratum when smaller), chosen by the
     * deterministic md5 draw — the fixed-size-eval-set / per-domain-budget shape that
     * rate-based sampling can't give. Adds `draw_rank` (1-based within the stratum).

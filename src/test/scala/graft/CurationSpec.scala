@@ -56,6 +56,32 @@ class CurationSpec extends SparkSpec {
     assert(lo.subsetOf(a))
   }
 
+  test("temperature mix: hand-computed n^alpha rates, importance-sample equivalence") {
+    // domains: a×16, b×4; α=0.5 → weights 4 and 2, W=6; budget 3 →
+    //   rate_a = 3·4/6/16 = 0.125   rate_b = 3·2/6/4 = 0.25
+    // (both exact in double and unchanged by the round-6) — the small domain keeps
+    // 2× the rate of the large one, which proportional sampling (α=1) would not do
+    val df = spark.range(20).toDF("id")
+      .withColumn("lang", when(col("id") < 16, "a").otherwise("b"))
+    val mixed = Curation.temperatureMix(df, col("id"), col("lang"),
+      alpha = 0.5, budgetRows = 3, salt = "t")
+    val got = mixed.collect().map(_.getLong(0)).toSet
+    // same draw machinery, same comparison: membership must equal importanceSample
+    // with the hand-computed per-domain rates
+    val expected = Curation.importanceSample(df, col("id"),
+        when(col("lang") === "a", 0.125).otherwise(0.25), "t")
+      .collect().map(_.getLong(0)).toSet
+    assert(got === expected)
+    // α=1 is proportional: every domain gets the same rate, so mixing at the full
+    // budget keeps everything
+    assert(Curation.temperatureMix(df, col("id"), col("lang"),
+      alpha = 1.0, budgetRows = 20, salt = "t").count() === 20)
+    // determinism
+    assert(Curation.temperatureMix(df, col("id"), col("lang"),
+      alpha = 0.5, budgetRows = 3, salt = "t")
+      .collect().map(_.getLong(0)).toSet === got)
+  }
+
   test("stratified sample applies per-stratum rates; split covers every row once") {
     val df = docs.select(col("doc_id"), col("lang"))
     val kept = Curation.stratifiedSample(df, col("doc_id"), col("lang"),
