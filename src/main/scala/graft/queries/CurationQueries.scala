@@ -89,6 +89,13 @@ object CurationQueries {
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")
     },
+    "curation_global_shuffle" -> { (s, dir) =>
+      // deterministic corpus-wide training order (shuffle-once-before-sharding):
+      // dense md5-ordered positions via bucket offsets + a parallel window
+      Curation.globalShuffle(docs(s, dir), col("doc_id"), "gs1")
+        .select(col("position"), col("doc_id"), col("lang"))
+        .orderBy("position")
+    },
     "curation_split" -> { (s, dir) =>
       Curation.assignSplit(docs(s, dir), col("doc_id"), TrainFrac, SplitSalt)
         .groupBy("lang", "split").agg(count(lit(1)).as("n"))
@@ -405,6 +412,12 @@ object CurationQueries {
          |FROM documents d JOIN r ON d.lang = r.lang
          |WHERE ('0x' || ${drawSql("temp1", "doc_id")})::BIGINT::DOUBLE / 4294967296.0 < r.rate
          |ORDER BY d.doc_id""".stripMargin,
+    "curation_global_shuffle" ->
+      s"""SELECT ROW_NUMBER() OVER (ORDER BY ${drawSql("gs1", "doc_id")}, doc_id::VARCHAR)
+         |         AS position,
+         |       doc_id, lang
+         |FROM documents
+         |ORDER BY position""".stripMargin,
     "curation_split" ->
       s"""SELECT lang,
          |  CASE WHEN ${drawSql(SplitSalt, "doc_id")} < '${Curation.rateThreshold(TrainFrac)}'

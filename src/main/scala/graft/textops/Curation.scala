@@ -140,6 +140,43 @@ object Curation {
       when(hashDraw(key, salt) < lit(rateThreshold(trainFrac)), lit("train"))
         .otherwise(lit("val")))
 
+  /** Deterministic global training order: every row gets a dense 1-based `position`
+    * by (md5 draw, key) — the shuffle-the-corpus-once-before-sharding step of a
+    * pretraining pipeline, reproducible on any engine with md5 (ties on the draw are
+    * broken by the key, so the order is total and engine-independent).
+    *
+    * Scale: a GLOBAL row_number window would move the whole corpus through one
+    * partition, so the numbering is split instead: the first two draw hex digits
+    * form 256 buckets whose lexicographic order agrees with the full draw order;
+    * one bounded count aggregation yields each bucket's cumulative offset
+    * (driver-side, 256 rows), and the per-row number is `offset(bucket) +
+    * row_number` over a window PARTITIONED by bucket — every partition numbers its
+    * own slice in parallel. The md5 draw is uniform, so buckets are balanced by
+    * construction (~N/256 each).
+    */
+  def globalShuffle(df: DataFrame, key: Column, salt: String): DataFrame = {
+    require(!df.columns.contains("position"),
+      "globalShuffle adds a 'position' column; the input must not already contain one")
+    Seq("_draw", "_bucket").foreach(c => require(!df.columns.contains(c),
+      s"globalShuffle uses a reserved '$c' column; the input must not already contain one"))
+    val withDraw = df
+      .withColumn("_draw", hashDraw(key, salt))
+      .withColumn("_bucket", substring(col("_draw"), 1, 2))
+    val counts = withDraw.groupBy("_bucket").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    if (counts.isEmpty)
+      return df.withColumn("position", lit(0L)).filter(lit(false))
+    val offsets = counts.map(_._1)
+      .zip(counts.scanLeft(0L) { case (acc, (_, n)) => acc + n })
+      .toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_bucket").orderBy(col("_draw"), key.cast("string"))
+    withDraw
+      .withColumn("position",
+        element_at(typedLit(offsets), col("_bucket")) + row_number().over(w))
+      .drop("_draw", "_bucket")
+  }
+
   /** Deterministic shard id in [0, numShards): first 8 md5 hex digits of
     * `salt:key`, parsed as an unsigned 32-bit value, mod `numShards` — engine-portable
     * (the DuckDB oracle reproduces it digit for digit) and stable across runs, so

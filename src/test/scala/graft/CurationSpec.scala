@@ -82,6 +82,29 @@ class CurationSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet === got)
   }
 
+  test("global shuffle: dense 1..N positions equal to the single-window order") {
+    val df = spark.range(1000).toDF("id").repartition(7)
+    val out = Curation.globalShuffle(df, col("id"), "gs")
+      .select("position", "id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    // dense 1..N, no gaps or duplicates
+    assert(out.map(_._1).toSeq === (1L to 1000L))
+    // bucket-offset numbering must equal the (draw, key) global order computed
+    // the naive single-window way
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(Curation.hashDraw(col("id"), "gs"), col("id").cast("string"))
+    val naive = df.withColumn("p", row_number().over(w))
+      .select("p", "id").collect()
+      .map(r => r.getInt(0).toLong -> r.getLong(1)).sortBy(_._1)
+    assert(out.map(_._2).toSeq === naive.map(_._2).toSeq)
+    // no single-partition global window in the executed plan: the numbering window
+    // must be PARTITIONED (by the draw bucket), never an empty-partition-spec window
+    val plan = Curation.globalShuffle(df, col("id"), "gs")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("windowspecdefinition(_bucket"),
+      s"numbering window must partition by _bucket:\n${plan.take(1500)}")
+  }
+
   test("stratified sample applies per-stratum rates; split covers every row once") {
     val df = docs.select(col("doc_id"), col("lang"))
     val kept = Curation.stratifiedSample(df, col("doc_id"), col("lang"),
