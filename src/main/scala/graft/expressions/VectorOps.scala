@@ -498,3 +498,44 @@ object PqAdcScore {
     acc
   }
 }
+
+/** Flattened outer product `v ⊗ v` of an `array<double>` vector (row-major, d²
+  * doubles) — the per-row second-moment contribution of a streaming covariance
+  * build. One tight primitive loop in whole-stage codegen; the `transform(transform)`
+  * HOF form allocates a nested struct array per element (the [[ArrayDot]] pathology,
+  * squared). Emits only the upper triangle mirrored, i.e. the full symmetric matrix,
+  * so downstream averaging needs no index bookkeeping.
+  */
+case class ArrayOuterFlat(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    ArrayOuterFlat.compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.ArrayOuterFlat.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): ArrayOuterFlat =
+    copy(child = newChild)
+}
+
+object ArrayOuterFlat {
+  def compute(v: ArrayData): ArrayData = {
+    val d = v.numElements()
+    val out = new Array[Double](d * d)
+    var i = 0
+    while (i < d) {
+      val xi = v.getDouble(i)
+      var j = i
+      while (j < d) {
+        val p = xi * v.getDouble(j)
+        out(i * d + j) = p
+        out(j * d + i) = p
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}

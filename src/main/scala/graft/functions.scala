@@ -125,6 +125,12 @@ object functions {
   def pq_adc_score(codes: Column, query: Column, codebooks: Array[Array[Array[Double]]]): Column =
     Bridge.column(PqAdcScore(Bridge.expression(codes), Bridge.expression(query), codebooks))
 
+  /** Flattened outer product v ⊗ v (row-major d² doubles) in one codegen'd pass —
+    * the per-row second-moment contribution of a distributed covariance build.
+    */
+  def array_outer_flat(vec: Column): Column =
+    Bridge.column(ArrayOuterFlat(Bridge.expression(vec)))
+
   /** First 8 bytes of md5(s) as a big-endian long (hex nibble j = bits 60−4j..63−4j);
     * the allocation-free route to md5-derived bit signatures.
     */

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.util.Caching.CacheSyntax
 
 import graft.streaming.StreamOps
-import graft.textops.{Dedup, Ivf, Multimodal, Pq, Similarity, TextOps}
+import graft.textops.{Dedup, Ivf, Multimodal, Pca, Pq, Similarity, TextOps}
 
 /** SparkEntry query + oracle entries for the training-data pipeline operators: text
   * analysis, document dedup (exact / Jaccard / MinHash-LSH / SimHash / embedding),
@@ -374,6 +374,18 @@ object TextQueries {
       pooled.select(col("group_id"), posexplode(col("v")).as(Seq("pos", "val")))
         .select(col("group_id"), col("pos"), round(col("val"), 6).as("val"))
         .orderBy("group_id", "pos")
+    },
+    "sim_pca_project" -> { (s, dir) =>
+      // distributed PCA: one mean+second-moment aggregation, driver Jacobi eigen,
+      // projection as r codegen'd dot products (iterative eigensolve — rows-only;
+      // hand-computed eigensystem + planted-axis recovery pinned in ScalaTest)
+      val e = emb(s, dir)
+      val model = Pca.fit(e, "embedding", r = 4)
+      Pca.project(e, "embedding", model)
+        .select(col("vec_id"), round(col("pc_0"), 6).as("pc_0"),
+          round(col("pc_1"), 6).as("pc_1"), round(col("pc_2"), 6).as("pc_2"),
+          round(col("pc_3"), 6).as("pc_3"))
+        .orderBy("vec_id")
     },
     "ann_lsh_topk" -> { (s, dir) =>
       // approximate — no SQL oracle; recall vs brute force pinned in ScalaTest

@@ -1,0 +1,143 @@
+package graft.textops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed PCA for embedding columns — the whitening / dimension-reduction step
+  * of an embedding pipeline (pre-ANN compression, SemDeDup-style normalization,
+  * 2-D corpus maps).
+  *
+  * Scale design: the ONLY distributed work is one aggregation computing the mean
+  * vector and mean flattened outer product ([[graft.expressions.ArrayOuterFlat]],
+  * codegen'd) over a bounded seeded sample — the covariance and its eigensystem are
+  * `dim × dim` driver objects by construction (the same bounded-collect convention as
+  * IVF/PQ training; practical for the expression form up to a few hundred dims —
+  * past that, d² per-row state wants a block-matrix build instead, noted in
+  * SCALING.md). Projection is `r` codegen'd dot products per row against literal
+  * component vectors: `proj_i = v·c_i − μ·c_i`, the mean term folded into a
+  * constant, so the corpus pass never materializes centered vectors.
+  */
+object Pca {
+
+  /** `components(i)` = i-th principal axis (unit norm, sign-fixed); `variance(i)` =
+    * its eigenvalue (descending).
+    */
+  case class Model(mean: Array[Double], components: Array[Array[Double]], variance: Array[Double])
+
+  /** Fit the top-`r` principal components from ONE aggregation pass (mean and second
+    * moment together) over a bounded seeded sample; eigensystem via cyclic Jacobi on
+    * the driver (deterministic: fixed sweep order, eigenvalue-descending /
+    * index-ascending tie-break, first-nonzero-positive sign convention).
+    */
+  def fit(
+      corpus: DataFrame,
+      vecCol: String,
+      r: Int,
+      seed: Long = 42L,
+      trainSampleRows: Long = 100000L): Model = {
+    require(r > 0, s"r must be positive, got $r")
+    require(trainSampleRows > 0, s"trainSampleRows must be positive, got $trainSampleRows")
+    val full = corpus.select(col(vecCol).cast("array<double>").as("v"))
+    val n = full.count()
+    require(n > 1, s"pca fit needs at least 2 rows, got $n")
+    val v =
+      if (n > 2 * trainSampleRows)
+        full.sample(withReplacement = false,
+          math.min(1.0, 1.2 * trainSampleRows / n), seed)
+      else full
+    val agg = v.agg(
+      graft.functions.array_avg_agg(col("v")).as("mean"),
+      graft.functions.array_avg_agg(graft.functions.array_outer_flat(col("v"))).as("m2"))
+      .collect()(0)
+    val mean = agg.getSeq[Double](0).toArray
+    val m2 = agg.getSeq[Double](1).toArray
+    val d = mean.length
+    require(r <= d, s"r=$r exceeds vector dimension $d")
+    // covariance = E[xxᵀ] − μμᵀ
+    val cov = Array.tabulate(d, d)((i, j) => m2(i * d + j) - mean(i) * mean(j))
+    val (values, vectors) = jacobiEigen(cov)
+    val order = values.indices.sortBy(i => (-values(i), i)).take(r)
+    val comps = order.map { i =>
+      val c = vectors.map(_(i))
+      // deterministic sign: first component of non-trivial magnitude positive
+      val lead = c.find(x => math.abs(x) > 1e-12).getOrElse(0.0)
+      if (lead < 0) c.map(-_) else c
+    }.toArray
+    Model(mean, comps, order.map(values).toArray)
+  }
+
+  /** Project onto the fitted components: adds `pc_0..pc_{r-1}` columns, each one
+    * codegen'd dot product minus a precomputed constant — no per-row centering.
+    */
+  def project(df: DataFrame, vecCol: String, model: Model): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    model.components.zipWithIndex.foldLeft(df) { case (acc, (c, i)) =>
+      val meanDot = c.zip(model.mean).map { case (a, b) => a * b }.sum
+      acc.withColumn(s"pc_$i",
+        graft.functions.array_dot(v, typedLit(c.toSeq)) - lit(meanDot))
+    }
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix: returns (eigenvalues,
+    * eigenvector matrix with vectors in COLUMNS). Deterministic sweep order;
+    * converges quadratically — 20 sweeps is far past double precision for the
+    * dashboard-sized matrices this sees.
+    */
+  private[textops] def jacobiEigen(m: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = m.length
+    val a = m.map(_.clone)
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = offDiagNorm(a)
+    while (sweep < 20 && off > 1e-14) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          if (math.abs(a(p)(q)) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+            // numerically stable tan of the annihilating rotation; θ=0 → 45°
+            val t =
+              if (theta == 0.0) 1.0
+              else math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var k = 0
+            while (k < d) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - s * akq
+              a(k)(q) = s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - s * aqk
+              a(q)(k) = s * apk + c * aqk
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - s * vkq
+              v(k)(q) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      off = offDiagNorm(a)
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  private def offDiagNorm(a: Array[Array[Double]]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < a.length) {
+      var j = i + 1
+      while (j < a.length) { acc += a(i)(j) * a(i)(j); j += 1 }
+      i += 1
+    }
+    math.sqrt(acc)
+  }
+}

@@ -17,6 +17,7 @@ class EntrySpec extends SparkSpec {
       "ann_lsh_topk",         // approximate — recall pinned by TextOpsSpec
       "ann_ivf_topk",         // approximate — recall pinned by TextOpsSpec
       "ann_pq_topk",          // approximate IVF-PQ — recall + ADC fixture pinned by TextOpsSpec
+      "sim_pca_project",      // iterative eigensolve — hand-computed eigensystem pinned by TextOpsSpec
       "ml_quality_train",     // iterative GD — accuracy/loss pinned by CurationSpec
       "dedup_semantic",       // iterative Lloyd — subset/recall pinned by TextOpsSpec
       "curation_bpe_merges")  // iterative merge loop — pinned by CurationSpec (Sennrich fixture)

@@ -400,6 +400,45 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("PCA: hand-computed 2-D eigensystem and planted-axis recovery at 64 dims") {
+    import graft.textops.Pca
+    // 2-D fixture with a known eigensystem: points (±2, ±1) on the diagonal —
+    // mean (0,0), cov = [[4, 2], [2, 1]] → eigenvalues 5 and 0, PC1 = (2,1)/√5
+    val tiny = Seq(
+      Seq(2.0, 1.0), Seq(-2.0, -1.0), Seq(4.0, 2.0), Seq(-4.0, -2.0)
+    ).toDF("v")
+    val m = Pca.fit(tiny, "v", r = 2)
+    // cov = E[xxᵀ] over the 4 pts = [[10,5],[5,2.5]] → λ = (trace, 0) = (12.5, 0)
+    assert(math.abs(m.variance(0) - 12.5) < 1e-9)
+    assert(math.abs(m.variance(1)) < 1e-9)
+    val s5 = math.sqrt(5.0)
+    assert(math.abs(m.components(0)(0) - 2.0 / s5) < 1e-9)
+    assert(math.abs(m.components(0)(1) - 1.0 / s5) < 1e-9)
+    val proj = Pca.project(tiny, "v", m)
+      .select("pc_0").as[Double].collect().sorted
+    assert(proj.zip(Seq(-2 * s5, -s5, s5, 2 * s5).sorted)
+      .forall { case (a, b) => math.abs(a - b) < 1e-9 })
+
+    // 64-dim corpus with a planted dominant axis: x = t·axis + small noise — PC1
+    // must recover the axis (|cos| ≥ 0.99) and dominate the variance spectrum
+    val axis = Array.tabulate(64)(i => math.sin(i + 1.0))
+    val nrm = math.sqrt(axis.map(x => x * x).sum)
+    val unit = axis.map(_ / nrm)
+    val lit64 = typedLit(unit.toSeq)
+    val planted2 = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("t", (col("vec_id") % 21).cast("double") - 10.0)
+      .select(col("vec_id"),
+        zip_with(lit64, col("e"), (a, x) => col("t") * a + lit(0.05) * x).as("v"))
+    val m64 = Pca.fit(planted2, "v", r = 4)
+    val cos = m64.components(0).zip(unit).map { case (a, b) => a * b }.sum
+    assert(math.abs(cos) >= 0.99, s"PC1 misaligned with planted axis: |cos|=$cos")
+    assert(m64.variance(0) > 10 * m64.variance(1),
+      s"planted axis must dominate: ${m64.variance.take(3).mkString(",")}")
+    // determinism
+    val again = Pca.fit(planted2, "v", r = 4)
+    assert(again.components(0).toSeq === m64.components(0).toSeq)
+  }
+
   test("multimodal metadata is deterministic and batch-extracted") {
     val d = docs.withColumn("payload", col("text").cast("binary")).limit(50)
     val out = Multimodal.extractMeta(d, "doc_id", "payload").collect()
