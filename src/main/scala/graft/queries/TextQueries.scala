@@ -580,6 +580,22 @@ object TextQueries {
       StreamOps.streamingQualityFilter(s, s"$dir/documents.parquet")
         .orderBy("pred_lang")
     },
+    "ev_interval_join" -> { (s, dir) =>
+      // point-in-interval join via time binning + hash equi-join (never a range
+      // nested loop): every 199th event opens a 10-minute incident window; count
+      // and sum the events that fall inside each window
+      val ev = events(s, dir)
+      val incidents = ev.filter(col("event_id") % 199 === 0)
+        .select(col("event_id").as("incident_id"),
+          col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("w_end"))
+      graft.events.IntervalJoin.pointInInterval(
+          ev.select(col("event_id"), col("ts"), col("value")),
+          incidents, "ts", "w_start", "w_end", binWidthSeconds = 600)
+        .groupBy("incident_id")
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 6).as("value_sum"))
+        .orderBy("incident_id")
+    },
     "ev_asof_join" -> { (s, dir) =>
       // point-in-time join: each view event gets the user's latest purchase at or
       // before it (leakage-safe) — one union + window pass, never a range join
@@ -1293,6 +1309,13 @@ object TextQueries {
          |  CAST(SUM(n_oov) AS BIGINT) AS n_oov
          |FROM s GROUP BY shard ORDER BY shard""".stripMargin
     },
+    "ev_interval_join" ->
+      """WITH i AS (SELECT event_id AS incident_id, ts AS w_start,
+        |                  ts + INTERVAL 10 MINUTE AS w_end
+        |           FROM events WHERE event_id % 199 = 0)
+        |SELECT i.incident_id, COUNT(*) AS n_events, ROUND(SUM(e.value), 6) AS value_sum
+        |FROM events e JOIN i ON e.ts >= i.w_start AND e.ts <= i.w_end
+        |GROUP BY i.incident_id ORDER BY i.incident_id""".stripMargin,
     "ev_asof_join" ->
       """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
         |r AS (SELECT user_id, ts, event_id AS purchase_id, value FROM events

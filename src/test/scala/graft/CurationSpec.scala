@@ -302,6 +302,46 @@ class CurationSpec extends SparkSpec {
     assert(a.values.toSet.size > 1) // actually spreads
   }
 
+  test("interval join equals the naive range join; no nested loop; loud span guard") {
+    import graft.events.IntervalJoin
+    val rnd = new scala.util.Random(17)
+    def ts(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    val points = (1 to 400).map(i => (i.toLong, ts(rnd.nextInt(10000).toLong)))
+      .toDF("pid", "ts")
+    val ivRaw = (1 to 60).map { i =>
+      val start = rnd.nextInt(9000).toLong
+      (i.toLong, start, start + rnd.nextInt(900).toLong)
+    }
+    val intervals = ivRaw.map { case (id, s, e) => (id, ts(s), ts(e)) }
+      .toDF("iid", "w_start", "w_end")
+    val out = IntervalJoin.pointInInterval(
+        points, intervals, "ts", "w_start", "w_end", binWidthSeconds = 300)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    // naive cross check driver-side
+    val pts = (1 to 400).map(i => i.toLong).zip(
+      points.orderBy("pid").select("ts").as[java.sql.Timestamp].collect()).toMap
+    val expected = (for {
+      (pid, t) <- pts.toSeq
+      (iid, s, e) <- ivRaw
+      if !t.before(ts(s)) && !t.after(ts(e))
+    } yield (pid, iid)).toSet
+    assert(out === expected)
+    assert(out.nonEmpty)
+    // plan: hash equi-join on the bin, never a nested loop
+    val plan = IntervalJoin.pointInInterval(
+        points, intervals, "ts", "w_start", "w_end", binWidthSeconds = 300)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), s"range join fell back to a nested loop:\n$plan")
+    // an interval spanning more bins than the cap must fail loudly, not drop matches
+    val huge = Seq((1L, ts(0), ts(100000))).toDF("iid", "w_start", "w_end")
+    val err = intercept[Exception] {
+      IntervalJoin.pointInInterval(points, huge, "ts", "w_start", "w_end",
+        binWidthSeconds = 10, maxBinsPerInterval = 16).count()
+    }
+    assert(err.getMessage.contains("pointInInterval") ||
+      err.getCause != null && err.getCause.getMessage.contains("pointInInterval"))
+  }
+
   test("leftAsof attaches the latest at-or-before right row per key") {
     import graft.events.AsofJoin
     val l = Seq((1L, 10L, 100L), (2L, 10L, 205L), (3L, 20L, 50L))
