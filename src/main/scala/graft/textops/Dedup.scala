@@ -37,6 +37,64 @@ object Dedup {
       threshold: Double): DataFrame =
     setJaccardPairs(df, idCol, TextOps.distinctTokens(col(textCol)), blockCols, threshold)
 
+  /** Prefix-filtered exact token-Jaccard pairs (AllPairs/PPJoin candidate
+    * generation, Vernica et al. VLDB'10): under a single global token order —
+    * document frequency ascending, then token — any pair with Jaccard ≥ t must
+    * share a token within each side's first `sz − ⌈t·sz⌉ + 1` tokens, so only those
+    * PREFIX tokens enter the co-occurrence join. Rarest-first ordering makes the
+    * prefixes maximally selective: the candidate fan-out rides the tail of the
+    * frequency distribution instead of every stopword posting, which is the
+    * difference between |prefix postings|² and |postings|² per hot token at corpus
+    * scale. Candidates are verified with the exact intersection, so the OUTPUT is
+    * identical to [[tokenJaccardPairs]] — pinned by spec.
+    *
+    * Cost anatomy: one doc-frequency aggregate + one (df, tok)-ranking window per
+    * doc + the prefix-only equi-join; worth it when blocks are loose or absent.
+    * With tight blocking the plain co-occurrence join wins (fewer passes) — the
+    * same trade [[ngramJaccardPairs]] documents in the other direction.
+    * Lifecycle: persists intermediates via [[graft.util.Caching]]; bracket
+    * materialization in `Caching.withCached { ... }` to release exactly them.
+    */
+  def tokenJaccardPairsPrefix(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCols: Seq[Column],
+      threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"tokenJaccardPairsPrefix requires threshold in (0, 1], got $threshold")
+    val prepped = df.select(
+      (col(idCol).as("id") +: TextOps.distinctTokens(col(textCol)).as("toks") +:
+        blockCols.zipWithIndex.map { case (c, i) => c.as(s"blk$i") }): _*)
+      .withColumn("sz", size(col("toks")))
+      .scopedPersist()
+    val keys = blockCols.indices.map(i => s"blk$i")
+    val items = prepped.select(
+      (Seq(col("id"), col("sz"), explode(col("toks")).as("tok")) ++ keys.map(col)): _*)
+    val dfreq = items.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("df"), col("tok"))
+    val prefixes = items.join(dfreq, "tok")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+    val l = prefixes.select(
+      (Seq(col("id").as("id_l"), col("tok")) ++ keys.map(col)): _*)
+    val r = prefixes.select(
+      (Seq(col("id").as("id_r"), col("tok")) ++ keys.map(col)): _*)
+    val cands = l.join(r, keys :+ "tok")
+      .filter(col("id_l") < col("id_r"))
+      .select("id_l", "id_r").distinct()
+    cands
+      .join(prepped.select(col("id").as("id_l"), col("toks").as("toks_l"),
+        col("sz").as("sz_l")), "id_l")
+      .join(prepped.select(col("id").as("id_r"), col("toks").as("toks_r"),
+        col("sz").as("sz_r")), "id_r")
+      .withColumn("inter", size(array_intersect(col("toks_l"), col("toks_r"))))
+      .filter(jaccardAtLeast(col("inter"), col("sz_l"), col("sz_r"), threshold))
+      .select(col("id_l"), col("id_r"),
+        jaccardOf(col("inter"), col("sz_l"), col("sz_r")).as("jaccard"))
+  }
+
   /** Pairs within the same block whose word n-gram (shingle) Jaccard ≥ threshold.
     * Uses the per-pair array-intersection path: with tight blocking the pair count is
     * bounded, and shingle sets collide across many documents, which makes the

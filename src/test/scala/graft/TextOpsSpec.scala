@@ -171,12 +171,37 @@ class TextOpsSpec extends SparkSpec {
       Dedup.simhash64Pairs(d, "doc_id", "text"),
       Dedup.minhashLshPairs(d, "doc_id", "text", 0.5),
       Dedup.tokenJaccardPairs(d, "doc_id", "text", Seq(col("lang")), 0.9),
-      Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, Seq(col("lang")), 0.5)
+      Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, Seq(col("lang")), 0.5),
+      Dedup.tokenJaccardPairsPrefix(d, "doc_id", "text", Seq.empty, 0.9)
     ).foreach { df =>
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
         s"all-pairs join in plan:\n${plan.take(2000)}")
     }
+  }
+
+  test("prefix-filtered jaccard equals the plain co-occurrence join, blocked and not") {
+    // the prefix filter changes CANDIDATE GENERATION only; with the exact verify the
+    // output must match tokenJaccardPairs pair for pair, digit for digit
+    val base = docs.select(col("doc_id"), col("text"), col("lang")).limit(200)
+    val planted = base.unionByName(base.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" tail")).as("text"), col("lang")))
+    def collectPairs(df: org.apache.spark.sql.DataFrame) = graft.util.Caching.withCached {
+      df.select("id_l", "id_r", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+    }
+    val plain = collectPairs(
+      Dedup.tokenJaccardPairs(planted, "doc_id", "text", Seq.empty, 0.5))
+    val prefix = collectPairs(
+      Dedup.tokenJaccardPairsPrefix(planted, "doc_id", "text", Seq.empty, 0.5))
+    assert(plain.nonEmpty)
+    assert(prefix === plain)
+    val plainBlk = collectPairs(
+      Dedup.tokenJaccardPairs(planted, "doc_id", "text", Seq(col("lang")), 0.5))
+    val prefixBlk = collectPairs(
+      Dedup.tokenJaccardPairsPrefix(planted, "doc_id", "text", Seq(col("lang")), 0.5))
+    assert(prefixBlk === plainBlk)
   }
 
   test("embedding LSH dedup matches brute force exactly on planted near-dups, no cartesian") {
