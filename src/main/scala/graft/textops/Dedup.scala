@@ -52,6 +52,11 @@ object Dedup {
     * doc + the prefix-only equi-join; worth it when blocks are loose or absent.
     * With tight blocking the plain co-occurrence join wins (fewer passes) — the
     * same trade [[ngramJaccardPairs]] documents in the other direction.
+    * The filter's selectivity comes from FREQUENCY SKEW plus prefix length: on a
+    * near-uniform vocabulary at a loose threshold (prefix → half the doc) it
+    * degrades toward the plain join (measured in ScaleSmoke) — MinHash-LSH is the
+    * right tool there; prefix filtering wins on natural-language corpora at
+    * near-dup thresholds, where it is exact and LSH is probabilistic.
     * Lifecycle: persists intermediates via [[graft.util.Caching]]; bracket
     * materialization in `Caching.withCached { ... }` to release exactly them.
     */

@@ -29,6 +29,24 @@ object ScaleSmoke {
           concat(col("text"), lit(" xtra")).as("text")))
   }
 
+  /** Like [[corpus]] but with 6-hex-char words (16.7M vocabulary): token postings
+    * stay O(1) as n grows — the Heaps'-law regime of natural corpora, where exact
+    * token-overlap candidate generation is collision-bounded. The 4-hex fixture
+    * deliberately SATURATES its 65k vocabulary instead (postings ∝ n), which is the
+    * regime where any exact overlap join — prefix-filtered or not — pays Ω(n²/V)
+    * true collisions and LSH is the right tool.
+    */
+  private def corpusWide(spark: SparkSession, n: Long): DataFrame = {
+    val words = (0 until 40).map(j =>
+      substring(md5(concat(col("id").cast("string"), lit(s":$j"))), 1, 6))
+    val base = spark.range(n).select(col("id").as("doc_id"),
+      concat_ws(" ", words: _*).as("text"))
+    base.unionByName(
+      base.filter(col("doc_id") % 101 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          concat(col("text"), lit(" xtra")).as("text")))
+  }
+
   private def vectors(spark: SparkSession, n: Long, dim: Int): DataFrame = {
     val comps = (0 until dim).map(j =>
       (conv(substring(md5(concat(col("id").cast("string"), lit(s"v$j"))), 1, 6), 16, 10)
@@ -153,6 +171,38 @@ object ScaleSmoke {
           (col("doc_id") % 4).cast("string"),
           Map("0" -> 0.5, "1" -> 1.5, "2" -> 2.0), 1.0, "sm").count()
       }
+      time("temperature_mix", n) {
+        graft.textops.Curation.temperatureMix(docs, col("doc_id"),
+          (col("doc_id") % 16).cast("string"), 0.5, n / 2, "tm").count()
+      }
+      time("global_shuffle", n) {
+        // aggregate the computed position: count() would prune the numbering window
+        graft.textops.Curation.globalShuffle(docs, col("doc_id"), "gsh")
+          .agg(max("position")).collect()(0).getLong(0)
+      }
+      val wide = corpusWide(spark, n).persist()
+      wide.count()
+      time("prefix_jaccard_pairs", n) {
+        // BLOCKLESS at the near-dup threshold on the Heaps'-regime corpus (see
+        // corpusWide): candidates are collision-bounded → linear slope. On the
+        // saturated 65k-vocab fixture the same call measures quadratic (17 s →
+        // 190 s at 4×) — postings grow ∝ n and exact overlap pays true collisions;
+        // that regime belongs to MinHash-LSH, as the operator doc states.
+        graft.textops.Dedup.tokenJaccardPairsPrefix(
+          wide, "doc_id", "text", Seq.empty, 0.9).count()
+      }
+      wide.unpersist()
+      time("interval_join", n) {
+        // one event per doc spread over ~n seconds; every 101st opens a 10-min
+        // window — matches stay linear in n by construction
+        val pts = docs.select(col("doc_id"),
+          timestamp_seconds(lit(1700000000L) + col("doc_id") % 10000000L).as("ts"))
+        val iv = pts.filter(col("doc_id") % 101 === 0)
+          .select(col("doc_id").as("iid"), col("ts").as("w_start"),
+            (col("ts") + expr("INTERVAL 10 MINUTES")).as("w_end"))
+        graft.events.IntervalJoin.pointInInterval(
+          pts, iv, "ts", "w_start", "w_end", binWidthSeconds = 600).count()
+      }
       docs.unpersist()
       val vecs = vectors(spark, n, 32).persist()
       vecs.count()
@@ -163,6 +213,19 @@ object ScaleSmoke {
         // auto-sized k (constant cell size) — the scale-safe SemDeDup configuration
         graft.textops.Dedup.semanticPairs(
           vecs, "vec_id", "embedding", 0.99).count()
+      }
+      time("ivf_pq_topk", n) {
+        // fit is sample-bounded; the slope under test is the ADC scan + re-rank
+        val queries = vecs.filter(col("vec_id") < 16)
+        val ivf = graft.textops.Ivf.fit(vecs, "vec_id", "embedding", k = 64)
+        val pq = graft.textops.Pq.fit(vecs, "vec_id", "embedding", dim = 32)
+        graft.textops.Pq.topK(vecs, queries, "vec_id", "embedding", 5, ivf, pq).count()
+      }
+      time("pca_fit_project", n) {
+        // aggregate a computed component: count() would prune the projection
+        val m = graft.textops.Pca.fit(vecs, "embedding", r = 4)
+        graft.textops.Pca.project(vecs, "embedding", m)
+          .agg(sum("pc_0")).collect().length.toLong
       }
       vecs.unpersist()
       graft.util.Caching.releaseAll()
