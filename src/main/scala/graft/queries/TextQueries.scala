@@ -251,12 +251,13 @@ object TextQueries {
         .select(col("id_l"), col("id_r"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_l", "id_r")
     },
-    "dedup_token_jaccard_prefix" -> { (s, dir) =>
-      // PPJoin-style prefix filtering: same exact output as dedup_token_jaccard but
-      // WITHOUT any blocking columns — only the rarest sz−⌈t·sz⌉+1 tokens per doc
-      // enter the candidate join
-      Dedup.tokenJaccardPairsPrefix(plantedCorpus(s, dir), "doc_id", "text",
-          Seq.empty, 0.9)
+    "dedup_ngram_jaccard_prefix" -> { (s, dir) =>
+      // PPJoin prefix filtering over 3-gram shingle sets, BLOCKLESS: only the
+      // rarest sz−⌈t·sz⌉+1 shingles per doc enter the candidate join (shingle
+      // vocabulary stays sparse even though this corpus has ~31 distinct words,
+      // which saturates token-level prefixes — see the operator doc)
+      Dedup.ngramJaccardPairsPrefix(plantedCorpus(s, dir), "doc_id", "text", 3,
+          Seq.empty, 0.5)
         .select(col("id_l"), col("id_r"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_l", "id_r")
     },
@@ -1042,11 +1043,11 @@ object TextQueries {
     },
     "dedup_token_jaccard" ->
       jaccardPairSql(s"list_distinct(${toksSql("text")})", 0.9, corpusCte),
-    "dedup_token_jaccard_prefix" ->
+    "dedup_ngram_jaccard_prefix" ->
       // blockless: the prefix filter is candidate generation only, so the oracle is
-      // the plain all-pairs threshold join
+      // the plain all-pairs threshold join over the shingle sets
       s"""WITH $corpusCte,
-         |prep AS (SELECT doc_id AS id, list_distinct(${toksSql("text")}) AS toks FROM corpus)
+         |prep AS (SELECT doc_id AS id, list_distinct(${shinglesSql("text")}) AS toks FROM corpus)
          |SELECT l.id AS id_l, r.id AS id_r,
          |  ROUND(CASE WHEN len(list_distinct(list_concat(l.toks, r.toks))) = 0 THEN 0.0
          |    ELSE len(list_intersect(l.toks, r.toks))::DOUBLE /
@@ -1054,7 +1055,7 @@ object TextQueries {
          |FROM prep l JOIN prep r ON l.id < r.id
          |WHERE CASE WHEN len(list_distinct(list_concat(l.toks, r.toks))) = 0 THEN 0.0
          |    ELSE len(list_intersect(l.toks, r.toks))::DOUBLE /
-         |         len(list_distinct(list_concat(l.toks, r.toks))) END >= 0.9
+         |         len(list_distinct(list_concat(l.toks, r.toks))) END >= 0.5
          |ORDER BY id_l, id_r""".stripMargin,
     "dedup_ngram_jaccard" ->
       jaccardPairSql(s"list_distinct(${shinglesSql("text")})", 0.5, corpusCte),

@@ -65,11 +65,36 @@ object Dedup {
       idCol: String,
       textCol: String,
       blockCols: Seq[Column],
+      threshold: Double): DataFrame =
+    prefixJaccardPairs(df, idCol, TextOps.distinctTokens(col(textCol)),
+      blockCols, threshold)
+
+  /** [[tokenJaccardPairsPrefix]] over word `n`-gram shingle sets — the standard
+    * PPJoin configuration for near-dup detection: shingle vocabularies stay sparse
+    * (they grow with the corpus even when the word vocabulary saturates), so the
+    * rarest-first prefixes keep their selectivity on templated or small-vocabulary
+    * text where token-level prefixes degrade.
+    */
+  def ngramJaccardPairsPrefix(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      blockCols: Seq[Column],
+      threshold: Double): DataFrame =
+    prefixJaccardPairs(df, idCol, TextOps.distinctShingles(col(textCol), n),
+      blockCols, threshold)
+
+  private def prefixJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      setExpr: Column,
+      blockCols: Seq[Column],
       threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1,
-      s"tokenJaccardPairsPrefix requires threshold in (0, 1], got $threshold")
+      s"prefix jaccard requires threshold in (0, 1], got $threshold")
     val prepped = df.select(
-      (col(idCol).as("id") +: TextOps.distinctTokens(col(textCol)).as("toks") +:
+      (col(idCol).as("id") +: setExpr.as("toks") +:
         blockCols.zipWithIndex.map { case (c, i) => c.as(s"blk$i") }): _*)
       .withColumn("sz", size(col("toks")))
       .scopedPersist()

@@ -172,7 +172,8 @@ class TextOpsSpec extends SparkSpec {
       Dedup.minhashLshPairs(d, "doc_id", "text", 0.5),
       Dedup.tokenJaccardPairs(d, "doc_id", "text", Seq(col("lang")), 0.9),
       Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, Seq(col("lang")), 0.5),
-      Dedup.tokenJaccardPairsPrefix(d, "doc_id", "text", Seq.empty, 0.9)
+      Dedup.tokenJaccardPairsPrefix(d, "doc_id", "text", Seq.empty, 0.9),
+      Dedup.ngramJaccardPairsPrefix(d, "doc_id", "text", 3, Seq.empty, 0.5)
     ).foreach { df =>
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
@@ -202,6 +203,14 @@ class TextOpsSpec extends SparkSpec {
     val prefixBlk = collectPairs(
       Dedup.tokenJaccardPairsPrefix(planted, "doc_id", "text", Seq(col("lang")), 0.5))
     assert(prefixBlk === plainBlk)
+    // the shingle-space variant must match the plain ngram join the same way
+    val plainNg = collectPairs(
+      Dedup.ngramJaccardPairs(planted, "doc_id", "text", 3, Seq(col("lang")), 0.5))
+    val prefixNg = collectPairs(
+      Dedup.ngramJaccardPairsPrefix(planted, "doc_id", "text", 3, Seq.empty, 0.5))
+    // blockless prefix ⊇ blocked plain (blocking can only drop cross-block pairs)
+    assert(plainNg.subsetOf(prefixNg))
+    assert(prefixNg.nonEmpty)
   }
 
   test("embedding LSH dedup matches brute force exactly on planted near-dups, no cartesian") {
