@@ -96,6 +96,20 @@ object CurationQueries {
         .select(col("position"), col("doc_id"), col("lang"))
         .orderBy("position")
     },
+    "ep8_training_file" -> { (s, dir) =>
+      // final pretraining-dataset assembly, one plan, fully oracle-checked:
+      // temperature-mix the domains (n^0.5, 300-row budget) → deterministic global
+      // shuffle → cut the order into fixed 64-row shards → per-shard manifest
+      val mixed = Curation.temperatureMix(docs(s, dir), col("doc_id"), col("lang"),
+        alpha = 0.5, budgetRows = 300, salt = "ep8t")
+      Curation.globalShuffle(mixed, col("doc_id"), "ep8s")
+        .withColumn("shard", ((col("position") - 1) / lit(64)).cast("int"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextOps.tokenCount(col("text"))).as("n_tokens"),
+          min("position").as("p_min"), max("position").as("p_max"))
+        .orderBy("shard")
+    },
     "curation_split" -> { (s, dir) =>
       Curation.assignSplit(docs(s, dir), col("doc_id"), TrainFrac, SplitSalt)
         .groupBy("lang", "split").agg(count(lit(1)).as("n"))
@@ -418,6 +432,20 @@ object CurationQueries {
          |       doc_id, lang
          |FROM documents
          |ORDER BY position""".stripMargin,
+    "ep8_training_file" ->
+      s"""WITH c AS (SELECT lang, COUNT(*)::DOUBLE AS n FROM documents GROUP BY lang),
+         |r AS (SELECT lang,
+         |        ROUND(LEAST(1.0, 300.0 * POWER(n, 0.5) / (SELECT SUM(POWER(n, 0.5)) FROM c) / n), 6) AS rate
+         |      FROM c),
+         |kept AS (SELECT d.doc_id, d.text FROM documents d JOIN r ON d.lang = r.lang
+         |         WHERE ('0x' || ${drawSql("ep8t", "d.doc_id")})::BIGINT::DOUBLE / 4294967296.0 < r.rate),
+         |ord AS (SELECT doc_id, text,
+         |          ROW_NUMBER() OVER (ORDER BY ${drawSql("ep8s", "doc_id")}, doc_id::VARCHAR) AS position
+         |        FROM kept)
+         |SELECT ((position - 1) // 64)::INT AS shard, COUNT(*) AS n_docs,
+         |  CAST(SUM(len(${toksSql("text")})) AS BIGINT) AS n_tokens,
+         |  MIN(position) AS p_min, MAX(position) AS p_max
+         |FROM ord GROUP BY 1 ORDER BY 1""".stripMargin,
     "curation_split" ->
       s"""SELECT lang,
          |  CASE WHEN ${drawSql(SplitSalt, "doc_id")} < '${Curation.rateThreshold(TrainFrac)}'
