@@ -157,7 +157,7 @@ object Curation {
   def globalShuffle(df: DataFrame, key: Column, salt: String): DataFrame = {
     require(!df.columns.contains("position"),
       "globalShuffle adds a 'position' column; the input must not already contain one")
-    Seq("_draw", "_bucket").foreach(c => require(!df.columns.contains(c),
+    Seq("_draw", "_bucket", "_rn").foreach(c => require(!df.columns.contains(c),
       s"globalShuffle uses a reserved '$c' column; the input must not already contain one"))
     val withDraw = df
       .withColumn("_draw", hashDraw(key, salt))
@@ -171,10 +171,18 @@ object Curation {
       .toMap
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("_bucket").orderBy(col("_draw"), key.cast("string"))
+    // a bucket absent from the offset map means the input changed between the
+    // count pass and the numbering pass (non-deterministic source, e.g. an
+    // unseeded sample) — positions would silently come out null; fail loudly
+    val offset = element_at(typedLit(offsets), col("_bucket"))
     withDraw
+      .withColumn("_rn", row_number().over(w))
       .withColumn("position",
-        element_at(typedLit(offsets), col("_bucket")) + row_number().over(w))
-      .drop("_draw", "_bucket")
+        when(offset.isNull, raise_error(concat(
+          lit("globalShuffle: draw bucket not seen by the offset pass "),
+          lit("(non-deterministic input?): "), col("_bucket"))))
+          .otherwise(offset + col("_rn")))
+      .drop("_draw", "_bucket", "_rn")
   }
 
   /** Deterministic shard id in [0, numShards): first 8 md5 hex digits of
