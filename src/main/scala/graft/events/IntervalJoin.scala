@@ -38,9 +38,9 @@ object IntervalJoin {
     require(binWidthSeconds > 0, s"binWidthSeconds must be positive, got $binWidthSeconds")
     require(maxBinsPerInterval > 0,
       s"maxBinsPerInterval must be positive, got $maxBinsPerInterval")
-    val reserved = "_bin"
-    Seq(points, intervals).foreach(df => require(!df.columns.contains(reserved),
-      s"pointInInterval uses a reserved '$reserved' column; inputs must not contain one"))
+    Seq("_bin", "_span").foreach(reserved =>
+      Seq(points, intervals).foreach(df => require(!df.columns.contains(reserved),
+        s"pointInInterval uses a reserved '$reserved' column; inputs must not contain one")))
 
     def bin(c: Column): Column = floor(unix_timestamp(c) / binWidthSeconds).cast("long")
 

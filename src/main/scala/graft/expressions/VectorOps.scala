@@ -387,6 +387,13 @@ object PqEncode {
     if (v.numElements() != m * subDim)
       throw new IllegalArgumentException(
         s"pq_encode: vector has ${v.numElements()} elements, codebooks expect ${m * subDim}")
+    var j = 0
+    while (j < m * subDim) {
+      if (v.isNullAt(j))
+        throw new IllegalArgumentException(
+          s"pq_encode: null element at position $j (vector elements must be non-null)")
+      j += 1
+    }
     val codes = new Array[Int](m)
     var s = 0
     while (s < m) {
@@ -479,6 +486,13 @@ object PqAdcScore {
     if (q.numElements() != m * subDim)
       throw new IllegalArgumentException(
         s"pq_adc_score: query has ${q.numElements()} elements, codebooks expect ${m * subDim}")
+    var j = 0
+    while (j < m * subDim) {
+      if (q.isNullAt(j))
+        throw new IllegalArgumentException(
+          s"pq_adc_score: null element at position $j (query elements must be non-null)")
+      j += 1
+    }
     var acc = 0.0
     var s = 0
     while (s < m) {
@@ -523,6 +537,15 @@ case class ArrayOuterFlat(child: Expression) extends UnaryExpression {
 object ArrayOuterFlat {
   def compute(v: ArrayData): ArrayData = {
     val d = v.numElements()
+    // fabricated zeros would silently skew the second moment (the ArrayAvgAgg /
+    // HyperplaneSignatures convention: never read a null slot as 0.0)
+    var j = 0
+    while (j < d) {
+      if (v.isNullAt(j))
+        throw new IllegalArgumentException(
+          s"array_outer_flat: null element at position $j (vector elements must be non-null)")
+      j += 1
+    }
     val out = new Array[Double](d * d)
     var i = 0
     while (i < d) {

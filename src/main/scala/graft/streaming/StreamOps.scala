@@ -152,15 +152,13 @@ object StreamOps {
       .parquet(corpusDir)
       .withColumn("shard",
         graft.textops.Curation.shardId(col(keyCol), numShards, salt))
-    withStatePartitions(spark, None) {
-      val q = stream.writeStream
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          batch.write.mode("append").partitionBy("shard").parquet(outPath)
-        }
-        .start()
-      try q.processAllAvailable()
-      finally q.stop()
-    }
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("append").partitionBy("shard").parquet(outPath)
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
     spark.read.parquet(outPath)
   }
 

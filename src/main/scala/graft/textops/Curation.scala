@@ -96,9 +96,13 @@ object Curation {
       salt: String): DataFrame = {
     require(alpha > 0, s"alpha must be positive, got $alpha")
     require(budgetRows > 0, s"budgetRows must be positive, got $budgetRows")
+    // a null stratum is unsampleable (the rate ladder's === never matches it), so
+    // its rows drop like every null-key draw here — and it must not inflate the
+    // weight total, nor NPE the driver sort below
     val counts = df.groupBy(stratum.cast("string").as("_stratum"))
       .agg(count(lit(1)).as("_n"))
       .collect()
+      .filterNot(_.isNullAt(0))
       .map(r => r.getString(0) -> r.getLong(1))
       .sortBy(_._1) // deterministic summation order for the weight total
     val totalW = counts.map { case (_, n) => math.pow(n.toDouble, alpha) }.sum
@@ -162,8 +166,12 @@ object Curation {
     val withDraw = df
       .withColumn("_draw", hashDraw(key, salt))
       .withColumn("_bucket", substring(col("_draw"), 1, 2))
-    val counts = withDraw.groupBy("_bucket").agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val rawCounts = withDraw.groupBy("_bucket").agg(count(lit(1)).as("n")).collect()
+    // a null key has no draw and no defined position; silently dropping rows from a
+    // SHUFFLE would corrupt the training order, so fail loudly instead
+    require(!rawCounts.exists(_.isNullAt(0)),
+      "globalShuffle: null key rows have no position — filter them out first")
+    val counts = rawCounts.map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
     if (counts.isEmpty)
       return df.withColumn("position", lit(0L)).filter(lit(false))
     val offsets = counts.map(_._1)

@@ -45,6 +45,9 @@ object Ivf {
     // that reuse the corpus persist their own projection)
     val full = corpus.select(col(idCol).as("id"),
       Similarity.normalized(col(vecCol).cast("array<double>")).as("v"))
+      // null / null-element vectors would NPE in the recenter collect — drop them
+      // up front (the ArrayAvgAgg convention, same guard as Pq.fit/Pca.fit)
+      .filter(col("v").isNotNull && !exists(col("v"), _.isNull))
     val n = full.count()
     val v =
       (if (n > 2 * trainSampleRows)

@@ -37,7 +37,12 @@ object Pca {
       trainSampleRows: Long = 100000L): Model = {
     require(r > 0, s"r must be positive, got $r")
     require(trainSampleRows > 0, s"trainSampleRows must be positive, got $trainSampleRows")
+    // one row population for BOTH aggregates: array_avg_agg drops null-element rows
+    // and array_outer_flat raises on them, so mean and second moment would otherwise
+    // disagree on which rows they saw — filter the malformed rows once, up front
+    // (same drop-null-vectors convention as ArrayAvgAgg)
     val full = corpus.select(col(vecCol).cast("array<double>").as("v"))
+      .filter(col("v").isNotNull && !exists(col("v"), _.isNull))
     val n = full.count()
     require(n > 1, s"pca fit needs at least 2 rows, got $n")
     val v =

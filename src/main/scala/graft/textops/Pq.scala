@@ -46,8 +46,12 @@ object Pq {
     require(ksub > 0, s"ksub must be positive, got $ksub")
     require(trainSampleRows > 0, s"trainSampleRows must be positive, got $trainSampleRows")
     val subDim = dim / m
+    // null / null-element vectors would surface as null group keys and driver NPEs
+    // deep in the recenter loop — drop them up front (the ArrayAvgAgg convention);
+    // pq_encode still raises on any that slip through a caller's own projection
     val full = corpus.select(col(idCol).as("id"),
       Similarity.normalized(col(vecCol).cast("array<double>")).as("v"))
+      .filter(col("v").isNotNull && !exists(col("v"), _.isNull))
     val n = full.count()
     val v =
       (if (n > 2 * trainSampleRows)

@@ -222,10 +222,13 @@ object ScaleSmoke {
         graft.textops.Pq.topK(vecs, queries, "vec_id", "embedding", 5, ivf, pq).count()
       }
       time("pca_fit_project", n) {
-        // aggregate a computed component: count() would prune the projection
+        // aggregate ALL computed components: count() (or summing just one) lets
+        // Catalyst prune the other dot products and under-times the projection
         val m = graft.textops.Pca.fit(vecs, "embedding", r = 4)
-        graft.textops.Pca.project(vecs, "embedding", m)
-          .agg(sum("pc_0")).collect().length.toLong
+        val p = graft.textops.Pca.project(vecs, "embedding", m)
+        p.agg(sum(col("pc_0") + col("pc_1") + col("pc_2") + col("pc_3")))
+          .collect()
+        n
       }
       vecs.unpersist()
       graft.util.Caching.releaseAll()
