@@ -584,6 +584,21 @@ object TextQueries {
       stagedStream(Seq(d, copies))(
         src => StreamOps.streamingSimhashDedup(s, src)).orderBy("lang")
     },
+    "stream_minhash_dedup" -> { (s, dir) =>
+      // ingest-time minhash near-dup detection against the growing persistent band
+      // index: batch 1 = exact copies, batch 2 = near-copies; the union of
+      // per-batch outputs must equal the batch-mode incremental run (same oracle)
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val b1 = d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      val b2 = d.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" xtradup token")).as("text"))
+      stagedStream(Seq(b1, b2))(src =>
+          StreamOps.streamingMinhashDedup(s, d, src, "doc_id", "text", 0.5))
+        .select(col("id_l"), col("id_r"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_l", "id_r")
+    },
     "stream_quality_filter" -> { (s, dir) =>
       // the curation expressions on the streaming code path: stateless score+filter,
       // then a tiny keyed aggregate
@@ -1061,6 +1076,12 @@ object TextQueries {
       jaccardPairSql(s"list_distinct(${shinglesSql("text")})", 0.5, corpusCte),
     "dedup_minhash_lsh" -> minhashSql,
     "dedup_minhash_incremental" ->
+      s"""WITH $minhashPairsCtes
+         |SELECT id_l, id_r, ROUND(jac, 6) AS jaccard
+         |FROM mh_pairs WHERE id_r >= 100000 ORDER BY id_l, id_r""".stripMargin,
+    // identical semantics to the incremental run: each pair resolves exactly once,
+    // in the later document's micro-batch, so the streamed union equals the batch run
+    "stream_minhash_dedup" ->
       s"""WITH $minhashPairsCtes
          |SELECT id_l, id_r, ROUND(jac, 6) AS jaccard
          |FROM mh_pairs WHERE id_r >= 100000 ORDER BY id_l, id_r""".stripMargin,

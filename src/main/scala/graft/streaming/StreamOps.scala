@@ -162,6 +162,63 @@ object StreamOps {
     spark.read.parquet(outPath)
   }
 
+  /** Streaming ingest-time MinHash near-dup detection against a GROWING persistent
+    * band index: the static corpus is indexed once
+    * ([[graft.textops.Dedup.writeMinhashIndex]]); every micro-batch probes the
+    * index-so-far ([[graft.textops.Dedup.incrementalMinhashPairsFromIndex]] — batch
+    * signature pass + collisions, never a corpus text scan), appends its verified
+    * pairs to the output, then appends its OWN bands and texts to the index — so
+    * near-dups arriving in different micro-batches are still caught, and the union
+    * of per-batch outputs equals the batch-mode incremental run over all incoming
+    * docs at once (each pair resolves exactly once, in the later doc's batch;
+    * pinned by spec and by the shared driver oracle).
+    *
+    * Delivery contract matches [[streamingShardedSink]]: layout idempotent, data
+    * at-least-once — production pairs this with a checkpoint + batchId-versioned
+    * appends or a downstream exact dedup on the pair key.
+    */
+  def streamingMinhashDedup(
+      spark: SparkSession,
+      corpus: DataFrame,
+      incomingDir: String,
+      idCol: String,
+      textCol: String,
+      threshold: Double): DataFrame = {
+    import graft.textops.Dedup
+    val work = graft.util.Scratch.deleteOnExit(
+      s"${System.getProperty("java.io.tmpdir")}/graft_stream_mhidx/${System.nanoTime()}")
+    val idxDir = s"$work/index"
+    val textsDir = s"$work/texts"
+    val pairsDir = s"$work/pairs"
+    val texts0 = corpus.select(col(idCol), col(textCol))
+    Dedup.writeMinhashIndex(texts0, idCol, textCol, idxDir)
+    texts0.write.mode("overwrite").parquet(textsDir)
+    // seed the output with an empty, correctly-typed frame so a pair-free stream
+    // still reads back a valid (id_l, id_r, jaccard) result
+    Dedup.incrementalMinhashPairs(texts0.limit(0), texts0.limit(0),
+        idCol, textCol, threshold)
+      .write.mode("overwrite").parquet(pairsDir)
+    val schema = spark.read.parquet(incomingDir).schema
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1) // near-dups must be caught across batches
+      .parquet(incomingDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.util.Caching.withCached {
+          Dedup.incrementalMinhashPairsFromIndex(idxDir,
+              spark.read.parquet(textsDir), batch, idCol, textCol, threshold)
+            .write.mode("append").parquet(pairsDir)
+        }
+        Dedup.writeMinhashIndex(batch.toDF(), idCol, textCol, idxDir, mode = "append")
+        batch.select(col(idCol), col(textCol)).write.mode("append").parquet(textsDir)
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.read.parquet(pairsDir)
+  }
+
   /** Streaming near-dup dedup: the stateless [[graft.expressions.SimHash64]]
     * expression runs unchanged on the stream, and `dropDuplicates(lang, signature)`
     * drops any later-arriving document whose distinct-token set hashes identically

@@ -349,9 +349,10 @@ object Dedup {
       path: String,
       k: Int = 8,
       bandSize: Int = 2,
-      shingleN: Int = 3): Unit =
+      shingleN: Int = 3,
+      mode: String = "overwrite"): Unit =
     minhashBands(minhashSignatures(corpus, idCol, textCol, k, shingleN), k, bandSize)
-      .write.mode("overwrite").parquet(path)
+      .write.mode(mode).parquet(path)
 
   /** [[incrementalMinhashPairs]] against a stored band index: identical output (the
     * signatures are deterministic), but the corpus side reads `(id, band, key)` rows

@@ -319,6 +319,47 @@ class TextOpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall")
   }
 
+  test("streaming minhash dedup equals the batch incremental run across micro-batches") {
+    import graft.streaming.StreamOps
+    val d = docs.select(col("doc_id"), col("text"))
+    val b1 = d.filter(col("doc_id") % 9 === 0)
+      .select((col("doc_id") + 5000).as("doc_id"), col("text"))
+    val b2 = d.filter(col("doc_id") % 9 === 0)
+      .select((col("doc_id") + 9000).as("doc_id"), concat(col("text"), lit(" t")).as("text"))
+    val incoming = b1.unionByName(b2)
+    val batchRun = Dedup.incrementalMinhashPairs(d, incoming, "doc_id", "text", 0.5)
+      .select("id_l", "id_r").as[(Long, Long)].collect().toSet
+    // stage the two batches as separate files; cross-batch pairs (b1 doc vs its b2
+    // near-copy) exist ONLY if the index grows at ingest — the property under test
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_mh_spec")
+    val target = tmp.resolve("in")
+    java.nio.file.Files.createDirectories(target)
+    try {
+      Seq(b1, b2).zipWithIndex.foreach { case (b, i) =>
+        val part = tmp.resolve(s"b$i")
+        b.coalesce(1).write.mode("overwrite").parquet(part.toString)
+        val listing = java.nio.file.Files.list(part)
+        val file =
+          try listing.filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+          finally listing.close()
+        java.nio.file.Files.copy(file, target.resolve(f"$i%04d.parquet"))
+      }
+      val streamed = StreamOps.streamingMinhashDedup(
+          spark, d, target.toString, "doc_id", "text", 0.5)
+        .select("id_l", "id_r").as[(Long, Long)].collect().toSet
+      assert(batchRun.nonEmpty)
+      // cross-batch pair present (b1 id 5000+x vs b2 id 9000+x share the text)
+      assert(streamed.exists { case (l, r) => l >= 5000 && l < 9000 && r >= 9000 },
+        "no cross-micro-batch pair found — the index did not grow at ingest")
+      assert(streamed === batchRun)
+    } finally {
+      spark.sqlContext.clearCache()
+      java.nio.file.Files.walk(tmp)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("stored minhash band index reproduces in-memory incremental pairs exactly") {
     val d = docs.select(col("doc_id"), col("text"))
     val incoming = d.filter(col("doc_id") % 9 === 0)
