@@ -88,7 +88,7 @@ object Pca {
     * converges quadratically — 20 sweeps is far past double precision for the
     * dashboard-sized matrices this sees.
     */
-  private[textops] def jacobiEigen(m: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+  private[graft] def jacobiEigen(m: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
     val d = m.length
     val a = m.map(_.clone)
     val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)

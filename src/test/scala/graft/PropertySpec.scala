@@ -179,4 +179,28 @@ class PropertySpec extends SparkSpec {
       }
     }, minOk = 10)
   }
+
+  test("jacobi eigensolver: V diag(λ) Vᵀ reconstructs M and V is orthonormal") {
+    val rnd = new scala.util.Random(23)
+    (1 to 20).foreach { trial =>
+      val d = 2 + rnd.nextInt(9) // 2..10
+      val half = Array.fill(d, d)(rnd.nextDouble() * 4 - 2)
+      val m = Array.tabulate(d, d)((i, j) => half(i)(j) + half(j)(i)) // symmetric
+      val (values, vectors) = graft.textops.Pca.jacobiEigen(m)
+      // reconstruction: Σ_k λ_k v_k v_kᵀ == M to double precision
+      var maxErr = 0.0
+      var maxOrtho = 0.0
+      for (i <- 0 until d; j <- 0 until d) {
+        val rec = (0 until d).map(k => values(k) * vectors(i)(k) * vectors(j)(k)).sum
+        maxErr = math.max(maxErr, math.abs(rec - m(i)(j)))
+        val dot = (0 until d).map(k => vectors(k)(i) * vectors(k)(j)).sum
+        maxOrtho = math.max(maxOrtho, math.abs(dot - (if (i == j) 1.0 else 0.0)))
+      }
+      assert(maxErr < 1e-9, s"trial $trial (d=$d): reconstruction error $maxErr")
+      assert(maxOrtho < 1e-9, s"trial $trial (d=$d): orthonormality error $maxOrtho")
+      // trace preserved: Σλ == tr(M)
+      val tr = (0 until d).map(i => m(i)(i)).sum
+      assert(math.abs(values.sum - tr) < 1e-9)
+    }
+  }
 }
