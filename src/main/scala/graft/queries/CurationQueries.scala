@@ -96,6 +96,15 @@ object CurationQueries {
         .select(col("position"), col("doc_id"), col("lang"))
         .orderBy("position")
     },
+    "curation_curriculum_order" -> { (s, dir) =>
+      // length curriculum: bucket by exact token-count quartiles (short → long),
+      // deterministic shuffle within buckets, dense bucket-major positions
+      Curation.curriculumOrder(
+          docs(s, dir).withColumn("n_tokens", TextOps.tokenCount(col("text"))),
+          col("doc_id"), col("n_tokens"), numBuckets = 4, salt = "cur1")
+        .select(col("position"), col("doc_id"), col("bucket"), col("n_tokens"))
+        .orderBy("position")
+    },
     "ep8_training_file" -> { (s, dir) =>
       // final pretraining-dataset assembly, one plan, fully oracle-checked:
       // temperature-mix the domains (n^0.5, 300-row budget) → deterministic global
@@ -432,6 +441,19 @@ object CurationQueries {
          |       doc_id, lang
          |FROM documents
          |ORDER BY position""".stripMargin,
+    "curation_curriculum_order" ->
+      s"""WITH s AS (SELECT doc_id, len(${toksSql("text")}) AS n_tokens FROM documents),
+         |b AS (SELECT quantile_cont(n_tokens, [0.25, 0.5, 0.75]) AS bs FROM s),
+         |bk AS (SELECT doc_id, n_tokens,
+         |         CASE WHEN n_tokens <= ROUND(bs[1], 6) THEN 0
+         |              WHEN n_tokens <= ROUND(bs[2], 6) THEN 1
+         |              WHEN n_tokens <= ROUND(bs[3], 6) THEN 2
+         |              ELSE 3 END AS bucket
+         |       FROM s, b)
+         |SELECT ROW_NUMBER() OVER (ORDER BY bucket, ${drawSql("cur1", "doc_id")},
+         |                          doc_id::VARCHAR) AS position,
+         |       doc_id, bucket, CAST(n_tokens AS INT) AS n_tokens
+         |FROM bk ORDER BY position""".stripMargin,
     "ep8_training_file" ->
       s"""WITH c AS (SELECT lang, COUNT(*)::DOUBLE AS n FROM documents GROUP BY lang),
          |r AS (SELECT lang,

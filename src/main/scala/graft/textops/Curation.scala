@@ -193,6 +193,70 @@ object Curation {
       .drop("_draw", "_bucket", "_rn")
   }
 
+  /** Curriculum training order: rows are bucketed by exact score percentiles
+    * (easy→hard curriculum, e.g. score = token count for the classic length
+    * curriculum), shuffled deterministically WITHIN each difficulty bucket, and
+    * numbered bucket-major — so a reader streaming positions 1..N sees difficulty
+    * rise while order inside a difficulty band stays unbiased.
+    *
+    * Scale shape mirrors [[globalShuffle]]: bucket boundaries come from one exact
+    * percentile aggregate (swap in `percentile_approx` past ~10⁹ rows — noted in
+    * SCALING.md), the (bucket, draw-prefix) offsets from one bounded count
+    * aggregate, and numbering runs in a window PARTITIONED by (bucket,
+    * draw-prefix) — never a single-partition global window.
+    */
+  def curriculumOrder(
+      df: DataFrame,
+      key: Column,
+      score: Column,
+      numBuckets: Int,
+      salt: String): DataFrame = {
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    Seq("position", "bucket", "_draw", "_sub", "_rn").foreach(c =>
+      require(!df.columns.contains(c),
+        s"curriculumOrder uses a reserved '$c' column; the input must not already contain one"))
+    // exact interior percentiles (the engine-portable aggregate ep5 pins against
+    // quantile_cont); boundary b_i closes bucket i: score <= b_i → bucket <= i
+    val probs = (1 until numBuckets).map(_.toDouble / numBuckets)
+    // boundaries rounded to 6 decimals on BOTH engines before the comparison —
+    // interpolated percentiles are the one floating step here, and an unrounded
+    // boundary that lands exactly on a score value would make bucket membership
+    // hinge on sub-ULP interpolation agreement
+    val boundaries: Seq[Double] =
+      if (probs.isEmpty) Seq.empty
+      else df.select(score.cast("double").as("_s"))
+        .agg(expr(s"percentile(_s, array(${probs.mkString(", ")}))").as("bs"))
+        .collect()(0).getSeq[Double](0)
+        .map(b => BigDecimal(b).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val bucket = boundaries.zipWithIndex.foldRight(lit(numBuckets - 1)) {
+      case ((b, i), acc) => when(score.cast("double") <= b, lit(i)).otherwise(acc)
+    }
+    val withDraw = df
+      .withColumn("bucket", bucket)
+      .withColumn("_draw", hashDraw(key, salt))
+      .withColumn("_sub", substring(col("_draw"), 1, 2))
+    val rawCounts = withDraw.groupBy("bucket", "_sub")
+      .agg(count(lit(1)).as("n")).collect()
+    require(!rawCounts.exists(r => r.isNullAt(0) || r.isNullAt(1)),
+      "curriculumOrder: null score or key rows have no position — filter them out first")
+    val counts = rawCounts.map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2))
+      .sortBy(_._1)
+    val offsets = counts.map(_._1)
+      .zip(counts.scanLeft(0L) { case (acc, (_, n)) => acc + n })
+      .map { case ((b, s), off) => s"$b|$s" -> off }
+      .toMap
+    if (offsets.isEmpty) return withDraw.drop("_draw", "_sub")
+      .withColumn("position", lit(0L)).filter(lit(false))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket", "_sub").orderBy(col("_draw"), key.cast("string"))
+    val offset = element_at(typedLit(offsets),
+      concat(col("bucket").cast("string"), lit("|"), col("_sub")))
+    withDraw
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("position", offset + col("_rn"))
+      .drop("_draw", "_sub", "_rn")
+  }
+
   /** Deterministic shard id in [0, numShards): first 8 md5 hex digits of
     * `salt:key`, parsed as an unsigned 32-bit value, mod `numShards` — engine-portable
     * (the DuckDB oracle reproduces it digit for digit) and stable across runs, so

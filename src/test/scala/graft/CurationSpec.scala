@@ -302,6 +302,32 @@ class CurationSpec extends SparkSpec {
     assert(a.values.toSet.size > 1) // actually spreads
   }
 
+  test("curriculum order: dense positions, non-decreasing difficulty, naive-window equality") {
+    val rnd = new scala.util.Random(29)
+    val df = (1 to 800).map(i => (i.toLong, rnd.nextInt(100)))
+      .toDF("id", "score").repartition(5)
+    val out = Curation.curriculumOrder(df, col("id"), col("score"), 4, "c")
+      .select("position", "id", "bucket", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq === (1L to 800L))
+    // bucket-major: difficulty bucket never decreases along the position axis,
+    // and every bucket's max score <= the next bucket's min score
+    assert(out.map(_._3).toSeq === out.map(_._3).sorted.toSeq)
+    val byBucket = out.groupBy(_._3).toSeq.sortBy(_._1).map(_._2.map(_._4))
+    byBucket.sliding(2).foreach {
+      case Seq(a, b) => assert(a.max <= b.min)
+      case _ =>
+    }
+    // equality with the naive (bucket, draw, key) total order, draw recomputed
+    // driver-side
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def draw(id: Long): String =
+      md.digest(s"c:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val expectedOrder = out.sortBy(t => (t._3, draw(t._2), t._2.toString)).map(_._2)
+    assert(out.sortBy(_._1).map(_._2).toSeq === expectedOrder.toSeq)
+  }
+
   test("interval join equals the naive range join; no nested loop; loud span guard") {
     import graft.events.IntervalJoin
     val rnd = new scala.util.Random(17)
