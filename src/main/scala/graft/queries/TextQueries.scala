@@ -584,6 +584,20 @@ object TextQueries {
       stagedStream(Seq(d, copies))(
         src => StreamOps.streamingSimhashDedup(s, src)).orderBy("lang")
     },
+    "stream_sharded_sink_versioned" -> { (s, dir) =>
+      // exactly-once sink: every micro-batch owns a batch=<id> partition it can
+      // overwrite on replay; the manifest must STILL equal the batch sink's
+      val d = docs(s, dir).select(col("doc_id"), col("text"), col("lang"))
+      val out = graft.util.Scratch.deleteOnExit(
+        s"${System.getProperty("java.io.tmpdir")}/graft_stream_shards_v/" +
+          s"${graft.util.Scratch.runToken}_${System.nanoTime()}") + "/documents"
+      stagedStream(Seq(d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1)))(
+        src => StreamOps.streamingShardedSinkVersioned(s, src, "doc_id", 8, out, "shard1")
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(TextOps.tokenCount(col("text"))).as("n_tokens")))
+        .orderBy("shard")
+    },
     "stream_minhash_dedup" -> { (s, dir) =>
       // ingest-time minhash near-dup detection against the growing persistent band
       // index: batch 1 = exact copies, batch 2 = near-copies; the union of
@@ -1258,6 +1272,18 @@ object TextQueries {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // identical to the batch curation_shard_manifest oracle — the streaming sink
     // must land the exact same deterministic layout the batch sink does
+    // versioned sink: identical manifest — the batch=<id> layout only changes WHERE
+    // rows land, never which rows exist
+    "stream_sharded_sink_versioned" -> {
+      val toks = toksSql("text")
+      """WITH s AS (
+        |  SELECT CAST(('0x' || substr(md5('shard1:' || doc_id::VARCHAR), 1, 8))::BIGINT
+        |           % 8 AS INT) AS shard, text
+        |  FROM documents)
+        |SELECT shard, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(""".stripMargin + toks + """)) AS BIGINT) AS n_tokens
+        |FROM s GROUP BY shard ORDER BY shard""".stripMargin
+    },
     "stream_sharded_sink" -> {
       val toks = toksSql("text")
       """WITH s AS (

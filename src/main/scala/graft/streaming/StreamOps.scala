@@ -162,6 +162,49 @@ object StreamOps {
     spark.read.parquet(outPath)
   }
 
+  /** Exactly-once variant of [[streamingShardedSink]]: each micro-batch writes its
+    * rows under its OWN `batch=<id>` partition with `mode("overwrite")`, so a
+    * re-delivered micro-batch (foreachBatch is at-least-once after a mid-append
+    * failure) REPLACES its previous attempt instead of duplicating rows —
+    * idempotent replay with no downstream dedup. Readers discover `(batch, shard)`
+    * partitions; shard-subset reads still prune on the `shard` directory level, and
+    * a compaction pass can later fold batch dirs into the plain layout.
+    */
+  def streamingShardedSinkVersioned(
+      spark: SparkSession,
+      corpusDir: String,
+      keyCol: String,
+      numShards: Int,
+      outPath: String,
+      salt: String): DataFrame = {
+    val schema = spark.read.parquet(corpusDir).schema
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(corpusDir)
+      .withColumn("shard",
+        graft.textops.Curation.shardId(col(keyCol), numShards, salt))
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        writeVersionedBatch(batch, batchId, outPath)
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.read.parquet(outPath)
+  }
+
+  /** One micro-batch's idempotent write: everything lands under `batch=<id>`,
+    * replacing any previous attempt for the same id. Exposed so the replay spec can
+    * re-deliver a batch exactly the way a foreachBatch retry would.
+    */
+  private[graft] def writeVersionedBatch(
+      batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      batchId: Long,
+      outPath: String): Unit =
+    batch.write.mode("overwrite").partitionBy("shard")
+      .parquet(s"$outPath/batch=$batchId")
+
   /** Streaming ingest-time MinHash near-dup detection against a GROWING persistent
     * band index: the static corpus is indexed once
     * ([[graft.textops.Dedup.writeMinhashIndex]]); every micro-batch probes the

@@ -607,6 +607,24 @@ class TextOpsSpec extends SparkSpec {
         .groupBy("shard").agg(count(lit(1)).as("n"), sum(length(col("text"))).as("len"))
         .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
       assert(streamManifest === batchManifest)
+
+      // versioned sink: same manifest, and REPLAYING a micro-batch (the at-least-
+      // once retry foreachBatch can deliver) must not change it — the batch
+      // overwrites its own batch=<id> dir instead of appending duplicates
+      val vOut = s"$tmp/stream_v"
+      def manifest() = spark.read.parquet(vOut)
+        .groupBy("shard").agg(count(lit(1)).as("n"), sum(length(col("text"))).as("len"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+      val vManifest = graft.streaming.StreamOps
+        .streamingShardedSinkVersioned(spark, streamSrc, "doc_id", 4, vOut, "s1")
+        .groupBy("shard").agg(count(lit(1)).as("n"), sum(length(col("text"))).as("len"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+      assert(vManifest === batchManifest)
+      val replayed = d.filter(col("doc_id") <= 100)
+        .withColumn("shard", graft.textops.Curation.shardId(col("doc_id"), 4, "s1"))
+      graft.streaming.StreamOps.writeVersionedBatch(replayed, 0L, vOut)
+      graft.streaming.StreamOps.writeVersionedBatch(replayed, 0L, vOut) // retry again
+      assert(manifest() === batchManifest, "replaying batch 0 must be idempotent")
     } finally {
       import java.nio.file.Path
       Files.walk(tmp).sorted(java.util.Comparator.reverseOrder[Path]())
