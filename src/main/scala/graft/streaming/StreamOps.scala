@@ -194,6 +194,20 @@ object StreamOps {
     spark.read.parquet(outPath)
   }
 
+  /** Fold a versioned sink's `batch=<id>` dirs into the plain sharded layout (the
+    * compaction pass the versioned sink's contract mentions): one read, one
+    * `partitionBy(shard)` write, `batch` dropped. Run it when replay protection for
+    * the covered batches is no longer needed (their offsets are committed).
+    */
+  def compactVersionedSink(
+      spark: SparkSession,
+      versionedPath: String,
+      outPath: String): DataFrame = {
+    spark.read.parquet(versionedPath).drop("batch")
+      .write.mode("overwrite").partitionBy("shard").parquet(outPath)
+    spark.read.parquet(outPath)
+  }
+
   /** One micro-batch's idempotent write: everything lands under `batch=<id>`,
     * replacing any previous attempt for the same id. Exposed so the replay spec can
     * re-deliver a batch exactly the way a foreachBatch retry would.

@@ -625,6 +625,14 @@ class TextOpsSpec extends SparkSpec {
       graft.streaming.StreamOps.writeVersionedBatch(replayed, 0L, vOut)
       graft.streaming.StreamOps.writeVersionedBatch(replayed, 0L, vOut) // retry again
       assert(manifest() === batchManifest, "replaying batch 0 must be idempotent")
+      // compaction folds the batch dirs into the plain layout, same manifest
+      val compacted = graft.streaming.StreamOps
+        .compactVersionedSink(spark, vOut, s"$tmp/compacted")
+      assert(!compacted.columns.contains("batch"))
+      assert(compacted
+        .groupBy("shard").agg(count(lit(1)).as("n"), sum(length(col("text"))).as("len"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+        === batchManifest)
     } finally {
       import java.nio.file.Path
       Files.walk(tmp).sorted(java.util.Comparator.reverseOrder[Path]())
