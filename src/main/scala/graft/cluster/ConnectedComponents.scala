@@ -119,6 +119,65 @@ object ConnectedComponents {
     Integer.compare(a.length - i, b.length - j)
   }
 
+  /** Incremental connected components: fold a batch of NEW edges into an existing
+    * `node → cluster_id` assignment without re-clustering the corpus (the day-2 shape
+    * of entity resolution: yesterday's clustering + today's predicted pairs).
+    *
+    * Exactness: because every cluster id is the lexicographic MINIMUM member id, the
+    * merged component's minimum equals the minimum over its constituent cluster ids
+    * and new node ids — so contracting each endpoint to its current cluster id,
+    * running CC over the contracted graph, and remapping reproduces exactly what a
+    * full [[run]] over (base edges ∪ new edges) would output.
+    *
+    * Scale design: the contracted graph is bounded by the NEW batch (≤ 2·|newEdges|
+    * nodes) regardless of corpus size, so the CC fixpoint cost is proportional to the
+    * day's delta, never the corpus; the corpus is touched by exactly one equi-join
+    * against the broadcast-size remap table (and the remap join only REWRITES rows
+    * whose cluster representative changed).
+    *
+    * @param base existing assignment, columns `node`, `cluster_id` (cluster_id = the
+    *        component's minimum node id, as [[run]]/[[assignClusters]] produce)
+    * @param newEdges new pair rows `src`, `dst`; endpoints absent from `base` are
+    *        treated as fresh singleton nodes
+    * @return updated `node → cluster_id` covering base nodes ∪ new-edge endpoints
+    */
+  def incremental(base: DataFrame, newEdges: DataFrame, maxIter: Int = 30,
+      localThreshold: Long = 500000L): DataFrame = {
+    val b = base.select(col("node").cast("string").as("node"),
+      col("cluster_id").cast("string").as("cluster_id"))
+    val e = newEdges.select(col("src").cast("string").as("src"),
+      col("dst").cast("string").as("dst"))
+    // contract: each endpoint collapses to its current cluster representative
+    // (itself when unseen); edges internal to one existing cluster vanish here
+    val bSrc = b.select(col("node").as("src"), col("cluster_id").as("c_src"))
+    val bDst = b.select(col("node").as("dst"), col("cluster_id").as("c_dst"))
+    val contracted = e
+      .join(bSrc, Seq("src"), "left")
+      .join(bDst, Seq("dst"), "left")
+      .select(coalesce(col("c_src"), col("src")).as("src"),
+        coalesce(col("c_dst"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    // CC over the contracted graph: work ∝ batch size, never corpus size
+    val remap = run(contracted, maxIter, localThreshold)
+    // remap is bounded by the batch's endpoints — broadcast it so the corpus-size
+    // base is never shuffled (at extreme batch sizes AQE would fall back to a
+    // shuffled hash join on the same plan shape)
+    val updatedBase = b
+      .join(broadcast(remap.select(col("node").as("cluster_id"),
+        col("cluster_id").as("_new_cid"))), Seq("cluster_id"), "left")
+      .select(col("node"), coalesce(col("_new_cid"), col("cluster_id")).as("cluster_id"))
+    // endpoints never seen before: assigned by the contracted CC, or themselves when
+    // their only edges collapsed (impossible for truly new nodes, kept for safety)
+    val newNodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .join(b.select("node"), Seq("node"), "left_anti")
+    val newAssigned = newNodes
+      .join(broadcast(remap), Seq("node"), "left")
+      .select(col("node"), coalesce(col("cluster_id"), col("node")).as("cluster_id"))
+    updatedBase.unionByName(newAssigned)
+  }
+
   /** Attaches records: adds `cluster_id` (own uid for singletons) — the reference's
     * output shape (input ∪ cluster_id, autolinker.py:133,195-196).
     */

@@ -96,6 +96,23 @@ object LinkageQueries {
         .select(col("uid"), col("cluster_id"))
         .orderBy("uid")
     },
+    "j7_incremental_cc" -> { (s, dir) =>
+      // day-2 clustering: the chain edges are split deterministically into a "base"
+      // set (clustered up front) and a "new batch" folded in INCREMENTALLY — the
+      // contracted-graph update must reproduce exactly the full-closure clustering,
+      // whose component minimum has the same closed form as j7 (restricted to nodes
+      // that appear on some edge, i.e. blocks of size ≥ 2)
+      val df = withUid(cust(s, dir))
+      val w = Window.partitionBy("c_nationkey", "c_mktsegment").orderBy("uid")
+      val edges = df
+        .withColumn("nxt", lead("uid", 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(col("uid").as("src"), col("nxt").as("dst"))
+      val isBase = substring(md5(concat_ws("|", col("src"), col("dst"))), 1, 1) < "c"
+      val base = ConnectedComponents.run(edges.filter(isBase))
+      ConnectedComponents.incremental(base, edges.filter(!isBase))
+        .orderBy("node")
+    },
     "j9_model_roundtrip" -> { (s, _) =>
       import s.implicits._
       val back = TrainedModel.fromJson(demoModel.toJson)
@@ -225,6 +242,13 @@ object LinkageQueries {
         |  MIN(CAST(c_custkey AS VARCHAR))
         |    OVER (PARTITION BY c_nationkey, c_mktsegment) AS cluster_id
         |FROM customer ORDER BY uid""".stripMargin,
+    "j7_incremental_cc" ->
+      """WITH m AS (SELECT CAST(c_custkey AS VARCHAR) AS node,
+        |  MIN(CAST(c_custkey AS VARCHAR))
+        |    OVER (PARTITION BY c_nationkey, c_mktsegment) AS cluster_id,
+        |  COUNT(*) OVER (PARTITION BY c_nationkey, c_mktsegment) AS n
+        |FROM customer)
+        |SELECT node, cluster_id FROM m WHERE n > 1 ORDER BY node""".stripMargin,
     "j9_model_roundtrip" -> {
       val m = demoModel
       val params = m.params.toSeq.sortBy(_._1).map { case (k, p) =>

@@ -76,6 +76,35 @@ class LinkageSpec extends SparkSpec {
     }
   }
 
+  test("incremental CC equals full-run CC on random edge splits") {
+    val rnd = new scala.util.Random(11)
+    (1 to 5).foreach { _ =>
+      val n = 40
+      val edges = (1 to 60).map(_ => (rnd.nextInt(n).toString, rnd.nextInt(n).toString))
+        .filter(e => e._1 != e._2).distinct
+      val (baseE, newE) = edges.partition(_ => rnd.nextBoolean())
+      val base = ConnectedComponents.run(baseE.toDF("src", "dst"))
+      val got = ConnectedComponents.incremental(base, newE.toDF("src", "dst"))
+        .as[(String, String)].collect().toMap
+      val full = ConnectedComponents.run(edges.toDF("src", "dst"))
+        .as[(String, String)].collect().toMap
+      assert(got === full)
+    }
+  }
+
+  test("incremental CC: internal edges are no-ops, new nodes merge clusters") {
+    // base: {1,2} and {3,4}; batch: an internal edge (no-op), a fresh pair, and a
+    // new node 0 bridging both base clusters — merged component min becomes "0"
+    val base = Seq(("1", "1"), ("2", "1"), ("3", "3"), ("4", "3"))
+      .toDF("node", "cluster_id")
+    val batch = Seq(("1", "2"), ("8", "9"), ("0", "2"), ("0", "4"))
+      .toDF("src", "dst")
+    val out = ConnectedComponents.incremental(base, batch)
+      .as[(String, String)].collect().toMap
+    assert(out === Map("0" -> "0", "1" -> "0", "2" -> "0", "3" -> "0", "4" -> "0",
+      "8" -> "8", "9" -> "8"))
+  }
+
   test("cluster assignment keeps singletons as their own id") {
     val records = Seq("1", "2", "3", "9").toDF("id")
     val edges = Seq(("1", "2")).toDF("src", "dst")
