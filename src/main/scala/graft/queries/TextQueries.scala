@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.util.Caching.CacheSyntax
@@ -395,6 +395,39 @@ object TextQueries {
         .select(col("vec_id"), round(col("pc_0"), 6).as("pc_0"),
           round(col("pc_1"), 6).as("pc_1"), round(col("pc_2"), 6).as("pc_2"),
           round(col("pc_3"), 6).as("pc_3"))
+        .orderBy("vec_id")
+    },
+    "sim_covariance" -> { (s, dir) =>
+      // the distributed core of PCA (the ONE mean + outer-product aggregation that
+      // fit() runs) made oracle-checkable: population covariance of the embedding
+      // corpus, upper triangle — only the eigensolve stays driver-side/rows-only
+      // + 0.0 collapses IEEE -0.0 to 0.0 (ROUND can yield signed zero on either
+      // engine and the driver compares string renderings)
+      Pca.covariance(emb(s, dir), "embedding")
+        .select(col("i"), col("j"), (round(col("cov"), 6) + lit(0.0)).as("cov"))
+        .orderBy("i", "j")
+    },
+    "sim_kmeans_assign" -> { (s, dir) =>
+      // the assignment step of SemDeDup/IVF (codegen'd NearestCentroid argmax-dot
+      // over normalized vectors) with FIXED centroids (vec_id < 8), so the full
+      // assignment is deterministic and DuckDB-checkable; centroids are a bounded
+      // k×dim driver collect, the same convention as IVF/PQ training
+      import s.implicits._
+      val e = emb(s, dir)
+      val cents = e.filter(col("vec_id") < 8).orderBy("vec_id")
+        .select(graft.functions.array_normalize(col("embedding").cast("array<double>")))
+        .as[Array[Double]].collect()
+      val v = graft.functions.array_normalize(col("embedding").cast("array<double>"))
+      // per-centroid cosine via sequential-fold HOF (same accumulation order as the
+      // oracle's list_inner_product); the emitted cosine is element_at of the chosen
+      // index so it is bit-identical to what the argmax saw
+      def cosTo(c: Array[Double]): Column = aggregate(
+        zip_with(v, typedLit(c.toSeq), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+      e.select(col("vec_id"),
+          graft.functions.nearest_centroid(v, cents).as("centroid_id"),
+          array(cents.map(cosTo).toIndexedSeq: _*).as("_cos"))
+        .select(col("vec_id"), col("centroid_id"),
+          round(element_at(col("_cos"), col("centroid_id") + 1), 6).as("cosine"))
         .orderBy("vec_id")
     },
     "ann_lsh_topk" -> { (s, dir) =>
@@ -1140,6 +1173,28 @@ object TextQueries {
         |u AS (SELECT group_id, unnest(range(len(v))) AS pos, unnest(v) AS x FROM e)
         |SELECT group_id, CAST(pos AS INT) AS pos, ROUND(AVG(x), 6) AS val
         |FROM u GROUP BY 1, 2 ORDER BY group_id, pos""".stripMargin,
+    "sim_covariance" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |x AS (SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS xi FROM e),
+        |m AS (SELECT i, AVG(xi) AS mu FROM x GROUP BY i),
+        |p AS (SELECT a.i AS i, b.i AS j, AVG(a.xi * b.xi) AS m2
+        |      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i GROUP BY a.i, b.i)
+        |SELECT CAST(p.i - 1 AS INT) AS i, CAST(p.j - 1 AS INT) AS j,
+        |  ROUND(m2 - mi.mu * mj.mu, 6) + 0.0 AS cov
+        |FROM p JOIN m mi ON mi.i = p.i JOIN m mj ON mj.i = p.j
+        |ORDER BY i, j""".stripMargin,
+    "sim_kmeans_assign" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS raw FROM embeddings),
+        |n AS (SELECT vec_id,
+        |        list_transform(raw, x -> x / sqrt(list_inner_product(raw, raw))) AS v
+        |      FROM e),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM n WHERE vec_id < 8),
+        |d AS (SELECT n.vec_id, c.cid, list_inner_product(n.v, c.cv) AS cos FROM n, c),
+        |r AS (SELECT vec_id, cid, cos,
+        |        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+        |      FROM d)
+        |SELECT vec_id, CAST(cid AS INT) AS centroid_id, ROUND(cos, 6) AS cosine
+        |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     "ann_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
         |scored AS (

@@ -37,12 +37,7 @@ object Pca {
       trainSampleRows: Long = 100000L): Model = {
     require(r > 0, s"r must be positive, got $r")
     require(trainSampleRows > 0, s"trainSampleRows must be positive, got $trainSampleRows")
-    // one row population for BOTH aggregates: array_avg_agg drops null-element rows
-    // and array_outer_flat raises on them, so mean and second moment would otherwise
-    // disagree on which rows they saw — filter the malformed rows once, up front
-    // (same drop-null-vectors convention as ArrayAvgAgg)
-    val full = corpus.select(col(vecCol).cast("array<double>").as("v"))
-      .filter(col("v").isNotNull && !exists(col("v"), _.isNull))
+    val full = cleanVectors(corpus, vecCol)
     val n = full.count()
     require(n > 1, s"pca fit needs at least 2 rows, got $n")
     val v =
@@ -50,10 +45,7 @@ object Pca {
         full.sample(withReplacement = false,
           math.min(1.0, 1.2 * trainSampleRows / n), seed)
       else full
-    val agg = v.agg(
-      graft.functions.array_avg_agg(col("v")).as("mean"),
-      graft.functions.array_avg_agg(graft.functions.array_outer_flat(col("v"))).as("m2"))
-      .collect()(0)
+    val agg = momentsPlan(v).collect()(0)
     val mean = agg.getSeq[Double](0).toArray
     val m2 = agg.getSeq[Double](1).toArray
     val d = mean.length
@@ -70,6 +62,42 @@ object Pca {
     }.toArray
     Model(mean, comps, order.map(values).toArray)
   }
+
+  /** One row population for BOTH aggregates: array_avg_agg drops null-element rows
+    * and array_outer_flat raises on them, so mean and second moment would otherwise
+    * disagree on which rows they saw — filter the malformed rows once, up front
+    * (same drop-null-vectors convention as ArrayAvgAgg).
+    */
+  private def cleanVectors(corpus: DataFrame, vecCol: String): DataFrame =
+    corpus.select(col(vecCol).cast("array<double>").as("v"))
+      .filter(col("v").isNotNull && !exists(col("v"), _.isNull))
+
+  /** The ONE distributed pass behind [[fit]] and [[covariance]]: mean vector and
+    * mean flattened outer product E[xxᵀ] in a single aggregation.
+    */
+  private def momentsPlan(rows: DataFrame): DataFrame =
+    rows.agg(
+      graft.functions.array_avg_agg(col("v")).as("mean"),
+      graft.functions.array_avg_agg(graft.functions.array_outer_flat(col("v"))).as("m2"))
+
+  /** Population covariance matrix of a vector column as a DataFrame — the distributed
+    * core of [[fit]] (identical single mean+outer-product aggregation, no sampling)
+    * exposed as a relational result: one row per upper-triangle entry `(i, j, cov)`
+    * with `cov = E[x_i·x_j] − μ_i·μ_j`. Everything after the aggregate explodes ONE
+    * d²-element row, so the post-aggregation cost is dim-bounded, not corpus-bounded.
+    */
+  def covariance(corpus: DataFrame, vecCol: String): DataFrame =
+    momentsPlan(cleanVectors(corpus, vecCol))
+      .select(col("mean"), size(col("mean")).as("dim"),
+        posexplode(col("m2")).as(Seq("idx", "m2v")))
+      .select(expr("idx div dim").cast("int").as("i"),
+        (col("idx") % col("dim")).cast("int").as("j"),
+        col("mean"), col("m2v"))
+      .filter(col("i") <= col("j"))
+      .select(col("i"), col("j"),
+        (col("m2v") -
+          element_at(col("mean"), col("i") + 1) *
+          element_at(col("mean"), col("j") + 1)).as("cov"))
 
   /** Project onto the fitted components: adds `pc_0..pc_{r-1}` columns, each one
     * codegen'd dot product minus a precomputed constant — no per-row centering.

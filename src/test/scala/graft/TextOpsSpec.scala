@@ -514,6 +514,20 @@ class TextOpsSpec extends SparkSpec {
     assert(again.components(0).toSeq === m64.components(0).toSeq)
   }
 
+  test("covariance DataFrame matches the hand-computed 2-D fixture") {
+    import graft.textops.Pca
+    // same fixture as the PCA test: E[xxᵀ] = [[10, 5], [5, 2.5]], mean (0,0)
+    val tiny = Seq(
+      Seq(2.0, 1.0), Seq(-2.0, -1.0), Seq(4.0, 2.0), Seq(-4.0, -2.0)
+    ).toDF("v")
+    val got = Pca.covariance(tiny, "v")
+      .as[(Int, Int, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(got.keySet === Set((0, 0), (0, 1), (1, 1)))
+    assert(math.abs(got((0, 0)) - 10.0) < 1e-12)
+    assert(math.abs(got((0, 1)) - 5.0) < 1e-12)
+    assert(math.abs(got((1, 1)) - 2.5) < 1e-12)
+  }
+
   test("multimodal metadata is deterministic and batch-extracted") {
     val d = docs.withColumn("payload", col("text").cast("binary")).limit(50)
     val out = Multimodal.extractMeta(d, "doc_id", "payload").collect()
