@@ -350,6 +350,44 @@ object CurationQueries {
           sum(when(col("passes"), 1L).otherwise(0L)).as("n_gopher_pass"))
         .orderBy("lang")
     },
+    "ep5_data_card_cube" -> { (s, dir) =>
+      // the data card with margins: one GROUPING SETS aggregation produces the
+      // (lang, source) cells plus lang-, source-, and corpus-level rollups in a
+      // single shuffle — the release-report shape that would otherwise take four
+      // scans; null grouping keys are folded to the 'ALL' sentinel on both engines
+      // quality is summed as an exact scaled integer (round-6 × 1e6) and the mean
+      // reported as the floored scaled integer: a plain AVG of doubles drifts by
+      // summation order across engines, and even an exact integer sum followed by
+      // one double division hits true decimal .5 ties where Spark (HALF_UP on the
+      // shortest decimal) and DuckDB (nearest binary double) MUST disagree —
+      // integer division has no FP anywhere and no ties
+      val scored = docs(s, dir).select(col("lang"), col("source"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        round(round(TextOps.qualityScore(col("text")), 6) * lit(1000000.0))
+          .cast("long").as("q6"),
+        md5(col("text")).as("h"))
+      scored.groupingSets(
+          Seq(Seq(col("lang"), col("source")), Seq(col("lang")),
+            Seq(col("source")), Seq.empty),
+          col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct(col("h")).as("n_unique"),
+          sum("n_tokens").as("n_tokens"),
+          expr("sum(q6) div count(1)").cast("long").as("mean_quality_e6"))
+        .select(coalesce(col("lang"), lit("ALL")).as("lang"),
+          coalesce(col("source"), lit("ALL")).as("source"),
+          col("n_docs"), col("n_unique"), col("n_tokens"), col("mean_quality_e6"))
+        .orderBy("lang", "source")
+    },
+    "curation_blocklist" -> { (s, dir) =>
+      // C4/UT1-style blocklist filtering: source list + bad-word list as codegen
+      // IN-set flags evaluated at scan speed — no join, no shuffle
+      Curation.blocklistFlags(docs(s, dir), "text", "source",
+          blockedSources = Seq("src3", "src7"), blockedWords = Seq("slow", "dup"))
+        .select(col("doc_id"), col("source_blocked"),
+          col("blocked_word_count"), col("kept"))
+        .orderBy("doc_id")
+    },
     "curation_pii_redact" -> { (s, dir) =>
       // plant deterministic emails + an IPv4 per doc (the corpus itself has none),
       // then count and redact them in one codegen'd regex scan
@@ -777,6 +815,29 @@ object CurationQueries {
          |  ROUND(quantile_cont(n_tokens, 0.5), 6) AS median_tokens,
          |  CAST(SUM(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_pass
          |FROM c GROUP BY lang ORDER BY lang""".stripMargin
+    },
+    "ep5_data_card_cube" -> {
+      val toks = toksSql("text")
+      s"""WITH c AS (SELECT lang, source, len($toks) AS n_tokens,
+         |  CAST(ROUND(${TextQueries.qualityExprSql} * 1000000.0) AS BIGINT) AS q6,
+         |  md5(text) AS h FROM documents)
+         |SELECT COALESCE(lang, 'ALL') AS lang, COALESCE(source, 'ALL') AS source,
+         |  COUNT(*) AS n_docs, COUNT(DISTINCT h) AS n_unique,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(CAST(SUM(q6) AS BIGINT) // COUNT(*) AS BIGINT) AS mean_quality_e6
+         |FROM c GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
+         |ORDER BY lang, source""".stripMargin
+    },
+    "curation_blocklist" -> {
+      val toks = toksSql("text")
+      s"""WITH t AS (SELECT doc_id, source, $toks AS toks FROM documents)
+         |SELECT doc_id,
+         |  source IN ('src3', 'src7') AS source_blocked,
+         |  CAST(len(list_filter(toks, t -> lower(t) IN ('slow', 'dup'))) AS BIGINT)
+         |    AS blocked_word_count,
+         |  (NOT source IN ('src3', 'src7'))
+         |    AND len(list_filter(toks, t -> lower(t) IN ('slow', 'dup'))) = 0 AS kept
+         |FROM t ORDER BY doc_id""".stripMargin
     },
     "curation_pii_redact" -> {
       val email = Curation.EmailPattern

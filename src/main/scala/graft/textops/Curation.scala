@@ -846,4 +846,36 @@ object Curation {
   def emailCount(text: Column): Column = regexp_count(text, lit(EmailPattern))
 
   def ipv4Count(text: Column): Column = regexp_count(text, lit(Ipv4Pattern))
+
+  /** C4-style blocklist flags: a document is dropped when its source/domain is on the
+    * blocked-source list or its (lowercased, whitespace) token stream contains any
+    * blocked word. Adds `source_blocked`, `blocked_word_count`, and the surviving
+    * `kept` flag.
+    *
+    * Scale design: both lists ride the plan as literal IN-sets evaluated by codegen'd
+    * expressions at scan speed — no join, no shuffle. This is the right shape for the
+    * published blocklists (UT1 ~couple-thousand domains, C4's word list ~400 entries);
+    * a blocklist too large for plan literals should instead become a broadcast
+    * semi-join on the source key, same output contract.
+    */
+  def blocklistFlags(
+      df: DataFrame,
+      textCol: String,
+      sourceCol: String,
+      blockedSources: Seq[String],
+      blockedWords: Seq[String]): DataFrame = {
+    require(blockedSources.nonEmpty || blockedWords.nonEmpty,
+      "blocklistFlags needs at least one blocked source or word")
+    val words = typedLit(blockedWords.map(_.toLowerCase))
+    val blockedCount =
+      if (blockedWords.isEmpty) lit(0L)
+      else size(filter(TextOps.tokens(col(textCol)),
+        t => array_contains(words, lower(t)))).cast("long")
+    val srcBlocked =
+      if (blockedSources.isEmpty) lit(false)
+      else col(sourceCol).isInCollection(blockedSources)
+    df.withColumn("source_blocked", srcBlocked)
+      .withColumn("blocked_word_count", blockedCount)
+      .withColumn("kept", !col("source_blocked") && col("blocked_word_count") === 0)
+  }
 }

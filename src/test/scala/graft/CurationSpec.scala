@@ -548,6 +548,29 @@ class CurationSpec extends SparkSpec {
     assert(!plan.contains("row_number"), "approx path must not rank")
   }
 
+  test("blocklistFlags drops blocked sources and bad-word hits, case-insensitively") {
+    val df = Seq(
+      (1L, "clean text here", "good"),
+      (2L, "has a BadWord inside", "good"),
+      (3L, "clean again", "spamhost"),
+      (4L, "badword badword ok", "spamhost")
+    ).toDF("doc_id", "text", "source")
+    val out = Curation.blocklistFlags(df, "text", "source",
+        blockedSources = Seq("spamhost"), blockedWords = Seq("BADWORD"))
+      .select("doc_id", "source_blocked", "blocked_word_count", "kept")
+      .as[(Long, Boolean, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, false, 0L, true)))
+    assert(out(2L) === ((2L, false, 1L, false)))
+    assert(out(3L) === ((3L, true, 0L, false)))
+    assert(out(4L) === ((4L, true, 2L, false)))
+    // partial-word occurrences must NOT match (token-level, not substring)
+    val part = Curation.blocklistFlags(
+        Seq((9L, "notbadwordhere", "good")).toDF("doc_id", "text", "source"),
+        "text", "source", Seq.empty, Seq("badword"))
+      .select("kept").as[Boolean].collect()
+    assert(part === Array(true))
+  }
+
   test("redactPii masks emails and IPv4s and counts them") {
     val out = Seq("write a.user+tag@sub.example.co.uk from 192.168.0.1 or 8.8.8.8 v1.2 x")
       .toDF("t")
