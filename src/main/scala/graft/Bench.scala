@@ -62,8 +62,10 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // the driver's stdout capture has truncated mid-JSON before, losing per-query
-    // timings from the round record — always ALSO write the full map to a file
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_full.json")
+    // timings from the round record — always ALSO write the full map to a file.
+    // The default lives at the repo root (NOT under the gitignored target/) so the
+    // end-of-round auto-commit preserves it with the round.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     try {
       val p = java.nio.file.Paths.get(outPath)
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)

@@ -108,11 +108,18 @@ object Dedup {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
     val l = prefixes.select(
-      (Seq(col("id").as("id_l"), col("tok")) ++ keys.map(col)): _*)
+      (Seq(col("id").as("id_l"), col("sz").as("sz_l"), col("tok")) ++ keys.map(col)): _*)
     val r = prefixes.select(
-      (Seq(col("id").as("id_r"), col("tok")) ++ keys.map(col)): _*)
+      (Seq(col("id").as("id_r"), col("sz").as("sz_r"), col("tok")) ++ keys.map(col)): _*)
+    // PPJoin length filter: J ≥ t forces min(|A|,|B|) ≥ t·max(|A|,|B|) (since
+    // J ≤ min/max), so size-incompatible collisions die at the candidate join —
+    // before the distinct and the two verify joins. Necessary condition only,
+    // loosened by a small epsilon so float t·sz can never exclude an exact-boundary
+    // pair (same convention as jaccardAtLeast).
     val cands = l.join(r, keys :+ "tok")
-      .filter(col("id_l") < col("id_r"))
+      .filter(col("id_l") < col("id_r") &&
+        col("sz_r") >= lit(threshold) * col("sz_l") - lit(1e-7) &&
+        col("sz_l") >= lit(threshold) * col("sz_r") - lit(1e-7))
       .select("id_l", "id_r").distinct()
     cands
       .join(prepped.select(col("id").as("id_l"), col("toks").as("toks_l"),
