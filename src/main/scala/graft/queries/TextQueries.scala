@@ -374,6 +374,26 @@ object TextQueries {
           col("bm25"), col("n_terms"))
         .orderBy("query_id", "rank")
     },
+    "ep9_hybrid_retrieval" -> { (s, dir) =>
+      // hybrid similar-document search: a lexical BM25 ranking (the query is the
+      // document's own text — "more like this") and an embedding cosine ranking are
+      // combined by reciprocal-rank fusion over their bounded top-20 lists; the two
+      // retrievers legitimately cover different candidate pools (all docs vs the
+      // embedded subset) — fusing heterogeneous coverage is what RRF is for
+      val d = docs(s, dir)
+      val lexQ = d.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("query_id"), col("text").as("qtext"))
+      val lex = Similarity.bm25TopK(d, "doc_id", "text", lexQ, 20)
+        .select(col("query_id"), col("doc_id").as("id"), col("rank"))
+      val e = emb(s, dir)
+      val sem = Similarity
+        .bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 20)
+        .select(col("query_id"), col("id"), col("rank"))
+      Similarity.rrfFuse(Seq(lex, sem), 5)
+        .select(col("query_id"), col("rank"), col("id"),
+          round(col("rrf"), 6).as("rrf"))
+        .orderBy("query_id", "rank")
+    },
     "sim_mean_pool" -> { (s, dir) =>
       // embedding mean-pooling (chunk→doc) via the native ArrayAvgAgg buffer
       // aggregate — one (sum, count) buffer per group, never a position explode;
@@ -858,15 +878,20 @@ object TextQueries {
     * Constants mirror [[graft.textops.Similarity.bm25TopK]] defaults
     * (k1 = 1.2, b = 0.75 → k1+1 = 2.2, 1−b = 0.25).
     */
-  private def bm25Sql(pre: String, k: Int, idSelect: String): String = {
+  /** The BM25 CTE chain up to the ranked table `rk` — shared by the standalone
+    * retrieval oracles and the hybrid-fusion oracle. `qcte` supplies the query
+    * table `q(query_id, qtext)` (defaults to the BM25Queries fixture).
+    */
+  private def bm25Ctes(pre: String, qcte: Option[String] = None): String = {
     val qvals = BM25Queries.map { case (qid, qt) => s"($qid, '$qt')" }.mkString(", ")
-    s"""WITH $pre,
+    val q = qcte.getOrElse(s"q(query_id, qtext) AS (VALUES $qvals)")
+    s"""$pre,
        |t AS (SELECT bid, unnest(${toksSql("btext")}) AS token FROM bmcorpus),
        |tf AS (SELECT bid, token, COUNT(*) AS tf FROM t GROUP BY 1, 2),
        |dl AS (SELECT bid, SUM(tf) AS dl FROM tf GROUP BY 1),
        |dfq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
        |st AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
-       |q(query_id, qtext) AS (VALUES $qvals),
+       |$q,
        |qt AS (SELECT query_id, unnest(list_distinct(${toksSql("qtext")})) AS token FROM q),
        |qi AS (SELECT query_id, qt.token,
        |         LN(1.0 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)) AS idf
@@ -877,10 +902,13 @@ object TextQueries {
        |sc AS (SELECT query_id, bid, ROUND(SUM(c), 6) AS bm25, COUNT(*) AS n_terms
        |       FROM co GROUP BY 1, 2),
        |rk AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-       |         ORDER BY bm25 DESC, bid) AS INT) AS rank FROM sc)
+       |         ORDER BY bm25 DESC, bid) AS INT) AS rank FROM sc)""".stripMargin
+  }
+
+  private def bm25Sql(pre: String, k: Int, idSelect: String): String =
+    s"""WITH ${bm25Ctes(pre)}
        |SELECT query_id, rank, $idSelect, bm25, n_terms FROM rk
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
-  }
 
   /** `shinglesSql` for arbitrary n — one rendered expression per call site. */
   private[queries] def shinglesSqlN(textExpr: String, n: Int) = {
@@ -1173,6 +1201,26 @@ object TextQueries {
         |u AS (SELECT group_id, unnest(range(len(v))) AS pos, unnest(v) AS x FROM e)
         |SELECT group_id, CAST(pos AS INT) AS pos, ROUND(AVG(x), 6) AS val
         |FROM u GROUP BY 1, 2 ORDER BY group_id, pos""".stripMargin,
+    "ep9_hybrid_retrieval" -> {
+      val lexCtes = bm25Ctes(
+        "bmcorpus AS (SELECT doc_id AS bid, text AS btext FROM documents)",
+        Some("q AS (SELECT doc_id AS query_id, text AS qtext FROM documents WHERE doc_id < 10)"))
+      s"""WITH $lexCtes,
+         |eq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         |ssc AS (SELECT eq.query_id, e.vec_id AS id,
+         |          ROUND(list_cosine_similarity(e.embedding::DOUBLE[], eq.qv::DOUBLE[]), 6) AS cosine
+         |        FROM embeddings e, eq WHERE e.vec_id <> eq.query_id),
+         |srk AS (SELECT query_id, id, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |          ORDER BY cosine DESC, id) AS INT) AS rank FROM ssc),
+         |u AS (SELECT query_id, bid AS id, rank FROM rk WHERE rank <= 20
+         |      UNION ALL
+         |      SELECT query_id, id, rank FROM srk WHERE rank <= 20),
+         |f AS (SELECT query_id, id, SUM(1.0 / (60 + rank)) AS rrf FROM u GROUP BY 1, 2),
+         |fr AS (SELECT query_id, id, rrf, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |         ORDER BY rrf DESC, id) AS INT) AS rank FROM f)
+         |SELECT query_id, rank, id, ROUND(rrf, 6) AS rrf FROM fr
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
     "sim_covariance" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |x AS (SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS xi FROM e),

@@ -133,6 +133,35 @@ object Similarity {
     *
     * Returns (query_id, rank, doc_id, bm25, n_terms) with rank ≤ k per query.
     */
+  /** Reciprocal-rank fusion (Cormack et al.): combine per-query rankings from
+    * heterogeneous retrievers (lexical BM25, embedding ANN, …) by
+    * `score(d) = Σ_r 1/(rrfK + rank_r(d))`, keeping the top `topK` per query —
+    * deterministic ties broken by id.
+    *
+    * Scale design: inputs are already top-k-bounded per query, so the union, the
+    * (query_id, id) hash aggregate, and the per-query rank window all run on
+    * O(queries · Σkᵢ) rows — never corpus-sized. With ≤ 2 rankings the per-doc sum
+    * adds at most two doubles (commutative, so engine/partition order cannot change
+    * the result bit); for more rankings the usual round-6 comparison convention
+    * applies.
+    *
+    * @param rankings each with columns `query_id`, `id`, `rank` (1-based)
+    */
+  def rrfFuse(rankings: Seq[DataFrame], topK: Int, rrfK: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(topK > 0, s"topK must be positive, got $topK")
+    require(rrfK >= 0, s"rrfK must be non-negative, got $rrfK")
+    val unioned = rankings
+      .map(_.select(col("query_id"), col("id"), col("rank")))
+      .reduce(_ unionByName _)
+    val scored = unioned.groupBy("query_id", "id")
+      .agg(sum(lit(1.0) / (lit(rrfK) + col("rank"))).as("rrf"))
+    val w = Window.partitionBy("query_id").orderBy(desc("rrf"), asc("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("query_id", "rank", "id", "rrf")
+  }
+
   def bm25TopK(
       corpus: DataFrame,
       idCol: String,
