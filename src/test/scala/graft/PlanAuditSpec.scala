@@ -10,8 +10,12 @@ class PlanAuditSpec extends SparkSpec {
   /** Nested-loop joins with a BOUNDED broadcast side, by design:
     * - ann_cosine_topk: brute-force baseline broadcasts the (small, caller-bounded)
     *   query set against the corpus — there is no equi-key in exact top-k.
+    * - ep9_hybrid_retrieval: its semantic arm is the SAME bounded brute-force
+    *   broadcast (10 query vectors against the embedded corpus); the exact-cosine
+    *   ranking is what the full DuckDB oracle replicates. The scale path swaps in
+    *   lshTopK/Ivf.topKFromIndex, which plan equi-joins.
     */
-  private val boundedNestedLoop = Set("ann_cosine_topk")
+  private val boundedNestedLoop = Set("ann_cosine_topk", "ep9_hybrid_retrieval")
 
   test("no query plans a cartesian; nested-loop joins only where a side is bounded") {
     val dir = "/root/testdata/sf0.001"
