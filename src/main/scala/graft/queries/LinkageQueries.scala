@@ -75,6 +75,26 @@ object LinkageQueries {
     "j3_prior" -> { (s, dir) =>
       cust(s, dir).agg(round(lit(1.0) / count(lit(1)), 9).as("prior_lambda"))
     },
+    "j5_em_one_iter" -> { (s, dir) =>
+      import s.implicits._
+      // ONE exact EM iteration (tol=0, maxIter=1) with pinned λ0/u0: the E-step
+      // responsibilities and the count-weighted M-step refit are closed-form given
+      // the gamma patterns, so THIS update is DuckDB-oracle-checked cell-exactly —
+      // the converged j5_em_train (iteration count data-dependent) stays rows-only.
+      val df = withUid(cust(s, dir))
+        .withColumn("c_mktsegment", nullif(col("c_mktsegment"), lit("BUILDING")))
+      val (l1, m1, u1) = Estimation.emTrain(df, "uid", demoSpecs,
+        BlockingRule.parse("l.c_nationkey = r.c_nationkey"),
+        u = emU0, initialLambda = emLambda0, tol = 0.0, maxIter = 1)
+      val rows = ("lambda", "", -1, r6(l1)) +:
+        demoSpecs.flatMap { sp =>
+          (0 until sp.numLevels).flatMap(g => Seq(
+            ("m", sp.column, g, r6(m1(sp.column)(g))),
+            ("u", sp.column, g, r6(u1(sp.column)(g)))))
+        }
+      rows.toDF("param", "column", "gamma", "value")
+        .orderBy("param", "column", "gamma")
+    },
     "j6_predict" -> { (s, dir) =>
       val df = withUid(cust(s, dir))
       val scored = FellegiSunter.predict(df, "uid", demoModel)
@@ -123,6 +143,14 @@ object LinkageQueries {
         }.mkString("|")))
         .toDF("lambda", "columns", "rules", "params")
     })
+
+  // fixed EM-iteration inputs shared by the j5_em_one_iter query and its oracle
+  private val emLambda0 = 0.25
+  private val emU0: Map[String, Array[Double]] =
+    demoSpecs.map(sp => sp.column -> demoParams(sp.column).u).toMap
+
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -182,6 +210,62 @@ object LinkageQueries {
        |)""".stripMargin
   }
 
+  /** One EM iteration in SQL, mirroring `Estimation.emOverPatterns` exactly: the
+    * gamma ladders, the left-to-right E-step products (λ0·∏DefaultM[γ] over
+    * (1−λ0)·∏u0[γ], null gammas contributing factor 1), the pattern-count-weighted
+    * M-step sums, and the 1e-9 floors. Literals are rendered from the same Scala
+    * doubles the driver loop multiplies.
+    */
+  private val emOneIterSql: String = {
+    val specs = demoSpecs.zipWithIndex
+    val gammas = specs.map { case (sp, i) =>
+      s"(${gammaSql(sp.column, sp).replace('\n', ' ')}) AS g$i" }.mkString(",\n    ")
+    def ladder(a: String, arr: Array[Double]) =
+      s"(CASE $a " + arr.indices.map(i => s"WHEN $i THEN ${d(arr(i))}").mkString(" ") +
+        " ELSE 1.0 END)"
+    val num = (d(emLambda0) +: specs.map { case (_, i) =>
+      ladder(s"g$i", Estimation.DefaultM) }).mkString(" * ")
+    val den = (s"(1.0 - ${d(emLambda0)})" +: specs.map { case (sp, i) =>
+      ladder(s"g$i", emU0(sp.column)) }).mkString(" * ")
+    val sumCols = specs.flatMap { case (sp, i) =>
+      (0 until sp.numLevels).flatMap(g => Seq(
+        s"SUM(CASE WHEN g$i = $g THEN cnt * w ELSE 0.0 END) AS m_${i}_$g",
+        s"SUM(CASE WHEN g$i = $g THEN cnt * (1.0 - w) ELSE 0.0 END) AS u_${i}_$g"))
+    }.mkString(",\n    ")
+    val paramRows = specs.flatMap { case (sp, i) =>
+      Seq("m", "u").flatMap { p =>
+        val tot = (0 until sp.numLevels).map(g => s"${p}_${i}_$g").mkString(" + ")
+        (0 until sp.numLevels).map { g =>
+          s"SELECT '$p', '${sp.column}', $g, " +
+            s"ROUND(GREATEST(${p}_${i}_$g / GREATEST($tot, 1e-9), 1e-9), 6) FROM s"
+        }
+      }
+    }.mkString("\nUNION ALL ")
+    s"""WITH b AS (
+       |  SELECT CAST(c_custkey AS VARCHAR) AS uid, c_name,
+       |         NULLIF(c_mktsegment, 'BUILDING') AS c_mktsegment, c_nationkey
+       |  FROM customer
+       |), pairs AS (
+       |  SELECT
+       |    $gammas
+       |  FROM b l JOIN b r ON l.c_nationkey = r.c_nationkey AND l.uid < r.uid
+       |), pat AS (
+       |  SELECT g0, g1, COUNT(*)::DOUBLE AS cnt FROM pairs GROUP BY g0, g1
+       |), ew AS (
+       |  SELECT g0, g1, cnt, ($num) AS num, ($den) AS den FROM pat
+       |), w AS (
+       |  SELECT g0, g1, cnt, num / (num + den) AS w FROM ew
+       |), s AS (
+       |  SELECT SUM(cnt) AS total, SUM(cnt * w) AS sumw,
+       |    $sumCols
+       |  FROM w
+       |)
+       |SELECT 'lambda' AS param, '' AS "column", -1 AS gamma,
+       |  ROUND(LEAST(GREATEST(sumw / total, 1e-9), 1.0 - 1e-9), 6) AS value FROM s
+       |UNION ALL $paramRows
+       |ORDER BY param, "column", gamma""".stripMargin
+  }
+
   private val predictSql: String =
     s"""$predictPairsCte
        |SELECT uid_l, uid_r, ROUND(mw, 6) AS match_weight,
@@ -236,6 +320,7 @@ object LinkageQueries {
          |ORDER BY uid_l, uid_r""".stripMargin
     },
     "j3_prior" -> "SELECT ROUND(1.0 / COUNT(*), 9) AS prior_lambda FROM customer",
+    "j5_em_one_iter" -> emOneIterSql,
     "j6_predict" -> predictSql,
     "j7_connected_components" ->
       """SELECT CAST(c_custkey AS VARCHAR) AS uid,
