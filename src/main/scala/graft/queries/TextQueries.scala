@@ -348,6 +348,13 @@ object TextQueries {
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
         .orderBy("query_id", "rank")
     },
+    "ann_sq_topk" -> { (s, dir) =>
+      // int8 scalar-quantized ANN: closed-form encode + integer ADC shortlist +
+      // exact re-rank — fully deterministic, hence the ANN family's full oracle
+      val e = emb(s, dir)
+      Similarity.sqTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+        .orderBy("query_id", "rank")
+    },
     "text_bm25_topk" -> { (s, dir) =>
       // lexical retrieval: Okapi BM25 over the relational inverted index
       import s.implicits._
@@ -1252,6 +1259,33 @@ object TextQueries {
         |), ranked AS (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, id) AS rank
         |  FROM scored
+        |)
+        |SELECT query_id, rank, id, cosine FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    "ann_sq_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS raw FROM embeddings),
+        |n AS (SELECT vec_id,
+        |        list_transform(raw, x -> x / sqrt(list_inner_product(raw, raw))) AS v
+        |      FROM e),
+        |s AS (SELECT greatest(max(list_max(list_transform(v, x -> abs(x)))), 1e-12) AS scale
+        |      FROM n),
+        |c AS (SELECT vec_id, v,
+        |        list_transform(v, x -> round(x / s.scale * 127)) AS codes
+        |      FROM n, s),
+        |q AS (SELECT vec_id AS query_id, v AS qv, codes AS qcodes FROM c WHERE vec_id < 10),
+        |approx AS (
+        |  SELECT q.query_id, c.vec_id AS id, q.qv, c.v,
+        |    list_inner_product(c.codes, q.qcodes) AS adc
+        |  FROM c, q WHERE c.vec_id <> q.query_id
+        |), short AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc DESC, id) AS ar
+        |  FROM approx
+        |), rer AS (
+        |  SELECT query_id, id, ROUND(list_inner_product(v, qv), 6) AS cosine
+        |  FROM short WHERE ar <= 20
+        |), ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, id) AS rank
+        |  FROM rer
         |)
         |SELECT query_id, rank, id, cosine FROM ranked WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,

@@ -14,8 +14,12 @@ class PlanAuditSpec extends SparkSpec {
     *   broadcast (10 query vectors against the embedded corpus); the exact-cosine
     *   ranking is what the full DuckDB oracle replicates. The scale path swaps in
     *   lshTopK/Ivf.topKFromIndex, which plan equi-joins.
+    * - ann_sq_topk: the SQ8 ADC scan broadcasts the same caller-bounded query-code
+    *   set; the corpus side reads the compact code column, and only the bounded
+    *   refine·k shortlist touches raw vectors.
     */
-  private val boundedNestedLoop = Set("ann_cosine_topk", "ep9_hybrid_retrieval")
+  private val boundedNestedLoop =
+    Set("ann_cosine_topk", "ep9_hybrid_retrieval", "ann_sq_topk")
 
   test("no query plans a cartesian; nested-loop joins only where a side is bounded") {
     val dir = "/root/testdata/sf0.001"

@@ -423,7 +423,40 @@ class TextOpsSpec extends SparkSpec {
       .filter(col("id") === col("query_id") + 100000).count()
     assert(pqFound >= math.ceil(nQueries * 0.9).toLong,
       s"IVF-PQ found $pqFound of $nQueries planted near-dups in top-5")
+
+    // SQ8 has no bucketing to miss — the only loss channel is the integer ADC
+    // shortlist dropping the near-dup, and at cosine ≈ 0.9995 the quantized dot
+    // dominates every non-dup score, so the gate matches the others
+    val sqFound = Similarity.sqTopK(corpus, queries, "vec_id", "embedding", 5)
+      .filter(col("id") === col("query_id") + 100000).count()
+    assert(sqFound >= math.ceil(nQueries * 0.9).toLong,
+      s"SQ8 found $sqFound of $nQueries planted near-dups in top-5")
     spark.sqlContext.clearCache()
+  }
+
+  test("SQ8 top-k: hand-computed 2-D ranking; >= 0.9 recall vs brute force") {
+    import spark.implicits._
+    // scale = 1 (id 1 normalizes to (1,0)); codes: (0.6,0.8)→(76,102), (1,0)→(127,0),
+    // (0,1)→(0,127). ADC for query 0: id1 = 76·127 = 9652, id2 = 102·127 = 12954 —
+    // the integer shortlist already orders id2 first, and exact cosine agrees
+    val tiny = Seq((0, Seq(3.0, 4.0)), (1, Seq(1.0, 0.0)), (2, Seq(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.sqTopK(tiny, tiny.filter(col("vec_id") === 0),
+        "vec_id", "embedding", k = 2)
+      .select("query_id", "rank", "id", "cosine").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    assert(got.toSeq === Seq((0, 1, 2, 0.8), (0, 2, 1, 0.6)))
+
+    // random 64-dim regime: the ADC shortlist (refine·k = 20) must keep at least
+    // 90% of the true top-5 for the exact re-rank to surface
+    val queries = emb.filter(col("vec_id") < 20)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq = pairs(Similarity.sqTopK(emb, queries, "vec_id", "embedding", 5))
+    val brute = pairs(Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5))
+    val recall = (sq intersect brute).size.toDouble / brute.size
+    assert(recall >= 0.9, s"SQ8 recall vs brute force = $recall")
   }
 
   test("IVF on-disk index equals in-memory topK and prunes unprobed cell partitions") {
