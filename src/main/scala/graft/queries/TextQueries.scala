@@ -33,14 +33,12 @@ object TextQueries {
     2 -> "stream batch filter sort",
     3 -> "customer query vector")
 
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader rejects;
-    * read it as long nanos (legacy conf) and convert to a microsecond timestamp.
+  /** events.parquet has shipped with two physical `ts` types over time (long nanos
+    * via the legacy conf, native timestamp[us]); the shared loader branches on the
+    * schema and normalizes to TimestampType either way.
     */
-  private[queries] def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  private[queries] def events(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Events.load(s, dir)
 
   /** documents ∪ exact copies (id+100000, doc_id%7=0) ∪ near copies (id+200000, %11). */
   private[queries] def plantedCorpus(s: SparkSession, dir: String): DataFrame = {

@@ -74,14 +74,10 @@ object StreamOps {
     * query to completion over the parquet-backed source and returns the result table.
     */
   def windowedEventCounts(spark: SparkSession, eventsPath: String): DataFrame = {
-    val raw = fileStream(spark, eventsPath)
-    // ts may arrive as long nanos (legacy parquet nanos) — normalize to timestamp
-    val withTs = raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw
-    }
-    val stream = withTs
+    // normalize ts to TimestampType whatever the parquet physical type — NTZ would
+    // fail withWatermark (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), long nanos would
+    // fail the window() call
+    val stream = graft.sources.Events.normalizeTs(fileStream(spark, eventsPath))
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("cnt"), sum(col("value")).as("value_sum"))
@@ -330,12 +326,17 @@ object StreamOps {
       eventsDir: String,
       delay: String = "365 days"): DataFrame = {
     val schema = spark.read.parquet(eventsDir).schema
-    val stream = spark.readStream
+    val raw = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", 1) // duplicates arrive in later micro-batches
       .parquet(eventsDir)
-      .withColumn("k", concat_ws("|", col("user_id"), col("event_type"), col("ts")))
-      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+    // dedup key via unix_micros AFTER ts normalization: injective and stable across
+    // both parquet physical ts types (long nanos render ≠ timestamp render, but the
+    // micros value is identical — re-emitted rows must collide with their originals)
+    val stream = graft.sources.Events.normalizeTs(raw)
+      .withColumn("k",
+        concat_ws("|", col("user_id"), col("event_type"), unix_micros(col("ts"))))
+      .withColumn("event_ts", col("ts"))
       .withWatermark("event_ts", delay)
       .dropDuplicatesWithinWatermark("k")
     driveToMemory(stream, "append", "stream_dedup_wm")
@@ -378,15 +379,7 @@ object StreamOps {
       eventsPath: String,
       windowMinutes: Int): DataFrame = {
     def side(tag: String, tpe: String) = {
-      val raw = fileStream(spark, eventsPath)
-      // ts may arrive as long nanos (legacy parquet nanos) — normalize to timestamp,
-      // same schema-typed branch as windowedEventCounts
-      val withTs = raw.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        case _ => raw
-      }
-      withTs
+      graft.sources.Events.normalizeTs(fileStream(spark, eventsPath))
         .filter(col("event_type") === tpe)
         .select(col("user_id").as(s"${tag}_user"), col("ts").as(s"${tag}_ts"), col("value"))
         .withWatermark(s"${tag}_ts", "1 hour")
@@ -432,10 +425,9 @@ object StreamOps {
     val gapUs = gapSeconds * 1000000L
     // the watermark COLUMN must survive into the stateful operator (dropping it
     // disables event-time timeout), so event_ts rides along unused in the tuple
-    val raw = fileStream(spark, eventsPath)
+    val raw = graft.sources.Events.normalizeTs(fileStream(spark, eventsPath))
       .select(col("user_id").cast("long").as("user_id"),
-        expr("ts div 1000").as("us"))
-      .withColumn("event_ts", timestamp_micros(col("us")))
+        unix_micros(col("ts")).as("us"), col("ts").as("event_ts"))
       .withWatermark("event_ts", "0 seconds")
       .as[(Long, Long, java.sql.Timestamp)]
     val sessions = raw.groupByKey(_._1)
