@@ -39,8 +39,13 @@ object Bench {
       val t0 = System.nanoTime()
       // withCached frees the operator-internal persists right after the count —
       // the release is part of the timed work, as it would be in a real pipeline
-      try graft.util.Caching.withCached { fn(spark, sfDir).count() }
-      catch { case _: Throwable => -1L }
+      val err: Option[String] =
+        try { graft.util.Caching.withCached { fn(spark, sfDir).count() }; None }
+        catch { case e: Throwable =>
+          // a swallowed failure once masqueraded as a 0.07 s timing in a committed
+          // round artifact — record the error per query and fail the process below
+          Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(300)}")
+        }
       val sec = (System.nanoTime() - t0) / 1e9
       // drop cached plans and leftover localCheckpoint blocks — iterative operators
       // otherwise accumulate storage across queries and degrade later ones via GC churn
@@ -52,14 +57,31 @@ object Bench {
       // suite, so unreferenced shuffle/broadcast state accumulates and later queries
       // degrade several-fold. Force a collection between queries to let it drain.
       System.gc()
-      System.err.println(f"[bench] $name%-28s $sec%8.2f s")
-      name -> sec
+      err match {
+        case None    => System.err.println(f"[bench] $name%-28s $sec%8.2f s")
+        case Some(m) => System.err.println(f"[bench] $name%-28s FAILED after $sec%.2f s: $m")
+      }
+      (name, sec, err)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case '\r' => "\\r"; case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    // "queries" keeps its flat name→seconds shape (the driver's contract) but now
+    // holds ONLY genuinely-executed queries; failures land in "errors" with the
+    // time-to-exception and message, so a crash can never pose as a fast timing
+    val ok = results.filter(_._3.isEmpty)
+    val failed = results.filter(_._3.nonEmpty)
+    val qs = ok.map { case (k, v, _) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val errs = failed
+      .map { case (k, v, e) => jstr(k) + s""":{"sec":$v,"err":${jstr(e.get)}}""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = ok.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_failed":${failed.size},"sf":"$sfDir"}"""
     println(line)
     // the driver's stdout capture has truncated mid-JSON before, losing per-query
     // timings from the round record — always ALSO write the full map to a file.
@@ -75,5 +97,11 @@ object Bench {
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(
+        s"[bench] ${failed.size} quer${if (failed.size == 1) "y" else "ies"} FAILED: " +
+          failed.map(_._1).mkString(", "))
+      sys.exit(1)
+    }
   }
 }

@@ -19,6 +19,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
       // withCached releases the operator-internal persists as soon as the write
       // materializes; clearCache below stays as a backstop for localCheckpoints
@@ -27,7 +28,9 @@ object Verify {
           .parquet(s"$outDir/$name")
       }
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(500)}"
+        System.err.println(s"[verify] $name FAILED: $msg")
+        failures(name) = msg
       }
       // free cached plans + leftover localCheckpoint blocks between queries
       // (releaseAll drains any unscoped operator persists the bracket didn't cover)
@@ -50,6 +53,17 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // a query that failed to plan/execute has NO result dir, so it silently falls
+    // out of the driver's per-query compare — persist the failure list and exit
+    // nonzero so absence is loud, never mistaken for "not declared"
+    val errJson = failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
     spark.stop()
+    if (failures.nonEmpty) {
+      System.err.println(
+        s"[verify] ${failures.size} quer${if (failures.size == 1) "y" else "ies"} FAILED: " +
+          failures.keys.mkString(", "))
+      sys.exit(1)
+    }
   }
 }

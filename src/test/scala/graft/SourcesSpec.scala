@@ -17,6 +17,63 @@ class SourcesSpec extends SparkSpec {
 
   private lazy val tmp = Files.createTempDirectory("graft-sources").toString
 
+  /** Testdata-drift canary: the driver has regenerated /root/testdata under the repo
+    * mid-round before (round 5: events.ts flipped TIMESTAMP(NANOS) → timestamp[us],
+    * silently killing 14 queries). This pins the LOADER-NORMALIZED schema every query
+    * assumes; when the testdata drifts again, this fails naming the exact column
+    * instead of 14 queries dying at plan time with misleading errors.
+    */
+  test("testdata canary: every table's loader-normalized schema is what queries assume") {
+    val expected = Map(
+      "region" -> Seq("r_regionkey" -> "int", "r_name" -> "string"),
+      "nation" -> Seq("n_nationkey" -> "int", "n_name" -> "string",
+        "n_regionkey" -> "int"),
+      "customer" -> Seq("c_custkey" -> "bigint", "c_name" -> "string",
+        "c_nationkey" -> "int", "c_acctbal" -> "double", "c_mktsegment" -> "string"),
+      "supplier" -> Seq("s_suppkey" -> "bigint", "s_name" -> "string",
+        "s_nationkey" -> "int", "s_acctbal" -> "double"),
+      "part" -> Seq("p_partkey" -> "bigint", "p_name" -> "string",
+        "p_brand" -> "string", "p_type" -> "string", "p_size" -> "int",
+        "p_retailprice" -> "double"),
+      "orders" -> Seq("o_orderkey" -> "bigint", "o_custkey" -> "bigint",
+        "o_orderstatus" -> "string", "o_totalprice" -> "double",
+        "o_orderdate" -> "timestamp_ntz", "o_orderpriority" -> "string"),
+      "lineitem" -> Seq("l_orderkey" -> "bigint", "l_partkey" -> "bigint",
+        "l_suppkey" -> "bigint", "l_linenumber" -> "int", "l_quantity" -> "double",
+        "l_extendedprice" -> "double", "l_discount" -> "double", "l_tax" -> "double",
+        "l_returnflag" -> "string", "l_linestatus" -> "string",
+        "l_shipdate" -> "timestamp_ntz"),
+      "documents" -> Seq("doc_id" -> "bigint", "text" -> "string",
+        "lang" -> "string", "source" -> "string", "n_chars" -> "bigint"),
+      "embeddings" -> Seq("vec_id" -> "bigint", "embedding" -> "array<float>",
+        "label" -> "int"),
+      // events goes through the shared loader: ts lands on TimestampType (LTZ)
+      // whatever the parquet physical type — the streaming watermark contract
+      "events" -> Seq("event_id" -> "bigint", "ts" -> "timestamp",
+        "user_id" -> "bigint", "event_type" -> "string", "value" -> "double",
+        "props" -> "string"))
+    val dir = "/root/testdata/sf0.001"
+    val drifted = expected.toSeq.sortBy(_._1).flatMap { case (table, cols) =>
+      val df =
+        if (table == "events") graft.sources.Events.load(spark, dir)
+        else spark.read.parquet(s"$dir/$table.parquet")
+      val got = df.schema.fields.map(f => f.name -> f.dataType.simpleString).toSeq
+      if (got == cols) Nil
+      else {
+        val gotMap = got.toMap
+        val diffs = cols.collect {
+          case (n, t) if !gotMap.contains(n) => s"$n: MISSING (expected $t)"
+          case (n, t) if gotMap(n) != t => s"$n: ${gotMap(n)} (expected $t)"
+        } ++ got.collect { case (n, t) if !cols.exists(_._1 == n) => s"$n: UNEXPECTED $t" }
+        val ordered = if (diffs.isEmpty) Seq(s"column ORDER drifted: ${got.map(_._1).mkString(",")}") else diffs
+        Some(s"$table → ${ordered.mkString("; ")}")
+      }
+    }
+    assert(drifted.isEmpty,
+      s"\nTESTDATA SCHEMA DRIFT (regenerate hazard — update loaders AND this canary):\n  " +
+        drifted.mkString("\n  "))
+  }
+
   test("all-string CSV round-trip feeds the cleaning + uid pipeline") {
     val out = s"$tmp/csv"
     spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
