@@ -289,9 +289,40 @@ class CurationSpec extends SparkSpec {
     assert(out(4) === ((5L, 0L, 0L, "")))
   }
 
+  test("reserved-name and sizing guards fail loudly instead of silently corrupting") {
+    import graft.events.AsofJoin
+    val l = Seq((1L, 10L, 100L)).toDF("id", "k", "t")
+    val r = Seq((10L, 90L, 7L, 1.5)).toDF("k", "t", "rid", "v")
+    // internal scratch column on the left would be silently overwritten mid-union
+    val eCarried = intercept[IllegalArgumentException] {
+      AsofJoin.leftAsof(l.withColumn("_carried", lit(0)), r, "k", "t", Seq("v"), "rid")
+    }
+    assert(eCarried.getMessage.contains("_carried"))
+    // an existing <col>_asof output name would be silently shadowed
+    val eAsof = intercept[IllegalArgumentException] {
+      AsofJoin.leftAsof(l.withColumn("v_asof", lit(0)), r, "k", "t", Seq("v"), "rid")
+    }
+    assert(eAsof.getMessage.contains("v_asof"))
+    // writeShards must refuse to replace a pre-existing shard column
+    val eShard = intercept[IllegalArgumentException] {
+      Curation.writeShards(docs.limit(5).withColumn("shard", lit(9)),
+        col("doc_id"), 4, s"${System.getProperty("java.io.tmpdir")}/graft_spec_noshard", "s")
+    }
+    assert(eShard.getMessage.contains("shard"))
+    // bloom_filter_agg must ratchet the runtime-filter caps up to the requested
+    // size — a silently clamped filter has effective fpp ≈ 1
+    val big = 100000000L // → ~9.6e8 bits, far above the 8M-bit default cap
+    graft.functions.bloom_filter_agg(xxhash64(col("doc_id")), big, 0.01)
+    assert(spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits").toLong
+      >= 9e8.toLong)
+    assert(spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems").toLong
+      >= big)
+  }
+
   test("writeShards round-trips deterministically with shards in range") {
     val d = docs.select(col("doc_id"), col("text")).limit(100)
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_spec_shards"
+    // per-run token: concurrent sbt invocations must not overwrite each other's dirs
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_spec_shards_${graft.util.Scratch.runToken}"
     val a = Curation.writeShards(d, col("doc_id"), 4, path, "s")
       .select("doc_id", "shard").as[(Long, Int)].collect().toMap
     val b = Curation.writeShards(d, col("doc_id"), 4, path, "s")

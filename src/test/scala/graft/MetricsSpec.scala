@@ -69,6 +69,17 @@ class MetricsSpec extends SparkSpec {
     assert(math.abs(out(1)._7 - (math.log(5) - 4 * math.log(2) / 5)) < 1e-9)
   }
 
+  test("profileColumns survives hostile column names (backticks, quotes, spaces)") {
+    // a backtick in a name would break out of the quoted identifier fed to
+    // selectExpr; a quote would break the label literal
+    val df = Seq("x", "x", "y").toDF("weird ` na'me")
+    val out = Profile.profileColumns(df, Seq("weird ` na'me"))
+      .as[(String, Long, Long, Long, String, Long, Double)].collect()
+    assert(out.length === 1)
+    assert(out(0)._1 === "weird ` na'me")
+    assert((out(0)._2, out(0)._4, out(0)._5) === ((3L, 2L, "x")))
+  }
+
   test("profileColumnsApprox: exact counts, sketch distinct within rsd, one agg pass") {
     val df = spark.range(5000).selectExpr("cast(id as string) as hi", "cast(id % 7 as string) as lo")
     val out = Profile.profileColumnsApprox(df, Seq("hi", "lo"), rsd = 0.05)

@@ -118,7 +118,7 @@ class SourcesSpec extends SparkSpec {
       .select(col("c_custkey"), col("c_mktsegment"))
     val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
       .select(col("o_custkey").as("c_custkey"), col("o_totalprice"))
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_spec"
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_spec_${graft.util.Scratch.runToken}"
     BucketedTables.writeBucketed(customer, "spec_bkt_customer",
       s"$base/customer", "c_custkey", 4, Seq("c_custkey"))
     BucketedTables.writeBucketed(orders, "spec_bkt_orders",
