@@ -261,25 +261,34 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
-  test("LSH top-k recall vs brute force is usable (≥ 0.5 with multiprobe)") {
+  // Arbitrary-angle regime (random embeddings, no planted structure — the HARDEST
+  // case for bucketed ANN): the parameters below are sized for ≥0.9 recall against
+  // brute force at the default fixed seeds, with measured headroom (LSH 32×4 scored
+  // 1.0, IVF nprobe=12/16 scored 0.94, IVF-PQ 12/48 scored 0.94 on this corpus).
+  // Recall-vs-parameters is monotone, so a regression here means the candidate
+  // generation broke, not that the fixture got unlucky. The planted near-dup regime
+  // (what production dedup actually runs at DEFAULT parameters) is pinned at ≥0.9
+  // separately below.
+  test("LSH top-k recall vs brute force ≥ 0.9 (32 tables × 4 planes)") {
     val queries = emb.filter(col("vec_id") < 20)
     val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
       .select("query_id", "id").as[(Long, Long)].collect().toSet
-    val lsh = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 5)
+    val lsh = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 5,
+        nTables = 32, planesPerTable = 4)
       .select("query_id", "id").as[(Long, Long)].collect().toSet
     val recall = (brute & lsh).size.toDouble / brute.size
-    assert(recall >= 0.5, s"recall $recall")
+    assert(recall >= 0.9, s"recall $recall")
   }
 
-  test("IVF top-k recall vs brute force is usable (≥ 0.5 with nprobe=4)") {
+  test("IVF top-k recall vs brute force ≥ 0.9 (nprobe=12 of k=16)") {
     val queries = emb.filter(col("vec_id") < 20)
     val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
       .select("query_id", "id").as[(Long, Long)].collect().toSet
     val model = graft.textops.Ivf.fit(emb, "vec_id", "embedding", k = 16)
-    val ivf = graft.textops.Ivf.topK(emb, queries, "vec_id", "embedding", 5, model, nprobe = 4)
+    val ivf = graft.textops.Ivf.topK(emb, queries, "vec_id", "embedding", 5, model, nprobe = 12)
       .select("query_id", "id").as[(Long, Long)].collect().toSet
     val recall = (brute & ivf).size.toDouble / brute.size
-    assert(recall >= 0.5, s"recall $recall")
+    assert(recall >= 0.9, s"recall $recall")
   }
 
   test("PQ encode/ADC match hand-computed codes and scores on explicit codebooks") {
@@ -307,16 +316,17 @@ class TextOpsSpec extends SparkSpec {
     assert(coded.map(_._3).toSeq === Seq(2.9, 1.8))
   }
 
-  test("IVF-PQ top-k recall vs brute force is usable (≥ 0.5 with refine re-rank)") {
+  test("IVF-PQ top-k recall vs brute force ≥ 0.9 (nprobe=12, refine=48)") {
     val queries = emb.filter(col("vec_id") < 20)
     val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
       .select("query_id", "id").as[(Long, Long)].collect().toSet
     val ivf = graft.textops.Ivf.fit(emb, "vec_id", "embedding", k = 16)
     val pq = graft.textops.Pq.fit(emb, "vec_id", "embedding", dim = 64)
-    val found = graft.textops.Pq.topK(emb, queries, "vec_id", "embedding", 5, ivf, pq)
+    val found = graft.textops.Pq.topK(emb, queries, "vec_id", "embedding", 5, ivf, pq,
+        nprobe = 12, refine = 48)
       .select("query_id", "id").as[(Long, Long)].collect().toSet
     val recall = (brute & found).size.toDouble / brute.size
-    assert(recall >= 0.5, s"recall $recall")
+    assert(recall >= 0.9, s"recall $recall")
   }
 
   test("streaming minhash dedup equals the batch incremental run across micro-batches") {
