@@ -95,6 +95,27 @@ object LinkageQueries {
       rows.toDF("param", "column", "gamma", "value")
         .orderBy("param", "column", "gamma")
     },
+    "j5_em_two_iter" -> { (s, dir) =>
+      import s.implicits._
+      // TWO exact EM iterations (tol=0, maxIter=2): pins the LOOP control on top of
+      // the update equations — iteration 2 must consume iteration 1's UNROUNDED
+      // refit (λ1, m1, u1 with their 1e-9 floors and λ clamp), which the oracle
+      // chains through CTEs rather than literals. A damping/convergence bug that a
+      // single pinned iteration cannot see changes every cell here.
+      val df = withUid(cust(s, dir))
+        .withColumn("c_mktsegment", nullif(col("c_mktsegment"), lit("BUILDING")))
+      val (l2, m2, u2) = Estimation.emTrain(df, "uid", demoSpecs,
+        BlockingRule.parse("l.c_nationkey = r.c_nationkey"),
+        u = emU0, initialLambda = emLambda0, tol = 0.0, maxIter = 2)
+      val rows = ("lambda", "", -1, r6(l2)) +:
+        demoSpecs.flatMap { sp =>
+          (0 until sp.numLevels).flatMap(g => Seq(
+            ("m", sp.column, g, r6(m2(sp.column)(g))),
+            ("u", sp.column, g, r6(u2(sp.column)(g)))))
+        }
+      rows.toDF("param", "column", "gamma", "value")
+        .orderBy("param", "column", "gamma")
+    },
     "j6_predict" -> { (s, dir) =>
       val df = withUid(cust(s, dir))
       val scored = FellegiSunter.predict(df, "uid", demoModel)
@@ -266,6 +287,89 @@ object LinkageQueries {
        |ORDER BY param, "column", gamma""".stripMargin
   }
 
+  /** Two chained EM iterations in SQL. Iteration 1 matches [[emOneIterSql]] but
+    * lands UNROUNDED in the single-row CTE `p1` (the same floors/clamps as the Scala
+    * loop: per-level `GREATEST(x/GREATEST(tot,1e-9),1e-9)`, λ into [1e-9, 1−1e-9]);
+    * iteration 2 re-runs the E-step with `p1`'s refit ladders over the SAME pattern
+    * table and refits once more. Only the final λ2/m2/u2 round to 6. Residual ULP
+    * drift from summation order is ~1e-15 relative — absorbed by the rounding,
+    * exactly as in the one-iteration oracle.
+    */
+  private val emTwoIterSql: String = {
+    val specs = demoSpecs.zipWithIndex
+    val gammas = specs.map { case (sp, i) =>
+      s"(${gammaSql(sp.column, sp).replace('\n', ' ')}) AS g$i" }.mkString(",\n    ")
+    def ladder(a: String, arr: Array[Double]) =
+      s"(CASE $a " + arr.indices.map(i => s"WHEN $i THEN ${d(arr(i))}").mkString(" ") +
+        " ELSE 1.0 END)"
+    val num1 = (d(emLambda0) +: specs.map { case (_, i) =>
+      ladder(s"g$i", Estimation.DefaultM) }).mkString(" * ")
+    val den1 = (s"(1.0 - ${d(emLambda0)})" +: specs.map { case (sp, i) =>
+      ladder(s"g$i", emU0(sp.column)) }).mkString(" * ")
+    def sumCols(w: String) = specs.flatMap { case (sp, i) =>
+      (0 until sp.numLevels).flatMap(g => Seq(
+        s"SUM(CASE WHEN g$i = $g THEN cnt * $w ELSE 0.0 END) AS m_${i}_$g",
+        s"SUM(CASE WHEN g$i = $g THEN cnt * (1.0 - $w) ELSE 0.0 END) AS u_${i}_$g"))
+    }.mkString(",\n    ")
+    def refit(p: String, i: Int, g: Int, nLevels: Int) = {
+      val tot = (0 until nLevels).map(h => s"${p}_${i}_$h").mkString(" + ")
+      s"GREATEST(${p}_${i}_$g / GREATEST($tot, 1e-9), 1e-9)"
+    }
+    val p1Cols = (s"LEAST(GREATEST(sumw / total, 1e-9), 1.0 - 1e-9) AS lam1" +:
+      specs.flatMap { case (sp, i) =>
+        (0 until sp.numLevels).flatMap(g => Seq(
+          s"${refit("m", i, g, sp.numLevels)} AS m1_${i}_$g",
+          s"${refit("u", i, g, sp.numLevels)} AS u1_${i}_$g"))
+      }).mkString(",\n    ")
+    def ladder2(a: String, p: String, i: Int, n: Int) =
+      s"(CASE $a " + (0 until n).map(g => s"WHEN $g THEN ${p}1_${i}_$g").mkString(" ") +
+        " ELSE 1.0 END)"
+    val num2 = ("lam1" +: specs.map { case (sp, i) =>
+      ladder2(s"g$i", "m", i, sp.numLevels) }).mkString(" * ")
+    val den2 = ("(1.0 - lam1)" +: specs.map { case (sp, i) =>
+      ladder2(s"g$i", "u", i, sp.numLevels) }).mkString(" * ")
+    val paramRows = specs.flatMap { case (sp, i) =>
+      Seq("m", "u").flatMap { p =>
+        val tot = (0 until sp.numLevels).map(g => s"${p}_${i}_$g").mkString(" + ")
+        (0 until sp.numLevels).map { g =>
+          s"SELECT '$p', '${sp.column}', $g, " +
+            s"ROUND(GREATEST(${p}_${i}_$g / GREATEST($tot, 1e-9), 1e-9), 6) FROM s2"
+        }
+      }
+    }.mkString("\nUNION ALL ")
+    s"""WITH b AS (
+       |  SELECT CAST(c_custkey AS VARCHAR) AS uid, c_name,
+       |         NULLIF(c_mktsegment, 'BUILDING') AS c_mktsegment, c_nationkey
+       |  FROM customer
+       |), pairs AS (
+       |  SELECT
+       |    $gammas
+       |  FROM b l JOIN b r ON l.c_nationkey = r.c_nationkey AND l.uid < r.uid
+       |), pat AS (
+       |  SELECT g0, g1, COUNT(*)::DOUBLE AS cnt FROM pairs GROUP BY g0, g1
+       |), w1 AS (
+       |  SELECT g0, g1, cnt, ($num1) / (($num1) + ($den1)) AS w FROM pat
+       |), s1 AS (
+       |  SELECT SUM(cnt) AS total, SUM(cnt * w) AS sumw,
+       |    ${sumCols("w")}
+       |  FROM w1
+       |), p1 AS (
+       |  SELECT
+       |    $p1Cols
+       |  FROM s1
+       |), w2 AS (
+       |  SELECT g0, g1, cnt, ($num2) / (($num2) + ($den2)) AS w FROM pat, p1
+       |), s2 AS (
+       |  SELECT SUM(cnt) AS total, SUM(cnt * w) AS sumw,
+       |    ${sumCols("w")}
+       |  FROM w2
+       |)
+       |SELECT 'lambda' AS param, '' AS "column", -1 AS gamma,
+       |  ROUND(LEAST(GREATEST(sumw / total, 1e-9), 1.0 - 1e-9), 6) AS value FROM s2
+       |UNION ALL $paramRows
+       |ORDER BY param, "column", gamma""".stripMargin
+  }
+
   private val predictSql: String =
     s"""$predictPairsCte
        |SELECT uid_l, uid_r, ROUND(mw, 6) AS match_weight,
@@ -321,6 +425,7 @@ object LinkageQueries {
     },
     "j3_prior" -> "SELECT ROUND(1.0 / COUNT(*), 9) AS prior_lambda FROM customer",
     "j5_em_one_iter" -> emOneIterSql,
+    "j5_em_two_iter" -> emTwoIterSql,
     "j6_predict" -> predictSql,
     "j7_connected_components" ->
       """SELECT CAST(c_custkey AS VARCHAR) AS uid,
