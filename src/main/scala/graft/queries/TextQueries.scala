@@ -456,7 +456,8 @@ object TextQueries {
         .orderBy("vec_id")
     },
     "ann_lsh_topk" -> { (s, dir) =>
-      // approximate — no SQL oracle; recall vs brute force pinned in ScalaTest
+      // full oracle (new r6): the hyperplanes are seed-deterministic, so the DuckDB
+      // side regenerates them as literals and replays bucket-join + exact re-rank
       val e = emb(s, dir)
       Similarity.lshTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
         .orderBy("query_id", "rank")
@@ -1011,7 +1012,59 @@ object TextQueries {
        |SELECT doc_id, $sig AS simhash FROM sums ORDER BY doc_id""".stripMargin
   }
 
+  /** Full DuckDB replay of [[Similarity.lshTopK]] at the default parameters: the
+    * 16×5 hyperplanes are SEED-deterministic (`randomPlanes(5, 64, 42 + t)` per
+    * table), so the oracle regenerates the exact same doubles and renders them as
+    * literals — signature bits (`dot > 0`, bit `p % 5` of sig `p / 5`), any-table
+    * bucket match, exact cosine re-rank with ROUND 6 and id tie-break, all mirror
+    * the Spark plan. Embedding dim is pinned at 64 by the testdata (all SFs); the
+    * schema canary in SourcesSpec guards the assumption.
+    */
+  private val annLshSql: String = {
+    val (nTables, planesPerTable, dim, seed) = (16, 5, 64, 42L)
+    def d(x: Double): String = {
+      val s = x.toString
+      if (s.contains("E")) f"$x%.20e" else s
+    }
+    val planeRows = (0 until nTables).flatMap { t =>
+      Similarity.randomPlanes(planesPerTable, dim, seed + t).zipWithIndex.map {
+        case (p, j) => s"($t, $j, [${p.map(d).mkString(",")}]::DOUBLE[])"
+      }
+    }.mkString(",\n    ")
+    s"""WITH planes AS (
+       |  SELECT * FROM (VALUES
+       |    $planeRows) AS p(tbl, bit, plane)
+       |), e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS raw FROM embeddings
+       |), n AS (
+       |  SELECT vec_id,
+       |    list_transform(raw, x -> x / sqrt(list_inner_product(raw, raw))) AS v
+       |  FROM e
+       |), sig AS (
+       |  SELECT vec_id, tbl,
+       |    SUM(CASE WHEN list_inner_product(v, plane) > 0 THEN 1 << bit ELSE 0 END) AS s
+       |  FROM n CROSS JOIN planes GROUP BY vec_id, tbl
+       |), q AS (
+       |  SELECT vec_id AS query_id, tbl, s FROM sig WHERE vec_id < 10
+       |), cand AS (
+       |  SELECT DISTINCT c.vec_id AS id, q.query_id
+       |  FROM sig c JOIN q ON c.tbl = q.tbl AND c.s = q.s
+       |  WHERE c.vec_id <> q.query_id
+       |), scored AS (
+       |  SELECT cand.query_id, cand.id,
+       |    ROUND(list_inner_product(cv.v, qv.v), 6) AS cosine
+       |  FROM cand JOIN n cv ON cv.vec_id = cand.id
+       |            JOIN n qv ON qv.vec_id = cand.query_id
+       |), ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, id) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, rank, id, cosine FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "ann_lsh_topk" -> annLshSql,
     "text_token_count" ->
       s"SELECT doc_id, len(${toksSql("text")}) AS n_tokens FROM documents ORDER BY doc_id",
     "text_fingerprint_rolling" ->
