@@ -463,7 +463,9 @@ object TextQueries {
         .orderBy("query_id", "rank")
     },
     "ann_ivf_topk" -> { (s, dir) =>
-      // approximate — no SQL oracle; recall vs brute force pinned in ScalaTest
+      // full oracle (new r6): Lloyd training is 2 deterministic rounds from a
+      // portable md5-hash seeding, so the DuckDB oracle replays fit AND serve —
+      // seed pick, both assign/recenter rounds, probe selection, exact re-rank
       val e = emb(s, dir)
       val model = Ivf.fit(e, "vec_id", "embedding", k = 16)
       Ivf.topK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5, model)
@@ -1063,8 +1065,81 @@ object TextQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Full DuckDB replay of [[Ivf.fit]] + [[Ivf.topK]] at the query's parameters
+    * (k=16, iters=2, seed=42, nprobe=4, top-5). Training is deterministic end to
+    * end: seed centroids are the 16 rows with smallest `md5(id:42)` (cell id =
+    * hash rank), then two Lloyd rounds of (argmax-dot assign, tie → lowest cell;
+    * per-dimension mean, re-normalized; empty cells keep their previous centroid).
+    * Serving probes each query's 4 closest final centroids and re-ranks candidates
+    * by exact cosine (ROUND 6, id tie-break). Mean/normalize FP drift between
+    * engines is ~1e-16 relative — an assignment could only flip if two centroid
+    * dots tie within that, and the final ROUND(…,6) absorbs everything else.
+    */
+  private val annIvfSql: String = {
+    val (k, nprobe, seed) = (16, 4, 42L)
+    // one Lloyd round: assignment against `prev` centroids → per-dim means →
+    // normalized next centroids, empty cells carrying `prev` forward
+    def lloyd(prev: String, a: String, m: String, next: String): String =
+      s"""$a AS (
+         |  SELECT vec_id, v, cell FROM (
+         |    SELECT n.vec_id, n.v, $prev.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
+         |        ORDER BY list_inner_product(n.v, $prev.v) DESC, $prev.cell) AS rn
+         |    FROM n CROSS JOIN $prev) WHERE rn = 1
+         |), $m AS (
+         |  SELECT cell, list(m ORDER BY i) AS mv FROM (
+         |    SELECT cell, i, AVG(x) AS m FROM (
+         |      SELECT cell, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM $a)
+         |    GROUP BY cell, i)
+         |  GROUP BY cell
+         |), $next AS (
+         |  SELECT $prev.cell,
+         |    COALESCE(
+         |      list_transform($m.mv, x -> x / sqrt(list_inner_product($m.mv, $m.mv))),
+         |      $prev.v) AS v
+         |  FROM $prev LEFT JOIN $m ON $prev.cell = $m.cell
+         |)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS raw FROM embeddings
+       |), n AS (
+       |  SELECT vec_id,
+       |    list_transform(raw, x -> x / sqrt(list_inner_product(raw, raw))) AS v
+       |  FROM e
+       |), s0 AS (
+       |  SELECT v, md5(CAST(vec_id AS VARCHAR) || ':' || '$seed') AS h FROM n
+       |), seed AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY h) - 1 AS cell, v
+       |  FROM (SELECT * FROM s0 ORDER BY h LIMIT $k)
+       |), ${lloyd("seed", "a1", "m1", "c1")},
+       |${lloyd("c1", "a2", "m2", "c2")},
+       |corpus AS (
+       |  SELECT vec_id AS id, v, cell FROM (
+       |    SELECT n.vec_id, n.v, c2.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |        ORDER BY list_inner_product(n.v, c2.v) DESC, c2.cell) AS rn
+       |    FROM n CROSS JOIN c2) WHERE rn = 1
+       |), probes AS (
+       |  SELECT query_id, qv, cell FROM (
+       |    SELECT n.vec_id AS query_id, n.v AS qv, c2.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |        ORDER BY list_inner_product(n.v, c2.v) DESC, c2.cell) AS rn
+       |    FROM n CROSS JOIN c2 WHERE n.vec_id < 10) WHERE rn <= $nprobe
+       |), scored AS (
+       |  SELECT p.query_id, c.id,
+       |    ROUND(list_inner_product(c.v, p.qv), 6) AS cosine
+       |  FROM corpus c JOIN probes p ON c.cell = p.cell
+       |  WHERE c.id <> p.query_id
+       |), ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, id) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, rank, id, cosine FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "ann_lsh_topk" -> annLshSql,
+    "ann_ivf_topk" -> annIvfSql,
     "text_token_count" ->
       s"SELECT doc_id, len(${toksSql("text")}) AS n_tokens FROM documents ORDER BY doc_id",
     "text_fingerprint_rolling" ->

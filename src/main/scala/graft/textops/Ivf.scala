@@ -19,8 +19,10 @@ object Ivf {
   case class Model(centroids: Array[Array[Double]])
 
   /** Deterministic k-means: seed centroids = the k corpus rows with smallest salted
-    * uid hash, then `iters` Lloyd rounds (assign via broadcast centroid table, recenter
-    * via per-dimension average).
+    * PORTABLE uid hash (md5 of `id:seed`, the same cross-engine convention as the
+    * minhash/sampling families — it lets an external engine replay training exactly,
+    * which the `ann_ivf_topk` DuckDB oracle does), then `iters` Lloyd rounds (assign
+    * via broadcast centroid table, recenter via per-dimension average).
     *
     * Training runs on a bounded seeded SAMPLE (`trainSampleRows`, the standard IVF
     * recipe — centroid quality needs a statistical picture of the distribution, not
@@ -55,8 +57,10 @@ object Ivf {
           math.min(1.0, 1.2 * trainSampleRows / n), seed)
       else full).cache()
     try {
+      // centroid INDEX = rank by hash: the order of this collect defines cell ids,
+      // which ties and empty-cell carryover depend on — keep it sorted
       var centroids: Array[Array[Double]] = v
-        .withColumn("h", xxhash64(col("id").cast("string"), lit(seed)))
+        .withColumn("h", md5(concat_ws(":", col("id").cast("string"), lit(seed.toString))))
         .orderBy("h").limit(k)
         .select("v").collect()
         .map(_.getSeq[Double](0).toArray)
