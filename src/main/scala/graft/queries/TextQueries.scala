@@ -472,8 +472,8 @@ object TextQueries {
         .orderBy("query_id", "rank")
     },
     "ann_pq_topk" -> { (s, dir) =>
-      // IVF-PQ: candidates scored from 4-int codes (ADC), exact re-rank of the
-      // refine list only. Approximate — no SQL oracle; recall pinned in ScalaTest
+      // full oracle (new r6): portable md5 seeding makes the per-subspace Lloyd
+      // training replayable, so DuckDB replays codebook fit, ADC shortlist, re-rank
       val e = emb(s, dir)
       val ivf = Ivf.fit(e, "vec_id", "embedding", k = 16)
       val pq = Pq.fit(e, "vec_id", "embedding", dim = 64)
@@ -1075,7 +1075,12 @@ object TextQueries {
     * engines is ~1e-16 relative — an assignment could only flip if two centroid
     * dots tie within that, and the final ROUND(…,6) absorbs everything else.
     */
-  private val annIvfSql: String = {
+  /** Shared WITH-body: IVF training (md5-rank seeding, 2 Lloyd rounds) ending in
+    * final centroids `c2`, the cell-assigned `corpus`, and per-query `probes`
+    * (nprobe=4 closest cells, queries = vec_id < 10). Both the IVF and IVF-PQ
+    * oracles open with this chain.
+    */
+  private val ivfTrainCtes: String = {
     val (k, nprobe, seed) = (16, 4, 42L)
     // one Lloyd round: assignment against `prev` centroids → per-dim means →
     // normalized next centroids, empty cells carrying `prev` forward
@@ -1099,7 +1104,7 @@ object TextQueries {
          |      $prev.v) AS v
          |  FROM $prev LEFT JOIN $m ON $prev.cell = $m.cell
          |)""".stripMargin
-    s"""WITH e AS (
+    s"""e AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS raw FROM embeddings
        |), n AS (
        |  SELECT vec_id,
@@ -1124,11 +1129,89 @@ object TextQueries {
        |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
        |        ORDER BY list_inner_product(n.v, c2.v) DESC, c2.cell) AS rn
        |    FROM n CROSS JOIN c2 WHERE n.vec_id < 10) WHERE rn <= $nprobe
-       |), scored AS (
+       |)""".stripMargin
+  }
+
+  private val annIvfSql: String =
+    s"""WITH $ivfTrainCtes,
+       |scored AS (
        |  SELECT p.query_id, c.id,
        |    ROUND(list_inner_product(c.v, p.qv), 6) AS cosine
        |  FROM corpus c JOIN probes p ON c.cell = p.cell
        |  WHERE c.id <> p.query_id
+       |), ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, id) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, rank, id, cosine FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** Full DuckDB replay of IVF-PQ ([[Pq.fit]] + [[Pq.topK]] defaults: m=8 subspaces
+    * of 8 dims, ksub=16 codes, 3 Lloyd rounds, nprobe=4, refine·k=80). On top of the
+    * shared IVF chain: PQ seeds are the SAME md5-rank rows (both fits use seed=42),
+    * codebook 0 = their subspace slices; each round re-encodes (argmin L2 via the
+    * `dot − ½‖c‖²` score, strict ties → lowest code) and recenters per (sub, code)
+    * with empty cells carrying forward — NO re-normalization, matching the Scala
+    * recenter. ADC scoring reconstructs each candidate (concat of its chosen
+    * centroids, flat sequential dot ≡ the subspace-looped accumulate), shortlists 80
+    * per query by (adc DESC, id), and re-ranks the shortlist by exact cosine.
+    */
+  private val annPqSql: String = {
+    val (m, subDim, iters) = (8, 8, 3)
+    def encode(cb: String, out: String): String =
+      s"""$out AS (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT n.vec_id, cb.sub, cb.code,
+         |      ROW_NUMBER() OVER (PARTITION BY n.vec_id, cb.sub
+         |        ORDER BY list_inner_product(
+         |            list_slice(n.v, cb.sub * $subDim + 1, cb.sub * $subDim + $subDim), cb.cv)
+         |          - 0.5 * list_inner_product(cb.cv, cb.cv) DESC, cb.code) AS rn
+         |    FROM n CROSS JOIN $cb cb) WHERE rn = 1
+         |)""".stripMargin
+    def recenter(enc: String, prev: String, mean: String, next: String): String =
+      s"""$mean AS (
+         |  SELECT sub, code, list(mm ORDER BY i) AS mv FROM (
+         |    SELECT sub, code, i, AVG(x) AS mm FROM (
+         |      SELECT enc.sub, enc.code,
+         |        unnest(list_slice(n.v, enc.sub * $subDim + 1, enc.sub * $subDim + $subDim)) AS x,
+         |        generate_subscripts(
+         |          list_slice(n.v, enc.sub * $subDim + 1, enc.sub * $subDim + $subDim), 1) AS i
+         |      FROM $enc enc JOIN n ON n.vec_id = enc.vec_id)
+         |    GROUP BY sub, code, i)
+         |  GROUP BY sub, code
+         |), $next AS (
+         |  SELECT p.sub, p.code, COALESCE(mn.mv, p.cv) AS cv
+         |  FROM $prev p LEFT JOIN $mean mn ON p.sub = mn.sub AND p.code = mn.code
+         |)""".stripMargin
+    val rounds = (1 to iters).map { r =>
+      s"${encode(s"cb${r - 1}", s"enc$r")},\n${recenter(s"enc$r", s"cb${r - 1}", s"pm$r", s"cb$r")}"
+    }.mkString(",\n")
+    s"""WITH $ivfTrainCtes,
+       |subs AS (SELECT * FROM range($m) AS t(sub)),
+       |cb0 AS (
+       |  SELECT subs.sub, seed.cell AS code,
+       |    list_slice(seed.v, subs.sub * $subDim + 1, subs.sub * $subDim + $subDim) AS cv
+       |  FROM seed CROSS JOIN subs
+       |),
+       |$rounds,
+       |${encode(s"cb$iters", "encf")},
+       |recon AS (
+       |  SELECT vec_id, flatten(list(cv ORDER BY sub)) AS rv FROM (
+       |    SELECT e2.vec_id, e2.sub, cb.cv
+       |    FROM encf e2 JOIN cb$iters cb ON cb.sub = e2.sub AND cb.code = e2.code)
+       |  GROUP BY vec_id
+       |), adc AS (
+       |  SELECT p.query_id, p.qv, c.id, c.v,
+       |    list_inner_product(p.qv, r.rv) AS score
+       |  FROM corpus c JOIN probes p ON c.cell = p.cell
+       |                JOIN recon r ON r.vec_id = c.id
+       |  WHERE c.id <> p.query_id
+       |), short AS (
+       |  SELECT query_id, qv, id, v FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS arank
+       |    FROM adc) WHERE arank <= 80
+       |), scored AS (
+       |  SELECT query_id, id, ROUND(list_inner_product(v, qv), 6) AS cosine FROM short
        |), ranked AS (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, id) AS rank
        |  FROM scored
@@ -1140,6 +1223,7 @@ object TextQueries {
   val oracleSql: Map[String, String] = Map(
     "ann_lsh_topk" -> annLshSql,
     "ann_ivf_topk" -> annIvfSql,
+    "ann_pq_topk" -> annPqSql,
     "text_token_count" ->
       s"SELECT doc_id, len(${toksSql("text")}) AS n_tokens FROM documents ORDER BY doc_id",
     "text_fingerprint_rolling" ->

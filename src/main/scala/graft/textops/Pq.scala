@@ -59,8 +59,10 @@ object Pq {
           math.min(1.0, 1.2 * trainSampleRows / n), seed)
       else full).cache()
     try {
+      // portable md5(id:seed) seeding, code id = hash rank — the Ivf.fit convention;
+      // lets the ann_pq_topk DuckDB oracle replay training exactly
       val seedRows = v
-        .withColumn("h", xxhash64(col("id").cast("string"), lit(seed)))
+        .withColumn("h", md5(concat_ws(":", col("id").cast("string"), lit(seed.toString))))
         .orderBy("h").limit(ksub)
         .select("v").collect()
         .map(_.getSeq[Double](0).toArray)
