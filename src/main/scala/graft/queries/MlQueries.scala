@@ -34,6 +34,42 @@ object MlQueries {
             .as("p_quality"))
         .orderBy("doc_id")
     },
+    "ml_quality_newton_agg" -> { (s, dir) =>
+      // the distributed core of ONE Newton/IRLS iteration, pinned cell-exactly (the
+      // j5_em_one_iter pattern): at the fixed pretrained weights w0=ScoreWeights,
+      // emit the normalized gradient, Hessian upper triangle, and logistic loss the
+      // driver solve consumes. The LU solve itself is driver-side commons-math
+      // (deterministic, CurationSpec-pinned); the expensive distributed part is
+      // exactly this aggregation, and a DuckDB replay checks every cell.
+      import s.implicits._
+      val dim = FeatureNames.length
+      val scored = docs(s, dir).select(
+          (TextOps.qualityScore(col("text")) >= 0.54).cast("double").as("y"),
+          QualityClassifier.textFeatures(col("text")).as("x"))
+        .withColumn("p", QualityClassifier.score(col("x"), ScoreWeights))
+      val upper = for (j <- 0 until dim; l <- j until dim) yield (j, l)
+      val pc = least(greatest(col("p"), lit(1e-12)), lit(1.0 - 1e-12))
+      val aggs =
+        (0 until dim).map(j =>
+          sum((col("p") - col("y")) * element_at(col("x"), j + 1)).as(s"g$j")) ++
+        upper.map { case (j, l) =>
+          sum(col("p") * (lit(1.0) - col("p")) *
+            element_at(col("x"), j + 1) * element_at(col("x"), l + 1)).as(s"h${j}_$l")
+        } ++
+        Seq(sum(-(col("y") * log(pc) + (lit(1.0) - col("y")) * log(lit(1.0) - pc)))
+          .as("loss"),
+          count(lit(1)).as("n"))
+      val row = scored.agg(aggs.head, aggs.tail: _*).first()
+      val n = row.getLong(aggs.size - 1).toDouble
+      def r6(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val stats =
+        (0 until dim).map(j => (s"g$j", r6(row.getDouble(j) / n))) ++
+        upper.zipWithIndex.map { case ((j, l), i) =>
+          (s"h${j}_$l", r6(row.getDouble(dim + i) / n)) } ++
+        Seq(("loss", r6(row.getDouble(aggs.size - 2) / n)), ("n", n))
+      stats.toDF("stat", "value").orderBy("stat")
+    },
     "ml_quality_train" -> { (s, dir) =>
       // distill the rule-based quality score into a logistic model (the label is a
       // linear threshold over the features, so IRLS separates it) — iterative Newton
@@ -60,21 +96,54 @@ object MlQueries {
        |ELSE len(list_filter(toks, t -> t IN ${inList(words)}))::DOUBLE / len(toks) END"""
       .stripMargin.replace("\n", " ")
 
+  /** DuckDB renderings of [[QualityClassifier.textFeatures]], index-aligned. */
+  private val featSqls: Seq[String] = Seq(
+    "1.0",
+    "LEAST(1.0, len(toks)::DOUBLE / 100.0)",
+    """CASE WHEN length(text) = 0 THEN 0.0
+      |ELSE length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE / length(text) END"""
+      .stripMargin.replace("\n", " "),
+    ratioSql(TextOps.EnglishStopwords)) ++
+    TextOps.LangMarkers.map { case (_, ms) => ratioSql(ms) }
+
   val oracleSql: Map[String, String] = Map(
     "ml_quality_score" -> {
-      val feats = Seq(
-        "1.0",
-        "LEAST(1.0, len(toks)::DOUBLE / 100.0)",
-        """CASE WHEN length(text) = 0 THEN 0.0
-          |ELSE length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE / length(text) END"""
-          .stripMargin.replace("\n", " "),
-        ratioSql(TextOps.EnglishStopwords)) ++
-        TextOps.LangMarkers.map { case (_, ms) => ratioSql(ms) }
       // left-associative sum, same accumulation order as the ArrayDot loop
-      val dot = ScoreWeights.zip(feats)
+      val dot = ScoreWeights.zip(featSqls)
         .map { case (w, f) => s"($w) * ($f)" }.mkString(" + ")
       s"""WITH t AS (SELECT doc_id, text, ${toksSql("text")} AS toks FROM documents)
          |SELECT doc_id, ROUND(1.0 / (1.0 + exp(-($dot))), 6) AS p_quality
          |FROM t ORDER BY doc_id""".stripMargin
+    },
+    "ml_quality_newton_agg" -> {
+      val dim = FeatureNames.length
+      val dot = ScoreWeights.indices.map(j => s"(${ScoreWeights(j)}) * f$j").mkString(" + ")
+      val upper = for (j <- 0 until dim; l <- j until dim) yield (j, l)
+      val statRows =
+        (0 until dim).map(j =>
+          s"SELECT 'g$j' AS stat, ROUND(SUM((p - y) * f$j) / COUNT(*), 6) AS value FROM s") ++
+        upper.map { case (j, l) =>
+          s"SELECT 'h${j}_$l', ROUND(SUM(p * (1.0 - p) * f$j * f$l) / COUNT(*), 6) FROM s" } ++
+        Seq("SELECT 'loss', ROUND(SUM(-(y * ln(pc) + (1.0 - y) * ln(1.0 - pc))) / COUNT(*), 6) FROM s",
+          "SELECT 'n', COUNT(*)::DOUBLE FROM s")
+      s"""WITH t AS (SELECT doc_id, text, ${toksSql("text")} AS toks FROM documents),
+         |f0 AS (
+         |  SELECT ${featSqls.zipWithIndex.map { case (f, j) => s"($f) AS f$j" }.mkString(",\n    ")}
+         |  FROM t
+         |), f AS (
+         |  -- label = UNROUNDED qualityScore >= 0.54; the score is exactly
+         |  -- 0.4*len_sat + 0.3*(1-punct) + 0.3*stop, i.e. a function of f1..f3,
+         |  -- with the same left-associative order as the Scala column expression
+         |  SELECT *,
+         |    CASE WHEN 0.4 * f1 + 0.3 * (1.0 - f2) + 0.3 * f3 >= 0.54
+         |         THEN 1.0 ELSE 0.0 END AS y
+         |  FROM f0
+         |), s AS (
+         |  SELECT *, 1.0 / (1.0 + exp(-($dot))) AS p,
+         |    LEAST(GREATEST(1.0 / (1.0 + exp(-($dot))), 1e-12), 1.0 - 1e-12) AS pc
+         |  FROM f
+         |)
+         |${statRows.mkString("\nUNION ALL ")}
+         |ORDER BY stat""".stripMargin
     })
 }
