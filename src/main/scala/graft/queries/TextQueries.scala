@@ -335,8 +335,8 @@ object TextQueries {
         .orderBy("id_l", "id_r")
     },
     "dedup_semantic" -> { (s, dir) =>
-      // SemDeDup: within-cluster exact-verified pairs (iterative Lloyd training —
-      // rows-only driver check; subset/recall vs brute force pinned in TextOpsSpec)
+      // SemDeDup, full oracle (new r6): Lloyd training is portable-md5-seeded, so
+      // DuckDB replays fit + within-cell pairing + exact-cosine verify exactly
       Dedup.semanticPairs(plantedEmb(s, dir), "vec_id", "embedding", 0.9, k = 16)
         .select(col("id_l"), col("id_r"), round(col("cosine"), 6).as("cosine"))
         .orderBy("id_l", "id_r")
@@ -1080,43 +1080,53 @@ object TextQueries {
     * (nprobe=4 closest cells, queries = vec_id < 10). Both the IVF and IVF-PQ
     * oracles open with this chain.
     */
+  /** One DuckDB Lloyd round over a CTE `n(vec_id, v)`: assignment against `prev`
+    * centroids (argmax dot, ties → lowest cell) → per-dim means → normalized next
+    * centroids, empty cells carrying `prev` forward — the [[Ivf.fit]] iteration.
+    */
+  private def lloydRoundCtes(prev: String, a: String, m: String, next: String): String =
+    s"""$a AS (
+       |  SELECT vec_id, v, cell FROM (
+       |    SELECT n.vec_id, n.v, $prev.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |        ORDER BY list_inner_product(n.v, $prev.v) DESC, $prev.cell) AS rn
+       |    FROM n CROSS JOIN $prev) WHERE rn = 1
+       |), $m AS (
+       |  SELECT cell, list(m ORDER BY i) AS mv FROM (
+       |    SELECT cell, i, AVG(x) AS m FROM (
+       |      SELECT cell, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM $a)
+       |    GROUP BY cell, i)
+       |  GROUP BY cell
+       |), $next AS (
+       |  SELECT $prev.cell,
+       |    COALESCE(
+       |      list_transform($m.mv, x -> x / sqrt(list_inner_product($m.mv, $m.mv))),
+       |      $prev.v) AS v
+       |  FROM $prev LEFT JOIN $m ON $prev.cell = $m.cell
+       |)""".stripMargin
+
+  /** md5-rank seed pick over `n(vec_id, v)` — cell id = hash rank, the portable
+    * [[Ivf.fit]] seeding.
+    */
+  private def ivfSeedCtes(k: Int, seed: Long): String =
+    s"""s0 AS (
+       |  SELECT v, md5(CAST(vec_id AS VARCHAR) || ':' || '$seed') AS h FROM n
+       |), seed AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY h) - 1 AS cell, v
+       |  FROM (SELECT * FROM s0 ORDER BY h LIMIT $k)
+       |)""".stripMargin
+
   private val ivfTrainCtes: String = {
     val (k, nprobe, seed) = (16, 4, 42L)
-    // one Lloyd round: assignment against `prev` centroids → per-dim means →
-    // normalized next centroids, empty cells carrying `prev` forward
-    def lloyd(prev: String, a: String, m: String, next: String): String =
-      s"""$a AS (
-         |  SELECT vec_id, v, cell FROM (
-         |    SELECT n.vec_id, n.v, $prev.cell,
-         |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
-         |        ORDER BY list_inner_product(n.v, $prev.v) DESC, $prev.cell) AS rn
-         |    FROM n CROSS JOIN $prev) WHERE rn = 1
-         |), $m AS (
-         |  SELECT cell, list(m ORDER BY i) AS mv FROM (
-         |    SELECT cell, i, AVG(x) AS m FROM (
-         |      SELECT cell, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM $a)
-         |    GROUP BY cell, i)
-         |  GROUP BY cell
-         |), $next AS (
-         |  SELECT $prev.cell,
-         |    COALESCE(
-         |      list_transform($m.mv, x -> x / sqrt(list_inner_product($m.mv, $m.mv))),
-         |      $prev.v) AS v
-         |  FROM $prev LEFT JOIN $m ON $prev.cell = $m.cell
-         |)""".stripMargin
     s"""e AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS raw FROM embeddings
        |), n AS (
        |  SELECT vec_id,
        |    list_transform(raw, x -> x / sqrt(list_inner_product(raw, raw))) AS v
        |  FROM e
-       |), s0 AS (
-       |  SELECT v, md5(CAST(vec_id AS VARCHAR) || ':' || '$seed') AS h FROM n
-       |), seed AS (
-       |  SELECT ROW_NUMBER() OVER (ORDER BY h) - 1 AS cell, v
-       |  FROM (SELECT * FROM s0 ORDER BY h LIMIT $k)
-       |), ${lloyd("seed", "a1", "m1", "c1")},
-       |${lloyd("c1", "a2", "m2", "c2")},
+       |), ${ivfSeedCtes(k, seed)},
+       |${lloydRoundCtes("seed", "a1", "m1", "c1")},
+       |${lloydRoundCtes("c1", "a2", "m2", "c2")},
        |corpus AS (
        |  SELECT vec_id AS id, v, cell FROM (
        |    SELECT n.vec_id, n.v, c2.cell,
@@ -1220,10 +1230,40 @@ object TextQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Full DuckDB replay of SemDeDup ([[Dedup.semanticPairs]] at k=16, iters=2,
+    * seed=42, threshold 0.9) over the PLANTED embedding corpus: normalize, the
+    * shared md5-seeded 2-round Lloyd fit, argmax-dot cell assignment, within-cell
+    * `id_l < id_r` pairs, exact cosine ≥ 0.9 on the UNROUNDED dot (output rounds 6).
+    */
+  private val dedupSemanticSql: String = {
+    val (k, seed) = (16, 42L)
+    s"""WITH $embCorpusCte,
+       |n AS (
+       |  SELECT vec_id,
+       |    list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS v
+       |  FROM ecorpus
+       |), ${ivfSeedCtes(k, seed)},
+       |${lloydRoundCtes("seed", "a1", "m1", "c1")},
+       |${lloydRoundCtes("c1", "a2", "m2", "c2")},
+       |asn AS (
+       |  SELECT vec_id, v, cell FROM (
+       |    SELECT n.vec_id, n.v, c2.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |        ORDER BY list_inner_product(n.v, c2.v) DESC, c2.cell) AS rn
+       |    FROM n CROSS JOIN c2) WHERE rn = 1
+       |)
+       |SELECT l.vec_id AS id_l, r.vec_id AS id_r,
+       |  ROUND(list_inner_product(l.v, r.v), 6) AS cosine
+       |FROM asn l JOIN asn r ON l.cell = r.cell AND l.vec_id < r.vec_id
+       |WHERE list_inner_product(l.v, r.v) >= 0.9
+       |ORDER BY id_l, id_r""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "ann_lsh_topk" -> annLshSql,
     "ann_ivf_topk" -> annIvfSql,
     "ann_pq_topk" -> annPqSql,
+    "dedup_semantic" -> dedupSemanticSql,
     "text_token_count" ->
       s"SELECT doc_id, len(${toksSql("text")}) AS n_tokens FROM documents ORDER BY doc_id",
     "text_fingerprint_rolling" ->
