@@ -63,13 +63,7 @@ object Bench {
       }
       (name, sec, err)
     }
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-        case '\r' => "\\r"; case '\t' => "\\t"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      } + "\""
+    def jstr(s: String): String = graft.util.Render.jsonString(s)
     // "queries" keeps its flat name→seconds shape (the driver's contract) but now
     // holds ONLY genuinely-executed queries; failures land in "errors" with the
     // time-to-exception and message, so a crash can never pose as a fast timing

@@ -176,10 +176,7 @@ object LinkageQueries {
   // ---- oracle SQL ----------------------------------------------------------
 
   private def log2(x: Double): Double = math.log(x) / math.log(2.0)
-  private def d(x: Double): String = {
-    val s = x.toString
-    if (s.contains("E")) f"$x%.20e" else s
-  }
+  private def d(x: Double): String = graft.util.Render.sqlDouble(x)
 
   /** gamma CASE ladder in DuckDB SQL mirroring [[Comparisons.gammaColumn]], over
     * arbitrary lhs/rhs SQL expressions.

@@ -1024,10 +1024,7 @@ object TextQueries {
     */
   private val annLshSql: String = {
     val (nTables, planesPerTable, dim, seed) = (16, 5, 64, 42L)
-    def d(x: Double): String = {
-      val s = x.toString
-      if (s.contains("E")) f"$x%.20e" else s
-    }
+    def d(x: Double): String = graft.util.Render.sqlDouble(x)
     val planeRows = (0 until nTables).flatMap { t =>
       Similarity.randomPlanes(planesPerTable, dim, seed + t).zipWithIndex.map {
         case (p, j) => s"($t, $j, [${p.map(d).mkString(",")}]::DOUBLE[])"
@@ -1079,6 +1076,14 @@ object TextQueries {
     * final centroids `c2`, the cell-assigned `corpus`, and per-query `probes`
     * (nprobe=4 closest cells, queries = vec_id < 10). Both the IVF and IVF-PQ
     * oracles open with this chain.
+    *
+    * REPLAY BOUND: `Ivf.fit`/`Pq.fit` train on a seeded Bernoulli SAMPLE once the
+    * corpus exceeds 2·trainSampleRows (400k rows) — Spark's sampler is not
+    * replayable in SQL, so these full-training oracles are valid only below that
+    * bound. Driver-checked SFs hold ≤ 2k embedding rows (SourcesSpec pins the
+    * table's shape); if the testdata ever grows past the bound, these three
+    * queries must switch to rows-only with a recall pin, not keep a silently
+    * diverging oracle.
     */
   /** One DuckDB Lloyd round over a CTE `n(vec_id, v)`: assignment against `prev`
     * centroids (argmax dot, ties → lowest cell) → per-dim means → normalized next

@@ -17,6 +17,11 @@ object StreamOps {
     * readStream with `maxFilesPerTrigger` — see the dedup ops.)
     */
   private def fileStream(spark: SparkSession, path: String): DataFrame = {
+    // set BEFORE the batch schema inference: a legacy TIMESTAMP(NANOS) events file
+    // fails schema inference itself without the conf, i.e. before normalizeTs could
+    // ever see it — and streaming paths must work standalone, not only after some
+    // batch events query happened to set the conf on the shared session
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(path).schema
     val f = new java.io.File(path)
     spark.readStream
@@ -325,17 +330,22 @@ object StreamOps {
       spark: SparkSession,
       eventsDir: String,
       delay: String = "365 days"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true") // before inference
     val schema = spark.read.parquet(eventsDir).schema
     val raw = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", 1) // duplicates arrive in later micro-batches
       .parquet(eventsDir)
-    // dedup key via unix_micros AFTER ts normalization: injective and stable across
-    // both parquet physical ts types (long nanos render ≠ timestamp render, but the
-    // micros value is identical — re-emitted rows must collide with their originals)
-    val stream = graft.sources.Events.normalizeTs(raw)
-      .withColumn("k",
-        concat_ws("|", col("user_id"), col("event_type"), unix_micros(col("ts"))))
+    // dedup key from the RAW ts at its native resolution: legacy long nanos keep
+    // nanosecond distinctions (normalizing first would truncate to micros and
+    // collapse sub-microsecond-distinct events into one key); the native timestamp
+    // shape is micros-resolution already, so unix_micros is injective there
+    val kExpr = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => col("ts") // epoch nanos, as-is
+      case _ => unix_micros(col("ts").cast("timestamp"))
+    }
+    val stream = graft.sources.Events.normalizeTs(
+        raw.withColumn("k", concat_ws("|", col("user_id"), col("event_type"), kExpr)))
       .withColumn("event_ts", col("ts"))
       .withWatermark("event_ts", delay)
       .dropDuplicatesWithinWatermark("k")

@@ -72,6 +72,12 @@ class SourcesSpec extends SparkSpec {
     assert(drifted.isEmpty,
       s"\nTESTDATA SCHEMA DRIFT (regenerate hazard — update loaders AND this canary):\n  " +
         drifted.mkString("\n  "))
+    // the ANN oracles hardcode 64-dim hyperplane/codebook literals — a dim change
+    // is schema-invisible (still array<float>), so pin the length too
+    val dims = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(size(col("embedding"))).distinct().collect().map(_.getInt(0)).toSeq
+    assert(dims === Seq(64),
+      s"embeddings dim drifted to $dims (expected 64) — the ann_* oracle literals assume 64")
   }
 
   test("all-string CSV round-trip feeds the cleaning + uid pipeline") {
