@@ -80,6 +80,29 @@ class SourcesSpec extends SparkSpec {
       s"embeddings dim drifted to $dims (expected 64) — the ann_* oracle literals assume 64")
   }
 
+  test("Events.normalizeTs handles every historical ts shape and fails loudly otherwise") {
+    import graft.sources.Events
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val us = 1700000000123456L // 2023-11-14T22:13:20.123456Z
+    // legacy nanosAsLong shape: BIGINT epoch nanos
+    val fromLong = Events.normalizeTs(Seq(us * 1000).toDF("ts"))
+    assert(fromLong.schema("ts").dataType === TimestampType)
+    assert(fromLong.select(unix_micros(col("ts"))).as[Long].head() === us)
+    // native timestamp[us] shape: TIMESTAMP_NTZ, instant-preserving under UTC
+    val fromNtz = Events.normalizeTs(
+      Seq(us).toDF("us").select(timestamp_micros(col("us")).cast(TimestampNTZType).as("ts")))
+    assert(fromNtz.schema("ts").dataType === TimestampType)
+    assert(fromNtz.select(unix_micros(col("ts"))).as[Long].head() === us)
+    // already-TimestampType passes through untouched
+    val ltz = Seq(us).toDF("us").select(timestamp_micros(col("us")).as("ts"))
+    assert(Events.normalizeTs(ltz).select(unix_micros(col("ts"))).as[Long].head() === us)
+    // anything else names the column and its type instead of failing downstream
+    val err = intercept[IllegalArgumentException] {
+      Events.normalizeTs(Seq("oops").toDF("ts"))
+    }
+    assert(err.getMessage.contains("ts") && err.getMessage.contains("String"))
+  }
+
   test("all-string CSV round-trip feeds the cleaning + uid pipeline") {
     val out = s"$tmp/csv"
     spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
