@@ -124,6 +124,21 @@ object LinkageQueries {
           round(col("match_probability"), 6).as("match_probability"))
         .orderBy("uid_l", "uid_r")
     },
+    "ep10_fs_cluster" -> { (s, dir) =>
+      // the e2e Fellegi–Sunter SERVE path — score → threshold → connected
+      // components → per-record cluster ids — fully oracle-checked: the DuckDB
+      // side recomputes the Bayes-factor weights and replays the clustering with
+      // a recursive transitive-closure CTE (exact, no closed-form shortcut). The
+      // TRAINED e2e (ep1) stays rows-only; this pins everything downstream of the
+      // model parameters, which is the path every scoring batch runs at serve time.
+      val df = withUid(cust(s, dir))
+      val scored = FellegiSunter.predict(df, "uid", demoModel)
+      val edges = scored.filter(col("match_probability") >= 0.9)
+        .select(col("uid_l").as("src"), col("uid_r").as("dst"))
+      ConnectedComponents.assignClusters(df, "uid", edges)
+        .select(col("uid"), col("cluster_id"))
+        .orderBy("uid")
+    },
     "j7_connected_components" -> { (s, dir) =>
       // chain edges: consecutive custkeys inside each (nation, segment) block — multi-hop
       // paths whose component minimum has the closed form MIN(uid) OVER (block)
@@ -424,6 +439,26 @@ object LinkageQueries {
     "j5_em_one_iter" -> emOneIterSql,
     "j5_em_two_iter" -> emTwoIterSql,
     "j6_predict" -> predictSql,
+    "ep10_fs_cluster" ->
+      // predictPairsCte yields w(uid_l, uid_r, mw); matches at UNROUNDED
+      // probability ≥ 0.9 become symmetric edges, and the recursive closure
+      // assigns every record the lexicographic-min uid of its component
+      // (singletons fall back to their own uid) — exactly assignClusters
+      s"""${predictPairsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |m AS (
+         |  SELECT uid_l, uid_r FROM w
+         |  WHERE POWER(2.0, mw) / (1.0 + POWER(2.0, mw)) >= 0.9
+         |), edges AS (
+         |  SELECT uid_l AS ea, uid_r AS eb FROM m
+         |  UNION ALL
+         |  SELECT uid_r, uid_l FROM m
+         |), reach(node, r) AS (
+         |  SELECT uid, uid FROM b
+         |  UNION
+         |  SELECT e.eb, reach.r FROM reach JOIN edges e ON e.ea = reach.node
+         |)
+         |SELECT node AS uid, MIN(r) AS cluster_id FROM reach
+         |GROUP BY node ORDER BY uid""".stripMargin,
     "j7_connected_components" ->
       """SELECT CAST(c_custkey AS VARCHAR) AS uid,
         |  MIN(CAST(c_custkey AS VARCHAR))
