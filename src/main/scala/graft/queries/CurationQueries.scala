@@ -331,6 +331,14 @@ object CurationQueries {
       Curation.trainBpeMerges(docs(s, dir), col("text"), numMerges = 20)
         .orderBy("merge_rank")
     },
+    "curation_bpe_first_merge" -> { (s, dir) =>
+      // the pinned-step oracle for BPE (the j5_em_one_iter pattern): merge 1 is a
+      // closed form over the word-count table — char+</w> splits, count-weighted
+      // adjacent-pair sums, (count DESC, pair ASC) argmax — replayed in DuckDB.
+      // The 20-merge loop above stays rows-only (re-tokenization is iterative).
+      Curation.trainBpeMerges(docs(s, dir), col("text"), numMerges = 1)
+        .orderBy("merge_rank")
+    },
     "ep5_data_card" -> { (s, dir) =>
       // the per-domain "data card" every corpus release publishes, one aggregation
       // pass: volume, exact-dup rate, quality distribution (mean + exact median),
@@ -430,7 +438,30 @@ object CurationQueries {
   private def drawSql(salt: String, keyExpr: String) =
     s"substr(md5('$salt:' || $keyExpr), 1, 8)"
 
+  /** DuckDB replay of BPE merge 1: word counts (top-100k by (n DESC, word ASC) —
+    * trainBpeMerges' bounded vocab, replicated with the same total order), each
+    * word split to characters with the `</w>` terminal, count-weighted adjacent
+    * pair sums, and the (count DESC, left ASC, right ASC) argmax.
+    */
+  private val bpeFirstMergeSql: String = {
+    s"""WITH t AS (SELECT ${toksSql("text")} AS toks FROM documents),
+       |w AS (
+       |  SELECT w, COUNT(*) AS n FROM (SELECT unnest(toks) AS w FROM t)
+       |  GROUP BY w ORDER BY n DESC, w LIMIT 100000
+       |), sy AS (
+       |  SELECT list_append(string_split(w, ''), '</w>') AS s, n FROM w
+       |), pairs AS (
+       |  SELECT s[i] AS l, s[i + 1] AS r, n
+       |  FROM sy, unnest(range(1, len(s))) AS u(i)
+       |), top AS (
+       |  SELECT l, r, SUM(n) AS pair_count FROM pairs GROUP BY l, r
+       |  ORDER BY pair_count DESC, l, r LIMIT 1
+       |)
+       |SELECT 1 AS merge_rank, l AS "left", r AS "right", pair_count FROM top""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "curation_bpe_first_merge" -> bpeFirstMergeSql,
     "text_repetition" -> {
       val toks = toksSql("text")
       s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
