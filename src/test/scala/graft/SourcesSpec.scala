@@ -103,6 +103,28 @@ class SourcesSpec extends SparkSpec {
     assert(err.getMessage.contains("ts") && err.getMessage.contains("String"))
   }
 
+  test("legacy TIMESTAMP(NANOS) events load batch AND streaming on a fresh-conf session") {
+    // the round-5 historical shape, preserved as a fixture since the testdata no
+    // longer ships it: Spark rejects nanos timestamps unless the legacy conf is set
+    // BEFORE schema inference — which bit the streaming paths once (they inferred
+    // the batch schema without setting it and only worked if a batch events query
+    // had already run on the shared session)
+    val dir = java.nio.file.Files.createTempDirectory("graft-nanos").toString
+    val src = getClass.getResource("/events_nanos.parquet")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(src.toURI),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong") // simulate fresh session
+    val batch = graft.sources.Events.load(spark, dir)
+    assert(batch.schema("ts").dataType === org.apache.spark.sql.types.TimestampType)
+    assert(batch.count() === 40)
+    // nanos truncate to micros: base ...000_000_123ns → ...000000us (123ns lost)
+    assert(batch.select(unix_micros(min(col("ts")))).as[Long].head() === 1700000000000000L)
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    val windowed = graft.streaming.StreamOps
+      .windowedEventCounts(spark, s"$dir/events.parquet")
+    assert(windowed.count() > 0) // would throw at schema inference without the fix
+  }
+
   test("all-string CSV round-trip feeds the cleaning + uid pipeline") {
     val out = s"$tmp/csv"
     spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
