@@ -38,6 +38,39 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("sqlDouble renders every finite double to a literal that parses back bit-exactly") {
+    // the oracle-SQL contract: DuckDB parses the decimal literal to the nearest
+    // IEEE double, so Java parsing the same string must recover the same bits
+    val doubles: Gen[Double] = Gen.oneOf(
+      Gen.choose(-1e300, 1e300),
+      Gen.choose(-1.0, 1.0),
+      Gen.choose(-1e-300, 1e-300), // subnormal-adjacent, forces scientific notation
+      Gen.oneOf(0.0, -0.0, Double.MinPositiveValue, Double.MaxValue, 1e-7, -2.5e-13))
+    check("round-trip", Prop.forAll(doubles) { x =>
+      java.lang.Double.parseDouble(graft.util.Render.sqlDouble(x)) == x
+    })
+  }
+
+  test("normalizeTs yields the same instants for the long-nanos and NTZ shapes") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import org.apache.spark.sql.types.TimestampNTZType
+    // any micros value representable in both shapes must land on the same instant
+    // (UTC session) — the invariant the 14 events queries' oracles rely on
+    check("shape-equivalence", Prop.forAll(
+        Gen.listOfN(20, Gen.choose(0L, 4102444800000000L))) { usList =>
+      usList.isEmpty || {
+        val asLong = graft.sources.Events.normalizeTs(
+          usList.map(_ * 1000L).toDF("ts"))
+        val asNtz = graft.sources.Events.normalizeTs(
+          usList.toDF("us")
+            .select(timestamp_micros(col("us")).cast(TimestampNTZType).as("ts")))
+        asLong.select(unix_micros(col("ts"))).as[Long].collect().sorted.toSeq ==
+          asNtz.select(unix_micros(col("ts"))).as[Long].collect().sorted.toSeq
+      }
+    }, minOk = 20)
+  }
+
   test("merge-time threshold prune keeps exactly the keys above threshold") {
     val agg = CombinatorialCountAgg(Seq.empty, Seq.empty, 1, threshold = 10L)
     check("prune", Prop.forAll(countMapGen, countMapGen) { (a, b) =>
