@@ -471,6 +471,24 @@ object TextQueries {
       Ivf.topK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5, model)
         .orderBy("query_id", "rank")
     },
+    "ann_ivf_incremental" -> { (s, dir) =>
+      // day-2 index growth: fit on the BASE corpus only, write its index, APPEND
+      // the new batch under the same model (no refit), then serve from the grown
+      // index. Full oracle: DuckDB replays base-only training and serves over
+      // base ∪ batch — which is exactly what the appended index must equal.
+      val e = emb(s, dir)
+      val base = e.filter(col("vec_id") % 4 =!= 3)
+      val batch = e.filter(col("vec_id") % 4 === 3)
+      val model = Ivf.fit(base, "vec_id", "embedding", k = 16)
+      val path = graft.util.Scratch.deleteOnExit(
+        s"${System.getProperty("java.io.tmpdir")}/graft_ivf_inc/" +
+          s"${graft.util.Scratch.runToken}_${System.nanoTime()}")
+      Ivf.writeIndex(base, "vec_id", "embedding", model, path)
+      Ivf.appendToIndex(batch, "vec_id", "embedding", model, path)
+      Ivf.topKFromIndex(s, path, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", 5, model)
+        .orderBy("query_id", "rank")
+    },
     "ann_pq_topk" -> { (s, dir) =>
       // full oracle (new r6): portable md5 seeding makes the per-subspace Lloyd
       // training replayable, so DuckDB replays codebook fit, ADC shortlist, re-rank
@@ -1089,13 +1107,14 @@ object TextQueries {
     * centroids (argmax dot, ties → lowest cell) → per-dim means → normalized next
     * centroids, empty cells carrying `prev` forward — the [[Ivf.fit]] iteration.
     */
-  private def lloydRoundCtes(prev: String, a: String, m: String, next: String): String =
+  private def lloydRoundCtes(prev: String, a: String, m: String, next: String,
+      src: String = "n"): String =
     s"""$a AS (
        |  SELECT vec_id, v, cell FROM (
-       |    SELECT n.vec_id, n.v, $prev.cell,
-       |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
-       |        ORDER BY list_inner_product(n.v, $prev.v) DESC, $prev.cell) AS rn
-       |    FROM n CROSS JOIN $prev) WHERE rn = 1
+       |    SELECT $src.vec_id, $src.v, $prev.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY $src.vec_id
+       |        ORDER BY list_inner_product($src.v, $prev.v) DESC, $prev.cell) AS rn
+       |    FROM $src CROSS JOIN $prev) WHERE rn = 1
        |), $m AS (
        |  SELECT cell, list(m ORDER BY i) AS mv FROM (
        |    SELECT cell, i, AVG(x) AS m FROM (
@@ -1113,9 +1132,9 @@ object TextQueries {
   /** md5-rank seed pick over `n(vec_id, v)` — cell id = hash rank, the portable
     * [[Ivf.fit]] seeding.
     */
-  private def ivfSeedCtes(k: Int, seed: Long): String =
+  private def ivfSeedCtes(k: Int, seed: Long, src: String = "n"): String =
     s"""s0 AS (
-       |  SELECT v, md5(CAST(vec_id AS VARCHAR) || ':' || '$seed') AS h FROM n
+       |  SELECT v, md5(CAST(vec_id AS VARCHAR) || ':' || '$seed') AS h FROM $src
        |), seed AS (
        |  SELECT ROW_NUMBER() OVER (ORDER BY h) - 1 AS cell, v
        |  FROM (SELECT * FROM s0 ORDER BY h LIMIT $k)
@@ -1145,6 +1164,47 @@ object TextQueries {
        |        ORDER BY list_inner_product(n.v, c2.v) DESC, c2.cell) AS rn
        |    FROM n CROSS JOIN c2 WHERE n.vec_id < 10) WHERE rn <= $nprobe
        |)""".stripMargin
+  }
+
+  /** Oracle for the grown index: training restricted to the base corpus (`ntrain`),
+    * serving over everything — appending under a fixed model must equal this.
+    */
+  private val annIvfIncrementalSql: String = {
+    val (k, nprobe, seed) = (16, 4, 42L)
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS raw FROM embeddings
+       |), n AS (
+       |  SELECT vec_id,
+       |    list_transform(raw, x -> x / sqrt(list_inner_product(raw, raw))) AS v
+       |  FROM e
+       |), ntrain AS (
+       |  SELECT * FROM n WHERE vec_id % 4 <> 3
+       |), ${ivfSeedCtes(k, seed, src = "ntrain")},
+       |${lloydRoundCtes("seed", "a1", "m1", "c1", src = "ntrain")},
+       |${lloydRoundCtes("c1", "a2", "m2", "c2", src = "ntrain")},
+       |corpus AS (
+       |  SELECT vec_id AS id, v, cell FROM (
+       |    SELECT n.vec_id, n.v, c2.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |        ORDER BY list_inner_product(n.v, c2.v) DESC, c2.cell) AS rn
+       |    FROM n CROSS JOIN c2) WHERE rn = 1
+       |), probes AS (
+       |  SELECT query_id, qv, cell FROM (
+       |    SELECT n.vec_id AS query_id, n.v AS qv, c2.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |        ORDER BY list_inner_product(n.v, c2.v) DESC, c2.cell) AS rn
+       |    FROM n CROSS JOIN c2 WHERE n.vec_id < 10) WHERE rn <= $nprobe
+       |), scored AS (
+       |  SELECT p.query_id, c.id,
+       |    ROUND(list_inner_product(c.v, p.qv), 6) AS cosine
+       |  FROM corpus c JOIN probes p ON c.cell = p.cell
+       |  WHERE c.id <> p.query_id
+       |), ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, id) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, rank, id, cosine FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
   }
 
   private val annIvfSql: String =
@@ -1267,6 +1327,7 @@ object TextQueries {
   val oracleSql: Map[String, String] = Map(
     "ann_lsh_topk" -> annLshSql,
     "ann_ivf_topk" -> annIvfSql,
+    "ann_ivf_incremental" -> annIvfIncrementalSql,
     "ann_pq_topk" -> annPqSql,
     "dedup_semantic" -> dedupSemanticSql,
     "text_token_count" ->

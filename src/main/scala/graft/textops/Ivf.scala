@@ -111,6 +111,28 @@ object Ivf {
       model.centroids)
       .write.partitionBy("cell").mode("overwrite").parquet(path)
 
+  /** Day-2 index maintenance: assign a NEW batch of vectors to the EXISTING model's
+    * cells and append them into the written index — no refit, no touch of the rows
+    * already indexed. This is how a 100 TB embedding store grows daily: ingest cost
+    * is O(batch·k·dim) assignment plus a partitioned append; queries keep pruning by
+    * cell as before. (Centroid drift from distribution shift is the retrain signal —
+    * a growing share of batch rows landing far from their centroid; refit then
+    * rebuilds the index offline, exactly like the minhash band-index analogue.)
+    * Results must equal a from-scratch index over base ∪ batch under the SAME model
+    * — pinned by the `ann_ivf_incremental` full oracle.
+    */
+  def appendToIndex(
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: Model,
+      path: String): Unit =
+    assign(
+      batch.select(col(idCol).as("id"),
+        Similarity.normalized(col(vecCol).cast("array<double>")).as("v")),
+      model.centroids)
+      .write.partitionBy("cell").mode("append").parquet(path)
+
   /** Top-k over a written index: reads ONLY the probed cell partitions. The probed
     * cell set is ≤ queries × nprobe (driver-sized by construction), so it becomes an
     * `IN` filter on the partition column and the scan never touches other cells.
