@@ -490,6 +490,29 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("IVF appendToIndex equals a from-scratch rebuild under the same model") {
+    import graft.textops.Ivf
+    val queries = emb.filter(col("vec_id") < 20)
+    val base = emb.filter(col("vec_id") % 4 =!= 3)
+    val batch = emb.filter(col("vec_id") % 4 === 3)
+    val model = Ivf.fit(base, "vec_id", "embedding", k = 16) // model fixed at base
+    val grown = java.nio.file.Files.createTempDirectory("graft_ivf_grow").toString
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft_ivf_full").toString
+    try {
+      Ivf.writeIndex(base, "vec_id", "embedding", model, grown)
+      Ivf.appendToIndex(batch, "vec_id", "embedding", model, grown)
+      Ivf.writeIndex(emb, "vec_id", "embedding", model, rebuilt)
+      val a = Ivf.topKFromIndex(spark, grown, queries, "vec_id", "embedding", 5, model)
+      val b = Ivf.topKFromIndex(spark, rebuilt, queries, "vec_id", "embedding", 5, model)
+      assert(a.collect().toSet === b.collect().toSet)
+    } finally {
+      import java.nio.file.{Files, Path, Paths}
+      Seq(grown, rebuilt).foreach(d =>
+        Files.walk(Paths.get(d)).sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p)))
+    }
+  }
+
   test("PQ on-disk code index equals in-memory topK, prunes cells, reads no vectors") {
     import graft.textops.{Ivf, Pq}
     val queries = emb.filter(col("vec_id") < 20)
