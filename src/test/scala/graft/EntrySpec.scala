@@ -9,20 +9,23 @@ class EntrySpec extends SparkSpec {
   }
 
   test("every query name has either an oracle or a documented rows-only reason") {
+    // EXACT set, not an upper bound: a query silently losing its oracle (or a new
+    // rows-only query slipping in without a justification here) must fail this.
+    // Each of these is iterative/search-driven and carries a pinned-step or
+    // property gate instead (r6: the ANN family, SemDeDup, the Newton agg, and
+    // BPE merge 1 all graduated to full oracles and left this list).
     val rowsOnly = Set(
-      "j5_em_train",          // iterative EM — pinned by LinkageSpec
-      "ep1_e2e_dedupe",       // trained pipeline — pinned by MetricsSpec
+      "j5_em_train",          // iterative EM — j5_em_one/two_iter pin the updates + loop
+      "ep1_e2e_dedupe",       // trained pipeline — ep10_fs_cluster pins the serve path
       "ep1_auto_link",        // adaptive search — pinned by MetricsSpec
       "ep1_auto_link_two_tables", // link-mode search loop — pinned by MetricsSpec
-      "ann_lsh_topk",         // approximate — recall pinned by TextOpsSpec
-      "ann_ivf_topk",         // approximate — recall pinned by TextOpsSpec
-      "ann_pq_topk",          // approximate IVF-PQ — recall + ADC fixture pinned by TextOpsSpec
-      "sim_pca_project",      // iterative eigensolve — hand-computed eigensystem pinned by TextOpsSpec
-      "ml_quality_train",     // iterative GD — accuracy/loss pinned by CurationSpec
-      "dedup_semantic",       // iterative Lloyd — subset/recall pinned by TextOpsSpec
-      "curation_bpe_merges")  // iterative merge loop — pinned by CurationSpec (Sennrich fixture)
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
-    assert(missing.isEmpty, s"queries without oracle or justification: $missing")
+      "sim_pca_project",      // iterative eigensolve — sim_covariance pins the distributed core
+      "ml_quality_train",     // iterative IRLS — ml_quality_newton_agg pins the per-step agg
+      "curation_bpe_merges")  // iterative merge loop — curation_bpe_first_merge + Sennrich fixture
+    val actual = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(actual === rowsOnly,
+      s"rows-only drift — no longer rows-only: ${rowsOnly -- actual}; " +
+        s"new without justification: ${actual -- rowsOnly}")
     val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphaned.isEmpty, s"oracles without queries: $orphaned")
   }
