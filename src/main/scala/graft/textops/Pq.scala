@@ -122,6 +122,24 @@ object Pq {
       .select("cell", "id", "codes")
       .write.partitionBy("cell").mode("overwrite").parquet(path)
 
+  /** Day-2 code-index growth (the [[Ivf.appendToIndex]] analogue): encode a new
+    * batch with the EXISTING codebooks, assign its IVF cells, append — no refit, no
+    * touch of indexed rows. Ingest cost is one codegen'd encode+assign projection
+    * over the batch plus a partitioned append; must equal a from-scratch rebuild
+    * under the same models (spec-pinned).
+    */
+  def appendToIndex(
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      ivfModel: Ivf.Model,
+      pqModel: Model,
+      path: String): Unit =
+    withCodes(batch, idCol, vecCol, pqModel)
+      .withColumn("cell", graft.functions.nearest_centroid(col("v"), ivfModel.centroids))
+      .select("cell", "id", "codes")
+      .write.partitionBy("cell").mode("append").parquet(path)
+
   /** Top-k over a written code index: reads ONLY the probed cell partitions and ONLY
     * the `m`-int code column; the exact re-rank fetches raw vectors from the base
     * `corpus` for just the ADC shortlist (≤ queries · refine · k rows — a bounded

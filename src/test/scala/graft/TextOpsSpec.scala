@@ -513,6 +513,30 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("PQ appendToIndex equals a from-scratch rebuild under the same models") {
+    import graft.textops.{Ivf, Pq}
+    val queries = emb.filter(col("vec_id") < 20)
+    val base = emb.filter(col("vec_id") % 4 =!= 3)
+    val batch = emb.filter(col("vec_id") % 4 === 3)
+    val ivf = Ivf.fit(base, "vec_id", "embedding", k = 16)
+    val pq = Pq.fit(base, "vec_id", "embedding", dim = 64)
+    val grown = java.nio.file.Files.createTempDirectory("graft_pq_grow").toString
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft_pq_full").toString
+    try {
+      Pq.writeIndex(base, "vec_id", "embedding", ivf, pq, grown)
+      Pq.appendToIndex(batch, "vec_id", "embedding", ivf, pq, grown)
+      Pq.writeIndex(emb, "vec_id", "embedding", ivf, pq, rebuilt)
+      val a = Pq.topKFromIndex(spark, grown, emb, queries, "vec_id", "embedding", 5, ivf, pq)
+      val b = Pq.topKFromIndex(spark, rebuilt, emb, queries, "vec_id", "embedding", 5, ivf, pq)
+      assert(a.collect().toSet === b.collect().toSet)
+    } finally {
+      import java.nio.file.{Files, Path, Paths}
+      Seq(grown, rebuilt).foreach(d =>
+        Files.walk(Paths.get(d)).sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p)))
+    }
+  }
+
   test("PQ on-disk code index equals in-memory topK, prunes cells, reads no vectors") {
     import graft.textops.{Ivf, Pq}
     val queries = emb.filter(col("vec_id") < 20)
