@@ -83,8 +83,12 @@ object LinkageQueries {
       // the converged j5_em_train (iteration count data-dependent) stays rows-only.
       val df = withUid(cust(s, dir))
         .withColumn("c_mktsegment", nullif(col("c_mktsegment"), lit("BUILDING")))
+        .withColumn("k4", col("c_custkey") % 4)
+      // the extra k4 blocking key cuts the pair volume 4x at IDENTICAL oracle
+      // strength (the update equations are pinned per pattern, not per pair) while
+      // keeping nullified segments IN the pairs so the gamma=-1 path stays covered
       val (l1, m1, u1) = Estimation.emTrain(df, "uid", demoSpecs,
-        BlockingRule.parse("l.c_nationkey = r.c_nationkey"),
+        BlockingRule.parse("l.c_nationkey = r.c_nationkey AND l.k4 = r.k4"),
         u = emU0, initialLambda = emLambda0, tol = 0.0, maxIter = 1)
       val rows = ("lambda", "", -1, r6(l1)) +:
         demoSpecs.flatMap { sp =>
@@ -104,8 +108,9 @@ object LinkageQueries {
       // single pinned iteration cannot see changes every cell here.
       val df = withUid(cust(s, dir))
         .withColumn("c_mktsegment", nullif(col("c_mktsegment"), lit("BUILDING")))
+        .withColumn("k4", col("c_custkey") % 4)
       val (l2, m2, u2) = Estimation.emTrain(df, "uid", demoSpecs,
-        BlockingRule.parse("l.c_nationkey = r.c_nationkey"),
+        BlockingRule.parse("l.c_nationkey = r.c_nationkey AND l.k4 = r.k4"),
         u = emU0, initialLambda = emLambda0, tol = 0.0, maxIter = 2)
       val rows = ("lambda", "", -1, r6(l2)) +:
         demoSpecs.flatMap { sp =>
@@ -276,12 +281,14 @@ object LinkageQueries {
     }.mkString("\nUNION ALL ")
     s"""WITH b AS (
        |  SELECT CAST(c_custkey AS VARCHAR) AS uid, c_name,
-       |         NULLIF(c_mktsegment, 'BUILDING') AS c_mktsegment, c_nationkey
+       |         NULLIF(c_mktsegment, 'BUILDING') AS c_mktsegment, c_nationkey,
+       |         c_custkey % 4 AS k4
        |  FROM customer
        |), pairs AS (
        |  SELECT
        |    $gammas
-       |  FROM b l JOIN b r ON l.c_nationkey = r.c_nationkey AND l.uid < r.uid
+       |  FROM b l JOIN b r
+       |    ON l.c_nationkey = r.c_nationkey AND l.k4 = r.k4 AND l.uid < r.uid
        |), pat AS (
        |  SELECT g0, g1, COUNT(*)::DOUBLE AS cnt FROM pairs GROUP BY g0, g1
        |), ew AS (
@@ -351,12 +358,14 @@ object LinkageQueries {
     }.mkString("\nUNION ALL ")
     s"""WITH b AS (
        |  SELECT CAST(c_custkey AS VARCHAR) AS uid, c_name,
-       |         NULLIF(c_mktsegment, 'BUILDING') AS c_mktsegment, c_nationkey
+       |         NULLIF(c_mktsegment, 'BUILDING') AS c_mktsegment, c_nationkey,
+       |         c_custkey % 4 AS k4
        |  FROM customer
        |), pairs AS (
        |  SELECT
        |    $gammas
-       |  FROM b l JOIN b r ON l.c_nationkey = r.c_nationkey AND l.uid < r.uid
+       |  FROM b l JOIN b r
+       |    ON l.c_nationkey = r.c_nationkey AND l.k4 = r.k4 AND l.uid < r.uid
        |), pat AS (
        |  SELECT g0, g1, COUNT(*)::DOUBLE AS cnt FROM pairs GROUP BY g0, g1
        |), w1 AS (
