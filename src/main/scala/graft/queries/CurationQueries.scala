@@ -89,6 +89,13 @@ object CurationQueries {
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")
     },
+    "curation_weighted_sample" -> { (s, dir) =>
+      // Efraimidis-Spirakis draw-without-replacement: exactly 100 docs, inclusion
+      // probability proportional to n_chars, one TakeOrdered job
+      Curation.weightedSample(docs(s, dir).select(col("doc_id"), col("n_chars")),
+          col("doc_id"), col("n_chars"), n = 100, salt = "wsamp1")
+        .orderBy("doc_id")
+    },
     "curation_global_shuffle" -> { (s, dir) =>
       // deterministic corpus-wide training order (shuffle-once-before-sharding):
       // dense md5-ordered positions via bucket offsets + a parallel window
@@ -504,6 +511,15 @@ object CurationQueries {
          |FROM documents d JOIN r ON d.lang = r.lang
          |WHERE ('0x' || ${drawSql("temp1", "doc_id")})::BIGINT::DOUBLE / 4294967296.0 < r.rate
          |ORDER BY d.doc_id""".stripMargin,
+    "curation_weighted_sample" ->
+      // ln((draw32 + 0.5)/2^32)/w replays the ES key exactly; selection depends on
+      // key ORDER only (the key itself is not emitted), ties broken by doc_id
+      s"""WITH u AS (SELECT doc_id, n_chars,
+         |  ln((('0x' || ${drawSql("wsamp1", "doc_id")})::BIGINT::DOUBLE + 0.5) / 4294967296.0)
+         |    / GREATEST(n_chars::DOUBLE, 1e-12) AS k
+         |  FROM documents),
+         |top AS (SELECT doc_id, n_chars FROM u ORDER BY k DESC, doc_id LIMIT 100)
+         |SELECT doc_id, n_chars FROM top ORDER BY doc_id""".stripMargin,
     "curation_global_shuffle" ->
       s"""SELECT ROW_NUMBER() OVER (ORDER BY ${drawSql("gs1", "doc_id")}, doc_id::VARCHAR)
          |         AS position,

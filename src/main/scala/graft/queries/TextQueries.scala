@@ -239,6 +239,17 @@ object TextQueries {
       Dedup.duplicatedNgramCoverage(plantedCorpus(s, dir), "doc_id", "text", 5)
         .orderBy("id")
     },
+    "dedup_substring_spans" -> { (s, dir) =>
+      // Lee et al. ExactSubstr: maximal repeated-token-run spans via hashed 8-gram
+      // counts + per-doc interval merge; planted copies surface as full-doc spans
+      Dedup.substringSpans(plantedCorpus(s, dir), "doc_id", "text", 8)
+        .orderBy("id", "span_start")
+    },
+    "dedup_substring_apply" -> { (s, dir) =>
+      // the remove-all apply step: duplicated spans cut from every document
+      Dedup.substringApply(plantedCorpus(s, dir), "doc_id", "text", 8)
+        .orderBy("id")
+    },
     "dedup_token_jaccard" -> { (s, dir) =>
       Dedup.tokenJaccardPairs(plantedCorpus(s, dir), "doc_id", "text", blockCols, 0.9)
         .select(col("id_l"), col("id_r"), round(col("jaccard"), 6).as("jaccard"))
@@ -944,6 +955,46 @@ object TextQueries {
     s"(CASE WHEN len($w) < $n THEN [] ELSE list_transform(range(1, len($w) - ${n - 2}), i -> $terms) END)"
   }
 
+  /** DuckDB replay of [[graft.expressions.Md5PrefixLong]]: first 16 hex chars of the
+    * md5 as a SIGNED big-endian 64-bit value — the unsigned parse wrapped into two's
+    * complement explicitly, because a plain `::BIGINT` cast range-errors on digests
+    * with the high bit set.
+    */
+  private def md5PrefixLongSql(e: String): String = {
+    val u = s"('0x' || substr(md5($e), 1, 16))::UBIGINT"
+    s"(CASE WHEN $u >= 9223372036854775808::UBIGINT " +
+      s"THEN ($u - 9223372036854775808::UBIGINT)::BIGINT - 9223372036854775807 - 1 " +
+      s"ELSE $u::BIGINT END)"
+  }
+
+  /** CTE chain `t → shp → hh → mark → spans` replaying [[Dedup.substringSpans]] over
+    * `corpus(doc_id, text)`: positional k-gram shingles, md5-prefix hash counts,
+    * duplicated-position marking, per-doc interval merge (same gap-≤-k rule).
+    */
+  private def substringSpanCtes(k: Int): String = {
+    val toks = toksSql("text")
+    s"""t AS (SELECT doc_id AS id, $toks AS toks FROM corpus),
+       |shp AS (
+       |  SELECT id, u.pos AS pos, u.sh AS sh FROM (
+       |    SELECT id, unnest(CASE WHEN len(toks) < $k THEN []
+       |      ELSE list_transform(range(1, len(toks) - $k + 2),
+       |        i -> struct_pack(pos := i - 1,
+       |               sh := array_to_string(toks[i:(i + $k - 1)::INT], ' '))) END) AS u
+       |    FROM t) s
+       |),
+       |hh AS (SELECT id, pos, ${md5PrefixLongSql("sh")} AS h FROM shp),
+       |mark AS (SELECT id, pos FROM hh
+       |         WHERE h IN (SELECT h FROM hh GROUP BY h HAVING COUNT(*) >= 2)),
+       |brk AS (SELECT id, pos,
+       |          CASE WHEN pos - lag(pos) OVER (PARTITION BY id ORDER BY pos) <= $k
+       |               THEN 0 ELSE 1 END AS b
+       |        FROM mark),
+       |sp AS (SELECT id, pos, SUM(b) OVER (PARTITION BY id ORDER BY pos) AS sid FROM brk),
+       |spans AS (SELECT id, MIN(pos) AS span_start, MAX(pos) + $k - 1 AS span_end,
+       |            MAX(pos) + $k - MIN(pos) AS span_tokens
+       |          FROM sp GROUP BY id, sid)""".stripMargin
+  }
+
   /** CTE chain ending in `mh_pairs(id_l, id_r)` — the MinHash-LSH near-dup pairs at
     * jaccard ≥ 0.5 over the planted corpus; shared by the pair query and the
     * dedup-apply closure oracle.
@@ -1454,6 +1505,24 @@ object TextQueries {
          |FROM corpus c LEFT JOIN per USING (doc_id) LEFT JOIN hit USING (doc_id)
          |ORDER BY id""".stripMargin
     },
+    "dedup_substring_spans" ->
+      s"""WITH $corpusCte,
+         |${substringSpanCtes(8)}
+         |SELECT id, span_start, span_end, span_tokens
+         |FROM spans ORDER BY id, span_start""".stripMargin,
+    "dedup_substring_apply" ->
+      s"""WITH $corpusCte,
+         |${substringSpanCtes(8)},
+         |spx AS (SELECT id, list(struct_pack(s := span_start, e := span_end)) AS ss,
+         |          CAST(SUM(span_tokens) AS BIGINT) AS nrem FROM spans GROUP BY id),
+         |cov AS (SELECT id, flatten(list_transform(ss, s -> range(s.s, s.e + 1))) AS cps,
+         |          nrem FROM spx)
+         |SELECT t.id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+         |  COALESCE(c.nrem, 0) AS n_removed,
+         |  COALESCE(array_to_string(
+         |    list_filter(t.toks, (x, i) -> c.cps IS NULL OR NOT list_contains(c.cps, i - 1)),
+         |    ' '), '') AS cleaned_text
+         |FROM t LEFT JOIN cov c USING (id) ORDER BY id""".stripMargin,
     "dedup_token_jaccard" ->
       jaccardPairSql(s"list_distinct(${toksSql("text")})", 0.9, corpusCte),
     "dedup_ngram_jaccard_prefix" ->

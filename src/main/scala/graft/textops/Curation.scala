@@ -74,6 +74,33 @@ object Curation {
     df.filter(hashDraw(key, salt) < threshold)
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006): draw `n`
+    * rows with inclusion probability proportional to `weight` by keying each row
+    * with `u^(1/w)` — here its monotone log form `ln(u)/w` — for a deterministic
+    * md5-uniform `u ∈ (0,1)`, and keeping the global top-`n` keys (ties broken by
+    * `key`). The draw is `(draw32 + 0.5)/2^32`, exact in double, so any engine with
+    * md5 reproduces the selection bit-for-bit.
+    *
+    * Scale design: a shuffle-free projection plus ONE TakeOrdered job (per-partition
+    * top-n, then a driver merge of n·partitions rows) — the corpus is never globally
+    * sorted and never shuffled. The key column is dropped from the output: selection
+    * depends only on comparison ORDER, which survives sub-ulp `ln` differences
+    * across engines far more robustly than hashed key VALUES would.
+    */
+  def weightedSample(
+      df: DataFrame,
+      key: Column,
+      weight: Column,
+      n: Int,
+      salt: String): DataFrame = {
+    require(n >= 1, s"need n >= 1, got $n")
+    val u = (conv(hashDraw(key, salt), 16, 10).cast("double") + 0.5) / lit(4294967296.0)
+    df.withColumn("_es_key", log(u) / greatest(weight.cast("double"), lit(1e-12)))
+      .orderBy(col("_es_key").desc, key)
+      .limit(n)
+      .drop("_es_key")
+  }
+
   /** Temperature-scaled domain mixing — the `w_d ∝ n_d^α` recipe of LLM pretraining
     * mixtures (GPT-3/PaLM style): a target of `budgetRows` rows is split across
     * domains by softened size weights, so α < 1 UPSAMPLES small domains relative to

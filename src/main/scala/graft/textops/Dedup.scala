@@ -780,4 +780,83 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select("id_l", "id_r", "cosine")
   }
+
+  /** Exact-substring duplicate spans (Lee et al. 2021, "Deduplicating Training Data
+    * Makes Language Models Better" — the ExactSubstr pass) re-expressed relationally:
+    * the suffix-array scan that finds repeated token runs becomes a hashed k-gram
+    * GROUP BY. Every token k-gram occurring `minCount`+ times anywhere in the corpus
+    * — across documents or repeated within one — marks its k token positions as
+    * duplicated; per document, overlapping or adjacent marked windows merge into
+    * maximal spans. Output: one row per merged span,
+    * `(id, span_start, span_end, span_tokens)`, 0-based inclusive token positions.
+    *
+    * Scale design: work is O(total tokens). The shuffles are (a) the k-gram count
+    * keyed on the 8-byte md5 prefix of the shingle — the shingle TEXT never shuffles
+    * — (b) a semi-join marking duplicated positions, and (c) a PER-DOCUMENT window
+    * for the interval merge (partitioned by id; no global ordering anywhere). This
+    * is the distributed stand-in for the suffix-array formulation, which needs a
+    * single global order and does not shard.
+    */
+  def substringSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      minCount: Int = 2): DataFrame = {
+    require(k >= 2 && minCount >= 2,
+      s"need k >= 2 and minCount >= 2, got k=$k minCount=$minCount")
+    val sh = df.select(col(idCol).as("id"),
+        posexplode(TextOps.shingles(col(textCol), k)).as(Seq("pos", "sh")))
+      .select(col("id"), col("pos"), graft.functions.md5_prefix_long(col("sh")).as("h"))
+      .scopedPersist()
+    val dup = sh.groupBy("h").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount).select("h")
+    val marked = sh.join(dup, Seq("h"), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("id").orderBy("pos")
+    // windows [p, p+k-1] sorted by start all have length k: the previous one overlaps
+    // or is adjacent iff pos - lag(pos) <= k (lag null on the first row -> new span)
+    marked
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(w) <= k, lit(0L)).otherwise(lit(1L)))
+      .withColumn("sid", sum("brk").over(w))
+      .groupBy("id", "sid")
+      .agg(min("pos").as("span_start"), (max("pos") + lit(k - 1)).as("span_end"))
+      .select(col("id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
+
+  /** Apply exact-substring dedup: drop every duplicated span's tokens from every
+    * document (the Lee et al. remove-all policy — both copies go; at corpus scale
+    * the k-token context that survives on each side keeps documents coherent).
+    * Output `(id, n_tokens, n_removed, cleaned_text)`.
+    *
+    * The span list rides back to its document as ONE per-doc array (bounded by
+    * n_tokens/k spans per doc), and the token drop is a higher-order `filter` over
+    * the split — no token-level explode or re-aggregation.
+    */
+  def substringApply(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      minCount: Int = 2): DataFrame = {
+    val spans = substringSpans(df, idCol, textCol, k, minCount)
+      .groupBy("id")
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"),
+        sum("span_tokens").as("n_removed"))
+    val noSpans = array().cast("array<struct<span_start:int,span_end:int>>")
+    df.select(col(idCol).as("id"),
+        coalesce(
+          filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0),
+          array().cast("array<string>")).as("toks"))
+      .join(spans, Seq("id"), "left")
+      .select(col("id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        array_join(
+          filter(col("toks"),
+            (t, i) => !exists(coalesce(col("spans"), noSpans),
+              s => i.between(s.getField("span_start"), s.getField("span_end")))),
+          " ").as("cleaned_text"))
+  }
 }

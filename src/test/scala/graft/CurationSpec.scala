@@ -23,6 +23,35 @@ class CurationSpec extends SparkSpec {
     assert(r(3) === ((4, 4, 3, 1, 2, 1, 3)))
   }
 
+  test("weighted sample matches an independent Efraimidis-Spirakis reimplementation") {
+    val rows = (0 until 200).map(i => (i.toLong, 1L + (i % 13) * 7L))
+    val df = rows.toDF("id", "w")
+    val got = Curation.weightedSample(df, col("id"), col("w"), 40, "wtest")
+      .as[(Long, Long)].collect().toSet
+    // independent replay: same md5 draw, ln(u)/w key, top-40 with id tiebreak
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(id: Long, w: Long): Double = {
+      val hex = md.digest(s"wtest:$id".getBytes("UTF-8"))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString
+      val u = (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) / 4294967296.0
+      math.log(u) / math.max(w.toDouble, 1e-12)
+    }
+    val expect = rows.sortBy { case (id, w) => (-key(id, w), id) }.take(40).toSet
+    assert(got === expect)
+    assert(got.size === 40)
+
+    // a row with an astronomically dominant weight is (deterministically) selected
+    val heavy = df.union(Seq((999L, 1000000000L)).toDF("id", "w"))
+    val picked = Curation.weightedSample(heavy, col("id"), col("w"), 5, "wtest")
+      .as[(Long, Long)].collect().toMap
+    assert(picked.contains(999L))
+
+    // determinism: same inputs, same selection
+    val again = Curation.weightedSample(df, col("id"), col("w"), 40, "wtest")
+      .as[(Long, Long)].collect().toSet
+    assert(again === got)
+  }
+
   test("hash sampling is deterministic, nested across rates, and near the target rate") {
     val keys = spark.range(4000).toDF("id")
     val at20 = Curation.hashSample(keys, col("id"), 0.2, "s").as[Long].collect().toSet

@@ -19,6 +19,52 @@ class TextOpsSpec extends SparkSpec {
     assert(short === Seq.empty)
   }
 
+  test("substring spans merge overlapping/adjacent duplicated k-gram windows") {
+    val corpus = Seq(
+      1 -> "a b c d e f g h a b c d e q r s t u v w", // self-repeat + shares with 2 and 3
+      2 -> "x x a b c d e f g h y y",
+      3 -> "p q r s t u v w p p",
+      4 -> "tiny", // fewer than k tokens: no shingles, no spans
+      5 -> "unique doc nothing shared here at all ok").toDF("doc_id", "text")
+    val spans = Dedup.substringSpans(corpus, "doc_id", "text", 3)
+      .orderBy("id", "span_start")
+      .as[(Int, Int, Int, Int)].collect().toSeq
+    // doc 1: positions 0-5 shared with doc 2, 8-10 self-repeat of 0-2, 13-17 shared
+    // with doc 3 — gaps of exactly k merge (the covered token runs are contiguous)
+    assert(spans === Seq((1, 0, 19, 20), (2, 2, 9, 8), (3, 1, 7, 7)))
+
+    // invariants: per-doc spans disjoint with gap > k, and every span holds >= k tokens
+    val byDoc = spans.groupBy(_._1).values
+    byDoc.foreach { ss =>
+      ss.sliding(2).foreach {
+        case Seq((_, _, e1, _), (_, s2, _, _)) => assert(s2 > e1 + 1)
+        case _ =>
+      }
+      ss.foreach { case (_, s, e, n) => assert(n === e - s + 1 && n >= 3) }
+    }
+  }
+
+  test("substring apply removes exactly the span tokens from every doc") {
+    val corpus = Seq(
+      1 -> "a b c d e f g h a b c d e q r s t u v w",
+      2 -> "x x a b c d e f g h y y",
+      3 -> "p q r s t u v w p p",
+      4 -> "tiny",
+      5 -> "unique doc nothing shared here at all ok").toDF("doc_id", "text")
+    val cleaned = Dedup.substringApply(corpus, "doc_id", "text", 3)
+      .orderBy("id").as[(Int, Long, Long, String)].collect().toSeq
+    assert(cleaned === Seq(
+      (1, 20L, 20L, ""), // the whole doc was duplicated material
+      (2, 12L, 8L, "x x y y"),
+      (3, 10L, 7L, "p p p"),
+      (4, 1L, 0L, "tiny"),
+      (5, 8L, 0L, "unique doc nothing shared here at all ok")))
+    cleaned.foreach { case (_, n, rem, text) =>
+      val kept = text.split("\\s+").count(_.nonEmpty)
+      assert(kept === n - rem, s"cleaned token count must be n_tokens - n_removed")
+    }
+  }
+
   test("exact dedup finds planted copies and nothing else") {
     val d = docs.select(col("doc_id"), col("text"))
     val planted = d.unionByName(d.filter(col("doc_id") < 5)
