@@ -3,12 +3,17 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.sources.BucketedTables
+import graft.sources.{BucketedTables, ZOrder}
 
 /** SparkEntry query + oracle entries for the source/sink layer: bucketed co-located
-  * joins (shuffle moved to write time), JSONL corpus interchange.
+  * joins (shuffle moved to write time), JSONL corpus interchange, z-order layout.
   */
 object SourceQueries {
+
+  /** Z-order demo constants shared by the Spark query and its oracle renderer. */
+  private val ZBits = 16            // bits per interleaved column
+  private val ZBucketShift = 26     // zval div 2^26 → 64 z-range "files"
+  private val NatBuckets = 64L      // insertion-order baseline file count
 
   private def tmp(name: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_bucketed/$name"
@@ -52,6 +57,41 @@ object SourceQueries {
           sum(length(col("text"))).as("n_chars"),
           count_distinct(md5(col("text"))).as("n_unique"))
         .orderBy("lang")
+    },
+    "src_zorder_value" -> { (s, dir) =>
+      // the Morton key itself: exact integer quantize + bit interleave, replayed
+      // bit-for-bit by the oracle's rendered formula (only the int-div token differs)
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      ZOrder.withZValue(li, Seq("l_partkey", "l_suppkey"), ZBits)
+        .select("l_orderkey", "l_linenumber", "zval")
+    },
+    "src_zorder_skipping" -> { (s, dir) =>
+      // the layout PAYOFF, closed form: bucket rows into 64 z-range "files" vs 64
+      // insertion-order (orderkey-range) files, take per-file min/max of l_partkey
+      // (what a parquet footer stores), and count how many files a range predicate
+      // on l_partkey would have to scan under each layout
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select("l_orderkey", "l_partkey", "l_suppkey")
+      val Seq((pkLo, pkHi), _, (okLo, okHi)) =
+        ZOrder.columnBounds(li, Seq("l_partkey", "l_suppkey", "l_orderkey"), ZBits)
+      val span = pkHi - pkLo
+      val (probeLo, probeHi) = (pkLo + span / 3, pkLo + span / 3 + span / 16)
+      val natWidth = (okHi - okLo) / NatBuckets + 1
+      val zBuckets = ZOrder.withZValue(li, Seq("l_partkey", "l_suppkey"), ZBits)
+        .select(expr(s"zval div ${1L << ZBucketShift}").as("bucket"), col("l_partkey"))
+      val natBuckets = li
+        .select(expr(s"(l_orderkey - ${okLo}L) div ${natWidth}L").as("bucket"),
+          col("l_partkey"))
+      def scanStats(rows: DataFrame, layout: String): DataFrame =
+        rows.groupBy("bucket")
+          .agg(min("l_partkey").as("bmin"), max("l_partkey").as("bmax"))
+          .agg(count(lit(1)).as("n_files"),
+            sum(when(col("bmin") <= probeHi && col("bmax") >= probeLo, 1L)
+              .otherwise(0L)).as("n_scanned"))
+          .select(lit(layout).as("layout"), col("n_files"), col("n_scanned"))
+      scanStats(zBuckets, "zorder").unionAll(scanStats(natBuckets, "natural"))
+        .orderBy("layout")
     })
 
   val oracleSql: Map[String, String] = Map(
@@ -67,5 +107,39 @@ object SourceQueries {
       """SELECT lang, COUNT(*) AS n_docs,
         |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
         |  COUNT(DISTINCT md5(text)) AS n_unique
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "src_zorder_value" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         |  ${ZOrder.zvalSqlOracle("lineitem", Seq("l_partkey", "l_suppkey"), ZBits, "//")} AS zval
+         |FROM lineitem""".stripMargin,
+    "src_zorder_skipping" -> {
+      val zval = ZOrder.zvalSqlOracle("lineitem", Seq("l_partkey", "l_suppkey"), ZBits, "//")
+      s"""WITH b AS (
+         |  SELECT MIN(l_partkey) AS pklo, MAX(l_partkey) AS pkhi,
+         |         MIN(l_orderkey) AS oklo, MAX(l_orderkey) AS okhi
+         |  FROM lineitem),
+         |probe AS (
+         |  SELECT pklo + (pkhi - pklo) // 3 AS plo,
+         |         pklo + (pkhi - pklo) // 3 + (pkhi - pklo) // 16 AS phi,
+         |         (okhi - oklo) // $NatBuckets + 1 AS natw, oklo
+         |  FROM b),
+         |zb AS (
+         |  SELECT ($zval) // ${1L << ZBucketShift} AS bucket,
+         |         MIN(l_partkey) AS bmin, MAX(l_partkey) AS bmax
+         |  FROM lineitem GROUP BY 1),
+         |nb AS (
+         |  SELECT (l_orderkey - (SELECT oklo FROM probe)) // (SELECT natw FROM probe) AS bucket,
+         |         MIN(l_partkey) AS bmin, MAX(l_partkey) AS bmax
+         |  FROM lineitem GROUP BY 1)
+         |SELECT 'zorder' AS layout, CAST(COUNT(*) AS BIGINT) AS n_files,
+         |  CAST(SUM(CASE WHEN bmin <= (SELECT phi FROM probe)
+         |                 AND bmax >= (SELECT plo FROM probe) THEN 1 ELSE 0 END) AS BIGINT) AS n_scanned
+         |FROM zb
+         |UNION ALL
+         |SELECT 'natural' AS layout, CAST(COUNT(*) AS BIGINT) AS n_files,
+         |  CAST(SUM(CASE WHEN bmin <= (SELECT phi FROM probe)
+         |                 AND bmax >= (SELECT plo FROM probe) THEN 1 ELSE 0 END) AS BIGINT) AS n_scanned
+         |FROM nb
+         |ORDER BY layout""".stripMargin
+    })
 }
