@@ -275,6 +275,11 @@ object TextQueries {
         .select(col("id_l"), col("id_r"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_l", "id_r")
     },
+    "dedup_lsh_tune" -> { (s, _) =>
+      // band-parameter selection from the closed-form collision S-curve: the
+      // knob-picking step a 100 TB MinHash run cannot grid-search against the data
+      Dedup.lshTuningTable(s, 32, 0.8)
+    },
     "dedup_fingerprint_overlap" -> { (s, dir) =>
       // substring-containment detection: exact copies (%35) and near copies (%55)
       // planted into a %5 subcorpus must surface at containment >= 0.5
@@ -1542,6 +1547,25 @@ object TextQueries {
     "dedup_ngram_jaccard" ->
       jaccardPairSql(s"list_distinct(${shinglesSql("text")})", 0.5, corpusCte),
     "dedup_minhash_lsh" -> minhashSql,
+    // same midpoint Riemann sum over the same S-curve; POWER/ROUND chains match the
+    // Spark plan, so the table replays cell-exactly
+    "dedup_lsh_tune" -> {
+      val cands = (1 to 32).filter(32 % _ == 0)
+        .map(r => s"($r, ${32 / r})").mkString(", ")
+      s"""WITH cand(band_size, n_bands) AS (VALUES $cands),
+         |g AS (SELECT (CAST(s AS DOUBLE) - 0.5) / 1000.0 AS x
+         |      FROM generate_series(1, 1000) t(s)),
+         |e AS (SELECT band_size, n_bands,
+         |        ROUND(SUM(CASE WHEN x < 0.8
+         |                       THEN 1 - POWER(1 - POWER(x, band_size), n_bands)
+         |                       ELSE POWER(1 - POWER(x, band_size), n_bands) END)
+         |              / 1000.0, 6) AS err
+         |      FROM cand, g GROUP BY 1, 2)
+         |SELECT band_size, n_bands, err,
+         |  ROUND(1 - POWER(1 - POWER(0.8, band_size), n_bands), 6) AS p_at_t,
+         |  (ROW_NUMBER() OVER (ORDER BY err, band_size) = 1) AS chosen
+         |FROM e ORDER BY band_size""".stripMargin
+    },
     "dedup_minhash_incremental" ->
       s"""WITH $minhashPairsCtes
          |SELECT id_l, id_r, ROUND(jac, 6) AS jaccard

@@ -294,6 +294,50 @@ object Dedup {
       df.select(col(idCol).as("id"), col(textCol).as("text")), threshold, shingleN)
   }
 
+  /** LSH band-parameter auto-tuning: for every `bandSize` dividing `k`, integrate the
+    * collision S-curve `p(s) = 1 − (1 − s^bandSize)^nBands` against the target
+    * Jaccard `threshold` — false-positive mass below it (`∫₀ᵗ p`), false-negative
+    * mass above (`∫ₜ¹ 1 − p`) — by a midpoint Riemann sum, and flag the divisor with
+    * the smallest total error (smallest bandSize on rounded ties).
+    *
+    * This is the knob-picking step every corpus-scale MinHash run needs: at 100 TB
+    * you cannot grid-search band parameters against the data, but the S-curve is
+    * closed form, so the whole tuning table costs `|divisors| × steps` arithmetic
+    * rows. Deliberately relational (explode of a bounded literal candidate array over
+    * a `range(steps)` grid — no driver math, no join) so the DuckDB oracle replays it
+    * with the same POWER/ROUND chain.
+    *
+    * Output per candidate: `band_size, n_bands, err, p_at_t, chosen`, ordered by
+    * `band_size`.
+    */
+  def lshTuningTable(
+      spark: org.apache.spark.sql.SparkSession,
+      k: Int,
+      threshold: Double,
+      steps: Int = 1000): DataFrame = {
+    require(k >= 1 && threshold > 0 && threshold < 1 && steps >= 10)
+    val cands = (1 to k).filter(k % _ == 0).map(r => (r, k / r))
+    val candCol = array(cands.map { case (r, b) =>
+      struct(lit(r).as("band_size"), lit(b).as("n_bands"))
+    }: _*)
+    val grid = spark.range(1, steps + 1L)
+      .select(((col("id").cast("double") - 0.5) / steps.toDouble).as("x"),
+        explode(candCol).as("c"))
+      .select(col("x"), col("c.band_size").as("band_size"), col("c.n_bands").as("n_bands"))
+    // 1 − (1 − x^r)^b below t is FP mass; its complement above t is FN mass
+    val miss = pow(lit(1.0) - pow(col("x"), col("band_size")), col("n_bands"))
+    val term = when(col("x") < threshold, lit(1.0) - miss).otherwise(miss)
+    val errs = grid.groupBy("band_size", "n_bands")
+      .agg(round(sum(term) / steps.toDouble, 6).as("err"))
+    val pAtT = round(lit(1.0) -
+      pow(lit(1.0) - pow(lit(threshold), col("band_size")), col("n_bands")), 6)
+    // bounded global window: one row per divisor of k (≤ d(k) rows)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("err"), col("band_size"))
+    errs.withColumn("p_at_t", pAtT)
+      .withColumn("chosen", row_number().over(w) === 1)
+      .orderBy("band_size")
+  }
+
   /** Near-dup pairs of an incoming batch against an already-ingested corpus, plus
     * within-batch pairs — the daily-ingest shape: the corpus NEVER self-joins, so the
     * candidate work scales with (batch bands × collisions), not corpus². Corpus

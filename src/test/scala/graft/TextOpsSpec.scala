@@ -315,6 +315,30 @@ class TextOpsSpec extends SparkSpec {
   // generation broke, not that the fixture got unlucky. The planted near-dup regime
   // (what production dedup actually runs at DEFAULT parameters) is pinned at ≥0.9
   // separately below.
+  test("LSH band tuner reproduces the independently-computed S-curve error table") {
+    import graft.textops.Dedup
+    // independent reimplementation (plain Scala loop) of the midpoint Riemann sum
+    def err(r: Int, b: Int): Double = {
+      val s = (1 to 1000).map { i =>
+        val x = (i - 0.5) / 1000.0
+        val p = 1.0 - math.pow(1.0 - math.pow(x, r), b)
+        if (x < 0.8) p else 1.0 - p
+      }.sum / 1000.0
+      math.round(s * 1e6) / 1e6
+    }
+    val got = Dedup.lshTuningTable(spark, 32, 0.8).collect()
+      .map(r => (r.getInt(0), (r.getInt(1), r.getDouble(2), r.getBoolean(4)))).toMap
+    assert(got.keySet === Set(1, 2, 4, 8, 16, 32))
+    got.foreach { case (r, (b, e, _)) =>
+      assert(b === 32 / r)
+      assert(math.abs(e - err(r, b)) < 2e-6, s"band_size=$r err $e vs ${err(r, b)}")
+    }
+    // exactly one chosen row, and at t=0.8 with k=32 it is band_size=8 (S-curve
+    // midpoint (1/4)^(1/8) ≈ 0.84 sits closest to the target)
+    assert(got.count(_._2._3) === 1)
+    assert(got(8)._3, s"expected band_size=8 chosen, got $got")
+  }
+
   test("LSH top-k recall vs brute force ≥ 0.9 (32 tables × 4 planes)") {
     val queries = emb.filter(col("vec_id") < 20)
     val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
