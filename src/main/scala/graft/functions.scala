@@ -174,6 +174,13 @@ object functions {
   def vocab_encode(tokens: Column, vocab: Map[String, Int], unkId: Int = 0): Column =
     Bridge.column(VocabEncode(Bridge.expression(tokens), vocab, unkId))
 
+  /** BPE encoding: array<string> words → array<string> subword tokens by applying a
+    * bounded ordered merge list (chars + `</w>` marker, lowest-rank pair fused
+    * first); the merge table rides the expression — no join, no shuffle.
+    */
+  def bpe_encode(tokens: Column, merges: Seq[(String, String)]): Column =
+    Bridge.column(BpeEncode(Bridge.expression(tokens), merges))
+
   /** Distributed Bloom-filter build over `xxhash64`-hashed items (Spark's own
     * runtime-filter aggregate, `BloomFilterAggregate`): returns the filter as one
     * `binary` value. Bit count is sized from `expectedItems` and the target

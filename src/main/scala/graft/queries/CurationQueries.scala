@@ -346,6 +346,16 @@ object CurationQueries {
       Curation.trainBpeMerges(docs(s, dir), col("text"), numMerges = 1)
         .orderBy("merge_rank")
     },
+    "curation_bpe_encode" -> { (s, dir) =>
+      // tokenizer APPLY: encode the corpus against a fixed derivation-ordered merge
+      // list (each merge's inputs are base chars, </w>, or outputs of EARLIER
+      // merges — the shape trainBpeMerges emits). Under that ordering, rank-order
+      // encoding is a chain of left-to-right string replaces, which is how the
+      // DuckDB oracle replays it with one private-use placeholder char per symbol.
+      Curation.bpeApply(docs(s, dir), "doc_id", "text", BpeFixedMerges)
+        .select(col("doc_id"), col("n_bpe"),
+          concat_ws(" ", col("bpe_tokens")).as("bpe_text"))
+    },
     "ep5_data_card" -> { (s, dir) =>
       // the per-domain "data card" every corpus release publishes, one aggregation
       // pass: volume, exact-dup rate, quality distribution (mean + exact median),
@@ -445,6 +455,56 @@ object CurationQueries {
   private def drawSql(salt: String, keyExpr: String) =
     s"substr(md5('$salt:' || $keyExpr), 1, 8)"
 
+  /** Fixed derivation-ordered merge list for `curation_bpe_encode`: every merge's
+    * inputs are base characters, `</w>`, or outputs of EARLIER merges (ranks 1–3
+    * build `the</w>` in two levels) — the invariant `trainBpeMerges` output always
+    * satisfies, and the precondition for the replace-chain oracle below.
+    */
+  private[queries] val BpeFixedMerges: Seq[(String, String)] = Seq(
+    "e" -> "</w>", "t" -> "h", "th" -> "e</w>", "a" -> "n",
+    "i" -> "n", "s" -> "</w>", "a" -> "t", "r" -> "o")
+
+  /** DuckDB replay of BPE encoding for a derivation-ordered merge list: under that
+    * ordering, encoding IS the merges applied as a chain of left-to-right string
+    * replaces (a merge can only create adjacencies of its own output symbol, which
+    * only later merges reference). Each symbol gets one private-use placeholder char
+    * (U+E000 = `</w>`, U+E001+i = merge i's output), so every replace pattern is an
+    * exact 2-char string; the corpus is PUA-free (spec-checked), so placeholders
+    * cannot collide with text. Returns (chainExpr, renderedExpr) over a lambda
+    * variable `w`: the final placeholder string (1 char per subword — its length is
+    * the subword count) and the human-readable space-joined subword rendering.
+    */
+  private def bpeChainSql(merges: Seq[(String, String)]): (String, String) = {
+    val endPh = ''
+    var ph = Map[String, String]("</w>" -> endPh.toString)
+    def rep(sym: String): String =
+      ph.getOrElse(sym, { require(sym.length == 1, s"unknown symbol $sym"); sym })
+    var chain = s"(w || '$endPh')"
+    merges.zipWithIndex.foreach { case ((l, r), i) =>
+      val out = (0xE001 + i).toChar.toString
+      chain = s"replace($chain, '${rep(l)}${rep(r)}', '$out')"
+      ph += (l + r) -> out
+    }
+    // render subwords: space after every placeholder/char, then expand placeholders
+    // back to symbol text (expansions are plain chars + `</w>` — no nesting)
+    var rendered = s"trim(regexp_replace($chain, '(.)', '\\1 ', 'g'))"
+    merges.zipWithIndex.reverse.foreach { case ((l, r), i) =>
+      rendered = s"replace($rendered, '${(0xE001 + i).toChar}', '${l + r}')"
+    }
+    rendered = s"replace($rendered, '$endPh', '</w>')"
+    (chain, rendered)
+  }
+
+  private val bpeEncodeSql: String = {
+    val (chain, rendered) = bpeChainSql(BpeFixedMerges)
+    s"""SELECT doc_id,
+       |  CAST(length(array_to_string(list_transform(${toksSql("text")},
+       |    w -> $chain), '')) AS INT) AS n_bpe,
+       |  array_to_string(list_transform(${toksSql("text")},
+       |    w -> $rendered), ' ') AS bpe_text
+       |FROM documents""".stripMargin
+  }
+
   /** DuckDB replay of BPE merge 1: word counts (top-100k by (n DESC, word ASC) —
     * trainBpeMerges' bounded vocab, replicated with the same total order), each
     * word split to characters with the `</w>` terminal, count-weighted adjacent
@@ -469,6 +529,7 @@ object CurationQueries {
 
   val oracleSql: Map[String, String] = Map(
     "curation_bpe_first_merge" -> bpeFirstMergeSql,
+    "curation_bpe_encode" -> bpeEncodeSql,
     "text_repetition" -> {
       val toks = toksSql("text")
       s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),

@@ -718,6 +718,30 @@ object Curation {
         .as("token_ids"))
   }
 
+  /** Applies a bounded, rank-ordered BPE merge list to the corpus:
+    * `(id, bpe_tokens array<string>, n_bpe)`. The merge table rides the codegen'd
+    * [[graft.expressions.BpeEncode]] expression — one row-local encode per document,
+    * no join, no shuffle; pair with [[trainBpeMerges]] for the train→apply loop.
+    */
+  def bpeApply(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    df.select(col(idCol),
+        graft.functions.bpe_encode(TextOps.tokens(col(textCol)), merges).as("bpe_tokens"))
+      .withColumn("n_bpe", size(col("bpe_tokens")))
+
+  /** [[bpeApply]] from a trained merges table (`merge_rank, left, right, …` as
+    * produced by [[trainBpeMerges]]) — bounded by construction (≤ numMerges rows).
+    */
+  def bpeApply(df: DataFrame, idCol: String, textCol: String,
+      mergesDf: DataFrame): DataFrame =
+    bpeApply(df, idCol, textCol,
+      mergesDf.select(col("merge_rank"), col("left"), col("right"))
+        .orderBy("merge_rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq)
+
   // ---- benchmark contamination ---------------------------------------------
 
   /** Benchmark-contamination stats: for each corpus document, the number and fraction

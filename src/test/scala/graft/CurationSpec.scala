@@ -588,6 +588,33 @@ class CurationSpec extends SparkSpec {
       (4, "l", "o", 7L), (5, "lo", "w", 7L)))
   }
 
+  test("BPE encode: hand-computed segmentations, train→apply round trip lossless") {
+    // fixed merges (same list the driver query uses): 1:(e,</w>) 2:(t,h)
+    // 3:(th,e</w>) 4:(a,n) 5:(i,n) 6:(s,</w>) 7:(a,t) 8:(r,o)
+    val merges = Seq("e" -> "</w>", "t" -> "h", "th" -> "e</w>", "a" -> "n",
+      "i" -> "n", "s" -> "</w>", "a" -> "t", "r" -> "o")
+    val df = Seq((1L, "the that in rows")).toDF("doc_id", "text")
+    val got = Curation.bpeApply(df, "doc_id", "text", merges)
+      .select("bpe_tokens").as[Seq[String]].head()
+    // the → [the</w>]; that → th at </w> (rank 2 before 7, nothing joins t,</w>);
+    // in → in </w> (rank 5); rows → ro w s</w> (ranks 8 then 6)
+    assert(got === Seq("the</w>", "th", "at", "</w>", "in", "</w>", "ro", "w", "s</w>"))
+
+    // train on the Sennrich fixture, apply the trained table: segmentation uses the
+    // learned merges and reconstruction is lossless (subwords concat to word+</w>)
+    val corpus = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val cdf = Seq((1L, corpus)).toDF("doc_id", "text")
+    val trained = Curation.trainBpeMerges(cdf, col("text"), numMerges = 5)
+    val toks = Curation.bpeApply(Seq((1L, "newest lowest low")).toDF("doc_id", "text"),
+      "doc_id", "text", trained).select("bpe_tokens").as[Seq[String]].head()
+    // merges: es, est, est</w>, lo, low → newest = [n,e,w,est</w>],
+    // lowest = [low,est</w>], low = [low,</w>] (no (low,</w>) merge trained)
+    assert(toks === Seq("n", "e", "w", "est</w>", "low", "est</w>", "low", "</w>"))
+    val rebuilt = toks.mkString("").replace("</w>", " ").trim
+    assert(rebuilt === "newest lowest low")
+  }
+
   test("keepTopFractionApprox tracks the exact ranking without a per-stratum sort") {
     import graft.textops.TextOps
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
