@@ -338,6 +338,17 @@ object TextQueries {
         .select(col("doc_id"), col("cluster_id"), col("is_keeper"))
         .orderBy("doc_id")
     },
+    "dedup_apply_best" -> { (s, dir) =>
+      // quality-keeper variant: collapse each near-dup cluster to its HIGHEST-quality
+      // member (ties → smallest id) — the production policy when a quality signal
+      // exists; round-6 score so the keeper choice replays in DuckDB
+      val corpus = plantedCorpus(s, dir)
+      val pairs = Dedup.minhashLshPairs(corpus, "doc_id", "text", 0.5)
+      Dedup.deduplicateBest(corpus, "doc_id", pairs,
+          round(TextOps.qualityScore(col("text")), 6))
+        .select(col("doc_id"), col("cluster_id"), col("keeper_id"), col("is_keeper"))
+        .orderBy("doc_id")
+    },
     "dedup_simhash" -> { (s, dir) =>
       Dedup.simhash16(docs(s, dir), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
@@ -1052,6 +1063,34 @@ object TextQueries {
        |FROM corpus c LEFT JOIN clusters cl ON c.doc_id::VARCHAR = cl.node
        |ORDER BY c.doc_id""".stripMargin
 
+  /** dedup-apply-best oracle: the same recursive closure, then one argmax per
+    * cluster on the round-6 quality score (ties → smallest doc_id).
+    */
+  private val dedupApplyBestSql =
+    s"""WITH RECURSIVE $minhashPairsCtes,
+       |edges AS (
+       |  SELECT id_l::VARCHAR AS src, id_r::VARCHAR AS dst FROM mh_pairs
+       |  UNION ALL
+       |  SELECT id_r::VARCHAR, id_l::VARCHAR FROM mh_pairs),
+       |reach(node, root) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node),
+       |clusters AS (SELECT node, MIN(root) AS cluster_id FROM reach GROUP BY node),
+       |asg AS (SELECT c.doc_id,
+       |          COALESCE(cl.cluster_id, c.doc_id::VARCHAR) AS cluster_id,
+       |          $qualityExprSql AS q
+       |        FROM corpus c LEFT JOIN clusters cl ON c.doc_id::VARCHAR = cl.node),
+       |k AS (SELECT cluster_id, doc_id AS keeper_id FROM (
+       |        SELECT cluster_id, doc_id,
+       |          ROW_NUMBER() OVER (PARTITION BY cluster_id
+       |                             ORDER BY q DESC, doc_id) AS rn
+       |        FROM asg) WHERE rn = 1)
+       |SELECT a.doc_id, a.cluster_id, k.keeper_id,
+       |  a.doc_id = k.keeper_id AS is_keeper
+       |FROM asg a JOIN k USING (cluster_id)
+       |ORDER BY a.doc_id""".stripMargin
+
   private val leakageSafeSplitSql =
     s"""WITH RECURSIVE $minhashPairsCtes,
        |edges AS (
@@ -1583,6 +1622,7 @@ object TextQueries {
          |SELECT id_l, id_r, ROUND(jac, 6) AS jaccard
          |FROM mh_pairs WHERE id_r >= 100000 ORDER BY id_l, id_r""".stripMargin,
     "dedup_apply" -> dedupApplySql,
+    "dedup_apply_best" -> dedupApplyBestSql,
     "curation_leakage_safe_split" -> leakageSafeSplitSql,
     "dedup_simhash" -> simhashSql,
     "dedup_embedding_cosine" ->

@@ -572,6 +572,29 @@ object Dedup {
       .withColumn("is_keeper", col("cluster_id") === col(idCol).cast("string"))
   }
 
+  /** Like [[deduplicate]] but keeps the BEST member of each transitive cluster by
+    * `score` (ties → smallest id) instead of the minimum id — the production keeper
+    * policy when a quality signal exists: collapse near-dup groups to their cleanest
+    * member, not an arbitrary one. Pass an already-rounded score (e.g.
+    * `round(qualityScore, 6)`) so keeper choice reproduces across engines.
+    *
+    * Returns `(…, cluster_id, keeper_id, is_keeper)`. One cluster-keyed window —
+    * partition-parallel; cluster sizes are near-dup group sizes, never corpus-sized.
+    */
+  def deduplicateBest(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      score: Column): DataFrame = {
+    val edges = pairs.select(col("id_l").cast("string").as("src"),
+      col("id_r").cast("string").as("dst"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(score.desc, col(idCol).asc)
+    graft.cluster.ConnectedComponents.assignClusters(df, idCol, edges)
+      .withColumn("keeper_id", first(col(idCol)).over(w))
+      .withColumn("is_keeper", col("keeper_id") === col(idCol))
+  }
+
   /** Near-duplicate pairs by embedding cosine ≥ threshold. Brute-force all-pairs —
     * the exact-recall baseline that [[embeddingLshPairs]] is spec-pinned against; use
     * only on bounded corpora (the shipped corpus-scale path is [[embeddingLshPairs]]).

@@ -152,6 +152,22 @@ class TextOpsSpec extends SparkSpec {
     assert(bad.count() === 0)
   }
 
+  test("deduplicateBest keeps the top-score member per cluster, ties break on id") {
+    val d = Seq(
+      (1L, 0.3), (2L, 0.9), (3L, 0.5),   // cluster {1,2,3}: keeper 2 (best score)
+      (4L, 0.7), (5L, 0.7),              // cluster {4,5}: tie → keeper 4 (min id)
+      (6L, 0.1)                          // singleton: its own keeper
+    ).toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_l", "id_r")
+    val out = Dedup.deduplicateBest(d, "doc_id", pairs, col("score"))
+      .select("doc_id", "keeper_id", "is_keeper")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) === ((2L, false)) && out(2L) === ((2L, true)) &&
+      out(3L) === ((2L, false)))
+    assert(out(4L) === ((4L, true)) && out(5L) === ((4L, false)))
+    assert(out(6L) === ((6L, true)))
+  }
+
   test("simhash: near-identical docs collide, hamming distance grows with edits") {
     def hamming(a: Int, b: Int): Int = Integer.bitCount(a ^ b)
     val d = Seq(
