@@ -413,6 +413,18 @@ object CurationQueries {
           col("blocked_word_count"), col("kept"))
         .orderBy("doc_id")
     },
+    "curation_snapshot_diff" -> { (s, dir) =>
+      // corpus-version diff (release gating): v2 simulates a real revision — drops
+      // %13 docs, edits %17 texts, adds %19 copies under new ids; every id is then
+      // classified added/removed/changed/unchanged by content digest
+      val v1 = docs(s, dir)
+      val v2 = v1.filter(col("doc_id") % 13 =!= 0)
+        .withColumn("text", when(col("doc_id") % 17 === 0,
+          concat(col("text"), lit(" edited"))).otherwise(col("text")))
+        .unionByName(v1.filter(col("doc_id") % 19 === 0)
+          .withColumn("doc_id", col("doc_id") + 300000))
+      Curation.snapshotDiff(v1, v2, "doc_id", Seq("text")).orderBy("doc_id")
+    },
     "curation_pii_redact" -> { (s, dir) =>
       // plant deterministic emails + an IPv4 per doc (the corpus itself has none),
       // then count and redact them in one codegen'd regex scan
@@ -947,6 +959,21 @@ object CurationQueries {
          |    AND len(list_filter(toks, t -> lower(t) IN ('slow', 'dup'))) = 0 AS kept
          |FROM t ORDER BY doc_id""".stripMargin
     },
+    "curation_snapshot_diff" ->
+      """WITH h1 AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |h2 AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 17 = 0 THEN text || ' edited' ELSE text END) AS h
+        |  FROM documents WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 300000, md5(text) FROM documents WHERE doc_id % 19 = 0)
+        |SELECT doc_id,
+        |  CASE WHEN h1.h IS NULL THEN 'added'
+        |       WHEN h2.h IS NULL THEN 'removed'
+        |       WHEN h1.h = h2.h THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM h1 FULL OUTER JOIN h2 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "curation_pii_redact" -> {
       val email = Curation.EmailPattern
       val ip = Curation.Ipv4Pattern

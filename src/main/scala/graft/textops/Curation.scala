@@ -876,6 +876,33 @@ object Curation {
     corpus.join(bloomContaminatedIds(corpus, benchmark, idCol, textCol, n, fpp),
       Seq(idCol), "left_anti")
 
+  // ---- snapshot diff -------------------------------------------------------
+
+  /** Corpus-version diff: classify every id across two snapshots as `added`,
+    * `removed`, `changed`, or `unchanged` by comparing an md5 over `contentCols`.
+    * The release-gating step between corpus versions ("what moved since v1?"):
+    * one full-outer equi-join on the id — the single shuffle the comparison
+    * fundamentally needs (stage both snapshots bucketed on the id to elide it) —
+    * with content hashed DOWN to 16 bytes per side before the join, so the network
+    * cost is ids + digests, never the documents themselves.
+    */
+  def snapshotDiff(
+      oldSnap: DataFrame,
+      newSnap: DataFrame,
+      idCol: String,
+      contentCols: Seq[String]): DataFrame = {
+    require(contentCols.nonEmpty, "snapshotDiff needs at least one content column")
+    def hashed(df: DataFrame, side: String) =
+      df.select(col(idCol),
+        md5(concat_ws("", contentCols.map(col): _*)).as(s"_h_$side"))
+    hashed(oldSnap, "old").join(hashed(newSnap, "new"), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("_h_old").isNull, "added")
+          .when(col("_h_new").isNull, "removed")
+          .when(col("_h_old") === col("_h_new"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   // ---- PII redaction -------------------------------------------------------
 
   /** Email address pattern — restricted to the lookahead-free subset so Java regex

@@ -588,6 +588,19 @@ class CurationSpec extends SparkSpec {
       (4, "l", "o", 7L), (5, "lo", "w", 7L)))
   }
 
+  test("snapshotDiff classifies added/removed/changed/unchanged, multi-column content") {
+    val v1 = Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "z")).toDF("doc_id", "text", "meta")
+    val v2 = Seq((2L, "b", "y"), (3L, "c", "ZZ"), (4L, "d", "w")).toDF("doc_id", "text", "meta")
+    val got = Curation.snapshotDiff(v1, v2, "doc_id", Seq("text", "meta"))
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed",
+      4L -> "added"))
+    // content compare restricted to `text` only: 3's meta edit no longer counts
+    val textOnly = Curation.snapshotDiff(v1, v2, "doc_id", Seq("text"))
+      .as[(Long, String)].collect().toMap
+    assert(textOnly(3L) === "unchanged")
+  }
+
   test("BPE encode: hand-computed segmentations, train→apply round trip lossless") {
     // fixed merges (same list the driver query uses): 1:(e,</w>) 2:(t,h)
     // 3:(th,e</w>) 4:(a,n) 5:(i,n) 6:(s,</w>) 7:(a,t) 8:(r,o)
