@@ -174,6 +174,26 @@ object TextQueries {
           round(TextOps.urlDensity(col("text")), 6).as("url_density"))
         .orderBy("doc_id")
     },
+    "text_url_canonical" -> { (s, dir) =>
+      // domain histogram over canonicalized links — the domain-mixing/blocklist
+      // precursor: plant messy URLs (mixed-case hosts, fragments, utm params,
+      // trailing punctuation), canonicalize row-locally, aggregate per host
+      val planted = docs(s, dir).withColumn("text", concat(col("text"),
+        when(col("doc_id") % 3 === 0, concat(
+          lit(" see https://Ex"), col("doc_id") % 7,
+          lit(".COM/Path/?utm_source=feed&id="), col("doc_id") % 5,
+          lit("#frag"))).otherwise(lit("")),
+        when(col("doc_id") % 9 === 0,
+          lit(" and http://T.co/abc?utm_campaign=x, done")).otherwise(lit(""))))
+      planted
+        .select(col("doc_id"),
+          explode(TextOps.canonicalUrls(col("text"))).as("url"))
+        .groupBy(TextOps.urlHost(col("url")).as("host"))
+        .agg(count(lit(1)).as("n_urls"),
+          count_distinct(col("doc_id")).as("n_docs"),
+          count_distinct(col("url")).as("n_unique_urls"))
+        .orderBy("host")
+    },
     "text_langid" -> { (s, dir) =>
       docs(s, dir).select(col("doc_id"), TextOps.langId(col("text")).as("pred_lang"))
         .orderBy("doc_id")
@@ -1492,6 +1512,40 @@ object TextQueries {
          |    ELSE len(regexp_extract_all(text, '$pat'))::DOUBLE / len($toks) END, 6)
          |    AS url_density
          |FROM p ORDER BY doc_id""".stripMargin
+    },
+    "text_url_canonical" -> {
+      val pat = TextOps.UrlPattern.replace("'", "''")
+      // the SAME backref-free canonicalization chain as TextOps.canonicalizeUrl;
+      // only the &utm step can match twice per URL, so only it takes the 'g' flag
+      // (Spark's regexp_replace is always-global — the other steps match at most
+      // once per URL, so the engines agree)
+      def canon(ref: String): String = {
+        val noFrag = s"regexp_replace($ref, '#.*', '')"
+        val noAmp = s"regexp_replace($noFrag, '&utm_[A-Za-z_]+=[^&#]*', '', 'g')"
+        val noMid = s"regexp_replace($noAmp, '\\?utm_[A-Za-z_]+=[^&#]*&', '?')"
+        val noUtm = s"regexp_replace($noMid, '\\?utm_[A-Za-z_]+=[^&#]*$$', '')"
+        val pre = s"regexp_extract($noUtm, '^(https?://[^/?#]*)', 1)"
+        val low = s"lower($pre) || substr($noUtm, length($pre) + 1)"
+        s"regexp_replace(regexp_replace($low, '[.,;:!?]+$$', ''), '/$$', '')"
+      }
+      s"""WITH p AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 3 = 0
+         |         THEN ' see https://Ex' || (doc_id % 7)
+         |              || '.COM/Path/?utm_source=feed&id=' || (doc_id % 5) || '#frag'
+         |         ELSE '' END ||
+         |    CASE WHEN doc_id % 9 = 0
+         |         THEN ' and http://T.co/abc?utm_campaign=x, done' ELSE '' END AS text
+         |  FROM documents),
+         |u AS (
+         |  SELECT doc_id, unnest(list_transform(regexp_extract_all(text, '$pat'),
+         |    w -> ${canon("w")})) AS url
+         |  FROM p)
+         |SELECT regexp_extract(url, '^https?://([^/?#]*)', 1) AS host,
+         |  COUNT(*) AS n_urls,
+         |  COUNT(DISTINCT doc_id) AS n_docs,
+         |  COUNT(DISTINCT url) AS n_unique_urls
+         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
     },
     "text_fingerprint" ->
       s"""SELECT doc_id,

@@ -181,6 +181,31 @@ object TextOps {
   def urlDensity(c: Column): Column =
     coalesce(urlCount(c).cast("double") / nullif(tokenCount(c), lit(0)), lit(0.0))
 
+  /** URL canonicalization (the dedup/blocklist/domain-mixing preprocessor): strip
+    * the `#fragment`, drop `utm_*` tracking params (keeping the rest of the query),
+    * lowercase the `scheme://host` prefix, trim trailing punctuation and a trailing
+    * slash. Deliberately a pure regex chain with NO capture-group replacements —
+    * Java (`$1`) and RE2 (`\1`) replacement syntax differ, so avoiding backrefs is
+    * what lets the DuckDB oracle replay the chain verbatim.
+    */
+  def canonicalizeUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*", "")
+    // &utm_x=v anywhere; then ?utm_x=v& keeping the ?; then a ?utm_x=v tail
+    val noAmpUtm = regexp_replace(noFrag, "&utm_[A-Za-z_]+=[^&#]*", "")
+    val noQUtmMid = regexp_replace(noAmpUtm, "\\?utm_[A-Za-z_]+=[^&#]*&", "?")
+    val noUtm = regexp_replace(noQUtmMid, "\\?utm_[A-Za-z_]+=[^&#]*$", "")
+    val prefix = regexp_extract(noUtm, "^(https?://[^/?#]*)", 1)
+    val lowered = concat(lower(prefix), noUtm.substr(length(prefix) + 1, lit(1000000)))
+    regexp_replace(regexp_replace(lowered, "[.,;:!?]+$", ""), "/$", "")
+  }
+
+  /** Registrable host of a (canonicalized) URL — the domain-histogram group key. */
+  def urlHost(u: Column): Column = regexp_extract(u, "^https?://([^/?#]*)", 1)
+
+  /** All canonicalized URLs of a document, row-local (explode downstream). */
+  def canonicalUrls(c: Column): Column =
+    transform(regexp_extract_all(c, lit(UrlPattern), lit(0)), u => canonicalizeUrl(u))
+
   /** Language marker words per language, in priority order for tie-breaking. */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "and", "of", "to", "is"),

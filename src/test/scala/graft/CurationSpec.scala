@@ -588,6 +588,24 @@ class CurationSpec extends SparkSpec {
       (4, "l", "o", 7L), (5, "lo", "w", 7L)))
   }
 
+  test("canonicalizeUrl: fragment, utm params, host case, trailing punct/slash") {
+    import graft.textops.TextOps
+    val cases = Seq(
+      "https://Ex5.COM/Path/?utm_source=feed&id=2#frag" -> "https://ex5.com/Path/?id=2",
+      "http://T.co/abc?utm_campaign=x," -> "http://t.co/abc",
+      "http://a.com/" -> "http://a.com",
+      "https://B.org/x?a=1&utm_medium=m&b=2" -> "https://b.org/x?a=1&b=2",
+      "http://c.net/p?utm_a=1&utm_b=2" -> "http://c.net/p",
+      "https://plain.io/path" -> "https://plain.io/path")
+    val got = cases.map(_._1).toDF("u")
+      .select(TextOps.canonicalizeUrl(col("u"))).as[String].collect()
+    got.zip(cases).foreach { case (g, (in, want)) => assert(g === want, in) }
+    assert(TextOps.urlHost(lit("https://ex5.com/Path?id=2")) != null)
+    val host = Seq("https://ex5.com/Path?id=2").toDF("u")
+      .select(TextOps.urlHost(col("u"))).as[String].head()
+    assert(host === "ex5.com")
+  }
+
   test("snapshotDiff classifies added/removed/changed/unchanged, multi-column content") {
     val v1 = Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "z")).toDF("doc_id", "text", "meta")
     val v2 = Seq((2L, "b", "y"), (3L, "c", "ZZ"), (4L, "d", "w")).toDF("doc_id", "text", "meta")
