@@ -129,6 +129,22 @@ object LinkageQueries {
           round(col("match_probability"), 6).as("match_probability"))
         .orderBy("uid_l", "uid_r")
     },
+    "j6_tf_adjust" -> { (s, dir) =>
+      // Splink's term_frequency_adjustments natively: block on nation ONLY so
+      // segment agreement varies per pair; exact segment agreement is re-weighted
+      // by the term's own share — common segments lose evidence, rare ones gain
+      val df = withUid(cust(s, dir))
+      val model = demoModel.copy(blockingRules = Seq("(l.c_nationkey = r.c_nationkey)"))
+      val tf = FellegiSunter.termFrequencies(df, "c_mktsegment")
+      val scored = FellegiSunter.predict(df, "uid", model)
+      FellegiSunter.tfAdjust(scored, "c_mktsegment",
+          demoParams("c_mktsegment").u.last, tf)
+        .select(col("uid_l"), col("uid_r"),
+          round(col("match_weight"), 6).as("match_weight"),
+          round(col("tf_adjustment"), 6).as("tf_adjustment"),
+          round(col("match_weight_tf"), 6).as("match_weight_tf"))
+        .orderBy("uid_l", "uid_r")
+    },
     "ep10_fs_cluster" -> { (s, dir) =>
       // the e2e Fellegi–Sunter SERVE path — score → threshold → connected
       // components → per-record cluster ids — fully oracle-checked: the DuckDB
@@ -391,6 +407,48 @@ object LinkageQueries {
        |ORDER BY param, "column", gamma""".stripMargin
   }
 
+  /** TF-adjustment oracle: nation-only blocking, the same gamma ladders and weight
+    * sum, then Δw = log2(u_exact) − ln(share)/ln2 on exact segment agreement. The
+    * log2(u_exact) and 1/ln2 constants are rendered from the SAME Scala doubles the
+    * Spark expression folds, so only ln(share) is runtime math on either engine.
+    */
+  private val tfAdjustSql: String = {
+    val priorW = d(log2(demoLambda / (1 - demoLambda)))
+    val gammas = demoSpecs.map(spec =>
+      s"(${gammaSql(spec.column, spec).replace('\n', ' ')}) AS gamma_${spec.column}")
+      .mkString(",\n    ")
+    val weight = demoSpecs
+      .map(spec => s"(${bayesFactorSql(spec.column, demoParams(spec.column))})")
+      .mkString(s"$priorW + ", " + ", "")
+    val u2 = d(log2(demoParams("c_mktsegment").u.last))
+    val ln2 = d(math.log(2.0))
+    s"""WITH b AS (
+       |  SELECT CAST(c_custkey AS VARCHAR) AS uid, c_name, c_mktsegment, c_nationkey
+       |  FROM customer
+       |), tf AS (
+       |  SELECT c_mktsegment AS term,
+       |    COUNT(*)::DOUBLE /
+       |      (SELECT COUNT(*) FROM customer WHERE c_mktsegment IS NOT NULL) AS share
+       |  FROM customer WHERE c_mktsegment IS NOT NULL GROUP BY 1
+       |), pairs AS (
+       |  SELECT l.uid AS uid_l, r.uid AS uid_r,
+       |    l.c_mktsegment AS seg_l, r.c_mktsegment AS seg_r,
+       |    $gammas
+       |  FROM b l JOIN b r ON l.c_nationkey = r.c_nationkey AND l.uid < r.uid
+       |), w AS (
+       |  SELECT uid_l, uid_r, seg_l, seg_r, ($weight) AS mw FROM pairs
+       |), adj AS (
+       |  SELECT uid_l, uid_r, mw,
+       |    CASE WHEN seg_l = seg_r AND t.share IS NOT NULL
+       |         THEN 1.0 * ($u2 - ln(t.share) / $ln2) ELSE 0.0 END AS ta
+       |  FROM w LEFT JOIN tf t ON w.seg_l = t.term
+       |)
+       |SELECT uid_l, uid_r, ROUND(mw, 6) AS match_weight,
+       |  ROUND(ta, 6) AS tf_adjustment,
+       |  ROUND(mw + ta, 6) AS match_weight_tf
+       |FROM adj ORDER BY uid_l, uid_r""".stripMargin
+  }
+
   private val predictSql: String =
     s"""$predictPairsCte
        |SELECT uid_l, uid_r, ROUND(mw, 6) AS match_weight,
@@ -448,6 +506,7 @@ object LinkageQueries {
     "j5_em_one_iter" -> emOneIterSql,
     "j5_em_two_iter" -> emTwoIterSql,
     "j6_predict" -> predictSql,
+    "j6_tf_adjust" -> tfAdjustSql,
     "ep10_fs_cluster" ->
       // predictPairsCte yields w(uid_l, uid_r, mw); matches at UNROUNDED
       // probability ≥ 0.9 become symmetric edges, and the recursive closure

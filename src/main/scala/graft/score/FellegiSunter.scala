@@ -51,6 +51,50 @@ object FellegiSunter {
         lit(1.0) / (lit(1.0) + pow(lit(2.0), -col("match_weight"))))
   }
 
+  /** Per-term share of non-null values of `column` — the input to [[tfAdjust]].
+    * One hash aggregation; the 1-row total collect is the documented bounded
+    * driver boundary (same shape as the BM25 corpus constants).
+    */
+  def termFrequencies(df: DataFrame, column: String): DataFrame = {
+    val nonNull = df.filter(col(column).isNotNull)
+    val n = nonNull.count()
+    require(n > 0, s"termFrequencies: `$column` has no non-null values")
+    nonNull.groupBy(col(column).as("term"))
+      .agg((count(lit(1)).cast("double") / n.toDouble).as("tf_share"))
+  }
+
+  /** Splink-style term-frequency adjustment (`term_frequency_adjustments`): the
+    * column-global u says how likely two RANDOM records agree on the column, which
+    * under-penalizes agreement on COMMON terms and under-rewards rare ones. On an
+    * exact agreement, shift the evidence toward the term's own collision chance:
+    *
+    *   Δw = β · (log2(u_exact) − log2(tf_term))
+    *
+    * so rare terms gain weight and common terms lose it (β = `tfWeight` ∈ [0,1]
+    * interpolates; Splink's tf_adjustment_weight). Appends `tf_adjustment`,
+    * `match_weight_tf`, `match_probability_tf` to a scored pair frame. The term
+    * table joins on the pair's `<column>_l` value (≡ `_r` on exact agreement) —
+    * broadcast it when the vocabulary is small; unmatched/unequal pairs adjust by 0.
+    */
+  def tfAdjust(
+      scored: DataFrame,
+      column: String,
+      uExact: Double,
+      tfTable: DataFrame,
+      tfWeight: Double = 1.0): DataFrame = {
+    val lg2 = math.log(2.0)
+    val tf = tfTable.select(col("term").as("_tf_term"), col("tf_share").as("_tf_share"))
+    scored.join(broadcast(tf), scored(s"${column}_l") === tf("_tf_term"), "left")
+      .withColumn("tf_adjustment",
+        when(col(s"${column}_l") === col(s"${column}_r") && col("_tf_share").isNotNull,
+          lit(tfWeight) * (lit(log2(uExact)) - log(col("_tf_share")) / lit(lg2)))
+          .otherwise(lit(0.0)))
+      .withColumn("match_weight_tf", col("match_weight") + col("tf_adjustment"))
+      .withColumn("match_probability_tf",
+        lit(1.0) / (lit(1.0) + pow(lit(2.0), -col("match_weight_tf"))))
+      .drop("_tf_term", "_tf_share")
+  }
+
   /** Blocking → gammas → score in one shot. */
   def predict(
       df: DataFrame,

@@ -142,6 +142,35 @@ class LinkageSpec extends SparkSpec {
     assert(math.abs(out(0)._2 - math.pow(2, w0) / (1 + math.pow(2, w0))) < 1e-12)
   }
 
+  test("term-frequency adjustment: rare terms gain weight, common terms lose it") {
+    def lg2(x: Double) = math.log(x) / math.log(2)
+    // shares: A 3/6, B 2/6, C 1/6; column-global u_exact = 0.2
+    val recs = Seq(("1", "A"), ("2", "A"), ("3", "A"), ("4", "B"), ("5", "B"),
+      ("6", "C")).toDF("uid", "seg")
+    val tf = FellegiSunter.termFrequencies(recs, "seg")
+    val shares = tf.as[(String, Double)].collect().toMap
+    assert(math.abs(shares("A") - 0.5) < 1e-12 && math.abs(shares("C") - 1.0 / 6) < 1e-12)
+
+    // scored pairs carrying seg_l/seg_r and a flat base weight
+    val pairs = Seq(("1", "2", "A", "A"), ("6", "6b", "C", "C"),
+      ("1", "4", "A", "B")).toDF("uid_l", "uid_r", "seg_l", "seg_r")
+      .withColumn("match_weight", lit(1.0))
+    val out = FellegiSunter.tfAdjust(pairs, "seg", uExact = 0.2, tf)
+      .select("uid_l", "uid_r", "tf_adjustment")
+      .as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val adjA = lg2(0.2) - lg2(0.5)       // common: negative (evidence weakens)
+    val adjC = lg2(0.2) - lg2(1.0 / 6)   // rare: positive (evidence strengthens)
+    assert(math.abs(out(("1", "2")) - adjA) < 1e-9 && adjA < 0)
+    assert(math.abs(out(("6", "6b")) - adjC) < 1e-9 && adjC > 0)
+    assert(out(("1", "2")) < out(("6", "6b")))
+    // disagreeing pair: untouched
+    val disagree = FellegiSunter.tfAdjust(pairs, "seg", 0.2, tf)
+      .filter(col("uid_l") === "1" && col("uid_r") === "4")
+      .select("tf_adjustment", "match_weight_tf").as[(Double, Double)].head()
+    assert(disagree === ((0.0, 1.0)))
+  }
+
   test("EM increases m for matching levels on a planted-duplicate dataset") {
     // 30 entities, each duplicated with a 1-char typo in `b`; `blk` is a shared block key.
     val rows = (0 until 30).flatMap { i =>
