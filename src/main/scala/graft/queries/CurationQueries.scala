@@ -413,6 +413,14 @@ object CurationQueries {
           col("blocked_word_count"), col("kept"))
         .orderBy("doc_id")
     },
+    "curation_dsir_score" -> { (s, dir) =>
+      // DSIR importance scores against the English subcorpus as the target domain:
+      // docs whose hashed-n-gram profile looks "more English than the corpus
+      // average" score positive — the modern data-selection signal, one token pass
+      val raw = docs(s, dir)
+      Curation.dsirScores(raw, raw.filter(col("lang") === "en"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
     "curation_snapshot_diff" -> { (s, dir) =>
       // corpus-version diff (release gating): v2 simulates a real revision — drops
       // %13 docs, edits %17 texts, adds %19 copies under new ids; every id is then
@@ -958,6 +966,33 @@ object CurationQueries {
          |  (NOT source IN ('src3', 'src7'))
          |    AND len(list_filter(toks, t -> lower(t) IN ('slow', 'dup'))) = 0 AS kept
          |FROM t ORDER BY doc_id""".stripMargin
+    },
+    "curation_dsir_score" -> {
+      val toks = toksSql("text")
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |    list_concat($toks,
+         |      list_transform(range(1, len($toks)),
+         |        i -> ($toks)[i] || ' ' || ($toks)[i + 1])) AS grams
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id, lang,
+         |    ('0x' || substr(md5(gram), 1, 4))::BIGINT % 256 AS bucket
+         |  FROM (SELECT doc_id, lang, unnest(grams) AS gram FROM t)),
+         |tb AS (SELECT bucket, COUNT(*) AS nt FROM b WHERE lang = 'en' GROUP BY 1),
+         |rb AS (SELECT bucket, COUNT(*) AS nr FROM b GROUP BY 1),
+         |tot AS (SELECT (SELECT COALESCE(SUM(nt), 0) FROM tb) AS nt_tot,
+         |               (SELECT COALESCE(SUM(nr), 0) FROM rb) AS nr_tot),
+         |lr AS (
+         |  SELECT k.bucket,
+         |    ln((COALESCE(tb.nt, 0) + 1)::DOUBLE / ((SELECT nt_tot FROM tot) + 256)) -
+         |    ln((COALESCE(rb.nr, 0) + 1)::DOUBLE / ((SELECT nr_tot FROM tot) + 256)) AS lr
+         |  FROM (SELECT unnest(range(0, 256)) AS bucket) k
+         |  LEFT JOIN tb USING (bucket) LEFT JOIN rb USING (bucket)),
+         |s AS (SELECT b.doc_id, SUM(l.lr) AS sc FROM b JOIN lr l USING (bucket) GROUP BY 1)
+         |SELECT d.doc_id, ROUND(COALESCE(s.sc, 0.0), 6) AS dsir_score
+         |FROM documents d LEFT JOIN s USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
     },
     "curation_snapshot_diff" ->
       """WITH h1 AS (SELECT doc_id, md5(text) AS h FROM documents),

@@ -903,6 +903,64 @@ object Curation {
           .otherwise("changed").as("status"))
   }
 
+  // ---- DSIR data selection -------------------------------------------------
+
+  /** Hashed n-gram feature buckets (unigrams + adjacent bigrams) of `textCol`,
+    * md5-prefix-hashed into [0, k) — portable: any engine (incl. the DuckDB oracle)
+    * reproduces the bucket ids exactly.
+    */
+  def dsirFeatures(textCol: Column, k: Int): Column = {
+    val t = TextOps.tokens(textCol)
+    val bigrams = when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1),
+        i => concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    transform(concat(t, bigrams),
+      g => conv(substring(md5(g), 1, 4), 16, 10).cast("long") % k)
+  }
+
+  /** DSIR data selection (Xie et al. 2023, "Data Selection for Language Models via
+    * Importance Resampling"): score each raw document by how much more likely its
+    * hashed n-gram features are under a TARGET domain sample than under the raw
+    * corpus — `score(doc) = Σ_grams [ln p_target(bucket) − ln p_raw(bucket)]` with
+    * Laplace-smoothed bucket categoricals. Feed the (exp of the) score to
+    * [[weightedSample]] for the paper's importance-resampling draw, or threshold it.
+    *
+    * Scale shape: two hash aggregations build the k-bucket count tables, the
+    * k-row log-ratio table broadcasts, and the per-doc score is one explode +
+    * broadcast-join + sum — corpus-sized work is one token-stream pass; nothing
+    * iterates. Zero-gram documents score 0 (left-join backfill).
+    */
+  def dsirScores(
+      raw: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 256): DataFrame = {
+    require(k > 0)
+    def bucketCounts(df: DataFrame, out: String) = df
+      .select(explode(dsirFeatures(col(textCol), k)).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as(out))
+    val ct = bucketCounts(target, "nt")
+    val cr = bucketCounts(raw, "nr")
+    // totals: two 1-row collects (bounded driver boundary, BM25-constant pattern)
+    val nT = ct.agg(coalesce(sum("nt"), lit(0L))).head().getLong(0)
+    val nR = cr.agg(coalesce(sum("nr"), lit(0L))).head().getLong(0)
+    val buckets = raw.sparkSession.range(k).select(col("id").as("bucket"))
+    val lr = buckets
+      .join(ct, Seq("bucket"), "left").join(cr, Seq("bucket"), "left")
+      .select(col("bucket"),
+        (log((coalesce(col("nt"), lit(0L)) + 1).cast("double") / (nT + k).toDouble) -
+          log((coalesce(col("nr"), lit(0L)) + 1).cast("double") / (nR + k).toDouble))
+          .as("lr"))
+    val scored = raw
+      .select(col(idCol), explode(dsirFeatures(col(textCol), k)).as("bucket"))
+      .join(broadcast(lr), Seq("bucket"))
+      .groupBy(idCol).agg(sum("lr").as("_s"))
+    raw.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol), round(coalesce(col("_s"), lit(0.0)), 6).as("dsir_score"))
+  }
+
   // ---- PII redaction -------------------------------------------------------
 
   /** Email address pattern — restricted to the lookahead-free subset so Java regex

@@ -588,6 +588,38 @@ class CurationSpec extends SparkSpec {
       (4, "l", "o", 7L), (5, "lo", "w", 7L)))
   }
 
+  test("DSIR scores match an independent reimplementation; target-like docs win") {
+    val rawDocs = Map(
+      1L -> "alpha beta alpha", 2L -> "gamma delta gamma delta",
+      3L -> "alpha beta", 4L -> "")
+    val raw = rawDocs.toSeq.toDF("doc_id", "text")
+    val target = raw.filter(col("doc_id") === 1L || col("doc_id") === 3L)
+    val got = Curation.dsirScores(raw, target, "doc_id", "text")
+      .as[(Long, Double)].collect().toMap
+
+    // independent reimplementation: same md5-prefix buckets, Laplace smoothing, sum
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bucket(g: String) = java.lang.Long.parseLong(md5hex(g).take(4), 16) % 256
+    def grams(text: String): Seq[String] = {
+      val t = text.split("\\s+").filter(_.nonEmpty).toSeq
+      t ++ t.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+    }
+    val targetDocs = rawDocs.view.filterKeys(Set(1L, 3L)).toMap
+    val ct = targetDocs.values.toSeq.flatMap(grams).groupBy(bucket).view.mapValues(_.size).toMap
+    val cr = rawDocs.values.toSeq.flatMap(grams).groupBy(bucket).view.mapValues(_.size).toMap
+    val (nT, nR) = (ct.values.sum, cr.values.sum)
+    def lr(b: Long) = math.log((ct.getOrElse(b, 0) + 1).toDouble / (nT + 256)) -
+      math.log((cr.getOrElse(b, 0) + 1).toDouble / (nR + 256))
+    def score(text: String) = grams(text).map(g => lr(bucket(g))).sum
+    rawDocs.foreach { case (id, tx) =>
+      assert(math.abs(got(id) - score(tx)) < 2e-6, s"doc $id: ${got(id)} vs ${score(tx)}")
+    }
+    // target-domain docs outscore the off-domain one; empty doc scores exactly 0
+    assert(got(1L) > got(2L) && got(3L) > got(2L))
+    assert(got(4L) === 0.0)
+  }
+
   test("canonicalizeUrl: fragment, utm params, host case, trailing punct/slash") {
     import graft.textops.TextOps
     val cases = Seq(
