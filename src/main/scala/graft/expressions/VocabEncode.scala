@@ -57,3 +57,53 @@ object VocabEncode {
     new GenericArrayData(out)
   }
 }
+
+/** Vocabulary decoding — the inverse of [[VocabEncode]]: `array<int>` ids →
+  * `array<string>` tokens, unknown ids → `unkToken`. Same reference-object shape:
+  * a bounded id→token table probed inside codegen, no join against the corpus.
+  * `decode(encode(toks))` restores every in-vocabulary token exactly (OOV → unk).
+  */
+case class VocabDecode(child: Expression, vocab: Map[Int, String],
+    unkToken: String = "<unk>") extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  @transient private lazy val table: java.util.HashMap[Integer, UTF8String] = {
+    val m = new java.util.HashMap[Integer, UTF8String](vocab.size * 2)
+    vocab.foreach { case (k, v) => m.put(Integer.valueOf(k), UTF8String.fromString(v)) }
+    m
+  }
+
+  @transient private lazy val unkU8: UTF8String = UTF8String.fromString(unkToken)
+
+  override def nullSafeEval(v: Any): Any =
+    VocabDecode.decode(v.asInstanceOf[ArrayData], table, unkU8)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tableRef = ctx.addReferenceObj("vocabDecTable", table, "java.util.HashMap")
+    val unkRef = ctx.addReferenceObj("vocabDecUnk", unkU8,
+      "org.apache.spark.unsafe.types.UTF8String")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.VocabDecode.decode($c, $tableRef, $unkRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): VocabDecode =
+    copy(child = newChild)
+}
+
+object VocabDecode {
+  def decode(
+      ids: ArrayData,
+      table: java.util.HashMap[Integer, UTF8String],
+      unk: UTF8String): ArrayData = {
+    val n = ids.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val t = table.get(Integer.valueOf(ids.getInt(i)))
+      out(i) = if (t == null) unk else t
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}

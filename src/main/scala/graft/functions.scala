@@ -174,6 +174,16 @@ object functions {
   def vocab_encode(tokens: Column, vocab: Map[String, Int], unkId: Int = 0): Column =
     Bridge.column(VocabEncode(Bridge.expression(tokens), vocab, unkId))
 
+  /** Vocabulary decoding — inverse of [[vocab_encode]]: array<int> ids →
+    * array<string> tokens via the inverted bounded vocabulary; unknown ids → unk.
+    */
+  def vocab_decode(ids: Column, vocab: Map[String, Int],
+      unkToken: String = "<unk>"): Column = {
+    val inverted = vocab.map(_.swap)
+    require(inverted.size == vocab.size, "vocab_decode requires injective token ids")
+    Bridge.column(VocabDecode(Bridge.expression(ids), inverted, unkToken))
+  }
+
   /** BPE encoding: array<string> words → array<string> subword tokens by applying a
     * bounded ordered merge list (chars + `</w>` marker, lowest-rank pair fused
     * first); the merge table rides the expression — no join, no shuffle.

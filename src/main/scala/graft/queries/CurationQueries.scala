@@ -356,6 +356,35 @@ object CurationQueries {
         .select(col("doc_id"), col("n_bpe"),
           concat_ws(" ", col("bpe_tokens")).as("bpe_text"))
     },
+    "ep11_release_gate" -> { (s, dir) =>
+      // release-gating capstone composing this round's operators: snapshot-diff the
+      // v2 revision, take only NEW material (added/changed), screen it with the
+      // k-anonymity and quality gates, and publish the per-lang release manifest
+      val v1 = docs(s, dir)
+      val v2 = v1.filter(col("doc_id") % 13 =!= 0)
+        .withColumn("text", when(col("doc_id") % 17 === 0,
+          concat(col("text"), lit(" edited"))).otherwise(col("text")))
+        .unionByName(v1.filter(col("doc_id") % 19 === 0)
+          .withColumn("doc_id", col("doc_id") + 300000))
+      val diff = Curation.snapshotDiff(v1, v2, "doc_id", Seq("text"))
+      val fresh = v2.join(
+        diff.filter(col("status").isin("added", "changed")).select("doc_id", "status"),
+        Seq("doc_id"))
+      val banded = fresh.withColumn("len_band", expr("n_chars div 100"))
+      Curation.kAnonymityGate(banded, Seq("lang", "source", "len_band"), k = 3)
+        .withColumn("q", round(TextOps.qualityScore(col("text")), 6))
+        .withColumn("released", col("k_anonymous") && col("q") >= 0.3)
+        .groupBy("lang").agg(
+          count(lit(1)).as("n_fresh"),
+          sum(when(col("status") === "added", 1L).otherwise(0L)).as("n_added"),
+          sum(when(!col("k_anonymous"), 1L).otherwise(0L)).as("n_gated_privacy"),
+          sum(when(col("k_anonymous") && col("q") < 0.3, 1L).otherwise(0L))
+            .as("n_gated_quality"),
+          sum(when(col("released"), 1L).otherwise(0L)).as("n_released"),
+          sum(when(col("released"), TextOps.tokenCount(col("text")).cast("long"))
+            .otherwise(0L)).as("tokens_released"))
+        .orderBy("lang")
+    },
     "ep5_data_card" -> { (s, dir) =>
       // the per-domain "data card" every corpus release publishes, one aggregation
       // pass: volume, exact-dup rate, quality distribution (mean + exact median),
@@ -411,6 +440,25 @@ object CurationQueries {
           blockedSources = Seq("src3", "src7"), blockedWords = Seq("slow", "dup"))
         .select(col("doc_id"), col("source_blocked"),
           col("blocked_word_count"), col("kept"))
+        .orderBy("doc_id")
+    },
+    "curation_vocab_decode" -> { (s, dir) =>
+      // encode → decode round trip: in-vocab tokens restore exactly, OOV ids come
+      // back as <unk> — the serving-side half of the tokenizer loop
+      val vocab = Curation.buildVocab(docs(s, dir), col("text"), topK = 50)
+      val encoded = Curation.encodeTokens(docs(s, dir), "doc_id", "text", vocab)
+      Curation.decodeTokens(encoded, "doc_id", "token_ids", vocab)
+        .select(col("doc_id"),
+          array_join(col("tokens"), " ").as("decoded"),
+          size(filter(col("tokens"), _ === "<unk>")).cast("long").as("n_unk"))
+        .orderBy("doc_id")
+    },
+    "curation_k_anonymity" -> { (s, dir) =>
+      // pre-release privacy screen: quasi-identifier = (lang, source, length band);
+      // rows in combinations shared by < 3 docs are flagged non-releasable
+      val banded = docs(s, dir).withColumn("len_band", expr("n_chars div 100"))
+      Curation.kAnonymityGate(banded, Seq("lang", "source", "len_band"), k = 3)
+        .select(col("doc_id"), col("group_size"), col("k_anonymous"))
         .orderBy("doc_id")
     },
     "curation_dsir_score" -> { (s, dir) =>
@@ -915,6 +963,42 @@ object CurationQueries {
          |SELECT doc_id, keyword_rank, token, tfidf FROM rk
          |WHERE keyword_rank <= 3 ORDER BY doc_id, keyword_rank""".stripMargin
     },
+    "ep11_release_gate" -> {
+      val toks = toksSql("text")
+      s"""WITH v2 AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 17 = 0 THEN text || ' edited' ELSE text END AS text,
+         |    lang, source, n_chars
+         |  FROM documents WHERE doc_id % 13 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 300000, text, lang, source, n_chars
+         |  FROM documents WHERE doc_id % 19 = 0),
+         |h1 AS (SELECT doc_id, md5(text) AS h FROM documents),
+         |h2 AS (SELECT doc_id, md5(text) AS h FROM v2),
+         |st AS (SELECT doc_id,
+         |         CASE WHEN h1.h IS NULL THEN 'added'
+         |              WHEN h2.h IS NULL THEN 'removed'
+         |              WHEN h1.h = h2.h THEN 'unchanged'
+         |              ELSE 'changed' END AS status
+         |       FROM h1 FULL OUTER JOIN h2 USING (doc_id)),
+         |f AS (SELECT v2.*, st.status FROM v2 JOIN st USING (doc_id)
+         |      WHERE st.status IN ('added', 'changed')),
+         |g AS (SELECT f.*,
+         |        COUNT(*) OVER (PARTITION BY lang, source, n_chars // 100) AS gs,
+         |        ${TextQueries.qualityExprSql} AS q
+         |      FROM f)
+         |SELECT lang,
+         |  CAST(COUNT(*) AS BIGINT) AS n_fresh,
+         |  CAST(SUM(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+         |  CAST(SUM(CASE WHEN gs < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_gated_privacy,
+         |  CAST(SUM(CASE WHEN gs >= 3 AND q < 0.3 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_gated_quality,
+         |  CAST(SUM(CASE WHEN gs >= 3 AND q >= 0.3 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_released,
+         |  CAST(SUM(CASE WHEN gs >= 3 AND q >= 0.3 THEN len($toks) ELSE 0 END) AS BIGINT)
+         |    AS tokens_released
+         |FROM g GROUP BY lang ORDER BY lang""".stripMargin
+    },
     "ep5_data_card" -> {
       val toks = toksSql("text")
       val stopList = TextQueries.inList(
@@ -967,6 +1051,25 @@ object CurationQueries {
          |    AND len(list_filter(toks, t -> lower(t) IN ('slow', 'dup'))) = 0 AS kept
          |FROM t ORDER BY doc_id""".stripMargin
     },
+    "curation_vocab_decode" -> {
+      val toks = toksSql("text")
+      s"""WITH tok AS (SELECT unnest($toks) AS token FROM documents),
+         |c AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token
+         |      ORDER BY n DESC, token LIMIT 50),
+         |v AS (SELECT list(token) AS vt FROM c)
+         |SELECT doc_id,
+         |  array_to_string(list_transform($toks,
+         |    t -> CASE WHEN list_contains(v.vt, t)
+         |              THEN t ELSE '<unk>' END), ' ') AS decoded,
+         |  CAST(len(list_filter($toks,
+         |    t -> NOT list_contains(v.vt, t))) AS BIGINT) AS n_unk
+         |FROM documents, v ORDER BY doc_id""".stripMargin
+    },
+    "curation_k_anonymity" ->
+      """SELECT doc_id,
+        |  COUNT(*) OVER (PARTITION BY lang, source, n_chars // 100) AS group_size,
+        |  COUNT(*) OVER (PARTITION BY lang, source, n_chars // 100) >= 3 AS k_anonymous
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "curation_dsir_score" -> {
       val toks = toksSql("text")
       s"""WITH t AS (

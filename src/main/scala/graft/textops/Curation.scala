@@ -718,6 +718,21 @@ object Curation {
         .as("token_ids"))
   }
 
+  /** Decodes token ids back to tokens — the inverse of [[encodeTokens]], same
+    * bounded-vocabulary expression shape (ids the vocab doesn't cover → `unkToken`).
+    */
+  def decodeTokens(
+      df: DataFrame,
+      idCol: String,
+      idsCol: String,
+      vocab: DataFrame,
+      unkToken: String = "<unk>"): DataFrame = {
+    val m = vocab.select(col("token"), col("token_id")).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    df.select(col(idCol),
+      graft.functions.vocab_decode(col(idsCol), m, unkToken).as("tokens"))
+  }
+
   /** Applies a bounded, rank-ordered BPE merge list to the corpus:
     * `(id, bpe_tokens array<string>, n_bpe)`. The merge table rides the codegen'd
     * [[graft.expressions.BpeEncode]] expression — one row-local encode per document,
@@ -901,6 +916,21 @@ object Curation {
           .when(col("_h_new").isNull, "removed")
           .when(col("_h_old") === col("_h_new"), "unchanged")
           .otherwise("changed").as("status"))
+  }
+
+  // ---- k-anonymity release gate --------------------------------------------
+
+  /** k-anonymity gate over quasi-identifier columns: a row is releasable only when
+    * at least `k` rows share its full quasi-identifier combination — the standard
+    * pre-release privacy screen (rare combinations re-identify). ONE quasi-keyed
+    * window (partition-parallel; partitions are group-sized), and window
+    * partitioning groups NULLs together, so null quasi-values gate correctly.
+    */
+  def kAnonymityGate(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty && k >= 1)
+    val w = Window.partitionBy(quasiCols.map(col): _*)
+    df.withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("k_anonymous", col("group_size") >= k)
   }
 
   // ---- DSIR data selection -------------------------------------------------

@@ -588,6 +588,35 @@ class CurationSpec extends SparkSpec {
       (4, "l", "o", 7L), (5, "lo", "w", 7L)))
   }
 
+  test("kAnonymityGate flags rare quasi-identifier combinations, groups NULLs") {
+    val df = Seq(
+      (1L, Some("en"), "a"), (2L, Some("en"), "a"), (3L, Some("en"), "a"),
+      (4L, Some("fr"), "a"),                       // singleton combination
+      (5L, None, "b"), (6L, None, "b")             // NULL lang groups together
+    ).toDF("doc_id", "lang", "src")
+    val got = Curation.kAnonymityGate(df, Seq("lang", "src"), k = 2)
+      .select("doc_id", "group_size", "k_anonymous")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L) === ((3L, true)) && got(4L) === ((1L, false)))
+    assert(got(5L) === ((2L, true)) && got(6L) === ((2L, true)))
+  }
+
+  test("vocab decode inverts encode: in-vocab exact, OOV ids -> <unk>") {
+    val vocab = Map("alpha" -> 1, "beta" -> 2)
+    val df = Seq((1L, "alpha beta omega")).toDF("doc_id", "text")
+    val enc = df.select(col("doc_id"),
+      graft.functions.vocab_encode(graft.textops.TextOps.tokens(col("text")), vocab)
+        .as("ids"))
+    val dec = enc.select(
+      graft.functions.vocab_decode(col("ids"), vocab).as("toks"))
+      .as[Seq[String]].head()
+    assert(dec === Seq("alpha", "beta", "<unk>"))
+    // non-injective vocab rejected
+    intercept[IllegalArgumentException] {
+      graft.functions.vocab_decode(col("ids"), Map("a" -> 1, "b" -> 1))
+    }
+  }
+
   test("DSIR scores match an independent reimplementation; target-like docs win") {
     val rawDocs = Map(
       1L -> "alpha beta alpha", 2L -> "gamma delta gamma delta",
