@@ -563,6 +563,35 @@ object CurationQueries {
     (chain, rendered)
   }
 
+  /** Shared DSIR CTE chain (target = lang 'en', raw = all documents, k = 256):
+    * hashed unigram+bigram buckets, Laplace-smoothed target/raw categoricals, and
+    * per-doc raw log-ratio sums in `s(doc_id, sc)` — consumers round and filter.
+    */
+  private[queries] val dsirCtes: String = {
+    val toks = toksSql("text")
+    s"""t AS (
+       |  SELECT doc_id, lang,
+       |    list_concat($toks,
+       |      list_transform(range(1, len($toks)),
+       |        i -> ($toks)[i] || ' ' || ($toks)[i + 1])) AS grams
+       |  FROM documents),
+       |b AS (
+       |  SELECT doc_id, lang,
+       |    ('0x' || substr(md5(gram), 1, 4))::BIGINT % 256 AS bucket
+       |  FROM (SELECT doc_id, lang, unnest(grams) AS gram FROM t)),
+       |tb AS (SELECT bucket, COUNT(*) AS nt FROM b WHERE lang = 'en' GROUP BY 1),
+       |rb AS (SELECT bucket, COUNT(*) AS nr FROM b GROUP BY 1),
+       |tot AS (SELECT (SELECT COALESCE(SUM(nt), 0) FROM tb) AS nt_tot,
+       |               (SELECT COALESCE(SUM(nr), 0) FROM rb) AS nr_tot),
+       |lr AS (
+       |  SELECT k.bucket,
+       |    ln((COALESCE(tb.nt, 0) + 1)::DOUBLE / ((SELECT nt_tot FROM tot) + 256)) -
+       |    ln((COALESCE(rb.nr, 0) + 1)::DOUBLE / ((SELECT nr_tot FROM tot) + 256)) AS lr
+       |  FROM (SELECT unnest(range(0, 256)) AS bucket) k
+       |  LEFT JOIN tb USING (bucket) LEFT JOIN rb USING (bucket)),
+       |s AS (SELECT b.doc_id, SUM(l.lr) AS sc FROM b JOIN lr l USING (bucket) GROUP BY 1)""".stripMargin
+  }
+
   private val bpeEncodeSql: String = {
     val (chain, rendered) = bpeChainSql(BpeFixedMerges)
     s"""SELECT doc_id,
@@ -1070,33 +1099,11 @@ object CurationQueries {
         |  COUNT(*) OVER (PARTITION BY lang, source, n_chars // 100) AS group_size,
         |  COUNT(*) OVER (PARTITION BY lang, source, n_chars // 100) >= 3 AS k_anonymous
         |FROM documents ORDER BY doc_id""".stripMargin,
-    "curation_dsir_score" -> {
-      val toks = toksSql("text")
-      s"""WITH t AS (
-         |  SELECT doc_id, lang,
-         |    list_concat($toks,
-         |      list_transform(range(1, len($toks)),
-         |        i -> ($toks)[i] || ' ' || ($toks)[i + 1])) AS grams
-         |  FROM documents),
-         |b AS (
-         |  SELECT doc_id, lang,
-         |    ('0x' || substr(md5(gram), 1, 4))::BIGINT % 256 AS bucket
-         |  FROM (SELECT doc_id, lang, unnest(grams) AS gram FROM t)),
-         |tb AS (SELECT bucket, COUNT(*) AS nt FROM b WHERE lang = 'en' GROUP BY 1),
-         |rb AS (SELECT bucket, COUNT(*) AS nr FROM b GROUP BY 1),
-         |tot AS (SELECT (SELECT COALESCE(SUM(nt), 0) FROM tb) AS nt_tot,
-         |               (SELECT COALESCE(SUM(nr), 0) FROM rb) AS nr_tot),
-         |lr AS (
-         |  SELECT k.bucket,
-         |    ln((COALESCE(tb.nt, 0) + 1)::DOUBLE / ((SELECT nt_tot FROM tot) + 256)) -
-         |    ln((COALESCE(rb.nr, 0) + 1)::DOUBLE / ((SELECT nr_tot FROM tot) + 256)) AS lr
-         |  FROM (SELECT unnest(range(0, 256)) AS bucket) k
-         |  LEFT JOIN tb USING (bucket) LEFT JOIN rb USING (bucket)),
-         |s AS (SELECT b.doc_id, SUM(l.lr) AS sc FROM b JOIN lr l USING (bucket) GROUP BY 1)
+    "curation_dsir_score" ->
+      s"""WITH $dsirCtes
          |SELECT d.doc_id, ROUND(COALESCE(s.sc, 0.0), 6) AS dsir_score
          |FROM documents d LEFT JOIN s USING (doc_id)
-         |ORDER BY doc_id""".stripMargin
-    },
+         |ORDER BY doc_id""".stripMargin,
     "curation_snapshot_diff" ->
       """WITH h1 AS (SELECT doc_id, md5(text) AS h FROM documents),
         |h2 AS (

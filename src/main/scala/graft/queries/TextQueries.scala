@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.util.Caching.CacheSyntax
 
 import graft.streaming.StreamOps
-import graft.textops.{Dedup, Ivf, Multimodal, Pca, Pq, Similarity, TextOps}
+import graft.textops.{Curation, Dedup, Ivf, Multimodal, Pca, Pq, Similarity, TextOps}
 
 /** SparkEntry query + oracle entries for the training-data pipeline operators: text
   * analysis, document dedup (exact / Jaccard / MinHash-LSH / SimHash / embedding),
@@ -744,6 +744,15 @@ object TextQueries {
       // then a tiny keyed aggregate
       StreamOps.streamingQualityFilter(s, s"$dir/documents.parquet")
         .orderBy("pred_lang")
+    },
+    "stream_dsir_gate" -> { (s, dir) =>
+      // data selection at ingest time: the DSIR log-ratio table trains once on the
+      // static corpus (bounded k-row map), then gates the stream with a row-local
+      // map-probe expression — no join, no per-doc shuffle on the streaming path
+      val raw = s.read.parquet(s"$dir/documents.parquet")
+      val lr = Curation.dsirLogRatios(raw, raw.filter(col("lang") === "en"), "text")
+      StreamOps.streamingDsirGate(s, s"$dir/documents.parquet", lr, 256, 0.0)
+        .orderBy("lang")
     },
     "ev_interval_join" -> { (s, dir) =>
       // point-in-interval join via time binning + hash equi-join (never a range
@@ -1986,6 +1995,13 @@ object TextQueries {
          |WHERE pred_lang <> 'und' AND n_tokens >= 5 AND quality >= 0.3
          |GROUP BY pred_lang ORDER BY pred_lang""".stripMargin
     },
+    "stream_dsir_gate" ->
+      s"""WITH ${CurationQueries.dsirCtes}
+         |SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |  ROUND(SUM(ROUND(COALESCE(s.sc, 0.0), 6)), 6) AS sum_dsir
+         |FROM documents d LEFT JOIN s USING (doc_id)
+         |WHERE ROUND(COALESCE(s.sc, 0.0), 6) >= 0.0
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
     "ep4_training_corpus" -> {
       val toks = toksSql("text")
       s"""WITH $corpusCte,

@@ -319,6 +319,28 @@ object StreamOps {
     driveToMemory(stream, "complete", "stream_quality")
   }
 
+  /** Streaming DSIR gate: the trained k-bucket log-ratio map rides a row-local
+    * scoring expression (map-literal probe per gram — no join, no per-doc shuffle),
+    * so the gate is a stateless projection + filter; the only stateful operator is
+    * the tiny per-lang aggregate. This is the ingest-time shape of data selection:
+    * train the table once on a static target/raw pair, gate the feed forever.
+    */
+  def streamingDsirGate(
+      spark: SparkSession,
+      docsPath: String,
+      lr: Map[Long, Double],
+      k: Int,
+      threshold: Double): DataFrame = {
+    val stream = fileStream(spark, docsPath)
+      .select(col("lang"),
+        graft.textops.Curation.dsirScoreColumn(col("text"), lr, k).as("dsir"))
+      .filter(col("dsir") >= threshold)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"), round(sum("dsir"), 6).as("sum_dsir"))
+    // complete mode: tiny keyed aggregate (≤ #languages rows)
+    driveToMemory(stream, "complete", "stream_dsir")
+  }
+
   /** Streaming dedup with BOUNDED state: `dropDuplicatesWithinWatermark` evicts a
     * key's state once the watermark passes its event time + `delay`, so state holds
     * only the dedup horizon — the production shape for unbounded streams (plain

@@ -918,6 +918,37 @@ object Curation {
           .otherwise("changed").as("status"))
   }
 
+  /** The k-row DSIR log-ratio table as a bounded driver map (k doubles) — the
+    * trained artifact a serving/streaming gate rides. Same math as [[dsirScores]].
+    */
+  def dsirLogRatios(
+      raw: DataFrame,
+      target: DataFrame,
+      textCol: String,
+      k: Int = 256): Map[Long, Double] = {
+    def bucketCounts(df: DataFrame) = df
+      .select(explode(dsirFeatures(col(textCol), k)).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ct = bucketCounts(target)
+    val cr = bucketCounts(raw)
+    val (nT, nR) = (ct.values.sum, cr.values.sum)
+    (0L until k.toLong).map { b =>
+      b -> (math.log((ct.getOrElse(b, 0L) + 1).toDouble / (nT + k)) -
+        math.log((cr.getOrElse(b, 0L) + 1).toDouble / (nR + k)))
+    }.toMap
+  }
+
+  /** Row-local DSIR score: the bounded log-ratio map rides the expression (a map
+    * literal probed per gram — no join, no shuffle, streaming-safe). Round-6 like
+    * every cross-engine float. Matches [[dsirScores]] up to summation order.
+    */
+  def dsirScoreColumn(textCol: Column, lr: Map[Long, Double], k: Int): Column = {
+    val lrMap = typedLit(lr)
+    round(aggregate(dsirFeatures(textCol, k), lit(0.0),
+      (acc, b) => acc + coalesce(element_at(lrMap, b), lit(0.0))), 6)
+  }
+
   // ---- k-anonymity release gate --------------------------------------------
 
   /** k-anonymity gate over quasi-identifier columns: a row is releasable only when

@@ -588,6 +588,21 @@ class CurationSpec extends SparkSpec {
       (4, "l", "o", 7L), (5, "lo", "w", 7L)))
   }
 
+  test("row-local DSIR expression matches the relational scores (streaming shape)") {
+    val raw = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val target = raw.filter(col("lang") === "en")
+    val lr = Curation.dsirLogRatios(raw, target, "text")
+    val viaExpr = raw.select(col("doc_id"),
+        Curation.dsirScoreColumn(col("text"), lr, 256).as("s"))
+      .as[(Long, Double)].collect().toMap
+    val viaAgg = Curation.dsirScores(raw, target, "doc_id", "text")
+      .as[(Long, Double)].collect().toMap
+    assert(viaExpr.keySet === viaAgg.keySet)
+    viaExpr.foreach { case (id, v) =>
+      assert(math.abs(v - viaAgg(id)) <= 2e-6, s"doc $id: $v vs ${viaAgg(id)}")
+    }
+  }
+
   test("kAnonymityGate flags rare quasi-identifier combinations, groups NULLs") {
     val df = Seq(
       (1L, Some("en"), "a"), (2L, Some("en"), "a"), (3L, Some("en"), "a"),
