@@ -39,7 +39,32 @@ object AsofJoin {
       keyCol: String,
       tsCol: String,
       valueCols: Seq[String],
-      rightTie: String): DataFrame = {
+      rightTie: String): DataFrame =
+    asofImpl(left, right, keyCol, tsCol, valueCols, rightTie, forward = false)
+
+  /** Forward as-of: for every left row, attach the EARLIEST right row with the same
+    * key and `right.ts >= left.ts` — the label-attachment join ("next conversion at
+    * or after this impression"). Same single union + window pass as [[leftAsof]],
+    * with time descending so the carried payload is the nearest FUTURE right row;
+    * inclusive at equal `ts`, largest `rightTie` wins ties (mirroring backward).
+    */
+  def leftAsofForward(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCols: Seq[String],
+      rightTie: String): DataFrame =
+    asofImpl(left, right, keyCol, tsCol, valueCols, rightTie, forward = true)
+
+  private def asofImpl(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCols: Seq[String],
+      rightTie: String,
+      forward: Boolean): DataFrame = {
     require(valueCols.nonEmpty, "leftAsof needs at least one value column")
     val reserved = Seq("_side", "_tie", "_rv", "_carried")
     require(left.columns.intersect(reserved).isEmpty,
@@ -63,8 +88,12 @@ object AsofJoin {
     val rAligned = leftCols.filterNot(c => c == keyCol || c == tsCol)
       .foldLeft(rPrep)((df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
 
+    // forward flips only the time direction: scanning ts-descending, the last right
+    // row carried at a left row is the nearest FUTURE one; `_side` still sorts right
+    // before left at equal ts (inclusive), `_tie` ascending keeps largest-tie-wins
+    val tsOrder = if (forward) col(tsCol).desc else col(tsCol).asc
     val w = Window.partitionBy(keyCol)
-      .orderBy(col(tsCol).asc, col("_side").asc, col("_tie").asc)
+      .orderBy(tsOrder, col("_side").asc, col("_tie").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lPrep.unionByName(rAligned)
       .withColumn("_carried", last(col("_rv"), ignoreNulls = true).over(w))

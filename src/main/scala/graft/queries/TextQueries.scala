@@ -785,6 +785,21 @@ object TextQueries {
           round(col("value_asof"), 6).as("value_asof"))
         .orderBy("event_id")
     },
+    "ev_asof_forward" -> { (s, dir) =>
+      // label attachment: each view gets the user's NEXT purchase at or after it —
+      // the forward (future-looking) as-of, same union + window pass
+      val ev = events(s, dir)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("purchase_id"), col("value"))
+      graft.events.AsofJoin.leftAsofForward(views, purchases, "user_id", "ts",
+          Seq("purchase_id", "value"), rightTie = "purchase_id")
+        .select(col("event_id"), col("user_id"), col("purchase_id_asof"),
+          round(col("value_asof"), 6).as("value_asof"))
+        .orderBy("event_id")
+    },
     "ev_sessionize" -> { (s, dir) =>
       // event-log sessionization (30-minute gap): per user, session and event counts
       // plus the largest session — one window pass, shuffled once on user_id
@@ -2052,6 +2067,16 @@ object TextQueries {
         |   ORDER BY r.ts DESC, r.purchase_id DESC LIMIT 1) AS purchase_id_asof,
         |  ROUND((SELECT r.value FROM r WHERE r.user_id = l.user_id AND r.ts <= l.ts
         |   ORDER BY r.ts DESC, r.purchase_id DESC LIMIT 1), 6) AS value_asof
+        |FROM l ORDER BY l.event_id""".stripMargin,
+    "ev_asof_forward" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+        |r AS (SELECT user_id, ts, event_id AS purchase_id, value FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT l.event_id, l.user_id,
+        |  (SELECT r.purchase_id FROM r WHERE r.user_id = l.user_id AND r.ts >= l.ts
+        |   ORDER BY r.ts ASC, r.purchase_id DESC LIMIT 1) AS purchase_id_asof,
+        |  ROUND((SELECT r.value FROM r WHERE r.user_id = l.user_id AND r.ts >= l.ts
+        |   ORDER BY r.ts ASC, r.purchase_id DESC LIMIT 1), 6) AS value_asof
         |FROM l ORDER BY l.event_id""".stripMargin,
     "stream_simhash_dedup" ->
       s"""WITH planted AS (

@@ -452,6 +452,40 @@ class CurationSpec extends SparkSpec {
     assert(outNull(0)._4.isEmpty && outNull(0)._5.isEmpty)
   }
 
+  test("leftAsofForward attaches the earliest at-or-after right row per key") {
+    import graft.events.AsofJoin
+    val l = Seq((1L, 10L, 100L), (2L, 10L, 150L), (3L, 20L, 70L))
+      .toDF("id", "k", "t")
+    val r = Seq(
+      (10L, 100L, 7L, 1.5), // equal ts: inclusive
+      (10L, 200L, 8L, 2.5), (10L, 200L, 9L, 3.5), // tie at ts 200: largest rid wins
+      (20L, 60L, 5L, 9.9)) // before left's t=70: no FUTURE match
+      .toDF("k", "t", "rid", "v")
+    val out = AsofJoin.leftAsofForward(l, r, "k", "t", Seq("rid", "v"), rightTie = "rid")
+      .orderBy("id")
+      .as[(Long, Long, Long, Option[Long], Option[Double])].collect()
+    assert(out(0) === ((1L, 10L, 100L, Some(7L), Some(1.5))))
+    assert(out(1) === ((2L, 10L, 150L, Some(9L), Some(3.5))))
+    assert(out(2) === ((3L, 20L, 70L, None, None)))
+    // brute-force equivalence on random data (mirrors the backward property)
+    val rnd = new scala.util.Random(13)
+    val left = (1 to 300).map(i =>
+      (i.toLong, (rnd.nextInt(5) + 1).toLong, rnd.nextInt(50).toLong))
+    val right = (1 to 200).map(i =>
+      ((i + 1000).toLong, (rnd.nextInt(5) + 1).toLong, rnd.nextInt(50).toLong))
+    val got = AsofJoin.leftAsofForward(
+        left.toDF("id", "k", "t"),
+        right.toDF("rid", "k", "t").select(col("k"), col("t"), col("rid")),
+        "k", "t", Seq("rid"), rightTie = "rid")
+      .select("id", "rid_asof").as[(Long, Option[Long])].collect().toMap
+    val rByK = right.groupBy(_._2)
+    left.foreach { case (id, k, t) =>
+      val want = rByK.getOrElse(k, Nil).filter(_._3 >= t)
+        .sortBy(x => (x._3, -x._1)).headOption.map(_._1)
+      assert(got(id) === want, s"left $id")
+    }
+  }
+
   test("leftAsof equals a brute-force inequality join on random data (property)") {
     import graft.events.AsofJoin
     val rnd = new scala.util.Random(11)
