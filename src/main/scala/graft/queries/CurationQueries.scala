@@ -469,6 +469,27 @@ object CurationQueries {
       Curation.dsirScores(raw, raw.filter(col("lang") === "en"), "doc_id", "text")
         .orderBy("doc_id")
     },
+    "curation_changelog_apply" -> { (s, dir) =>
+      // CDC/MERGE semantics: a changelog of deletes (%13), updates (%17, with a
+      // second higher-seq update for %34 exercising the per-id argmax), and inserts
+      // (%19 under new ids) applied to the base snapshot in one window + one join
+      val base = docs(s, dir)
+      val del = base.filter(col("doc_id") % 13 === 0)
+        .withColumn("op", lit("D")).withColumn("seq", lit(1L))
+      val upd1 = base.filter(col("doc_id") % 17 === 0)
+        .withColumn("text", concat(col("text"), lit(" edited")))
+        .withColumn("op", lit("U")).withColumn("seq", lit(1L))
+      val upd2 = base.filter(col("doc_id") % 34 === 0)
+        .withColumn("text", concat(col("text"), lit(" edited twice")))
+        .withColumn("op", lit("U")).withColumn("seq", lit(2L))
+      val ins = base.filter(col("doc_id") % 19 === 0)
+        .withColumn("doc_id", col("doc_id") + 300000)
+        .withColumn("op", lit("I")).withColumn("seq", lit(1L))
+      val changelog = del.unionByName(upd1).unionByName(upd2).unionByName(ins)
+      Curation.applyChangelog(base, changelog, "doc_id", "seq", "op")
+        .select(col("doc_id"), md5(col("text")).as("content_hash"), col("lang"))
+        .orderBy("doc_id")
+    },
     "curation_snapshot_diff" -> { (s, dir) =>
       // corpus-version diff (release gating): v2 simulates a real revision — drops
       // %13 docs, edits %17 texts, adds %19 copies under new ids; every id is then
@@ -1104,6 +1125,32 @@ object CurationQueries {
          |SELECT d.doc_id, ROUND(COALESCE(s.sc, 0.0), 6) AS dsir_score
          |FROM documents d LEFT JOIN s USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "curation_changelog_apply" ->
+      """WITH cl AS (
+        |  SELECT doc_id, 1 AS seq, 'D' AS op, text, lang
+        |  FROM documents WHERE doc_id % 13 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 1, 'U', text || ' edited', lang
+        |  FROM documents WHERE doc_id % 17 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 2, 'U', text || ' edited twice', lang
+        |  FROM documents WHERE doc_id % 34 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 300000, 1, 'I', text, lang
+        |  FROM documents WHERE doc_id % 19 = 0),
+        |latest AS (
+        |  SELECT doc_id, op, text, lang FROM (
+        |    SELECT cl.*, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                                    ORDER BY seq DESC, op DESC) AS rn
+        |    FROM cl) WHERE rn = 1),
+        |m AS (
+        |  SELECT doc_id, l.op,
+        |    CASE WHEN l.op IS NOT NULL THEN l.text ELSE b.text END AS text,
+        |    CASE WHEN l.op IS NOT NULL THEN l.lang ELSE b.lang END AS lang
+        |  FROM documents b FULL OUTER JOIN latest l USING (doc_id))
+        |SELECT doc_id, md5(text) AS content_hash, lang
+        |FROM m WHERE op IS NULL OR op <> 'D'
+        |ORDER BY doc_id""".stripMargin,
     "curation_snapshot_diff" ->
       """WITH h1 AS (SELECT doc_id, md5(text) AS h FROM documents),
         |h2 AS (

@@ -964,6 +964,37 @@ object Curation {
       .withColumn("k_anonymous", col("group_size") >= k)
   }
 
+  /** Applies a CDC changelog to a base snapshot — the MERGE/upsert semantics every
+    * incremental corpus store needs: `changelog` rows carry `(idCol, seqCol, opCol ∈
+    * {I,U,D})` plus the base's content columns; for each id only the HIGHEST-seq
+    * change applies (ties broken by `opCol` descending — make `seqCol` unique per id
+    * upstream for fully defined semantics). `D` deletes the row, `I`/`U` replace its
+    * content, untouched base rows pass through.
+    *
+    * Scale shape: one changelog-keyed window (partitions are per-id change counts,
+    * never corpus-sized) + one full-outer id join against the base. Bucket both
+    * sides on the id to make the daily apply exchange-free.
+    */
+  def applyChangelog(
+      base: DataFrame,
+      changelog: DataFrame,
+      idCol: String,
+      seqCol: String,
+      opCol: String): DataFrame = {
+    val contentCols = base.columns.filterNot(_ == idCol).toSeq
+    require(contentCols.forall(changelog.columns.contains),
+      s"changelog must carry the base content columns ${contentCols.mkString(", ")}")
+    val w = Window.partitionBy(col(idCol)).orderBy(col(seqCol).desc, col(opCol).desc)
+    val latest = changelog
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .select(col(idCol) +: col(opCol).as("_op") +:
+        contentCols.map(c => col(c).as(s"_new_$c")): _*)
+    base.join(latest, Seq(idCol), "full_outer")
+      .filter(col("_op").isNull || col("_op") =!= "D")
+      .select(col(idCol) +: contentCols.map(c =>
+        when(col("_op").isNotNull, col(s"_new_$c")).otherwise(col(c)).as(c)): _*)
+  }
+
   // ---- DSIR data selection -------------------------------------------------
 
   /** Hashed n-gram feature buckets (unigrams + adjacent bigrams) of `textCol`,

@@ -716,6 +716,20 @@ class CurationSpec extends SparkSpec {
     assert(host === "ex5.com")
   }
 
+  test("applyChangelog: delete/update/insert, per-id argmax, same-seq tie on op") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val cl = Seq(
+      (1L, 1L, "D", "x"),   // same seq as the U below: op DESC → U wins
+      (1L, 1L, "U", "a2"),
+      (2L, 1L, "D", "x"),   // delete
+      (3L, 1L, "U", "c2"), (3L, 2L, "U", "c3"), // highest seq wins
+      (4L, 1L, "I", "d")    // insert under a new id
+    ).toDF("doc_id", "seq", "op", "text")
+    val out = Curation.applyChangelog(base, cl, "doc_id", "seq", "op")
+      .as[(Long, String)].collect().toMap
+    assert(out === Map(1L -> "a2", 3L -> "c3", 4L -> "d"))
+  }
+
   test("snapshotDiff classifies added/removed/changed/unchanged, multi-column content") {
     val v1 = Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "z")).toDF("doc_id", "text", "meta")
     val v2 = Seq((2L, "b", "y"), (3L, "c", "ZZ"), (4L, "d", "w")).toDF("doc_id", "text", "meta")
