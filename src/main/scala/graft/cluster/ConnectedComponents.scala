@@ -189,6 +189,32 @@ object ConnectedComponents {
       .drop("node")
   }
 
+  /** Per-cluster audit stats over an assignment and its edge set — Splink's cluster
+    * metrics natively: node count, distinct undirected edge count, and graph density
+    * `2e / (n(n−1))` (singletons → 0.0). A sparse low-density cluster is the classic
+    * ER red flag (a chain of borderline matches bridging two real entities), so this
+    * is the post-clustering quality report. Two cluster-keyed aggregations + one
+    * broadcast-able join; edges orient canonically first so each counts once.
+    */
+  def clusterStats(assignments: DataFrame, uid: String, edges: DataFrame): DataFrame = {
+    val a = assignments.select(col(uid).cast("string").as("node"), col("cluster_id"))
+    val e = edges
+      .select(least(col("src").cast("string"), col("dst").cast("string")).as("ea"),
+        greatest(col("src").cast("string"), col("dst").cast("string")).as("eb"))
+      .filter(col("ea") =!= col("eb")).distinct()
+    // both endpoints share a cluster by construction — resolve through one side
+    val ec = e.join(a.withColumnRenamed("node", "ea"), Seq("ea"))
+      .groupBy("cluster_id").agg(count(lit(1)).as("n_edges"))
+    a.groupBy("cluster_id").agg(count(lit(1)).as("n_nodes"))
+      .join(ec, Seq("cluster_id"), "left")
+      .select(col("cluster_id"), col("n_nodes"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+        round(when(col("n_nodes") > 1,
+          lit(2.0) * coalesce(col("n_edges"), lit(0L)) /
+            (col("n_nodes") * (col("n_nodes") - lit(1)))).otherwise(lit(0.0)), 6)
+          .as("density"))
+  }
+
   /** large-star: connect every neighbor larger than u to u's local minimum. */
   private def largeStar(e: DataFrame): DataFrame = {
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))

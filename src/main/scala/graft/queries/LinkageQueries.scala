@@ -160,6 +160,18 @@ object LinkageQueries {
         .select(col("uid"), col("cluster_id"))
         .orderBy("uid")
     },
+    "j7_cluster_stats" -> { (s, dir) =>
+      // post-clustering audit (Splink cluster metrics): per entity cluster from the
+      // serve path, node/edge counts and graph density — sparse chains are the
+      // classic over-merge red flag
+      val df = withUid(cust(s, dir))
+      val scored = FellegiSunter.predict(df, "uid", demoModel)
+      val edges = scored.filter(col("match_probability") >= 0.9)
+        .select(col("uid_l").as("src"), col("uid_r").as("dst"))
+      val assigned = ConnectedComponents.assignClusters(df, "uid", edges)
+      ConnectedComponents.clusterStats(assigned, "uid", edges)
+        .orderBy("cluster_id")
+    },
     "j7_connected_components" -> { (s, dir) =>
       // chain edges: consecutive custkeys inside each (nation, segment) block — multi-hop
       // paths whose component minimum has the closed form MIN(uid) OVER (block)
@@ -507,6 +519,35 @@ object LinkageQueries {
     "j5_em_two_iter" -> emTwoIterSql,
     "j6_predict" -> predictSql,
     "j6_tf_adjust" -> tfAdjustSql,
+    "j7_cluster_stats" ->
+      s"""${predictPairsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |m AS (
+         |  SELECT uid_l, uid_r FROM w
+         |  WHERE POWER(2.0, mw) / (1.0 + POWER(2.0, mw)) >= 0.9
+         |), edges AS (
+         |  SELECT uid_l AS ea, uid_r AS eb FROM m
+         |  UNION ALL
+         |  SELECT uid_r, uid_l FROM m
+         |), reach(node, r) AS (
+         |  SELECT uid, uid FROM b
+         |  UNION
+         |  SELECT e.eb, reach.r FROM reach JOIN edges e ON e.ea = reach.node
+         |), cl AS (
+         |  SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node
+         |), ue AS (
+         |  SELECT DISTINCT LEAST(uid_l, uid_r) AS ea, GREATEST(uid_l, uid_r) AS eb
+         |  FROM m WHERE uid_l <> uid_r
+         |), ec AS (
+         |  SELECT cl.cluster_id, COUNT(*) AS n_edges
+         |  FROM ue JOIN cl ON ue.ea = cl.node GROUP BY 1
+         |), nc AS (SELECT cluster_id, COUNT(*) AS n_nodes FROM cl GROUP BY 1)
+         |SELECT nc.cluster_id, CAST(nc.n_nodes AS BIGINT) AS n_nodes,
+         |  CAST(COALESCE(ec.n_edges, 0) AS BIGINT) AS n_edges,
+         |  ROUND(CASE WHEN nc.n_nodes > 1
+         |             THEN 2.0 * COALESCE(ec.n_edges, 0) / (nc.n_nodes * (nc.n_nodes - 1))
+         |             ELSE 0.0 END, 6) AS density
+         |FROM nc LEFT JOIN ec USING (cluster_id)
+         |ORDER BY cluster_id""".stripMargin,
     "ep10_fs_cluster" ->
       // predictPairsCte yields w(uid_l, uid_r, mw); matches at UNROUNDED
       // probability ≥ 0.9 become symmetric edges, and the recursive closure

@@ -142,6 +142,21 @@ class LinkageSpec extends SparkSpec {
     assert(math.abs(out(0)._2 - math.pow(2, w0) / (1 + math.pow(2, w0))) < 1e-12)
   }
 
+  test("clusterStats: chain density, duplicate-edge canonicalization, singleton") {
+    import graft.cluster.ConnectedComponents
+    val recs = Seq("a", "b", "c", "d", "e", "f").toDF("uid")
+    // chain a-b-c (density 2/3), pair d-e with the edge duplicated in both
+    // orientations (must count once → density 1), singleton f (density 0)
+    val edges = Seq(("a", "b"), ("b", "c"), ("d", "e"), ("e", "d"))
+      .toDF("src", "dst")
+    val assigned = ConnectedComponents.assignClusters(recs, "uid", edges)
+    val got = ConnectedComponents.clusterStats(assigned, "uid", edges)
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got("a") === (("a", 3L, 2L, 0.666667)))
+    assert(got("d") === (("d", 2L, 1L, 1.0)))
+    assert(got("f") === (("f", 1L, 0L, 0.0)))
+  }
+
   test("term-frequency adjustment: rare terms gain weight, common terms lose it") {
     def lg2(x: Double) = math.log(x) / math.log(2)
     // shares: A 3/6, B 2/6, C 1/6; column-global u_exact = 0.2
