@@ -1,0 +1,124 @@
+package graft.metrics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable distributed sketches — the approximate-statistics layer a 100 TB profile
+  * pass runs INSTEAD of exact aggregation when the key space itself is too large to
+  * shuffle (vocabulary size per language, per-domain cardinalities, heavy hitters over
+  * a token stream).
+  *
+  * All hashing is portable md5 (the repo-wide convention — see
+  * [[graft.textops.Dedup]]), so a DuckDB oracle replays every register/bucket EXACTLY:
+  * the sketches are deterministic functions of the data, not of partitioning, task
+  * order, or JVM hash seeds. That is also what makes them mergeable artifacts — two
+  * register tables built on different clusters (or different days) union+max/sum into
+  * the register table of the union of the inputs, which the specs pin.
+  *
+  * Scale design: a sketch's register table is BOUNDED (m=1024 registers per group for
+  * HLL, depth×width=2048 cells for CMS) regardless of input rows, so the only
+  * full-data pass is a map-side-combined groupBy over (group, register) — the shuffle
+  * carries at most |groups|·m rows. No driver state, no collect.
+  */
+object Sketches {
+
+  /** HLL register count m = 2^10. At m=1024 the standard error ≈ 1.04/√m ≈ 3.3%. */
+  val HllM = 1024
+
+  /** α₁₀₂₄ bias constant, computed from the same closed form the oracle SQL inlines. */
+  val HllAlpha: Double = 0.7213 / (1.0 + 1.079 / HllM)
+
+  private val TwoP53 = 9007199254740992.0 // 2^53, exact in double
+
+  /** HyperLogLog register table: one row per (groupCols, bucket) with the max rank
+    * ρ = 1 + leading-zeros of the 52-bit hash suffix. Deterministic: bucket and rank
+    * both derive from md5(value). Mergeable by union → groupBy → max(register).
+    *
+    * Bucket = first 12 hash bits mod m; rank field = next 52 bits (13 hex chars), so
+    * bucket and rank are independent. `bin()` gives the bit length exactly on both
+    * engines (no floating log2 at power-of-two boundaries).
+    */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], value: Column): DataFrame = {
+    val hex = md5(value.cast("string"))
+    val bucket = conv(substring(hex, 1, 3), 16, 10).cast("long") % HllM
+    val w = conv(substring(hex, 4, 13), 16, 10).cast("long")
+    val rho = when(w === 0, lit(53L)).otherwise(lit(53L) - length(bin(w)).cast("long"))
+    df.select(groupCols.map(col) ++ Seq(bucket.as("bucket"), rho.as("rho")): _*)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max(col("rho")).cast("int").as("register"))
+  }
+
+  /** Cardinality estimate from a register table. The register sum is kept in INTEGER
+    * arithmetic (Σ 2^(53−ρ_j) as BIGINT — exact, order-independent; max term 2^52,
+    * max sum m·2^52 = 2^62 < 2^63) so Spark and the oracle agree bit-for-bit before
+    * the single double division. Small-range correction (linear counting) applies
+    * below 2.5m when empty registers remain, per the published HLL recipe.
+    */
+  def hllEstimate(registers: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val g = registers.groupBy(groupCols.map(col): _*).agg(
+      sum(expr("shiftleft(CAST(1 AS BIGINT), 53 - register)")).as("s"),
+      count(lit(1)).as("nonzero"))
+    val zeros = lit(HllM) - col("nonzero")
+    val raw = lit(HllAlpha * HllM * HllM) * lit(TwoP53) /
+      (zeros.cast("double") * lit(TwoP53) + col("s").cast("double"))
+    val est = when(raw <= lit(2.5 * HllM) && zeros > 0,
+      lit(HllM.toDouble) * log(lit(HllM.toDouble) / zeros.cast("double"))).otherwise(raw)
+    g.select(groupCols.map(col) ++ Seq(
+      round(est, 6).as("hll_estimate"), col("nonzero").cast("long").as("filled_registers")): _*)
+  }
+
+  /** Count-min sketch cell table from EXACT per-key counts (the normal build path at
+    * scale: keys were already combined map-side, so the sketch build touches
+    * |distinct keys| rows, not |events|). `depth` independent md5 rows, `width`
+    * buckets each → depth·width bounded cells. Mergeable by union → sum.
+    */
+  def cmsSketch(counts: DataFrame, keyCol: String, cntCol: String,
+      depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && width >= 2, s"cmsSketch: depth=$depth width=$width")
+    val rows = (0 until depth).map { j =>
+      counts.select(lit(j).as("row_j"),
+        (conv(substring(md5(concat(lit(s"$j:"), col(keyCol))), 1, 8), 16, 10)
+          .cast("long") % width).as("bucket"),
+        col(cntCol).cast("long").as("cnt"))
+    }
+    rows.reduce(_ unionByName _)
+      .groupBy("row_j", "bucket").agg(sum("cnt").as("cell"))
+  }
+
+  /** Point-query estimates: for each probe key, min over the `depth` cells it hashes
+    * to. The sketch is tiny (depth·width cells) and broadcast; CMS guarantees
+    * estimate ≥ true count, with overshoot bounded by collisions. */
+  def cmsEstimate(probes: DataFrame, sketch: DataFrame, keyCol: String,
+      depth: Int, width: Int): DataFrame = {
+    val hashed = (0 until depth).map { j =>
+      probes.select(col(keyCol), lit(j).as("row_j"),
+        (conv(substring(md5(concat(lit(s"$j:"), col(keyCol))), 1, 8), 16, 10)
+          .cast("long") % width).as("bucket"))
+    }.reduce(_ unionByName _)
+    hashed.join(broadcast(sketch), Seq("row_j", "bucket"))
+      .groupBy(keyCol).agg(min("cell").as("cms_estimate"))
+  }
+
+  /** Exact per-group quartile boundaries + per-row bin assignment: the feature
+    * discretization a data card / mixing policy runs over doc length. Uses Spark's
+    * EXACT `percentile` (type-7 linear interpolation — the same definition DuckDB's
+    * `quantile_cont` implements); boundaries are rounded to 6 decimals BEFORE the
+    * comparison on BOTH engines so a cross-engine ulp in the interpolation can never
+    * flip a row's bin. One agg over the data + one broadcast join back.
+    */
+  def quantileBins(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val q = df.groupBy(col(groupCol)).agg(
+      round(expr(s"percentile($valueCol, 0.25D)"), 6).as("q1"),
+      round(expr(s"percentile($valueCol, 0.5D)"), 6).as("q2"),
+      round(expr(s"percentile($valueCol, 0.75D)"), 6).as("q3"))
+    val v = col(valueCol).cast("double")
+    df.join(broadcast(q), Seq(groupCol))
+      .withColumn("bin",
+        when(v <= col("q1"), 0).when(v <= col("q2"), 1)
+          .when(v <= col("q3"), 2).otherwise(3))
+      .groupBy(col(groupCol), col("bin"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(valueCol).cast("long")).as("bin_min"),
+        max(col(valueCol).cast("long")).as("bin_max"))
+  }
+}

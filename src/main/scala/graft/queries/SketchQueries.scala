@@ -1,0 +1,120 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.metrics.Sketches
+import graft.textops.TextOps
+
+/** SparkEntry query + oracle entries for the mergeable-sketch layer
+  * ([[graft.metrics.Sketches]]): HLL distinct estimation, count-min heavy hitters,
+  * exact quantile binning. All three are FULL oracles — the md5 hashing makes every
+  * register deterministic, so DuckDB replays the sketch cell-for-cell.
+  */
+object SketchQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private def langTokens(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("lang"), explode(TextOps.tokens(col("text"))).as("tok"))
+
+  private val CmsDepth = 4
+  private val CmsWidth = 512
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // vocabulary size per language: HLL estimate next to the exact answer it
+    // approximates (the exact side exists only because the test corpus is small
+    // enough to afford it — at 100 TB only the register path runs)
+    "sketch_hll_distinct" -> { (s, dir) =>
+      val toks = langTokens(s, dir)
+      val est = Sketches.hllEstimate(
+        Sketches.hllRegisters(toks, Seq("lang"), col("tok")), Seq("lang"))
+      val exact = toks.groupBy("lang").agg(countDistinct(col("tok")).as("exact_distinct"))
+      exact.join(est, Seq("lang")).orderBy("lang")
+    },
+    // heavy hitters: exact top-20 tokens probed against a 4x512 count-min sketch;
+    // CMS guarantees estimate >= exact, the spec pins the bound
+    "sketch_cms_heavy" -> { (s, dir) =>
+      val cnts = langTokens(s, dir).groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val sketch = Sketches.cmsSketch(cnts, "tok", "cnt", CmsDepth, CmsWidth)
+      val top = cnts.orderBy(col("cnt").desc, col("tok")).limit(20)
+      val est = Sketches.cmsEstimate(top, sketch, "tok", CmsDepth, CmsWidth)
+      top.join(est, Seq("tok"))
+        .select(col("tok").as("token"), col("cnt").as("exact_cnt"), col("cms_estimate"))
+        .orderBy(col("exact_cnt").desc, col("token"))
+    },
+    // doc-length quartile bins per language — the discretization a data card or
+    // mixing policy consumes; exact type-7 percentiles on both engines
+    "prof_quantile_bins" -> { (s, dir) =>
+      Sketches.quantileBins(docs(s, dir), "lang", "n_chars").orderBy("lang", "bin")
+    })
+
+  private def toks = TextQueries.toksSql("text")
+
+  private def hllSql: String = {
+    val bkt = "('0x' || substr(md5(tok), 1, 3))::UBIGINT % 1024"
+    val w = "('0x' || substr(md5(tok), 4, 13))::UBIGINT"
+    s"""WITH toks AS (SELECT lang, unnest($toks) AS tok FROM documents),
+       |regs AS (
+       |  SELECT lang, bucket, MAX(rho) AS register FROM (
+       |    SELECT lang, $bkt AS bucket,
+       |      CASE WHEN $w = 0 THEN 53 ELSE 53 - length(bin(($w)::BIGINT)) END AS rho
+       |    FROM toks) GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT lang, SUM(1::BIGINT << (53 - register))::DOUBLE AS s,
+       |         COUNT(*) AS nonzero
+       |  FROM regs GROUP BY 1),
+       |est AS (
+       |  SELECT lang, nonzero,
+       |    CASE WHEN raw <= 2.5 * 1024 AND zeros > 0
+       |         THEN 1024.0 * ln(1024.0 / zeros) ELSE raw END AS e
+       |  FROM (SELECT lang, nonzero, 1024 - nonzero AS zeros,
+       |          (0.7213 / (1.0 + 1.079 / 1024)) * 1024 * 1024 * 9007199254740992.0
+       |            / ((1024 - nonzero) * 9007199254740992.0 + s) AS raw
+       |        FROM agg)),
+       |ex AS (SELECT lang, COUNT(DISTINCT tok) AS exact_distinct FROM toks GROUP BY 1)
+       |SELECT ex.lang, exact_distinct, ROUND(e, 6) AS hll_estimate,
+       |       nonzero::BIGINT AS filled_registers
+       |FROM ex JOIN est USING (lang) ORDER BY lang""".stripMargin
+  }
+
+  private def cmsSql: String = {
+    val js = (0 until CmsDepth).mkString("[", ", ", "]")
+    def bkt(tok: String) =
+      s"('0x' || substr(md5(j || ':' || $tok), 1, 8))::UBIGINT % $CmsWidth"
+    s"""WITH toks AS (SELECT unnest($toks) AS tok FROM documents),
+       |cnts AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY 1),
+       |cells AS (
+       |  SELECT j AS row_j, ${bkt("tok")} AS bucket, SUM(cnt) AS cell
+       |  FROM cnts CROSS JOIN (SELECT unnest($js) AS j) GROUP BY 1, 2),
+       |top AS (SELECT tok, cnt FROM cnts ORDER BY cnt DESC, tok LIMIT 20),
+       |probe AS (
+       |  SELECT t.tok, j, ${bkt("t.tok")} AS bucket
+       |  FROM top t CROSS JOIN (SELECT unnest($js) AS j)),
+       |est AS (SELECT p.tok, MIN(c.cell) AS cms_estimate
+       |        FROM probe p JOIN cells c ON c.row_j = p.j AND c.bucket = p.bucket
+       |        GROUP BY 1)
+       |SELECT t.tok AS token, t.cnt AS exact_cnt, e.cms_estimate::BIGINT AS cms_estimate
+       |FROM top t JOIN est e ON e.tok = t.tok ORDER BY exact_cnt DESC, token""".stripMargin
+  }
+
+  private def quantileBinsSql: String =
+    s"""WITH q AS (SELECT lang,
+       |    ROUND(quantile_cont(n_chars, 0.25), 6) AS q1,
+       |    ROUND(quantile_cont(n_chars, 0.5), 6) AS q2,
+       |    ROUND(quantile_cont(n_chars, 0.75), 6) AS q3
+       |  FROM documents GROUP BY 1)
+       |SELECT d.lang,
+       |  CASE WHEN n_chars <= q1 THEN 0 WHEN n_chars <= q2 THEN 1
+       |       WHEN n_chars <= q3 THEN 2 ELSE 3 END AS bin,
+       |  COUNT(*) AS n_rows, MIN(n_chars)::BIGINT AS bin_min,
+       |  MAX(n_chars)::BIGINT AS bin_max
+       |FROM documents d JOIN q USING (lang)
+       |GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "sketch_hll_distinct" -> hllSql,
+    "sketch_cms_heavy" -> cmsSql,
+    "prof_quantile_bins" -> quantileBinsSql)
+}

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.metrics.Sketches
+
+/** Pins for the mergeable-sketch layer: HLL accuracy + mergeability, CMS
+  * no-undercount + accuracy on heavy keys, quantile-bin partition properties.
+  */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def values(n: Int, tag: String): DataFrame =
+    spark.range(n.toLong).select(lit("g").as("grp"), concat(lit(tag), col("id")).as("v"))
+
+  test("HLL estimate within 5% of true cardinality at 20k distinct (m=1024 ~ 3.3% se)") {
+    val regs = Sketches.hllRegisters(values(20000, "card-"), Seq("grp"), col("v"))
+    val est = Sketches.hllEstimate(regs, Seq("grp")).select("hll_estimate").as[Double].head()
+    val rel = math.abs(est - 20000.0) / 20000.0
+    assert(rel < 0.05, s"estimate $est, rel err $rel")
+  }
+
+  test("HLL registers are insensitive to duplication (each value 3x = once)") {
+    val once = values(5000, "dup-")
+    val thrice = once.union(once).union(once)
+    val a = Sketches.hllRegisters(once, Seq("grp"), col("v")).orderBy("bucket").collect()
+    val b = Sketches.hllRegisters(thrice, Seq("grp"), col("v")).orderBy("bucket").collect()
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("HLL register tables merge by union+max into the table of the unioned input") {
+    val left = values(4000, "m-")                         // m-0    .. m-3999
+    val right = spark.range(2000L, 6000L)                 // m-2000 .. m-5999 (overlap)
+      .select(lit("g").as("grp"), concat(lit("m-"), col("id")).as("v"))
+    val merged = Sketches
+      .hllRegisters(left, Seq("grp"), col("v"))
+      .union(Sketches.hllRegisters(right, Seq("grp"), col("v")))
+      .groupBy("grp", "bucket").agg(max("register").as("register"))
+    val direct = Sketches.hllRegisters(left.union(right), Seq("grp"), col("v"))
+    assert(merged.orderBy("bucket").collect().toSeq ===
+      direct.orderBy("bucket").collect().toSeq)
+    // and the merged estimate sees the union's 6000 distinct, not 4000+4000
+    val est = Sketches.hllEstimate(merged, Seq("grp"))
+      .select("hll_estimate").as[Double].head()
+    assert(math.abs(est - 6000.0) / 6000.0 < 0.07, s"merged estimate $est")
+  }
+
+  test("HLL small-range correction kicks in: tiny cardinalities are near-exact") {
+    val regs = Sketches.hllRegisters(values(30, "small-"), Seq("grp"), col("v"))
+    val est = Sketches.hllEstimate(regs, Seq("grp")).select("hll_estimate").as[Double].head()
+    assert(math.abs(est - 30.0) <= 2.0, s"estimate $est for 30 distinct")
+  }
+
+  test("CMS never undercounts, is exact on heavy keys vs a light-tail background") {
+    // 5 heavy keys (1000 each) over 2000 singleton keys in a 4x512 sketch
+    val heavy = (0 until 5).map(i => (s"heavy-$i", 1000L))
+    val light = (0 until 2000).map(i => (s"light-$i", 1L))
+    val cnts = (heavy ++ light).toDF("k", "cnt")
+    val sketch = Sketches.cmsSketch(cnts, "k", "cnt", 4, 512)
+    assert(sketch.agg(sum("cell")).as[Long].head() === 4L * (5 * 1000 + 2000))
+    val est = Sketches.cmsEstimate(cnts, sketch, "k", 4, 512)
+      .join(cnts, Seq("k")).select(col("k"), col("cms_estimate"), col("cnt"))
+    // guarantee: estimate >= true count for EVERY key
+    assert(est.filter(col("cms_estimate") < col("cnt")).count() === 0)
+    // heavy keys: collisions add at most the light mass landing in the same cell;
+    // with 2000 light singletons over 512 buckets the min over 4 rows stays close
+    val heavyErr = est.filter(col("k").startsWith("heavy-"))
+      .select(max(col("cms_estimate") - col("cnt"))).as[Long].head()
+    assert(heavyErr <= 50, s"max heavy-key overshoot $heavyErr")
+  }
+
+  test("CMS sketches merge by union+sum into the sketch of the summed counts") {
+    val day1 = Seq(("a", 10L), ("b", 5L)).toDF("k", "cnt")
+    val day2 = Seq(("a", 7L), ("c", 3L)).toDF("k", "cnt")
+    val merged = Sketches.cmsSketch(day1, "k", "cnt", 4, 512)
+      .union(Sketches.cmsSketch(day2, "k", "cnt", 4, 512))
+      .groupBy("row_j", "bucket").agg(sum("cell").as("cell"))
+    val direct = Sketches.cmsSketch(
+      day1.union(day2).groupBy("k").agg(sum("cnt").as("cnt")), "k", "cnt", 4, 512)
+    assert(merged.orderBy("row_j", "bucket").collect().toSeq ===
+      direct.orderBy("row_j", "bucket").collect().toSeq)
+  }
+
+  test("quantile bins partition each group; bin ranges are ordered and disjoint") {
+    val df = spark.range(1000)
+      .select((col("id") % 3).cast("string").as("lang"),
+        ((col("id") * 37) % 500 + 1).as("n_chars"))
+    val bins = Sketches.quantileBins(df, "lang", "n_chars")
+      .orderBy("lang", "bin").collect()
+    // every group contributes all 4 bins and the full row count
+    assert(bins.map(_.getString(0)).distinct.length === 3)
+    assert(bins.map(_.getLong(2)).sum === 1000L)
+    bins.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(1)).toSeq === Seq(0, 1, 2, 3))
+      // bin_max of bin i < bin_min of bin i+1 (disjoint, ordered)
+      rows.sortBy(_.getInt(1)).toSeq.sliding(2).foreach {
+        case Seq(lo, hi) => assert(lo.getLong(4) < hi.getLong(3))
+        case _           =>
+      }
+      // quartiles split ~evenly: each bin holds 15-35% of its group
+      val n = rows.map(_.getLong(2)).sum.toDouble
+      rows.foreach(r => assert(r.getLong(2) / n > 0.15 && r.getLong(2) / n < 0.35))
+    }
+  }
+}
