@@ -38,14 +38,22 @@ object Sketches {
     * bucket and rank are independent. `bin()` gives the bit length exactly on both
     * engines (no floating log2 at power-of-two boundaries).
     */
-  def hllRegisters(df: DataFrame, groupCols: Seq[String], value: Column): DataFrame = {
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], value: Column): DataFrame =
+    hllProject(df, groupCols, value)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max(col("rho")).cast("int").as("register"))
+
+  /** The stateless per-value projection under [[hllRegisters]]: (groupCols, bucket,
+    * rho). Exposed so the STREAMING path can apply the identical expressions and run
+    * the max-aggregation with streaming state — running max is monotone, so a
+    * streaming update-mode agg lands on exactly the batch register table.
+    */
+  def hllProject(df: DataFrame, groupCols: Seq[String], value: Column): DataFrame = {
     val hex = md5(value.cast("string"))
     val bucket = conv(substring(hex, 1, 3), 16, 10).cast("long") % HllM
     val w = conv(substring(hex, 4, 13), 16, 10).cast("long")
     val rho = when(w === 0, lit(53L)).otherwise(lit(53L) - length(bin(w)).cast("long"))
     df.select(groupCols.map(col) ++ Seq(bucket.as("bucket"), rho.as("rho")): _*)
-      .groupBy((groupCols :+ "bucket").map(col): _*)
-      .agg(max(col("rho")).cast("int").as("register"))
   }
 
   /** Cardinality estimate from a register table. The register sum is kept in INTEGER

@@ -490,6 +490,30 @@ object CurationQueries {
         .select(col("doc_id"), md5(col("text")).as("content_hash"), col("lang"))
         .orderBy("doc_id")
     },
+    "curation_incremental_agg" -> { (s, dir) =>
+      // day-2 rollup freshness: maintain the per-lang (count, sum(n_chars))
+      // materialized aggregate from the SAME changelog shape as changelog_apply
+      // (deletes %13, updates %17/%34 growing n_chars by 7/13, inserts %19) —
+      // work ∝ changelog, never a re-aggregation; oracle recomputes from scratch
+      val base = docs(s, dir)
+      val del = base.filter(col("doc_id") % 13 === 0)
+        .withColumn("op", lit("D")).withColumn("seq", lit(1L))
+      val upd1 = base.filter(col("doc_id") % 17 === 0)
+        .withColumn("n_chars", col("n_chars") + 7)
+        .withColumn("op", lit("U")).withColumn("seq", lit(1L))
+      val upd2 = base.filter(col("doc_id") % 34 === 0)
+        .withColumn("n_chars", col("n_chars") + 13)
+        .withColumn("op", lit("U")).withColumn("seq", lit(2L))
+      val ins = base.filter(col("doc_id") % 19 === 0)
+        .withColumn("doc_id", col("doc_id") + 300000)
+        .withColumn("op", lit("I")).withColumn("seq", lit(1L))
+      val changelog = del.unionByName(upd1).unionByName(upd2).unionByName(ins)
+      val oldAgg = base.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).cast("long").as("val_sum"))
+      Curation.incrementalAggMaintain(base, oldAgg, changelog,
+          "doc_id", "seq", "op", "lang", "n_chars")
+        .orderBy("lang")
+    },
     "curation_snapshot_diff" -> { (s, dir) =>
       // corpus-version diff (release gating): v2 simulates a real revision — drops
       // %13 docs, edits %17 texts, adds %19 copies under new ids; every id is then
@@ -1151,6 +1175,34 @@ object CurationQueries {
         |SELECT doc_id, md5(text) AS content_hash, lang
         |FROM m WHERE op IS NULL OR op <> 'D'
         |ORDER BY doc_id""".stripMargin,
+    // oracle recomputes the rollup from the merged snapshot — the incremental path
+    // must land on the identical aggregate
+    "curation_incremental_agg" ->
+      """WITH cl AS (
+        |  SELECT doc_id, 1 AS seq, 'D' AS op, n_chars, lang
+        |  FROM documents WHERE doc_id % 13 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 1, 'U', n_chars + 7, lang
+        |  FROM documents WHERE doc_id % 17 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 2, 'U', n_chars + 13, lang
+        |  FROM documents WHERE doc_id % 34 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 300000, 1, 'I', n_chars, lang
+        |  FROM documents WHERE doc_id % 19 = 0),
+        |latest AS (
+        |  SELECT doc_id, op, n_chars, lang FROM (
+        |    SELECT cl.*, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                                    ORDER BY seq DESC, op DESC) AS rn
+        |    FROM cl) WHERE rn = 1),
+        |m AS (
+        |  SELECT doc_id, l.op,
+        |    CASE WHEN l.op IS NOT NULL THEN l.n_chars ELSE b.n_chars END AS n_chars,
+        |    CASE WHEN l.op IS NOT NULL THEN l.lang ELSE b.lang END AS lang
+        |  FROM documents b FULL OUTER JOIN latest l USING (doc_id))
+        |SELECT lang, COUNT(*)::BIGINT AS n_rows, SUM(n_chars)::BIGINT AS val_sum
+        |FROM m WHERE op IS NULL OR op <> 'D'
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "curation_snapshot_diff" ->
       """WITH h1 AS (SELECT doc_id, md5(text) AS h FROM documents),
         |h2 AS (

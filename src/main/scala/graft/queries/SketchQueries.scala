@@ -48,11 +48,21 @@ object SketchQueries {
     // mixing policy consumes; exact type-7 percentiles on both engines
     "prof_quantile_bins" -> { (s, dir) =>
       Sketches.quantileBins(docs(s, dir), "lang", "n_chars").orderBy("lang", "bin")
+    },
+    // the same HLL registers maintained by a STREAMING max-aggregation over the
+    // ingest stream — monotone state, lands on exactly the batch register table
+    "stream_hll_distinct" -> { (s, dir) =>
+      graft.streaming.StreamOps.streamingHllDistinct(s, s"$dir/documents.parquet")
+        .orderBy("lang")
     })
 
   private def toks = TextQueries.toksSql("text")
 
-  private def hllSql: String = {
+  /** Register/estimate CTE chain shared by the batch and streaming HLL oracles —
+    * the streaming query maintains the identical register table, so its oracle is
+    * the same chain minus the exact-distinct comparison column.
+    */
+  private def hllCtes: String = {
     val bkt = "('0x' || substr(md5(tok), 1, 3))::UBIGINT % 1024"
     val w = "('0x' || substr(md5(tok), 4, 13))::UBIGINT"
     s"""WITH toks AS (SELECT lang, unnest($toks) AS tok FROM documents),
@@ -73,11 +83,19 @@ object SketchQueries {
        |          (0.7213 / (1.0 + 1.079 / 1024)) * 1024 * 1024 * 9007199254740992.0
        |            / ((1024 - nonzero) * 9007199254740992.0 + s) AS raw
        |        FROM agg)),
-       |ex AS (SELECT lang, COUNT(DISTINCT tok) AS exact_distinct FROM toks GROUP BY 1)
+       |ex AS (SELECT lang, COUNT(DISTINCT tok) AS exact_distinct FROM toks GROUP BY 1)""".stripMargin
+  }
+
+  private def hllSql: String =
+    s"""$hllCtes
        |SELECT ex.lang, exact_distinct, ROUND(e, 6) AS hll_estimate,
        |       nonzero::BIGINT AS filled_registers
        |FROM ex JOIN est USING (lang) ORDER BY lang""".stripMargin
-  }
+
+  private def streamHllSql: String =
+    s"""$hllCtes
+       |SELECT lang, ROUND(e, 6) AS hll_estimate, nonzero::BIGINT AS filled_registers
+       |FROM est ORDER BY lang""".stripMargin
 
   private def cmsSql: String = {
     val js = (0 until CmsDepth).mkString("[", ", ", "]")
@@ -116,5 +134,6 @@ object SketchQueries {
   val oracleSql: Map[String, String] = Map(
     "sketch_hll_distinct" -> hllSql,
     "sketch_cms_heavy" -> cmsSql,
-    "prof_quantile_bins" -> quantileBinsSql)
+    "prof_quantile_bins" -> quantileBinsSql,
+    "stream_hll_distinct" -> streamHllSql)
 }

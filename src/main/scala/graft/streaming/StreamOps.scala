@@ -530,4 +530,30 @@ object StreamOps {
       .select(col("user_id"), col("n_events"),
         round(col("value_sum"), 4).as("value_sum"))
   }
+
+  /** Streaming HLL distinct estimation: maintain the per-(lang, bucket) register
+    * table over the ingest stream with a streaming max-aggregation, then finish with
+    * the batch estimator. Running max is monotone, so the streaming state lands on
+    * EXACTLY the batch register table ([[graft.metrics.Sketches.hllRegisters]])
+    * whatever the micro-batch arrival order — the spec pins the equivalence and the
+    * DuckDB oracle replays the registers directly.
+    *
+    * State contract on a real unbounded stream: the register table is BOUNDED
+    * (|groups|·1024 rows, one int each) and never needs eviction — this is the
+    * sketch's whole point, cardinality tracking with O(m) state where exact distinct
+    * would hold the full key set.
+    */
+  def streamingHllDistinct(spark: SparkSession, docsPath: String): DataFrame = {
+    import graft.metrics.Sketches
+    val proj = Sketches.hllProject(
+      fileStream(spark, docsPath)
+        .select(col("lang"), explode(graft.textops.TextOps.tokens(col("text"))).as("tok")),
+      Seq("lang"), col("tok"))
+    val regs = proj.groupBy(col("lang"), col("bucket")).agg(max(col("rho")).as("rho"))
+    // update mode: each micro-batch emits the groups it changed; the LAST update per
+    // (lang, bucket) is the running max. State partitions: register space is tiny.
+    val finalRegs = driveToMemory(regs, "update", "stream_hll", statePartitions = Some(4))
+      .groupBy("lang", "bucket").agg(max(col("rho")).cast("int").as("register"))
+    Sketches.hllEstimate(finalRegs, Seq("lang"))
+  }
 }

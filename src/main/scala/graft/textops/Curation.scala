@@ -995,6 +995,58 @@ object Curation {
         when(col("_op").isNotNull, col(s"_new_$c")).otherwise(col(c)).as(c)): _*)
   }
 
+  /** Incremental maintenance of a per-group (count, sum) materialized aggregate from
+    * a CDC changelog — the day-2 path that keeps a 100 TB rollup fresh WITHOUT
+    * re-aggregating the base table: work ∝ |changelog|, not |base|.
+    *
+    * The changelog collapses to the latest op per id (same MERGE collapse as
+    * [[applyChangelog]], so the two stay consistent: non-D ops upsert, D deletes).
+    * Each touched id contributes −(old row) and, unless deleted, +(new row) to its
+    * group's delta; the bounded delta table then outer-merges into `oldAgg`.
+    * Groups whose count reaches zero are dropped (they no longer exist in the
+    * recomputed aggregate either).
+    *
+    * Scale note: the only base-table touch is the id-key join probing OLD values of
+    * touched ids — with the base bucketed by id ([[graft.sources.BucketedTables]])
+    * that probe is shuffle-free on the base side; it is never a re-aggregation.
+    * Result == `applyChangelog(base, changelog).groupBy(group).agg(...)`, which the
+    * spec and the DuckDB oracle both pin.
+    *
+    * `oldAgg` must carry (groupCol, n_rows, val_sum) — i.e. the output of this same
+    * aggregation on the previous snapshot, which is what "materialized" means here.
+    */
+  def incrementalAggMaintain(
+      base: DataFrame,
+      oldAgg: DataFrame,
+      changelog: DataFrame,
+      idCol: String,
+      seqCol: String,
+      opCol: String,
+      groupCol: String,
+      valueCol: String): DataFrame = {
+    require(Seq(groupCol, "n_rows", "val_sum").forall(oldAgg.columns.contains),
+      s"oldAgg must carry ($groupCol, n_rows, val_sum), got ${oldAgg.columns.mkString(", ")}")
+    val w = Window.partitionBy(col(idCol)).orderBy(col(seqCol).desc, col(opCol).desc)
+    val latest = changelog
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .select(col(idCol), col(opCol).as("_op"),
+        col(groupCol).as("_new_g"), col(valueCol).cast("long").as("_new_v"))
+    val touched = base
+      .select(col(idCol), col(groupCol).as("_old_g"), col(valueCol).cast("long").as("_old_v"))
+      .join(latest, Seq(idCol), "right")
+    val minus = touched.filter(col("_old_g").isNotNull)
+      .select(col("_old_g").as(groupCol), lit(-1L).as("dc"), (-col("_old_v")).as("dv"))
+    val plus = touched.filter(col("_op") =!= "D")
+      .select(col("_new_g").as(groupCol), lit(1L).as("dc"), col("_new_v").as("dv"))
+    val delta = minus.unionByName(plus)
+      .groupBy(col(groupCol)).agg(sum("dc").as("dc"), sum("dv").as("dv"))
+    oldAgg.join(delta, Seq(groupCol), "full_outer")
+      .select(col(groupCol),
+        (coalesce(col("n_rows"), lit(0L)) + coalesce(col("dc"), lit(0L))).as("n_rows"),
+        (coalesce(col("val_sum"), lit(0L)) + coalesce(col("dv"), lit(0L))).as("val_sum"))
+      .filter(col("n_rows") > 0)
+  }
+
   // ---- DSIR data selection -------------------------------------------------
 
   /** Hashed n-gram feature buckets (unigrams + adjacent bigrams) of `textCol`,

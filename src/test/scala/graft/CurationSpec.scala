@@ -730,6 +730,34 @@ class CurationSpec extends SparkSpec {
     assert(out === Map(1L -> "a2", 3L -> "c3", 4L -> "d"))
   }
 
+  test("incrementalAggMaintain == recompute over applyChangelog; zero groups drop") {
+    // base: g1 = {1:10, 2:20}, g2 = {3:30}, g3 = {5:50}
+    val base = Seq((1L, "g1", 10L), (2L, "g1", 20L), (3L, "g2", 30L), (5L, "g3", 50L))
+      .toDF("doc_id", "grp", "v")
+    val cl = Seq(
+      (2L, 1L, "U", "g2", 25L),  // group MOVE g1 → g2 with a value change
+      (3L, 1L, "D", "g2", 0L),   // delete
+      (4L, 1L, "I", "g1", 40L),  // insert new id
+      (5L, 1L, "D", "g3", 0L),   // deletes its group to zero → row must drop
+      (6L, 1L, "U", "g4", 60L),  // U on a missing id acts as insert (MERGE upsert)
+      (1L, 1L, "I", "g1", 11L)   // I on an EXISTING id acts as replace (upsert)
+    ).toDF("doc_id", "seq", "op", "grp", "v")
+    val oldAgg = base.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("v")).cast("long").as("val_sum"))
+    val inc = Curation.incrementalAggMaintain(base, oldAgg, cl,
+        "doc_id", "seq", "op", "grp", "v")
+      .as[(String, Long, Long)].collect().map { case (g, n, s) => g -> ((n, s)) }.toMap
+    val recomputed = Curation.applyChangelog(
+        base.withColumnRenamed("v", "v0"),
+        cl.withColumnRenamed("v", "v0"), "doc_id", "seq", "op")
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("v0")).cast("long").as("s"))
+      .as[(String, Long, Long)].collect().map { case (g, n, s) => g -> ((n, s)) }.toMap
+    assert(inc === recomputed)
+    assert(inc === Map("g1" -> ((2L, 51L)), "g2" -> ((1L, 25L)), "g4" -> ((1L, 60L))))
+    assert(!inc.contains("g3"))
+  }
+
   test("snapshotDiff classifies added/removed/changed/unchanged, multi-column content") {
     val v1 = Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "z")).toDF("doc_id", "text", "meta")
     val v2 = Seq((2L, "b", "y"), (3L, "c", "ZZ"), (4L, "d", "w")).toDF("doc_id", "text", "meta")

@@ -82,6 +82,20 @@ class SketchSpec extends SparkSpec {
       direct.orderBy("row_j", "bucket").collect().toSeq)
   }
 
+  test("streaming HLL lands on exactly the batch estimate (monotone register state)") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = {
+      val toks = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("lang"), explode(graft.textops.TextOps.tokens(col("text"))).as("tok"))
+      Sketches.hllEstimate(
+        Sketches.hllRegisters(toks, Seq("lang"), col("tok")), Seq("lang"))
+    }
+    val streamed = graft.streaming.StreamOps
+      .streamingHllDistinct(spark, s"$dir/documents.parquet")
+    assert(streamed.orderBy("lang").collect().toSeq ===
+      batch.orderBy("lang").collect().toSeq)
+  }
+
   test("quantile bins partition each group; bin ranges are ordered and disjoint") {
     val df = spark.range(1000)
       .select((col("id") % 3).cast("string").as("lang"),
