@@ -939,14 +939,17 @@ object Curation {
     }.toMap
   }
 
-  /** Row-local DSIR score: the bounded log-ratio map rides the expression (a map
-    * literal probed per gram — no join, no shuffle, streaming-safe). Round-6 like
-    * every cross-engine float. Matches [[dsirScores]] up to summation order.
+  /** Row-local DSIR score: the bounded log-ratio table rides the expression — no
+    * join, no shuffle, streaming-safe. The table is a DENSE ARRAY literal indexed by
+    * bucket, not a map literal: Catalyst probes a map literal by LINEAR key scan
+    * (k comparisons per gram — measured 4× slower on the stream gate at k=256),
+    * while an array literal is O(1) positional access. Round-6 like every
+    * cross-engine float. Matches [[dsirScores]] up to summation order.
     */
   def dsirScoreColumn(textCol: Column, lr: Map[Long, Double], k: Int): Column = {
-    val lrMap = typedLit(lr)
+    val lrArr = typedLit((0L until k.toLong).map(b => lr.getOrElse(b, 0.0)))
     round(aggregate(dsirFeatures(textCol, k), lit(0.0),
-      (acc, b) => acc + coalesce(element_at(lrMap, b), lit(0.0))), 6)
+      (acc, b) => acc + element_at(lrArr, (b + 1).cast("int"))), 6)
   }
 
   // ---- k-anonymity release gate --------------------------------------------
@@ -1054,13 +1057,18 @@ object Curation {
     * reproduces the bucket ids exactly.
     */
   def dsirFeatures(textCol: Column, k: Int): Column = {
-    val t = TextOps.tokens(textCol)
-    val bigrams = when(size(t) >= 2,
-      transform(sequence(lit(1), size(t) - 1),
-        i => concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
-      .otherwise(array().cast("array<string>"))
-    transform(concat(t, bigrams),
-      g => conv(substring(md5(g), 1, 4), 16, 10).cast("long") % k)
+    // BIND the token array to a lambda variable before using it: referencing the
+    // tokens() expression directly inside the transform lambdas would re-evaluate
+    // the regex split per ELEMENT (O(tokens²) splits per doc — measured 7× slower
+    // at sf0.1). A 1-element transform is the expression-level let-binding.
+    element_at(transform(array(TextOps.tokens(textCol)), t => {
+      val bigrams = when(size(t) >= 2,
+        zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+          (a, b) => concat(a, lit(" "), b)))
+        .otherwise(array().cast("array<string>"))
+      transform(concat(t, bigrams),
+        g => conv(substring(md5(g), 1, 4), 16, 10).cast("long") % k)
+    }), 1)
   }
 
   /** DSIR data selection (Xie et al. 2023, "Data Selection for Language Models via
@@ -1082,11 +1090,16 @@ object Curation {
       textCol: String,
       k: Int = 256): DataFrame = {
     require(k > 0)
-    def bucketCounts(df: DataFrame, out: String) = df
+    import graft.util.Caching.CacheSyntax
+    // the raw corpus's exploded (id, bucket) features feed BOTH the corpus bucket
+    // counts and the per-doc scoring join — tokenize+hash once, not twice
+    val rawFeatures = raw
+      .select(col(idCol), explode(dsirFeatures(col(textCol), k)).as("bucket"))
+      .scopedPersist()
+    val ct = target
       .select(explode(dsirFeatures(col(textCol), k)).as("bucket"))
-      .groupBy("bucket").agg(count(lit(1)).as(out))
-    val ct = bucketCounts(target, "nt")
-    val cr = bucketCounts(raw, "nr")
+      .groupBy("bucket").agg(count(lit(1)).as("nt"))
+    val cr = rawFeatures.groupBy("bucket").agg(count(lit(1)).as("nr"))
     // totals: two 1-row collects (bounded driver boundary, BM25-constant pattern)
     val nT = ct.agg(coalesce(sum("nt"), lit(0L))).head().getLong(0)
     val nR = cr.agg(coalesce(sum("nr"), lit(0L))).head().getLong(0)
@@ -1097,8 +1110,7 @@ object Curation {
         (log((coalesce(col("nt"), lit(0L)) + 1).cast("double") / (nT + k).toDouble) -
           log((coalesce(col("nr"), lit(0L)) + 1).cast("double") / (nR + k).toDouble))
           .as("lr"))
-    val scored = raw
-      .select(col(idCol), explode(dsirFeatures(col(textCol), k)).as("bucket"))
+    val scored = rawFeatures
       .join(broadcast(lr), Seq("bucket"))
       .groupBy(idCol).agg(sum("lr").as("_s"))
     raw.select(col(idCol)).join(scored, Seq(idCol), "left")
