@@ -74,6 +74,41 @@ object Profile {
     * never a full sort of the count table), and a 1-row collect for the totals. The
     * rank window runs over the k collected survivors only.
     */
+  /** Zipf fit of the corpus token-frequency curve: OLS of ln(freq) on ln(rank) over
+    * the top `topK` tokens — the data-card statistic that flags a degenerate corpus
+    * (natural text sits near slope −1; boilerplate-heavy or templated corpora
+    * flatten or steepen it). The corpus-sized work is ONE token-count aggregation;
+    * the ranked fit runs over the `topK` survivors of a TakeOrdered (bounded — the
+    * rank window never sees the full vocabulary). Returns one row:
+    * (slope, intercept, r2, n_tokens_fit). Round-6 like every cross-engine float.
+    */
+  def zipfFit(tokens: DataFrame, tokenCol: String, topK: Int): DataFrame = {
+    require(topK >= 3, s"zipfFit needs topK >= 3, got $topK")
+    import org.apache.spark.sql.expressions.Window
+    val top = tokens.groupBy(col(tokenCol).as("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("token")).limit(topK)
+    val xy = top
+      .withColumn("rank", row_number().over(Window.orderBy(desc("n"), asc("token"))))
+      .select(log(col("rank").cast("double")).as("x"), log(col("n").cast("double")).as("y"))
+    xy.agg(count(lit(1)).cast("double").as("cnt"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(
+        round((col("cnt") * col("sxy") - col("sx") * col("sy")) /
+          (col("cnt") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+        round((col("sy") - (col("cnt") * col("sxy") - col("sx") * col("sy")) /
+          (col("cnt") * col("sxx") - col("sx") * col("sx")) * col("sx")) / col("cnt"), 6)
+          .as("intercept"),
+        round(((col("cnt") * col("sxy") - col("sx") * col("sy")) *
+          (col("cnt") * col("sxy") - col("sx") * col("sy"))) /
+          ((col("cnt") * col("sxx") - col("sx") * col("sx")) *
+            (col("cnt") * col("syy") - col("sy") * col("sy"))), 6).as("r2"),
+        col("cnt").cast("long").as("n_tokens_fit"))
+  }
+
   def keySkew(df: DataFrame, key: org.apache.spark.sql.Column, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     import org.apache.spark.sql.expressions.Window

@@ -80,13 +80,27 @@ object Sketches {
     * |distinct keys| rows, not |events|). `depth` independent md5 rows, `width`
     * buckets each → depth·width bounded cells. Mergeable by union → sum.
     */
+  /** The md5 bucket for CMS hash row `j`. */
+  private def cmsBucket(j: Int, key: Column, width: Int): Column =
+    conv(substring(md5(concat(lit(s"$j:"), key)), 1, 8), 16, 10).cast("long") % width
+
+  /** Per-occurrence (row_j, bucket) projection for all `depth` hash rows — the
+    * streaming ingest shape: a streaming sum over this projection maintains the
+    * identical cell table [[cmsSketch]] builds from batch counts (linearity).
+    */
+  def cmsProject(keys: DataFrame, keyCol: String, depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && width >= 2, s"cmsProject: depth=$depth width=$width")
+    (0 until depth).map { j =>
+      keys.select(lit(j).as("row_j"), cmsBucket(j, col(keyCol), width).as("bucket"))
+    }.reduce(_ unionByName _)
+  }
+
   def cmsSketch(counts: DataFrame, keyCol: String, cntCol: String,
       depth: Int, width: Int): DataFrame = {
     require(depth >= 1 && width >= 2, s"cmsSketch: depth=$depth width=$width")
     val rows = (0 until depth).map { j =>
       counts.select(lit(j).as("row_j"),
-        (conv(substring(md5(concat(lit(s"$j:"), col(keyCol))), 1, 8), 16, 10)
-          .cast("long") % width).as("bucket"),
+        cmsBucket(j, col(keyCol), width).as("bucket"),
         col(cntCol).cast("long").as("cnt"))
     }
     rows.reduce(_ unionByName _)
@@ -100,8 +114,7 @@ object Sketches {
       depth: Int, width: Int): DataFrame = {
     val hashed = (0 until depth).map { j =>
       probes.select(col(keyCol), lit(j).as("row_j"),
-        (conv(substring(md5(concat(lit(s"$j:"), col(keyCol))), 1, 8), 16, 10)
-          .cast("long") % width).as("bucket"))
+        cmsBucket(j, col(keyCol), width).as("bucket"))
     }.reduce(_ unionByName _)
     hashed.join(broadcast(sketch), Seq("row_j", "bucket"))
       .groupBy(keyCol).agg(min("cell").as("cms_estimate"))

@@ -160,6 +160,28 @@ object LinkageQueries {
         .select(col("uid"), col("cluster_id"))
         .orderBy("uid")
     },
+    "j7_threshold_sweep" -> { (s, dir) =>
+      // the reference's `best_clusters_at_threshold` loop (autolinker.py:1069-1094)
+      // as a sweep: score ONCE (persisted — prediction is the expensive pass), then
+      // cluster at each candidate threshold and summarize cluster structure. The
+      // curve (clusters splitting, max size shrinking, singletons growing as the
+      // threshold rises) is how an operator picks the serve threshold.
+      import graft.util.Caching.CacheSyntax
+      val df = withUid(cust(s, dir))
+      val scored = FellegiSunter.predict(df, "uid", demoModel)
+        .select("uid_l", "uid_r", "match_probability").scopedPersist()
+      Seq(0.001, 0.01, 0.5).map { t =>
+        val edges = scored.filter(col("match_probability") >= t)
+          .select(col("uid_l").as("src"), col("uid_r").as("dst"))
+        ConnectedComponents.assignClusters(df, "uid", edges)
+          .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+          .agg(count(lit(1)).as("n_clusters"),
+            max("sz").as("max_cluster_size"),
+            sum(when(col("sz") === 1, 1L).otherwise(0L)).as("n_singletons"))
+          .select(lit(t).as("threshold"), col("n_clusters"),
+            col("max_cluster_size"), col("n_singletons"))
+      }.reduce(_ unionByName _).orderBy("threshold")
+    },
     "j7_cluster_stats" -> { (s, dir) =>
       // post-clustering audit (Splink cluster metrics): per entity cluster from the
       // serve path, node/edge counts and graph density — sparse chains are the
@@ -568,6 +590,35 @@ object LinkageQueries {
          |)
          |SELECT node AS uid, MIN(r) AS cluster_id FROM reach
          |GROUP BY node ORDER BY uid""".stripMargin,
+    "j7_threshold_sweep" ->
+      // one recursive closure per threshold over the same unrounded-probability
+      // match set; each summarizes to (n_clusters, max size, singletons)
+      s"""${predictPairsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |${Seq(0.001, 0.01, 0.5).zipWithIndex.map { case (t, i) =>
+        s"""m$i AS (
+           |  SELECT uid_l, uid_r FROM w
+           |  WHERE POWER(2.0, mw) / (1.0 + POWER(2.0, mw)) >= $t
+           |), edges$i AS (
+           |  SELECT uid_l AS ea, uid_r AS eb FROM m$i
+           |  UNION ALL
+           |  SELECT uid_r, uid_l FROM m$i
+           |), reach$i(node, r) AS (
+           |  SELECT uid, uid FROM b
+           |  UNION
+           |  SELECT e.eb, reach$i.r FROM reach$i JOIN edges$i e ON e.ea = reach$i.node
+           |), cl$i AS (
+           |  SELECT node, MIN(r) AS cluster_id FROM reach$i GROUP BY node
+           |), sz$i AS (
+           |  SELECT cluster_id, COUNT(*) AS sz FROM cl$i GROUP BY cluster_id
+           |), sm$i AS (
+           |  SELECT CAST($t AS DOUBLE) AS threshold, COUNT(*)::BIGINT AS n_clusters,
+           |         MAX(sz)::BIGINT AS max_cluster_size,
+           |         SUM(CASE WHEN sz = 1 THEN 1 ELSE 0 END)::BIGINT AS n_singletons
+           |  FROM sz$i
+           |)""".stripMargin
+      }.mkString(",\n")}
+         |SELECT * FROM sm0 UNION ALL SELECT * FROM sm1 UNION ALL SELECT * FROM sm2
+         |ORDER BY threshold""".stripMargin,
     "j7_connected_components" ->
       """SELECT CAST(c_custkey AS VARCHAR) AS uid,
         |  MIN(CAST(c_custkey AS VARCHAR))

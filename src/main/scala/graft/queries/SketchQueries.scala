@@ -54,6 +54,24 @@ object SketchQueries {
     "stream_hll_distinct" -> { (s, dir) =>
       graft.streaming.StreamOps.streamingHllDistinct(s, s"$dir/documents.parquet")
         .orderBy("lang")
+    },
+    // CMS cells maintained by a STREAMING sum over the ingest stream (linearity:
+    // identical to the batch build), probed with the same exact top-20
+    "stream_cms_heavy" -> { (s, dir) =>
+      val cells = graft.streaming.StreamOps
+        .streamingCmsCells(s, s"$dir/documents.parquet", CmsDepth, CmsWidth)
+      val cnts = langTokens(s, dir).groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val top = cnts.orderBy(col("cnt").desc, col("tok")).limit(20)
+      Sketches.cmsEstimate(top, cells, "tok", CmsDepth, CmsWidth)
+        .join(top, Seq("tok"))
+        .select(col("tok").as("token"), col("cnt").as("exact_cnt"), col("cms_estimate"))
+        .orderBy(col("exact_cnt").desc, col("token"))
+    },
+    // Zipf slope of the token-frequency curve over the top-1000 tokens — the
+    // degenerate-corpus flag on a data card (natural text ~ slope -1)
+    "text_zipf_fit" -> { (s, dir) =>
+      graft.metrics.Profile.zipfFit(
+        langTokens(s, dir).select(col("tok")), "tok", topK = 1000)
     })
 
   private def toks = TextQueries.toksSql("text")
@@ -131,9 +149,27 @@ object SketchQueries {
        |FROM documents d JOIN q USING (lang)
        |GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin
 
+  private def zipfSql: String =
+    s"""WITH toks AS (SELECT unnest($toks) AS tok FROM documents),
+       |top AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY 1
+       |        ORDER BY n DESC, tok LIMIT 1000),
+       |xy AS (SELECT ln((ROW_NUMBER() OVER (ORDER BY n DESC, tok))::DOUBLE) AS x,
+       |              ln(n::DOUBLE) AS y FROM top),
+       |s AS (SELECT COUNT(*)::DOUBLE AS cnt, SUM(x) AS sx, SUM(y) AS sy,
+       |             SUM(x*y) AS sxy, SUM(x*x) AS sxx, SUM(y*y) AS syy FROM xy)
+       |SELECT ROUND((cnt*sxy - sx*sy) / (cnt*sxx - sx*sx), 6) AS slope,
+       |  ROUND((sy - (cnt*sxy - sx*sy) / (cnt*sxx - sx*sx) * sx) / cnt, 6) AS intercept,
+       |  ROUND(((cnt*sxy - sx*sy) * (cnt*sxy - sx*sy)) /
+       |        ((cnt*sxx - sx*sx) * (cnt*syy - sy*sy)), 6) AS r2,
+       |  cnt::BIGINT AS n_tokens_fit
+       |FROM s""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "sketch_hll_distinct" -> hllSql,
     "sketch_cms_heavy" -> cmsSql,
     "prof_quantile_bins" -> quantileBinsSql,
-    "stream_hll_distinct" -> streamHllSql)
+    "stream_hll_distinct" -> streamHllSql,
+    // the streaming cells are cell-for-cell the batch sketch — same oracle
+    "stream_cms_heavy" -> cmsSql,
+    "text_zipf_fit" -> zipfSql)
 }

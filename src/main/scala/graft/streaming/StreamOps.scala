@@ -556,4 +556,22 @@ object StreamOps {
       .groupBy("lang", "bucket").agg(max(col("rho")).cast("int").as("register"))
     Sketches.hllEstimate(finalRegs, Seq("lang"))
   }
+
+  /** Streaming count-min maintenance: a streaming SUM over the per-occurrence
+    * (row_j, bucket) projection holds exactly the depth×width cell table the batch
+    * build produces from pre-combined counts (sum is linear) — bounded state
+    * (2048 cells at 4×512) whatever the stream volume. Returns the final cell
+    * table; probe it with [[graft.metrics.Sketches.cmsEstimate]].
+    */
+  def streamingCmsCells(spark: SparkSession, docsPath: String,
+      depth: Int, width: Int): DataFrame = {
+    import graft.metrics.Sketches
+    val toks = fileStream(spark, docsPath)
+      .select(explode(graft.textops.TextOps.tokens(col("text"))).as("tok"))
+    val cells = Sketches.cmsProject(toks, "tok", depth, width)
+      .groupBy("row_j", "bucket").agg(count(lit(1)).as("cell"))
+    // running sum is monotone here (counts only grow): last update = final cell
+    driveToMemory(cells, "update", "stream_cms", statePartitions = Some(4))
+      .groupBy("row_j", "bucket").agg(max(col("cell")).as("cell"))
+  }
 }

@@ -96,6 +96,32 @@ class SketchSpec extends SparkSpec {
       batch.orderBy("lang").collect().toSeq)
   }
 
+  test("streaming CMS cells equal the batch sketch cell-for-cell (linearity)") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.StreamOps
+      .streamingCmsCells(spark, s"$dir/documents.parquet", 4, 512)
+    val batch = {
+      val cnts = spark.read.parquet(s"$dir/documents.parquet")
+        .select(explode(graft.textops.TextOps.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      Sketches.cmsSketch(cnts, "tok", "cnt", 4, 512)
+    }
+    assert(streamed.orderBy("row_j", "bucket").collect().toSeq ===
+      batch.orderBy("row_j", "bucket").collect().toSeq)
+  }
+
+  test("zipfFit recovers the exponent of a planted power law with a tight fit") {
+    // token t-r appears floor(1000 * r^-1) times, ranks 1..120; fit over the top 50
+    val planted = (1 to 120).flatMap(r =>
+      Seq.fill(math.max(1, (1000.0 * math.pow(r, -1.0)).toInt))(s"t-$r"))
+    val fit = graft.metrics.Profile.zipfFit(planted.toDF("tok"), "tok", topK = 50)
+      .collect().head
+    val slope = fit.getDouble(0)
+    assert(slope < -0.8 && slope > -1.2, s"slope $slope should be near -1")
+    assert(fit.getDouble(2) > 0.98, s"r2 ${fit.getDouble(2)}")
+    assert(fit.getLong(3) === 50L)
+  }
+
   test("quantile bins partition each group; bin ranges are ordered and disjoint") {
     val df = spark.range(1000)
       .select((col("id") % 3).cast("string").as("lang"),
