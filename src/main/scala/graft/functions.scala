@@ -191,6 +191,15 @@ object functions {
   def bpe_encode(tokens: Column, merges: Seq[(String, String)]): Column =
     Bridge.column(BpeEncode(Bridge.expression(tokens), merges))
 
+  /** Unigram-LM (SentencePiece-style) encoding: array<string> words →
+    * array<string> pieces by per-word Viterbi segmentation under a bounded
+    * piece → log-prob table; the table rides the expression — no join, no shuffle.
+    */
+  def unigram_encode(tokens: Column, pieces: Map[String, Double],
+      maxPieceLen: Int = UnigramEncode.MaxPieceLen): Column =
+    Bridge.column(UnigramEncode(Bridge.expression(tokens), pieces,
+      maxPieceLen = maxPieceLen))
+
   /** Distributed Bloom-filter build over `xxhash64`-hashed items (Spark's own
     * runtime-filter aggregate, `BloomFilterAggregate`): returns the filter as one
     * `binary` value. Bit count is sized from `expectedItems` and the target

@@ -356,6 +356,31 @@ object CurationQueries {
         .select(col("doc_id"), col("n_bpe"),
           concat_ws(" ", col("bpe_tokens")).as("bpe_text"))
     },
+    "curation_unigram_seed" -> { (s, dir) =>
+      // unigram-LM seeding (the corpus-sized training step): substring candidate
+      // counts, top-200 by weighted count — fully relational, DuckDB-replayed
+      Curation.unigramSeedCandidates(docs(s, dir), col("text"), maxPieceLen = 8)
+        .orderBy(desc("weighted_count"), asc("piece")).limit(200)
+    },
+    "curation_unigram_lm" -> { (s, dir) =>
+      // unigram-LM training (rows-only: Viterbi-EM loop over the bounded word
+      // vocab; the seed step above is the full-oracle slice, and CurationSpec pins
+      // segmentation against exhaustive enumeration + a planted-piece fixture)
+      Curation.trainUnigramLm(docs(s, dir), col("text"),
+          vocabSize = 500, seedSize = 4000, emIters = 2)
+        .orderBy("piece_rank")
+    },
+    "curation_unigram_encode" -> { (s, dir) =>
+      // tokenizer APPLY: train then Viterbi-encode the corpus with the codegen'd
+      // expression (rows-only: the segmentation DP has no SQL form; spec-pinned)
+      val d = docs(s, dir)
+      val pieces = Curation.trainUnigramLm(d, col("text"),
+        vocabSize = 500, seedSize = 4000, emIters = 2)
+      Curation.unigramApply(d, "doc_id", "text", pieces)
+        .select(col("doc_id"), col("n_pieces"),
+          md5(concat_ws(" ", col("pieces"))).as("pieces_hash"))
+        .orderBy("doc_id")
+    },
     "ep11_release_gate" -> { (s, dir) =>
       // release-gating capstone composing this round's operators: snapshot-diff the
       // v2 revision, take only NEW material (added/changed), screen it with the
@@ -672,6 +697,20 @@ object CurationQueries {
   val oracleSql: Map[String, String] = Map(
     "curation_bpe_first_merge" -> bpeFirstMergeSql,
     "curation_bpe_encode" -> bpeEncodeSql,
+    // seed candidates: same substring explode (1-based substr, len-capped at 8)
+    // over the word-count vocabulary, top-200 deterministic
+    "curation_unigram_seed" ->
+      s"""WITH toks AS (SELECT unnest(${TextQueries.toksSql("text")}) AS w FROM documents),
+         |wc AS (SELECT w, COUNT(*) AS n FROM toks GROUP BY 1
+         |       ORDER BY n DESC, w LIMIT 100000),
+         |pieces AS (
+         |  SELECT unnest(flatten(list_transform(range(1, length(w) + 1),
+         |    i -> list_transform(range(1, least(8, length(w) - i + 1) + 1),
+         |      l -> substr(w, i::INT, l::INT))))) AS piece, n
+         |  FROM wc)
+         |SELECT piece, SUM(n)::BIGINT AS weighted_count
+         |FROM pieces GROUP BY piece
+         |ORDER BY weighted_count DESC, piece LIMIT 200""".stripMargin,
     "text_repetition" -> {
       val toks = toksSql("text")
       s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),

@@ -757,6 +757,140 @@ object Curation {
         .orderBy("merge_rank").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq)
 
+  // ---- unigram-LM (SentencePiece-style) tokenizer --------------------------
+
+  /** Candidate-piece seeding for unigram-LM training: every substring of length
+    * 1..`maxPieceLen` of every corpus word, weighted by the word's count — the
+    * corpus-sized step of training, fully relational (one word-count aggregation +
+    * a bounded per-word substring explode; blow-up ≤ len·maxPieceLen per word). The
+    * word array binds to a lambda variable by attribute reference, so nothing
+    * recomputes per element.
+    */
+  def unigramSeedCandidates(
+      df: DataFrame,
+      textCol: Column,
+      maxPieceLen: Int = 8,
+      maxVocabWords: Int = 100000): DataFrame = {
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+    val words = df.select(explode(TextOps.tokens(textCol)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("w"))
+      .limit(maxVocabWords)
+    val pieces = flatten(transform(sequence(lit(1), length(col("w"))),
+      i => transform(
+        sequence(lit(1), least(lit(maxPieceLen), length(col("w")) - i + 1)),
+        l => col("w").substr(i, l))))
+    words.select(explode(pieces).as("piece"), col("n"))
+      .groupBy("piece").agg(sum("n").as("weighted_count"))
+  }
+
+  /** Unigram-LM tokenizer training (Kudo 2018, the SentencePiece model): learn a
+    * `vocabSize` piece → log-probability table by hard (Viterbi) EM over the corpus
+    * word vocabulary.
+    *
+    * Scale shape — the same architecture as [[trainBpeMerges]] and what real
+    * SentencePiece does: the CORPUS-sized work is one distributed word-count
+    * aggregation (top `maxVocabWords` by count); seeding, the EM loop, and pruning
+    * run on the driver over that BOUNDED vocabulary, so iteration cost is
+    * independent of corpus size. Each E-step Viterbi-segments every vocab word with
+    * the IDENTICAL code the serve expression runs
+    * ([[graft.expressions.UnigramEncode.segment]]); the M-step refits piece
+    * log-probs with Laplace smoothing; pruning keeps the `vocabSize` highest-usage
+    * pieces (all single characters always survive, so every word stays
+    * segmentable). Deterministic throughout: ties sort (-count, piece).
+    *
+    * Returns (piece, logprob, piece_rank) — logprob rounded to 6 like every
+    * cross-engine float surface.
+    */
+  def trainUnigramLm(
+      df: DataFrame,
+      textCol: Column,
+      vocabSize: Int = 1000,
+      seedSize: Int = 5000,
+      maxPieceLen: Int = 8,
+      emIters: Int = 3,
+      maxVocabWords: Int = 100000): DataFrame = {
+    require(vocabSize >= 1 && seedSize >= vocabSize && emIters >= 1,
+      s"trainUnigramLm: vocabSize=$vocabSize seedSize=$seedSize emIters=$emIters")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = df.select(explode(TextOps.tokens(textCol)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("w"))
+      .limit(maxVocabWords)
+      .as[(String, Long)].collect()
+    // seed: substring counts over the bounded vocab (driver replica of
+    // unigramSeedCandidates restricted to the same words)
+    val cand = scala.collection.mutable.HashMap.empty[String, Long]
+    words.foreach { case (w, n) =>
+      var i = 0
+      while (i < w.length) {
+        var l = 1
+        while (l <= math.min(maxPieceLen, w.length - i)) {
+          val p = w.substring(i, i + l)
+          cand(p) = cand.getOrElse(p, 0L) + n
+          l += 1
+        }
+        i += 1
+      }
+    }
+    val singles = cand.keysIterator.filter(_.length == 1).toSet
+    val seed = cand.toSeq.sortBy { case (p, c) => (-c, p) }.take(seedSize).map(_._1).toSet ++ singles
+    def toTable(lp: Map[String, Double]): java.util.HashMap[String, java.lang.Double] = {
+      val m = new java.util.HashMap[String, java.lang.Double](lp.size * 2)
+      lp.foreach { case (k, v) => m.put(k, java.lang.Double.valueOf(v)) }
+      m
+    }
+    // init log-probs from raw candidate frequency
+    val seedTotal = seed.iterator.map(cand).sum.toDouble
+    var probs: Map[String, Double] =
+      seed.iterator.map(p => p -> math.log(cand(p) / seedTotal)).toMap
+    var lastCounts: Seq[(String, Long)] = Seq.empty
+    (1 to emIters).foreach { _ =>
+      val table = toTable(probs)
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      words.foreach { case (w, n) =>
+        graft.expressions.UnigramEncode
+          .segment(w, table, graft.expressions.UnigramEncode.UnkLogprob, maxPieceLen)
+          .foreach(p => counts(p) = counts.getOrElse(p, 0L) + n)
+      }
+      // prune to the vocabSize highest-usage pieces; single chars always survive
+      // (count 0 if currently unused — smoothing keeps their prob finite)
+      val kept = counts.toSeq.sortBy { case (p, c) => (-c, p) }.take(vocabSize)
+        .map(_._1).toSet ++ singles
+      val total = kept.iterator.map(p => counts.getOrElse(p, 0L)).sum.toDouble
+      probs = kept.iterator
+        .map(p => p -> math.log((counts.getOrElse(p, 0L) + 1.0) / (total + kept.size)))
+        .toMap
+      lastCounts = kept.toSeq.map(p => p -> counts.getOrElse(p, 0L))
+    }
+    lastCounts.sortBy { case (p, c) => (-c, p) }.zipWithIndex
+      .map { case ((p, _), i) =>
+        (p, BigDecimal(probs(p)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          i + 1)
+      }
+      .toDF("piece", "logprob", "piece_rank")
+  }
+
+  /** Viterbi-encode each document with a trained piece table (from
+    * [[trainUnigramLm]]) — bounded table rides the codegen'd
+    * [[graft.expressions.UnigramEncode]] expression, no join against the corpus.
+    * Emits `(id, pieces array<string>, n_pieces)`.
+    */
+  def unigramApply(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      piecesDf: DataFrame,
+      maxPieceLen: Int = 8): DataFrame = {
+    val m = piecesDf.select(col("piece"), col("logprob")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    df.select(col(idCol),
+        graft.functions.unigram_encode(TextOps.tokens(col(textCol)), m, maxPieceLen)
+          .as("pieces"))
+      .withColumn("n_pieces", size(col("pieces")))
+  }
+
   // ---- benchmark contamination ---------------------------------------------
 
   /** Benchmark-contamination stats: for each corpus document, the number and fraction

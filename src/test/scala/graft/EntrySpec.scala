@@ -21,7 +21,9 @@ class EntrySpec extends SparkSpec {
       "ep1_auto_link_two_tables", // link-mode search loop — pinned by MetricsSpec
       "sim_pca_project",      // iterative eigensolve — sim_covariance pins the distributed core
       "ml_quality_train",     // iterative IRLS — ml_quality_newton_agg pins the per-step agg
-      "curation_bpe_merges")  // iterative merge loop — curation_bpe_first_merge + Sennrich fixture
+      "curation_bpe_merges",  // iterative merge loop — curation_bpe_first_merge + Sennrich fixture
+      "curation_unigram_lm",  // Viterbi-EM loop — curation_unigram_seed pins the corpus-sized step
+      "curation_unigram_encode") // segmentation DP has no SQL form — exhaustive-Viterbi spec pin
     val actual = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(actual === rowsOnly,
       s"rows-only drift — no longer rows-only: ${rowsOnly -- actual}; " +
