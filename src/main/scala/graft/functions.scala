@@ -200,6 +200,13 @@ object functions {
     Bridge.column(UnigramEncode(Bridge.expression(tokens), pieces,
       maxPieceLen = maxPieceLen))
 
+  /** Greedy MMR selection over one query's bounded candidate array
+    * (`array<struct<id, rel, emb>>`) — λ·relevance − (1−λ)·max-cosine-to-selected,
+    * ids returned in pick order. Row-local: no join, no shuffle.
+    */
+  def mmr_select(cands: Column, lambdaWeight: Double, k: Int): Column =
+    Bridge.column(MmrSelect(Bridge.expression(cands), lambdaWeight, k))
+
   /** Distributed Bloom-filter build over `xxhash64`-hashed items (Spark's own
     * runtime-filter aggregate, `BloomFilterAggregate`): returns the filter as one
     * `binary` value. Bit count is sized from `expectedItems` and the target

@@ -446,6 +446,39 @@ object TextQueries {
           round(col("rrf"), 6).as("rrf"))
         .orderBy("query_id", "rank")
     },
+    "sim_mmr_rerank" -> { (s, dir) =>
+      // MMR diversity re-rank (rows-only: the greedy selection is a sequential
+      // per-query loop with no SQL form; pinned in TextOpsSpec against an
+      // independent reimplementation + a planted-duplicate fixture)
+      val e = emb(s, dir)
+      val queries = e.filter(col("vec_id") % 101 === 0)
+      val cands = Similarity.bruteForceTopK(e, queries, "vec_id", "embedding", 30)
+        .select(col("query_id"), col("id"), col("rank"), col("cosine").as("rel"))
+      Similarity.mmrRerank(cands, e, "vec_id", "embedding", 0.7, 10)
+        .orderBy("query_id", "mmr_rank")
+    },
+    "ep12_diverse_retrieval" -> { (s, dir) =>
+      // diversified retrieval capstone with a FULL oracle: BM25 top-20 over the
+      // planted near-dup corpus, collapse each minhash cluster to its best hit
+      // (near-dups would otherwise swamp the result list), top-5 per query —
+      // cluster-based diversification, the SQL-expressible sibling of MMR
+      import s.implicits._
+      val corpus = plantedCorpus(s, dir)
+      val q = BM25Queries.toDF("query_id", "qtext")
+      val cands = Similarity.bm25TopK(corpus, "doc_id", "text", q, 20)
+      val pairs = Dedup.minhashLshPairs(corpus, "doc_id", "text", 0.5)
+      val clusters = Dedup.deduplicate(corpus, "doc_id", pairs)
+        .select(col("doc_id"), col("cluster_id"))
+      val w1 = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id", "cluster_id").orderBy("rank")
+      val w2 = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy("rank")
+      cands.join(clusters, Seq("doc_id"))
+        .withColumn("rn", row_number().over(w1)).filter(col("rn") === 1)
+        .withColumn("drank", row_number().over(w2)).filter(col("drank") <= 5)
+        .select(col("query_id"), col("drank").as("rank"), col("doc_id"), col("bm25"))
+        .orderBy("query_id", "rank")
+    },
     "sim_mean_pool" -> { (s, dir) =>
       // embedding mean-pooling (chunk→doc) via the native ArrayAvgAgg buffer
       // aggregate — one (sum, count) buffer per group, never a position explode;
@@ -1713,6 +1746,36 @@ object TextQueries {
     "text_bm25_topk" ->
       bm25Sql("bmcorpus AS (SELECT doc_id AS bid, text AS btext FROM documents)", 5,
         "bid AS doc_id"),
+    "ep12_diverse_retrieval" -> {
+      // BM25 over the planted corpus + the shared minhash-closure clusters; keep
+      // the best hit per (query, cluster), then top-5 — replayed end-to-end
+      val pre =
+        s"""$minhashPairsCtes,
+           |edges AS (
+           |  SELECT id_l::VARCHAR AS src, id_r::VARCHAR AS dst FROM mh_pairs
+           |  UNION ALL
+           |  SELECT id_r::VARCHAR, id_l::VARCHAR FROM mh_pairs),
+           |reach(node, root) AS (
+           |  SELECT src, src FROM edges
+           |  UNION
+           |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node),
+           |ccl AS (SELECT node, MIN(root) AS cluster_id FROM reach GROUP BY node),
+           |cl AS (SELECT c.doc_id, COALESCE(k.cluster_id, c.doc_id::VARCHAR) AS cluster_id
+           |       FROM corpus c LEFT JOIN ccl k ON k.node = c.doc_id::VARCHAR),
+           |bmcorpus AS (SELECT doc_id AS bid, text AS btext FROM corpus)""".stripMargin
+      s"""WITH RECURSIVE ${bm25Ctes(pre)},
+         |cands AS (SELECT query_id, bid, bm25, rank FROM rk WHERE rank <= 20),
+         |dd AS (SELECT cands.*, cl.cluster_id,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id, cl.cluster_id
+         |                            ORDER BY rank) AS rn
+         |       FROM cands JOIN cl ON cl.doc_id = cands.bid),
+         |fin AS (SELECT query_id, bid, bm25,
+         |          CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rank) AS INT)
+         |            AS drank
+         |        FROM dd WHERE rn = 1)
+         |SELECT query_id, drank AS rank, bid AS doc_id, bm25
+         |FROM fin WHERE drank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
     "ep6_retrieval" -> {
       // passage index = the curation_chunk CTE keyed as doc_id*2^32 + chunk_index
       // (matches the Spark fixture's collision-safe radix)

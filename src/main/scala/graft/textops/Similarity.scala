@@ -221,6 +221,41 @@ object Similarity {
       .select("query_id", "rank", "id", "rrf")
   }
 
+  /** MMR-diversified re-rank: per query, greedily keep `k` of the bounded top-N
+    * candidates maximizing λ·relevance − (1−λ)·max-cosine-to-selected
+    * (Carbonell & Goldstein 1998) — the standard redundancy filter between
+    * retrieval and a RAG consumer.
+    *
+    * `cands` carries (query_id, id, rank, rel) from an upstream top-N (N bounded —
+    * that's what makes the per-query `collect_list` safe); embeddings attach by one
+    * id-keyed join, then the greedy loop runs ROW-LOCAL per query inside the
+    * codegen'd [[graft.expressions.MmrSelect]] — queries are data-parallel, no
+    * further shuffle. Candidates feed the expression sorted by rank, so greedy
+    * ties are deterministic.
+    */
+  def mmrRerank(
+      cands: DataFrame,
+      embs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      lambdaWeight: Double,
+      k: Int): DataFrame = {
+    val withEmb = cands.join(
+      embs.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("emb")),
+      Seq("id"))
+    withEmb.groupBy("query_id")
+      .agg(sort_array(collect_list(
+        struct(col("rank"), col("id"), col("rel"), col("emb")))).as("cs"))
+      .select(col("query_id"),
+        graft.functions.mmr_select(
+          transform(col("cs"), c =>
+            struct(c.getField("id").as("id"), c.getField("rel").as("rel"),
+              c.getField("emb").as("emb"))),
+          lambdaWeight, k).as("sel"))
+      .select(col("query_id"), posexplode(col("sel")).as(Seq("pos", "id")))
+      .select(col("query_id"), (col("pos") + 1).as("mmr_rank"), col("id"))
+  }
+
   def bm25TopK(
       corpus: DataFrame,
       idCol: String,

@@ -17,9 +17,12 @@ class PlanAuditSpec extends SparkSpec {
     * - ann_sq_topk: the SQ8 ADC scan broadcasts the same caller-bounded query-code
     *   set; the corpus side reads the compact code column, and only the bounded
     *   refine·k shortlist touches raw vectors.
+    * - sim_mmr_rerank: candidate generation is the same caller-bounded broadcast
+    *   brute-force scan as ann_cosine_topk; the MMR stage itself plans only an
+    *   id-keyed equi-join + per-query aggregation.
     */
   private val boundedNestedLoop =
-    Set("ann_cosine_topk", "ep9_hybrid_retrieval", "ann_sq_topk")
+    Set("ann_cosine_topk", "ep9_hybrid_retrieval", "ann_sq_topk", "sim_mmr_rerank")
 
   test("no query plans a cartesian; nested-loop joins only where a side is bounded") {
     val dir = "/root/testdata/sf0.001"

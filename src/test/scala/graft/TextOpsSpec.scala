@@ -830,6 +830,54 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("MMR selection matches an independent greedy reimplementation") {
+    val rnd = new scala.util.Random(13)
+    (0 until 20).foreach { _ =>
+      val n = 5 + rnd.nextInt(10)
+      val cands = (0 until n).map { i =>
+        (i.toLong, rnd.nextDouble(),
+          Array.fill(4)(rnd.nextDouble() * 2 - 1))
+      }
+      val lam = 0.6
+      val k = 1 + rnd.nextInt(n)
+      // independent replay of the greedy rule
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        val dot = a.zip(b).map { case (x, y) => x * y }.sum
+        val na = math.sqrt(a.map(x => x * x).sum)
+        val nb = math.sqrt(b.map(x => x * x).sum)
+        if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+      }
+      val expect = scala.collection.mutable.ArrayBuffer.empty[Int]
+      while (expect.length < k) {
+        val scoresIdx = cands.indices.filterNot(expect.contains).map { i =>
+          val maxSim = if (expect.isEmpty) 0.0
+            else expect.map(p => cos(cands(i)._3, cands(p)._3)).max.max(0.0)
+          i -> (lam * cands(i)._2 - (1 - lam) * maxSim)
+        }
+        expect += scoresIdx.maxBy { case (i, s) => (s, -i) }._1
+      }
+      val df = Seq((1, cands.map { case (id, rel, e) => (id, rel, e.toSeq) })).toDF("q", "cs")
+      val got = df.select(graft.functions.mmr_select(col("cs"), lam, k).as("sel"))
+        .collect().head.getSeq[Long](0)
+      assert(got === expect.map(_.toLong).toSeq, s"n=$n k=$k")
+    }
+  }
+
+  test("MMR drops a near-duplicate that plain top-k keeps; lambda=1 is rank order") {
+    // c0 and c1 are the same high-rel direction; c2 is orthogonal with lower rel
+    val cands = Seq(
+      (10L, 0.99, Seq(1.0, 0.0)),
+      (11L, 0.98, Seq(1.0, 0.001)),
+      (12L, 0.60, Seq(0.0, 1.0)))
+    val df = Seq((1, cands)).toDF("q", "cs")
+    val diverse = df.select(graft.functions.mmr_select(col("cs"), 0.5, 2).as("sel"))
+      .collect().head.getSeq[Long](0)
+    assert(diverse === Seq(10L, 12L), s"got $diverse") // the near-dup 11 is skipped
+    val relOnly = df.select(graft.functions.mmr_select(col("cs"), 1.0, 2).as("sel"))
+      .collect().head.getSeq[Long](0)
+    assert(relOnly === Seq(10L, 11L))
+  }
+
   test("language id picks the language with most marker hits") {
     val d = Seq(
       (1, "the quick fox and the dog of war"),
