@@ -21,9 +21,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ExpressionQueries.queries ++ LinkageQueries.queries ++ MetricQueries.queries ++
-      PipelineQueries.queries ++ TextQueries.queries ++ CurationQueries.queries ++ MlQueries.queries ++ LinkQueries.queries ++ SourceQueries.queries ++ SketchQueries.queries
+      PipelineQueries.queries ++ TextQueries.queries ++ CurationQueries.queries ++ MlQueries.queries ++ LinkQueries.queries ++ SourceQueries.queries ++ SketchQueries.queries ++ GraphQueries.queries
 
   def oracleSql: Map[String, String] =
     ExpressionQueries.oracleSql ++ LinkageQueries.oracleSql ++ MetricQueries.oracleSql ++
-      PipelineQueries.oracleSql ++ TextQueries.oracleSql ++ CurationQueries.oracleSql ++ MlQueries.oracleSql ++ LinkQueries.oracleSql ++ SourceQueries.oracleSql ++ SketchQueries.oracleSql
+      PipelineQueries.oracleSql ++ TextQueries.oracleSql ++ CurationQueries.oracleSql ++ MlQueries.oracleSql ++ LinkQueries.oracleSql ++ SourceQueries.oracleSql ++ SketchQueries.oracleSql ++ GraphQueries.oracleSql
 }

@@ -1,0 +1,74 @@
+package graft.cluster
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed PageRank by power iteration — the canonical link-graph quality prior
+  * a web-scale curation pipeline attaches to documents (host/page authority as a
+  * mixing or filtering signal).
+  *
+  * Semantics (the standard formulation with uniform teleport and dangling-mass
+  * redistribution): with N nodes, damping d, out-degree deg(u),
+  *
+  *   rank_{t+1}(v) = (1−d)/N + d·( Σ_{u→v} rank_t(u)/deg(u) + D_t/N )
+  *
+  * where D_t = Σ over dangling nodes (no out-edges) of rank_t — so Σ rank = 1 holds
+  * exactly at every iteration (spec-pinned).
+  *
+  * Scale design: each iteration is ONE edge-keyed equi-join + ONE aggregation (the
+  * contribution sum, map-side combined) — the same shuffle pattern GraphX/Pregel
+  * lowers to, declared relationally so AQE handles skewed hubs; the dangling mass
+  * is a 1-row aggregate per iteration (the bounded driver boundary every published
+  * PageRank has); lineage is truncated by rotating localCheckpoints every
+  * `checkpointEvery` iterations (unbounded iterative DAGs are the classic driver
+  * OOM). Multi-edges are honored (u→v twice contributes twice, deg counts both).
+  */
+object PageRank {
+
+  def pageRank(
+      edges: DataFrame,
+      damping: Double = 0.85,
+      iters: Int = 10,
+      checkpointEvery: Int = 3): DataFrame = {
+    require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = edges.sparkSession
+    import graft.util.Caching.CacheSyntax
+    val e = edges.select(col("src").cast("string").as("src"),
+      col("dst").cast("string").as("dst")).scopedPersist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().scopedPersist()
+    val n = nodes.count()
+    if (n == 0) return spark.emptyDataFrame
+      .withColumn("node", lit("")).withColumn("rank", lit(0.0)).limit(0)
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg")).scopedPersist()
+    val tracker = new graft.util.CheckpointTracker(spark)
+    var ranks: DataFrame = nodes.select(col("node"), lit(1.0 / n).as("rank"))
+    (1 to iters).foreach { i =>
+      val withDeg = ranks
+        .join(outDeg, ranks("node") === outDeg("src"), "left")
+        .select(col("node"), col("rank"), col("deg"))
+      // dangling mass stays a LAZY broadcast 1-row aggregate (equi-joined on a
+      // constant key → BroadcastHashJoin): a driver collect here would force one
+      // job per iteration, tripling wall time vs materializing only at the
+      // checkpoint cadence
+      val dangling = withDeg.filter(col("deg").isNull)
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("_dmass"))
+        .withColumn("_k", lit(1))
+      val contrib = e
+        .join(withDeg.filter(col("deg").isNotNull)
+          .select(col("node").as("src"), (col("rank") / col("deg")).as("c")), Seq("src"))
+        .groupBy(col("dst").as("node")).agg(sum("c").as("contrib"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .withColumn("_k", lit(1))
+        .join(broadcast(dangling), Seq("_k"))
+        .select(col("node"),
+          (lit((1.0 - damping) / n) + lit(damping) *
+            (coalesce(col("contrib"), lit(0.0)) + col("_dmass") / n)).as("rank"))
+      if (i % checkpointEvery == 0 || i == iters) ranks = tracker.rotate(ranks)
+    }
+    // the final rotate materialized the result; freeing its blocks is the caller's
+    // GC concern — ranks is now a plain checkpointed DataFrame
+    ranks
+  }
+}

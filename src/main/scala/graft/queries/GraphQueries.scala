@@ -1,0 +1,77 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.cluster.PageRank
+
+/** SparkEntry query + oracle entries for link-graph analytics
+  * ([[graft.cluster.PageRank]]): the authority prior a web-scale curation pipeline
+  * attaches to documents.
+  *
+  * The corpus carries no real hyperlinks, so the fixture derives a deterministic
+  * link graph from doc ids (`d<i> → d<(7i+1) mod N>`, plus a second out-edge for
+  * even ids; `%11` docs emit nothing and become dangling when never hit as a
+  * source) — replicated verbatim in the oracle SQL.
+  */
+object GraphQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** Deterministic doc-link edges; N rides the plan as a literal (1-row count). */
+  private def linkEdges(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val n = d.count()
+    val base = d.filter(col("doc_id") % 11 =!= 0)
+    base.select(concat(lit("d"), col("doc_id")).as("src"),
+        concat(lit("d"), (col("doc_id") * 7 + 1) % n).as("dst"))
+      .unionByName(base.filter(col("doc_id") % 2 === 0)
+        .select(concat(lit("d"), col("doc_id")).as("src"),
+          concat(lit("d"), (col("doc_id") * 13 + 5) % n).as("dst")))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ONE power iteration from the uniform vector — closed-form, DuckDB-replayed
+    // (the converged run below is the rows-only sibling, same update equation)
+    "graph_pagerank_one_iter" -> { (s, dir) =>
+      PageRank.pageRank(linkEdges(s, dir), damping = 0.85, iters = 1)
+        .select(col("node"), round(col("rank"), 6).as("rank"))
+        .orderBy("node")
+    },
+    // converged authority scores (rows-only: iterative; GraphSpec pins the update
+    // against a dense driver reference and the Σrank=1 invariant per iteration)
+    "graph_pagerank" -> { (s, dir) =>
+      PageRank.pageRank(linkEdges(s, dir), damping = 0.85, iters = 10)
+        .select(col("node"), round(col("rank"), 6).as("rank"))
+        .orderBy("node")
+    })
+
+  private val oneIterSql =
+    """WITH p AS (SELECT COUNT(*) AS nd FROM documents),
+      |e AS (
+      |  SELECT 'd' || doc_id AS src, 'd' || ((doc_id * 7 + 1) % p.nd) AS dst
+      |  FROM documents, p WHERE doc_id % 11 <> 0
+      |  UNION ALL
+      |  SELECT 'd' || doc_id, 'd' || ((doc_id * 13 + 5) % p.nd)
+      |  FROM documents, p WHERE doc_id % 11 <> 0 AND doc_id % 2 = 0),
+      |nodes AS (SELECT DISTINCT node FROM
+      |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+      |nn AS (SELECT COUNT(*)::DOUBLE AS n FROM nodes),
+      |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
+      |dang AS (SELECT COUNT(*)::DOUBLE AS d0 FROM nodes
+      |         LEFT JOIN deg ON deg.src = nodes.node WHERE deg.deg IS NULL),
+      |contrib AS (
+      |  SELECT e.dst AS node, SUM((1.0 / nn.n) / deg.deg) AS c
+      |  FROM e JOIN deg USING (src) CROSS JOIN nn GROUP BY e.dst, nn.n)
+      |SELECT nodes.node AS node,
+      |  ROUND((1.0 - 0.85) / nn.n
+      |        + 0.85 * (COALESCE(contrib.c, 0.0) + (dang.d0 * (1.0 / nn.n)) / nn.n),
+      |    6) AS rank
+      |FROM nodes LEFT JOIN contrib ON contrib.node = nodes.node
+      |CROSS JOIN nn CROSS JOIN dang
+      |ORDER BY 1""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "graph_pagerank_one_iter" -> oneIterSql)
+}

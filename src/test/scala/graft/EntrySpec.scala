@@ -24,8 +24,9 @@ class EntrySpec extends SparkSpec {
       "curation_bpe_merges",  // iterative merge loop — curation_bpe_first_merge + Sennrich fixture
       "curation_unigram_lm",  // Viterbi-EM loop — curation_unigram_seed pins the corpus-sized step
       "curation_unigram_encode", // segmentation DP has no SQL form — exhaustive-Viterbi spec pin
-      "sim_mmr_rerank")       // greedy MMR loop has no SQL form — reimplementation spec pin;
+      "sim_mmr_rerank",       // greedy MMR loop has no SQL form — reimplementation spec pin;
                               // ep12_diverse_retrieval full-oracles the cluster-diversity sibling
+      "graph_pagerank")       // iterative — graph_pagerank_one_iter pins the update equation
     val actual = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(actual === rowsOnly,
       s"rows-only drift — no longer rows-only: ${rowsOnly -- actual}; " +

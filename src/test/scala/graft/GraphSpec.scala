@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.cluster.PageRank
+
+/** Pins for PageRank: mass conservation, agreement with a dense driver reference,
+  * dangling redistribution, and partitioning invariance.
+  */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Dense reference implementation of the identical update equation. */
+  private def reference(
+      edges: Seq[(String, String)], d: Double, iters: Int): Map[String, Double] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n = nodes.length
+    val idx = nodes.zipWithIndex.toMap
+    val out = edges.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    var rank = Array.fill(n)(1.0 / n)
+    (1 to iters).foreach { _ =>
+      val dangling = nodes.zipWithIndex
+        .filterNot { case (v, _) => out.contains(v) }.map { case (_, i) => rank(i) }.sum
+      val next = Array.fill(n)((1.0 - d) / n + d * dangling / n)
+      edges.foreach { case (u, v) =>
+        next(idx(v)) += d * rank(idx(u)) / out(u) / 1.0
+      }
+      rank = next
+    }
+    nodes.zipWithIndex.map { case (v, i) => v -> rank(i) }.toMap
+  }
+
+  private val fixture = Seq(
+    ("a", "b"), ("b", "a"), ("c", "a"), ("c", "b"), ("a", "d"))
+  // d is dangling (no out-edges)
+
+  test("rank mass sums to 1 at every iteration (dangling mass redistributed)") {
+    Seq(1, 3, 7).foreach { iters =>
+      val total = PageRank.pageRank(fixture.toDF("src", "dst"), 0.85, iters)
+        .agg(sum("rank")).as[Double].head()
+      assert(math.abs(total - 1.0) < 1e-9, s"iters=$iters total=$total")
+    }
+  }
+
+  test("matches the dense driver reference on a random graph (10 iterations)") {
+    val rnd = new scala.util.Random(23)
+    val edges = (0 until 120).map(_ => (s"n${rnd.nextInt(30)}", s"n${rnd.nextInt(30)}"))
+    val got = PageRank.pageRank(edges.toDF("src", "dst"), 0.85, 10)
+      .as[(String, Double)].collect().toMap
+    val expect = reference(edges, 0.85, 10)
+    assert(got.keySet === expect.keySet)
+    got.foreach { case (v, r) =>
+      assert(math.abs(r - expect(v)) < 1e-9, s"node $v: $r vs ${expect(v)}")
+    }
+  }
+
+  test("authority flows: the sink of a star graph outranks its spokes") {
+    val star = (1 to 10).map(i => (s"spoke$i", "hub")) :+ (("hub", "spoke1"))
+    val ranks = PageRank.pageRank(star.toDF("src", "dst"), 0.85, 15)
+      .as[(String, Double)].collect().toMap
+    assert(ranks("hub") > ranks("spoke2") * 5, s"hub=${ranks("hub")} spoke2=${ranks("spoke2")}")
+    // spoke1 receives the hub's whole out-mass, so it beats the other spokes
+    assert(ranks("spoke1") > ranks("spoke2"))
+  }
+
+  test("result is invariant to input partitioning (round-6)") {
+    val df = fixture.toDF("src", "dst")
+    val a = PageRank.pageRank(df, 0.85, 8)
+      .select(col("node"), round(col("rank"), 6).as("r")).collect().toSeq
+    val b = PageRank.pageRank(df.repartition(7), 0.85, 8)
+      .select(col("node"), round(col("rank"), 6).as("r")).collect().toSeq
+    assert(a.sortBy(_.getString(0)).map(_.toSeq) === b.sortBy(_.getString(0)).map(_.toSeq))
+  }
+}
