@@ -80,6 +80,33 @@ object Sketches {
     * |distinct keys| rows, not |events|). `depth` independent md5 rows, `width`
     * buckets each → depth·width bounded cells. Mergeable by union → sum.
     */
+  /** Pairwise set-overlap estimates from ONE register table by inclusion–exclusion:
+    * est(A∩B) = est(A) + est(B) − est(A∪B), where the union's registers are the
+    * bucketwise MAX of the two groups' registers — the mergeable-sketch move that
+    * turns an all-pairs corpus-overlap matrix into register arithmetic (no pairwise
+    * joins over the data, ever; the only inputs are the bounded per-group register
+    * tables). Groups pair as a < b (string order). Estimates can be slightly
+    * negative for truly disjoint sets (estimator noise) — callers clamp if needed.
+    */
+  def hllPairwiseOverlap(registers: DataFrame, groupCol: String): DataFrame = {
+    val pairs = registers.select(col(groupCol).as("ga")).distinct()
+      .join(registers.select(col(groupCol).as("gb")).distinct(), col("ga") < col("gb"))
+    val sideA = pairs.join(registers.withColumnRenamed(groupCol, "ga"), Seq("ga"))
+    val sideB = pairs.join(registers.withColumnRenamed(groupCol, "gb"), Seq("gb"))
+      .select("ga", "gb", "bucket", "register")
+    val unionRegs = sideA.select("ga", "gb", "bucket", "register")
+      .unionByName(sideB)
+      .groupBy("ga", "gb", "bucket").agg(max("register").cast("int").as("register"))
+    val estU = hllEstimate(unionRegs, Seq("ga", "gb"))
+      .select(col("ga"), col("gb"), col("hll_estimate").as("est_union"))
+    val estG = hllEstimate(registers, Seq(groupCol))
+    estU
+      .join(estG.select(col(groupCol).as("ga"), col("hll_estimate").as("est_a")), Seq("ga"))
+      .join(estG.select(col(groupCol).as("gb"), col("hll_estimate").as("est_b")), Seq("gb"))
+      .select(col("ga"), col("gb"), col("est_a"), col("est_b"), col("est_union"),
+        round(col("est_a") + col("est_b") - col("est_union"), 6).as("est_overlap"))
+  }
+
   /** The md5 bucket for CMS hash row `j`. */
   private def cmsBucket(j: Int, key: Column, width: Int): Column =
     conv(substring(md5(concat(lit(s"$j:"), key)), 1, 8), 16, 10).cast("long") % width

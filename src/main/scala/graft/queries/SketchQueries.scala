@@ -72,7 +72,29 @@ object SketchQueries {
     "text_zipf_fit" -> { (s, dir) =>
       graft.metrics.Profile.zipfFit(
         langTokens(s, dir).select(col("tok")), "tok", topK = 1000)
+    },
+    // vocabulary-overlap matrix across sources by register inclusion–exclusion —
+    // the all-pairs corpus comparison WITHOUT pairwise data joins; the exact
+    // intersection rides along as the small-corpus comparator
+    "sketch_hll_overlap" -> { (s, dir) =>
+      val toks = docs(s, dir)
+        .filter(col("source").isin(OverlapSources: _*))
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
+      val regs = Sketches.hllRegisters(toks, Seq("source"), col("tok"))
+      val est = Sketches.hllPairwiseOverlap(regs, "source")
+      val ex = toks.select("source", "tok").distinct()
+      val exact = ex.toDF("ga", "tok")
+        .join(ex.toDF("gb", "tok"), Seq("tok"))
+        .filter(col("ga") < col("gb"))
+        .groupBy("ga", "gb").agg(count(lit(1)).as("exact_overlap"))
+      est.join(exact, Seq("ga", "gb"), "left")
+        .select(col("ga"), col("gb"),
+          coalesce(col("exact_overlap"), lit(0L)).as("exact_overlap"),
+          col("est_a"), col("est_b"), col("est_union"), col("est_overlap"))
+        .orderBy("ga", "gb")
     })
+
+  private val OverlapSources = Seq("src0", "src1", "src2", "src3", "src4")
 
   private def toks = TextQueries.toksSql("text")
 
@@ -149,6 +171,61 @@ object SketchQueries {
        |FROM documents d JOIN q USING (lang)
        |GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin
 
+  /** Estimator chain over a register CTE `regs(groupCols…, register)` — the same
+    * arithmetic as [[graft.metrics.Sketches.hllEstimate]], emitting `$out(g…, est)`.
+    */
+  private def hllEstSql(regs: String, groupCols: Seq[String], out: String): String = {
+    val g = groupCols.mkString(", ")
+    val gIdx = groupCols.indices.map(_ + 1).mkString(", ")
+    s"""${out}_agg AS (
+       |  SELECT $g, SUM(1::BIGINT << (53 - register))::DOUBLE AS s, COUNT(*) AS nonzero
+       |  FROM $regs GROUP BY $gIdx),
+       |$out AS (
+       |  SELECT $g, ROUND(CASE WHEN raw <= 2.5 * 1024 AND zeros > 0
+       |           THEN 1024.0 * ln(1024.0 / zeros) ELSE raw END, 6) AS est
+       |  FROM (SELECT $g, 1024 - nonzero AS zeros,
+       |          (0.7213 / (1.0 + 1.079 / 1024)) * 1024 * 1024 * 9007199254740992.0
+       |            / ((1024 - nonzero) * 9007199254740992.0 + s) AS raw
+       |        FROM ${out}_agg))""".stripMargin
+  }
+
+  private def hllOverlapSql: String = {
+    val srcs = OverlapSources.map(s => s"'$s'").mkString(", ")
+    val bkt = "('0x' || substr(md5(tok), 1, 3))::UBIGINT % 1024"
+    val w = "('0x' || substr(md5(tok), 4, 13))::UBIGINT"
+    s"""WITH toks AS (SELECT source, unnest($toks) AS tok FROM documents
+       |              WHERE source IN ($srcs)),
+       |regs AS (SELECT source, bucket, MAX(rho) AS register FROM (
+       |    SELECT source, $bkt AS bucket,
+       |      CASE WHEN $w = 0 THEN 53 ELSE 53 - length(bin(($w)::BIGINT)) END AS rho
+       |    FROM toks) GROUP BY 1, 2),
+       |pairs AS (SELECT a.source AS ga, b.source AS gb
+       |          FROM (SELECT DISTINCT source FROM regs) a,
+       |               (SELECT DISTINCT source FROM regs) b
+       |          WHERE a.source < b.source),
+       |uregs AS (SELECT ga, gb, bucket, MAX(register) AS register FROM (
+       |    SELECT p.ga, p.gb, r.bucket, r.register
+       |    FROM pairs p JOIN regs r ON r.source = p.ga
+       |    UNION ALL
+       |    SELECT p.ga, p.gb, r.bucket, r.register
+       |    FROM pairs p JOIN regs r ON r.source = p.gb)
+       |  GROUP BY 1, 2, 3),
+       |${hllEstSql("regs", Seq("source"), "eg")},
+       |${hllEstSql("uregs", Seq("ga", "gb"), "eu")},
+       |ex AS (SELECT DISTINCT source, tok FROM toks),
+       |exo AS (SELECT a.source AS ga, b.source AS gb, COUNT(*) AS exact_overlap
+       |        FROM ex a JOIN ex b ON a.tok = b.tok AND a.source < b.source
+       |        GROUP BY 1, 2)
+       |SELECT eu.ga, eu.gb, COALESCE(exo.exact_overlap, 0)::BIGINT AS exact_overlap,
+       |  ea.est AS est_a, eb.est AS est_b, eu.est AS est_union,
+       |  ROUND(ea.est + eb.est - eu.est, 6) AS est_overlap
+       |FROM eu
+       |JOIN eg ea ON ea.source = eu.ga
+       |JOIN eg eb ON eb.source = eu.gb
+       |LEFT JOIN exo ON exo.ga = eu.ga AND exo.gb = eu.gb
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   private def zipfSql: String =
     s"""WITH toks AS (SELECT unnest($toks) AS tok FROM documents),
        |top AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY 1
@@ -171,5 +248,6 @@ object SketchQueries {
     "stream_hll_distinct" -> streamHllSql,
     // the streaming cells are cell-for-cell the batch sketch — same oracle
     "stream_cms_heavy" -> cmsSql,
-    "text_zipf_fit" -> zipfSql)
+    "text_zipf_fit" -> zipfSql,
+    "sketch_hll_overlap" -> hllOverlapSql)
 }

@@ -20,9 +20,12 @@ class PlanAuditSpec extends SparkSpec {
     * - sim_mmr_rerank: candidate generation is the same caller-bounded broadcast
     *   brute-force scan as ann_cosine_topk; the MMR stage itself plans only an
     *   id-keyed equi-join + per-query aggregation.
+    * - sketch_hll_overlap: the a<b pairing of DISTINCT GROUP labels (5 sources →
+    *   ≤25 candidate rows) — register and data joins are all equi-joins.
     */
   private val boundedNestedLoop =
-    Set("ann_cosine_topk", "ep9_hybrid_retrieval", "ann_sq_topk", "sim_mmr_rerank")
+    Set("ann_cosine_topk", "ep9_hybrid_retrieval", "ann_sq_topk", "sim_mmr_rerank",
+      "sketch_hll_overlap")
 
   test("no query plans a cartesian; nested-loop joins only where a side is bounded") {
     val dir = "/root/testdata/sf0.001"

@@ -82,6 +82,29 @@ class SketchSpec extends SparkSpec {
       direct.orderBy("row_j", "bucket").collect().toSeq)
   }
 
+  test("HLL pairwise overlap: inclusion-exclusion tracks true intersections") {
+    // A = 0..5999, B = 4000..9999 (overlap 2000), C = 20000..25999 (disjoint)
+    def grp(name: String, from: Long, until: Long) =
+      spark.range(from, until).select(lit(name).as("g"),
+        concat(lit("ov-"), col("id")).as("v"))
+    val all = grp("a", 0, 6000).union(grp("b", 4000, 10000)).union(grp("c", 20000, 26000))
+    val regs = Sketches.hllRegisters(all, Seq("g"), col("v"))
+    val ov = Sketches.hllPairwiseOverlap(regs, "g").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(5)).toMap
+    assert(math.abs(ov(("a", "b")) - 2000.0) < 600.0, s"a∩b ${ov(("a", "b"))}") // ±3 se of 3 estimates
+    assert(math.abs(ov(("a", "c"))) < 600.0, s"a∩c ${ov(("a", "c"))}")
+    assert(math.abs(ov(("b", "c"))) < 600.0, s"b∩c ${ov(("b", "c"))}")
+    // union estimate must equal the single-sketch estimate of the actual union
+    val estUnionAB = Sketches.hllPairwiseOverlap(regs, "g").collect()
+      .collectFirst { case r if r.getString(0) == "a" && r.getString(1) == "b" => r.getDouble(4) }.get
+    val direct = Sketches.hllEstimate(
+      Sketches.hllRegisters(
+        spark.range(0, 10000).select(lit("u").as("g"), concat(lit("ov-"), col("id")).as("v")),
+        Seq("g"), col("v")), Seq("g"))
+      .select("hll_estimate").as[Double].head()
+    assert(estUnionAB === direct, "register-merged union must equal the direct sketch")
+  }
+
   test("streaming HLL lands on exactly the batch estimate (monotone register state)") {
     val dir = "/root/testdata/sf0.001"
     val batch = {
