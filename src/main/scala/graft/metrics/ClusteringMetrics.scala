@@ -78,6 +78,37 @@ object ClusteringMetrics {
         "v_measure")
   }
 
+  /** B-cubed precision/recall/F1 (Bagga & Baldwin 1998; Amigó et al. 2009) — the
+    * entity-resolution audit score that, unlike pair-counting Rand/F, weights every
+    * RECORD equally, so one giant wrong merge can't hide behind many small correct
+    * clusters. Per record i: precision_i = |cluster_i ∩ truth_i| / |cluster_i|,
+    * recall_i = |cluster_i ∩ truth_i| / |truth_i|; scores are record averages and F1
+    * is the harmonic mean of the two averages.
+    *
+    * Summing per-record terms cell-wise over the contingency table turns the whole
+    * computation into ONE groupBy(truth, cluster) plus two window sums over the
+    * (≤ #labels × #clusters) cell table — every record with the same (t, c) pair
+    * contributes the identical nij/|c| and nij/|t|, so avg precision =
+    * Σ nij²/|c| / n and avg recall = Σ nij²/|t| / n. No driver collect: unlike
+    * [[metrics]]' AMI (whose expected-MI sum has no distributed form), B-cubed stays
+    * a pure aggregation, so it scales to contingencies that would not fit a driver.
+    */
+  def bcubed(clusters: DataFrame, trueLabel: String): DataFrame = {
+    val cells = clusters
+      .groupBy(col(trueLabel).cast("string").as("t"),
+        col("cluster_id").cast("string").as("c"))
+      .agg(count(lit(1)).cast("double").as("nij"))
+    val sized = cells
+      .withColumn("size_c", sum("nij").over(Window.partitionBy("c")))
+      .withColumn("size_t", sum("nij").over(Window.partitionBy("t")))
+    sized
+      .agg(
+        (sum(col("nij") * col("nij") / col("size_c")) / sum("nij")).as("p"),
+        (sum(col("nij") * col("nij") / col("size_t")) / sum("nij")).as("r"))
+      .select(col("p").as("bcubed_precision"), col("r").as("bcubed_recall"),
+        (lit(2.0) * col("p") * col("r") / (col("p") + col("r"))).as("bcubed_f1"))
+  }
+
   /** AMI with the arithmetic normalizer (sklearn's default):
     * `(MI − E[MI]) / (mean(H_T, H_C) − E[MI])`, where E[MI] is the exact expectation
     * of MI under the hypergeometric model of random labelings with these marginals

@@ -1,0 +1,93 @@
+package graft.metrics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Classifier evaluation for the quality-model loop: ROC-AUC (tie-aware
+  * Mann–Whitney midranks), Brier score, and reliability/calibration bins. These are
+  * the acceptance gates a data-curation team runs before trusting a quality
+  * classifier to filter a 100 TB corpus, computed relationally so the evaluation
+  * runs where the scores live instead of collecting them to a driver.
+  *
+  * Scale design: AUC needs a global rank over scores — a naive `row_number()` over
+  * an un-partitioned window would stream every score through ONE partition. Instead
+  * the scores collapse to per-distinct-value groups (a hash aggregate), each group
+  * lands in one of 1024 value-range buckets whose numeric order agrees with score
+  * order, a bounded 1024-row aggregate yields each bucket's cumulative offset, and
+  * the midrank is `offset(bucket) + within-bucket cumulative` over a window
+  * PARTITIONED by bucket — the [[graft.textops.Curation.globalShuffle]] numbering
+  * pattern applied to ranks. Sums stay exact: midranks are half-integers and the
+  * positive/total counts integers, so every accumulated term is an exact binary
+  * fraction and the result is partitioning-invariant bit-for-bit.
+  */
+object Evaluation {
+
+  /** One-row ROC-AUC + Brier evaluation of probability `score` against 0/1 `label`.
+    *
+    * Output columns: `auc` (ties get midranks, the trapezoidal ROC area),
+    * `brier_e6` (Σ round((p−y)²·1e6) / n — per-row scaled-integer rounding makes
+    * the sum an exact integer, so the mean is engine- and order-invariant),
+    * `n_pos`, `n_neg`.
+    *
+    * `score` must lie in [0,1] (probabilities) — the bucket map is `floor(s·1024)`.
+    */
+  def rocAuc(df: DataFrame, score: Column, label: Column): DataFrame = {
+    val y = label.cast("double")
+    val scored = df.select(score.cast("double").as("s"), y.as("y"))
+    // per-distinct-score groups: cnt, positives, and the exact scaled Brier sum
+    val groups = scored
+      .groupBy("s")
+      .agg(
+        count(lit(1)).cast("double").as("cnt"),
+        sum(col("y")).as("pos"),
+        sum(round((col("s") - col("y")) * (col("s") - col("y")) * 1e6)
+          .cast("long")).as("bsum"))
+      .withColumn("_bucket",
+        least(floor(col("s") * 1024), lit(1023.0)).cast("int"))
+    // bounded: ≤1024 rows; cumulative count strictly below each bucket
+    val counts = groups.groupBy("_bucket").agg(sum("cnt").as("n"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).sortBy(_._1)
+    val offsets = counts.map(_._1)
+      .zip(counts.scanLeft(0.0) { case (acc, (_, n)) => acc + n })
+      .toMap
+    val w = Window.partitionBy("_bucket").orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offset = coalesce(element_at(typedLit(offsets), col("_bucket")), lit(0.0))
+    val ranked = groups
+      .withColumn("cum_before", offset + coalesce(sum("cnt").over(w), lit(0.0)))
+      // midrank of every row in this tie group (1-based): exact half-integer
+      .withColumn("avg_rank", col("cum_before") + (col("cnt") + 1.0) / 2.0)
+    ranked
+      .agg(
+        sum("pos").as("np"),
+        sum(col("cnt") - col("pos")).as("nn"),
+        sum(col("pos") * col("avg_rank")).as("rank_pos"),
+        sum("bsum").as("bsum"),
+        sum("cnt").as("n"))
+      .select(
+        ((col("rank_pos") - col("np") * (col("np") + 1.0) / 2.0) /
+          (col("np") * col("nn"))).as("auc"),
+        (col("bsum") / 1e6 / col("n")).as("brier_e6"),
+        col("np").cast("long").as("n_pos"),
+        col("nn").cast("long").as("n_neg"))
+  }
+
+  /** Reliability-diagram bins: per decile of predicted probability, the support,
+    * the mean prediction (exact scaled-integer sum, same determinism argument as
+    * the Brier term) and the observed positive rate. A calibrated model has
+    * `mean_p ≈ frac_pos` in every bin; systematic gaps are what temperature
+    * scaling / recalibration would fix before the model gates a corpus.
+    */
+  def calibrationBins(df: DataFrame, score: Column, label: Column): DataFrame =
+    df.select(score.cast("double").as("s"), label.cast("double").as("y"))
+      .groupBy(least(floor(col("s") * 10), lit(9.0)).cast("int").as("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("y")).cast("long").as("n_pos"),
+        sum(round(col("s") * 1e6).cast("long")).as("psum"))
+      .select(
+        col("bin"), col("n"), col("n_pos"),
+        (col("psum") / 1e6 / col("n")).as("mean_p"),
+        (col("n_pos").cast("double") / col("n")).as("frac_pos"))
+}

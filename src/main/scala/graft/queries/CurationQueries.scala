@@ -38,6 +38,10 @@ object CurationQueries {
   private val EpochRates: Map[String, Double] =
     Map("en" -> 0.5, "es" -> 1.0, "fr" -> 1.5, "de" -> 2.0, "zh" -> 2.25)
   private val EpochSalt = "epoch1"
+
+  /** Target token shares for the mixture-weight solver fixture (sums to 1). */
+  private val MixTargets: Map[String, Double] =
+    Map("en" -> 0.4, "zh" -> 0.2, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.1)
   private val TopFraction = 0.3
   private val GopherMinWords = 20
 
@@ -310,6 +314,22 @@ object CurationQueries {
       // perplexity-style quality filter: per-doc cross-entropy under the
       // corpus-trained Laplace-smoothed word-bigram LM
       Curation.bigramCrossEntropy(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+    "curation_mixture_weights" -> { (s, dir) =>
+      // mixture-weight solver: the per-language downsampling rates that hit the
+      // target token mixture while keeping the largest possible corpus (the
+      // binding language keeps rate 1.0)
+      Curation.mixtureWeights(docs(s, dir), col("lang"),
+          size(graft.textops.TextOps.tokens(col("text"))), MixTargets)
+        .select(col("domain"), col("n_tokens"), col("target_share"),
+          round(col("rate"), 6).as("rate"), col("expected_tokens"))
+        .orderBy("domain")
+    },
+    "text_lm_kneser_ney" -> { (s, dir) =>
+      // the KenLM-style upgrade of text_lm_score: interpolated Kneser-Ney
+      // discounting, where backoff mass follows context diversity
+      Curation.knBigramCrossEntropy(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")
     },
     "curation_ngram_stats" -> { (s, dir) =>
@@ -1041,6 +1061,45 @@ object CurationQueries {
          |        FROM sc GROUP BY 1)
          |SELECT d.doc_id, COALESCE(agg.n_bigrams, 0) AS n_bigrams,
          |  COALESCE(agg.xent, 0.0) AS xent
+         |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    },
+    "curation_mixture_weights" -> {
+      val toks = toksSql("text")
+      val vals = MixTargets.toSeq.sortBy(_._1)
+        .map { case (d, t) => s"('$d', CAST($t AS DOUBLE))" }.mkString(", ")
+      s"""WITH t AS (SELECT lang, len($toks) AS ntok FROM documents),
+         |c AS (SELECT lang AS domain, SUM(ntok) AS n_tokens FROM t GROUP BY 1),
+         |tg(domain, target_share) AS (VALUES $vals),
+         |j AS (SELECT c.domain, c.n_tokens, tg.target_share FROM c JOIN tg USING (domain)),
+         |m AS (SELECT MIN(n_tokens::DOUBLE / target_share) AS nmax FROM j)
+         |SELECT j.domain, CAST(j.n_tokens AS BIGINT) AS n_tokens, j.target_share,
+         |  ROUND(j.target_share * m.nmax / j.n_tokens, 6) AS rate,
+         |  CAST(ROUND(j.target_share * m.nmax) AS BIGINT) AS expected_tokens
+         |FROM j CROSS JOIN m ORDER BY domain""".stripMargin
+    },
+    "text_lm_kneser_ney" -> {
+      val toks = toksSql("text")
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+         |         i -> toks[i] || ' ' || toks[i+1])) AS bigram FROM t),
+         |ty AS (SELECT bigram, COUNT(*) AS c12,
+         |         split_part(bigram, ' ', 1) AS w1, split_part(bigram, ' ', 2) AS w2
+         |       FROM bg GROUP BY 1),
+         |ctx AS (SELECT w1, SUM(c12) AS c1, COUNT(*) AS nf FROM ty GROUP BY 1),
+         |cont AS (SELECT w2, COUNT(*) AS nb FROM ty GROUP BY 1),
+         |b AS (SELECT COUNT(*)::DOUBLE AS b FROM ty),
+         |sc AS (SELECT bg.doc_id,
+         |         -LN(GREATEST(ty.c12 - 0.75, 0.0) / ctx.c1 +
+         |             0.75 * ctx.nf / ctx.c1 * (cont.nb / b.b)) AS nll
+         |       FROM bg JOIN ty USING (bigram)
+         |       JOIN ctx ON ty.w1 = ctx.w1
+         |       JOIN cont ON ty.w2 = cont.w2
+         |       CROSS JOIN b),
+         |agg AS (SELECT doc_id, COUNT(*) AS n_bigrams, ROUND(AVG(nll), 6) AS kn_xent
+         |        FROM sc GROUP BY 1)
+         |SELECT d.doc_id, COALESCE(agg.n_bigrams, 0) AS n_bigrams,
+         |  COALESCE(agg.kn_xent, 0.0) AS kn_xent
          |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
          |ORDER BY d.doc_id""".stripMargin
     },

@@ -129,6 +129,18 @@ object LinkageQueries {
           round(col("match_probability"), 6).as("match_probability"))
         .orderBy("uid_l", "uid_r")
     },
+    "j6_one_to_one" -> { (s, dir) =>
+      // mutual-best 1:1 assignment over nation-blocked candidates (the same wider
+      // candidate set j6_tf_adjust scores, so segment agreement differentiates
+      // partners): every record keeps at most its best-scoring partner, a pair
+      // survives only when the preference is mutual. Ranking is on the ROUNDED
+      // weight with uid tiebreak, so the matching is deterministic cross-engine.
+      val df = withUid(cust(s, dir))
+      val model = demoModel.copy(blockingRules = Seq("(l.c_nationkey = r.c_nationkey)"))
+      val scored = FellegiSunter.predict(df, "uid", model)
+      FellegiSunter.mutualBestPairs(scored, 0.0)
+        .orderBy("uid_l", "uid_r")
+    },
     "j6_tf_adjust" -> { (s, dir) =>
       // Splink's term_frequency_adjustments natively: block on nation ONLY so
       // segment agreement varies per pair; exact segment agreement is re-weighted
@@ -540,6 +552,40 @@ object LinkageQueries {
     "j5_em_one_iter" -> emOneIterSql,
     "j5_em_two_iter" -> emTwoIterSql,
     "j6_predict" -> predictSql,
+    "j6_one_to_one" -> {
+      val gammas = demoSpecs.map(spec =>
+        s"(${gammaSql(spec.column, spec).replace('\n', ' ')}) AS gamma_${spec.column}")
+        .mkString(",\n    ")
+      val weight = demoSpecs
+        .map(spec => s"(${bayesFactorSql(spec.column, demoParams(spec.column))})")
+        .mkString(s"${d(log2(demoLambda / (1 - demoLambda)))} + ", " + ", "")
+      s"""WITH b AS (
+         |  SELECT CAST(c_custkey AS VARCHAR) AS uid, c_name, c_mktsegment, c_nationkey
+         |  FROM customer
+         |), pairs AS (
+         |  SELECT l.uid AS uid_l, r.uid AS uid_r,
+         |    $gammas
+         |  FROM b l JOIN b r
+         |    ON l.c_nationkey = r.c_nationkey AND l.uid < r.uid
+         |), w AS (
+         |  SELECT uid_l, uid_r, ($weight) AS mw FROM pairs
+         |), e AS (
+         |  SELECT uid_l, uid_r, ROUND(mw, 6) AS mw FROM w
+         |), sym AS (
+         |  SELECT uid_l AS src, uid_r AS dst, mw FROM e
+         |  UNION ALL
+         |  SELECT uid_r, uid_l, mw FROM e
+         |), best AS (
+         |  SELECT src, dst, mw FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY mw DESC, dst) AS rn
+         |    FROM sym)
+         |  WHERE rn = 1
+         |)
+         |SELECT a.src AS uid_l, a.dst AS uid_r, a.mw AS match_weight
+         |FROM best a JOIN best b ON a.src = b.dst AND a.dst = b.src
+         |WHERE a.src < a.dst
+         |ORDER BY uid_l, uid_r""".stripMargin
+    },
     "j6_tf_adjust" -> tfAdjustSql,
     "j7_cluster_stats" ->
       s"""${predictPairsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},

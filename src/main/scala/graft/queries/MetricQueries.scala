@@ -114,6 +114,21 @@ object MetricQueries {
           round(col("completeness"), 6).as("completeness"),
           round(col("v_measure"), 6).as("v_measure"))
     },
+    "y18_bcubed" -> { (s, dir) =>
+      // B-cubed precision/recall/F1 over the same clustering y18 scores: the
+      // record-weighted ER audit metric (one giant wrong merge cannot hide behind
+      // many small correct clusters). Pure aggregation — unlike y18's AMI there is
+      // no driver-side contingency collect, so this is the variant that survives
+      // contingencies too large for a driver.
+      val w = Window.partitionBy("c_nationkey", "c_mktsegment")
+      val df = custTruth(s, dir)
+        .withColumn("cluster_id", min("uid").over(w))
+      ClusteringMetrics.bcubed(df, "truth")
+        .select(
+          round(col("bcubed_precision"), 6).as("bcubed_precision"),
+          round(col("bcubed_recall"), 6).as("bcubed_recall"),
+          round(col("bcubed_f1"), 6).as("bcubed_f1"))
+    },
     "j4_u_estimation" -> { (s, dir) =>
       import s.implicits._
       val df = custTruth(s, dir)
@@ -350,5 +365,25 @@ object MetricQueries {
         |ORDER BY a.col_name""".stripMargin,
     "y17_confusion_metrics" -> y17Sql,
     "y18_clustering_metrics" -> y18Sql,
+    "y18_bcubed" ->
+      """WITH base AS (
+        |  SELECT CAST(c_custkey % 30 AS VARCHAR) AS t,
+        |         MIN(CAST(c_custkey AS VARCHAR))
+        |           OVER (PARTITION BY c_nationkey, c_mktsegment) AS c
+        |  FROM customer
+        |), cont AS (SELECT t, c, COUNT(*)::DOUBLE AS nij FROM base GROUP BY 1, 2),
+        |sized AS (
+        |  SELECT nij,
+        |    SUM(nij) OVER (PARTITION BY c) AS size_c,
+        |    SUM(nij) OVER (PARTITION BY t) AS size_t
+        |  FROM cont
+        |), a AS (
+        |  SELECT SUM(nij * nij / size_c) / SUM(nij) AS p,
+        |         SUM(nij * nij / size_t) / SUM(nij) AS r
+        |  FROM sized
+        |)
+        |SELECT ROUND(p, 6) AS bcubed_precision, ROUND(r, 6) AS bcubed_recall,
+        |  ROUND(2.0 * p * r / (p + r), 6) AS bcubed_f1
+        |FROM a""".stripMargin,
     "j4_u_estimation" -> j4Sql)
 }

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.metrics.Evaluation
 import graft.textops.{QualityClassifier, TextOps}
 
 /** SparkEntry query + oracle entries for the quality classifier: scoring with a fixed
@@ -70,6 +71,33 @@ object MlQueries {
         Seq(("loss", r6(row.getDouble(aggs.size - 2) / n)), ("n", n))
       stats.toDF("stat", "value").orderBy("stat")
     },
+    "ml_eval_auc" -> { (s, dir) =>
+      // evaluation gate for the pretrained quality model: tie-aware ROC-AUC +
+      // Brier against the rule-based label — the same (p, y) pair the Newton agg
+      // pins. AUC's rank sums are exact half-integer arithmetic and Brier is a
+      // per-row scaled-integer sum, so both reproduce bit-for-bit across engines
+      // and partitionings; only the final divisions are floating-point.
+      val scored = docs(s, dir).select(
+        QualityClassifier.score(
+          QualityClassifier.textFeatures(col("text")), ScoreWeights).as("p"),
+        (TextOps.qualityScore(col("text")) >= 0.54).cast("double").as("y"))
+      Evaluation.rocAuc(scored, col("p"), col("y"))
+        .select(round(col("auc"), 6).as("auc"), round(col("brier_e6"), 6).as("brier"),
+          col("n_pos"), col("n_neg"))
+    },
+    "ml_calibration_bins" -> { (s, dir) =>
+      // reliability diagram for the same model: per probability decile, support,
+      // mean prediction, observed positive rate — the systematic-gap view that
+      // tells an operator whether the score can be thresholded as a probability
+      val scored = docs(s, dir).select(
+        QualityClassifier.score(
+          QualityClassifier.textFeatures(col("text")), ScoreWeights).as("p"),
+        (TextOps.qualityScore(col("text")) >= 0.54).cast("double").as("y"))
+      Evaluation.calibrationBins(scored, col("p"), col("y"))
+        .select(col("bin"), col("n"), col("n_pos"),
+          round(col("mean_p"), 6).as("mean_p"), round(col("frac_pos"), 6).as("frac_pos"))
+        .orderBy("bin")
+    },
     "ml_quality_train" -> { (s, dir) =>
       // distill the rule-based quality score into a logistic model (the label is a
       // linear threshold over the features, so IRLS separates it) — iterative Newton
@@ -106,7 +134,51 @@ object MlQueries {
     ratioSql(TextOps.EnglishStopwords)) ++
     TextOps.LangMarkers.map { case (_, ms) => ratioSql(ms) }
 
+  /** Shared CTE chain ending in `s(p, y)` — the scored/labeled view both eval
+    * oracles read; identical feature arithmetic to the newton-agg oracle.
+    */
+  private val scoredCte: String = {
+    val dot = ScoreWeights.indices.map(j => s"(${ScoreWeights(j)}) * f$j").mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, text, ${toksSql("text")} AS toks FROM documents),
+       |f0 AS (
+       |  SELECT ${featSqls.zipWithIndex.map { case (f, j) => s"($f) AS f$j" }.mkString(",\n    ")}
+       |  FROM t
+       |), s AS (
+       |  SELECT 1.0 / (1.0 + exp(-($dot))) AS p,
+       |    CASE WHEN 0.4 * f1 + 0.3 * (1.0 - f2) + 0.3 * f3 >= 0.54
+       |         THEN 1.0 ELSE 0.0 END AS y
+       |  FROM f0
+       |)""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "ml_eval_auc" ->
+      s"""$scoredCte,
+         |g AS (
+         |  SELECT p AS sv, COUNT(*)::DOUBLE AS cnt, SUM(y) AS pos,
+         |    SUM(CAST(ROUND((p - y) * (p - y) * 1e6) AS BIGINT)) AS bsum
+         |  FROM s GROUP BY p
+         |), r AS (
+         |  SELECT *, COALESCE(SUM(cnt) OVER (
+         |    ORDER BY sv ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |  FROM g
+         |), a AS (
+         |  SELECT SUM(pos) AS np, SUM(cnt - pos) AS nn,
+         |    SUM(pos * (cum_before + (cnt + 1.0) / 2.0)) AS rank_pos,
+         |    SUM(bsum) AS bsum, SUM(cnt) AS n
+         |  FROM r
+         |)
+         |SELECT ROUND((rank_pos - np * (np + 1.0) / 2.0) / (np * nn), 6) AS auc,
+         |  ROUND(bsum / 1e6 / n, 6) AS brier,
+         |  CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg
+         |FROM a""".stripMargin,
+    "ml_calibration_bins" ->
+      s"""$scoredCte
+         |SELECT CAST(LEAST(FLOOR(p * 10), 9) AS INT) AS bin,
+         |  COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS n_pos,
+         |  ROUND(SUM(CAST(ROUND(p * 1e6) AS BIGINT)) / 1e6 / COUNT(*), 6) AS mean_p,
+         |  ROUND(SUM(y) / COUNT(*), 6) AS frac_pos
+         |FROM s GROUP BY 1 ORDER BY bin""".stripMargin,
     "ml_quality_score" -> {
       // left-associative sum, same accumulation order as the ArrayDot loop
       val dot = ScoreWeights.zip(featSqls)

@@ -40,6 +40,33 @@ object TextQueries {
   private[queries] def events(s: SparkSession, dir: String): DataFrame =
     graft.sources.Events.load(s, dir)
 
+  /** Deterministic graded qrels for the fixed BM25 queries: rel(query, doc) = how
+    * many distinct query tokens the document contains. Built as an equi-join on
+    * token (doc-token stream × tiny broadcast query-token set), never a doc×query
+    * cross join; docs sharing no token simply never appear (rel 0 by absence).
+    */
+  private def tokenOverlapQrels(
+      s: SparkSession, dir: String, q: DataFrame): DataFrame = {
+    val docTok = docs(s, dir).select(col("doc_id"),
+      explode(array_distinct(TextOps.tokens(col("text")))).as("token"))
+    val qTok = q.select(col("query_id"),
+      explode(array_distinct(TextOps.tokens(col("qtext")))).as("token"))
+    docTok.join(broadcast(qTok), "token")
+      .groupBy("query_id", "doc_id").agg(count(lit(1)).cast("int").as("rel"))
+  }
+
+  /** The matching DuckDB CTEs (`dt`, `qtok`, `rel`) over `documents` and the
+    * rendered query table `q` from [[bm25Ctes]].
+    */
+  private def qrelsCtes: String = {
+    val toks = toksSql("text")
+    val qtoks = toksSql("qtext")
+    s"""dt AS (SELECT doc_id, unnest(list_distinct($toks)) AS token FROM documents),
+       |qtok AS (SELECT query_id, unnest(list_distinct($qtoks)) AS token FROM q),
+       |rel AS (SELECT query_id, doc_id, COUNT(*)::INT AS rel
+       |        FROM dt JOIN qtok USING (token) GROUP BY 1, 2)""".stripMargin
+  }
+
   /** documents ∪ exact copies (id+100000, doc_id%7=0) ∪ near copies (id+200000, %11). */
   private[queries] def plantedCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
@@ -406,6 +433,41 @@ object TextQueries {
       val q = BM25Queries.toDF("query_id", "qtext")
       Similarity.bm25TopK(docs(s, dir), "doc_id", "text", q, 5)
         .orderBy("query_id", "rank")
+    },
+    "eval_retrieval_ndcg" -> { (s, dir) =>
+      // offline retrieval evaluation: NDCG@10 / reciprocal rank / P@10 of the BM25
+      // ranking against deterministic graded qrels (rel = how many distinct query
+      // tokens a document contains — an equi-join on token, never a doc×query
+      // cross join; docs sharing no token drop out as rel-0 naturally)
+      import s.implicits._
+      val q = BM25Queries.toDF("query_id", "qtext")
+      val ranking = Similarity.bm25TopK(docs(s, dir), "doc_id", "text", q, 10)
+        .select("query_id", "rank", "doc_id")
+      Similarity.retrievalEval(ranking, tokenOverlapQrels(s, dir, q), k = 10,
+          relThreshold = 2)
+        .select(col("query_id"), round(col("ndcg"), 6).as("ndcg"),
+          round(col("rr"), 6).as("rr"), round(col("p_at_k"), 6).as("p_at_k"))
+        .orderBy("query_id")
+    },
+    "ep13_hard_negatives" -> { (s, dir) =>
+      // hard-negative mining for bi-encoder training, the DPR/RocketQA recipe:
+      // pseudo-positives are the BM25 top-3, hard negatives the NEXT top-ranked
+      // candidates (BM25 top-k minus gold) — confusable-but-not-gold documents.
+      // The token-overlap grade rides along so a consumer can re-filter when real
+      // labels exist. Everything downstream of the bounded top-20 list is
+      // queries×k-sized.
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val q = BM25Queries.toDF("query_id", "qtext")
+      val cands = Similarity.bm25TopK(docs(s, dir), "doc_id", "text", q, 20)
+      cands.filter(col("rank") > 3)
+        .join(tokenOverlapQrels(s, dir, q), Seq("query_id", "doc_id"), "left")
+        .withColumn("rel", coalesce(col("rel"), lit(0)))
+        .withColumn("neg_rank",
+          row_number().over(Window.partitionBy("query_id").orderBy("rank")))
+        .filter(col("neg_rank") <= 5)
+        .select("query_id", "neg_rank", "doc_id", "bm25", "rel")
+        .orderBy("query_id", "neg_rank")
     },
     "ep6_retrieval" -> { (s, dir) =>
       // end-to-end RAG retrieval: chunk into overlapping passages, score with the
@@ -1746,6 +1808,43 @@ object TextQueries {
     "text_bm25_topk" ->
       bm25Sql("bmcorpus AS (SELECT doc_id AS bid, text AS btext FROM documents)", 5,
         "bid AS doc_id"),
+    "eval_retrieval_ndcg" -> {
+      s"""WITH ${bm25Ctes("bmcorpus AS (SELECT doc_id AS bid, text AS btext FROM documents)")},
+         |$qrelsCtes,
+         |rkk AS (SELECT rk.query_id, rk.rank, rk.bid AS doc_id, COALESCE(rel.rel, 0) AS rel
+         |        FROM rk LEFT JOIN rel ON rel.query_id = rk.query_id AND rel.doc_id = rk.bid
+         |        WHERE rk.rank <= 10),
+         |perq AS (SELECT query_id,
+         |           SUM((POWER(2.0, rel) - 1.0) / (LN(rank + 1.0) / LN(2.0))) AS dcg,
+         |           MIN(CASE WHEN rel >= 2 THEN rank END) AS first_rel,
+         |           SUM(CASE WHEN rel >= 2 THEN 1 ELSE 0 END) / 10.0 AS p_at_k
+         |         FROM rkk GROUP BY 1),
+         |ide AS (SELECT query_id,
+         |          SUM((POWER(2.0, rel) - 1.0) / (LN(irank + 1.0) / LN(2.0))) AS idcg
+         |        FROM (SELECT query_id, rel, ROW_NUMBER() OVER (
+         |                PARTITION BY query_id ORDER BY rel DESC, doc_id) AS irank
+         |              FROM rel)
+         |        WHERE irank <= 10 GROUP BY 1)
+         |SELECT p.query_id, ROUND(p.dcg / i.idcg, 6) AS ndcg,
+         |  ROUND(COALESCE(1.0 / p.first_rel, 0.0), 6) AS rr,
+         |  ROUND(p.p_at_k, 6) AS p_at_k
+         |FROM perq p JOIN ide i USING (query_id) ORDER BY query_id""".stripMargin
+    },
+    "ep13_hard_negatives" ->
+      s"""WITH ${bm25Ctes("bmcorpus AS (SELECT doc_id AS bid, text AS btext FROM documents)")},
+         |$qrelsCtes,
+         |hard AS (
+         |  SELECT rk.query_id, rk.rank, rk.bid AS doc_id, rk.bm25,
+         |    COALESCE(rel.rel, 0) AS rel
+         |  FROM rk LEFT JOIN rel ON rel.query_id = rk.query_id AND rel.doc_id = rk.bid
+         |  WHERE rk.rank <= 20 AND rk.rank > 3
+         |), nn AS (
+         |  SELECT query_id, doc_id, bm25, rel, CAST(ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY rank) AS INT) AS neg_rank
+         |  FROM hard
+         |)
+         |SELECT query_id, neg_rank, doc_id, bm25, rel FROM nn
+         |WHERE neg_rank <= 5 ORDER BY query_id, neg_rank""".stripMargin,
     "ep12_diverse_retrieval" -> {
       // BM25 over the planted corpus + the shared minhash-closure clusters; keep
       // the best hit per (query, cluster), then top-5 — replayed end-to-end

@@ -95,6 +95,40 @@ object FellegiSunter {
       .drop("_tf_term", "_tf_share")
   }
 
+  /** Mutual-best 1:1 assignment over a scored pair frame — the serve-time step that
+    * turns m:n candidate scores into an exclusive matching (each record linked to at
+    * most one partner): keep a pair iff it survives the probability threshold AND
+    * each side is the other's best-scoring candidate. Greedy mutual-best is the
+    * standard relational approximation of maximum-weight matching used by record
+    * linkage systems when a 1:1 constraint is required (e.g. one golden record per
+    * source row).
+    *
+    * Relational shape: symmetrize the (uid_l < uid_r) pair list, ONE window
+    * partitioned by the source uid picks each record's best candidate (rank on the
+    * ROUNDED weight so sub-ulp cross-engine differences cannot flip ranks; ties
+    * break on the partner uid), and a self-equi-join keeps mutual picks. The window
+    * partitions by record — fully data-parallel, no global ordering anywhere — and
+    * the self-join keys on (src, dst) of an already-thresholded, rank-1-filtered
+    * edge list (≤ one row per record), so both shuffles are bounded by #records,
+    * not #pairs.
+    */
+  def mutualBestPairs(scored: DataFrame, threshold: Double): DataFrame = {
+    val e = scored.filter(col("match_probability") >= threshold)
+      .select(col("uid_l"), col("uid_r"), round(col("match_weight"), 6).as("mw"))
+    val sym = e.select(col("uid_l").as("src"), col("uid_r").as("dst"), col("mw"))
+      .unionByName(e.select(col("uid_r").as("src"), col("uid_l").as("dst"), col("mw")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(col("mw").desc, col("dst"))
+    val best = sym.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).select("src", "dst", "mw")
+    best.as("a")
+      .join(best.as("b"),
+        col("a.src") === col("b.dst") && col("a.dst") === col("b.src"))
+      .filter(col("a.src") < col("a.dst"))
+      .select(col("a.src").as("uid_l"), col("a.dst").as("uid_r"),
+        col("a.mw").as("match_weight"))
+  }
+
   /** Blocking → gammas → score in one shot. */
   def predict(
       df: DataFrame,

@@ -487,6 +487,96 @@ object Curation {
         coalesce(col("xent"), lit(0.0)).as("xent"))
   }
 
+  /** Mixture-weight solver: per-domain downsampling rates that hit a target token
+    * mixture exactly while keeping the largest possible corpus — the step between
+    * "we have these tokens per source" and the sampling rates `epochMix`/
+    * `hashSample` consume. The binding domain is the one whose full inventory is
+    * exhausted first: N = min_d(n_d / target_d) is the largest total budget whose
+    * allocation target_d·N fits every domain, giving rate_d = target_d·N / n_d ≤ 1
+    * with equality for the binding domain.
+    *
+    * Output: (domain, n_tokens, target_share, rate, expected_tokens). Fails loudly
+    * on a domain missing from `targets` (silently dropping or zero-weighting a
+    * domain would corrupt the mixture). One aggregation over the corpus, then a
+    * #domains-bounded reduction for N (the documented bounded driver boundary).
+    */
+  def mixtureWeights(
+      df: DataFrame,
+      domainCol: Column,
+      weightCol: Column,
+      targets: Map[String, Double]): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ > 0),
+      "targets must be non-empty with positive shares")
+    val tot = targets.values.sum
+    require(math.abs(tot - 1.0) < 1e-9, s"target shares must sum to 1, got $tot")
+    val counts = df.groupBy(domainCol.as("domain"))
+      .agg(sum(weightCol).cast("long").as("n_tokens"))
+      .withColumn("target_share", element_at(typedLit(targets), col("domain")))
+      .withColumn("target_share",
+        when(col("target_share").isNull, raise_error(concat(
+          lit("mixtureWeights: domain missing from targets: "), col("domain"))))
+          .otherwise(col("target_share")))
+    val nMax = counts
+      .agg(min(col("n_tokens").cast("double") / col("target_share"))).first().getDouble(0)
+    counts
+      .withColumn("rate", col("target_share") * nMax / col("n_tokens"))
+      .withColumn("expected_tokens",
+        round(col("target_share") * nMax).cast("long"))
+  }
+
+  /** Per-doc cross-entropy under an interpolated Kneser–Ney bigram LM (Kneser &
+    * Ney 1995; Chen & Goodman 1999) trained on the corpus itself — the smoothing
+    * real LM-based quality filters (KenLM / CCNet-style) use, where the backoff
+    * weight of a word is how many distinct CONTEXTS it follows, not its raw
+    * frequency (so "Francisco" scores low outside "San Francisco" even though it
+    * is frequent):
+    *
+    *   P(w2|w1) = max(c(w1w2) − D, 0)/c(w1•) + D·N1+(w1•)/c(w1•) · N1+(•w2)/B
+    *
+    * with discount D, N1+(w1•) = distinct continuations of w1, N1+(•w2) = distinct
+    * contexts preceding w2, B = total distinct bigram types. Scoring the training
+    * corpus means every scored bigram occurs (c ≥ 1), so P > 0 without an OOV
+    * floor.
+    *
+    * Scale shape: ONE bigram explode feeds the count table (persisted); context
+    * and continuation statistics are two aggregations OVER THE TYPE TABLE (≪
+    * occurrences); scoring joins occurrences back on the bigram key and the two
+    * (smaller) w1/w2 keys. No windows, no driver state beyond the 1-row type
+    * total.
+    */
+  def knBigramCrossEntropy(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount must be in (0,1), got $discount")
+    val bg = df.select(col(idCol),
+        explode(TextOps.shingles(col(textCol), 2)).as("bigram"))
+      .scopedPersist()
+    val types = bg.groupBy("bigram").agg(count(lit(1)).as("c12"))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("w2", substring_index(col("bigram"), " ", -1))
+      .scopedPersist()
+    val ctx = types.groupBy("w1")
+      .agg(sum("c12").as("c1"), count(lit(1)).as("nf")) // nf = N1+(w1•)
+    val cont = types.groupBy("w2").agg(count(lit(1)).as("nb")) // nb = N1+(•w2)
+    val b = types.count().toDouble // bounded: one scalar
+    val d = lit(discount)
+    val scored = bg
+      .join(types.select("bigram", "c12", "w1", "w2"), "bigram")
+      .join(ctx, "w1")
+      .join(cont, "w2")
+      .withColumn("p",
+        greatest(col("c12") - d, lit(0.0)) / col("c1") +
+          d * col("nf") / col("c1") * (col("nb") / lit(b)))
+      .withColumn("nll", -log(col("p")))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), round(avg("nll"), 6).as("kn_xent"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("kn_xent"), lit(0.0)).as("kn_xent"))
+  }
+
   /** Top-`k` TF-IDF keywords per document: tf = in-doc term count, idf = ln(N/df)
     * over document frequency, ranked by (rounded score desc, token asc). Returns
     * (id, keyword_rank, token, tfidf).

@@ -256,6 +256,48 @@ object Similarity {
       .select(col("query_id"), (col("pos") + 1).as("mmr_rank"), col("id"))
   }
 
+  /** Ranking-quality evaluation (NDCG@k with exponential gain, reciprocal rank,
+    * precision@k) of a bounded top-k `ranking` against graded relevance judgments
+    * `qrels` — the offline acceptance gate for a retrieval stack (BM25, ANN, or
+    * hybrid) before it serves. Järvelin & Kekäläinen 2002 NDCG.
+    *
+    *   - `ranking`: (query_id, rank, doc_id), rank 1-based, ≤ k rows per query
+    *   - `qrels`: (query_id, doc_id, rel) with rel > 0 integer grades; docs absent
+    *     from qrels count as rel = 0
+    *   - `relThreshold`: minimum grade treated as "relevant" for RR / P@k
+    *
+    * Scale shape: the ranking side is already bounded (queries × k rows); the only
+    * corpus-scale input is qrels, which the ideal-DCG pass reduces with ONE window
+    * partitioned by query (rel desc, doc_id tiebreak → deterministic ideal order)
+    * before the k-row cutoff. Everything downstream is queries×k-bounded.
+    */
+  def retrievalEval(
+      ranking: DataFrame,
+      qrels: DataFrame,
+      k: Int,
+      relThreshold: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val lg2 = math.log(2.0)
+    def gain(rel: Column, rank: Column): Column =
+      (pow(lit(2.0), rel) - lit(1.0)) / (log(rank.cast("double") + 1.0) / lit(lg2))
+    val ranked = ranking.filter(col("rank") <= k)
+      .join(qrels, Seq("query_id", "doc_id"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0)))
+    val perQ = ranked.groupBy("query_id").agg(
+      sum(gain(col("rel"), col("rank"))).as("dcg"),
+      min(when(col("rel") >= relThreshold, col("rank"))).as("first_rel"),
+      (sum((col("rel") >= relThreshold).cast("long")) / lit(k.toDouble)).as("p_at_k"))
+    val wi = Window.partitionBy("query_id").orderBy(desc("rel"), asc("doc_id"))
+    val ideal = qrels.withColumn("irank", row_number().over(wi))
+      .filter(col("irank") <= k)
+      .groupBy("query_id").agg(sum(gain(col("rel"), col("irank"))).as("idcg"))
+    perQ.join(ideal, "query_id")
+      .select(col("query_id"),
+        (col("dcg") / col("idcg")).as("ndcg"),
+        coalesce(lit(1.0) / col("first_rel"), lit(0.0)).as("rr"),
+        col("p_at_k"))
+  }
+
   def bm25TopK(
       corpus: DataFrame,
       idCol: String,

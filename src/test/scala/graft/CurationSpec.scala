@@ -907,6 +907,58 @@ class CurationSpec extends SparkSpec {
     assert(part === Array(true))
   }
 
+  test("knBigramCrossEntropy: hand-computed Kneser-Ney probabilities on a 2-doc corpus") {
+    // corpus bigrams: doc1 = {a b, b a, a b}, doc2 = {a c}; D = 0.75, B = 3 types
+    //   P(b|a) = 1.25/3 + 0.75·(2/3)·(1/3) = 0.583333…
+    //   P(a|b) = 0.25/1 + 0.75·(1/1)·(1/3) = 0.5
+    //   P(c|a) = 0.25/3 + 0.75·(2/3)·(1/3) = 0.25
+    val df = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = Curation.knBigramCrossEntropy(df, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val x1 = -(2 * math.log(0.25 / 3 + 0.5 / 3 + 1.0 / 3) + math.log(0.5)) / 3
+    assert(out(1L)._2 === 3L)
+    assert(math.abs(out(1L)._3 - x1) < 1e-6, s"doc1 ${out(1L)._3} vs $x1")
+    assert(out(2L)._2 === 1L)
+    assert(math.abs(out(2L)._3 + math.log(0.25)) < 1e-6)
+  }
+
+  test("knBigramCrossEntropy: per-context probabilities sum to 1 (smoothing is proper)") {
+    // reconstruct the model of the fixture above and sum P(·|a) over the vocab
+    // {a, b, c}: seen continuations (b, c) plus the unseen-bigram backoff for a
+    val pB = 1.25 / 3 + 0.75 * (2.0 / 3) * (1.0 / 3)
+    val pC = 0.25 / 3 + 0.75 * (2.0 / 3) * (1.0 / 3)
+    val pAUnseen = 0.75 * (2.0 / 3) * (1.0 / 3)
+    assert(math.abs(pB + pC + pAUnseen - 1.0) < 1e-12)
+    // docs with fewer than two tokens produce no bigrams and score 0
+    val tiny = Seq((1L, "solo"), (2L, "")).toDF("doc_id", "text")
+    val rows = Curation.knBigramCrossEntropy(tiny, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+    assert(rows.forall(r => r._2 === 0L && r._3 === 0.0))
+  }
+
+  test("mixtureWeights: binding domain keeps rate 1.0, others scale to the target mix") {
+    // a: 100 tokens, b: 300; targets 50/50 → N = 200, rate_a = 1, rate_b = 1/3
+    val df = (Seq.fill(10)(("a", 10)) ++ Seq.fill(10)(("b", 30))).toDF("dom", "w")
+    val out = Curation.mixtureWeights(df, col("dom"), col("w"),
+        Map("a" -> 0.5, "b" -> 0.5))
+      .select("domain", "n_tokens", "rate", "expected_tokens")
+      .as[(String, Long, Double, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out("a")._2 === 100L && out("a")._3 === 1.0 && out("a")._4 === 100L)
+    assert(out("b")._2 === 300L && math.abs(out("b")._3 - 1.0 / 3.0) < 1e-12)
+    assert(out("b")._4 === 100L)
+    // resulting mixture hits the target shares exactly
+    val tot = out.values.map(_._4).sum.toDouble
+    assert(out.values.forall(v => math.abs(v._4 / tot - 0.5) < 1e-12))
+  }
+
+  test("mixtureWeights fails loudly on a domain absent from the targets") {
+    val df = Seq(("a", 10), ("mystery", 5)).toDF("dom", "w")
+    val e = intercept[Exception] {
+      Curation.mixtureWeights(df, col("dom"), col("w"), Map("a" -> 1.0)).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("redactPii masks emails and IPv4s and counts them") {
     val out = Seq("write a.user+tag@sub.example.co.uk from 192.168.0.1 or 8.8.8.8 v1.2 x")
       .toDF("t")
