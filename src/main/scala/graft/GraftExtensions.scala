@@ -143,6 +143,13 @@ object GraftExtensions {
       "repetition_stats(text) - struct of Gopher-style repetition counters.") { a =>
       arity("repetition_stats", a, 1 to 1); RepetitionStats(a(0))
     },
+    fn("cdc_chunks",
+      "cdc_chunks(bin, minSize, avgBits, maxSize) - content-defined gear-hash " +
+        "chunks as array<struct<offset, length, hash>>.") { a =>
+      arity("cdc_chunks", a, 4 to 4)
+      CdcChunks(a(0), litInt(a(1), "minSize"), litInt(a(2), "avgBits"),
+        litInt(a(3), "maxSize"))
+    },
     fn("combinations",
       "combinations(n, elements) - all n-combinations as a nested array.") { a =>
       arity("combinations", a, 2 to 2); ArrayCombinations(a(0), a(1))

@@ -162,6 +162,13 @@ object functions {
   def repetition_stats(s: Column): Column =
     Bridge.column(RepetitionStats(Bridge.expression(s)))
 
+  /** Content-defined chunking of a binary payload by gear rolling hash (FastCDC
+    * family): `array<struct<offset, length, hash>>` with FNV-1a 64 chunk hashes —
+    * the blob-dedup primitive whose boundaries resynchronize after local edits.
+    */
+  def cdc_chunks(bin: Column, minSize: Int, avgBits: Int, maxSize: Int): Column =
+    Bridge.column(CdcChunks(Bridge.expression(bin), minSize, avgBits, maxSize))
+
   /** Accent/diacritic folding (NFD-decompose, drop combining marks) with an ASCII
     * fast path; matches DuckDB `strip_accents`.
     */

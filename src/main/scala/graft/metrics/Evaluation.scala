@@ -73,6 +73,55 @@ object Evaluation {
         col("nn").cast("long").as("n_neg"))
   }
 
+  /** Population Stability Index between a baseline and a current score
+    * distribution — the standard production drift monitor (PSI < 0.1 stable,
+    * 0.1–0.25 moderate shift, > 0.25 investigate): per decile bin b,
+    * `psi_b = (p_cur − p_base) · ln(p_cur / p_base)` with shares clamped at
+    * `minShare` so bins empty on one side contribute a large-but-finite term.
+    *
+    * Returns one row per occupied bin (bin, share_base, share_cur, psi) plus a
+    * `bin = -1` summary row carrying the total PSI. Scores must lie in [0,1]
+    * (same decile map as [[calibrationBins]]); feed a score ROUNDED to a fixed
+    * scale so binning cannot straddle a sub-ulp engine difference.
+    *
+    * Scale shape: each side collapses to a ≤`nBins`-row hash aggregate before
+    * anything joins — the full-outer bin join and the share/total windows all run
+    * over that bounded table, so the corpus is touched exactly twice (once per
+    * side), embarrassingly parallel.
+    */
+  def psiDrift(
+      base: DataFrame,
+      current: DataFrame,
+      score: Column,
+      nBins: Int = 10,
+      minShare: Double = 1e-6): DataFrame = {
+    require(nBins > 0, s"nBins must be positive, got $nBins")
+    def binned(df: DataFrame, name: String) =
+      df.select(score.cast("double").as("s"))
+        .groupBy(least(floor(col("s") * nBins), lit(nBins - 1.0)).cast("int").as("bin"))
+        .agg(count(lit(1)).cast("double").as(name))
+    val j = binned(base, "n_base")
+      .join(binned(current, "n_cur"), Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("n_base"), lit(0.0)).as("n_base"),
+        coalesce(col("n_cur"), lit(0.0)).as("n_cur"))
+    // the windows run over the ≤nBins-row bin table, not the corpus
+    val w = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    def clamp(c: Column) = greatest(c, lit(minShare))
+    val perBin = j
+      .withColumn("share_base", col("n_base") / sum("n_base").over(w))
+      .withColumn("share_cur", col("n_cur") / sum("n_cur").over(w))
+      .withColumn("psi",
+        (clamp(col("share_cur")) - clamp(col("share_base"))) *
+          log(clamp(col("share_cur")) / clamp(col("share_base"))))
+      .select("bin", "share_base", "share_cur", "psi")
+    perBin.unionByName(
+      perBin.agg(sum("psi").as("psi"))
+        .select(lit(-1).as("bin"), lit(1.0).as("share_base"),
+          lit(1.0).as("share_cur"), col("psi")))
+  }
+
   /** Reliability-diagram bins: per decile of predicted probability, the support,
     * the mean prediction (exact scaled-integer sum, same determinism argument as
     * the Brier term) and the observed positive rate. A calibrated model has

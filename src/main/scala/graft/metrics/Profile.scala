@@ -109,6 +109,54 @@ object Profile {
         col("cnt").cast("long").as("n_tokens_fit"))
   }
 
+  /** Robust per-group profile of a numeric column: median, MAD (median absolute
+    * deviation — the robust σ), p5/p95, and the 5–95% winsorized mean. Outlier-
+    * insensitive statistics are what a data card should quote for heavy-tailed
+    * quantities like document length, where a handful of giant documents drags the
+    * plain mean.
+    *
+    * Exact `percentile` (type-7 linear interpolation, DuckDB `quantile_cont`'s
+    * definition) — swap `percentile_approx` in past ~10⁹ rows per group. Two
+    * aggregation passes (the second needs each row's distance from its group
+    * median) joined through the bounded per-group stats table. The winsorized
+    * mean is assembled from an EXACT integer interior sum plus `n_low·p5 +
+    * n_high·p95` — a few-term closed form, deterministic across engines and
+    * partitionings, rather than a float sum over clamped values.
+    */
+  def robustStats(
+      df: DataFrame,
+      groupCol: org.apache.spark.sql.Column,
+      valueCol: org.apache.spark.sql.Column): DataFrame = {
+    val base = df.select(groupCol.as("grp"), valueCol.as("v"))
+    base.schema("v").dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
+      // exact interior sum holds for integral values
+      case other => throw new IllegalArgumentException(
+        s"robustStats needs an integral value column (exact winsorized sum), got $other")
+    }
+    val stats = base.groupBy("grp").agg(
+      count(lit(1)).as("n"),
+      expr("percentile(v, 0.5D)").as("median"),
+      expr("percentile(v, 0.05D)").as("p05"),
+      expr("percentile(v, 0.95D)").as("p95"))
+    val joined = base.join(broadcast(stats), "grp")
+    joined.groupBy("grp")
+      .agg(
+        first("n").as("n"),
+        first("median").as("median"),
+        first("p05").as("p05"),
+        first("p95").as("p95"),
+        expr("percentile(abs(v - median), 0.5D)").as("mad"),
+        sum(when(col("v") >= col("p05") && col("v") <= col("p95"), col("v"))
+          .otherwise(lit(0L))).as("s_mid"),
+        sum((col("v") < col("p05")).cast("long")).as("n_low"),
+        sum((col("v") > col("p95")).cast("long")).as("n_high"))
+      .select(col("grp"), col("n"), col("median"), col("mad"), col("p05"), col("p95"),
+        ((col("s_mid") + col("n_low") * col("p05") + col("n_high") * col("p95")) /
+          col("n")).as("winsorized_mean"))
+  }
+
   def keySkew(df: DataFrame, key: org.apache.spark.sql.Column, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     import org.apache.spark.sql.expressions.Window

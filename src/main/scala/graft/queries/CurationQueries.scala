@@ -571,6 +571,25 @@ object CurationQueries {
           .withColumn("doc_id", col("doc_id") + 300000))
       Curation.snapshotDiff(v1, v2, "doc_id", Seq("text")).orderBy("doc_id")
     },
+    "curation_psi_drift" -> { (s, dir) =>
+      // score-drift monitor between corpus versions: PSI over quality-score
+      // deciles of v1 vs the simulated v2 revision (same revision convention as
+      // curation_snapshot_diff); binning on the ROUNDED score so bin membership
+      // is engine-exact
+      val v1 = docs(s, dir)
+      val v2 = v1.filter(col("doc_id") % 13 =!= 0)
+        .withColumn("text", when(col("doc_id") % 17 === 0,
+          concat(col("text"), lit(" edited"))).otherwise(col("text")))
+        .unionByName(v1.filter(col("doc_id") % 19 === 0)
+          .withColumn("doc_id", col("doc_id") + 300000))
+      graft.metrics.Evaluation.psiDrift(v1, v2,
+          round(TextOps.qualityScore(col("text")), 6))
+        .select(col("bin"),
+          round(col("share_base"), 6).as("share_base"),
+          round(col("share_cur"), 6).as("share_cur"),
+          round(col("psi"), 6).as("psi"))
+        .orderBy("bin")
+    },
     "curation_pii_redact" -> { (s, dir) =>
       // plant deterministic emails + an IPv4 per doc (the corpus itself has none),
       // then count and redact them in one codegen'd regex scan
@@ -1301,6 +1320,35 @@ object CurationQueries {
         |SELECT lang, COUNT(*)::BIGINT AS n_rows, SUM(n_chars)::BIGINT AS val_sum
         |FROM m WHERE op IS NULL OR op <> 'D'
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "curation_psi_drift" -> {
+      val q = TextQueries.qualityExprSql
+      s"""WITH v1 AS (SELECT $q AS s FROM documents),
+         |v2src AS (
+         |  SELECT CASE WHEN doc_id % 17 = 0 THEN text || ' edited' ELSE text END AS text
+         |  FROM documents WHERE doc_id % 13 <> 0
+         |  UNION ALL
+         |  SELECT text FROM documents WHERE doc_id % 19 = 0
+         |),
+         |v2 AS (SELECT $q AS s FROM v2src),
+         |b1 AS (SELECT CAST(LEAST(FLOOR(s * 10), 9) AS INT) AS bin, COUNT(*)::DOUBLE AS n
+         |       FROM v1 GROUP BY 1),
+         |b2 AS (SELECT CAST(LEAST(FLOOR(s * 10), 9) AS INT) AS bin, COUNT(*)::DOUBLE AS n
+         |       FROM v2 GROUP BY 1),
+         |j AS (SELECT COALESCE(b1.bin, b2.bin) AS bin,
+         |        COALESCE(b1.n, 0) AS n_base, COALESCE(b2.n, 0) AS n_cur
+         |      FROM b1 FULL JOIN b2 ON b1.bin = b2.bin),
+         |t AS (SELECT bin, n_base / (SELECT SUM(n_base) FROM j) AS p1,
+         |        n_cur / (SELECT SUM(n_cur) FROM j) AS p2 FROM j),
+         |rws AS (SELECT bin, p1, p2,
+         |          (GREATEST(p2, 1e-6) - GREATEST(p1, 1e-6)) *
+         |            LN(GREATEST(p2, 1e-6) / GREATEST(p1, 1e-6)) AS psi
+         |        FROM t)
+         |SELECT bin, ROUND(p1, 6) AS share_base, ROUND(p2, 6) AS share_cur,
+         |  ROUND(psi, 6) AS psi FROM rws
+         |UNION ALL
+         |SELECT -1, 1.0, 1.0, ROUND(SUM(psi), 6) FROM rws
+         |ORDER BY bin""".stripMargin
+    },
     "curation_snapshot_diff" ->
       """WITH h1 AS (SELECT doc_id, md5(text) AS h FROM documents),
         |h2 AS (

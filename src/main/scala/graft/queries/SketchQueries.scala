@@ -49,6 +49,16 @@ object SketchQueries {
     "prof_quantile_bins" -> { (s, dir) =>
       Sketches.quantileBins(docs(s, dir), "lang", "n_chars").orderBy("lang", "bin")
     },
+    // outlier-insensitive doc-length profile per language: median/MAD/p5/p95 and
+    // the 5-95% winsorized mean (exact interior-sum closed form)
+    "prof_robust_stats" -> { (s, dir) =>
+      graft.metrics.Profile.robustStats(docs(s, dir), col("lang"), col("n_chars"))
+        .select(col("grp").as("lang"), col("n"),
+          round(col("median"), 6).as("median"), round(col("mad"), 6).as("mad"),
+          round(col("p05"), 6).as("p05"), round(col("p95"), 6).as("p95"),
+          round(col("winsorized_mean"), 6).as("winsorized_mean"))
+        .orderBy("lang")
+    },
     // the same HLL registers maintained by a STREAMING max-aggregation over the
     // ingest stream — monotone state, lands on exactly the batch register table
     "stream_hll_distinct" -> { (s, dir) =>
@@ -241,7 +251,29 @@ object SketchQueries {
        |  cnt::BIGINT AS n_tokens_fit
        |FROM s""".stripMargin
 
+  private val robustStatsSql =
+    """WITH s AS (
+      |  SELECT lang, COUNT(*) AS n,
+      |    quantile_cont(n_chars, 0.5) AS median,
+      |    quantile_cont(n_chars, 0.05) AS p05,
+      |    quantile_cont(n_chars, 0.95) AS p95
+      |  FROM documents GROUP BY 1
+      |), m AS (
+      |  SELECT d.lang,
+      |    quantile_cont(abs(d.n_chars - s.median), 0.5) AS mad,
+      |    SUM(CASE WHEN d.n_chars >= s.p05 AND d.n_chars <= s.p95
+      |             THEN d.n_chars ELSE 0 END) AS s_mid,
+      |    SUM(CASE WHEN d.n_chars < s.p05 THEN 1 ELSE 0 END) AS n_low,
+      |    SUM(CASE WHEN d.n_chars > s.p95 THEN 1 ELSE 0 END) AS n_high
+      |  FROM documents d JOIN s USING (lang) GROUP BY 1
+      |)
+      |SELECT s.lang, s.n, ROUND(s.median, 6) AS median, ROUND(m.mad, 6) AS mad,
+      |  ROUND(s.p05, 6) AS p05, ROUND(s.p95, 6) AS p95,
+      |  ROUND((m.s_mid + m.n_low * s.p05 + m.n_high * s.p95) / s.n, 6) AS winsorized_mean
+      |FROM s JOIN m USING (lang) ORDER BY lang""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "prof_robust_stats" -> robustStatsSql,
     "sketch_hll_distinct" -> hllSql,
     "sketch_cms_heavy" -> cmsSql,
     "prof_quantile_bins" -> quantileBinsSql,

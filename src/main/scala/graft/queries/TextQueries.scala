@@ -640,6 +640,36 @@ object TextQueries {
       Pq.topK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5, ivf, pq)
         .orderBy("query_id", "rank")
     },
+    "mm_cdc_dedup" -> { (s, dir) =>
+      // blob-level dedup over opaque binary payloads: gear-hash content-defined
+      // chunks resynchronize after the planted near-copies' appended-token edit,
+      // so orig and copy share almost all chunk hashes via a plain equi-join —
+      // the multimodal sibling of minhash dedup (no per-pair comparison, the
+      // chunk-hash join IS the candidate generator). Rolling-hash scans have no
+      // SQL form; the expression is property-pinned in ExpressionsSpec.
+      // payload = text ×4 so each blob spans many chunks; the copy's appended
+      // token then recurs as FOUR interior edits, and CDC resyncs after each
+      val corpus = plantedCorpus(s, dir)
+        .withColumn("payload", repeat(col("text"), 4).cast("binary"))
+      val chunks = corpus.select(col("doc_id"),
+          explode(graft.functions.cdc_chunks(col("payload"), 8, 5, 128)).as("c"))
+        .select(col("doc_id"), col("c.hash").as("hash"))
+        .distinct()
+      val orig = chunks.filter(col("doc_id") < 100000 && col("doc_id") % 11 === 0)
+      val copy = chunks.filter(col("doc_id") >= 200000)
+        .withColumn("doc_id", col("doc_id") - 200000)
+      val no = orig.groupBy("doc_id").agg(count(lit(1)).as("n_orig"))
+      val nc = copy.groupBy("doc_id").agg(count(lit(1)).as("n_copy"))
+      val shared = orig.join(copy, Seq("doc_id", "hash"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      no.join(nc, "doc_id").join(shared, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_orig"), col("n_copy"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          round(coalesce(col("n_shared"), lit(0L)) /
+            (col("n_orig") + col("n_copy") - coalesce(col("n_shared"), lit(0L))), 6)
+            .as("chunk_jaccard"))
+        .orderBy("doc_id")
+    },
     "mm_binary_meta" -> { (s, dir) =>
       Multimodal.extractMeta(
           docs(s, dir).withColumn("payload", col("text").cast("binary")),

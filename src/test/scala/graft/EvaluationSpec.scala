@@ -121,6 +121,58 @@ class EvaluationSpec extends SparkSpec {
     assert(math.abs(s.getAs[Double]("bcubed_recall") - 2.0 / 3.0) < 1e-12)
   }
 
+  // ---- psiDrift -------------------------------------------------------------
+
+  test("psiDrift: identical distributions give zero PSI in every bin") {
+    val df = Seq(0.05, 0.15, 0.15, 0.85, 0.95).toDF("s")
+    val rows = graft.metrics.Evaluation.psiDrift(df, df, col("s")).collect()
+    assert(rows.forall(_.getAs[Double]("psi") === 0.0))
+  }
+
+  test("psiDrift: a shifted distribution yields positive total PSI; total = Σ bins") {
+    val base = (Seq.fill(80)(0.25) ++ Seq.fill(20)(0.75)).toDF("s")
+    val cur = (Seq.fill(20)(0.25) ++ Seq.fill(80)(0.75)).toDF("s")
+    val rows = graft.metrics.Evaluation.psiDrift(base, cur, col("s")).collect()
+      .map(r => r.getAs[Int]("bin") -> r.getAs[Double]("psi")).toMap
+    // classic PSI for (0.8,0.2) → (0.2,0.8): 2 · 0.6·ln(4) ≈ 1.664
+    assert(math.abs(rows(-1) - 2 * 0.6 * math.log(4.0)) < 1e-9)
+    assert(math.abs(rows(-1) - (rows(2) + rows(7))) < 1e-12)
+  }
+
+  test("psiDrift: a bin empty on one side contributes a finite clamped term") {
+    val base = Seq.fill(10)(0.15).toDF("s")
+    val cur = (Seq.fill(9)(0.15) :+ 0.95).toDF("s")
+    val rows = graft.metrics.Evaluation.psiDrift(base, cur, col("s")).collect()
+      .map(r => r.getAs[Int]("bin") -> r.getAs[Double]("psi")).toMap
+    // bin 9: base share clamps to 1e-6, cur share 0.1 → (0.1−1e-6)·ln(1e5)
+    assert(math.abs(rows(9) - (0.1 - 1e-6) * math.log(0.1 / 1e-6)) < 1e-9)
+    assert(rows(-1) > 0 && !rows(-1).isInfinite)
+  }
+
+  // ---- robustStats ----------------------------------------------------------
+
+  test("robustStats: hand-computed median/MAD/winsorized mean; outlier-insensitive") {
+    // group g: values 1..9 plus outlier 1000 → median 5.5, p05 = 1.45, p95 = 549.55
+    val df = ((1 to 9).map(v => ("g", v.toLong)) :+ (("g", 1000L))).toDF("k", "v")
+    val r = graft.metrics.Profile.robustStats(df, col("k"), col("v")).first()
+    assert(r.getAs[Double]("median") === 5.5)
+    // |v−5.5| sorted: 0.5,0.5,1.5,1.5,2.5,2.5,3.5,3.5,4.5,994.5 → median 2.5
+    assert(r.getAs[Double]("mad") === 2.5)
+    // winsorized mean stays near the data body, far below the raw mean (104.5)
+    val wm = r.getAs[Double]("winsorized_mean")
+    assert(wm < 60.0, s"winsorized mean $wm should be outlier-damped")
+    // exact closed form: interior sum (2..9 = 44) + 1·p05 + 1·p95 over 10
+    val p05 = r.getAs[Double]("p05"); val p95 = r.getAs[Double]("p95")
+    assert(wm === (44.0 + p05 + p95) / 10.0)
+  }
+
+  test("robustStats rejects non-integral value columns (exact-sum contract)") {
+    val df = Seq(("g", 1.5)).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      graft.metrics.Profile.robustStats(df, col("k"), col("v"))
+    }
+  }
+
   // ---- retrievalEval --------------------------------------------------------
 
   test("retrievalEval: hand-computed NDCG/RR/P@k on a 1-query fixture") {

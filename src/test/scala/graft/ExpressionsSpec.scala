@@ -248,4 +248,68 @@ class ExpressionsSpec extends SparkSpec {
     // v=(0,5): v·(1,-1)=-5≤0; v·(-1,1)=5>0 → bit 1 ⇒ signature 2
     assert(rows(1).getSeq[Int](2) === Seq(2))
   }
+
+  private def cdcOf(bytes: Array[Byte], minS: Int = 16, bits: Int = 6, maxS: Int = 256)
+      : Seq[(Int, Int, Long)] = {
+    import graft.functions.cdc_chunks
+    val df = Seq(Tuple1(bytes)).toDF("b")
+      .select(explode(cdc_chunks($"b", minS, bits, maxS)).as("c"))
+      .select($"c.offset", $"c.length", $"c.hash")
+    df.collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+  }
+
+  private def pseudoBytes(n: Int, seed: Int): Array[Byte] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(n)(rnd.nextInt(256).toByte)
+  }
+
+  test("cdc_chunks: chunks partition the payload and respect min/max bounds") {
+    val data = pseudoBytes(4096, 11)
+    val chunks = cdcOf(data)
+    // contiguous exact cover
+    assert(chunks.head._1 === 0)
+    chunks.sliding(2).foreach { case Seq(a, b) => assert(b._1 === a._1 + a._2); case _ => }
+    assert(chunks.map(_._2).sum === data.length)
+    // every chunk but the final partial one within [min, max]
+    chunks.init.foreach { c => assert(c._2 >= 16 && c._2 <= 256, s"chunk $c") }
+    assert(chunks.last._2 <= 256)
+    // average near minSize + 2^avgBits = 80: expect several chunks, not one giant
+    assert(chunks.length >= 4096 / 256)
+    // identical content → identical chunking (determinism)
+    assert(cdcOf(data) === chunks)
+  }
+
+  test("cdc_chunks: boundaries resynchronize after a local edit (the CDC property)") {
+    val base = pseudoBytes(4096, 23)
+    // insert 3 bytes near the front — a fixed-size chunker would shift EVERY block
+    val edited = (base.take(100) ++ Array[Byte](1, 2, 3) ++ base.drop(100))
+    val a = cdcOf(base).map(_._3)
+    val b = cdcOf(edited).map(_._3)
+    val shared = a.toSet.intersect(b.toSet).size.toDouble
+    assert(shared / a.size >= 0.8,
+      s"only ${shared.toInt}/${a.size} chunk hashes survived a 3-byte insert")
+    // and the tail (beyond resync) is hash-identical in order
+    assert(a.takeRight(3) === b.takeRight(3))
+  }
+
+  test("cdc_chunks: empty payload chunks to nothing; avgBits scales chunk count") {
+    assert(cdcOf(Array.emptyByteArray) === Seq.empty)
+    val data = pseudoBytes(8192, 5)
+    val fine = cdcOf(data, 8, 4, 256).length    // expected ≈ 8 + 16 byte chunks
+    val coarse = cdcOf(data, 8, 9, 4096).length // expected ≈ 8 + 512
+    assert(fine > coarse, s"fine=$fine coarse=$coarse")
+  }
+
+  test("cdc_chunks registers in SQL and matches the facade") {
+    GraftExtensions.register(spark)
+    val df = Seq(Tuple1("hello world hello world".getBytes("UTF-8"))).toDF("b")
+    df.createOrReplaceTempView("cdc_t")
+    val viaSql = spark.sql(
+      "SELECT c.hash AS h FROM (SELECT explode(cdc_chunks(b, 4, 3, 64)) AS c FROM cdc_t)")
+      .collect().map(_.getLong(0)).toSeq
+    import graft.functions.cdc_chunks
+    val viaFacade = df.select(explode(cdc_chunks($"b", 4, 3, 64)).as("c"))
+      .select($"c.hash").collect().map(_.getLong(0)).toSeq
+    assert(viaSql === viaFacade && viaSql.nonEmpty)
+  }
 }
