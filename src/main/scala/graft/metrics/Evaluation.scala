@@ -43,8 +43,19 @@ object Evaluation {
         sum(col("y")).as("pos"),
         sum(round((col("s") - col("y")) * (col("s") - col("y")) * 1e6)
           .cast("long")).as("bsum"))
-      .withColumn("_bucket",
-        least(floor(col("s") * 1024), lit(1023.0)).cast("int"))
+    rocAucFromCounts(groups)
+  }
+
+  /** The same evaluation computed from pre-aggregated per-distinct-score groups
+    * `(s, cnt, pos, bsum)` — the shape a STREAMING aggregation maintains (see
+    * `StreamOps.streamingAucBins`), so a live monitor derives AUC/Brier from its
+    * bounded state table without revisiting the feed. `bsum` is the per-group sum
+    * of `round((s−y)²·1e6)` as a long (from counts of a rounded score:
+    * `pos·round((s−1)²·1e6) + (cnt−pos)·round(s²·1e6)`).
+    */
+  def rocAucFromCounts(groups0: DataFrame): DataFrame = {
+    val groups = groups0.withColumn("_bucket",
+      least(floor(col("s") * 1024), lit(1023.0)).cast("int"))
     // bounded: ≤1024 rows; cumulative count strictly below each bucket
     val counts = groups.groupBy("_bucket").agg(sum("cnt").as("n"))
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).sortBy(_._1)

@@ -98,6 +98,25 @@ object MlQueries {
           round(col("mean_p"), 6).as("mean_p"), round(col("frac_pos"), 6).as("frac_pos"))
         .orderBy("bin")
     },
+    "stream_auc" -> { (s, dir) =>
+      // the SAME evaluation maintained against a document FEED: a streaming
+      // aggregation holds (n, n_pos) per 3dp-rounded-score bin (≤1001 rows of
+      // state), and AUC/Brier are closed forms over that state — the DuckDB
+      // oracle replays the batch equivalent on the same rounded score
+      val bins = graft.streaming.StreamOps.streamingAucBins(s,
+        s"$dir/documents.parquet",
+        t => QualityClassifier.score(QualityClassifier.textFeatures(t), ScoreWeights),
+        t => (TextOps.qualityScore(t) >= 0.54).cast("double"))
+      val groups = bins.select(col("s"),
+        col("n").cast("double").as("cnt"),
+        col("n_pos").cast("double").as("pos"),
+        (col("n_pos") * round((col("s") - 1.0) * (col("s") - 1.0) * 1e6).cast("long") +
+          (col("n") - col("n_pos")) * round(col("s") * col("s") * 1e6).cast("long"))
+          .as("bsum"))
+      Evaluation.rocAucFromCounts(groups)
+        .select(round(col("auc"), 6).as("auc"), round(col("brier_e6"), 6).as("brier"),
+          col("n_pos"), col("n_neg"))
+    },
     "ml_quality_train" -> { (s, dir) =>
       // distill the rule-based quality score into a logistic model (the label is a
       // linear threshold over the features, so IRLS separates it) — iterative Newton
@@ -158,6 +177,28 @@ object MlQueries {
          |  SELECT p AS sv, COUNT(*)::DOUBLE AS cnt, SUM(y) AS pos,
          |    SUM(CAST(ROUND((p - y) * (p - y) * 1e6) AS BIGINT)) AS bsum
          |  FROM s GROUP BY p
+         |), r AS (
+         |  SELECT *, COALESCE(SUM(cnt) OVER (
+         |    ORDER BY sv ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |  FROM g
+         |), a AS (
+         |  SELECT SUM(pos) AS np, SUM(cnt - pos) AS nn,
+         |    SUM(pos * (cum_before + (cnt + 1.0) / 2.0)) AS rank_pos,
+         |    SUM(bsum) AS bsum, SUM(cnt) AS n
+         |  FROM r
+         |)
+         |SELECT ROUND((rank_pos - np * (np + 1.0) / 2.0) / (np * nn), 6) AS auc,
+         |  ROUND(bsum / 1e6 / n, 6) AS brier,
+         |  CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg
+         |FROM a""".stripMargin,
+    "stream_auc" ->
+      s"""$scoredCte,
+         |g AS (
+         |  SELECT ROUND(p, 3) AS sv, COUNT(*)::DOUBLE AS cnt, SUM(y) AS pos,
+         |    SUM(y) * CAST(ROUND((ROUND(p, 3) - 1.0) * (ROUND(p, 3) - 1.0) * 1e6) AS BIGINT)
+         |      + (COUNT(*) - SUM(y)) * CAST(ROUND(ROUND(p, 3) * ROUND(p, 3) * 1e6) AS BIGINT)
+         |      AS bsum
+         |  FROM s GROUP BY ROUND(p, 3)
          |), r AS (
          |  SELECT *, COALESCE(SUM(cnt) OVER (
          |    ORDER BY sv ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before

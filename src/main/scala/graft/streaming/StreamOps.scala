@@ -563,6 +563,28 @@ object StreamOps {
     * (2048 cells at 4×512) whatever the stream volume. Returns the final cell
     * table; probe it with [[graft.metrics.Sketches.cmsEstimate]].
     */
+  /** Streaming evaluation-state maintenance for a live quality gate: per
+    * 3dp-ROUNDED-score bin, running (n, n_pos) counts under one streaming
+    * aggregation — AUC (midranks), Brier, and calibration are all closed forms
+    * over this table (`Evaluation.rocAucFromCounts`), so the monitor's state is
+    * ≤ 1001 bins whatever the feed volume, and the metric never revisits the
+    * stream. Counts only grow, so in update mode the last emission per bin is the
+    * final value. `score`/`label` must be row-local column functions of the feed.
+    */
+  def streamingAucBins(
+      spark: SparkSession,
+      docsPath: String,
+      score: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      label: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
+    val scored = fileStream(spark, docsPath).select(
+      round(score(col("text")), 3).as("s"),
+      label(col("text")).cast("long").as("y"))
+    val bins = scored.groupBy("s")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+    driveToMemory(bins, "update", "stream_auc", statePartitions = Some(4))
+      .groupBy("s").agg(max(col("n")).as("n"), max(col("n_pos")).as("n_pos"))
+  }
+
   def streamingCmsCells(spark: SparkSession, docsPath: String,
       depth: Int, width: Int): DataFrame = {
     import graft.metrics.Sketches

@@ -121,6 +121,25 @@ class EvaluationSpec extends SparkSpec {
     assert(math.abs(s.getAs[Double]("bcubed_recall") - 2.0 / 3.0) < 1e-12)
   }
 
+  test("streaming AUC bins reproduce the batch evaluation cell-exactly (sf0.001)") {
+    import graft.textops.{QualityClassifier, TextOps}
+    val weights = Array(-3.0, 1.0, -2.0, 4.0, 3.0, -2.0, -2.0, -2.0, -2.0)
+    val path = "/root/testdata/sf0.001/documents.parquet"
+    def scoreCol(t: org.apache.spark.sql.Column) =
+      QualityClassifier.score(QualityClassifier.textFeatures(t), weights)
+    def labelCol(t: org.apache.spark.sql.Column) =
+      (TextOps.qualityScore(t) >= 0.54).cast("double")
+    val streamed = graft.streaming.StreamOps
+      .streamingAucBins(spark, path, scoreCol, labelCol)
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val batch = spark.read.parquet(path)
+      .select(round(scoreCol(col("text")), 3).as("s"), labelCol(col("text")).as("y"))
+      .groupBy("s").agg(count(lit(1)).as("n"), sum("y").cast("long").as("n_pos"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(streamed === batch)
+    assert(streamed.map(_._2).sum === spark.read.parquet(path).count())
+  }
+
   // ---- psiDrift -------------------------------------------------------------
 
   test("psiDrift: identical distributions give zero PSI in every bin") {
