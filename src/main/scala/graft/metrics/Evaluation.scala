@@ -111,18 +111,31 @@ object Evaluation {
       df.select(score.cast("double").as("s"))
         .groupBy(least(floor(col("s") * nBins), lit(nBins - 1.0)).cast("int").as("bin"))
         .agg(count(lit(1)).cast("double").as(name))
-    val j = binned(base, "n_base")
-      .join(binned(current, "n_cur"), Seq("bin"), "full_outer")
+    psiFromBins(binned(base, "n_base"), binned(current, "n_cur"), minShare)
+  }
+
+  /** [[psiDrift]] from pre-aggregated per-bin counts `(bin, n_base)` /
+    * `(bin, n_cur)` — the shape a STREAMING aggregation maintains (see
+    * `StreamOps.streamingScoreDecileBins`), so a live drift alarm compares its
+    * bounded state table against a static baseline without revisiting the feed.
+    */
+  def psiFromBins(
+      baseBins: DataFrame,
+      curBins: DataFrame,
+      minShare: Double = 1e-6): DataFrame = {
+    val j = baseBins.join(curBins, Seq("bin"), "full_outer")
       .select(col("bin"),
         coalesce(col("n_base"), lit(0.0)).as("n_base"),
         coalesce(col("n_cur"), lit(0.0)).as("n_cur"))
-    // the windows run over the ≤nBins-row bin table, not the corpus
-    val w = Window.partitionBy(lit(1))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // side totals via one bounded 1-row collect (the bin table is ≤nBins rows;
+    // a constant-partition window here would be equivalent but plans noisier)
+    val tot = j.agg(sum("n_base"), sum("n_cur")).first()
+    require(!tot.isNullAt(0) && tot.getDouble(0) > 0 && tot.getDouble(1) > 0,
+      "psiFromBins: both sides need at least one scored row")
     def clamp(c: Column) = greatest(c, lit(minShare))
     val perBin = j
-      .withColumn("share_base", col("n_base") / sum("n_base").over(w))
-      .withColumn("share_cur", col("n_cur") / sum("n_cur").over(w))
+      .withColumn("share_base", col("n_base") / lit(tot.getDouble(0)))
+      .withColumn("share_cur", col("n_cur") / lit(tot.getDouble(1)))
       .withColumn("psi",
         (clamp(col("share_cur")) - clamp(col("share_base"))) *
           log(clamp(col("share_cur")) / clamp(col("share_base"))))

@@ -590,6 +590,44 @@ object CurationQueries {
           round(col("psi"), 6).as("psi"))
         .orderBy("bin")
     },
+    "stream_psi_drift" -> { (s, dir) =>
+      // the drift alarm LIVE: the v2 revision arrives as a stream, a streaming
+      // aggregation maintains its decile-bin counts (≤10 rows of state), and PSI
+      // against the static v1 baseline is a closed form over that state. The
+      // streamed bins equal the batch v2 bins (counts are linear), so the DuckDB
+      // oracle is the identical batch replay used by curation_psi_drift.
+      val scoreExpr = round(TextOps.qualityScore(col("text")), 6)
+      val curBins = graft.streaming.StreamOps.streamingScoreDecileBins(s,
+          s"$dir/documents.parquet",
+          df => df.filter(col("doc_id") % 13 =!= 0)
+            .withColumn("text", when(col("doc_id") % 17 === 0,
+              concat(col("text"), lit(" edited"))).otherwise(col("text")))
+            .unionByName(df.filter(col("doc_id") % 19 === 0)
+              .withColumn("doc_id", col("doc_id") + 300000)),
+          scoreExpr)
+        .select(col("bin"), col("n").cast("double").as("n_cur"))
+      val baseBins = docs(s, dir)
+        .select(least(floor(scoreExpr * 10), lit(9.0)).cast("int").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).cast("double").as("n_base"))
+      graft.metrics.Evaluation.psiFromBins(baseBins, curBins)
+        .select(col("bin"),
+          round(col("share_base"), 6).as("share_base"),
+          round(col("share_cur"), 6).as("share_cur"),
+          round(col("psi"), 6).as("psi"))
+        .orderBy("bin")
+    },
+    "curation_l_diversity" -> { (s, dir) =>
+      // l-diversity release gate alongside k-anonymity: a quasi-identifier group
+      // is releasable only when its SENSITIVE attribute (source) takes >= l
+      // distinct values — k rows are not enough if they all share one secret.
+      // One hash aggregation over the quasi key.
+      docs(s, dir)
+        .groupBy(col("lang"), floor(col("n_chars") / 100).cast("long").as("len_bucket"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("source")).as("n_sensitive"))
+        .withColumn("releasable", col("n_sensitive") >= 3)
+        .orderBy("lang", "len_bucket")
+    },
     "curation_pii_redact" -> { (s, dir) =>
       // plant deterministic emails + an IPv4 per doc (the corpus itself has none),
       // then count and redact them in one codegen'd regex scan
@@ -731,6 +769,40 @@ object CurationQueries {
        |  ORDER BY pair_count DESC, l, r LIMIT 1
        |)
        |SELECT 1 AS merge_rank, l AS "left", r AS "right", pair_count FROM top""".stripMargin
+  }
+
+  /** Shared by `curation_psi_drift` (batch v2) and `stream_psi_drift` (streamed
+    * v2): the streamed decile-bin counts equal the batch bins cell-for-cell, so
+    * one DuckDB replay checks both.
+    */
+  private lazy val psiDriftSql: String = {
+    val q = TextQueries.qualityExprSql
+    s"""WITH v1 AS (SELECT $q AS s FROM documents),
+       |v2src AS (
+       |  SELECT CASE WHEN doc_id % 17 = 0 THEN text || ' edited' ELSE text END AS text
+       |  FROM documents WHERE doc_id % 13 <> 0
+       |  UNION ALL
+       |  SELECT text FROM documents WHERE doc_id % 19 = 0
+       |),
+       |v2 AS (SELECT $q AS s FROM v2src),
+       |b1 AS (SELECT CAST(LEAST(FLOOR(s * 10), 9) AS INT) AS bin, COUNT(*)::DOUBLE AS n
+       |       FROM v1 GROUP BY 1),
+       |b2 AS (SELECT CAST(LEAST(FLOOR(s * 10), 9) AS INT) AS bin, COUNT(*)::DOUBLE AS n
+       |       FROM v2 GROUP BY 1),
+       |j AS (SELECT COALESCE(b1.bin, b2.bin) AS bin,
+       |        COALESCE(b1.n, 0) AS n_base, COALESCE(b2.n, 0) AS n_cur
+       |      FROM b1 FULL JOIN b2 ON b1.bin = b2.bin),
+       |t AS (SELECT bin, n_base / (SELECT SUM(n_base) FROM j) AS p1,
+       |        n_cur / (SELECT SUM(n_cur) FROM j) AS p2 FROM j),
+       |rws AS (SELECT bin, p1, p2,
+       |          (GREATEST(p2, 1e-6) - GREATEST(p1, 1e-6)) *
+       |            LN(GREATEST(p2, 1e-6) / GREATEST(p1, 1e-6)) AS psi
+       |        FROM t)
+       |SELECT bin, ROUND(p1, 6) AS share_base, ROUND(p2, 6) AS share_cur,
+       |  ROUND(psi, 6) AS psi FROM rws
+       |UNION ALL
+       |SELECT -1, 1.0, 1.0, ROUND(SUM(psi), 6) FROM rws
+       |ORDER BY bin""".stripMargin
   }
 
   val oracleSql: Map[String, String] = Map(
@@ -1320,35 +1392,14 @@ object CurationQueries {
         |SELECT lang, COUNT(*)::BIGINT AS n_rows, SUM(n_chars)::BIGINT AS val_sum
         |FROM m WHERE op IS NULL OR op <> 'D'
         |GROUP BY lang ORDER BY lang""".stripMargin,
-    "curation_psi_drift" -> {
-      val q = TextQueries.qualityExprSql
-      s"""WITH v1 AS (SELECT $q AS s FROM documents),
-         |v2src AS (
-         |  SELECT CASE WHEN doc_id % 17 = 0 THEN text || ' edited' ELSE text END AS text
-         |  FROM documents WHERE doc_id % 13 <> 0
-         |  UNION ALL
-         |  SELECT text FROM documents WHERE doc_id % 19 = 0
-         |),
-         |v2 AS (SELECT $q AS s FROM v2src),
-         |b1 AS (SELECT CAST(LEAST(FLOOR(s * 10), 9) AS INT) AS bin, COUNT(*)::DOUBLE AS n
-         |       FROM v1 GROUP BY 1),
-         |b2 AS (SELECT CAST(LEAST(FLOOR(s * 10), 9) AS INT) AS bin, COUNT(*)::DOUBLE AS n
-         |       FROM v2 GROUP BY 1),
-         |j AS (SELECT COALESCE(b1.bin, b2.bin) AS bin,
-         |        COALESCE(b1.n, 0) AS n_base, COALESCE(b2.n, 0) AS n_cur
-         |      FROM b1 FULL JOIN b2 ON b1.bin = b2.bin),
-         |t AS (SELECT bin, n_base / (SELECT SUM(n_base) FROM j) AS p1,
-         |        n_cur / (SELECT SUM(n_cur) FROM j) AS p2 FROM j),
-         |rws AS (SELECT bin, p1, p2,
-         |          (GREATEST(p2, 1e-6) - GREATEST(p1, 1e-6)) *
-         |            LN(GREATEST(p2, 1e-6) / GREATEST(p1, 1e-6)) AS psi
-         |        FROM t)
-         |SELECT bin, ROUND(p1, 6) AS share_base, ROUND(p2, 6) AS share_cur,
-         |  ROUND(psi, 6) AS psi FROM rws
-         |UNION ALL
-         |SELECT -1, 1.0, 1.0, ROUND(SUM(psi), 6) FROM rws
-         |ORDER BY bin""".stripMargin
-    },
+    "curation_psi_drift" -> psiDriftSql,
+    // streamed v2 bins are cell-for-cell the batch v2 bins — identical replay
+    "stream_psi_drift" -> psiDriftSql,
+    "curation_l_diversity" ->
+      """SELECT lang, CAST(FLOOR(n_chars / 100) AS BIGINT) AS len_bucket,
+        |  COUNT(*) AS n, COUNT(DISTINCT source) AS n_sensitive,
+        |  COUNT(DISTINCT source) >= 3 AS releasable
+        |FROM documents GROUP BY 1, 2 ORDER BY lang, len_bucket""".stripMargin,
     "curation_snapshot_diff" ->
       """WITH h1 AS (SELECT doc_id, md5(text) AS h FROM documents),
         |h2 AS (

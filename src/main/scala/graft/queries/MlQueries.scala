@@ -98,6 +98,21 @@ object MlQueries {
           round(col("mean_p"), 6).as("mean_p"), round(col("frac_pos"), 6).as("frac_pos"))
         .orderBy("bin")
     },
+    "ml_uncertainty_sample" -> { (s, dir) =>
+      // active-learning batch selection: the 20 documents the quality model is
+      // least sure about (smallest |p − 0.5|) — the rows a labeling budget buys
+      // first. Global top-k rides ONE TakeOrdered job (per-partition top-k +
+      // driver merge), never a global sort; ordering on the ROUNDED margin with
+      // doc_id tiebreak is engine-exact.
+      val scored = docs(s, dir).select(col("doc_id"),
+        round(QualityClassifier.score(
+          QualityClassifier.textFeatures(col("text")), ScoreWeights), 6).as("p"))
+      scored
+        .withColumn("margin", round(abs(col("p") - 0.5), 6))
+        .orderBy(col("margin"), col("doc_id"))
+        .limit(20)
+        .select("doc_id", "p", "margin")
+    },
     "stream_auc" -> { (s, dir) =>
       // the SAME evaluation maintained against a document FEED: a streaming
       // aggregation holds (n, n_pos) per 3dp-rounded-score bin (≤1001 rows of
@@ -191,6 +206,14 @@ object MlQueries {
          |  ROUND(bsum / 1e6 / n, 6) AS brier,
          |  CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg
          |FROM a""".stripMargin,
+    "ml_uncertainty_sample" -> {
+      val dot = ScoreWeights.zip(featSqls)
+        .map { case (w, f) => s"($w) * ($f)" }.mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, text, ${toksSql("text")} AS toks FROM documents),
+         |p AS (SELECT doc_id, ROUND(1.0 / (1.0 + exp(-($dot))), 6) AS p FROM t)
+         |SELECT doc_id, p, ROUND(ABS(p - 0.5), 6) AS margin FROM p
+         |ORDER BY margin, doc_id LIMIT 20""".stripMargin
+    },
     "stream_auc" ->
       s"""$scoredCte,
          |g AS (

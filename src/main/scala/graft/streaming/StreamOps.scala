@@ -585,6 +585,26 @@ object StreamOps {
       .groupBy("s").agg(max(col("n")).as("n"), max(col("n_pos")).as("n_pos"))
   }
 
+  /** Streaming drift-alarm state: running decile-bin counts of a row-local score
+    * over the (optionally `prep`-transformed) feed — `Evaluation.psiFromBins`
+    * compares this ≤`nBins`-row table against a static baseline for a live PSI
+    * alarm without revisiting the stream. Counts only grow; update mode's last
+    * emission per bin is the final count.
+    */
+  def streamingScoreDecileBins(
+      spark: SparkSession,
+      docsPath: String,
+      prep: DataFrame => DataFrame,
+      score: org.apache.spark.sql.Column,
+      nBins: Int = 10): DataFrame = {
+    val src = prep(fileStream(spark, docsPath))
+    val bins = src
+      .select(least(floor(score * nBins), lit(nBins - 1.0)).cast("int").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+    driveToMemory(bins, "update", "stream_psi", statePartitions = Some(4))
+      .groupBy("bin").agg(max(col("n")).as("n"))
+  }
+
   def streamingCmsCells(spark: SparkSession, docsPath: String,
       depth: Int, width: Int): DataFrame = {
     import graft.metrics.Sketches
