@@ -113,7 +113,17 @@ object FellegiSunter {
     * not #pairs.
     */
   def mutualBestPairs(scored: DataFrame, threshold: Double): DataFrame = {
-    val e = scored.filter(col("match_probability") >= threshold)
+    import graft.util.Caching.CacheSyntax
+    // persist the NARROW scored projection BEFORE the filter/round collapse:
+    // letting Catalyst fold the threshold filter and the rounded weight into the
+    // scorer's projection re-inlines the gamma similarity ladders per reference
+    // (the bayesFactor trap), and the union below would pay everything twice —
+    // measured 22 s → 4 s at sf0.1 on nation-blocked customer
+    val e0 = scored
+      .select(col("uid_l"), col("uid_r"),
+        col("match_weight"), col("match_probability"))
+      .scopedPersist()
+    val e = e0.filter(col("match_probability") >= threshold)
       .select(col("uid_l"), col("uid_r"), round(col("match_weight"), 6).as("mw"))
     val sym = e.select(col("uid_l").as("src"), col("uid_r").as("dst"), col("mw"))
       .unionByName(e.select(col("uid_r").as("src"), col("uid_l").as("dst"), col("mw")))
