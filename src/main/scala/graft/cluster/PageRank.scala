@@ -19,17 +19,20 @@ import org.apache.spark.sql.functions._
   * contribution sum, map-side combined) — the same shuffle pattern GraphX/Pregel
   * lowers to, declared relationally so AQE handles skewed hubs; the dangling mass
   * is a 1-row aggregate per iteration (the bounded driver boundary every published
-  * PageRank has); lineage is truncated by rotating localCheckpoints every
-  * `checkpointEvery` iterations (unbounded iterative DAGs are the classic driver
-  * OOM). Multi-edges are honored (u→v twice contributes twice, deg counts both).
+  * PageRank has); the rank vector is materialized (rotating localCheckpoint) EVERY
+  * iteration — it is N rows, trivially cheap — because the lazy subtree of iteration
+  * t is referenced twice by iteration t+1 (the dangling-mass branch and the
+  * contribution branch), so an un-materialized chain re-evaluates prior iterations
+  * exponentially between rotations. Rotation also truncates lineage (unbounded
+  * iterative DAGs are the classic driver OOM). Multi-edges are honored (u→v twice
+  * contributes twice, deg counts both).
   */
 object PageRank {
 
   def pageRank(
       edges: DataFrame,
       damping: Double = 0.85,
-      iters: Int = 10,
-      checkpointEvery: Int = 3): DataFrame = {
+      iters: Int = 10): DataFrame = {
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val spark = edges.sparkSession
@@ -49,9 +52,8 @@ object PageRank {
         .join(outDeg, ranks("node") === outDeg("src"), "left")
         .select(col("node"), col("rank"), col("deg"))
       // dangling mass stays a LAZY broadcast 1-row aggregate (equi-joined on a
-      // constant key → BroadcastHashJoin): a driver collect here would force one
-      // job per iteration, tripling wall time vs materializing only at the
-      // checkpoint cadence
+      // constant key → BroadcastHashJoin): ranks is materialized below, so both
+      // this branch and the contribution branch read the same checkpointed blocks
       val dangling = withDeg.filter(col("deg").isNull)
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("_dmass"))
         .withColumn("_k", lit(1))
@@ -65,7 +67,7 @@ object PageRank {
         .select(col("node"),
           (lit((1.0 - damping) / n) + lit(damping) *
             (coalesce(col("contrib"), lit(0.0)) + col("_dmass") / n)).as("rank"))
-      if (i % checkpointEvery == 0 || i == iters) ranks = tracker.rotate(ranks)
+      ranks = tracker.rotate(ranks)
     }
     // the final rotate materialized the result; freeing its blocks is the caller's
     // GC concern — ranks is now a plain checkpointed DataFrame

@@ -54,8 +54,13 @@ object Evaluation {
     * `pos·round((s−1)²·1e6) + (cnt−pos)·round(s²·1e6)`).
     */
   def rocAucFromCounts(groups0: DataFrame): DataFrame = {
-    val groups = groups0.withColumn("_bucket",
-      least(floor(col("s") * 1024), lit(1023.0)).cast("int"))
+    // normalize numeric types here so callers can pass the natural long-typed
+    // counts a count aggregate produces (streamingAucBins state, ad-hoc groupBys)
+    val groups = groups0
+      .select(col("s").cast("double").as("s"), col("cnt").cast("double").as("cnt"),
+        col("pos").cast("double").as("pos"), col("bsum").cast("long").as("bsum"))
+      .withColumn("_bucket",
+        least(floor(col("s") * 1024), lit(1023.0)).cast("int"))
     // bounded: ≤1024 rows; cumulative count strictly below each bucket
     val counts = groups.groupBy("_bucket").agg(sum("cnt").as("n"))
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).sortBy(_._1)
@@ -77,8 +82,13 @@ object Evaluation {
         sum("bsum").as("bsum"),
         sum("cnt").as("n"))
       .select(
-        ((col("rank_pos") - col("np") * (col("np") + 1.0) / 2.0) /
-          (col("np") * col("nn"))).as("auc"),
+        // fail loudly on single-class input (the module's convention — psiFromBins
+        // requires both sides non-empty): a silent null auc reads as a missing
+        // metric downstream
+        when(col("np") === 0 || col("nn") === 0, raise_error(lit(
+          "rocAuc: input must contain both classes (n_pos > 0 and n_neg > 0)")))
+          .otherwise((col("rank_pos") - col("np") * (col("np") + 1.0) / 2.0) /
+            (col("np") * col("nn"))).as("auc"),
         (col("bsum") / 1e6 / col("n")).as("brier_e6"),
         col("np").cast("long").as("n_pos"),
         col("nn").cast("long").as("n_neg"))

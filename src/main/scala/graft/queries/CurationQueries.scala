@@ -765,7 +765,7 @@ object CurationQueries {
        |  SELECT s[i] AS l, s[i + 1] AS r, n
        |  FROM sy, unnest(range(1, len(s))) AS u(i)
        |), top AS (
-       |  SELECT l, r, SUM(n) AS pair_count FROM pairs GROUP BY l, r
+       |  SELECT l, r, SUM(n)::BIGINT AS pair_count FROM pairs GROUP BY l, r
        |  ORDER BY pair_count DESC, l, r LIMIT 1
        |)
        |SELECT 1 AS merge_rank, l AS "left", r AS "right", pair_count FROM top""".stripMargin

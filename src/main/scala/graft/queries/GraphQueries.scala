@@ -39,6 +39,14 @@ object GraphQueries {
         .select(col("node"), round(col("rank"), 6).as("rank"))
         .orderBy("node")
     },
+    // TWO chained power iterations — pins the loop control (damping + dangling
+    // redistribution ACROSS iterations) with a full DuckDB CTE replay, the
+    // j5_em_two_iter pattern
+    "graph_pagerank_two_iter" -> { (s, dir) =>
+      PageRank.pageRank(linkEdges(s, dir), damping = 0.85, iters = 2)
+        .select(col("node"), round(col("rank"), 6).as("rank"))
+        .orderBy("node")
+    },
     // converged authority scores (rows-only: iterative; GraphSpec pins the update
     // against a dense driver reference and the Σrank=1 invariant per iteration)
     "graph_pagerank" -> { (s, dir) =>
@@ -72,6 +80,48 @@ object GraphQueries {
       |CROSS JOIN nn CROSS JOIN dang
       |ORDER BY 1""".stripMargin
 
+  /** Two chained iterations: r1 kept at FULL precision (rounding only the final
+    * emitted r2, like the Spark side), each iteration re-deriving dangling mass and
+    * contributions from the previous vector.
+    */
+  private val twoIterSql =
+    """WITH p AS (SELECT COUNT(*) AS nd FROM documents),
+      |e AS (
+      |  SELECT 'd' || doc_id AS src, 'd' || ((doc_id * 7 + 1) % p.nd) AS dst
+      |  FROM documents, p WHERE doc_id % 11 <> 0
+      |  UNION ALL
+      |  SELECT 'd' || doc_id, 'd' || ((doc_id * 13 + 5) % p.nd)
+      |  FROM documents, p WHERE doc_id % 11 <> 0 AND doc_id % 2 = 0),
+      |nodes AS (SELECT DISTINCT node FROM
+      |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+      |nn AS (SELECT COUNT(*)::DOUBLE AS n FROM nodes),
+      |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
+      |r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+      |dang0 AS (SELECT COALESCE(SUM(r0.rank), 0.0) AS d FROM r0
+      |          LEFT JOIN deg ON deg.src = r0.node WHERE deg.deg IS NULL),
+      |contrib0 AS (
+      |  SELECT e.dst AS node, SUM(r0.rank / deg.deg) AS c
+      |  FROM e JOIN deg USING (src) JOIN r0 ON r0.node = e.src GROUP BY e.dst),
+      |r1 AS (
+      |  SELECT nodes.node AS node,
+      |    (1.0 - 0.85) / nn.n + 0.85 * (COALESCE(contrib0.c, 0.0) + dang0.d / nn.n)
+      |      AS rank
+      |  FROM nodes LEFT JOIN contrib0 ON contrib0.node = nodes.node
+      |  CROSS JOIN nn CROSS JOIN dang0),
+      |dang1 AS (SELECT COALESCE(SUM(r1.rank), 0.0) AS d FROM r1
+      |          LEFT JOIN deg ON deg.src = r1.node WHERE deg.deg IS NULL),
+      |contrib1 AS (
+      |  SELECT e.dst AS node, SUM(r1.rank / deg.deg) AS c
+      |  FROM e JOIN deg USING (src) JOIN r1 ON r1.node = e.src GROUP BY e.dst),
+      |r2 AS (
+      |  SELECT nodes.node AS node,
+      |    (1.0 - 0.85) / nn.n + 0.85 * (COALESCE(contrib1.c, 0.0) + dang1.d / nn.n)
+      |      AS rank
+      |  FROM nodes LEFT JOIN contrib1 ON contrib1.node = nodes.node
+      |  CROSS JOIN nn CROSS JOIN dang1)
+      |SELECT node, ROUND(rank, 6) AS rank FROM r2 ORDER BY 1""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
-    "graph_pagerank_one_iter" -> oneIterSql)
+    "graph_pagerank_one_iter" -> oneIterSql,
+    "graph_pagerank_two_iter" -> twoIterSql)
 }

@@ -33,6 +33,17 @@ object TextQueries {
     2 -> "stream batch filter sort",
     3 -> "customer query vector")
 
+  /** `mm_png_meta` fixtures: a real 5×3 grayscale PNG and a real 7×2 BMP (generated
+    * once with the JDK's own ImageIO writers, frozen as hex so the payload bytes
+    * are literal constants on both sides of the oracle), plus a non-image text
+    * payload that must take the deterministic stub path.
+    */
+  private val MmPngHex =
+    "89504e470d0a1a0a0000000d49484452000000050000000308000000007e5d9a240000001949444154785e636050f5ca9fc210ddb0f4d47b866db7813c00376b06ac364293c20000000049454e44ae426082"
+  private val MmBmpHex =
+    "424d66000000000000003600000028000000070000000200000001001800000000003000000000000000000000000000000000000000697a0098bc0fc7fe1ef6402e25833d54c54c83075c0000000000002f420f5e841e8dc62dbc083deb4a4c1a8d5b000000"
+  private val MmTextHex = "6e6f7420616e20696d616765207061796c6f6164" // "not an image payload"
+
   /** events.parquet has shipped with two physical `ts` types over time (long nanos
     * via the legacy conf, native timestamp[us]); the shared loader branches on the
     * schema and normalizes to TimestampType either way.
@@ -685,6 +696,18 @@ object TextQueries {
         .select(col("id"), col("width"), col("height"),
           length(col("payload")).as("out_len"), md5(col("payload")).as("payload_md5"))
         .orderBy("id")
+    },
+    "mm_png_meta" -> { (s, dir) =>
+      // REAL JDK header decode pinned end-to-end: constant PNG/BMP payloads with
+      // known true dimensions, plus a text payload exercising the stub fallback;
+      // the oracle carries the same hex literals with the dims as constants
+      import s.implicits._
+      val fixtures = Seq((0L, MmPngHex), (1L, MmBmpHex), (2L, MmTextHex))
+        .toDF("fid", "hex")
+      Multimodal.extractMeta(
+          fixtures.select(col("fid"), unhex(col("hex")).as("payload")),
+          "fid", "payload")
+        .toDF().orderBy("id")
     },
     "mm_frame_sample" -> { (s, dir) =>
       // flatMap batch shape: one row per sampled frame (every 2nd of the stub header's
@@ -1855,10 +1878,12 @@ object TextQueries {
          |                PARTITION BY query_id ORDER BY rel DESC, doc_id) AS irank
          |              FROM rel)
          |        WHERE irank <= 10 GROUP BY 1)
-         |SELECT p.query_id, ROUND(p.dcg / i.idcg, 6) AS ndcg,
+         |SELECT p.query_id,
+         |  ROUND(CASE WHEN i.idcg IS NULL OR i.idcg = 0 THEN 0.0
+         |             ELSE p.dcg / i.idcg END, 6) AS ndcg,
          |  ROUND(COALESCE(1.0 / p.first_rel, 0.0), 6) AS rr,
          |  ROUND(p.p_at_k, 6) AS p_at_k
-         |FROM perq p JOIN ide i USING (query_id) ORDER BY query_id""".stripMargin
+         |FROM perq p LEFT JOIN ide i USING (query_id) ORDER BY query_id""".stripMargin
     },
     "ep13_hard_negatives" ->
       s"""WITH ${bm25Ctes("bmcorpus AS (SELECT doc_id AS bid, text AS btext FROM documents)")},
@@ -2031,6 +2056,19 @@ object TextQueries {
         |    list_transform(range(1, blen + 1, keep::INT), i -> substr(text, i::INT, 1)),
         |    '')) AS payload_md5
         |FROM keepd ORDER BY id""".stripMargin,
+    "mm_png_meta" -> {
+      // DuckDB md5() only takes VARCHAR, so the digests of the three CONSTANT
+      // payloads are frozen literals (computed from the same hex); the dims are the
+      // known true PNG/BMP headers, row 2 the stub closed form (len 20, first 'n')
+      s"""WITH f(id, b, w, h, fr, m) AS (VALUES
+         |  (0, unhex('$MmPngHex'), 5, 3, 1, 'e79db52c2db12e3563e5d854b0f184f3'),
+         |  (1, unhex('$MmBmpHex'), 7, 2, 1, '18b1928a4f427b90dc366379faca5d8f'),
+         |  (2, unhex('$MmTextHex'), 52, 83, 3, 'a797617c52b610ca2ae047d24e27c183'))
+         |SELECT CAST(id AS BIGINT) AS id, octet_length(b) AS byte_len,
+         |  m AS content_md5, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+         |  CAST(fr AS INT) AS frames
+         |FROM f ORDER BY id""".stripMargin
+    },
     "mm_frame_sample" ->
       """WITH base AS (
         |  SELECT doc_id AS id, text, octet_length(encode(text)) AS blen,

@@ -496,9 +496,11 @@ object Curation {
     * with equality for the binding domain.
     *
     * Output: (domain, n_tokens, target_share, rate, expected_tokens). Fails loudly
-    * on a domain missing from `targets` (silently dropping or zero-weighting a
-    * domain would corrupt the mixture). One aggregation over the corpus, then a
-    * #domains-bounded reduction for N (the documented bounded driver boundary).
+    * in BOTH directions: on a corpus domain missing from `targets` (silently
+    * dropping or zero-weighting it would corrupt the mixture) and on a target
+    * domain with no corpus inventory (its share could never be filled, so every
+    * reported rate would be a lie). One aggregation over the corpus, then
+    * #domains-bounded driver reductions (the documented bounded boundary).
     */
   def mixtureWeights(
       df: DataFrame,
@@ -516,6 +518,16 @@ object Curation {
         when(col("target_share").isNull, raise_error(concat(
           lit("mixtureWeights: domain missing from targets: "), col("domain"))))
           .otherwise(col("target_share")))
+      .scopedPersist() // read 3× below (observed set, nMax, final select)
+    // symmetric fail-loud: a TARGET domain absent from the corpus is as corrupting
+    // as a corpus domain absent from targets — the solver would report rates whose
+    // realized mixture can never hit the documented shares (the missing domain's
+    // share stays unfilled). Bounded: the counts table is #domains-sized.
+    val observed = counts.select("domain").collect().map(_.getString(0)).toSet
+    val unfillable = targets.keySet -- observed
+    require(unfillable.isEmpty,
+      s"mixtureWeights: target domains with no corpus inventory: " +
+        unfillable.toSeq.sorted.mkString(", "))
     val nMax = counts
       .agg(min(col("n_tokens").cast("double") / col("target_share"))).first().getDouble(0)
     counts

@@ -6,10 +6,14 @@ import org.apache.spark.sql.functions._
 /** Multimodal column handling: media payloads ride through the pipeline as opaque
   * `binary` columns with typed metadata extracted by per-partition batch "decoders".
   *
-  * The decode step itself is a STUB — this container has no image/audio codecs — but
-  * deterministic, so the Spark-side plumbing (binary schema, mapPartitions batching,
-  * typed output Dataset, partition-parallel execution) is real and testable. Swap
-  * [[decodeStub]] for a JNI/codec call in production; everything around it stays.
+  * Metadata extraction is REAL for the formats the JDK ships codecs for
+  * ([[decodeHeader]]: PNG/JPEG/GIF/BMP via `javax.imageio` — header-only, the pixel
+  * data is never decompressed) and falls back to the deterministic [[decodeStub]]
+  * for payloads no reader recognizes, so non-media bytes still flow through the
+  * pipeline with stable fake dimensions. The pixel transforms (resize, frame
+  * extraction) remain STUBS — this container has no scaler/video codecs — but the
+  * Spark-side plumbing (binary schema, mapPartitions batching, once-per-partition
+  * decoder init, typed output Dataset) is the production contract.
   */
 object Multimodal {
 
@@ -33,8 +37,46 @@ object Multimodal {
     (width, height, frames)
   }
 
+  /** REAL header decode via the JDK's `javax.imageio` registry: sniffs the payload's
+    * magic bytes for a registered reader (PNG/JPEG/GIF/BMP/WBMP in a stock JDK) and
+    * reads width/height/frame-count FROM THE HEADER ONLY — `getWidth(0)` on an
+    * ImageReader parses the metadata blocks, it does not decompress pixel data, so
+    * this is safe to run over arbitrary-size payloads. Returns None (→ caller falls
+    * back to [[decodeStub]]) when no reader claims the bytes or the claimed header
+    * is malformed — a text payload that happens to start with a printable magic
+    * ("BM…") lands here deterministically, never half-decoded.
+    */
+  def decodeHeader(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (bytes.length < 8) return None
+    var stream: javax.imageio.stream.ImageInputStream = null
+    try {
+      // MemoryCacheImageInputStream: no ImageIO disk-cache tmp files on executors
+      stream = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(stream)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      try {
+        reader.setInput(stream, true, true)
+        val w = reader.getWidth(0)
+        val h = reader.getHeight(0)
+        // allowSearch: counts GIF frames by walking chunk headers (in-memory bytes,
+        // cheap); single-image formats report 1
+        val frames =
+          try { val k = reader.getNumImages(true); if (k >= 1) k else 1 }
+          catch { case scala.util.control.NonFatal(_) => 1 }
+        if (w > 0 && h > 0) Some((w, h, frames)) else None
+      } finally reader.dispose()
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally if (stream != null) {
+      try stream.close() catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
   /** Per-partition metadata extraction over a binary column: one decoder instance per
-    * partition (the expensive init a real codec would need), streaming rows through it.
+    * partition (the expensive init a real codec would need), streaming rows through
+    * it. Dimensions come from [[decodeHeader]] when a JDK codec recognizes the
+    * payload, else [[decodeStub]].
     */
   def extractMeta(df: DataFrame, idCol: String, binCol: String): Dataset[MediaMeta] = {
     val spark = df.sparkSession
@@ -50,7 +92,7 @@ object Multimodal {
           val d = digest.digest(bytes)
           val sb = new java.lang.StringBuilder(32)
           d.foreach { b => sb.append(hex((b >> 4) & 0xf)).append(hex(b & 0xf)) }
-          val (w, h, f) = decodeStub(bytes)
+          val (w, h, f) = decodeHeader(bytes).getOrElse(decodeStub(bytes))
           MediaMeta(id, bytes.length.toLong, sb.toString, w, h, f)
         }
       }

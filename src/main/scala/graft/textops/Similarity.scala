@@ -291,9 +291,12 @@ object Similarity {
     val ideal = qrels.withColumn("irank", row_number().over(wi))
       .filter(col("irank") <= k)
       .groupBy("query_id").agg(sum(gain(col("rel"), col("irank"))).as("idcg"))
-    perQ.join(ideal, "query_id")
+    // LEFT join: a query with no qrels rows (or only rel<=0 ones, idcg = 0) stays
+    // in the output with ndcg = 0.0 — dropping it would silently inflate averages
+    perQ.join(ideal, Seq("query_id"), "left")
       .select(col("query_id"),
-        (col("dcg") / col("idcg")).as("ndcg"),
+        when(col("idcg").isNull || col("idcg") === 0, lit(0.0))
+          .otherwise(col("dcg") / col("idcg")).as("ndcg"),
         coalesce(lit(1.0) / col("first_rel"), lit(0.0)).as("rr"),
         col("p_at_k"))
   }

@@ -717,6 +717,34 @@ class TextOpsSpec extends SparkSpec {
     assert(out.sortBy(_.id).toSeq === out2.sortBy(_.id).toSeq)
   }
 
+  test("multimodal header decode is REAL for JDK formats, stub otherwise") {
+    // round-trip a PNG and a BMP written by the JDK's own ImageIO: extractMeta
+    // must report the TRUE header dimensions, not the stub's length-derived fake
+    def writeImage(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, (x * 7919 + y * 104729) & 0xFFFFFF)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val png = writeImage("png", 23, 17)
+    val bmp = writeImage("bmp", 9, 4)
+    val txt = "definitely not an image".getBytes("UTF-8")
+    assert(Multimodal.decodeHeader(png) === Some((23, 17, 1)))
+    assert(Multimodal.decodeHeader(bmp) === Some((9, 4, 1)))
+    assert(Multimodal.decodeHeader(txt) === None)
+    // a malformed "BM" magic must fall back cleanly, never throw or half-decode
+    assert(Multimodal.decodeHeader("BMgarbage that is not a bitmap".getBytes) === None)
+    val d = Seq((1L, png), (2L, bmp), (3L, txt)).toDF("doc_id", "payload")
+    val metas = Multimodal.extractMeta(d, "doc_id", "payload")
+      .collect().sortBy(_.id)
+    assert((metas(0).width, metas(0).height, metas(0).frames) === ((23, 17, 1)))
+    assert((metas(1).width, metas(1).height, metas(1).frames) === ((9, 4, 1)))
+    val (sw, sh, sf) = Multimodal.decodeStub(txt)
+    assert((metas(2).width, metas(2).height, metas(2).frames) === ((sw, sh, sf)))
+  }
+
   test("duplicated n-gram coverage: copies score 1.0, short and unique docs 0.0") {
     val corpus = Seq(
       (1L, "a b c d"),   // bigrams: "a b","b c","c d" — all shared with doc 2
