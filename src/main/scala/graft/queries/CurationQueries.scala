@@ -382,6 +382,15 @@ object CurationQueries {
       Curation.unigramSeedCandidates(docs(s, dir), col("text"), maxPieceLen = 8)
         .orderBy(desc("weighted_count"), asc("piece")).limit(200)
     },
+    "curation_unigram_one_iter" -> { (s, dir) =>
+      // ONE EM iteration from the seeded vocabulary — the unigram trainer's loop
+      // body as a closed form (seed → init logprobs → Viterbi E-step → prune →
+      // Laplace M-step), DuckDB-replayed with a recursive-CTE Viterbi DP; the
+      // converged curation_unigram_lm below is the rows-only iterative sibling
+      Curation.trainUnigramLm(docs(s, dir), col("text"),
+          vocabSize = 500, seedSize = 4000, emIters = 1)
+        .orderBy("piece_rank")
+    },
     "curation_unigram_lm" -> { (s, dir) =>
       // unigram-LM training (rows-only: Viterbi-EM loop over the bounded word
       // vocab; the seed step above is the full-oracle slice, and CurationSpec pins
@@ -810,6 +819,66 @@ object CurationQueries {
     "curation_bpe_encode" -> bpeEncodeSql,
     // seed candidates: same substring explode (1-based substr, len-capped at 8)
     // over the word-count vocabulary, top-200 deterministic
+    // one unigram-EM iteration, replayed exactly: wc/cand/seed as in the seed
+    // oracle; Viterbi via a RECURSIVE CTE carrying each word's (best, back) DP
+    // arrays one position per step (candidate j preference: score DESC then
+    // smallest j — `strict >` in UnigramEncode.segment); backtrack is a second
+    // recursive CTE walking back-pointers; then prune-to-500 + singles and the
+    // Laplace M-step. LN/addition are single IEEE ops on both engines and the
+    // final logprob rounds to 6, so the replay is cell-exact. (The seed/kept
+    // "∪ singles" unions are spelled UNION ALL + GROUP BY: DuckDB 1.0's plain
+    // UNION fails to dedup across a recursive-CTE boundary in this query shape.)
+    "curation_unigram_one_iter" ->
+      s"""WITH RECURSIVE
+         |toks AS (SELECT unnest(${TextQueries.toksSql("text")}) AS w FROM documents),
+         |wc AS (SELECT w, COUNT(*) AS n FROM toks GROUP BY 1
+         |       ORDER BY n DESC, w LIMIT 100000),
+         |cand AS (
+         |  SELECT piece, SUM(n)::BIGINT AS c FROM (
+         |    SELECT unnest(flatten(list_transform(range(1, length(w) + 1),
+         |      i -> list_transform(range(1, least(8, length(w) - i + 1) + 1),
+         |        l -> substr(w, i::INT, l::INT))))) AS piece, n
+         |    FROM wc) GROUP BY piece),
+         |singles AS (SELECT piece FROM cand WHERE length(piece) = 1),
+         |seedtop AS (SELECT piece FROM cand ORDER BY c DESC, piece LIMIT 4000),
+         |seed AS (SELECT piece FROM (SELECT piece FROM seedtop
+         |         UNION ALL SELECT piece FROM singles) GROUP BY piece),
+         |seedc AS (SELECT seed.piece, cand.c FROM seed JOIN cand USING (piece)),
+         |stot AS (SELECT SUM(c)::DOUBLE AS t FROM seedc),
+         |probs0 AS (SELECT piece, LN(c / stot.t) AS lp FROM seedc, stot),
+         |v AS (
+         |  SELECT w, n, 0 AS t, [0.0] AS best, [0] AS back FROM wc
+         |  UNION ALL
+         |  SELECT v.w, v.n, v.t + 1, list_append(v.best, c.s), list_append(v.back, c.j)
+         |  FROM v, LATERAL (
+         |    SELECT s, j FROM (
+         |      SELECT v.best[cj.j + 1] + COALESCE(
+         |          (SELECT pr.lp FROM probs0 pr
+         |           WHERE pr.piece = substr(v.w, (cj.j + 1)::INT, (v.t + 1 - cj.j)::INT)),
+         |          CASE WHEN v.t + 1 - cj.j = 1 THEN -20.0 END) AS s, cj.j::INT AS j
+         |      FROM (SELECT unnest(range(greatest(0, v.t + 1 - 8), v.t + 1)) AS j) cj) cs
+         |    WHERE s IS NOT NULL ORDER BY s DESC, j LIMIT 1) c
+         |  WHERE v.t < length(v.w)
+         |),
+         |vf AS (SELECT w, n, back FROM v WHERE t = length(w)),
+         |bt AS (
+         |  SELECT w, n, length(w) AS k, back, CAST(NULL AS VARCHAR) AS piece FROM vf
+         |  UNION ALL
+         |  SELECT w, n, back[k + 1], back,
+         |    substr(w, (back[k + 1] + 1)::INT, (k - back[k + 1])::INT)
+         |  FROM bt WHERE k > 0
+         |),
+         |counts AS (SELECT piece, SUM(n)::BIGINT AS c FROM bt
+         |           WHERE piece IS NOT NULL GROUP BY piece),
+         |kept0 AS (SELECT piece FROM counts ORDER BY c DESC, piece LIMIT 500),
+         |kept AS (SELECT piece FROM (SELECT piece FROM kept0
+         |         UNION ALL SELECT piece FROM singles) GROUP BY piece),
+         |keptc AS (SELECT kept.piece, COALESCE(counts.c, 0) AS c
+         |          FROM kept LEFT JOIN counts USING (piece)),
+         |tot AS (SELECT SUM(c)::DOUBLE AS total, COUNT(*)::DOUBLE AS sz FROM keptc)
+         |SELECT piece, ROUND(LN((c + 1.0) / (tot.total + tot.sz)), 6) AS logprob,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY c DESC, piece) AS INT) AS piece_rank
+         |FROM keptc, tot ORDER BY piece_rank""".stripMargin,
     "curation_unigram_seed" ->
       s"""WITH toks AS (SELECT unnest(${TextQueries.toksSql("text")}) AS w FROM documents),
          |wc AS (SELECT w, COUNT(*) AS n FROM toks GROUP BY 1
