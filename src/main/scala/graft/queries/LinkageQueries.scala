@@ -172,6 +172,35 @@ object LinkageQueries {
         .select(col("uid"), col("cluster_id"))
         .orderBy("uid")
     },
+    "ep1_auto_link_one_trial" -> { (s, dir) =>
+      // ONE auto-link search trial with the EM stubbed by the fixed demo model:
+      // the only step of a trial with no SQL form is the EM fixpoint (pinned
+      // separately by j5_em_one_iter/j5_em_two_iter); everything else the loop
+      // does to SCORE a candidate — block → gammas → FS weights → threshold →
+      // connected components → IG-power-ratio metric over the trial clusters —
+      // replays in DuckDB below, so the search's trial-scoring path is fully
+      // oracle-checked (the trained ep1_auto_link stays rows-only).
+      import s.implicits._
+      import graft.metrics.EntropyMetrics
+      val df = withUid(cust(s, dir))
+      val attrs = demoSpecs.map(_.column)
+      val scored = FellegiSunter.predict(df, "uid", demoModel)
+      // the demo model's probability mass tops out well under 0.5 (see
+      // j7_threshold_sweep) — 0.01 is the sweep's operating band that yields a
+      // non-trivial cluster structure for the metric to score
+      val edges = scored.filter(col("match_probability") >= 0.01)
+        .select(col("uid_l").as("src"), col("uid_r").as("dst"))
+      val nEdges = edges.count()
+      val clusters = ConnectedComponents.assignClusters(df, "uid", edges)
+      val nonSingleton = clusters.groupBy("cluster_id")
+        .agg(count(lit(1)).as("sz")).filter(col("sz") > 1).count()
+      val u = EntropyMetrics.maxDistinct(df, attrs).toInt
+      val metric = EntropyMetrics.informationGainPowerRatio(clusters, attrs, u)
+      Seq((demoModel.blockingRules.head, demoModel.lambda, nEdges, nonSingleton,
+        BigDecimal(metric).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        .toDF("blocking_rule", "lambda", "n_edges", "n_matched_clusters",
+          "trial_metric")
+    },
     "j7_threshold_sweep" -> { (s, dir) =>
       // the reference's `best_clusters_at_threshold` loop (autolinker.py:1069-1094)
       // as a sweep: score ONCE (persisted — prediction is the expensive pass), then
@@ -616,6 +645,58 @@ object LinkageQueries {
          |             ELSE 0.0 END, 6) AS density
          |FROM nc LEFT JOIN ec USING (cluster_id)
          |ORDER BY cluster_id""".stripMargin,
+    "ep1_auto_link_one_trial" -> {
+      // predict + closure exactly as ep10_fs_cluster; the trial metric then
+      // replays informationGainPowerRatio over the CLOSURE-derived clusters
+      // (matched = records in clusters of size > 1; scaled base c = #non-singleton
+      // clusters, adjusted base u = maxDistinct over the full table; each
+      // I = Σ_cols whole-matched entropy − mean per-cluster entropy)
+      def whole(c: String, base: String) =
+        s"""((SELECT -COALESCE(SUM(p*LOG10(p)), 0.0) FROM (
+           |  SELECT COUNT(*)::DOUBLE/(SELECT COUNT(*) FROM matched) AS p
+           |  FROM matched GROUP BY $c)) / LOG10($base))""".stripMargin
+      def byCl(c: String, base: String) =
+        s"""((WITH pc AS (SELECT cluster_id, $c AS v, COUNT(*)::DOUBLE AS cc
+           |  FROM matched GROUP BY 1, 2),
+           |tot AS (SELECT cluster_id, SUM(cc) AS t FROM pc GROUP BY 1),
+           |e AS (SELECT pc.cluster_id, -SUM((cc/t)*LOG10(cc/t)) AS ent
+           |      FROM pc JOIN tot USING (cluster_id) GROUP BY 1)
+           |SELECT AVG(ent) FROM e) / LOG10($base))""".stripMargin
+      val cols = demoSpecs.map(_.column)
+      val cNum = "(SELECT COUNT(*)::DOUBLE FROM sz WHERE szc > 1)"
+      val uBase = cols
+        .map(c => s"(SELECT COUNT(DISTINCT $c) FROM customer)")
+        .mkString("GREATEST(", ", ", ")::DOUBLE")
+      val is = cols.map(c => s"(${whole(c, cNum)} - ${byCl(c, cNum)})").mkString(" + ")
+      val ia = cols.map(c => s"(${whole(c, uBase)} - ${byCl(c, uBase)})").mkString(" + ")
+      s"""${predictPairsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |m AS (
+         |  SELECT uid_l, uid_r FROM w
+         |  WHERE POWER(2.0, mw) / (1.0 + POWER(2.0, mw)) >= 0.01
+         |), edges AS (
+         |  SELECT uid_l AS ea, uid_r AS eb FROM m
+         |  UNION ALL
+         |  SELECT uid_r, uid_l FROM m
+         |), reach(node, r) AS (
+         |  SELECT uid, uid FROM b
+         |  UNION
+         |  SELECT e.eb, reach.r FROM reach JOIN edges e ON e.ea = reach.node
+         |), cl AS (
+         |  SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node
+         |), sz AS (
+         |  SELECT cluster_id, COUNT(*) AS szc FROM cl GROUP BY cluster_id
+         |), matched AS (
+         |  SELECT cl.cluster_id, b.c_name, b.c_mktsegment
+         |  FROM cl JOIN b ON b.uid = cl.node
+         |  JOIN sz ON sz.cluster_id = cl.cluster_id
+         |  WHERE sz.szc > 1
+         |)
+         |SELECT '${demoModel.blockingRules.head}' AS blocking_rule,
+         |  CAST($demoLambda AS DOUBLE) AS lambda,
+         |  (SELECT COUNT(*) FROM m) AS n_edges,
+         |  (SELECT COUNT(*) FROM sz WHERE szc > 1) AS n_matched_clusters,
+         |  ROUND(POWER($is, $ia), 6) AS trial_metric""".stripMargin
+    },
     "ep10_fs_cluster" ->
       // predictPairsCte yields w(uid_l, uid_r, mw); matches at UNROUNDED
       // probability ≥ 0.9 become symmetric edges, and the recursive closure
