@@ -21,11 +21,13 @@ import graft.train.Estimation
   * schema-match the columns, align, then block/train/predict across the tables only).
   *
   * Differences from the reference, by design:
-  *   - TPE-lite adaptive search instead of Hyperopt TPE: after a uniform warmup,
-  *     candidates are drawn by perturbing a trial sampled from the top quartile, with
-  *     a 30% uniform exploration floor — the same exploit-the-good-region idea with one
-  *     seeded RNG threaded through sampling, bucketing and the search so runs
-  *     reproduce (`searchStrategy = "random"` recovers pure random search);
+  *   - the default search is a NATIVE tree-structured Parzen estimator ([[Tpe]]),
+  *     the same algorithm the reference delegates to Hyperopt — after a uniform
+  *     warmup, good/bad Parzen densities over every dimension score a candidate
+  *     batch by the l/g expected-improvement ratio — with one seeded RNG threaded
+  *     through sampling, bucketing and the search so runs reproduce
+  *     (`searchStrategy = "adaptive"` keeps the earlier perturb-the-top-quartile
+  *     TPE-lite; `"random"` recovers pure random search);
   *   - no metastore temp tables to GC (Y15) — intermediates are DataFrames;
   *   - run log returned as a DataFrame instead of MLflow calls (Y19).
   *
@@ -81,7 +83,7 @@ object AutoLinker {
       ruleCombinationSize: Int = 1,
       maxOrSize: Int = 2,
       trueLabelCol: Option[String] = None,
-      searchStrategy: String = "adaptive"): Result = {
+      searchStrategy: String = "tpe"): Result = {
 
     val rnd = new Random(seed)
     val withId = Cleaning.withUniqueId(data, uidCol)
@@ -122,7 +124,7 @@ object AutoLinker {
       ruleCombinationSize: Int = 1,
       maxOrSize: Int = 2,
       trueLabelCol: Option[String] = None,
-      searchStrategy: String = "adaptive"): Result = {
+      searchStrategy: String = "tpe"): Result = {
 
     val rnd = new Random(seed)
     val lAttrs = leftAttributes.getOrElse(
@@ -183,10 +185,10 @@ object AutoLinker {
   }
 
   /** One parameter draw. Uniform during warmup or with `searchStrategy = "random"`;
-    * otherwise TPE-lite: with 70% probability perturb a trial sampled from the top
-    * quartile (thresholds jittered, 20% per-column metric re-draw, 30% rule re-draw),
-    * else draw uniformly — exploiting the good region while keeping an exploration
-    * floor, the same shape Hyperopt TPE gives the reference.
+    * `"tpe"` (the default — full Hyperopt-parity [[Tpe]] draw: Parzen good/bad
+    * densities + l/g-ratio acquisition over a candidate batch); `"adaptive"` keeps
+    * the round-5 TPE-lite (perturb a top-quartile parent with an exploration
+    * floor) for comparison runs.
     */
   private def drawParams(
       rnd: Random,
@@ -203,7 +205,15 @@ object AutoLinker {
       (attrs.map(uniformSpec), ruleChoices(rnd.nextInt(ruleChoices.size)))
 
     val warmup = 3
-    if (strategy != "adaptive" || past.size < warmup || rnd.nextDouble() < 0.3) uniform()
+    if (strategy == "random" || past.size < warmup) uniform()
+    else if (strategy == "tpe") {
+      // 10% uniform exploration floor: the l/g acquisition is pure exploitation
+      // and can permanently avoid a region whose only observations landed in the
+      // bad set — the floor bounds that regret (hyperopt gets the same effect
+      // from its annealed prior weight)
+      if (rnd.nextDouble() < 0.1) uniform() else Tpe.draw(rnd, attrs, ruleChoices, past)
+    } else if (strategy != "adaptive") uniform()
+    else if (rnd.nextDouble() < 0.3) uniform()
     else {
       val top = past.sortBy(-_.metric).take(math.max(1, past.size / 4 + 1))
       val parent = top(rnd.nextInt(top.size))

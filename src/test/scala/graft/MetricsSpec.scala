@@ -272,5 +272,8 @@ class MetricsSpec extends SparkSpec {
     val adaptive = run("adaptive")
     val random = run("random")
     assert(adaptive >= random - 1e-9, s"adaptive=$adaptive random=$random")
+    // the native TPE default must also hold its own against random at equal budget
+    val tpe = run("tpe")
+    assert(tpe >= random - 1e-9, s"tpe=$tpe random=$random")
   }
 }
