@@ -53,7 +53,40 @@ object GraphQueries {
       PageRank.pageRank(linkEdges(s, dir), damping = 0.85, iters = 10)
         .select(col("node"), round(col("rank"), 6).as("rank"))
         .orderBy("node")
+    },
+    // TWO synchronous label-propagation iterations — full oracle: iteration 1
+    // from identity labels degenerates to min-neighbor (all neighbor labels
+    // distinct → counts all 1 → smallest-label tiebreak), iteration 2 exercises
+    // the genuine frequency argmax; both replay as chained CTEs
+    "graph_lpa_two_iter" -> { (s, dir) =>
+      graft.cluster.LabelPropagation.run(linkEdges(s, dir), iters = 2)
+        .orderBy("node")
+    },
+    // converged communities (rows-only: iterative; GraphSpec pins the update on a
+    // planted two-clique fixture, partition validity, and partitioning invariance)
+    "graph_lpa" -> { (s, dir) =>
+      graft.cluster.LabelPropagation.run(linkEdges(s, dir), iters = 5)
+        .orderBy("node")
     })
+
+  private val lpaTwoIterSql =
+    """WITH p AS (SELECT COUNT(*) AS nd FROM documents),
+      |e0 AS (
+      |  SELECT 'd' || doc_id AS src, 'd' || ((doc_id * 7 + 1) % p.nd) AS dst
+      |  FROM documents, p WHERE doc_id % 11 <> 0
+      |  UNION ALL
+      |  SELECT 'd' || doc_id, 'd' || ((doc_id * 13 + 5) % p.nd)
+      |  FROM documents, p WHERE doc_id % 11 <> 0 AND doc_id % 2 = 0),
+      |sym AS (SELECT DISTINCT src, dst FROM
+      |  (SELECT src, dst FROM e0 WHERE src <> dst
+      |   UNION ALL SELECT dst, src FROM e0 WHERE src <> dst)),
+      |l1 AS (SELECT src AS node, MIN(dst) AS label FROM sym GROUP BY src),
+      |nl AS (SELECT sym.src AS node, l1.label, COUNT(*) AS n
+      |       FROM sym JOIN l1 ON l1.node = sym.dst GROUP BY 1, 2),
+      |bn AS (SELECT node, MAX(n) AS n FROM nl GROUP BY node),
+      |l2 AS (SELECT nl.node, MIN(nl.label) AS label
+      |       FROM nl JOIN bn ON bn.node = nl.node AND bn.n = nl.n GROUP BY 1)
+      |SELECT node, label FROM l2 ORDER BY node""".stripMargin
 
   private val oneIterSql =
     """WITH p AS (SELECT COUNT(*) AS nd FROM documents),
@@ -123,5 +156,6 @@ object GraphQueries {
 
   val oracleSql: Map[String, String] = Map(
     "graph_pagerank_one_iter" -> oneIterSql,
-    "graph_pagerank_two_iter" -> twoIterSql)
+    "graph_pagerank_two_iter" -> twoIterSql,
+    "graph_lpa_two_iter" -> lpaTwoIterSql)
 }

@@ -58,6 +58,43 @@ object SourceQueries {
           count_distinct(md5(col("text"))).as("n_unique"))
         .orderBy("lang")
     },
+    "src_orc_roundtrip" -> { (s, dir) =>
+      // ORC sink/source (the other columnar format Spark ships natively — common
+      // when the corpus flows through Hive-era infrastructure): write zlib ORC,
+      // read back, prove losslessness with the same on-disk content aggregate as
+      // the JSONL roundtrip (shared oracle)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val path = graft.util.Scratch.deleteOnExit(
+        s"${System.getProperty("java.io.tmpdir")}/graft_orc/$RunToken") + "/documents"
+      docs.write.mode("overwrite").option("compression", "zlib").orc(path)
+      val back = s.read.orc(path)
+      back.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("n_chars"),
+          count_distinct(md5(col("text"))).as("n_unique"))
+        .orderBy("lang")
+    },
+    "src_csv_roundtrip" -> { (s, dir) =>
+      // CSV with full quoting/escaping and multiLine read-back: the interchange
+      // format most external corpora arrive in; explicit schema on read (inference
+      // is a full extra pass at corpus scale), quotes cover embedded delimiters
+      // and newlines, and the content aggregate proves byte fidelity
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val path = graft.util.Scratch.deleteOnExit(
+        s"${System.getProperty("java.io.tmpdir")}/graft_csv/$RunToken") + "/documents"
+      docs.write.mode("overwrite")
+        .option("header", "true").option("quoteAll", "true")
+        .option("escape", "\"").option("compression", "gzip")
+        .csv(path)
+      val back = s.read.schema(docs.schema)
+        .option("header", "true").option("multiLine", "true").option("escape", "\"")
+        .csv(path)
+      back.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("n_chars"),
+          count_distinct(md5(col("text"))).as("n_unique"))
+        .orderBy("lang")
+    },
     "src_zorder_value" -> { (s, dir) =>
       // the Morton key itself: exact integer quantize + bit interleave, replayed
       // bit-for-bit by the oracle's rendered formula (only the int-div token differs)
@@ -94,6 +131,15 @@ object SourceQueries {
         .orderBy("layout")
     })
 
+  /** All three sink round-trips share one oracle over the PARQUET originals:
+    * equality proves the written format preserved every document byte-for-byte.
+    */
+  private val roundtripSql =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+      |  COUNT(DISTINCT md5(text)) AS n_unique
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "src_bucketed_join" ->
       """SELECT c_mktsegment,
@@ -103,11 +149,9 @@ object SourceQueries {
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     // the oracle reads the PARQUET originals: equality proves the JSONL round-trip
     // preserved every document byte-for-byte
-    "src_jsonl_roundtrip" ->
-      """SELECT lang, COUNT(*) AS n_docs,
-        |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
-        |  COUNT(DISTINCT md5(text)) AS n_unique
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "src_jsonl_roundtrip" -> roundtripSql,
+    "src_orc_roundtrip" -> roundtripSql,
+    "src_csv_roundtrip" -> roundtripSql,
     "src_zorder_value" ->
       s"""SELECT l_orderkey, l_linenumber,
          |  ${ZOrder.zvalSqlOracle("lineitem", Seq("l_partkey", "l_suppkey"), ZBits, "//")} AS zval

@@ -519,6 +519,16 @@ object TextQueries {
           round(col("rrf"), 6).as("rrf"))
         .orderBy("query_id", "rank")
     },
+    "sim_margin_bitext" -> { (s, dir) =>
+      // margin-based bitext mining (LASER/CCMatrix recipe): even vec_ids play the
+      // source language, odd the target; ratio margin ≥ 1 keeps pairs scoring
+      // better than an average neighbor, one best target per source
+      val e = emb(s, dir)
+      Similarity.marginBitext(
+          e.filter(col("vec_id") % 2 === 0), e.filter(col("vec_id") % 2 === 1),
+          "vec_id", "embedding", k = 4, threshold = 1.0)
+        .orderBy("src_id")
+    },
     "sim_mmr_rerank" -> { (s, dir) =>
       // MMR diversity re-rank (rows-only: the greedy selection is a sequential
       // per-query loop with no SQL form; pinned in TextOpsSpec against an
@@ -1994,6 +2004,38 @@ object TextQueries {
         |      FROM d)
         |SELECT vec_id, CAST(cid AS INT) AS centroid_id, ROUND(cos, 6) AS cosine
         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    "sim_margin_bitext" ->
+      // ratio margin replayed end-to-end: per-pair cosine ROUNDED to 6 before
+      // ranking/summing (mirrors bruteForceTopK), denominators = sum of each
+      // side's top-4 rounded cosines / 2k, final margin rounded before the
+      // threshold and the per-source (margin DESC, tgt ASC) pick
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings),
+        |n AS (SELECT vec_id,
+        |        list_transform(v0, x -> x / sqrt(list_inner_product(v0, v0))) AS v
+        |      FROM e),
+        |s AS (SELECT * FROM n WHERE vec_id % 2 = 0),
+        |t AS (SELECT * FROM n WHERE vec_id % 2 = 1),
+        |cm AS (SELECT s.vec_id AS x, t.vec_id AS y,
+        |         ROUND(list_inner_product(s.v, t.v), 6) AS c
+        |       FROM s, t),
+        |fwd AS (SELECT x, y, c,
+        |          ROW_NUMBER() OVER (PARTITION BY x ORDER BY c DESC, y) AS r FROM cm),
+        |bwd AS (SELECT x, y, c,
+        |          ROW_NUMBER() OVER (PARTITION BY y ORDER BY c DESC, x) AS r FROM cm),
+        |dx AS (SELECT x, SUM(c) / 8.0 AS dx FROM fwd WHERE r <= 4 GROUP BY x),
+        |dy AS (SELECT y, SUM(c) / 8.0 AS dy FROM bwd WHERE r <= 4 GROUP BY y),
+        |cand AS (SELECT x, y, MAX(c) AS c FROM (
+        |  SELECT x, y, c FROM fwd WHERE r <= 4
+        |  UNION ALL SELECT x, y, c FROM bwd WHERE r <= 4) GROUP BY x, y),
+        |m AS (SELECT cand.x, cand.y, cand.c,
+        |        ROUND(cand.c / (dx.dx + dy.dy), 6) AS margin
+        |      FROM cand JOIN dx USING (x) JOIN dy USING (y)
+        |      WHERE ROUND(cand.c / (dx.dx + dy.dy), 6) >= 1.0),
+        |best AS (SELECT x, y, c, margin,
+        |           ROW_NUMBER() OVER (PARTITION BY x ORDER BY margin DESC, y) AS r
+        |         FROM m)
+        |SELECT x AS src_id, y AS tgt_id, c AS cosine, margin
+        |FROM best WHERE r = 1 ORDER BY src_id""".stripMargin,
     "ann_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
         |scored AS (

@@ -192,6 +192,57 @@ object Similarity {
     *
     * Returns (query_id, rank, doc_id, bm25, n_terms) with rank ≤ k per query.
     */
+  /** Margin-based parallel-corpus mining (Artetxe & Schwenk, "Margin-based Parallel
+    * Corpus Mining with Multilingual Sentence Embeddings", ACL 2019 — the
+    * LASER/CCMatrix recipe): score a candidate translation pair not by raw cosine
+    * but by its RATIO margin against both sides' neighborhoods,
+    *
+    *   margin(x, y) = cos(x, y) / ( Σ_{z∈NNk(x,Y)} cos(x,z)/2k
+    *                              + Σ_{z∈NNk(y,X)} cos(y,z)/2k )
+    *
+    * which cancels the hubness that makes raw-cosine mining pair everything with a
+    * few central sentences. Candidates are the union of forward and backward top-k
+    * lists; each source keeps its best-margin target at `threshold` (≥ 1 = "better
+    * than an average neighbor", the published operating point).
+    *
+    * Scale design: built on the SAME top-k primitive as the ANN family — swap
+    * [[bruteForceTopK]] for [[Ivf.ivfTopK]]'s partition-pruned index at corpus
+    * scale; everything downstream (two per-id denominator aggregations, a
+    * candidate-keyed join, one per-source window) runs on O(ids · k) rows, never
+    * |X|·|Y|. Determinism: cosines are rounded to 6 INSIDE the top-k primitive
+    * (so ranks and the denominator sums replay cross-engine) and the final margin
+    * rounds to 6 before the (margin DESC, target ASC) pick.
+    */
+  def marginBitext(
+      src: DataFrame,
+      tgt: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      threshold: Double = 1.0): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    import graft.util.Caching.CacheSyntax
+    val fwd = bruteForceTopK(tgt, src, idCol, vecCol, k).scopedPersist() // x → NNk(x, Y)
+    val bwd = bruteForceTopK(src, tgt, idCol, vecCol, k).scopedPersist() // y → NNk(y, X)
+    val denomX = fwd.groupBy(col("query_id").as("x"))
+      .agg((sum("cosine") / (2.0 * k)).as("dx"))
+    val denomY = bwd.groupBy(col("query_id").as("y"))
+      .agg((sum("cosine") / (2.0 * k)).as("dy"))
+    // union of both directions' candidates; cos(x,y) is computed identically on
+    // either side (same pairwise mult-add order), so max() is pure dedup
+    val cands = fwd.select(col("query_id").as("x"), col("id").as("y"), col("cosine"))
+      .unionByName(bwd.select(col("id").as("x"), col("query_id").as("y"), col("cosine")))
+      .groupBy("x", "y").agg(max("cosine").as("cosine"))
+    val scored = cands
+      .join(denomX, "x").join(denomY, "y")
+      .withColumn("margin", round(col("cosine") / (col("dx") + col("dy")), 6))
+      .filter(col("margin") >= threshold)
+    val w = Window.partitionBy("x").orderBy(desc("margin"), asc("y"))
+    scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .select(col("x").as("src_id"), col("y").as("tgt_id"),
+        col("cosine"), col("margin"))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al.): combine per-query rankings from
     * heterogeneous retrievers (lexical BM25, embedding ANN, …) by
     * `score(d) = Σ_r 1/(rrfK + rank_r(d))`, keeping the top `topK` per query —

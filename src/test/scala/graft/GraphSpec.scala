@@ -71,4 +71,37 @@ class GraphSpec extends SparkSpec {
       .select(col("node"), round(col("rank"), 6).as("r")).collect().toSeq
     assert(a.sortBy(_.getString(0)).map(_.toSeq) === b.sortBy(_.getString(0)).map(_.toSeq))
   }
+
+  // ---- label propagation ----------------------------------------------------
+
+  test("LPA: planted two-clique fixture resolves to exactly its two communities") {
+    val cliqueA = Seq("a1", "a2", "a3", "a4").combinations(2).map(p => (p(0), p(1))).toSeq
+    val cliqueB = Seq("b1", "b2", "b3", "b4").combinations(2).map(p => (p(0), p(1))).toSeq
+    val out = graft.cluster.LabelPropagation.run((cliqueA ++ cliqueB).toDF("src", "dst"), 5)
+      .as[(String, String)].collect().toMap
+    assert(out.keySet === Set("a1", "a2", "a3", "a4", "b1", "b2", "b3", "b4"))
+    assert(Set("a1", "a2", "a3", "a4").map(out).size === 1, "clique A must share one label")
+    assert(Set("b1", "b2", "b3", "b4").map(out).size === 1, "clique B must share one label")
+    assert(out("a1") !== out("b1"), "disconnected cliques must get distinct labels")
+  }
+
+  test("LPA: every node gets exactly one label (valid partition) and result is " +
+      "invariant to input partitioning") {
+    val edges = (0 until 60).map(i => (s"n$i", s"n${(i * 7 + 1) % 60}"))
+    val a = graft.cluster.LabelPropagation.run(edges.toDF("src", "dst"), 4)
+      .as[(String, String)].collect().sorted.toSeq
+    assert(a.map(_._1).distinct.size === a.size, "one label per node")
+    val b = graft.cluster.LabelPropagation.run(edges.toDF("src", "dst").repartition(7), 4)
+      .as[(String, String)].collect().sorted.toSeq
+    assert(a === b)
+  }
+
+  test("LPA: one iteration from identity labels is min-neighbor (hand fixture)") {
+    // undirected star a-(b,c,d): after one sync iteration a takes min(b,c,d)=b;
+    // b,c,d each have sole neighbor a
+    val out = graft.cluster.LabelPropagation
+      .run(Seq(("a", "b"), ("a", "c"), ("a", "d")).toDF("src", "dst"), 1)
+      .as[(String, String)].collect().toMap
+    assert(out === Map("a" -> "b", "b" -> "a", "c" -> "a", "d" -> "a"))
+  }
 }
