@@ -207,21 +207,40 @@ object LinkageQueries {
       // cluster at each candidate threshold and summarize cluster structure. The
       // curve (clusters splitting, max size shrinking, singletons growing as the
       // threshold rises) is how an operator picks the serve threshold.
+      //
+      // MONOTONE REFINEMENT (r7): thresholds run HIGH→LOW, and each lower
+      // threshold only ADDS edges, so its clustering is the incremental fold of
+      // the delta band into the previous assignment via contracted-graph CC
+      // (ConnectedComponents.incremental, ≡ full-closure clustering — pinned by
+      // j7_incremental_cc). Full CC work is paid once for the tightest band; each
+      // widening costs work ∝ its delta edges, not the cumulative edge set.
       import graft.util.Caching.CacheSyntax
       val df = withUid(cust(s, dir))
       val scored = FellegiSunter.predict(df, "uid", demoModel)
         .select("uid_l", "uid_r", "match_probability").scopedPersist()
-      Seq(0.001, 0.01, 0.5).map { t =>
-        val edges = scored.filter(col("match_probability") >= t)
+      val thresholds = Seq(0.5, 0.01, 0.001) // descending
+      def edgesIn(lo: Double, hi: Option[Double]): DataFrame = {
+        val base = scored.filter(col("match_probability") >= lo)
+        hi.map(h => base.filter(col("match_probability") < h)).getOrElse(base)
           .select(col("uid_l").as("src"), col("uid_r").as("dst"))
-        ConnectedComponents.assignClusters(df, "uid", edges)
+      }
+      var mapping = ConnectedComponents.run(edgesIn(thresholds.head, None))
+        .scopedPersist()
+      val frames = thresholds.zipWithIndex.map { case (t, i) =>
+        if (i > 0) mapping = ConnectedComponents
+          .incremental(mapping, edgesIn(t, Some(thresholds(i - 1))))
+          .scopedPersist()
+        df.select(col("uid"))
+          .join(mapping, df("uid") === mapping("node"), "left")
+          .select(coalesce(col("cluster_id"), col("uid")).as("cluster_id"))
           .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
           .agg(count(lit(1)).as("n_clusters"),
             max("sz").as("max_cluster_size"),
             sum(when(col("sz") === 1, 1L).otherwise(0L)).as("n_singletons"))
           .select(lit(t).as("threshold"), col("n_clusters"),
             col("max_cluster_size"), col("n_singletons"))
-      }.reduce(_ unionByName _).orderBy("threshold")
+      }
+      frames.reduce(_ unionByName _).orderBy("threshold")
     },
     "j7_cluster_stats" -> { (s, dir) =>
       // post-clustering audit (Splink cluster metrics): per entity cluster from the

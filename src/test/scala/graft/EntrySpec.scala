@@ -26,7 +26,9 @@ class EntrySpec extends SparkSpec {
       "curation_unigram_encode", // segmentation DP has no SQL form — exhaustive-Viterbi spec pin
       "sim_mmr_rerank",       // greedy MMR loop has no SQL form — reimplementation spec pin;
                               // ep12_diverse_retrieval full-oracles the cluster-diversity sibling
-      "graph_pagerank",       // iterative — graph_pagerank_one_iter pins the update equation
+      "graph_pagerank",       // iterative — graph_pagerank_one/two_iter pin update + loop
+      "graph_lpa",            // iterative — graph_lpa_two_iter pins the frequency-argmax
+                              // update + loop; GraphSpec pins planted communities
       "mm_cdc_dedup")         // gear rolling hash is a sequential prefix scan with no
                               // SQL form — CdcChunks property-pinned in ExpressionsSpec
     val actual = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet

@@ -22,10 +22,15 @@ class PlanAuditSpec extends SparkSpec {
     *   id-keyed equi-join + per-query aggregation.
     * - sketch_hll_overlap: the a<b pairing of DISTINCT GROUP labels (5 sources →
     *   ≤25 candidate rows) — register and data joins are all equi-joins.
+    * - sim_margin_bitext: the oracle fixture runs marginBitext on the documented
+    *   exact-recall brute-force baseline (two bounded broadcast top-k scans); the
+    *   corpus-scale path swaps Ivf.ivfTopK's partition-pruned equi-join index, as
+    *   the operator's Scaladoc states. Everything downstream of the top-k lists
+    *   plans equi-joins and hash aggregates.
     */
   private val boundedNestedLoop =
     Set("ann_cosine_topk", "ep9_hybrid_retrieval", "ann_sq_topk", "sim_mmr_rerank",
-      "sketch_hll_overlap")
+      "sketch_hll_overlap", "sim_margin_bitext")
 
   test("no query plans a cartesian; nested-loop joins only where a side is bounded") {
     val dir = "/root/testdata/sf0.001"
