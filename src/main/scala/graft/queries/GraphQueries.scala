@@ -67,6 +67,30 @@ object GraphQueries {
     "graph_lpa" -> { (s, dir) =>
       graft.cluster.LabelPropagation.run(linkEdges(s, dir), iters = 5)
         .orderBy("node")
+    },
+    // personalized (seed-teleport) PageRank, TWO chained iterations — full oracle;
+    // seeds are the %17 doc nodes (trust propagation from a vetted set)
+    "graph_ppr_two_iter" -> { (s, dir) =>
+      import s.implicits._
+      val seeds = docs(s, dir).filter(col("doc_id") % 17 === 0)
+        .select(concat(lit("d"), col("doc_id")).as("node"))
+      PageRank.personalizedPageRank(linkEdges(s, dir), seeds, damping = 0.85, iters = 2)
+        .select(col("node"), round(col("rank"), 6).as("rank"))
+        .orderBy("node")
+    },
+    // converged seed-relative trust scores (rows-only: iterative; GraphSpec pins
+    // mass conservation, unreachable-component zeros, and the seed-mass ordering)
+    "graph_ppr" -> { (s, dir) =>
+      import s.implicits._
+      val seeds = docs(s, dir).filter(col("doc_id") % 17 === 0)
+        .select(concat(lit("d"), col("doc_id")).as("node"))
+      PageRank.personalizedPageRank(linkEdges(s, dir), seeds, damping = 0.85, iters = 10)
+        .select(col("node"), round(col("rank"), 6).as("rank"))
+        .orderBy("node")
+    },
+    // per-node degree profile + dangling/source flags — full oracle
+    "graph_degree_stats" -> { (s, dir) =>
+      PageRank.degreeStats(linkEdges(s, dir)).orderBy("node")
     })
 
   private val lpaTwoIterSql =
@@ -154,8 +178,70 @@ object GraphQueries {
       |  CROSS JOIN nn CROSS JOIN dang1)
       |SELECT node, ROUND(rank, 6) AS rank FROM r2 ORDER BY 1""".stripMargin
 
+  /** Two chained PERSONALIZED iterations: teleport and dangling mass return to the
+    * seed indicator s(v) = 1/|S∩nodes| instead of 1/N; otherwise the twoIterSql
+    * chain with s(v) replacing the uniform vector.
+    */
+  private val pprTwoIterSql =
+    """WITH p AS (SELECT COUNT(*) AS nd FROM documents),
+      |e AS (
+      |  SELECT 'd' || doc_id AS src, 'd' || ((doc_id * 7 + 1) % p.nd) AS dst
+      |  FROM documents, p WHERE doc_id % 11 <> 0
+      |  UNION ALL
+      |  SELECT 'd' || doc_id, 'd' || ((doc_id * 13 + 5) % p.nd)
+      |  FROM documents, p WHERE doc_id % 11 <> 0 AND doc_id % 2 = 0),
+      |nodes AS (SELECT DISTINCT node FROM
+      |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+      |sd AS (SELECT DISTINCT 'd' || doc_id AS node FROM documents WHERE doc_id % 17 = 0),
+      |seeds AS (SELECT sd.node FROM sd JOIN nodes USING (node)),
+      |ns AS (SELECT COUNT(*)::DOUBLE AS k FROM seeds),
+      |sv AS (SELECT nodes.node,
+      |         CASE WHEN seeds.node IS NOT NULL THEN 1.0 / ns.k ELSE 0.0 END AS s
+      |       FROM nodes LEFT JOIN seeds ON seeds.node = nodes.node CROSS JOIN ns),
+      |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
+      |r0 AS (SELECT node, s AS rank FROM sv),
+      |dang0 AS (SELECT COALESCE(SUM(r0.rank), 0.0) AS d FROM r0
+      |          LEFT JOIN deg ON deg.src = r0.node WHERE deg.deg IS NULL),
+      |contrib0 AS (
+      |  SELECT e.dst AS node, SUM(r0.rank / deg.deg) AS c
+      |  FROM e JOIN deg USING (src) JOIN r0 ON r0.node = e.src GROUP BY e.dst),
+      |r1 AS (
+      |  SELECT sv.node AS node,
+      |    (1.0 - 0.85) * sv.s + 0.85 * (COALESCE(contrib0.c, 0.0) + dang0.d * sv.s)
+      |      AS rank
+      |  FROM sv LEFT JOIN contrib0 ON contrib0.node = sv.node CROSS JOIN dang0),
+      |dang1 AS (SELECT COALESCE(SUM(r1.rank), 0.0) AS d FROM r1
+      |          LEFT JOIN deg ON deg.src = r1.node WHERE deg.deg IS NULL),
+      |contrib1 AS (
+      |  SELECT e.dst AS node, SUM(r1.rank / deg.deg) AS c
+      |  FROM e JOIN deg USING (src) JOIN r1 ON r1.node = e.src GROUP BY e.dst),
+      |r2 AS (
+      |  SELECT sv.node AS node,
+      |    (1.0 - 0.85) * sv.s + 0.85 * (COALESCE(contrib1.c, 0.0) + dang1.d * sv.s)
+      |      AS rank
+      |  FROM sv LEFT JOIN contrib1 ON contrib1.node = sv.node CROSS JOIN dang1)
+      |SELECT node, ROUND(rank, 6) AS rank FROM r2 ORDER BY 1""".stripMargin
+
+  private val degreeStatsSql =
+    """WITH p AS (SELECT COUNT(*) AS nd FROM documents),
+      |e AS (
+      |  SELECT 'd' || doc_id AS src, 'd' || ((doc_id * 7 + 1) % p.nd) AS dst
+      |  FROM documents, p WHERE doc_id % 11 <> 0
+      |  UNION ALL
+      |  SELECT 'd' || doc_id, 'd' || ((doc_id * 13 + 5) % p.nd)
+      |  FROM documents, p WHERE doc_id % 11 <> 0 AND doc_id % 2 = 0),
+      |o AS (SELECT src AS node, COUNT(*) AS out_deg FROM e GROUP BY 1),
+      |i AS (SELECT dst AS node, COUNT(*) AS in_deg FROM e GROUP BY 1)
+      |SELECT node, COALESCE(in_deg, 0) AS in_deg, COALESCE(out_deg, 0) AS out_deg,
+      |  COALESCE(in_deg, 0) + COALESCE(out_deg, 0) AS total_deg,
+      |  COALESCE(out_deg, 0) = 0 AS is_dangling,
+      |  COALESCE(in_deg, 0) = 0 AS is_source
+      |FROM o FULL JOIN i USING (node) ORDER BY node""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "graph_pagerank_one_iter" -> oneIterSql,
     "graph_pagerank_two_iter" -> twoIterSql,
-    "graph_lpa_two_iter" -> lpaTwoIterSql)
+    "graph_lpa_two_iter" -> lpaTwoIterSql,
+    "graph_ppr_two_iter" -> pprTwoIterSql,
+    "graph_degree_stats" -> degreeStatsSql)
 }

@@ -29,6 +29,8 @@ class EntrySpec extends SparkSpec {
       "graph_pagerank",       // iterative — graph_pagerank_one/two_iter pin update + loop
       "graph_lpa",            // iterative — graph_lpa_two_iter pins the frequency-argmax
                               // update + loop; GraphSpec pins planted communities
+      "graph_ppr",            // iterative — graph_ppr_two_iter pins the seeded update
+                              // + loop; GraphSpec pins mass/reachability invariants
       "mm_cdc_dedup")         // gear rolling hash is a sequential prefix scan with no
                               // SQL form — CdcChunks property-pinned in ExpressionsSpec
     val actual = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet

@@ -104,4 +104,37 @@ class GraphSpec extends SparkSpec {
       .as[(String, String)].collect().toMap
     assert(out === Map("a" -> "b", "b" -> "a", "c" -> "a", "d" -> "a"))
   }
+
+  // ---- personalized PageRank + degree stats ---------------------------------
+
+  test("personalized PageRank: mass sums to 1, unreachable components get 0") {
+    val edges = Seq(("a", "b"), ("b", "a"), ("c", "d")).toDF("src", "dst")
+    val seeds = Seq("a").toDF("node")
+    val r = graft.cluster.PageRank.personalizedPageRank(edges, seeds, 0.85, 8)
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+    assert(r("c") === 0.0 && r("d") === 0.0, "nodes unreachable from the seed must be 0")
+    assert(r("a") > r("b"), "the teleport target holds more mass than its neighbor")
+  }
+
+  test("personalized PageRank: seeds outside the graph are ignored; empty seed set rejected") {
+    val edges = Seq(("a", "b")).toDF("src", "dst")
+    val r = graft.cluster.PageRank
+      .personalizedPageRank(edges, Seq("a", "zzz").toDF("node"), 0.85, 3)
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+    intercept[IllegalArgumentException] {
+      graft.cluster.PageRank.personalizedPageRank(edges, Seq("zzz").toDF("node"), 0.85, 3)
+    }
+  }
+
+  test("degree stats: hand-checked degrees and flags, multi-edges counted") {
+    val edges = Seq(("a", "b"), ("a", "b"), ("b", "c")).toDF("src", "dst")
+    val r = graft.cluster.PageRank.degreeStats(edges)
+      .as[(String, Long, Long, Long, Boolean, Boolean)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(r("a") === (("a", 0L, 2L, 2L, false, true)))
+    assert(r("b") === (("b", 2L, 1L, 3L, false, false)))
+    assert(r("c") === (("c", 1L, 0L, 1L, true, false)))
+  }
 }
