@@ -737,6 +737,14 @@ object TextQueries {
       StreamOps.statefulUserTotals(s, s"$dir/events.parquet")
         .orderBy("user_id")
     },
+    "stream_tws_totals" -> { (s, dir) =>
+      // the SAME running totals on Spark 4's transformWithState arbitrary-state
+      // API (StatefulProcessor + named ValueState + RocksDB store) — the two
+      // state APIs share one oracle, so they pin each other
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      StreamOps.statefulUserTotalsTws(s, s"$dir/events.parquet")
+        .orderBy("user_id")
+    },
     "ev_json_extract" -> { (s, dir) =>
       events(s, dir)
         .select(get_json_object(col("props"), "$.k").as("k_val"))
@@ -2134,6 +2142,9 @@ object TextQueries {
         |  event_type, COUNT(*) AS cnt, ROUND(SUM(value), 4) AS value_sum
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "stream_stateful_totals" ->
+      """SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS value_sum
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "stream_tws_totals" ->
       """SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS value_sum
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev_json_extract" ->

@@ -531,6 +531,43 @@ object StreamOps {
         round(col("value_sum"), 4).as("value_sum"))
   }
 
+  /** [[statefulUserTotals]] on Spark 4's ARBITRARY-STATE API (`transformWithState`
+    * + `StatefulProcessor`, SPARK-46815) — the successor to mapGroupsWithState:
+    * explicit NAMED state variables (one no-TTL ValueState per user here —
+    * deterministic), timer support, and a RocksDB-backed state store (set for this
+    * query, restored after — transformWithState requires the RocksDB provider).
+    * Output and oracle are identical to the mapGroupsWithState sibling, so the two
+    * state APIs pin each other.
+    */
+  def statefulUserTotalsTws(spark: SparkSession, eventsPath: String): DataFrame = {
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val raw = fileStream(spark, eventsPath)
+        .select(col("user_id").cast("long").as("user_id"),
+          col("value").cast("double").as("value"))
+        .as[(Long, Double)]
+      val totals = raw
+        .groupByKey(_._1)
+        .transformWithState(new RunningTotalsProcessor(),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+      driveToMemory(totals.toDF(), "update", "stream_tws")
+        .groupBy("user_id")
+        .agg(max("n_events").as("n_events"), max("value_sum").as("value_sum"))
+        .select(col("user_id"), col("n_events"),
+          round(col("value_sum"), 4).as("value_sum"))
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   /** Streaming HLL distinct estimation: maintain the per-(lang, bucket) register
     * table over the ingest stream with a streaming max-aggregation, then finish with
     * the batch estimator. Running max is monotone, so the streaming state lands on
@@ -615,5 +652,37 @@ object StreamOps {
     // running sum is monotone here (counts only grow): last update = final cell
     driveToMemory(cells, "update", "stream_cms", statePartitions = Some(4))
       .groupBy("row_j", "bucket").agg(max(col("cell")).as("cell"))
+  }
+}
+
+/** Per-user running-totals processor for [[StreamOps.statefulUserTotalsTws]]: one
+  * named ValueState holding the latest [[StreamOps.UserTotal]]; every micro-batch
+  * folds its rows into the stored total and emits the update (Update output mode).
+  * No TTL, no timers — state is bounded by #users and the fold is arrival-order
+  * deterministic under the single-file-per-trigger source.
+  */
+class RunningTotalsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Double), StreamOps.UserTotal] {
+
+  @transient private var totals: org.apache.spark.sql.streaming.ValueState[StreamOps.UserTotal] = _
+
+  override def init(
+      outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    totals = getHandle.getValueState[StreamOps.UserTotal]("totals",
+      org.apache.spark.sql.Encoders.product[StreamOps.UserTotal],
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(
+      user: Long,
+      rows: Iterator[(Long, Double)],
+      timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[StreamOps.UserTotal] = {
+    val prev = if (totals.exists()) totals.get() else StreamOps.UserTotal(user, 0L, 0.0)
+    val next = rows.foldLeft(prev) { case (acc, (_, v)) =>
+      StreamOps.UserTotal(user, acc.n_events + 1, acc.value_sum + v)
+    }
+    totals.update(next)
+    Iterator.single(next)
   }
 }

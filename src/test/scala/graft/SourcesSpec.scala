@@ -268,4 +268,19 @@ class SourcesSpec extends SparkSpec {
     assert(zScan < nScan,
       s"z-order must scan fewer files: zorder $zScan/$zFiles vs natural $nScan/$nFiles")
   }
+
+  test("transformWithState totals equal the mapGroupsWithState totals exactly") {
+    // the two arbitrary-state APIs run the same fold over the same stream — any
+    // divergence (state init, batch boundaries, provider behavior) shows here
+    val dir = "/root/testdata/sf0.001/events.parquet"
+    val a = graft.streaming.StreamOps.statefulUserTotals(spark, dir)
+      .orderBy("user_id").collect().toSeq
+    val b = graft.streaming.StreamOps.statefulUserTotalsTws(spark, dir)
+      .orderBy("user_id").collect().toSeq
+    assert(a.nonEmpty)
+    assert(a === b)
+    // the RocksDB provider override must not leak into the session
+    assert(spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      .forall(!_.contains("RocksDB")))
+  }
 }
