@@ -205,13 +205,16 @@ object Similarity {
     * lists; each source keeps its best-margin target at `threshold` (≥ 1 = "better
     * than an average neighbor", the published operating point).
     *
-    * Scale design: built on the SAME top-k primitive as the ANN family — swap
-    * [[bruteForceTopK]] for [[Ivf.ivfTopK]]'s partition-pruned index at corpus
-    * scale; everything downstream (two per-id denominator aggregations, a
-    * candidate-keyed join, one per-source window) runs on O(ids · k) rows, never
-    * |X|·|Y|. Determinism: cosines are rounded to 6 INSIDE the top-k primitive
-    * (so ranks and the denominator sums replay cross-engine) and the final margin
-    * rounds to 6 before the (margin DESC, target ASC) pick.
+    * Scale design: built on the SAME top-k primitive as the ANN family — the
+    * `topK` parameter defaults to the exact-recall [[bruteForceTopK]] baseline and
+    * accepts the IVF index path at corpus scale (e.g.
+    * `(c, q, id, v, k) => Ivf.topK(c, q, id, v, k, model)` — TextOpsSpec pins its
+    * pair recall against brute force); everything downstream (two per-id
+    * denominator aggregations, a candidate-keyed join, one per-source window) runs
+    * on O(ids · k) rows, never |X|·|Y|. Determinism: cosines are rounded to 6
+    * INSIDE the top-k primitive (so ranks and the denominator sums replay
+    * cross-engine) and the final margin rounds to 6 before the
+    * (margin DESC, target ASC) pick.
     */
   def marginBitext(
       src: DataFrame,
@@ -219,11 +222,13 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int,
-      threshold: Double = 1.0): DataFrame = {
+      threshold: Double = 1.0,
+      topK: (DataFrame, DataFrame, String, String, Int) => DataFrame =
+        bruteForceTopK): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     import graft.util.Caching.CacheSyntax
-    val fwd = bruteForceTopK(tgt, src, idCol, vecCol, k).scopedPersist() // x → NNk(x, Y)
-    val bwd = bruteForceTopK(src, tgt, idCol, vecCol, k).scopedPersist() // y → NNk(y, X)
+    val fwd = topK(tgt, src, idCol, vecCol, k).scopedPersist() // x → NNk(x, Y)
+    val bwd = topK(src, tgt, idCol, vecCol, k).scopedPersist() // y → NNk(y, X)
     val denomX = fwd.groupBy(col("query_id").as("x"))
       .agg((sum("cosine") / (2.0 * k)).as("dx"))
     val denomY = bwd.groupBy(col("query_id").as("y"))

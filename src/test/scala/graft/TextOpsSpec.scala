@@ -917,4 +917,24 @@ class TextOpsSpec extends SparkSpec {
     assert(out(2) === "fr")
     assert(out(3) === "und")
   }
+
+  test("marginBitext: IVF-backed top-k recovers >= 90% of the brute-force pairs") {
+    // the operator's documented scale path: swap the exact-recall baseline for the
+    // partition-pruned IVF index; with generous nprobe the mined pair set must
+    // cover the brute-force mining almost completely
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val src = emb.filter(col("vec_id") % 2 === 0)
+    val tgt = emb.filter(col("vec_id") % 2 === 1)
+    val exact = Similarity.marginBitext(src, tgt, "vec_id", "embedding", k = 4)
+      .select("src_id", "tgt_id").as[(Long, Long)].collect().toSet
+    val model = graft.textops.Ivf.fit(emb, "vec_id", "embedding", k = 8)
+    val approx = Similarity.marginBitext(src, tgt, "vec_id", "embedding", k = 4,
+        threshold = 1.0,
+        topK = (c, q, id, v, kk) =>
+          graft.textops.Ivf.topK(c, q, id, v, kk, model, nprobe = 6))
+      .select("src_id", "tgt_id").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"IVF bitext recall $recall < 0.9 (exact=${exact.size})")
+  }
 }
