@@ -138,6 +138,61 @@ object PageRank {
     ranks
   }
 
+  /** HITS hubs & authorities (Kleinberg, JACM 1999) by synchronous power iteration:
+    *
+    *   a_{t+1}(v) = Σ_{u→v} h_t(u),   then L2-normalize a
+    *   h_{t+1}(u) = Σ_{u→v} a_{t+1}(v), then L2-normalize h
+    *
+    * initialized from h = 1. Authorities rank pages many good hubs point AT,
+    * hubs rank pages that point at many good authorities — the directional
+    * complement to PageRank's single score (a link DIRECTORY is a great hub and a
+    * poor authority; PageRank conflates the two roles).
+    *
+    * Scale shape mirrors [[pageRank]]: each half-step is one edge-keyed equi-join
+    * + one map-side-combined aggregation; the L2 norm is a 1-row aggregate whose
+    * scalar rides a broadcast join; both vectors are materialized every iteration
+    * (rotating localCheckpoint — the two-branch recompute lesson). Nodes with no
+    * in-edges get authority 0, nodes with no out-edges hub 0.
+    */
+  def hits(edges: DataFrame, iters: Int = 10): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    import graft.util.Caching.CacheSyntax
+    val e = edges.select(col("src").cast("string").as("src"),
+      col("dst").cast("string").as("dst")).scopedPersist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().scopedPersist()
+    // one tracker PER vector: a shared tracker would free the authority blocks
+    // when the hub vector rotates, while the final join still reads both
+    val aTracker = new graft.util.CheckpointTracker(edges.sparkSession)
+    val hTracker = new graft.util.CheckpointTracker(edges.sparkSession)
+    def l2normalized(df: DataFrame, valueCol: String): DataFrame = {
+      val norm = df.agg(sqrt(sum(col(valueCol) * col(valueCol))).as("_n"))
+        .withColumn("_k", lit(1))
+      df.withColumn("_k", lit(1))
+        .join(broadcast(norm), Seq("_k"))
+        .select(col("node"),
+          when(col("_n") > 0, col(valueCol) / col("_n")).otherwise(lit(0.0))
+            .as(valueCol))
+    }
+    var hubs: DataFrame = nodes.select(col("node"), lit(1.0).as("hub"))
+    var auth: DataFrame = nodes.select(col("node"), lit(0.0).as("authority"))
+    (1 to iters).foreach { _ =>
+      val aRaw = e.join(hubs.select(col("node").as("src"), col("hub")), Seq("src"))
+        .groupBy(col("dst").as("node")).agg(sum("hub").as("authority"))
+      auth = aTracker.rotate(l2normalized(
+        nodes.join(aRaw, Seq("node"), "left")
+          .select(col("node"), coalesce(col("authority"), lit(0.0)).as("authority")),
+        "authority"))
+      val hRaw = e.join(auth.select(col("node").as("dst"), col("authority")), Seq("dst"))
+        .groupBy(col("src").as("node")).agg(sum("authority").as("hub"))
+      hubs = hTracker.rotate(l2normalized(
+        nodes.join(hRaw, Seq("node"), "left")
+          .select(col("node"), coalesce(col("hub"), lit(0.0)).as("hub")),
+        "hub"))
+    }
+    hubs.join(auth, Seq("node"))
+  }
+
   /** Degree profile of a link graph — the first diagnostic a curation pipeline runs
     * before trusting any graph signal: per-node in/out/total degree plus whether
     * the node is dangling (no out-edges) or a source (no in-edges). Multi-edges

@@ -91,6 +91,22 @@ object GraphQueries {
     // per-node degree profile + dangling/source flags — full oracle
     "graph_degree_stats" -> { (s, dir) =>
       PageRank.degreeStats(linkEdges(s, dir)).orderBy("node")
+    },
+    // HITS hubs/authorities, TWO synchronous iterations — full oracle (chained
+    // CTEs: in-degree start, alternating L2-normalized sums)
+    "graph_hits_two_iter" -> { (s, dir) =>
+      PageRank.hits(linkEdges(s, dir), iters = 2)
+        .select(col("node"), round(col("hub"), 6).as("hub"),
+          round(col("authority"), 6).as("authority"))
+        .orderBy("node")
+    },
+    // converged hubs/authorities (rows-only: iterative; GraphSpec pins unit norms,
+    // the hub/authority roles on a planted directory graph, and invariance)
+    "graph_hits" -> { (s, dir) =>
+      PageRank.hits(linkEdges(s, dir), iters = 10)
+        .select(col("node"), round(col("hub"), 6).as("hub"),
+          round(col("authority"), 6).as("authority"))
+        .orderBy("node")
     })
 
   private val lpaTwoIterSql =
@@ -238,7 +254,52 @@ object GraphQueries {
       |  COALESCE(in_deg, 0) = 0 AS is_source
       |FROM o FULL JOIN i USING (node) ORDER BY node""".stripMargin
 
+  /** Two chained HITS iterations: h0 = 1 (so a1's raw value is the in-degree),
+    * alternating L2-normalized in-sums (authority) and out-sums (hub); only the
+    * emitted h2/a2 round to 6.
+    */
+  private val hitsTwoIterSql =
+    """WITH p AS (SELECT COUNT(*) AS nd FROM documents),
+      |e AS (
+      |  SELECT 'd' || doc_id AS src, 'd' || ((doc_id * 7 + 1) % p.nd) AS dst
+      |  FROM documents, p WHERE doc_id % 11 <> 0
+      |  UNION ALL
+      |  SELECT 'd' || doc_id, 'd' || ((doc_id * 13 + 5) % p.nd)
+      |  FROM documents, p WHERE doc_id % 11 <> 0 AND doc_id % 2 = 0),
+      |nodes AS (SELECT DISTINCT node FROM
+      |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+      |a1r AS (SELECT dst AS node, COUNT(*)::DOUBLE AS v FROM e GROUP BY 1),
+      |a1f AS (SELECT nodes.node, COALESCE(a1r.v, 0.0) AS v
+      |        FROM nodes LEFT JOIN a1r USING (node)),
+      |na1 AS (SELECT SQRT(SUM(v * v)) AS n FROM a1f),
+      |a1 AS (SELECT node, CASE WHEN na1.n > 0 THEN v / na1.n ELSE 0.0 END AS v
+      |       FROM a1f, na1),
+      |h1r AS (SELECT e.src AS node, SUM(a1.v) AS v
+      |        FROM e JOIN a1 ON a1.node = e.dst GROUP BY 1),
+      |h1f AS (SELECT nodes.node, COALESCE(h1r.v, 0.0) AS v
+      |        FROM nodes LEFT JOIN h1r USING (node)),
+      |nh1 AS (SELECT SQRT(SUM(v * v)) AS n FROM h1f),
+      |h1 AS (SELECT node, CASE WHEN nh1.n > 0 THEN v / nh1.n ELSE 0.0 END AS v
+      |       FROM h1f, nh1),
+      |a2r AS (SELECT e.dst AS node, SUM(h1.v) AS v
+      |        FROM e JOIN h1 ON h1.node = e.src GROUP BY 1),
+      |a2f AS (SELECT nodes.node, COALESCE(a2r.v, 0.0) AS v
+      |        FROM nodes LEFT JOIN a2r USING (node)),
+      |na2 AS (SELECT SQRT(SUM(v * v)) AS n FROM a2f),
+      |a2 AS (SELECT node, CASE WHEN na2.n > 0 THEN v / na2.n ELSE 0.0 END AS v
+      |       FROM a2f, na2),
+      |h2r AS (SELECT e.src AS node, SUM(a2.v) AS v
+      |        FROM e JOIN a2 ON a2.node = e.dst GROUP BY 1),
+      |h2f AS (SELECT nodes.node, COALESCE(h2r.v, 0.0) AS v
+      |        FROM nodes LEFT JOIN h2r USING (node)),
+      |nh2 AS (SELECT SQRT(SUM(v * v)) AS n FROM h2f),
+      |h2 AS (SELECT node, CASE WHEN nh2.n > 0 THEN v / nh2.n ELSE 0.0 END AS v
+      |       FROM h2f, nh2)
+      |SELECT h2.node, ROUND(h2.v, 6) AS hub, ROUND(a2.v, 6) AS authority
+      |FROM h2 JOIN a2 USING (node) ORDER BY node""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "graph_hits_two_iter" -> hitsTwoIterSql,
     "graph_pagerank_one_iter" -> oneIterSql,
     "graph_pagerank_two_iter" -> twoIterSql,
     "graph_lpa_two_iter" -> lpaTwoIterSql,

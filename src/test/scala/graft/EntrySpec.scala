@@ -31,6 +31,8 @@ class EntrySpec extends SparkSpec {
                               // update + loop; GraphSpec pins planted communities
       "graph_ppr",            // iterative — graph_ppr_two_iter pins the seeded update
                               // + loop; GraphSpec pins mass/reachability invariants
+      "graph_hits",           // iterative — graph_hits_two_iter pins the alternating
+                              // normalized sums; GraphSpec pins roles on a directory graph
       "mm_cdc_dedup")         // gear rolling hash is a sequential prefix scan with no
                               // SQL form — CdcChunks property-pinned in ExpressionsSpec
     val actual = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet

@@ -137,4 +137,31 @@ class GraphSpec extends SparkSpec {
     assert(r("b") === (("b", 2L, 1L, 3L, false, false)))
     assert(r("c") === (("c", 1L, 0L, 1L, true, false)))
   }
+
+  test("HITS: directory graph separates hub and authority roles; norms are 1") {
+    // h1,h2 are pure hubs (point at everything, nothing points at them);
+    // p1..p3 are pure authorities
+    val edges = (for (h <- Seq("h1", "h2"); p <- Seq("p1", "p2", "p3")) yield (h, p))
+      .toDF("src", "dst")
+    val r = graft.cluster.PageRank.hits(edges, 6)
+      .as[(String, Double, Double)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    Seq("h1", "h2").foreach { h =>
+      assert(r(h)._1 > 0.5 && r(h)._2 === 0.0, s"$h must be a pure hub: ${r(h)}")
+    }
+    Seq("p1", "p2", "p3").foreach { p =>
+      assert(r(p)._2 > 0.4 && r(p)._1 === 0.0, s"$p must be a pure authority: ${r(p)}")
+    }
+    val hubNorm = math.sqrt(r.values.map(_._1).map(x => x * x).sum)
+    val authNorm = math.sqrt(r.values.map(_._2).map(x => x * x).sum)
+    assert(math.abs(hubNorm - 1.0) < 1e-9 && math.abs(authNorm - 1.0) < 1e-9)
+  }
+
+  test("HITS: result is invariant to input partitioning") {
+    val edges = (0 until 60).map(i => (s"n$i", s"n${(i * 7 + 1) % 60}"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.cluster.PageRank.hits(df, 5)
+        .select(col("node"), round(col("hub"), 9), round(col("authority"), 9))
+        .as[(String, Double, Double)].collect().sorted.toSeq
+    assert(run(edges.toDF("src", "dst")) === run(edges.toDF("src", "dst").repartition(7)))
+  }
 }
