@@ -107,6 +107,11 @@ object GraphQueries {
         .select(col("node"), round(col("hub"), 6).as("hub"),
           round(col("authority"), 6).as("authority"))
         .orderBy("node")
+    },
+    // per-node triangle counts + local clustering coefficient (degree-ordered
+    // orientation — no iteration, three hash joins) — full oracle
+    "graph_triangles" -> { (s, dir) =>
+      graft.cluster.Triangles.nodeTriangles(linkEdges(s, dir)).orderBy("node")
     })
 
   private val lpaTwoIterSql =
@@ -298,7 +303,45 @@ object GraphQueries {
       |SELECT h2.node, ROUND(h2.v, 6) AS hub, ROUND(a2.v, 6) AS authority
       |FROM h2 JOIN a2 USING (node) ORDER BY node""".stripMargin
 
+  /** Same degree-ordered orientation and single-count wedge closure as the Spark
+    * side, replayed join for join.
+    */
+  private val trianglesSql =
+    """WITH p AS (SELECT COUNT(*) AS nd FROM documents),
+      |e AS (
+      |  SELECT 'd' || doc_id AS src, 'd' || ((doc_id * 7 + 1) % p.nd) AS dst
+      |  FROM documents, p WHERE doc_id % 11 <> 0
+      |  UNION ALL
+      |  SELECT 'd' || doc_id, 'd' || ((doc_id * 13 + 5) % p.nd)
+      |  FROM documents, p WHERE doc_id % 11 <> 0 AND doc_id % 2 = 0),
+      |und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      |        FROM e WHERE src <> dst),
+      |deg AS (SELECT node, COUNT(*) AS degree FROM
+      |  (SELECT a AS node FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
+      |ori AS (
+      |  SELECT CASE WHEN d1.degree < d2.degree
+      |                OR (d1.degree = d2.degree AND und.a < und.b)
+      |           THEN und.a ELSE und.b END AS lo,
+      |         CASE WHEN d1.degree < d2.degree
+      |                OR (d1.degree = d2.degree AND und.a < und.b)
+      |           THEN und.b ELSE und.a END AS hi
+      |  FROM und JOIN deg d1 ON d1.node = und.a JOIN deg d2 ON d2.node = und.b),
+      |wedges AS (SELECT e1.lo AS u, e1.hi AS v, e2.hi AS w
+      |           FROM ori e1 JOIN ori e2 ON e1.lo = e2.lo AND e1.hi < e2.hi),
+      |closing AS (SELECT lo AS v, hi AS w FROM ori
+      |            UNION ALL SELECT hi, lo FROM ori),
+      |tri AS (SELECT u, v, w FROM wedges JOIN closing USING (v, w)),
+      |pn AS (SELECT node, COUNT(*) AS triangles FROM
+      |  (SELECT u AS node FROM tri UNION ALL SELECT v FROM tri
+      |   UNION ALL SELECT w FROM tri) GROUP BY 1)
+      |SELECT deg.node, deg.degree, COALESCE(pn.triangles, 0) AS triangles,
+      |  ROUND(CASE WHEN deg.degree > 1
+      |        THEN 2.0 * COALESCE(pn.triangles, 0) / (deg.degree * (deg.degree - 1))
+      |        ELSE 0.0 END, 6) AS clustering_coeff
+      |FROM deg LEFT JOIN pn USING (node) ORDER BY node""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "graph_triangles" -> trianglesSql,
     "graph_hits_two_iter" -> hitsTwoIterSql,
     "graph_pagerank_one_iter" -> oneIterSql,
     "graph_pagerank_two_iter" -> twoIterSql,

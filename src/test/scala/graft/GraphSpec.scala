@@ -164,4 +164,36 @@ class GraphSpec extends SparkSpec {
         .as[(String, Double, Double)].collect().sorted.toSeq
     assert(run(edges.toDF("src", "dst")) === run(edges.toDF("src", "dst").repartition(7)))
   }
+
+  // ---- triangles ------------------------------------------------------------
+
+  test("triangles: K4 gives every node 3 triangles and coefficient 1; paths give 0") {
+    val k4 = Seq("a", "b", "c", "d").combinations(2).map(p => (p(0), p(1))).toSeq
+    val path = Seq(("p", "q"), ("q", "r"))
+    val r = graft.cluster.Triangles.nodeTriangles((k4 ++ path).toDF("src", "dst"))
+      .as[(String, Long, Long, Double)].collect().map(t => t._1 -> t).toMap
+    Seq("a", "b", "c", "d").foreach { n =>
+      assert(r(n) === ((n, 3L, 3L, 1.0)), s"$n: ${r(n)}")
+    }
+    assert(r("p") === (("p", 1L, 0L, 0.0)))
+    assert(r("q") === (("q", 2L, 0L, 0.0)))
+    assert(graft.cluster.Triangles.totalTriangles((k4 ++ path).toDF("src", "dst")) === 4L)
+  }
+
+  test("triangles: degree-oriented count equals brute-force all-triples on a random graph") {
+    val rnd = new scala.util.Random(13)
+    val edges = (0 until 120).map(_ => (s"n${rnd.nextInt(18)}", s"n${rnd.nextInt(18)}"))
+      .filter { case (a, b) => a != b }
+    // brute force: distinct undirected edge set, count closed triples
+    val und = edges.map { case (a, b) => if (a < b) (a, b) else (b, a) }.distinct
+    val eset = und.toSet
+    val nodes = und.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val expTotal = nodes.combinations(3).count { case Seq(x, y, z) =>
+      eset((x, y)) && eset((y, z)) && eset((x, z))
+    }
+    assert(graft.cluster.Triangles.totalTriangles(edges.toDF("src", "dst")) === expTotal.toLong)
+    // duplicate + reversed edges must not change anything
+    val doubled = edges ++ edges.map(_.swap)
+    assert(graft.cluster.Triangles.totalTriangles(doubled.toDF("src", "dst")) === expTotal.toLong)
+  }
 }
