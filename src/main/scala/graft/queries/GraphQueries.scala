@@ -112,6 +112,12 @@ object GraphQueries {
     // orientation — no iteration, three hash joins) — full oracle
     "graph_triangles" -> { (s, dir) =>
       graft.cluster.Triangles.nodeTriangles(linkEdges(s, dir)).orderBy("node")
+    },
+    // common-neighbor / Jaccard / Adamic–Adar link prediction for non-adjacent
+    // pairs (one wedge join + hash agg) — full oracle
+    "graph_link_predict" -> { (s, dir) =>
+      graft.cluster.LinkPrediction.scores(linkEdges(s, dir))
+        .orderBy("a", "b")
     })
 
   private val lpaTwoIterSql =
@@ -340,7 +346,43 @@ object GraphQueries {
       |        ELSE 0.0 END, 6) AS clustering_coeff
       |FROM deg LEFT JOIN pn USING (node) ORDER BY node""".stripMargin
 
+  /** Same wedge join + anti-join as the Spark side; DuckDB `ln` = Spark `log`
+    * (DuckDB's `log` is log10 — do not use it here).
+    */
+  private val linkPredictSql =
+    """WITH p AS (SELECT COUNT(*) AS nd FROM documents),
+      |e AS (
+      |  SELECT 'd' || doc_id AS src, 'd' || ((doc_id * 7 + 1) % p.nd) AS dst
+      |  FROM documents, p WHERE doc_id % 11 <> 0
+      |  UNION ALL
+      |  SELECT 'd' || doc_id, 'd' || ((doc_id * 13 + 5) % p.nd)
+      |  FROM documents, p WHERE doc_id % 11 <> 0 AND doc_id % 2 = 0),
+      |und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      |        FROM e WHERE src <> dst),
+      |deg AS (SELECT node, COUNT(*) AS degree FROM
+      |  (SELECT a AS node FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
+      |adj AS (
+      |  SELECT s.z, s.n, deg.degree AS dz
+      |  FROM (SELECT a AS z, b AS n FROM und UNION ALL SELECT b, a FROM und) s
+      |  JOIN deg ON deg.node = s.z),
+      |pairs AS (
+      |  SELECT l.n AS a, r.n AS b, COUNT(*) AS common_neighbors,
+      |         SUM(1.0 / LN(l.dz)) AS aa_raw
+      |  FROM adj l JOIN adj r ON l.z = r.z AND l.n < r.n
+      |  GROUP BY 1, 2),
+      |fresh AS (SELECT pairs.* FROM pairs
+      |          LEFT JOIN und ON und.a = pairs.a AND und.b = pairs.b
+      |          WHERE und.a IS NULL)
+      |SELECT f.a, f.b, f.common_neighbors,
+      |  ROUND(f.common_neighbors / (d1.degree + d2.degree - f.common_neighbors), 6)
+      |    AS jaccard,
+      |  ROUND(f.aa_raw, 6) AS adamic_adar
+      |FROM fresh f
+      |JOIN deg d1 ON d1.node = f.a JOIN deg d2 ON d2.node = f.b
+      |ORDER BY f.a, f.b""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "graph_link_predict" -> linkPredictSql,
     "graph_triangles" -> trianglesSql,
     "graph_hits_two_iter" -> hitsTwoIterSql,
     "graph_pagerank_one_iter" -> oneIterSql,

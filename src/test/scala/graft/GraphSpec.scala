@@ -196,4 +196,59 @@ class GraphSpec extends SparkSpec {
     val doubled = edges ++ edges.map(_.swap)
     assert(graft.cluster.Triangles.totalTriangles(doubled.toDF("src", "dst")) === expTotal.toLong)
   }
+
+  // ---- link prediction ------------------------------------------------------
+
+  test("link prediction: path and K4 closed forms") {
+    import graft.cluster.LinkPrediction
+    // path a-b-c: only candidate (a,c) through b (deg 2)
+    val path = LinkPrediction.scores(Seq(("a", "b"), ("b", "c")).toDF("src", "dst"))
+      .as[(String, String, Long, Double, Double)].collect().toSeq
+    assert(path === Seq(("a", "c", 1L,
+      1.0, BigDecimal(1.0 / math.log(2)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    // K4: every pair is an edge -> nothing to predict
+    val k4 = Seq("a", "b", "c", "d").combinations(2).map(p => (p(0), p(1))).toSeq
+    assert(LinkPrediction.scores(k4.toDF("src", "dst")).count() === 0L)
+    // with existing pairs kept: (a,b) shares {c,d}, jaccard 2/(3+3-2)
+    val kept = LinkPrediction.scores(k4.toDF("src", "dst"), excludeExisting = false)
+      .filter(col("a") === "a" && col("b") === "b")
+      .as[(String, String, Long, Double, Double)].collect().toSeq
+    assert(kept.head._3 === 2L)
+    assert(kept.head._4 === 0.5)
+  }
+
+  test("link prediction: wedge-join scores equal brute-force set arithmetic") {
+    import graft.cluster.LinkPrediction
+    val rnd = new scala.util.Random(29)
+    val edges = (0 until 140).map(_ => (s"n${rnd.nextInt(20)}", s"n${rnd.nextInt(20)}"))
+      .filter { case (a, b) => a != b }
+    val und = edges.map { case (a, b) => if (a < b) (a, b) else (b, a) }.distinct
+    val nbrs = (und.map(e => e._1 -> e._2) ++ und.map(e => e._2 -> e._1))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val eset = und.toSet
+    val exp = nbrs.keys.toSeq.sorted.combinations(2).flatMap { case Seq(x, y) =>
+      val cn = nbrs(x) & nbrs(y)
+      if (cn.isEmpty || eset((x, y))) None
+      else Some((x, y, cn.size.toLong,
+        BigDecimal(cn.size.toDouble / (nbrs(x).size + nbrs(y).size - cn.size))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(cn.toSeq.map(z => 1.0 / math.log(nbrs(z).size)).sum)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }.toSeq.sorted
+    val got = LinkPrediction.scores(edges.toDF("src", "dst"))
+      .as[(String, String, Long, Double, Double)].collect().toSeq.sorted
+    assert(got === exp)
+  }
+
+  test("link prediction: maxWedgeDegree drops hub-mediated evidence only") {
+    import graft.cluster.LinkPrediction
+    // hub h connects x1..x5; separate wedge a-m-b (deg(m)=2)
+    val hub = (1 to 5).map(i => ("h", s"x$i"))
+    val side = Seq(("a", "m"), ("m", "b"))
+    val df = (hub ++ side).toDF("src", "dst")
+    val capped = LinkPrediction.scores(df, maxWedgeDegree = 2)
+      .as[(String, String, Long, Double, Double)].collect().toSeq
+    // all x-x pairs went through h (deg 5 > cap) -> gone; a-b survives
+    assert(capped.map(t => (t._1, t._2)) === Seq(("a", "b")))
+  }
 }
