@@ -118,6 +118,16 @@ object GraphQueries {
     "graph_link_predict" -> { (s, dir) =>
       graft.cluster.LinkPrediction.scores(linkEdges(s, dir))
         .orderBy("a", "b")
+    },
+    // exactly TWO peel rounds of the 2-core — full oracle (chained CTEs replay
+    // the degree-filter/semi-join rounds)
+    "graph_kcore_two_peel" -> { (s, dir) =>
+      graft.cluster.KCore.peel(linkEdges(s, dir), k = 2, iters = 2).orderBy("node")
+    },
+    // the converged 2-core (rows-only: peel-until-fixpoint; GraphSpec pins the
+    // min-degree invariant and brute-force equality on a random graph)
+    "graph_kcore" -> { (s, dir) =>
+      graft.cluster.KCore.kCore(linkEdges(s, dir), k = 2).orderBy("node")
     })
 
   private val lpaTwoIterSql =
@@ -381,7 +391,35 @@ object GraphQueries {
       |JOIN deg d1 ON d1.node = f.a JOIN deg d2 ON d2.node = f.b
       |ORDER BY f.a, f.b""".stripMargin
 
+  /** Two peel rounds replayed as chained CTEs: degree filter at k=2, then keep
+    * only edges whose both endpoints survive; degrees of what remains.
+    */
+  private val kcoreTwoPeelSql =
+    """WITH p AS (SELECT COUNT(*) AS nd FROM documents),
+      |e AS (
+      |  SELECT 'd' || doc_id AS src, 'd' || ((doc_id * 7 + 1) % p.nd) AS dst
+      |  FROM documents, p WHERE doc_id % 11 <> 0
+      |  UNION ALL
+      |  SELECT 'd' || doc_id, 'd' || ((doc_id * 13 + 5) % p.nd)
+      |  FROM documents, p WHERE doc_id % 11 <> 0 AND doc_id % 2 = 0),
+      |e0 AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      |       FROM e WHERE src <> dst),
+      |d0 AS (SELECT node, COUNT(*) AS degree FROM
+      |  (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1),
+      |k0 AS (SELECT node FROM d0 WHERE degree >= 2),
+      |e1 AS (SELECT e0.a, e0.b FROM e0
+      |       JOIN k0 x ON x.node = e0.a JOIN k0 y ON y.node = e0.b),
+      |d1 AS (SELECT node, COUNT(*) AS degree FROM
+      |  (SELECT a AS node FROM e1 UNION ALL SELECT b FROM e1) GROUP BY 1),
+      |k1 AS (SELECT node FROM d1 WHERE degree >= 2),
+      |e2 AS (SELECT e1.a, e1.b FROM e1
+      |       JOIN k1 x ON x.node = e1.a JOIN k1 y ON y.node = e1.b)
+      |SELECT node, COUNT(*) AS degree FROM
+      |  (SELECT a AS node FROM e2 UNION ALL SELECT b FROM e2)
+      |GROUP BY 1 ORDER BY node""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "graph_kcore_two_peel" -> kcoreTwoPeelSql,
     "graph_link_predict" -> linkPredictSql,
     "graph_triangles" -> trianglesSql,
     "graph_hits_two_iter" -> hitsTwoIterSql,

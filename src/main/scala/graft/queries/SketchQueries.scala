@@ -44,6 +44,23 @@ object SketchQueries {
         .select(col("tok").as("token"), col("cnt").as("exact_cnt"), col("cms_estimate"))
         .orderBy(col("exact_cnt").desc, col("token"))
     },
+    // declarative data-quality expectation suite over lineitem: all row-local
+    // checks in ONE scan, uniqueness as one hash agg, FK orphans as one
+    // broadcast anti-join — the publish gate a 100 TB ingest runs. The l_tax
+    // range is deliberately tight so the report exercises a FAILING check.
+    "prof_expectations" -> { (s, dir) =>
+      import graft.metrics.Expectations._
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+      validate(li, Seq(
+        NotNull("l_returnflag"),
+        InRange("l_quantity", 1, 50),
+        InRange("l_tax", 0, 0.05),
+        AcceptedValues("l_linestatus", Seq("F", "O")),
+        Unique(Seq("l_orderkey", "l_linenumber")),
+        RefIntegrity("l_orderkey", ord, "o_orderkey")
+      )).orderBy("check_id")
+    },
     // doc-length quartile bins per language — the discretization a data card or
     // mixing policy consumes; exact type-7 percentiles on both engines
     "prof_quantile_bins" -> { (s, dir) =>
@@ -272,7 +289,45 @@ object SketchQueries {
       |  ROUND((m.s_mid + m.n_low * s.p05 + m.n_high * s.p95) / s.n, 6) AS winsorized_mean
       |FROM s JOIN m USING (lang) ORDER BY lang""".stripMargin
 
+  /** One-scan conditional sums for the row-local checks, a grouped count for
+    * uniqueness, an anti-join count for the FK — same shapes as the Spark side.
+    */
+  private val expectationsSql =
+    """WITH base AS (
+      |  SELECT COUNT(*) AS n_rows,
+      |    SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)::BIGINT AS v0,
+      |    SUM(CASE WHEN l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50
+      |        THEN 1 ELSE 0 END)::BIGINT AS v1,
+      |    SUM(CASE WHEN l_tax IS NULL OR l_tax < 0 OR l_tax > 0.05
+      |        THEN 1 ELSE 0 END)::BIGINT AS v2,
+      |    SUM(CASE WHEN l_linestatus IS NULL OR l_linestatus NOT IN ('F', 'O')
+      |        THEN 1 ELSE 0 END)::BIGINT AS v3
+      |  FROM lineitem),
+      |uq AS (SELECT COALESCE(SUM(c), 0)::BIGINT AS n_rows,
+      |              COALESCE(SUM(c - 1), 0)::BIGINT AS v
+      |       FROM (SELECT COUNT(*) AS c FROM lineitem
+      |             GROUP BY l_orderkey, l_linenumber)),
+      |ri AS (SELECT (SELECT COUNT(*) FROM lineitem) AS n_rows,
+      |  (SELECT COUNT(*) FROM lineitem l
+      |   LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+      |     ON l.l_orderkey = o.o_orderkey
+      |   WHERE l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL) AS v),
+      |rows_ AS (
+      |  SELECT 0 AS check_id, 'not_null' AS expectation, 'l_returnflag' AS target,
+      |         n_rows, v0 AS n_violations FROM base
+      |  UNION ALL SELECT 1, 'in_range', 'l_quantity', n_rows, v1 FROM base
+      |  UNION ALL SELECT 2, 'in_range', 'l_tax', n_rows, v2 FROM base
+      |  UNION ALL SELECT 3, 'accepted_values', 'l_linestatus', n_rows, v3 FROM base
+      |  UNION ALL SELECT 4, 'unique', 'l_orderkey,l_linenumber', n_rows, v FROM uq
+      |  UNION ALL SELECT 5, 'ref_integrity', 'l_orderkey', n_rows, v FROM ri)
+      |SELECT check_id, expectation, target, n_rows, n_violations,
+      |  ROUND(CASE WHEN n_rows > 0
+      |        THEN n_violations / n_rows ELSE 0.0 END, 6) AS violation_rate,
+      |  n_violations = 0 AS passed
+      |FROM rows_ ORDER BY check_id""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "prof_expectations" -> expectationsSql,
     "prof_robust_stats" -> robustStatsSql,
     "sketch_hll_distinct" -> hllSql,
     "sketch_cms_heavy" -> cmsSql,

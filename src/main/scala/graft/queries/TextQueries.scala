@@ -460,6 +460,23 @@ object TextQueries {
           round(col("rr"), 6).as("rr"), round(col("p_at_k"), 6).as("p_at_k"))
         .orderBy("query_id")
     },
+    "eval_annotator_agreement" -> { (s, dir) =>
+      // label-quality gate: Cohen's kappa (r1 vs r2) + Fleiss' kappa (full panel)
+      // over a deterministic 3-rater fixture — rater k flips the base category
+      // (n_chars % 4) by +k on the ~20% of docs where (doc_id·p_k) % 5 = 0
+      import graft.metrics.Agreement
+      val d = docs(s, dir).select(col("doc_id"), (col("n_chars") % 4).as("base"))
+      val labels = Seq((1, 3), (2, 7), (3, 11)).map { case (k, p) =>
+        d.select(col("doc_id").as("item"), lit(s"r$k").as("rater"),
+          when((col("doc_id") * p) % 5 === 0, (col("base") + k) % 4)
+            .otherwise(col("base")).cast("string").as("cat"))
+      }.reduce(_ unionByName _)
+      val cohen = Agreement
+        .cohensKappa(labels, col("item"), col("rater"), col("cat"), "r1", "r2")
+        .withColumnRenamed("n_items", "n_pair_items")
+      cohen.crossJoin(
+        Agreement.fleissKappa(labels, col("item"), col("rater"), col("cat")))
+    },
     "ep13_hard_negatives" -> { (s, dir) =>
       // hard-negative mining for bi-encoder training, the DPR/RocketQA recipe:
       // pseudo-positives are the BM25 top-3, hard negatives the NEXT top-ranked
@@ -1879,6 +1896,42 @@ object TextQueries {
     "text_bm25_topk" ->
       bm25Sql("bmcorpus AS (SELECT doc_id AS bid, text AS btext FROM documents)", 5,
         "bid AS doc_id"),
+    "eval_annotator_agreement" ->
+      """WITH lab AS (
+        |  SELECT doc_id AS item, 'r1' AS rater,
+        |    CAST(CASE WHEN (doc_id * 3) % 5 = 0 THEN (n_chars % 4 + 1) % 4
+        |         ELSE n_chars % 4 END AS VARCHAR) AS cat FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 'r2',
+        |    CAST(CASE WHEN (doc_id * 7) % 5 = 0 THEN (n_chars % 4 + 2) % 4
+        |         ELSE n_chars % 4 END AS VARCHAR) FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 'r3',
+        |    CAST(CASE WHEN (doc_id * 11) % 5 = 0 THEN (n_chars % 4 + 3) % 4
+        |         ELSE n_chars % 4 END AS VARCHAR) FROM documents),
+        |ab AS (SELECT a.item, a.cat AS ca, b.cat AS cb
+        |       FROM lab a JOIN lab b USING (item)
+        |       WHERE a.rater = 'r1' AND b.rater = 'r2'),
+        |obs AS (SELECT COUNT(*) AS n,
+        |         SUM(CASE WHEN ca = cb THEN 1 ELSE 0 END)::BIGINT AS agree FROM ab),
+        |marg AS (SELECT COALESCE(SUM(na * nb), 0)::BIGINT AS prod_sum FROM
+        |  (SELECT ca, COUNT(*) AS na FROM ab GROUP BY 1) x
+        |  FULL JOIN (SELECT cb, COUNT(*) AS nb FROM ab GROUP BY 1) y ON x.ca = y.cb),
+        |cell AS (SELECT item, cat, COUNT(*) AS nij FROM lab GROUP BY 1, 2),
+        |pb AS (SELECT COUNT(*) AS n_items, AVG((sq - 3.0) / 6.0) AS p_bar FROM
+        |  (SELECT item, SUM(nij * nij) AS sq FROM cell GROUP BY 1)),
+        |pej AS (SELECT SUM(nj)::DOUBLE AS total, SUM(nj * nj)::DOUBLE AS sq_sum FROM
+        |  (SELECT cat, SUM(nij) AS nj FROM cell GROUP BY 1))
+        |SELECT obs.n AS n_pair_items,
+        |  ROUND(agree / obs.n, 6) AS percent_agreement,
+        |  ROUND((agree / obs.n - prod_sum / (obs.n * obs.n)) /
+        |        (1.0 - prod_sum / (obs.n * obs.n)), 6) AS cohens_kappa,
+        |  pb.n_items, 3::BIGINT AS n_raters,
+        |  ROUND(pb.p_bar, 6) AS p_bar,
+        |  ROUND(pej.sq_sum / (pej.total * pej.total), 6) AS p_e,
+        |  ROUND((pb.p_bar - pej.sq_sum / (pej.total * pej.total)) /
+        |        (1.0 - pej.sq_sum / (pej.total * pej.total)), 6) AS fleiss_kappa
+        |FROM obs, marg, pb, pej""".stripMargin,
     "eval_retrieval_ndcg" -> {
       s"""WITH ${bm25Ctes("bmcorpus AS (SELECT doc_id AS bid, text AS btext FROM documents)")},
          |$qrelsCtes,

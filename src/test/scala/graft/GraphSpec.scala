@@ -240,6 +240,54 @@ class GraphSpec extends SparkSpec {
     assert(got === exp)
   }
 
+  // ---- k-core ---------------------------------------------------------------
+
+  test("k-core: K4 plus a pendant path — 3-core is exactly the K4") {
+    import graft.cluster.KCore
+    val k4 = Seq("a", "b", "c", "d").combinations(2).map(p => (p(0), p(1))).toSeq
+    val tail = Seq(("d", "e"), ("e", "f")) // pendant path peels away
+    val df = (k4 ++ tail).toDF("src", "dst")
+    val core3 = KCore.kCore(df, 3).as[(String, Long)].collect().toMap
+    assert(core3 === Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+    // 2-core: the path still peels (e,f have degree <= 2 but f has 1 -> cascade)
+    val core2 = KCore.kCore(df, 2).as[(String, Long)].collect().toMap
+    assert(core2.keySet === Set("a", "b", "c", "d"))
+    // a 4-core does not exist in K4 (max degree 3) -> empty
+    assert(KCore.kCore(df, 4).count() === 0L)
+  }
+
+  test("k-core: fixpoint equals brute-force peel on a random graph; degrees >= k") {
+    import graft.cluster.KCore
+    val rnd = new scala.util.Random(41)
+    val edges = (0 until 150).map(_ => (s"n${rnd.nextInt(24)}", s"n${rnd.nextInt(24)}"))
+      .filter { case (a, b) => a != b }
+    // driver-side peel to fixpoint
+    var und = edges.map { case (a, b) => if (a < b) (a, b) else (b, a) }.distinct
+    var changed = true
+    while (changed) {
+      val deg = und.flatMap(e => Seq(e._1, e._2)).groupBy(identity).map { case (k, v) => k -> v.size }
+      val keep = deg.filter(_._2 >= 3).keySet
+      val nxt = und.filter(e => keep(e._1) && keep(e._2))
+      changed = nxt.size != und.size
+      und = nxt
+    }
+    val expDeg = und.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .map { case (k, v) => k -> v.size.toLong }
+    val got = KCore.kCore(edges.toDF("src", "dst"), 3).as[(String, Long)].collect().toMap
+    assert(got === expDeg)
+    assert(got.values.forall(_ >= 3L))
+  }
+
+  test("k-core: peel(iters) is the truncated loop — one round keeps what fixpoint drops") {
+    import graft.cluster.KCore
+    // chain a-b-c-d-e: every interior node has degree 2; one 2-core peel drops
+    // only the endpoints, the fixpoint drops everything
+    val chain = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")).toDF("src", "dst")
+    val one = KCore.peel(chain, 2, 1).as[(String, Long)].collect().toMap
+    assert(one.keySet === Set("b", "c", "d"))
+    assert(KCore.kCore(chain, 2).count() === 0L)
+  }
+
   test("link prediction: maxWedgeDegree drops hub-mediated evidence only") {
     import graft.cluster.LinkPrediction
     // hub h connects x1..x5; separate wedge a-m-b (deg(m)=2)

@@ -276,4 +276,103 @@ class MetricsSpec extends SparkSpec {
     val tpe = run("tpe")
     assert(tpe >= random - 1e-9, s"tpe=$tpe random=$random")
   }
+
+  // ---- expectations ---------------------------------------------------------
+
+  test("expectations: each check family counts its planted violations exactly") {
+    import graft.metrics.Expectations._
+    val df = Seq(
+      (1L, 1, 10.0, "F", 100L),   // clean
+      (1L, 2, -3.0, "F", 100L),   // range violation
+      (2L, 1, 10.0, "X", 100L),   // accepted-values violation
+      (2L, 1, 10.0, "F", 999L),   // duplicate key + FK orphan
+      (3L, 1, 10.0, null, 100L)   // null flag (violates not_null AND accepted)
+    ).toDF("k", "ln", "qty", "flag", "fk")
+    val dim = Seq(100L, 101L).toDF("id")
+    val out = validate(df, Seq(
+        NotNull("flag"),
+        InRange("qty", 0, 50),
+        AcceptedValues("flag", Seq("F", "O")),
+        Unique(Seq("k", "ln")),
+        RefIntegrity("fk", dim, "id")))
+      .orderBy("check_id")
+      .as[(Int, String, String, Long, Long, Double, Boolean)].collect().toSeq
+    assert(out.map(r => (r._2, r._4, r._5, r._7)) === Seq(
+      ("not_null", 5L, 1L, false),
+      ("in_range", 5L, 1L, false),
+      ("accepted_values", 5L, 2L, false),
+      ("unique", 5L, 1L, false),
+      ("ref_integrity", 5L, 1L, false)))
+    assert(out.head._6 === 0.2)
+  }
+
+  test("expectations: a clean table passes everything; rates are 0") {
+    import graft.metrics.Expectations._
+    val df = Seq((1L, "a", 5.0), (2L, "b", 7.0)).toDF("id", "s", "x")
+    val out = validate(df, Seq(
+        NotNull("s"), InRange("x", 0, 10), Unique(Seq("id")),
+        RefIntegrity("id", Seq(1L, 2L, 3L).toDF("id"), "id", broadcastDim = false)))
+      .as[(Int, String, String, Long, Long, Double, Boolean)].collect()
+    assert(out.forall(r => r._5 === 0L && r._6 === 0.0 && r._7))
+    assert(out.length === 4)
+  }
+
+  // ---- inter-annotator agreement -------------------------------------------
+
+  test("Cohen's kappa: textbook 2x2 fixture") {
+    import graft.metrics.Agreement
+    // classic fixture: po = 0.7, marginals A(yes)=0.5/B(yes)=0.6 -> pe = 0.5,
+    // kappa = (0.7-0.5)/0.5 = 0.4
+    val rows =
+      (1 to 20).map { i =>
+        val a = if (i <= 10) "yes" else "no"
+        // agree on 7 of A's yes and 7 of A's no
+        val b = if (i <= 7) "yes" else if (i <= 10) "no"
+            else if (i <= 13) "yes" else "no"
+        (i, a, b)
+      }.flatMap { case (i, a, b) => Seq((i, "A", a), (i, "B", b)) }
+    val out = Agreement.cohensKappa(rows.toDF("item", "rater", "cat"),
+        col("item"), col("rater"), col("cat"), "A", "B")
+      .as[(Long, Double, Double)].collect()(0)
+    assert(out._1 === 20L)
+    assert(out._2 === 0.7)
+    assert(out._3 === 0.4)
+  }
+
+  test("Fleiss' kappa: perfect agreement is 1; the Wikipedia worked example matches") {
+    import graft.metrics.Agreement
+    val perfect = (1 to 12).flatMap(i =>
+      Seq("A", "B", "C").map(r => (i, r, (i % 3).toString)))
+    val p = Agreement.fleissKappa(perfect.toDF("item", "rater", "cat"),
+        col("item"), col("rater"), col("cat"))
+      .as[(Long, Long, Double, Double, Double)].collect()(0)
+    assert((p._1, p._2, p._3, p._5) === ((12L, 3L, 1.0, 1.0)))
+    // Fleiss 1971 / Wikipedia table: 10 items x 14 raters x 5 cats, kappa = 0.209930
+    val counts = Seq(
+      Seq(0, 0, 0, 0, 14), Seq(0, 2, 6, 4, 2), Seq(0, 0, 3, 5, 6),
+      Seq(0, 3, 9, 2, 0), Seq(2, 2, 8, 1, 1), Seq(7, 7, 0, 0, 0),
+      Seq(3, 2, 6, 3, 0), Seq(2, 5, 3, 2, 2), Seq(6, 5, 2, 1, 0),
+      Seq(0, 2, 2, 3, 7))
+    val long = counts.zipWithIndex.flatMap { case (cs, item) =>
+      val cats = cs.zipWithIndex.flatMap { case (n, c) => Seq.fill(n)(c.toString) }
+      cats.zipWithIndex.map { case (cat, r) => (item, s"rater$r", cat) }
+    }
+    val w = Agreement.fleissKappa(long.toDF("item", "rater", "cat"),
+        col("item"), col("rater"), col("cat"))
+      .as[(Long, Long, Double, Double, Double)].collect()(0)
+    assert((w._1, w._2) === ((10L, 14L)))
+    assert(math.abs(w._3 - 0.378022) < 1e-6, s"p_bar ${w._3}")
+    assert(math.abs(w._5 - 0.209930) < 1e-5, s"kappa ${w._5}")
+  }
+
+  test("Fleiss' kappa drops items not rated by the full panel") {
+    import graft.metrics.Agreement
+    val full = (1 to 6).flatMap(i =>
+      Seq("A", "B").map(r => (i, r, if (i % 2 == 0) "x" else "y")))
+    val partial = Seq((7, "A", "x")) // only one rater
+    val out = Agreement.fleissKappa((full ++ partial).toDF("item", "rater", "cat"),
+        col("item"), col("rater"), col("cat"))
+      .as[(Long, Long, Double, Double, Double)].collect()(0)
+    assert(out._1 === 6L)
+  }
 }
