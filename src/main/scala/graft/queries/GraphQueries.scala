@@ -128,6 +128,20 @@ object GraphQueries {
     // min-degree invariant and brute-force equality on a random graph)
     "graph_kcore" -> { (s, dir) =>
       graft.cluster.KCore.kCore(linkEdges(s, dir), k = 2).orderBy("node")
+    },
+    // per-community cut/volume/conductance audit over the deterministic
+    // two-iteration LPA partition — full oracle (LPA CTEs + closed forms)
+    "graph_community_quality" -> { (s, dir) =>
+      val e = linkEdges(s, dir)
+      graft.cluster.CommunityMetrics
+        .communityQuality(e, graft.cluster.LabelPropagation.run(e, iters = 2))
+        .orderBy("community")
+    },
+    // Newman modularity + coverage of the same partition — ONE summary row
+    "graph_modularity" -> { (s, dir) =>
+      val e = linkEdges(s, dir)
+      graft.cluster.CommunityMetrics
+        .modularity(e, graft.cluster.LabelPropagation.run(e, iters = 2))
     })
 
   private val lpaTwoIterSql =
@@ -418,7 +432,73 @@ object GraphQueries {
       |  (SELECT a AS node FROM e2 UNION ALL SELECT b FROM e2)
       |GROUP BY 1 ORDER BY node""".stripMargin
 
+  /** Shared CTE chain: the link-graph fixture, two LPA iterations (labels l2),
+    * canonical undirected edges, degrees, per-community volume and
+    * internal/cut edge rollups — the inputs both community-audit oracles fold.
+    */
+  private val communityCtes =
+    """p AS (SELECT COUNT(*) AS nd FROM documents),
+      |e0 AS (
+      |  SELECT 'd' || doc_id AS src, 'd' || ((doc_id * 7 + 1) % p.nd) AS dst
+      |  FROM documents, p WHERE doc_id % 11 <> 0
+      |  UNION ALL
+      |  SELECT 'd' || doc_id, 'd' || ((doc_id * 13 + 5) % p.nd)
+      |  FROM documents, p WHERE doc_id % 11 <> 0 AND doc_id % 2 = 0),
+      |sym AS (SELECT DISTINCT src, dst FROM
+      |  (SELECT src, dst FROM e0 WHERE src <> dst
+      |   UNION ALL SELECT dst, src FROM e0 WHERE src <> dst)),
+      |l1 AS (SELECT src AS node, MIN(dst) AS label FROM sym GROUP BY src),
+      |nl AS (SELECT sym.src AS node, l1.label, COUNT(*) AS n
+      |       FROM sym JOIN l1 ON l1.node = sym.dst GROUP BY 1, 2),
+      |bn AS (SELECT node, MAX(n) AS n FROM nl GROUP BY node),
+      |l2 AS (SELECT nl.node, MIN(nl.label) AS label
+      |       FROM nl JOIN bn ON bn.node = nl.node AND bn.n = nl.n GROUP BY 1),
+      |ec AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      |       FROM e0 WHERE src <> dst),
+      |m AS (SELECT COUNT(*) AS m FROM ec),
+      |deg AS (SELECT node, COUNT(*) AS degree FROM
+      |  (SELECT a AS node FROM ec UNION ALL SELECT b FROM ec) GROUP BY 1),
+      |sv AS (SELECT l2.label AS community, COUNT(*) AS n_nodes,
+      |         SUM(COALESCE(deg.degree, 0))::BIGINT AS volume
+      |       FROM l2 LEFT JOIN deg ON deg.node = l2.node GROUP BY 1),
+      |le AS (SELECT la.label AS la, lb.label AS lb FROM ec
+      |       JOIN l2 la ON la.node = ec.a JOIN l2 lb ON lb.node = ec.b),
+      |pe AS (
+      |  SELECT la AS community, COUNT(*)::BIGINT AS internal_edges,
+      |         0::BIGINT AS cut_edges FROM le WHERE la = lb GROUP BY 1
+      |  UNION ALL SELECT la, 0::BIGINT, COUNT(*)::BIGINT
+      |    FROM le WHERE la <> lb GROUP BY 1
+      |  UNION ALL SELECT lb, 0::BIGINT, COUNT(*)::BIGINT
+      |    FROM le WHERE la <> lb GROUP BY 1),
+      |pe2 AS (SELECT community, SUM(internal_edges)::BIGINT AS internal_edges,
+      |          SUM(cut_edges)::BIGINT AS cut_edges FROM pe GROUP BY 1),
+      |q AS (SELECT sv.community, sv.n_nodes,
+      |        COALESCE(pe2.internal_edges, 0)::BIGINT AS internal_edges,
+      |        COALESCE(pe2.cut_edges, 0)::BIGINT AS cut_edges, sv.volume
+      |      FROM sv LEFT JOIN pe2 USING (community))""".stripMargin
+
+  private val communityQualitySql =
+    s"""WITH $communityCtes
+       |SELECT q.community, q.n_nodes, q.internal_edges, q.cut_edges, q.volume,
+       |  CASE WHEN LEAST(q.volume, 2 * m.m - q.volume) = 0 THEN 0.0
+       |       ELSE ROUND(q.cut_edges / LEAST(q.volume, 2 * m.m - q.volume), 6)
+       |  END AS conductance
+       |FROM q, m ORDER BY q.community""".stripMargin
+
+  private val modularitySql =
+    s"""WITH $communityCtes,
+       |agg AS (SELECT COUNT(*)::BIGINT AS n_communities,
+       |  (SUM(internal_edges) + SUM(cut_edges) / 2)::BIGINT AS m_edges,
+       |  SUM(internal_edges)::DOUBLE AS li,
+       |  SUM(volume * volume)::DOUBLE AS vol_sq FROM q)
+       |SELECT n_communities, m_edges,
+       |  ROUND(li / m_edges, 6) AS coverage,
+       |  ROUND(li / m_edges - vol_sq / (4.0 * m_edges * m_edges), 6) AS modularity
+       |FROM agg""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "graph_community_quality" -> communityQualitySql,
+    "graph_modularity" -> modularitySql,
     "graph_kcore_two_peel" -> kcoreTwoPeelSql,
     "graph_link_predict" -> linkPredictSql,
     "graph_triangles" -> trianglesSql,

@@ -299,4 +299,36 @@ class GraphSpec extends SparkSpec {
     // all x-x pairs went through h (deg 5 > cap) -> gone; a-b survives
     assert(capped.map(t => (t._1, t._2)) === Seq(("a", "b")))
   }
+
+  test("community metrics: two bridged triangles — hand-computed cut/volume/modularity") {
+    import graft.cluster.CommunityMetrics
+    val triA = Seq(("a1", "a2"), ("a2", "a3"), ("a3", "a1"))
+    val triB = Seq(("b1", "b2"), ("b2", "b3"), ("b3", "b1"))
+    val edges = (triA ++ triB :+ ("a1" -> "b1")).toDF("src", "dst")
+    val labels = Seq("a1" -> "A", "a2" -> "A", "a3" -> "A",
+      "b1" -> "B", "b2" -> "B", "b3" -> "B").toDF("node", "label")
+    val q = CommunityMetrics.communityQuality(edges, labels).orderBy("community")
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSeq
+    // each side: 3 nodes, 3 internal edges, the 1 bridge cut, volume 7 (bridge
+    // endpoint has degree 3); conductance = 1 / min(7, 14-7)
+    assert(q === Seq(("A", 3L, 3L, 1L, 7L, 0.142857), ("B", 3L, 3L, 1L, 7L, 0.142857)))
+    val m = CommunityMetrics.modularity(edges, labels)
+      .as[(Long, Long, Double, Double)].collect().head
+    // m=7, coverage 6/7, Q = 2 * (3/7 - (7/14)^2)
+    assert(m === ((2L, 7L, 0.857143, 0.357143)))
+  }
+
+  test("community metrics: one community is modularity 0; empty complement guards conductance") {
+    import graft.cluster.CommunityMetrics
+    // duplicate + reversed edges canonicalize away
+    val tri = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"), ("a", "b"))
+      .toDF("src", "dst")
+    val labels = Seq("a" -> "X", "b" -> "X", "c" -> "X").toDF("node", "label")
+    val q = CommunityMetrics.communityQuality(tri, labels)
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(q === Seq(("X", 3L, 3L, 0L, 6L, 0.0)))
+    val m = CommunityMetrics.modularity(tri, labels)
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(m === ((1L, 3L, 1.0, 0.0)))
+  }
 }
