@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.blocking.{BlockingRule, PairGenerator, RuleGen}
+import graft.blocking.{BlockingRule, PairGenerator, RuleGen, SortedNeighborhood}
 import graft.cluster.ConnectedComponents
 import graft.compare.Comparisons
 import graft.model.{ColumnParams, ComparisonSpec, TrainedModel}
@@ -60,6 +60,15 @@ object LinkageQueries {
           Seq(BlockingRule.parse("l.c_nationkey = r.c_nationkey AND l.c_mktsegment = r.c_mktsegment")))
         .select("uid_l", "uid_r")
         .orderBy("uid_l", "uid_r")
+    },
+    // sorted-neighborhood blocking: window-4 candidates over the segment|name
+    // sort key — the fuzzy complement to j1's equi-key rules; positions come
+    // from the bucketed-offset numbering, never a global window
+    "j1_sorted_neighborhood" -> { (s, dir) =>
+      SortedNeighborhood.pairs(cust(s, dir),
+          concat(col("c_mktsegment"), lit("|"), col("c_name")),
+          col("c_custkey"), window = 4)
+        .orderBy("pos_l", "pos_r")
     },
     "j2_comparison_gammas" -> { (s, dir) =>
       val df = withUid(cust(s, dir))
@@ -582,6 +591,15 @@ object LinkageQueries {
         |  ON l.c_nationkey = r.c_nationkey AND l.c_mktsegment = r.c_mktsegment
         | AND CAST(l.c_custkey AS VARCHAR) < CAST(r.c_custkey AS VARCHAR)
         |ORDER BY uid_l, uid_r""".stripMargin,
+    "j1_sorted_neighborhood" ->
+      """WITH r AS (SELECT c_custkey,
+        |  ROW_NUMBER() OVER (ORDER BY c_mktsegment || '|' || c_name, c_custkey) AS pos
+        |  FROM customer)
+        |SELECT CAST(a.c_custkey AS VARCHAR) AS id_l,
+        |  CAST(b.c_custkey AS VARCHAR) AS id_r,
+        |  a.pos AS pos_l, b.pos AS pos_r, b.pos - a.pos AS distance
+        |FROM r a JOIN r b ON b.pos > a.pos AND b.pos - a.pos <= 3
+        |ORDER BY pos_l, pos_r""".stripMargin,
     "j2_comparison_gammas" -> {
       val gName = gammaSql("c_name", demoSpecs(0)).replace('\n', ' ')
       val gSeg = gammaSql("c_mktsegment", demoSpecs(1)).replace('\n', ' ')

@@ -321,4 +321,40 @@ class LinkageSpec extends SparkSpec {
     assert(back.params("a").m.toSeq === model.params("a").m.toSeq)
     assert(back.params("b").u.toSeq === model.params("b").u.toSeq)
   }
+
+  test("sorted neighborhood: positions are the dense sort order; pairs ≡ brute-force window") {
+    import graft.blocking.SortedNeighborhood
+    import org.apache.spark.sql.functions.col
+    // shared 2-char prefix on most keys exercises the skewed-bucket path
+    val rows = Seq(("smith", 3L), ("smyth", 1L), ("smith", 7L), ("adams", 9L),
+      ("smoke", 2L), ("zzz", 4L), ("smith", 5L))
+    val df = rows.toDF("k", "id")
+    val ranked = SortedNeighborhood.rank(df, col("k"), col("id"))
+      .select("k", "id", "position").as[(String, Long, Long)].collect()
+      .sortBy(_._3)
+    val expOrder = rows.sortBy(identity).zipWithIndex
+      .map { case ((k, id), i) => (k, id, i + 1L) }
+    assert(ranked.toSeq === expOrder)
+
+    val w = 4
+    val got = SortedNeighborhood.pairs(df, col("k"), col("id"), w)
+      .select("id_l", "id_r", "distance").as[(String, String, Long)].collect().toSet
+    val brute = (for {
+      (a, i) <- expOrder.zipWithIndex; (b, j) <- expOrder.zipWithIndex
+      if j > i && j - i <= w - 1
+    } yield (a._2.toString, b._2.toString, (j - i).toLong)).toSet
+    assert(got === brute)
+    val n = rows.size
+    assert(got.size === (w - 1) * n - (w - 1) * w / 2)
+  }
+
+  test("sorted neighborhood: null sort keys fail loudly") {
+    import graft.blocking.SortedNeighborhood
+    import org.apache.spark.sql.functions.col
+    val df = Seq(("a", 1L), (null, 2L)).toDF("k", "id")
+    val e = intercept[IllegalArgumentException] {
+      SortedNeighborhood.rank(df, col("k"), col("id")).collect()
+    }
+    assert(e.getMessage.contains("null sort keys"))
+  }
 }
