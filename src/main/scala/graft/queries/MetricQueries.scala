@@ -90,6 +90,18 @@ object MetricQueries {
           col("top_value"), col("top_count"), round(col("entropy"), 6).as("entropy"))
         .orderBy("col_name")
     },
+    // pairwise column association: MI / NMI / Cramér's V; the nation join plants
+    // a true functional dependency (n_name → n_regionkey) next to a near-
+    // independent pair (segment vs nation)
+    "prof_association" -> { (s, dir) =>
+      val j = cust(s, dir).join(s.read.parquet(s"$dir/nation.parquet"),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey").as("id"), col("c_mktsegment"),
+          col("n_name"), col("n_regionkey"))
+      graft.metrics.Association
+        .pairwiseStats(j, "id", Seq("c_mktsegment", "n_name", "n_regionkey"))
+        .orderBy("col_a", "col_b")
+    },
     "y17_confusion_metrics" -> { (s, dir) =>
       val df = custTruth(s, dir)
       val preds = FellegiSunter.predict(df, "uid", LinkageQueries.demoModel)
@@ -321,7 +333,60 @@ object MetricQueries {
        |ORDER BY cols."column", lvls.gamma""".stripMargin
   }
 
+  private val associationSql =
+    """WITH j AS (SELECT c_custkey AS id, c_mktsegment, n_name, n_regionkey
+      |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+      |lf AS (
+      |  SELECT id, 'c_mktsegment' AS c,
+      |    COALESCE(c_mktsegment::VARCHAR, '<null>') AS v FROM j
+      |  UNION ALL SELECT id, 'n_name', COALESCE(n_name::VARCHAR, '<null>') FROM j
+      |  UNION ALL SELECT id, 'n_regionkey',
+      |    COALESCE(n_regionkey::VARCHAR, '<null>') FROM j),
+      |pr AS (SELECT a.c AS col_a, b.c AS col_b, a.v AS va, b.v AS vb
+      |       FROM lf a JOIN lf b ON a.id = b.id AND a.c < b.c),
+      |cell AS (SELECT col_a, col_b, va, vb, COUNT(*) AS nxy FROM pr
+      |         GROUP BY 1, 2, 3, 4),
+      |ma AS (SELECT col_a, col_b, va, SUM(nxy)::BIGINT AS nx FROM cell
+      |       GROUP BY 1, 2, 3),
+      |mb AS (SELECT col_a, col_b, vb, SUM(nxy)::BIGINT AS ny FROM cell
+      |       GROUP BY 1, 2, 3),
+      |tot AS (SELECT col_a, col_b, SUM(nxy)::BIGINT AS n,
+      |          COUNT(DISTINCT va) AS r, COUNT(DISTINCT vb) AS c FROM cell
+      |        GROUP BY 1, 2),
+      |sc AS (SELECT cell.col_a, cell.col_b,
+      |    SUM((nxy / n) * LN(n * nxy / (nx * ny))) AS mi_raw,
+      |    SUM(POWER(nxy - nx * ny / n, 2) / (nx * ny / n) - nx * ny / n)
+      |      AS chi2_obs
+      |  FROM cell
+      |  JOIN ma ON ma.col_a = cell.col_a AND ma.col_b = cell.col_b
+      |         AND ma.va = cell.va
+      |  JOIN mb ON mb.col_a = cell.col_a AND mb.col_b = cell.col_b
+      |         AND mb.vb = cell.vb
+      |  JOIN tot ON tot.col_a = cell.col_a AND tot.col_b = cell.col_b
+      |  GROUP BY 1, 2),
+      |ha AS (SELECT ma.col_a, ma.col_b,
+      |         SUM(-(nx / n) * LN(nx / n)) AS h_a
+      |       FROM ma JOIN tot ON tot.col_a = ma.col_a AND tot.col_b = ma.col_b
+      |       GROUP BY 1, 2),
+      |hb AS (SELECT mb.col_a, mb.col_b,
+      |         SUM(-(ny / n) * LN(ny / n)) AS h_b
+      |       FROM mb JOIN tot ON tot.col_a = mb.col_a AND tot.col_b = mb.col_b
+      |       GROUP BY 1, 2)
+      |SELECT tot.col_a, tot.col_b, tot.n,
+      |  ROUND(mi_raw, 6) AS mi,
+      |  ROUND(CASE WHEN h_a <= 0 OR h_b <= 0 THEN 0.0
+      |        ELSE mi_raw / SQRT(h_a * h_b) END, 6) AS nmi,
+      |  ROUND(CASE WHEN LEAST(r, c) <= 1 THEN 0.0
+      |        ELSE SQRT(GREATEST((chi2_obs + n) / (n * (LEAST(r, c) - 1)), 0.0))
+      |        END, 6) AS cramers_v
+      |FROM tot
+      |JOIN sc ON sc.col_a = tot.col_a AND sc.col_b = tot.col_b
+      |JOIN ha ON ha.col_a = tot.col_a AND ha.col_b = tot.col_b
+      |JOIN hb ON hb.col_a = tot.col_a AND hb.col_b = tot.col_b
+      |ORDER BY tot.col_a, tot.col_b""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "prof_association" -> associationSql,
     "y1_clean" ->
       """SELECT CAST(c_custkey AS VARCHAR) AS uid,
         |  lower(regexp_replace(c_name, '[^A-Za-z0-9 ]+', '', 'g')) AS cleaned

@@ -375,4 +375,27 @@ class MetricsSpec extends SparkSpec {
       .as[(Long, Long, Double, Double, Double)].collect()(0)
     assert(out._1 === 6L)
   }
+
+  test("association: functional dependency scores 1; independence and constants score 0") {
+    import graft.metrics.Association
+    // perfect bijective dependency: MI = H = ln 3, NMI = V = 1
+    val dep = (1 to 30).map(i =>
+      (i.toLong, Seq("a", "b", "c")(i % 3), Seq("A", "B", "C")(i % 3))).toDF("id", "x", "y")
+    val d = Association.pairwiseStats(dep, "id", Seq("x", "y"))
+      .as[(String, String, Long, Double, Double, Double)].collect().head
+    assert((d._1, d._2, d._3) === (("x", "y", 30L)))
+    assert(math.abs(d._4 - math.log(3)) < 1e-6)
+    assert(d._5 === 1.0 && d._6 === 1.0)
+    // exact independence: every statistic is exactly 0
+    val ind = (0 until 40).map(i =>
+      (i.toLong, if (i % 2 == 0) "a" else "b", if ((i / 2) % 2 == 0) "p" else "q"))
+      .toDF("id", "x", "y")
+    val ir = Association.pairwiseStats(ind, "id", Seq("x", "y")).as[(String, String, Long, Double, Double, Double)].collect().head
+    assert((ir._4, ir._5, ir._6) === ((0.0, 0.0, 0.0)))
+    // constant column: zero entropy and r=1 hit both guard branches
+    val const = (1 to 10).map(i =>
+      (i.toLong, "k", if (i % 2 == 0) "p" else "q")).toDF("id", "x", "y")
+    val cr = Association.pairwiseStats(const, "id", Seq("x", "y")).as[(String, String, Long, Double, Double, Double)].collect().head
+    assert((cr._4, cr._5, cr._6) === ((0.0, 0.0, 0.0)))
+  }
 }
