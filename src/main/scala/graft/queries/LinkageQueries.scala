@@ -70,6 +70,15 @@ object LinkageQueries {
           col("c_custkey"), window = 4)
         .orderBy("pos_l", "pos_r")
     },
+    // phonetic key over the part-name vocabulary — the fuzzy-name blocking
+    // column (simplified soundex, all built-in codegen'd functions)
+    "j2_phonetic_key" -> { (s, dir) =>
+      s.read.parquet(s"$dir/part.parquet")
+        .select(lower(split(col("p_name"), " ").getItem(0)).as("word")).distinct()
+        .select(col("word"),
+          graft.compare.Phonetic.phoneticKey(col("word")).as("phonetic_key"))
+        .orderBy("word")
+    },
     "j2_comparison_gammas" -> { (s, dir) =>
       val df = withUid(cust(s, dir))
         .withColumn("c_mktsegment", nullif(col("c_mktsegment"), lit("BUILDING")))
@@ -600,6 +609,25 @@ object LinkageQueries {
         |  a.pos AS pos_l, b.pos AS pos_r, b.pos - a.pos AS distance
         |FROM r a JOIN r b ON b.pos > a.pos AND b.pos - a.pos <= 3
         |ORDER BY pos_l, pos_r""".stripMargin,
+    "j2_phonetic_key" ->
+      """WITH w AS (SELECT DISTINCT LOWER(SPLIT_PART(p_name, ' ', 1)) AS word
+        |           FROM part),
+        |k AS (SELECT word,
+        |        UPPER(REGEXP_REPLACE(word, '[^A-Za-z]', '', 'g')) AS s FROM w),
+        |c AS (SELECT word, s,
+        |        REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
+        |        REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
+        |          TRANSLATE(s, 'AEIOUYHWBFPVCGJKQSXZDTLMNR',
+        |                       '00000000111122222222334556'),
+        |          '0{2,}', '0', 'g'), '1{2,}', '1', 'g'), '2{2,}', '2', 'g'),
+        |          '3{2,}', '3', 'g'), '4{2,}', '4', 'g'), '5{2,}', '5', 'g'),
+        |          '6{2,}', '6', 'g') AS cl
+        |      FROM k)
+        |SELECT word, CASE WHEN LENGTH(s) = 0 THEN NULL
+        |  ELSE SUBSTRING(s, 1, 1) ||
+        |       RPAD(SUBSTRING(TRANSLATE(SUBSTRING(cl, 2), '0', ''), 1, 3), 3, '0')
+        |  END AS phonetic_key
+        |FROM c ORDER BY word""".stripMargin,
     "j2_comparison_gammas" -> {
       val gName = gammaSql("c_name", demoSpecs(0)).replace('\n', ' ')
       val gSeg = gammaSql("c_mktsegment", demoSpecs(1)).replace('\n', ' ')

@@ -348,6 +348,24 @@ class LinkageSpec extends SparkSpec {
     assert(got.size === (w - 1) * n - (w - 1) * w / 2)
   }
 
+  test("phonetic key: classic soundex examples; documented H/W divergence; no-letter null") {
+    import graft.compare.Phonetic.phoneticKey
+    import org.apache.spark.sql.functions.col
+    val got = Seq("Robert", "Rupert", "Pfeiffer", "Tymczak", "Ashcraft", "ash-CRAFT",
+        "R2D2", "42", "", "Lee")
+      .toDF("w").select(col("w"), phoneticKey(col("w"))).as[(String, String)]
+      .collect().toMap
+    assert(got("Robert") === "R163" && got("Rupert") === "R163") // classic match
+    assert(got("Pfeiffer") === "P160")
+    assert(got("Tymczak") === "T522")
+    // simplified spec: H/W-transparency omitted (classic soundex gives A261)
+    assert(got("Ashcraft") === "A226")
+    assert(got("ash-CRAFT") === "A226") // case/punctuation invariant
+    assert(got("R2D2") === "R300") // digits stripped before coding
+    assert(got("42") === null && got("") === null)
+    assert(got("Lee") === "L000") // all-vowel tail pads out
+  }
+
   test("sorted neighborhood: null sort keys fail loudly") {
     import graft.blocking.SortedNeighborhood
     import org.apache.spark.sql.functions.col
