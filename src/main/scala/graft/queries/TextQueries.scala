@@ -846,6 +846,12 @@ object TextQueries {
       StreamOps.streamStreamIntervalJoin(s, s"$dir/events.parquet", 30)
         .orderBy("user_id")
     },
+    "stream_left_join" -> { (s, dir) =>
+      // left-outer variant: proven-unmatched views emit with nulls at eviction
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      StreamOps.streamStreamLeftJoin(s, s"$dir/events.parquet", 30)
+        .orderBy("user_id")
+    },
     "stream_sharded_sink" -> { (s, dir) =>
       // streaming ingest into the sharded training layout: two micro-batches
       // (doc_id parity split) append into the same deterministic shard dirs;
@@ -2294,6 +2300,21 @@ object TextQueries {
         |  CAST(SUM(len(""".stripMargin + toks + """)) AS BIGINT) AS n_tokens
         |FROM s GROUP BY shard ORDER BY shard""".stripMargin
     },
+    "stream_left_join" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us, value FROM events),
+        |v AS (SELECT user_id, us FROM e WHERE event_type = 'view'),
+        |p AS (SELECT user_id, us, value FROM e WHERE event_type = 'purchase'),
+        |wm AS (SELECT LEAST((SELECT MAX(us) FROM v), (SELECT MAX(us) FROM p))
+        |         - 3600000000 AS wm_us),
+        |j AS (SELECT v.user_id, v.us AS v_us, p.us AS p_us, p.value
+        |      FROM v LEFT JOIN p ON v.user_id = p.user_id
+        |        AND p.us >= v.us AND p.us <= v.us + 1800000000),
+        |keep AS (SELECT * FROM j, wm
+        |         WHERE p_us IS NOT NULL OR v_us + 1800000000 < wm_us)
+        |SELECT user_id, COUNT(p_us)::BIGINT AS n_pairs,
+        |  SUM(CASE WHEN p_us IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_unmatched,
+        |  ROUND(SUM(COALESCE(value, 0.0)), 4) AS value_sum
+        |FROM keep GROUP BY 1 ORDER BY 1""".stripMargin,
     "stream_stream_join" ->
       """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us, value FROM events),
         |v AS (SELECT user_id, us FROM e WHERE event_type = 'view'),

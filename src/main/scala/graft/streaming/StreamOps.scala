@@ -430,6 +430,40 @@ object StreamOps {
       .agg(count(lit(1)).as("n_pairs"), round(sum("value"), 4).as("value_sum"))
   }
 
+  /** LEFT-OUTER stream-stream interval join — the semantics the inner variant
+    * can't show: a view with NO purchase in its window emits (with nulls) only
+    * once the watermark PROVES no matching purchase can still arrive, i.e. at
+    * left-state eviction during the post-data no-data micro-batch. Views whose
+    * window the final watermark has not yet passed stay buffered and do NOT
+    * appear — the per-user rollup therefore reports `n_unmatched` as
+    * "proven-unmatched", exactly what an attribution pipeline may act on.
+    * State stays bounded for the same reason as the inner join: the time-range
+    * condition gives both buffers an eviction frontier.
+    */
+  def streamStreamLeftJoin(
+      spark: SparkSession,
+      eventsPath: String,
+      windowMinutes: Int): DataFrame = {
+    def side(tag: String, tpe: String) = {
+      graft.sources.Events.normalizeTs(fileStream(spark, eventsPath))
+        .filter(col("event_type") === tpe)
+        .select(col("user_id").as(s"${tag}_user"), col("ts").as(s"${tag}_ts"), col("value"))
+        .withWatermark(s"${tag}_ts", "1 hour")
+    }
+    val views = side("v", "view").drop("value")
+    val purchases = side("p", "purchase")
+    val joined = views.join(purchases,
+      col("v_user") === col("p_user") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr(s"INTERVAL $windowMinutes MINUTES"),
+      "left_outer")
+    driveToMemory(joined, "append", "stream_ljoin", statePartitions = Some(8))
+      .groupBy(col("v_user").as("user_id"))
+      .agg(count(col("p_user")).as("n_pairs"),
+        sum(when(col("p_user").isNull, 1L).otherwise(0L)).as("n_unmatched"),
+        round(sum(coalesce(col("value"), lit(0.0))), 4).as("value_sum"))
+  }
+
   case class OpenSession(start_us: Long, last_us: Long, n: Long)
   case class SessionRow(user_id: Long, session_start_us: Long, session_end_us: Long,
     n_events: Long)

@@ -283,4 +283,40 @@ class SourcesSpec extends SparkSpec {
     assert(spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
       .forall(!_.contains("RocksDB")))
   }
+
+  test("left-outer stream-stream join ≡ batch replay with the eviction predicate") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001/events.parquet"
+    val got = graft.streaming.StreamOps.streamStreamLeftJoin(spark, dir, 30)
+      .orderBy("user_id").collect().toSeq
+    // batch replay: matched pairs as a plain interval join; unmatched views kept
+    // only when the final watermark (min of both sides' max ts − 1h) proves the
+    // 30-min window closed
+    val e = graft.sources.Events.normalizeTs(spark.read.parquet(dir))
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"),
+        col("value"))
+    val v = e.filter(col("event_type") === "view").select(col("user_id"), col("us"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("us").as("p_us"), col("value"))
+    val wmUs = math.min(
+      v.agg(max("us")).head.getLong(0), p.agg(max("p_us")).head.getLong(0)) -
+      3600L * 1000000L
+    val win = 30L * 60L * 1000000L
+    val j = v.join(p, col("user_id") === col("p_user") &&
+      col("p_us") >= col("us") && col("p_us") <= col("us") + win, "left_outer")
+    val exp = j.filter(col("p_us").isNotNull || col("us") + win < wmUs)
+      .groupBy("user_id")
+      .agg(count(col("p_us")).as("n_pairs"),
+        sum(when(col("p_us").isNull, 1L).otherwise(0L)).as("n_unmatched"),
+        round(sum(coalesce(col("value"), lit(0.0))), 4).as("value_sum"))
+      .orderBy("user_id").collect().toSeq
+    assert(got.nonEmpty)
+    assert(got === exp)
+    // the semantics worth having: some unmatched views must be PROVEN (emitted) …
+    assert(got.exists(_.getLong(2) > 0))
+    // … and near-stream-end unmatched views must be withheld, not guessed
+    val allUnmatched = j.filter(col("p_us").isNull).count()
+    val emittedUnmatched = got.map(_.getLong(2)).sum
+    assert(emittedUnmatched < allUnmatched)
+  }
 }
