@@ -175,4 +175,34 @@ object Profile {
         round(col("n") / lit(total.toDouble), 6).as("share"),
         round(col("n") * lit(nKeys.toDouble) / lit(total.toDouble), 6).as("skew"))
   }
+
+  /** Benford first-significant-digit profile — the classic naturalness check for
+    * amount-like numeric columns (Newcomb 1881 / Benford 1938; the fraud-and-
+    * synthetic-data alarm an ingest audit runs next to [[robustStats]]): real
+    * multiplicative data has P(first digit = d) = log10(1 + 1/d); uniform or
+    * fabricated values don't.
+    *
+    * The leading digit comes from the STRING form of the cent-scaled integer —
+    * `round(x·100)` cast long then string — never from `floor(log10 x)`, whose
+    * power-of-ten boundary cells are libm-dependent and would not replay
+    * bit-identically on another engine. One row-local projection + ONE 9-bucket
+    * hash agg; zero/null amounts are excluded (they carry no leading digit).
+    *
+    * @return 9 rows (digit, n, share, benford_share, abs_dev), digit ascending
+    */
+  def benford(df: DataFrame, amount: org.apache.spark.sql.Column): DataFrame = {
+    val digit = substring(round(abs(amount) * 100, 0).cast("long").cast("string"), 1, 1)
+    val counts = df
+      .filter(amount.isNotNull && abs(amount) * 100 >= lit(0.5))
+      .select(digit.cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val total = sum("n").over(org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))) // 9-row window: global by construction, never by data
+    val expected = log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0))
+    counts
+      .select(col("digit"), col("n"),
+        round(col("n") / total, 6).as("share"),
+        round(expected, 6).as("benford_share"),
+        round(abs(col("n") / total - expected), 6).as("abs_dev"))
+  }
 }

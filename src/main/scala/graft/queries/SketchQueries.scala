@@ -61,6 +61,14 @@ object SketchQueries {
         RefIntegrity("l_orderkey", ord, "o_orderkey")
       )).orderBy("check_id")
     },
+    // Benford first-digit naturalness profile over the price column — the
+    // fabricated-amounts alarm; leading digit via the cent-scaled integer's
+    // string form (libm-free, engine-exact)
+    "prof_benford" -> { (s, dir) =>
+      graft.metrics.Profile
+        .benford(s.read.parquet(s"$dir/lineitem.parquet"), col("l_extendedprice"))
+        .orderBy("digit")
+    },
     // doc-length quartile bins per language — the discretization a data card or
     // mixing policy consumes; exact type-7 percentiles on both engines
     "prof_quantile_bins" -> { (s, dir) =>
@@ -326,7 +334,20 @@ object SketchQueries {
       |  n_violations = 0 AS passed
       |FROM rows_ ORDER BY check_id""".stripMargin
 
+  private val benfordSql =
+    """WITH d AS (SELECT CAST(SUBSTRING(CAST(CAST(ROUND(ABS(l_extendedprice) * 100,
+      |    0) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+      |  FROM lineitem
+      |  WHERE l_extendedprice IS NOT NULL AND ABS(l_extendedprice) * 100 >= 0.5),
+      |c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1),
+      |t AS (SELECT digit, n, SUM(n) OVER () AS total FROM c)
+      |SELECT digit, n, ROUND(n / total, 6) AS share,
+      |  ROUND(LN(1 + 1.0 / digit) / LN(10), 6) AS benford_share,
+      |  ROUND(ABS(n / total - LN(1 + 1.0 / digit) / LN(10)), 6) AS abs_dev
+      |FROM t ORDER BY digit""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "prof_benford" -> benfordSql,
     "prof_expectations" -> expectationsSql,
     "prof_robust_stats" -> robustStatsSql,
     "sketch_hll_distinct" -> hllSql,

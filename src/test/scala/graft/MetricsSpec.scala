@@ -376,6 +376,20 @@ class MetricsSpec extends SparkSpec {
     assert(out._1 === 6L)
   }
 
+  test("benford: hand-computed digit shares; zeros/sub-half-cent/sign handled") {
+    import graft.metrics.Profile
+    val df = Seq(Some(1.0), Some(1.5), Some(2.0), Some(0.0), Some(9.99),
+      Some(-3.0), Some(0.004), None).toDF("x")
+    val out = Profile.benford(df, col("x")).orderBy("digit")
+      .as[(Int, Long, Double, Double, Double)].collect().toSeq
+    // kept: 1.0, 1.5 → digit 1; 2.0 → 2; -3.0 → 3 (sign dropped); 9.99 → 9
+    // dropped: 0.0 and 0.004 (no leading digit), null
+    assert(out.map(r => (r._1, r._2)) === Seq((1, 2L), (2, 1L), (3, 1L), (9, 1L)))
+    assert(out.head._3 === 0.4) // share of digit 1 = 2/5
+    assert(out.head._4 === 0.30103) // log10(2)
+    assert(out.head._5 === 0.09897)
+  }
+
   test("association: functional dependency scores 1; independence and constants score 0") {
     import graft.metrics.Association
     // perfect bijective dependency: MI = H = ln 3, NMI = V = 1
