@@ -33,7 +33,9 @@ class EntrySpec extends SparkSpec {
                               // + loop; GraphSpec pins mass/reachability invariants
       "graph_hits",           // iterative — graph_hits_two_iter pins the alternating
                               // normalized sums; GraphSpec pins roles on a directory graph
-      "mm_cdc_dedup")         // gear rolling hash is a sequential prefix scan with no
+      "graph_kcore",          // peel-until-fixpoint — graph_kcore_two_peel pins the
+                              // round; GraphSpec pins fixpoint ≡ brute-force peel
+    "mm_cdc_dedup")         // gear rolling hash is a sequential prefix scan with no
                               // SQL form — CdcChunks property-pinned in ExpressionsSpec
     val actual = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(actual === rowsOnly,

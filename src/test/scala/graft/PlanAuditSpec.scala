@@ -27,10 +27,15 @@ class PlanAuditSpec extends SparkSpec {
     *   corpus-scale path swaps Ivf.ivfTopK's partition-pruned equi-join index, as
     *   the operator's Scaladoc states. Everything downstream of the top-k lists
     *   plans equi-joins and hash aggregates.
+    * - eval_annotator_agreement: final crossJoin of TWO 1-row aggregate results
+    *   (Cohen summary × Fleiss summary) — 1×1, bounded by construction.
+    * - prof_expectations: the per-check report rows are 1-row aggregate branches
+    *   cross-joined onto 1-row totals before the union — every side is a scalar.
     */
   private val boundedNestedLoop =
     Set("ann_cosine_topk", "ep9_hybrid_retrieval", "ann_sq_topk", "sim_mmr_rerank",
-      "sketch_hll_overlap", "sim_margin_bitext")
+      "sketch_hll_overlap", "sim_margin_bitext", "eval_annotator_agreement",
+      "prof_expectations")
 
   test("no query plans a cartesian; nested-loop joins only where a side is bounded") {
     val dir = "/root/testdata/sf0.001"
