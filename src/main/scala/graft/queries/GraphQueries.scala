@@ -129,6 +129,10 @@ object GraphQueries {
     "graph_kcore" -> { (s, dir) =>
       graft.cluster.KCore.kCore(linkEdges(s, dir), k = 2).orderBy("node")
     },
+    // exact 1- and 2-hop neighborhood sizes (self excluded) — full oracle
+    "graph_two_hop_reach" -> { (s, dir) =>
+      graft.cluster.Neighborhood.twoHopReach(linkEdges(s, dir)).orderBy("node")
+    },
     // per-community cut/volume/conductance audit over the deterministic
     // two-iteration LPA partition — full oracle (LPA CTEs + closed forms)
     "graph_community_quality" -> { (s, dir) =>
@@ -496,7 +500,29 @@ object GraphQueries {
        |  ROUND(li / m_edges - vol_sq / (4.0 * m_edges * m_edges), 6) AS modularity
        |FROM agg""".stripMargin
 
+  private val twoHopReachSql =
+    """WITH p AS (SELECT COUNT(*) AS nd FROM documents),
+      |e0 AS (
+      |  SELECT 'd' || doc_id AS src, 'd' || ((doc_id * 7 + 1) % p.nd) AS dst
+      |  FROM documents, p WHERE doc_id % 11 <> 0
+      |  UNION ALL
+      |  SELECT 'd' || doc_id, 'd' || ((doc_id * 13 + 5) % p.nd)
+      |  FROM documents, p WHERE doc_id % 11 <> 0 AND doc_id % 2 = 0),
+      |sym AS (SELECT DISTINCT src, dst FROM
+      |  (SELECT src, dst FROM e0 WHERE src <> dst
+      |   UNION ALL SELECT dst, src FROM e0 WHERE src <> dst)),
+      |deg AS (SELECT src AS node, COUNT(*) AS reach_1 FROM sym GROUP BY 1),
+      |two AS (SELECT a.src AS node, b.dst AS other FROM sym a
+      |        JOIN sym b ON a.dst = b.src WHERE a.src <> b.dst),
+      |r2 AS (SELECT node, COUNT(*) AS reach_2 FROM
+      |  (SELECT DISTINCT node, other FROM
+      |    (SELECT src AS node, dst AS other FROM sym UNION ALL
+      |     SELECT node, other FROM two)) GROUP BY 1)
+      |SELECT deg.node, reach_1, reach_2 FROM deg JOIN r2 USING (node)
+      |ORDER BY deg.node""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "graph_two_hop_reach" -> twoHopReachSql,
     "graph_community_quality" -> communityQualitySql,
     "graph_modularity" -> modularitySql,
     "graph_kcore_two_peel" -> kcoreTwoPeelSql,

@@ -300,6 +300,25 @@ class GraphSpec extends SparkSpec {
     assert(capped.map(t => (t._1, t._2)) === Seq(("a", "b")))
   }
 
+  test("two-hop reach: path fixture hand-computed; relay cap stops hub-mediated reach only") {
+    import graft.cluster.Neighborhood
+    val path = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    val got = Neighborhood.twoHopReach(path).as[(String, Long, Long)]
+      .collect().toSeq.sortBy(_._1)
+    assert(got === Seq(("a", 1L, 2L), ("b", 2L, 3L), ("c", 2L, 3L), ("d", 1L, 2L)))
+    // hub h-x1..x5, cap 2: hub stops relaying, so each spoke sees only the hub;
+    // spokes (deg 1) still relay, which adds nothing new for the hub
+    val hub = (1 to 5).map(i => ("h", s"x$i")).toDF("src", "dst")
+    val capped = Neighborhood.twoHopReach(hub, maxDegree = Some(2))
+      .as[(String, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(capped.head === (("h", 5L, 5L)))
+    assert(capped.tail.forall(r => r._2 === 1L && r._3 === 1L))
+    // uncapped, the spokes reach everything
+    val exact = Neighborhood.twoHopReach(hub).as[(String, Long, Long)]
+      .collect().toSeq.sortBy(_._1)
+    assert(exact.tail.forall(_._3 === 5L))
+  }
+
   test("community metrics: two bridged triangles — hand-computed cut/volume/modularity") {
     import graft.cluster.CommunityMetrics
     val triA = Seq(("a1", "a2"), ("a2", "a3"), ("a3", "a1"))
