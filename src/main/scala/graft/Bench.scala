@@ -80,8 +80,12 @@ object Bench {
     // the driver's stdout capture has truncated mid-JSON before, losing per-query
     // timings from the round record — always ALSO write the full map to a file.
     // The default lives at the repo root (NOT under the gitignored target/) so the
-    // end-of-round auto-commit preserves it with the round.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    // end-of-round auto-commit preserves it with the round. A FILTERED profiling
+    // run must not clobber the committed full record with a partial map, so it
+    // diverts to a scratch file unless SPARK_GRAFT_BENCH_OUT overrides.
+    val defaultOut =
+      if (filter.isEmpty) "BENCH_FULL.json" else "target/BENCH_FILTERED.json"
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     try {
       val p = java.nio.file.Paths.get(outPath)
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
