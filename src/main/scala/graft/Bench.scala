@@ -7,7 +7,30 @@ import org.apache.spark.sql.SparkSession
   * query names (local profiling); driver runs it with no args.
   */
 object Bench {
+  /** Run-condition snapshot: other JVMs alive and the 1-min load average. A
+    * bench record produced next to a concurrent sbt/driver JVM is not comparable
+    * to a quiet-machine run (round 7's 310.9 vs 406.7 s ambiguity) — stamping
+    * both into the artifact makes every record self-describe its conditions.
+    */
+  private def otherJvms(): Int = {
+    val self = ProcessHandle.current().pid()
+    import scala.jdk.CollectionConverters._
+    ProcessHandle.allProcesses().iterator().asScala.count { p =>
+      p.pid() != self &&
+        p.info().command().map[Boolean](_.contains("java")).orElse(false)
+    }
+  }
+
+  private def loadAvg(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+
   def main(args: Array[String]): Unit = {
+    val startedAtMs = System.currentTimeMillis()
+    val loadAtStart = loadAvg()
+    val jvmsAtStart = otherJvms()
+    if (jvmsAtStart > 0)
+      System.err.println(s"[bench] WARNING: $jvmsAtStart other JVM(s) running — " +
+        s"timings will not be quiet-machine comparable (loadavg $loadAtStart)")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val filter = args.headOption.map(_.r)
@@ -74,8 +97,17 @@ object Bench {
       .map { case (k, v, e) => jstr(k) + s""":{"sec":$v,"err":${jstr(e.get)}}""" }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
+    val run = {
+      val endMs = System.currentTimeMillis()
+      val iso = java.time.format.DateTimeFormatter.ISO_INSTANT
+      s"""{"started":${jstr(iso.format(java.time.Instant.ofEpochMilli(startedAtMs)))},""" +
+        s""""ended":${jstr(iso.format(java.time.Instant.ofEpochMilli(endMs)))},""" +
+        s""""load_at_start":$loadAtStart,"load_at_end":${loadAvg()},""" +
+        s""""other_jvms_at_start":$jvmsAtStart,"other_jvms_at_end":${otherJvms()},""" +
+        s""""cpus":${jstr(cpus)}}"""
+    }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_failed":${failed.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_failed":${failed.size},"sf":"$sfDir","run":$run}"""
     println(line)
     // the driver's stdout capture has truncated mid-JSON before, losing per-query
     // timings from the round record — always ALSO write the full map to a file.

@@ -55,9 +55,21 @@ object CommunityMetrics {
       .groupBy(col("label").as("community"))
       .agg(count(lit(1)).as("n_nodes"), sum("degree").as("volume"))
 
+    // left joins + raise_error instead of silent inner joins: an edge endpoint
+    // the label table misses would otherwise drop the edge from internal/cut
+    // counts while m (counted over ALL canonical edges) still includes it,
+    // silently skewing conductance and modularity — fail loudly instead,
+    // matching the repo convention (cf. mixtureWeights, rocAuc)
     val labeled = canon
-      .join(lab.select(col("node").as("a"), col("label").as("la")), Seq("a"))
-      .join(lab.select(col("node").as("b"), col("label").as("lb")), Seq("b"))
+      .join(lab.select(col("node").as("a"), col("label").as("la")), Seq("a"), "left")
+      .join(lab.select(col("node").as("b"), col("label").as("lb")), Seq("b"), "left")
+      .select(col("a"), col("b"),
+        when(col("la").isNull || col("lb").isNull, raise_error(concat(
+          lit("communityQuality: edge endpoint without a label (edge "),
+          col("a").cast("string"), lit(" -- "), col("b").cast("string"),
+          lit("); the label table must cover every edge endpoint"))))
+          .otherwise(col("la")).as("la"),
+        col("lb"))
     // an internal edge belongs to its one community; a cut edge to both sides
     val perEdge = labeled.select(explode(when(col("la") === col("lb"),
         array(struct(col("la").as("community"), lit(1L).as("internal"), lit(0L).as("cut"))))

@@ -50,7 +50,11 @@ object KCore {
 
   /** The full k-core: peel until fixpoint (early stop when a round removes no
     * edge), capped at `maxIters`. Output: (node, degree) within the k-core —
-    * every degree is >= k by construction.
+    * every degree is >= k by construction. Fails loudly if `maxIters` rounds did
+    * not reach the fixpoint: a truncated peel would keep sub-k degrees and
+    * silently violate the contract (e.g. a long path at k=2 sheds only its two
+    * endpoints per round, needing ~n/2 rounds). Peeling removes >= 1 node per
+    * non-converged round, so `maxIters` >= the graph's node count always suffices.
     */
   def kCore(edges: DataFrame, k: Int, maxIters: Int = 50): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
@@ -67,6 +71,11 @@ object KCore {
       size = nsize
       it += 1
     }
+    if (!done)
+      throw new IllegalStateException(
+        s"kCore(k=$k) did not converge within maxIters=$maxIters rounds " +
+          s"($size edges still shrinking); raise maxIters — the result would " +
+          "contain sub-k degrees")
     degrees(cur)
   }
 }

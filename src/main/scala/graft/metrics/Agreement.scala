@@ -31,12 +31,18 @@ object Agreement {
       .join(both.groupBy("cb").agg(count(lit(1)).as("nb")),
         col("ca") === col("cb"), "full")
       .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("prod_sum"))
+    // κ's denominator 1 − p_e is 0 exactly when prod_sum = n² (both raters
+    // constant with one shared category): κ is undefined there — fail loudly
+    // instead of emitting null/NaN (repo convention, cf. rocAuc)
     obs.crossJoin(chance).select(
       col("n").as("n_items"),
       round(col("n_agree").cast("double") / col("n"), 6).as("percent_agreement"),
-      round((col("n_agree").cast("double") / col("n") -
-          col("prod_sum").cast("double") / (col("n") * col("n"))) /
-        (lit(1.0) - col("prod_sum").cast("double") / (col("n") * col("n"))), 6)
+      when(col("prod_sum") === col("n") * col("n"), raise_error(lit(
+        "cohensKappa: chance agreement p_e = 1 (both raters constant with one " +
+          "shared category) — kappa is undefined")))
+        .otherwise(round((col("n_agree").cast("double") / col("n") -
+            col("prod_sum").cast("double") / (col("n") * col("n"))) /
+          (lit(1.0) - col("prod_sum").cast("double") / (col("n") * col("n"))), 6))
         .as("cohens_kappa"))
   }
 
@@ -69,10 +75,15 @@ object Agreement {
       .agg(sum(col("nj")).as("total"),
         sum(col("nj").cast("double") * col("nj")).as("sq_sum"))
       .select((col("sq_sum") / (col("total") * col("total"))).as("p_e"))
+    // same degenerate-denominator guard as cohensKappa: p_e = 1 iff every rater
+    // used a single shared category, where κ is undefined — fail loudly
     pbar.crossJoin(pe).select(
       col("n_items"), col("m").as("n_raters"),
       round(col("p_bar"), 6).as("p_bar"), round(col("p_e"), 6).as("p_e"),
-      round((col("p_bar") - col("p_e")) / (lit(1.0) - col("p_e")), 6)
+      when(col("p_e") >= 1.0, raise_error(lit(
+        "fleissKappa: chance agreement p_e = 1 (every rater constant with one " +
+          "shared category) — kappa is undefined")))
+        .otherwise(round((col("p_bar") - col("p_e")) / (lit(1.0) - col("p_e")), 6))
         .as("fleiss_kappa"))
   }
 }

@@ -188,6 +188,15 @@ object Profile {
     * bit-identically on another engine. One row-local projection + ONE 9-bucket
     * hash agg; zero/null amounts are excluded (they carry no leading digit).
     *
+    * ASSUMES CENT RESOLUTION: `amount` is read as a price-like value meaningful
+    * to 2 decimal places. Sub-cent magnitudes are dropped (|x| < 0.005 rounds to
+    * 0 cents), and a sub-unit value just below a decade boundary is binned by its
+    * cent-rounded form, not its true mantissa (0.0999 → 10 cents → digit 1,
+    * though its first significant digit is 9). For generic scientific columns
+    * spanning many orders of magnitude, normalize mantissas to [1, 10) before
+    * calling (e.g. `x / pow(10, floor(log10(abs(x))))`) — at the cost of the
+    * libm portability noted above.
+    *
     * @return 9 rows (digit, n, share, benford_share, abs_dev), digit ascending
     */
   def benford(df: DataFrame, amount: org.apache.spark.sql.Column): DataFrame = {

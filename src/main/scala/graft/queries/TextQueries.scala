@@ -44,6 +44,17 @@ object TextQueries {
     "424d66000000000000003600000028000000070000000200000001001800000000003000000000000000000000000000000000000000697a0098bc0fc7fe1ef6402e25833d54c54c83075c0000000000002f420f5e841e8dc62dbc083deb4a4c1a8d5b000000"
   private val MmTextHex = "6e6f7420616e20696d616765207061796c6f6164" // "not an image payload"
 
+  /** `mm_cdc_chunks_fixed` fixtures: a frozen 640-byte payload (md5 chain from the
+    * seed "graft-cdc-fixture", generated once) and its 643-byte copy with 3 bytes
+    * (AA BB CC) inserted at offset 300. Constant payloads make the gear-hash chunk
+    * boundaries CONSTANTS, so the sequential rolling scan — no SQL form on live
+    * data — gets a full oracle, including the boundary RESYNC after the edit.
+    */
+  private val MmCdcBaseHex =
+    "cba62455b7349c2deec9dd1f59432589bf29280ad0fb7e5a8c900e243995d0b14448c5c0cceafc9adf1a140680ea357eeba6143f94f29c7b078d9c9c8ad22de8a7edead87abd27d1581b34e239dc014277be6d45b80d00b9d5a5fa7184808808867066c248f70691dbdae5ea03ea424986a2075db5f28711c0ce7dce3a4e21a26f9899cfbca17b51b3dcd7e61615284880496b6c7e23a4eb6a1db3a68401fd7df6084d82bffb142eda9340323b0388cd4e87392776cf27084c615a2d30fd009cc223df73f0afa89f24cf8b138ed05aaaab100b94f0cd04d694eef78bda9412bcc5f31c4f0ac53f7f3e066f06e02611e5df98578c76be2c9303debef4cf699cd8c6a7122d63eba2131dac4801af9db3facdf120cc6d5a8f14f222c68d47985cef816d5f617b53dcf31ef295e608d255bbc80c4e634dc7e6d93cd8a224f5467bf27e8388bd3eede8438bf443a27f6302d2b5d80d3dca3239df86c1fa9e2b0b5d8c92bc0c25a5552fa252083424aaf158ed87e3fb8d4f4dacf55f8c01e45e8c04c63a1ec4033ecf00db2c75ff9d0dbe1a3633a9094866911bd81c8189799ffba737437f5ae2d662ad6ac93afee22ce20c2e8dbb0ec3f0693869f47436c1b1a4fa3cfa976c0a5e737e531a08e08a46cbfe1d6a9a75b860ceda353de22be8e760a1c2985f1cb840c5c5f819f34e5dc446b10e46337a90162894fd81566031b220e8fcd3da59132fee424653e5eb340fe33f6c5d0fde9e86fe68e0ca78d1efeb3265729c9101bbd65de6f6897f7a6b8a94e1072738f755f5a807debb19ddf87cc24b1f9867ac45667b48d1779cfba8c656d6d955517e4dc86a12e8d3413233a963d972a813b2ce85b780ff08df25d8515edf350ae402731d1c4076ad9122b180fd9531"
+  private val MmCdcEditHex =
+    "cba62455b7349c2deec9dd1f59432589bf29280ad0fb7e5a8c900e243995d0b14448c5c0cceafc9adf1a140680ea357eeba6143f94f29c7b078d9c9c8ad22de8a7edead87abd27d1581b34e239dc014277be6d45b80d00b9d5a5fa7184808808867066c248f70691dbdae5ea03ea424986a2075db5f28711c0ce7dce3a4e21a26f9899cfbca17b51b3dcd7e61615284880496b6c7e23a4eb6a1db3a68401fd7df6084d82bffb142eda9340323b0388cd4e87392776cf27084c615a2d30fd009cc223df73f0afa89f24cf8b138ed05aaaab100b94f0cd04d694eef78bda9412bcc5f31c4f0ac53f7f3e066f06e02611e5df98578c76be2c9303debef4cf699cd8c6a7122d63eba2131dac4801af9db3facdf120cc6d5a8f14f222c68d47985cef816d5f617b53dcf31ef295e6aabbcc08d255bbc80c4e634dc7e6d93cd8a224f5467bf27e8388bd3eede8438bf443a27f6302d2b5d80d3dca3239df86c1fa9e2b0b5d8c92bc0c25a5552fa252083424aaf158ed87e3fb8d4f4dacf55f8c01e45e8c04c63a1ec4033ecf00db2c75ff9d0dbe1a3633a9094866911bd81c8189799ffba737437f5ae2d662ad6ac93afee22ce20c2e8dbb0ec3f0693869f47436c1b1a4fa3cfa976c0a5e737e531a08e08a46cbfe1d6a9a75b860ceda353de22be8e760a1c2985f1cb840c5c5f819f34e5dc446b10e46337a90162894fd81566031b220e8fcd3da59132fee424653e5eb340fe33f6c5d0fde9e86fe68e0ca78d1efeb3265729c9101bbd65de6f6897f7a6b8a94e1072738f755f5a807debb19ddf87cc24b1f9867ac45667b48d1779cfba8c656d6d955517e4dc86a12e8d3413233a963d972a813b2ce85b780ff08df25d8515edf350ae402731d1c4076ad9122b180fd9531"
+
   /** events.parquet has shipped with two physical `ts` types over time (long nanos
     * via the legacy conf, native timestamp[us]); the shared loader branches on the
     * schema and normalizes to TimestampType either way.
@@ -557,6 +568,26 @@ object TextQueries {
       Similarity.mmrRerank(cands, e, "vec_id", "embedding", 0.7, 10)
         .orderBy("query_id", "mmr_rank")
     },
+    "sim_mmr_two_step" -> { (s, dir) =>
+      // the first TWO greedy MMR picks ARE SQL-expressible — pick 1 = argmax rel
+      // (rank 1 by construction), pick 2 = argmax λ·rel − (1−λ)·max(0, cos to
+      // pick 1) — so this runs the SAME MmrSelect expression as the rows-only
+      // sim_mmr_rerank with k=2 and gets a FULL oracle (chained-oracle pattern)
+      val e = emb(s, dir)
+      val queries = e.filter(col("vec_id") % 101 === 0)
+      val cands = Similarity.bruteForceTopK(e, queries, "vec_id", "embedding", 30)
+        .select(col("query_id"), col("id"), col("rank"), col("cosine").as("rel"))
+      Similarity.mmrRerank(cands, e, "vec_id", "embedding", 0.7, 2)
+        .orderBy("query_id", "mmr_rank")
+    },
+    "sim_pca_one_iter" -> { (s, dir) =>
+      // one power-iteration step over the covariance from the all-ones start —
+      // the closed-form slice of the PCA eigensolve, fully replayed by the
+      // oracle on top of sim_covariance's already-pinned matrix
+      Pca.powerIteration(emb(s, dir), "embedding", iters = 1)
+        .select(col("i"), (round(col("v"), 6) + lit(0.0)).as("v"))
+        .orderBy("i")
+    },
     "ep12_diverse_retrieval" -> { (s, dir) =>
       // diversified retrieval capstone with a FULL oracle: BM25 top-20 over the
       // planted near-dup corpus, collapse each minhash cluster to its best hit
@@ -708,6 +739,19 @@ object TextQueries {
             .as("chunk_jaccard"))
         .orderBy("doc_id")
     },
+    "mm_cdc_chunks_fixed" -> { (s, dir) =>
+      // the frozen-payload sibling of mm_cdc_dedup: constant payloads → constant
+      // gear-hash chunk tables, replayed verbatim by the oracle (incl. the
+      // resync after the 3-byte insert at offset 300 — identical hashes after it)
+      import s.implicits._
+      val fixtures = Seq((0L, MmCdcBaseHex), (1L, MmCdcEditHex)).toDF("fid", "hex")
+      fixtures.select(col("fid"),
+          explode(graft.functions.cdc_chunks(unhex(col("hex")), 8, 5, 128)).as("c"))
+      // offset/length are reserved words in the oracle engine — emit SQL-neutral names
+        .select(col("fid"), col("c.offset").as("chunk_offset"),
+          col("c.length").as("chunk_length"), col("c.hash").as("hash"))
+        .orderBy("fid", "chunk_offset")
+    },
     "mm_binary_meta" -> { (s, dir) =>
       Multimodal.extractMeta(
           docs(s, dir).withColumn("payload", col("text").cast("binary")),
@@ -719,6 +763,22 @@ object TextQueries {
       Multimodal.resize(
           docs(s, dir).withColumn("payload", col("text").cast("binary")),
           "doc_id", "payload", targetWidth = 16, targetHeight = 16)
+        .toDF()
+        .select(col("id"), col("width"), col("height"),
+          length(col("payload")).as("out_len"), md5(col("payload")).as("payload_md5"))
+        .orderBy("id")
+    },
+    "mm_resize_real" -> { (s, dir) =>
+      // REAL bilinear pixel math pinned end-to-end: the constant 5×3 PNG and 7×2
+      // BMP resize to 3×2 packed RGB24 (pure raster function, no encoder in the
+      // output), the text payload takes the stub fallback; the oracle carries the
+      // frozen dims + md5 as constants (mm_png_meta pattern)
+      import s.implicits._
+      val fixtures = Seq((0L, MmPngHex), (1L, MmBmpHex), (2L, MmTextHex))
+        .toDF("fid", "hex")
+      Multimodal.resize(
+          fixtures.select(col("fid"), unhex(col("hex")).as("payload")),
+          "fid", "payload", targetWidth = 3, targetHeight = 2)
         .toDF()
         .select(col("id"), col("width"), col("height"),
           length(col("payload")).as("out_len"), md5(col("payload")).as("payload_md5"))
@@ -2049,6 +2109,54 @@ object TextQueries {
          |SELECT query_id, rank, id, ROUND(rrf, 6) AS rrf FROM fr
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     },
+    "sim_mmr_two_step" ->
+      // replays MmrSelect's first two greedy picks: pick 1 is the rank-1
+      // candidate (argmax λ·rel ties to lowest rank); pick 2 maximizes
+      // 0.7·rel − (1−0.7)·max(0, cos) with the penalty cosine on RAW embeddings
+      // (dot / norm·norm, mirroring the expression), ties to lowest rank
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings),
+        |n AS (SELECT vec_id,
+        |        list_transform(v0, x -> x / sqrt(list_inner_product(v0, v0))) AS v
+        |      FROM e),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM n WHERE vec_id % 101 = 0),
+        |sc AS (SELECT q.query_id, n.vec_id AS id,
+        |         ROUND(list_inner_product(n.v, q.qv), 6) AS rel
+        |       FROM n, q WHERE n.vec_id <> q.query_id),
+        |rk AS (SELECT query_id, id, rel,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rel DESC, id) AS rank
+        |       FROM sc),
+        |cand AS (SELECT * FROM rk WHERE rank <= 30),
+        |p1 AS (SELECT query_id, id FROM cand WHERE rank = 1),
+        |p2s AS (SELECT c.query_id, c.id, c.rank,
+        |          0.7 * c.rel - (1 - 0.7) * GREATEST(
+        |            list_inner_product(ec.v0, ep.v0) /
+        |              (sqrt(list_inner_product(ec.v0, ec.v0)) *
+        |               sqrt(list_inner_product(ep.v0, ep.v0))), 0) AS score
+        |        FROM cand c
+        |        JOIN p1 ON p1.query_id = c.query_id AND c.id <> p1.id
+        |        JOIN e ec ON ec.vec_id = c.id
+        |        JOIN e ep ON ep.vec_id = p1.id),
+        |p2 AS (SELECT query_id, id,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, rank) AS rn
+        |       FROM p2s)
+        |SELECT query_id, CAST(1 AS INT) AS mmr_rank, id FROM p1
+        |UNION ALL
+        |SELECT query_id, CAST(2 AS INT) AS mmr_rank, id FROM p2 WHERE rn = 1
+        |ORDER BY query_id, mmr_rank""".stripMargin,
+    "sim_pca_one_iter" ->
+      // covariance (full matrix — the symmetrized form powerIteration builds),
+      // then w = C·1 and the unit-normalized result, rounded at the very end
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |x AS (SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS xi FROM e),
+        |m AS (SELECT i, AVG(xi) AS mu FROM x GROUP BY i),
+        |p AS (SELECT a.i AS i, b.i AS j, AVG(a.xi * b.xi) AS m2
+        |      FROM x a JOIN x b ON a.vec_id = b.vec_id GROUP BY a.i, b.i),
+        |c AS (SELECT p.i, p.j, p.m2 - mi.mu * mj.mu AS cov
+        |      FROM p JOIN m mi ON mi.i = p.i JOIN m mj ON mj.i = p.j),
+        |w AS (SELECT i, SUM(cov) AS w FROM c GROUP BY i),
+        |nm AS (SELECT sqrt(SUM(w * w)) AS nrm FROM w)
+        |SELECT CAST(w.i - 1 AS INT) AS i, ROUND(w.w / nm.nrm, 6) + 0.0 AS v
+        |FROM w, nm ORDER BY i""".stripMargin,
     "sim_covariance" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |x AS (SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS xi FROM e),
@@ -2142,6 +2250,61 @@ object TextQueries {
         |)
         |SELECT query_id, rank, id, cosine FROM ranked WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+    "mm_resize_real" ->
+      // frozen output of the real bilinear path on the constant fixtures: 18
+      // packed-RGB24 bytes for each 3×2 image, stub subsample for the text row
+      """SELECT CAST(fid AS BIGINT) AS id, CAST(w AS INT) AS width,
+        |  CAST(h AS INT) AS height, CAST(n AS INT) AS out_len, m AS payload_md5
+        |FROM (VALUES
+        |  (0, 3, 2, 18, 'a143643a47874036a346e4cf4c7beb8b'),
+        |  (1, 3, 2, 18, '61d5ccb457e9c96b0de35cacaeccea94'),
+        |  (2, 3, 2, 7, '9bab37f01a2ef03256d7c0784f24e46f')) AS t(fid, w, h, n, m)
+        |ORDER BY id""".stripMargin,
+    "mm_cdc_chunks_fixed" ->
+      // the frozen chunk table of the two constant payloads, computed once from
+      // the committed hex fixtures and pinned: 18 chunks each; the edit at offset
+      // 300 changes exactly ONE chunk (length 49->52, new hash), every later
+      // chunk shifts +3 bytes with an IDENTICAL hash -- the resync property
+      """SELECT CAST(fid AS BIGINT) AS fid, CAST(o AS INT) AS chunk_offset,
+        |  CAST(l AS INT) AS chunk_length, CAST(h AS BIGINT) AS hash
+        |FROM (VALUES
+        |  (0, 0, 33, -530043031735138692),
+        |  (0, 33, 43, -6194059483455214538),
+        |  (0, 76, 51, 7436772048667962180),
+        |  (0, 127, 28, 2372308054713509506),
+        |  (0, 155, 33, 3128115680860848200),
+        |  (0, 188, 53, -4091250725425989987),
+        |  (0, 241, 10, -114093699090784954),
+        |  (0, 251, 16, 1191475399906369607),
+        |  (0, 267, 9, 7709397730201166455),
+        |  (0, 276, 49, 5528906896633440802),
+        |  (0, 325, 15, 3494507887854167802),
+        |  (0, 340, 71, 7149685593009984484),
+        |  (0, 411, 93, -6943319637761019119),
+        |  (0, 504, 11, 3760719506472033817),
+        |  (0, 515, 9, -8189949876893146868),
+        |  (0, 524, 18, 668907831159908479),
+        |  (0, 542, 84, -2934747760293355038),
+        |  (0, 626, 14, 2756299591543597691),
+        |  (1, 0, 33, -530043031735138692),
+        |  (1, 33, 43, -6194059483455214538),
+        |  (1, 76, 51, 7436772048667962180),
+        |  (1, 127, 28, 2372308054713509506),
+        |  (1, 155, 33, 3128115680860848200),
+        |  (1, 188, 53, -4091250725425989987),
+        |  (1, 241, 10, -114093699090784954),
+        |  (1, 251, 16, 1191475399906369607),
+        |  (1, 267, 9, 7709397730201166455),
+        |  (1, 276, 52, -8006092958407545879),
+        |  (1, 328, 15, 3494507887854167802),
+        |  (1, 343, 71, 7149685593009984484),
+        |  (1, 414, 93, -6943319637761019119),
+        |  (1, 507, 11, 3760719506472033817),
+        |  (1, 518, 9, -8189949876893146868),
+        |  (1, 527, 18, 668907831159908479),
+        |  (1, 545, 84, -2934747760293355038),
+        |  (1, 629, 14, 2756299591543597691)) AS t(fid, o, l, h)
+        |ORDER BY fid, chunk_offset""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id AS id, octet_length(encode(text)) AS byte_len, md5(text) AS content_md5,
         |  CAST(32 + octet_length(encode(text)) % 97 AS INT) AS width,

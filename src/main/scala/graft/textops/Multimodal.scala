@@ -10,10 +10,12 @@ import org.apache.spark.sql.functions._
   * ([[decodeHeader]]: PNG/JPEG/GIF/BMP via `javax.imageio` — header-only, the pixel
   * data is never decompressed) and falls back to the deterministic [[decodeStub]]
   * for payloads no reader recognizes, so non-media bytes still flow through the
-  * pipeline with stable fake dimensions. The pixel transforms (resize, frame
-  * extraction) remain STUBS — this container has no scaler/video codecs — but the
-  * Spark-side plumbing (binary schema, mapPartitions batching, once-per-partition
-  * decoder init, typed output Dataset) is the production contract.
+  * pipeline with stable fake dimensions. [[resize]] does REAL pixel math for every
+  * format the JDK decodes (full raster decode + deterministic bilinear scale);
+  * video frame extraction remains a stub — no video codec ships in a stock JDK —
+  * with the Spark-side plumbing (binary schema, mapPartitions batching,
+  * once-per-partition decoder init, typed output Dataset) as the production
+  * contract.
   */
 object Multimodal {
 
@@ -104,10 +106,68 @@ object Multimodal {
       height: Int,
       payload: Array[Byte])
 
-  /** Resize plumbing: per-partition batch transform binary → binary with target
-    * dimensions. The pixel work is a STUB (deterministic byte subsample standing in
-    * for a real scaler); the contract a production codec slots into — binary in/out,
-    * once-per-partition codec init, output dims clamped to the source — is real.
+  /** Full pixel decode via the JDK codecs (PNG/JPEG/GIF/BMP/WBMP) — unlike
+    * [[decodeHeader]] this DOES decompress the raster. None when no reader claims
+    * the bytes or the payload is malformed; callers fall back to the stub path.
+    */
+  def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    if (bytes.length < 8) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      Option(img).filter(i => i.getWidth > 0 && i.getHeight > 0)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Deterministic bilinear scale of a decoded image to `outW × outH`, emitted as
+    * packed row-major RGB24 bytes (3 bytes/pixel, no encoder — the output is a
+    * pure function of the source raster, independent of any PNG/JPEG writer's
+    * compression choices, so fixtures pin it byte-exactly). Half-pixel-center
+    * sampling (`sx = (x+0.5)·w/outW − 0.5`), edge-clamped, channel rounding by
+    * `floor(v + 0.5)` — all plain double arithmetic, bit-stable everywhere.
+    */
+  def bilinearRgb(img: java.awt.image.BufferedImage, outW: Int, outH: Int): Array[Byte] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = new Array[Byte](outW * outH * 3)
+    var p = 0
+    var y = 0
+    while (y < outH) {
+      val syRaw = (y + 0.5) * h / outH - 0.5
+      val sy = if (syRaw < 0) 0.0 else if (syRaw > h - 1) (h - 1).toDouble else syRaw
+      val y0 = sy.toInt
+      val y1 = math.min(y0 + 1, h - 1)
+      val fy = sy - y0
+      var x = 0
+      while (x < outW) {
+        val sxRaw = (x + 0.5) * w / outW - 0.5
+        val sx = if (sxRaw < 0) 0.0 else if (sxRaw > w - 1) (w - 1).toDouble else sxRaw
+        val x0 = sx.toInt
+        val x1 = math.min(x0 + 1, w - 1)
+        val fx = sx - x0
+        val c00 = img.getRGB(x0, y0); val c01 = img.getRGB(x1, y0)
+        val c10 = img.getRGB(x0, y1); val c11 = img.getRGB(x1, y1)
+        var ch = 16 // R, G, B shift positions
+        while (ch >= 0) {
+          val v =
+            (1.0 - fy) * ((1.0 - fx) * ((c00 >> ch) & 0xff) + fx * ((c01 >> ch) & 0xff)) +
+              fy * ((1.0 - fx) * ((c10 >> ch) & 0xff) + fx * ((c11 >> ch) & 0xff))
+          val r = math.floor(v + 0.5).toInt
+          out(p) = (if (r < 0) 0 else if (r > 255) 255 else r).toByte
+          p += 1
+          ch -= 8
+        }
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Resize as a per-partition batch transform binary → binary with target
+    * dimensions (clamped to the source's). REAL pixel math for every format the
+    * JDK decodes ([[decodeImage]] → [[bilinearRgb]], payload = packed RGB24);
+    * payloads no codec recognizes take the deterministic stub path (byte
+    * subsample with stub dimensions), so non-media bytes still flow through.
     */
   def resize(
       df: DataFrame,
@@ -123,13 +183,20 @@ object Multimodal {
       .mapPartitions { rows =>
         // per-partition "scaler" init lives here in production
         rows.map { case (id, bytes) =>
-          val (w, h, _) = decodeStub(bytes)
-          val outW = math.min(targetWidth, w)
-          val outH = math.min(targetHeight, h)
-          // stub scale: keep every ceil(n/target)-th byte — deterministic, size-reduced
-          val keep = math.max(1, bytes.length / math.max(1, outW * outH))
-          val out = bytes.indices.collect { case i if i % keep == 0 => bytes(i) }.toArray
-          ResizedMedia(id, outW, outH, out)
+          decodeImage(bytes) match {
+            case Some(img) =>
+              val outW = math.min(targetWidth, img.getWidth)
+              val outH = math.min(targetHeight, img.getHeight)
+              ResizedMedia(id, outW, outH, bilinearRgb(img, outW, outH))
+            case None =>
+              val (w, h, _) = decodeStub(bytes)
+              val outW = math.min(targetWidth, w)
+              val outH = math.min(targetHeight, h)
+              // stub scale: keep every ceil(n/target)-th byte — deterministic, size-reduced
+              val keep = math.max(1, bytes.length / math.max(1, outW * outH))
+              val out = bytes.indices.collect { case i if i % keep == 0 => bytes(i) }.toArray
+              ResizedMedia(id, outW, outH, out)
+          }
         }
       }
   }

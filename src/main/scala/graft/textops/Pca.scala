@@ -99,6 +99,39 @@ object Pca {
           element_at(col("mean"), col("i") + 1) *
           element_at(col("mean"), col("j") + 1)).as("cov"))
 
+  /** `iters` power-iteration steps toward the dominant eigenvector of the
+    * population covariance, from the deterministic all-ones start vector, each
+    * step unit-normalized: vₜ = C·vₜ₋₁ / ‖C·vₜ₋₁‖. This is the closed-form slice
+    * of [[fit]]'s eigensolve a SQL oracle can replay (the Jacobi fixpoint itself
+    * is iterative/rows-only) — the same chained-oracle pattern as the graph
+    * `*_two_iter` queries.
+    *
+    * Relational by construction: the covariance is the [[covariance]] DataFrame
+    * (d²-row, dim-bounded) symmetrized once; each step is one equi-join + one
+    * hash aggregate on d²/d rows plus a 1-row broadcast for the norm — no driver
+    * eigensolve, no corpus re-scan after the single moments pass.
+    *
+    * @return (i, v) — the component index and the iterated unit vector entry
+    */
+  def powerIteration(corpus: DataFrame, vecCol: String, iters: Int = 1): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    import graft.util.Caching.CacheSyntax
+    val cov = covariance(corpus, vecCol)
+    val full = cov.unionByName(cov.filter(col("i") < col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("cov")))
+      .scopedPersist()
+    var v: DataFrame = full.select(col("i").as("j")).distinct()
+      .withColumn("vj", lit(1.0))
+    (1 to iters).foreach { _ =>
+      val w = full.join(v, "j")
+        .groupBy("i").agg(sum(col("cov") * col("vj")).as("w"))
+      val nrm = w.agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+      v = w.crossJoin(broadcast(nrm))
+        .select(col("i").as("j"), (col("w") / col("nrm")).as("vj"))
+    }
+    v.select(col("j").as("i"), col("vj").as("v"))
+  }
+
   /** Project onto the fitted components: adds `pc_0..pc_{r-1}` columns, each one
     * codegen'd dot product minus a precomputed constant — no per-row centering.
     */

@@ -31,11 +31,15 @@ class PlanAuditSpec extends SparkSpec {
     *   (Cohen summary × Fleiss summary) — 1×1, bounded by construction.
     * - prof_expectations: the per-check report rows are 1-row aggregate branches
     *   cross-joined onto 1-row totals before the union — every side is a scalar.
+    * - sim_mmr_two_step: the k=2 full-oracle sibling of sim_mmr_rerank — identical
+    *   caller-bounded brute-force candidate broadcast.
+    * - sim_pca_one_iter: Pca.powerIteration attaches the 1-row norm aggregate to
+    *   the d-row iterate by broadcast crossJoin — scalar by construction.
     */
   private val boundedNestedLoop =
     Set("ann_cosine_topk", "ep9_hybrid_retrieval", "ann_sq_topk", "sim_mmr_rerank",
       "sketch_hll_overlap", "sim_margin_bitext", "eval_annotator_agreement",
-      "prof_expectations")
+      "prof_expectations", "sim_mmr_two_step", "sim_pca_one_iter")
 
   test("no query plans a cartesian; nested-loop joins only where a side is bounded") {
     val dir = "/root/testdata/sf0.001"

@@ -214,6 +214,24 @@ class TextOpsSpec extends SparkSpec {
     assert(frames.forall(f => f.frame_index % 2 == 0 && f.frame_md5.length == 32))
   }
 
+  test("real bilinear resize: identity reproduces the raster, 2:1 averages neighbors") {
+    val img = new java.awt.image.BufferedImage(2, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0x102030)
+    img.setRGB(1, 0, 0x405070)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val df = Seq((0L, baos.toByteArray)).toDF("doc_id", "payload")
+    // identity resize (target == source): packed RGB24 equals the raster exactly
+    // (half-pixel-center sampling degenerates to fx = fy = 0)
+    val same = Multimodal.resize(df, "doc_id", "payload", 2, 1).collect().head
+    assert(same.width === 2 && same.height === 1)
+    assert(same.payload.toSeq === Seq(0x10, 0x20, 0x30, 0x40, 0x50, 0x70).map(_.toByte))
+    // 2→1 horizontal downscale: the midpoint sample is the per-channel average
+    val half = Multimodal.resize(df, "doc_id", "payload", 1, 1).collect().head
+    assert(half.width === 1 && half.height === 1)
+    assert(half.payload.toSeq === Seq(0x28, 0x38, 0x50).map(_.toByte))
+  }
+
   test("rolling fingerprints match hand-computed winnowing values") {
     // expected values computed independently in python (B=131, M=1e9+7, k=8, w=4)
     val out = Seq("the quick brown fox jumps", "abcdefgh", "abc").toDF("t")
