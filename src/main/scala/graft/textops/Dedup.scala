@@ -104,9 +104,16 @@ object Dedup {
     val dfreq = items.groupBy("tok").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("df"), col("tok"))
+    // persist the PREFIX table: it feeds BOTH sides of the candidate self-join, and
+    // without a persist the whole upstream chain — the explode, the (tok)-keyed
+    // dfreq join, and the per-doc ranking SORT — executes twice; the second sort
+    // is also the memory-pressure amplifier behind the observed run-to-run
+    // variance (r7: 5.0 ↔ 18.6 s driver-to-driver with no code change)
     val prefixes = items.join(dfreq, "tok")
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select((Seq(col("id"), col("sz"), col("tok")) ++ keys.map(col)): _*)
+      .scopedPersist()
     val l = prefixes.select(
       (Seq(col("id").as("id_l"), col("sz").as("sz_l"), col("tok")) ++ keys.map(col)): _*)
     val r = prefixes.select(

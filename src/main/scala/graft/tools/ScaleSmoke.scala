@@ -47,6 +47,27 @@ object ScaleSmoke {
           concat(col("text"), lit(" xtra")).as("text")))
   }
 
+  /** Synthetic graph with community structure AND a hub: each node links to its 2
+    * successors inside a 100-node block (dense local communities for the quality
+    * metrics) plus one pseudo-random long-range edge (keeps one giant component);
+    * node 0 additionally links every 503rd node, so its degree grows ~n/503 — the
+    * hub that makes an UNCAPPED Σdeg² wedge join pay (n/503)² while the capped
+    * variants stay linear. That contrast is exactly what this section measures.
+    */
+  private def graphEdges(spark: SparkSession, n: Long): DataFrame = {
+    val base = spark.range(n)
+    val local = base.select(col("id").as("src"), (col("id") + 1).as("dst"))
+      .filter(col("dst") % 100 =!= 0 && col("dst") < n)
+      .unionByName(base.select(col("id").as("src"), (col("id") + 2).as("dst"))
+        .filter(col("dst") % 100 > 1 && col("dst") < n))
+    val longRange = base.select(col("id").as("src"),
+      pmod(xxhash64(col("id")), lit(n)).as("dst"))
+    val hub = base.filter(col("id") % 503 === 0)
+      .select(lit(0L).as("src"), col("id").as("dst"))
+    local.unionByName(longRange).unionByName(hub)
+      .filter(col("src") =!= col("dst"))
+  }
+
   private def vectors(spark: SparkSession, n: Long, dim: Int): DataFrame = {
     val comps = (0 until dim).map(j =>
       (conv(substring(md5(concat(col("id").cast("string"), lit(s"v$j"))), 1, 6), 16, 10)
@@ -203,7 +224,44 @@ object ScaleSmoke {
         graft.events.IntervalJoin.pointInInterval(
           pts, iv, "ts", "w_start", "w_end", binWidthSeconds = 600).count()
       }
+      time("sorted_neighborhood", n) {
+        // window-7 pairs over an md5 sort key: the slope under test is the global
+        // ranking + the ≤w·n pair fan-out (aggregate a computed column so the
+        // similarity work isn't pruned by count)
+        graft.blocking.SortedNeighborhood.pairs(
+            docs.select(col("doc_id"), md5(col("doc_id").cast("string")).as("sk")),
+            col("sk"), col("doc_id"), window = 7)
+          .count()
+      }
       docs.unpersist()
+
+      // ---- graph suite (r8): the Σdeg² wedge joins are the riskiest new r7
+      // surfaces — verify the slope stays ~linear with the relay/wedge caps and
+      // measure what the uncapped exact variants cost on a hubbed graph ----
+      val edges = graphEdges(spark, n).persist()
+      edges.count()
+      val labels = edges.select(col("src").as("node"))
+        .unionByName(edges.select(col("dst").as("node")))
+        .distinct().withColumn("label", (col("node") / 100).cast("long").cast("string"))
+        .persist()
+      labels.count()
+      time("graph_triangles", n) {
+        graft.cluster.Triangles.nodeTriangles(edges).count()
+      }
+      time("graph_two_hop_capped", n) {
+        graft.cluster.Neighborhood.twoHopReach(edges, maxDegree = Some(64)).count()
+      }
+      time("graph_two_hop_exact", n) {
+        graft.cluster.Neighborhood.twoHopReach(edges, maxDegree = None).count()
+      }
+      time("graph_link_predict", n) {
+        graft.cluster.LinkPrediction.scores(edges, maxWedgeDegree = 64L).count()
+      }
+      time("graph_community_quality", n) {
+        graft.cluster.CommunityMetrics.communityQuality(edges, labels).count()
+      }
+      labels.unpersist()
+      edges.unpersist()
       val vecs = vectors(spark, n, 32).persist()
       vecs.count()
       time("embedding_lsh_pairs", n) {
