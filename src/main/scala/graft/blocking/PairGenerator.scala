@@ -74,20 +74,36 @@ object PairGenerator {
       rules: Seq[BlockingRule],
       saltFactor: Int): DataFrame = {
     require(saltFactor >= 1)
-    val l = sideProjection(df, uid, attributes, "_l")
+    // pair joins are EXPANSION joins: tiny inputs, huge output, and the gamma
+    // ladder pipelines into the join stage — so join parallelism IS scoring
+    // parallelism. Left to itself the planner broadcasts one tiny side and
+    // streams the other at its scan partitioning (often 1 file = 1 task), and
+    // AQE's size-based coalescing makes it worse (input bytes are tiny; output
+    // work is not). Pin the shape instead: both sides explicitly hash-
+    // repartitioned on (block key, salt) to defaultParallelism — a numbered
+    // user repartition AQE never coalesces — and a merge-join hint so the join
+    // reuses exactly those exchanges.
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    val l0 = sideProjection(df, uid, attributes, "_l")
       .withColumn("_salt", pmod(xxhash64(col("uid_l")), lit(saltFactor)))
-      .alias("l")
-    val r = sideProjection(df, uid, attributes, "_r")
+    val r0 = sideProjection(df, uid, attributes, "_r")
       .withColumn("_salt", explode(array((0 until saltFactor).map(lit): _*)))
-      .alias("r")
     val branches = rules.flatMap(_.branches).distinct
     val joined = branches.map { branch =>
+      val l = l0.repartition(parallelism,
+        (branch.map(c => col(s"${c}_l")) :+ col("_salt")): _*).alias("l")
+      val r = r0.repartition(parallelism,
+        (branch.map(c => col(s"${c}_r")) :+ col("_salt")): _*).alias("r")
       val cond = (branch.map(c => col(s"l.${c}_l") === col(s"r.${c}_r")) :+
         (col("l._salt") === col("r._salt"))).reduce(_ && _) &&
         col(s"l.uid_l") < col(s"r.uid_r")
-      l.join(r, cond, "inner").drop("_salt")
+      l.hint("merge").join(r, cond, "inner").drop("_salt")
     }
-    joined.reduce(_ unionByName _).dropDuplicates("uid_l", "uid_r")
+    // the l-side salt is a FUNCTION of uid_l, so within one branch every pair
+    // lands in exactly one salt bucket — a single branch needs no dedup shuffle
+    // (same reasoning as the unsalted path above)
+    if (joined.size == 1) joined.head
+    else joined.reduce(_ unionByName _).dropDuplicates("uid_l", "uid_r")
   }
 
   private def sideProjection(

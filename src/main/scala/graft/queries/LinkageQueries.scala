@@ -155,7 +155,9 @@ object LinkageQueries {
       // weight with uid tiebreak, so the matching is deterministic cross-engine.
       val df = withUid(cust(s, dir))
       val model = demoModel.copy(blockingRules = Seq("(l.c_nationkey = r.c_nationkey)"))
-      val scored = FellegiSunter.predict(df, "uid", model)
+      // salt 8: 25 nation blocks alone leave most of a 32-core stage idle while
+      // the gamma ladder (pipelined into the pair join) grinds the big blocks
+      val scored = FellegiSunter.predict(df, "uid", model, saltFactor = 8)
       FellegiSunter.mutualBestPairs(scored, 0.0)
         .orderBy("uid_l", "uid_r")
     },
