@@ -150,9 +150,17 @@ object PageRank {
     *
     * Scale shape mirrors [[pageRank]]: each half-step is one edge-keyed equi-join
     * + one map-side-combined aggregation; the L2 norm is a 1-row aggregate whose
-    * scalar rides a broadcast join; both vectors are materialized every iteration
-    * (rotating localCheckpoint — the two-branch recompute lesson). Nodes with no
-    * in-edges get authority 0, nodes with no out-edges hub 0.
+    * scalar rides a broadcast join. Two lessons are load-bearing here:
+    *
+    *   - materialize the RAW half-step sums (rotating localCheckpoint), not the
+    *     normalized vectors: the norm is a second consumer of the same frame, so
+    *     checkpointing AFTER normalization evaluates the edge join + aggregation
+    *     TWICE per half-step (once for the broadcast norm job, once for the main
+    *     pass) — measured 2× the suite's task time at sf0.1;
+    *   - iterate SPARSE (only nodes with a nonzero sum ride the loop): zero
+    *     entries contribute nothing to either half-step or the norm, so the
+    *     dense per-node vector — authority 0 for no-in-edge nodes, hub 0 for
+    *     no-out-edge nodes — is assembled ONCE at the end.
     */
   def hits(edges: DataFrame, iters: Int = 10): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
@@ -162,9 +170,11 @@ object PageRank {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().scopedPersist()
     // one tracker PER vector: a shared tracker would free the authority blocks
-    // when the hub vector rotates, while the final join still reads both
+    // when the hub vector rotates, while the final assembly still reads both
     val aTracker = new graft.util.CheckpointTracker(edges.sparkSession)
     val hTracker = new graft.util.CheckpointTracker(edges.sparkSession)
+    // scalar scale over an already-checkpointed frame: the norm job re-reads
+    // cached blocks, never re-runs the join
     def l2normalized(df: DataFrame, valueCol: String): DataFrame = {
       val norm = df.agg(sqrt(sum(col(valueCol) * col(valueCol))).as("_n"))
         .withColumn("_k", lit(1))
@@ -174,23 +184,23 @@ object PageRank {
           when(col("_n") > 0, col(valueCol) / col("_n")).otherwise(lit(0.0))
             .as(valueCol))
     }
-    var hubs: DataFrame = nodes.select(col("node"), lit(1.0).as("hub"))
-    var auth: DataFrame = nodes.select(col("node"), lit(0.0).as("authority"))
+    var hubsN: DataFrame = nodes.select(col("node"), lit(1.0).as("hub"))
+    var authN: DataFrame = null
     (1 to iters).foreach { _ =>
-      val aRaw = e.join(hubs.select(col("node").as("src"), col("hub")), Seq("src"))
-        .groupBy(col("dst").as("node")).agg(sum("hub").as("authority"))
-      auth = aTracker.rotate(l2normalized(
-        nodes.join(aRaw, Seq("node"), "left")
-          .select(col("node"), coalesce(col("authority"), lit(0.0)).as("authority")),
-        "authority"))
-      val hRaw = e.join(auth.select(col("node").as("dst"), col("authority")), Seq("dst"))
-        .groupBy(col("src").as("node")).agg(sum("authority").as("hub"))
-      hubs = hTracker.rotate(l2normalized(
-        nodes.join(hRaw, Seq("node"), "left")
-          .select(col("node"), coalesce(col("hub"), lit(0.0)).as("hub")),
-        "hub"))
+      val aRaw = aTracker.rotate(
+        e.join(hubsN.select(col("node").as("src"), col("hub")), Seq("src"))
+          .groupBy(col("dst").as("node")).agg(sum("hub").as("authority")))
+      authN = l2normalized(aRaw, "authority")
+      val hRaw = hTracker.rotate(
+        e.join(authN.select(col("node").as("dst"), col("authority")), Seq("dst"))
+          .groupBy(col("src").as("node")).agg(sum("authority").as("hub")))
+      hubsN = l2normalized(hRaw, "hub")
     }
-    hubs.join(auth, Seq("node"))
+    nodes
+      .join(hubsN, Seq("node"), "left")
+      .join(authN, Seq("node"), "left")
+      .select(col("node"), coalesce(col("hub"), lit(0.0)).as("hub"),
+        coalesce(col("authority"), lit(0.0)).as("authority"))
   }
 
   /** Degree profile of a link graph — the first diagnostic a curation pipeline runs
