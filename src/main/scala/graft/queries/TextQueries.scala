@@ -258,6 +258,14 @@ object TextQueries {
           explode(graft.functions.rolling_fingerprints(col("text"), 8, 4)).as("fp"))
         .orderBy("doc_id", "fp")
     },
+    "dedup_edit_distance" -> { (s, dir) =>
+      // FastSS deletion-neighborhood fuzzy join (new r8): exact edit-distance-1
+      // pairs over customer names via the deletion-variant equi-join — TPC-H
+      // name pairs differing in one serial digit are the planted near-matches
+      Dedup.editDistancePairs(
+          s.read.parquet(s"$dir/customer.parquet"), "c_custkey", "c_name", 1)
+        .orderBy("id_l", "id_r")
+    },
     "dedup_exact" -> { (s, dir) =>
       Dedup.exact(plantedCorpus(s, dir), "doc_id", "text")
         .orderBy("content_hash")
@@ -1828,6 +1836,23 @@ object TextQueries {
       s"""WITH $corpusCte
          |SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
          |FROM corpus GROUP BY 1 ORDER BY content_hash""".stripMargin,
+    "dedup_edit_distance" ->
+      // deletion-neighborhood candidates + exact verify, replayed end-to-end:
+      // candidates = pairs sharing a (string ∪ one-char-deleted) variant key
+      """WITH w AS (SELECT c_custkey AS id, c_name AS s FROM customer
+        |           WHERE c_name IS NOT NULL),
+        |v0 AS (SELECT id, s,
+        |         CASE WHEN len(s) > 0 THEN list_distinct(list_prepend(s,
+        |           list_transform(range(1, len(s) + 1),
+        |             i -> substr(s, 1, i - 1) || substr(s, i + 1, len(s)))))
+        |         ELSE [s] END AS ks
+        |       FROM w),
+        |v AS (SELECT id, s, unnest(ks) AS k FROM v0),
+        |cand AS (SELECT DISTINCT a.id AS id_l, b.id AS id_r, a.s AS s_l, b.s AS s_r
+        |         FROM v a JOIN v b ON a.k = b.k WHERE a.id < b.id)
+        |SELECT id_l, id_r, CAST(levenshtein(s_l, s_r) AS INT) AS dist
+        |FROM cand WHERE levenshtein(s_l, s_r) <= 1
+        |ORDER BY id_l, id_r""".stripMargin,
     "ep7_incremental_ingest" -> {
       val toks = toksSql("text")
       s"""WITH $minhashPairsCtes,

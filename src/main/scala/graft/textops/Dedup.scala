@@ -156,6 +156,56 @@ object Dedup {
     arrayJaccardPairs(df, idCol, TextOps.distinctShingles(col(textCol), n),
       blockCols, threshold)
 
+  /** Pairs at Levenshtein distance ≤ `maxDistance` via deletion-neighborhood
+    * blocking (FastSS, Bocek et al. 2007 — the SymSpell family): two strings
+    * within edit distance d always share a variant reachable by deleting ≤ d
+    * characters from each side, so the candidate step is ONE equi-join on the
+    * deletion-variant key — never an all-pairs scan, never a sorted sweep.
+    * Candidates verify with the banded-DP
+    * [[graft.functions.bounded_levenshtein]], so the OUTPUT is exact:
+    * (id_l, id_r, dist) for every pair with dist ≤ maxDistance.
+    *
+    * Scale shape: O(len^d) variant keys per row (19 for an 18-char string at
+    * d = 1), one equi-join whose fan-out is bounded by true near-matches plus
+    * same-variant collisions, then a pair-bounded verify — the edit-distance
+    * sibling of the MinHash band join. Rows with null text are dropped (no
+    * edit distance to anything). Long strings multiply the key volume — for
+    * documents, run this on NAMES/WORDS/KEYS, and near-dup documents belong to
+    * the Jaccard/MinHash family instead.
+    */
+  def editDistancePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDistance: Int = 1): DataFrame = {
+    require(maxDistance == 1 || maxDistance == 2,
+      s"deletion-neighborhood blocking supports maxDistance 1 or 2, got $maxDistance")
+    import graft.util.Caching.CacheSyntax
+    def del1(str: Column): Column =
+      when(length(str) > 0,
+        transform(sequence(lit(1), length(str)), i =>
+          concat(str.substr(lit(1), i - 1), str.substr(i + 1, length(str)))))
+        .otherwise(array().cast("array<string>"))
+    val vars1 = array_union(array(col("s")), del1(col("s")))
+    val variants =
+      if (maxDistance == 1) vars1
+      else array_distinct(flatten(transform(vars1, v => array_union(array(v), del1(v)))))
+    val keys = df
+      .select(col(idCol).as("id"), col(textCol).cast("string").as("s"))
+      .filter(col("s").isNotNull)
+      .select(col("id"), col("s"), explode(variants).as("k"))
+      .scopedPersist()
+    val cands = keys.select(col("id").as("id_l"), col("s").as("s_l"), col("k"))
+      .join(keys.select(col("id").as("id_r"), col("s").as("s_r"), col("k")), Seq("k"))
+      .filter(col("id_l") < col("id_r"))
+      .select("id_l", "id_r", "s_l", "s_r").distinct()
+    cands
+      .withColumn("dist",
+        graft.functions.bounded_levenshtein(col("s_l"), col("s_r"), maxDistance))
+      .filter(col("dist") >= 0)
+      .select(col("id_l"), col("id_r"), col("dist"))
+  }
+
   /** Threshold predicate for distinct-set Jaccard from precomputed sizes
     * (|A∪B| = |A| + |B| − |A∩B|).
     *

@@ -224,6 +224,17 @@ object ScaleSmoke {
         graft.events.IntervalJoin.pointInInterval(
           pts, iv, "ts", "w_start", "w_end", binWidthSeconds = 600).count()
       }
+      time("edit_distance_pairs", n) {
+        // FastSS deletion-variant join over 8-hex words + a planted 1-char typo
+        // for every 101st: candidates are collision-bounded, slope ~linear
+        val base = spark.range(n).select(col("id"),
+          substring(md5(col("id").cast("string")), 1, 8).as("w"))
+        val typos = base.filter(col("id") % 101 === 0)
+          .select((col("id") + 10000000L).as("id"),
+            concat(lit("z"), substring(col("w"), 2, 7)).as("w"))
+        graft.textops.Dedup.editDistancePairs(
+          base.unionByName(typos), "id", "w", 1).count()
+      }
       time("sorted_neighborhood", n) {
         // window-7 pairs over an md5 sort key: the slope under test is the global
         // ranking + the ≤w·n pair fan-out (aggregate a computed column so the

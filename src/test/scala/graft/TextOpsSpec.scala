@@ -214,6 +214,36 @@ class TextOpsSpec extends SparkSpec {
     assert(frames.forall(f => f.frame_index % 2 == 0 && f.frame_md5.length == 32))
   }
 
+  test("deletion-neighborhood edit-distance pairs match brute force at d=1 and d=2") {
+    val words = Seq("kitten", "sitten", "sittin", "sitting", "kitte", "kittens",
+      "mitten", "banana", "bananna", "bananas", "", "a", "b", "ab")
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+    val df = words.toDF("id", "w")
+    for (d <- Seq(1, 2)) {
+      val got = Dedup.editDistancePairs(df, "id", "w", d)
+        .as[(Long, Long, Int)].collect().toSet
+      val brute = (for {
+        (i1, w1) <- words; (i2, w2) <- words if i1 < i2
+        dist = levenshteinRef(w1, w2) if dist <= d
+      } yield (i1, i2, dist)).toSet
+      assert(got === brute, s"d=$d")
+    }
+    // null text drops, never joins
+    val withNull = Seq((0L, "abc"), (1L, null), (2L, "abd")).toDF("id", "w")
+    assert(Dedup.editDistancePairs(withNull, "id", "w", 1)
+      .as[(Long, Long, Int)].collect().toSeq === Seq((0L, 2L, 1)))
+  }
+
+  private def levenshteinRef(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+        dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    dp(a.length)(b.length)
+  }
+
   test("real bilinear resize: identity reproduces the raster, 2:1 averages neighbors") {
     val img = new java.awt.image.BufferedImage(2, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
     img.setRGB(0, 0, 0x102030)
