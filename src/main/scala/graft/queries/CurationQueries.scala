@@ -410,6 +410,25 @@ object CurationQueries {
           md5(concat_ws(" ", col("pieces"))).as("pieces_hash"))
         .orderBy("doc_id")
     },
+    "curation_unigram_encode_fixed" -> { (s, dir) =>
+      // frozen-fixture pin for the Viterbi segmentation DP (the
+      // mm_cdc_chunks_fixed pattern): a CONSTANT piece table + constant words
+      // make the segmentation a constant the oracle carries verbatim —
+      // exercises multi-piece optima, the smallest-start tie preference, the
+      // per-char unk floor, and a word longer than any piece
+      import s.implicits._
+      val pieces = Map(
+        "a" -> -1.0, "b" -> -1.5, "ab" -> -1.8, "ba" -> -2.0, "aba" -> -2.5,
+        "c" -> -3.0, "abc" -> -3.5, "he" -> -1.0, "hello" -> -1.2, "llo" -> -1.4,
+        "l" -> -2.0, "o" -> -2.0)
+      val words = Seq((0L, "ababa"), (1L, "abc"), (2L, "hello"), (3L, "zq"),
+          (4L, "aab"), (5L, "baba"))
+        .toDF("wid", "w")
+      words.select(col("wid"), col("w"),
+          concat_ws(" ",
+            graft.functions.unigram_encode(array(col("w")), pieces)).as("enc"))
+        .orderBy("wid")
+    },
     "ep11_release_gate" -> { (s, dir) =>
       // release-gating capstone composing this round's operators: snapshot-diff the
       // v2 revision, take only NEW material (added/changed), screen it with the
@@ -879,6 +898,19 @@ object CurationQueries {
          |SELECT piece, ROUND(LN((c + 1.0) / (tot.total + tot.sz)), 6) AS logprob,
          |  CAST(ROW_NUMBER() OVER (ORDER BY c DESC, piece) AS INT) AS piece_rank
          |FROM keptc, tot ORDER BY piece_rank""".stripMargin,
+    "curation_unigram_encode_fixed" ->
+      // frozen Viterbi segmentations of the constant piece table: "ababa" picks
+      // ab+aba over aba+ba (-4.3 vs -4.5); "baba" is a TRUE TIE (b+aba = ba+ba
+      // = -4.0) resolved to the longest final piece; "zq" takes the per-char
+      // unk floor; "hello" prefers the single piece (-1.2 vs he+llo -2.4)
+      """SELECT CAST(wid AS BIGINT) AS wid, w, enc FROM (VALUES
+        |  (0, 'ababa', 'ab aba'),
+        |  (1, 'abc', 'abc'),
+        |  (2, 'hello', 'hello'),
+        |  (3, 'zq', 'z q'),
+        |  (4, 'aab', 'a ab'),
+        |  (5, 'baba', 'b aba')) AS t(wid, w, enc)
+        |ORDER BY wid""".stripMargin,
     "curation_unigram_seed" ->
       s"""WITH toks AS (SELECT unnest(${TextQueries.toksSql("text")}) AS w FROM documents),
          |wc AS (SELECT w, COUNT(*) AS n FROM toks GROUP BY 1
