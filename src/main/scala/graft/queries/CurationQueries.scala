@@ -366,6 +366,16 @@ object CurationQueries {
       Curation.trainBpeMerges(docs(s, dir), col("text"), numMerges = 1)
         .orderBy("merge_rank")
     },
+    "curation_bpe_two_merges" -> { (s, dir) =>
+      // TWO chained merges (the j5_em_two_iter pattern): merge 2 must consume the
+      // vocabulary AS REWRITTEN by merge 1 — the oracle applies merge 1 with a
+      // recursive left-to-right non-overlapping scan (a string replace cannot
+      // express it: the shared separator between back-to-back matches is
+      // consumed), then re-counts pairs. A merge-application bug invisible to
+      // the single pinned step changes this row.
+      Curation.trainBpeMerges(docs(s, dir), col("text"), numMerges = 2)
+        .orderBy("merge_rank")
+    },
     "curation_bpe_encode" -> { (s, dir) =>
       // tokenizer APPLY: encode the corpus against a fixed derivation-ordered merge
       // list (each merge's inputs are base chars, </w>, or outputs of EARLIER
@@ -799,6 +809,54 @@ object CurationQueries {
        |SELECT 1 AS merge_rank, l AS "left", r AS "right", pair_count FROM top""".stripMargin
   }
 
+  /** Two chained BPE merges: merge 1 as in [[bpeFirstMergeSql]]; then a
+    * RECURSIVE CTE applies it to every symbol sequence with the trainer's exact
+    * left-to-right non-overlapping scan (position i either emits `s[i]` and
+    * advances 1, or emits the merged symbol and advances 2 — a plain string
+    * replace gets back-to-back matches wrong because the match consumes the
+    * separator the next match needs); merge 2 is the pair argmax over the
+    * rewritten vocabulary.
+    */
+  private val bpeTwoMergesSql: String = {
+    s"""WITH RECURSIVE t AS (SELECT ${toksSql("text")} AS toks FROM documents),
+       |w AS (
+       |  SELECT w, COUNT(*) AS n FROM (SELECT unnest(toks) AS w FROM t)
+       |  GROUP BY w ORDER BY n DESC, w LIMIT 100000
+       |), sy AS (
+       |  SELECT w, list_append(string_split(w, ''), '</w>') AS s, n FROM w
+       |), p1 AS (
+       |  SELECT s[i] AS l, s[i + 1] AS r, n
+       |  FROM sy, unnest(range(1, len(s))) AS u(i)
+       |), m1 AS (
+       |  SELECT l, r, SUM(n)::BIGINT AS pair_count FROM p1 GROUP BY l, r
+       |  ORDER BY pair_count DESC, l, r LIMIT 1
+       |), app AS (
+       |  SELECT sy.w, sy.n, sy.s, 1 AS i, CAST([] AS VARCHAR[]) AS o FROM sy
+       |  UNION ALL
+       |  SELECT app.w, app.n, app.s,
+       |    CASE WHEN app.i < len(app.s)
+       |              AND app.s[app.i] = m1.l AND app.s[app.i + 1] = m1.r
+       |         THEN app.i + 2 ELSE app.i + 1 END,
+       |    list_append(app.o,
+       |      CASE WHEN app.i < len(app.s)
+       |                AND app.s[app.i] = m1.l AND app.s[app.i + 1] = m1.r
+       |           THEN m1.l || m1.r ELSE app.s[app.i] END)
+       |  FROM app, m1 WHERE app.i <= len(app.s)
+       |), sy2 AS (
+       |  SELECT w, n, o AS s FROM app WHERE i = len(s) + 1
+       |), p2 AS (
+       |  SELECT s[i] AS l, s[i + 1] AS r, n
+       |  FROM sy2, unnest(range(1, len(s))) AS u(i)
+       |), m2 AS (
+       |  SELECT l, r, SUM(n)::BIGINT AS pair_count FROM p2 GROUP BY l, r
+       |  ORDER BY pair_count DESC, l, r LIMIT 1
+       |)
+       |SELECT CAST(mr AS INT) AS merge_rank, l AS "left", r AS "right", pair_count
+       |FROM (SELECT 1 AS mr, l, r, pair_count FROM m1
+       |      UNION ALL SELECT 2, l, r, pair_count FROM m2)
+       |ORDER BY merge_rank""".stripMargin
+  }
+
   /** Shared by `curation_psi_drift` (batch v2) and `stream_psi_drift` (streamed
     * v2): the streamed decile-bin counts equal the batch bins cell-for-cell, so
     * one DuckDB replay checks both.
@@ -835,6 +893,7 @@ object CurationQueries {
 
   val oracleSql: Map[String, String] = Map(
     "curation_bpe_first_merge" -> bpeFirstMergeSql,
+    "curation_bpe_two_merges" -> bpeTwoMergesSql,
     "curation_bpe_encode" -> bpeEncodeSql,
     // seed candidates: same substring explode (1-based substr, len-capped at 8)
     // over the word-count vocabulary, top-200 deterministic
