@@ -792,6 +792,18 @@ object TextQueries {
           length(col("payload")).as("out_len"), md5(col("payload")).as("payload_md5"))
         .orderBy("id")
     },
+    "mm_phash" -> { (s, dir) =>
+      // perceptual dHash of the constant image fixtures (new r8): real decode +
+      // 9×8 bilinear + integer luma + difference bits — frozen as constants on
+      // the oracle side; the text payload must hash to NULL (not decodable)
+      import s.implicits._
+      val fixtures = Seq((0L, MmPngHex), (1L, MmBmpHex), (2L, MmTextHex))
+        .toDF("fid", "hex")
+      Multimodal.perceptualHashes(
+          fixtures.select(col("fid"), unhex(col("hex")).as("payload")),
+          "fid", "payload")
+        .orderBy("id")
+    },
     "mm_png_meta" -> { (s, dir) =>
       // REAL JDK header decode pinned end-to-end: constant PNG/BMP payloads with
       // known true dimensions, plus a text payload exercising the stub fallback;
@@ -2275,6 +2287,13 @@ object TextQueries {
         |)
         |SELECT query_id, rank, id, cosine FROM ranked WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+    "mm_phash" ->
+      // frozen dHashes of the constant fixtures; NULL = not decodable
+      """SELECT CAST(fid AS BIGINT) AS id, CAST(h AS BIGINT) AS dhash FROM (VALUES
+        |  (0, 808464432),
+        |  (1, 578721456004993811),
+        |  (2, NULL)) AS t(fid, h)
+        |ORDER BY id""".stripMargin,
     "mm_resize_real" ->
       // frozen output of the real bilinear path on the constant fixtures: 18
       // packed-RGB24 bytes for each 3×2 image, stub subsample for the text row

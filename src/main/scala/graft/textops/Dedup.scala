@@ -588,25 +588,43 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3,
       "4 bands of 16 bits guarantee exact recall only up to hamming 3")
-    val sigs = simhash64(df, idCol, textCol).scopedPersist()
-    // the signature is 8 bytes — carry BOTH through the band join and verify inline,
-    // so the hamming filter runs before any shuffle. The alternative (distinct
-    // candidates, then join signatures back) shuffles every raw collision: boilerplate
-    // corpora put thousands of near-identical docs in one bucket, and the raw
-    // collision count dwarfs the verified result (measured 2.1M candidates → ~100k
-    // pairs on template-generated docs). Duplicate finds across bands are deduped
-    // AFTER the filter, on the small verified set.
-    val bands = sigs.select(col("id"), col("simhash"),
+    val sigs = simhash64(df, idCol, textCol)
+      .select(col("id"), col("simhash").as("sig"))
+    bandedHammingPairs64(sigs, maxHamming)
+  }
+
+  /** Banded Hamming self-join over 64-bit signatures (`id`, `sig`): 4 bands of 16
+    * bits — a pair within Hamming distance ≤ 3 must agree on at least one whole
+    * band (pigeonhole), so candidates come from 4 equi-joins, never an all-pairs
+    * scan. Shared by [[simhash64Pairs]] (text) and
+    * [[Multimodal.perceptualHashPairs]] (images) — the signature family differs,
+    * the join geometry doesn't.
+    *
+    * The signature is 8 bytes — carry BOTH through the band join and verify
+    * inline, so the hamming filter runs before any shuffle. The alternative
+    * (distinct candidates, then join signatures back) shuffles every raw
+    * collision: boilerplate corpora put thousands of near-identical docs in one
+    * bucket, and the raw collision count dwarfs the verified result (measured
+    * 2.1M candidates → ~100k pairs on template-generated docs). Duplicate finds
+    * across bands are deduped AFTER the filter, on the small verified set.
+    */
+  private[textops] def bandedHammingPairs64(
+      sigs0: DataFrame,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3,
+      "4 bands of 16 bits guarantee exact recall only up to hamming 3")
+    val sigs = sigs0.scopedPersist()
+    val bands = sigs.select(col("id"), col("sig"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),
-          shiftright(col("simhash"), 16 * b).bitwiseAND(lit(0xFFFFL)).as("key"))
+          shiftright(col("sig"), 16 * b).bitwiseAND(lit(0xFFFFL)).as("key"))
       }: _*)).as("bk"))
-      .select(col("id"), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .select(col("id"), col("sig"), col("bk.band").as("band"), col("bk.key").as("key"))
     bands.alias("l")
       .join(bands.alias("r"),
         col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
           col("l.id") < col("r.id"))
-      .withColumn("hamming", bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))))
+      .withColumn("hamming", bit_count(col("l.sig").bitwiseXOR(col("r.sig"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("l.id").as("id_l"), col("r.id").as("id_r"), col("hamming"))
       .distinct()

@@ -217,6 +217,62 @@ object Multimodal {
       }
   }
 
+  /** 64-bit difference hash (dHash — the standard perceptual near-dup signal):
+    * bilinear-resize the decoded raster to 9×8, integer luma per pixel
+    * (`(299r + 587g + 114b) / 1000`, all-integer so the hash replays anywhere),
+    * bit (x, y) = lum(x, y) > lum(x+1, y), row-major MSB-first. Near-identical
+    * images — recompressed, slightly cropped, one-pixel edits — differ in a few
+    * bits; unrelated images differ in ~32. None for payloads no JDK codec
+    * decodes.
+    */
+  def dHash64(bytes: Array[Byte]): Option[Long] = decodeImage(bytes).map { img =>
+    val rgb = bilinearRgb(img, 9, 8)
+    def lum(x: Int, y: Int): Int = {
+      val p = (y * 9 + x) * 3
+      ((rgb(p) & 0xff) * 299 + (rgb(p + 1) & 0xff) * 587 + (rgb(p + 2) & 0xff) * 114) / 1000
+    }
+    var h = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        h = (h << 1) | (if (lum(x, y) > lum(x + 1, y)) 1L else 0L)
+        x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
+  /** Per-payload perceptual hashes: (`id`, `dhash`), null for payloads no codec
+    * decodes (they cannot be perceptually compared — exact/CDC dedup covers
+    * them). Same mapPartitions batch shape as [[extractMeta]].
+    */
+  def perceptualHashes(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(binCol).cast("binary").as("b"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(rows => rows.map { case (id, bytes) => (id, dHash64(bytes)) })
+      .toDF("id", "dhash")
+  }
+
+  /** Perceptual near-dup image pairs: dHash + the SAME banded Hamming self-join
+    * the 64-bit text SimHash uses ([[Dedup.bandedHammingPairs64]]) — exact recall
+    * at Hamming ≤ `maxHamming` (≤ 3), candidates from 4 band equi-joins, never
+    * an all-pairs scan. Undecodable payloads drop (null hash).
+    */
+  def perceptualHashPairs(
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      maxHamming: Int = 3): DataFrame =
+    Dedup.bandedHammingPairs64(
+      perceptualHashes(df, idCol, binCol)
+        .filter(col("dhash").isNotNull)
+        .select(col("id"), col("dhash").as("sig")),
+      maxHamming)
+
   case class SampledFrame(
       id: Long,
       frame_index: Int,

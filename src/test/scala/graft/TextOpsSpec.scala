@@ -262,6 +262,31 @@ class TextOpsSpec extends SparkSpec {
     assert(half.payload.toSeq === Seq(0x28, 0x38, 0x50).map(_.toByte))
   }
 
+  test("perceptual dHash pairs near-identical images, separates unrelated ones") {
+    def png(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 16; y <- 0 until 16) img.setRGB(x, y, f(x, y))
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val gradient = png((x, _) => { val v = x * 16; (v << 16) | (v << 8) | v })
+    val tweaked = png((x, y) =>
+      if (x == 7 && y == 3) 0xffffff
+      else { val v = x * 16; (v << 16) | (v << 8) | v })
+    val inverted = png((x, _) => { val v = 255 - x * 16; (v << 16) | (v << 8) | v })
+    val h = Seq(gradient, tweaked, inverted).map(b => Multimodal.dHash64(b).get)
+    assert(java.lang.Long.bitCount(h(0) ^ h(1)) <= 3) // one-pixel edit: near
+    assert(java.lang.Long.bitCount(h(0) ^ h(2)) > 16) // inverted gradient: far
+    assert(Multimodal.dHash64("not an image".getBytes).isEmpty)
+    val df = Seq((0L, gradient), (1L, tweaked), (2L, inverted),
+      (3L, "not an image".getBytes)).toDF("id", "payload")
+    val pairs = Multimodal.perceptualHashPairs(df, "id", "payload", maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs.map(p => (p._1, p._2)) === Set((0L, 1L)))
+  }
+
   test("rolling fingerprints match hand-computed winnowing values") {
     // expected values computed independently in python (B=131, M=1e9+7, k=8, w=4)
     val out = Seq("the quick brown fox jumps", "abcdefgh", "abc").toDF("t")
