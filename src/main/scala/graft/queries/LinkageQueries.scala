@@ -236,8 +236,9 @@ object LinkageQueries {
       // widening costs work ∝ its delta edges, not the cumulative edge set.
       import graft.util.Caching.CacheSyntax
       val df = withUid(cust(s, dir))
-      val scored = FellegiSunter.predict(df, "uid", demoModel)
+      val scored = FellegiSunter.predict(df, "uid", demoModel, saltFactor = 4)
         .select("uid_l", "uid_r", "match_probability").scopedPersist()
+      val total = df.count()
       val thresholds = Seq(0.5, 0.01, 0.001) // descending
       def edgesIn(lo: Double, hi: Option[Double]): DataFrame = {
         val base = scored.filter(col("match_probability") >= lo)
@@ -250,15 +251,19 @@ object LinkageQueries {
         if (i > 0) mapping = ConnectedComponents
           .incremental(mapping, edgesIn(t, Some(thresholds(i - 1))))
           .scopedPersist()
-        df.select(col("uid"))
-          .join(mapping, df("uid") === mapping("node"), "left")
-          .select(coalesce(col("cluster_id"), col("uid")).as("cluster_id"))
-          .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
-          .agg(count(lit(1)).as("n_clusters"),
-            max("sz").as("max_cluster_size"),
-            sum(when(col("sz") === 1, 1L).otherwise(0L)).as("n_singletons"))
-          .select(lit(t).as("threshold"), col("n_clusters"),
-            col("max_cluster_size"), col("n_singletons"))
+        // summarize from the MAPPING alone (never a per-band corpus re-join):
+        // the mapping covers exactly the edge endpoints, every mapped cluster
+        // has >= 2 members by construction, and every unmapped record is its
+        // own singleton — so cluster/singleton/max counts all derive from the
+        // mapping's size histogram plus the one up-front corpus count
+        mapping.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+          .agg(count(lit(1)).as("nc"),
+            coalesce(sum("sz"), lit(0L)).as("nm"),
+            coalesce(max("sz"), lit(1L)).as("mx"))
+          .select(lit(t).as("threshold"),
+            (col("nc") + lit(total) - col("nm")).as("n_clusters"),
+            col("mx").as("max_cluster_size"),
+            (lit(total) - col("nm")).as("n_singletons"))
       }
       frames.reduce(_ unionByName _).orderBy("threshold")
     },

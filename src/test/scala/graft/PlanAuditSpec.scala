@@ -35,11 +35,17 @@ class PlanAuditSpec extends SparkSpec {
     *   caller-bounded brute-force candidate broadcast.
     * - sim_pca_one_iter: Pca.powerIteration attaches the 1-row norm aggregate to
     *   the d-row iterate by broadcast crossJoin — scalar by construction.
+    * - graph_hits / graph_hits_two_iter: the final L2 norms are 1-row broadcast
+    *   aggregates attached on a constant key (folded to a trivially-true join
+    *   condition); r8's raw-sum checkpointing moved them from inside the
+    *   (invisible) per-iteration checkpoints into the final plan — same bounded
+    *   scalar class as eval_annotator_agreement.
     */
   private val boundedNestedLoop =
     Set("ann_cosine_topk", "ep9_hybrid_retrieval", "ann_sq_topk", "sim_mmr_rerank",
       "sketch_hll_overlap", "sim_margin_bitext", "eval_annotator_agreement",
-      "prof_expectations", "sim_mmr_two_step", "sim_pca_one_iter")
+      "prof_expectations", "sim_mmr_two_step", "sim_pca_one_iter",
+      "graph_hits", "graph_hits_two_iter")
 
   test("no query plans a cartesian; nested-loop joins only where a side is bounded") {
     val dir = "/root/testdata/sf0.001"
