@@ -47,8 +47,9 @@ object GraphQueries {
         .select(col("node"), round(col("rank"), 6).as("rank"))
         .orderBy("node")
     },
-    // converged authority scores (rows-only: iterative; GraphSpec pins the update
-    // against a dense driver reference and the Σrank=1 invariant per iteration)
+    // converged authority scores — FULL oracle: the loop runs a fixed 10
+    // iterations, so the generated 10-step CTE chain replays it cell-exactly
+    // (GraphSpec additionally pins the update against a dense driver reference)
     "graph_pagerank" -> { (s, dir) =>
       PageRank.pageRank(linkEdges(s, dir), damping = 0.85, iters = 10)
         .select(col("node"), round(col("rank"), 6).as("rank"))
@@ -62,8 +63,8 @@ object GraphQueries {
       graft.cluster.LabelPropagation.run(linkEdges(s, dir), iters = 2)
         .orderBy("node")
     },
-    // converged communities (rows-only: iterative; GraphSpec pins the update on a
-    // planted two-clique fixture, partition validity, and partitioning invariance)
+    // converged communities — FULL oracle (generated 5-step chain of the same
+    // synchronous min-tiebreak update; GraphSpec pins the planted-clique fixture)
     "graph_lpa" -> { (s, dir) =>
       graft.cluster.LabelPropagation.run(linkEdges(s, dir), iters = 5)
         .orderBy("node")
@@ -78,8 +79,8 @@ object GraphQueries {
         .select(col("node"), round(col("rank"), 6).as("rank"))
         .orderBy("node")
     },
-    // converged seed-relative trust scores (rows-only: iterative; GraphSpec pins
-    // mass conservation, unreachable-component zeros, and the seed-mass ordering)
+    // converged seed-relative trust scores — FULL oracle (generated 10-step
+    // chain; GraphSpec pins mass conservation and unreachable-component zeros)
     "graph_ppr" -> { (s, dir) =>
       import s.implicits._
       val seeds = docs(s, dir).filter(col("doc_id") % 17 === 0)
@@ -100,8 +101,8 @@ object GraphQueries {
           round(col("authority"), 6).as("authority"))
         .orderBy("node")
     },
-    // converged hubs/authorities (rows-only: iterative; GraphSpec pins unit norms,
-    // the hub/authority roles on a planted directory graph, and invariance)
+    // converged hubs/authorities — FULL oracle (generated 10-step chain of the
+    // alternating L2-normalized sums; GraphSpec pins the planted directory graph)
     "graph_hits" -> { (s, dir) =>
       PageRank.hits(linkEdges(s, dir), iters = 10)
         .select(col("node"), round(col("hub"), 6).as("hub"),
@@ -124,8 +125,9 @@ object GraphQueries {
     "graph_kcore_two_peel" -> { (s, dir) =>
       graft.cluster.KCore.peel(linkEdges(s, dir), k = 2, iters = 2).orderBy("node")
     },
-    // the converged 2-core (rows-only: peel-until-fixpoint; GraphSpec pins the
-    // min-degree invariant and brute-force equality on a random graph)
+    // the converged 2-core — FULL oracle: peeling is idempotent at the fixpoint,
+    // so a 50-round generated peel chain (the fail-loud maxIters cap) replays the
+    // converged result exactly (GraphSpec pins brute-force equality besides)
     "graph_kcore" -> { (s, dir) =>
       graft.cluster.KCore.kCore(linkEdges(s, dir), k = 2).orderBy("node")
     },
@@ -148,134 +150,166 @@ object GraphQueries {
         .modularity(e, graft.cluster.LabelPropagation.run(e, iters = 2))
     })
 
-  private val lpaTwoIterSql =
-    """WITH p AS (SELECT COUNT(*) AS nd FROM documents),
-      |e0 AS (
+  /** Shared link-graph fixture CTEs (directed multi-edge list `e`). */
+  private val fixtureCtes =
+    """p AS (SELECT COUNT(*) AS nd FROM documents),
+      |e AS MATERIALIZED (
       |  SELECT 'd' || doc_id AS src, 'd' || ((doc_id * 7 + 1) % p.nd) AS dst
       |  FROM documents, p WHERE doc_id % 11 <> 0
       |  UNION ALL
       |  SELECT 'd' || doc_id, 'd' || ((doc_id * 13 + 5) % p.nd)
-      |  FROM documents, p WHERE doc_id % 11 <> 0 AND doc_id % 2 = 0),
-      |sym AS (SELECT DISTINCT src, dst FROM
-      |  (SELECT src, dst FROM e0 WHERE src <> dst
-      |   UNION ALL SELECT dst, src FROM e0 WHERE src <> dst)),
-      |l1 AS (SELECT src AS node, MIN(dst) AS label FROM sym GROUP BY src),
-      |nl AS (SELECT sym.src AS node, l1.label, COUNT(*) AS n
-      |       FROM sym JOIN l1 ON l1.node = sym.dst GROUP BY 1, 2),
-      |bn AS (SELECT node, MAX(n) AS n FROM nl GROUP BY node),
-      |l2 AS (SELECT nl.node, MIN(nl.label) AS label
-      |       FROM nl JOIN bn ON bn.node = nl.node AND bn.n = nl.n GROUP BY 1)
-      |SELECT node, label FROM l2 ORDER BY node""".stripMargin
+      |  FROM documents, p WHERE doc_id % 11 <> 0 AND doc_id % 2 = 0)""".stripMargin
 
-  private val oneIterSql =
-    """WITH p AS (SELECT COUNT(*) AS nd FROM documents),
-      |e AS (
-      |  SELECT 'd' || doc_id AS src, 'd' || ((doc_id * 7 + 1) % p.nd) AS dst
-      |  FROM documents, p WHERE doc_id % 11 <> 0
-      |  UNION ALL
-      |  SELECT 'd' || doc_id, 'd' || ((doc_id * 13 + 5) % p.nd)
-      |  FROM documents, p WHERE doc_id % 11 <> 0 AND doc_id % 2 = 0),
-      |nodes AS (SELECT DISTINCT node FROM
-      |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
-      |nn AS (SELECT COUNT(*)::DOUBLE AS n FROM nodes),
-      |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
-      |dang AS (SELECT COUNT(*)::DOUBLE AS d0 FROM nodes
-      |         LEFT JOIN deg ON deg.src = nodes.node WHERE deg.deg IS NULL),
-      |contrib AS (
-      |  SELECT e.dst AS node, SUM((1.0 / nn.n) / deg.deg) AS c
-      |  FROM e JOIN deg USING (src) CROSS JOIN nn GROUP BY e.dst, nn.n)
-      |SELECT nodes.node AS node,
-      |  ROUND((1.0 - 0.85) / nn.n
-      |        + 0.85 * (COALESCE(contrib.c, 0.0) + (dang.d0 * (1.0 / nn.n)) / nn.n),
-      |    6) AS rank
-      |FROM nodes LEFT JOIN contrib ON contrib.node = nodes.node
-      |CROSS JOIN nn CROSS JOIN dang
-      |ORDER BY 1""".stripMargin
-
-  /** Two chained iterations: r1 kept at FULL precision (rounding only the final
-    * emitted r2, like the Spark side), each iteration re-deriving dangling mass and
-    * contributions from the previous vector.
+  /** GENERATED chained-CTE replay of `iters` full power iterations — the exact
+    * update equation of [[graft.cluster.PageRank.pageRank]] (damping 0.85,
+    * dangling mass re-derived from the previous vector every step), unrolled
+    * mechanically. The converged queries run a FIXED iteration count, so the
+    * DuckDB oracle is this chain at the same count: the whole loop is pinned
+    * cell-exactly, not just a two-step prefix. Iterates are MATERIALIZED
+    * (each r_i is read by three successors; inlining would re-expand the chain
+    * exponentially); only the emitted vector rounds to 6.
     */
-  private val twoIterSql =
-    """WITH p AS (SELECT COUNT(*) AS nd FROM documents),
-      |e AS (
-      |  SELECT 'd' || doc_id AS src, 'd' || ((doc_id * 7 + 1) % p.nd) AS dst
-      |  FROM documents, p WHERE doc_id % 11 <> 0
-      |  UNION ALL
-      |  SELECT 'd' || doc_id, 'd' || ((doc_id * 13 + 5) % p.nd)
-      |  FROM documents, p WHERE doc_id % 11 <> 0 AND doc_id % 2 = 0),
-      |nodes AS (SELECT DISTINCT node FROM
-      |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
-      |nn AS (SELECT COUNT(*)::DOUBLE AS n FROM nodes),
-      |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
-      |r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
-      |dang0 AS (SELECT COALESCE(SUM(r0.rank), 0.0) AS d FROM r0
-      |          LEFT JOIN deg ON deg.src = r0.node WHERE deg.deg IS NULL),
-      |contrib0 AS (
-      |  SELECT e.dst AS node, SUM(r0.rank / deg.deg) AS c
-      |  FROM e JOIN deg USING (src) JOIN r0 ON r0.node = e.src GROUP BY e.dst),
-      |r1 AS (
-      |  SELECT nodes.node AS node,
-      |    (1.0 - 0.85) / nn.n + 0.85 * (COALESCE(contrib0.c, 0.0) + dang0.d / nn.n)
-      |      AS rank
-      |  FROM nodes LEFT JOIN contrib0 ON contrib0.node = nodes.node
-      |  CROSS JOIN nn CROSS JOIN dang0),
-      |dang1 AS (SELECT COALESCE(SUM(r1.rank), 0.0) AS d FROM r1
-      |          LEFT JOIN deg ON deg.src = r1.node WHERE deg.deg IS NULL),
-      |contrib1 AS (
-      |  SELECT e.dst AS node, SUM(r1.rank / deg.deg) AS c
-      |  FROM e JOIN deg USING (src) JOIN r1 ON r1.node = e.src GROUP BY e.dst),
-      |r2 AS (
-      |  SELECT nodes.node AS node,
-      |    (1.0 - 0.85) / nn.n + 0.85 * (COALESCE(contrib1.c, 0.0) + dang1.d / nn.n)
-      |      AS rank
-      |  FROM nodes LEFT JOIN contrib1 ON contrib1.node = nodes.node
-      |  CROSS JOIN nn CROSS JOIN dang1)
-      |SELECT node, ROUND(rank, 6) AS rank FROM r2 ORDER BY 1""".stripMargin
+  private def pagerankChainSql(iters: Int): String = {
+    val steps = (0 until iters).map { i =>
+      s"""dang$i AS (SELECT COALESCE(SUM(r$i.rank), 0.0) AS d FROM r$i
+         |          LEFT JOIN deg ON deg.src = r$i.node WHERE deg.deg IS NULL),
+         |contrib$i AS (
+         |  SELECT e.dst AS node, SUM(r$i.rank / deg.deg) AS c
+         |  FROM e JOIN deg USING (src) JOIN r$i ON r$i.node = e.src GROUP BY e.dst),
+         |r${i + 1} AS MATERIALIZED (
+         |  SELECT nodes.node AS node,
+         |    (1.0 - 0.85) / nn.n + 0.85 * (COALESCE(contrib$i.c, 0.0) + dang$i.d / nn.n)
+         |      AS rank
+         |  FROM nodes LEFT JOIN contrib$i ON contrib$i.node = nodes.node
+         |  CROSS JOIN nn CROSS JOIN dang$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $fixtureCtes,
+       |nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+       |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+       |nn AS (SELECT COUNT(*)::DOUBLE AS n FROM nodes),
+       |deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
+       |r0 AS MATERIALIZED (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+       |$steps
+       |SELECT node, ROUND(rank, 6) AS rank FROM r$iters ORDER BY 1""".stripMargin
+  }
 
-  /** Two chained PERSONALIZED iterations: teleport and dangling mass return to the
-    * seed indicator s(v) = 1/|S∩nodes| instead of 1/N; otherwise the twoIterSql
-    * chain with s(v) replacing the uniform vector.
+  /** [[pagerankChainSql]] with the seed-indicator teleport vector of
+    * [[graft.cluster.PageRank.personalizedPageRank]] (s(v) = 1/|S∩nodes|,
+    * dangling mass returning to the seeds).
     */
-  private val pprTwoIterSql =
-    """WITH p AS (SELECT COUNT(*) AS nd FROM documents),
-      |e AS (
-      |  SELECT 'd' || doc_id AS src, 'd' || ((doc_id * 7 + 1) % p.nd) AS dst
-      |  FROM documents, p WHERE doc_id % 11 <> 0
-      |  UNION ALL
-      |  SELECT 'd' || doc_id, 'd' || ((doc_id * 13 + 5) % p.nd)
-      |  FROM documents, p WHERE doc_id % 11 <> 0 AND doc_id % 2 = 0),
-      |nodes AS (SELECT DISTINCT node FROM
-      |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
-      |sd AS (SELECT DISTINCT 'd' || doc_id AS node FROM documents WHERE doc_id % 17 = 0),
-      |seeds AS (SELECT sd.node FROM sd JOIN nodes USING (node)),
-      |ns AS (SELECT COUNT(*)::DOUBLE AS k FROM seeds),
-      |sv AS (SELECT nodes.node,
-      |         CASE WHEN seeds.node IS NOT NULL THEN 1.0 / ns.k ELSE 0.0 END AS s
-      |       FROM nodes LEFT JOIN seeds ON seeds.node = nodes.node CROSS JOIN ns),
-      |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
-      |r0 AS (SELECT node, s AS rank FROM sv),
-      |dang0 AS (SELECT COALESCE(SUM(r0.rank), 0.0) AS d FROM r0
-      |          LEFT JOIN deg ON deg.src = r0.node WHERE deg.deg IS NULL),
-      |contrib0 AS (
-      |  SELECT e.dst AS node, SUM(r0.rank / deg.deg) AS c
-      |  FROM e JOIN deg USING (src) JOIN r0 ON r0.node = e.src GROUP BY e.dst),
-      |r1 AS (
-      |  SELECT sv.node AS node,
-      |    (1.0 - 0.85) * sv.s + 0.85 * (COALESCE(contrib0.c, 0.0) + dang0.d * sv.s)
-      |      AS rank
-      |  FROM sv LEFT JOIN contrib0 ON contrib0.node = sv.node CROSS JOIN dang0),
-      |dang1 AS (SELECT COALESCE(SUM(r1.rank), 0.0) AS d FROM r1
-      |          LEFT JOIN deg ON deg.src = r1.node WHERE deg.deg IS NULL),
-      |contrib1 AS (
-      |  SELECT e.dst AS node, SUM(r1.rank / deg.deg) AS c
-      |  FROM e JOIN deg USING (src) JOIN r1 ON r1.node = e.src GROUP BY e.dst),
-      |r2 AS (
-      |  SELECT sv.node AS node,
-      |    (1.0 - 0.85) * sv.s + 0.85 * (COALESCE(contrib1.c, 0.0) + dang1.d * sv.s)
-      |      AS rank
-      |  FROM sv LEFT JOIN contrib1 ON contrib1.node = sv.node CROSS JOIN dang1)
-      |SELECT node, ROUND(rank, 6) AS rank FROM r2 ORDER BY 1""".stripMargin
+  private def pprChainSql(iters: Int): String = {
+    val steps = (0 until iters).map { i =>
+      s"""dang$i AS (SELECT COALESCE(SUM(r$i.rank), 0.0) AS d FROM r$i
+         |          LEFT JOIN deg ON deg.src = r$i.node WHERE deg.deg IS NULL),
+         |contrib$i AS (
+         |  SELECT e.dst AS node, SUM(r$i.rank / deg.deg) AS c
+         |  FROM e JOIN deg USING (src) JOIN r$i ON r$i.node = e.src GROUP BY e.dst),
+         |r${i + 1} AS MATERIALIZED (
+         |  SELECT sv.node AS node,
+         |    (1.0 - 0.85) * sv.s + 0.85 * (COALESCE(contrib$i.c, 0.0) + dang$i.d * sv.s)
+         |      AS rank
+         |  FROM sv LEFT JOIN contrib$i ON contrib$i.node = sv.node CROSS JOIN dang$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $fixtureCtes,
+       |nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+       |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+       |sd AS (SELECT DISTINCT 'd' || doc_id AS node FROM documents WHERE doc_id % 17 = 0),
+       |seeds AS (SELECT sd.node FROM sd JOIN nodes USING (node)),
+       |ns AS (SELECT COUNT(*)::DOUBLE AS k FROM seeds),
+       |sv AS MATERIALIZED (SELECT nodes.node,
+       |         CASE WHEN seeds.node IS NOT NULL THEN 1.0 / ns.k ELSE 0.0 END AS s
+       |       FROM nodes LEFT JOIN seeds ON seeds.node = nodes.node CROSS JOIN ns),
+       |deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
+       |r0 AS MATERIALIZED (SELECT node, s AS rank FROM sv),
+       |$steps
+       |SELECT node, ROUND(rank, 6) AS rank FROM r$iters ORDER BY 1""".stripMargin
+  }
+
+  /** GENERATED chained HITS iterations (h0 = 1; authority from previous hub,
+    * then hub from current authority, each L2-normalized) — the exact loop of
+    * [[graft.cluster.PageRank.hits]] at its fixed iteration count.
+    */
+  private def hitsChainSql(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""a${i}r AS (SELECT e.dst AS node, SUM(h${i - 1}.v) AS v
+         |        FROM e JOIN h${i - 1} ON h${i - 1}.node = e.src GROUP BY 1),
+         |a${i}f AS MATERIALIZED (SELECT nodes.node, COALESCE(a${i}r.v, 0.0) AS v
+         |        FROM nodes LEFT JOIN a${i}r USING (node)),
+         |na$i AS (SELECT SQRT(SUM(v * v)) AS n FROM a${i}f),
+         |a$i AS MATERIALIZED (SELECT node, CASE WHEN na$i.n > 0 THEN v / na$i.n ELSE 0.0 END AS v
+         |       FROM a${i}f, na$i),
+         |h${i}r AS (SELECT e.src AS node, SUM(a$i.v) AS v
+         |        FROM e JOIN a$i ON a$i.node = e.dst GROUP BY 1),
+         |h${i}f AS MATERIALIZED (SELECT nodes.node, COALESCE(h${i}r.v, 0.0) AS v
+         |        FROM nodes LEFT JOIN h${i}r USING (node)),
+         |nh$i AS (SELECT SQRT(SUM(v * v)) AS n FROM h${i}f),
+         |h$i AS MATERIALIZED (SELECT node, CASE WHEN nh$i.n > 0 THEN v / nh$i.n ELSE 0.0 END AS v
+         |       FROM h${i}f, nh$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $fixtureCtes,
+       |nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+       |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+       |h0 AS MATERIALIZED (SELECT node, 1.0 AS v FROM nodes),
+       |$steps
+       |SELECT h$iters.node, ROUND(h$iters.v, 6) AS hub, ROUND(a$iters.v, 6) AS authority
+       |FROM h$iters JOIN a$iters USING (node) ORDER BY node""".stripMargin
+  }
+
+  /** GENERATED synchronous min-tiebreak label-propagation chain — the exact
+    * update of [[graft.cluster.LabelPropagation.run]] (identity start; most
+    * frequent neighbor label, ties to the smallest), iteration-generic: from
+    * identity labels the first step degenerates to min-neighbor exactly as the
+    * Spark side does.
+    */
+  private def lpaChainSql(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""nl$i AS (SELECT sym.src AS node, l${i - 1}.label, COUNT(*) AS n
+         |       FROM sym JOIN l${i - 1} ON l${i - 1}.node = sym.dst GROUP BY 1, 2),
+         |bn$i AS (SELECT node, MAX(n) AS n FROM nl$i GROUP BY node),
+         |l$i AS MATERIALIZED (SELECT nl$i.node, MIN(nl$i.label) AS label
+         |       FROM nl$i JOIN bn$i ON bn$i.node = nl$i.node AND bn$i.n = nl$i.n
+         |       GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $fixtureCtes,
+       |sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+       |  (SELECT src, dst FROM e WHERE src <> dst
+       |   UNION ALL SELECT dst, src FROM e WHERE src <> dst)),
+       |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM sym),
+       |$steps
+       |SELECT node, label FROM l$iters ORDER BY node""".stripMargin
+  }
+
+  /** GENERATED peel chain: `rounds` degree-filter/edge-restrict rounds at k=2.
+    * Peeling is IDEMPOTENT at the fixpoint, so over-provisioning rounds to the
+    * Spark side's fail-loud maxIters cap (50) replays kCore's converged result
+    * exactly — the trick that turns the peel-until-fixpoint loop into a closed
+    * form (kCore raises if 50 rounds ever stop sufficing, so the two sides
+    * cannot silently diverge).
+    */
+  private def kcorePeelChainSql(rounds: Int): String = {
+    val steps = (0 until rounds).map { i =>
+      s"""d$i AS (SELECT node, COUNT(*) AS degree FROM
+         |  (SELECT a AS node FROM e$i UNION ALL SELECT b FROM e$i) GROUP BY 1),
+         |k$i AS MATERIALIZED (SELECT node FROM d$i WHERE degree >= 2),
+         |e${i + 1} AS MATERIALIZED (SELECT e$i.a, e$i.b FROM e$i
+         |       JOIN k$i x ON x.node = e$i.a JOIN k$i y ON y.node = e$i.b)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $fixtureCtes,
+       |e0 AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+       |       FROM e WHERE src <> dst),
+       |$steps
+       |SELECT node, COUNT(*) AS degree FROM
+       |  (SELECT a AS node FROM e$rounds UNION ALL SELECT b FROM e$rounds)
+       |GROUP BY 1 ORDER BY node""".stripMargin
+  }
+
+  private val lpaTwoIterSql = lpaChainSql(2)
+
+  private val oneIterSql = pagerankChainSql(1)
+
+  private val twoIterSql = pagerankChainSql(2)
+
+  private val pprTwoIterSql = pprChainSql(2)
 
   private val degreeStatsSql =
     """WITH p AS (SELECT COUNT(*) AS nd FROM documents),
@@ -293,49 +327,7 @@ object GraphQueries {
       |  COALESCE(in_deg, 0) = 0 AS is_source
       |FROM o FULL JOIN i USING (node) ORDER BY node""".stripMargin
 
-  /** Two chained HITS iterations: h0 = 1 (so a1's raw value is the in-degree),
-    * alternating L2-normalized in-sums (authority) and out-sums (hub); only the
-    * emitted h2/a2 round to 6.
-    */
-  private val hitsTwoIterSql =
-    """WITH p AS (SELECT COUNT(*) AS nd FROM documents),
-      |e AS (
-      |  SELECT 'd' || doc_id AS src, 'd' || ((doc_id * 7 + 1) % p.nd) AS dst
-      |  FROM documents, p WHERE doc_id % 11 <> 0
-      |  UNION ALL
-      |  SELECT 'd' || doc_id, 'd' || ((doc_id * 13 + 5) % p.nd)
-      |  FROM documents, p WHERE doc_id % 11 <> 0 AND doc_id % 2 = 0),
-      |nodes AS (SELECT DISTINCT node FROM
-      |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
-      |a1r AS (SELECT dst AS node, COUNT(*)::DOUBLE AS v FROM e GROUP BY 1),
-      |a1f AS (SELECT nodes.node, COALESCE(a1r.v, 0.0) AS v
-      |        FROM nodes LEFT JOIN a1r USING (node)),
-      |na1 AS (SELECT SQRT(SUM(v * v)) AS n FROM a1f),
-      |a1 AS (SELECT node, CASE WHEN na1.n > 0 THEN v / na1.n ELSE 0.0 END AS v
-      |       FROM a1f, na1),
-      |h1r AS (SELECT e.src AS node, SUM(a1.v) AS v
-      |        FROM e JOIN a1 ON a1.node = e.dst GROUP BY 1),
-      |h1f AS (SELECT nodes.node, COALESCE(h1r.v, 0.0) AS v
-      |        FROM nodes LEFT JOIN h1r USING (node)),
-      |nh1 AS (SELECT SQRT(SUM(v * v)) AS n FROM h1f),
-      |h1 AS (SELECT node, CASE WHEN nh1.n > 0 THEN v / nh1.n ELSE 0.0 END AS v
-      |       FROM h1f, nh1),
-      |a2r AS (SELECT e.dst AS node, SUM(h1.v) AS v
-      |        FROM e JOIN h1 ON h1.node = e.src GROUP BY 1),
-      |a2f AS (SELECT nodes.node, COALESCE(a2r.v, 0.0) AS v
-      |        FROM nodes LEFT JOIN a2r USING (node)),
-      |na2 AS (SELECT SQRT(SUM(v * v)) AS n FROM a2f),
-      |a2 AS (SELECT node, CASE WHEN na2.n > 0 THEN v / na2.n ELSE 0.0 END AS v
-      |       FROM a2f, na2),
-      |h2r AS (SELECT e.src AS node, SUM(a2.v) AS v
-      |        FROM e JOIN a2 ON a2.node = e.dst GROUP BY 1),
-      |h2f AS (SELECT nodes.node, COALESCE(h2r.v, 0.0) AS v
-      |        FROM nodes LEFT JOIN h2r USING (node)),
-      |nh2 AS (SELECT SQRT(SUM(v * v)) AS n FROM h2f),
-      |h2 AS (SELECT node, CASE WHEN nh2.n > 0 THEN v / nh2.n ELSE 0.0 END AS v
-      |       FROM h2f, nh2)
-      |SELECT h2.node, ROUND(h2.v, 6) AS hub, ROUND(a2.v, 6) AS authority
-      |FROM h2 JOIN a2 USING (node) ORDER BY node""".stripMargin
+  private val hitsTwoIterSql = hitsChainSql(2)
 
   /** Same degree-ordered orientation and single-count wedge closure as the Spark
     * side, replayed join for join.
@@ -409,32 +401,7 @@ object GraphQueries {
       |JOIN deg d1 ON d1.node = f.a JOIN deg d2 ON d2.node = f.b
       |ORDER BY f.a, f.b""".stripMargin
 
-  /** Two peel rounds replayed as chained CTEs: degree filter at k=2, then keep
-    * only edges whose both endpoints survive; degrees of what remains.
-    */
-  private val kcoreTwoPeelSql =
-    """WITH p AS (SELECT COUNT(*) AS nd FROM documents),
-      |e AS (
-      |  SELECT 'd' || doc_id AS src, 'd' || ((doc_id * 7 + 1) % p.nd) AS dst
-      |  FROM documents, p WHERE doc_id % 11 <> 0
-      |  UNION ALL
-      |  SELECT 'd' || doc_id, 'd' || ((doc_id * 13 + 5) % p.nd)
-      |  FROM documents, p WHERE doc_id % 11 <> 0 AND doc_id % 2 = 0),
-      |e0 AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
-      |       FROM e WHERE src <> dst),
-      |d0 AS (SELECT node, COUNT(*) AS degree FROM
-      |  (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1),
-      |k0 AS (SELECT node FROM d0 WHERE degree >= 2),
-      |e1 AS (SELECT e0.a, e0.b FROM e0
-      |       JOIN k0 x ON x.node = e0.a JOIN k0 y ON y.node = e0.b),
-      |d1 AS (SELECT node, COUNT(*) AS degree FROM
-      |  (SELECT a AS node FROM e1 UNION ALL SELECT b FROM e1) GROUP BY 1),
-      |k1 AS (SELECT node FROM d1 WHERE degree >= 2),
-      |e2 AS (SELECT e1.a, e1.b FROM e1
-      |       JOIN k1 x ON x.node = e1.a JOIN k1 y ON y.node = e1.b)
-      |SELECT node, COUNT(*) AS degree FROM
-      |  (SELECT a AS node FROM e2 UNION ALL SELECT b FROM e2)
-      |GROUP BY 1 ORDER BY node""".stripMargin
+  private val kcoreTwoPeelSql = kcorePeelChainSql(2)
 
   /** Shared CTE chain: the link-graph fixture, two LPA iterations (labels l2),
     * canonical undirected edges, degrees, per-community volume and
@@ -526,6 +493,11 @@ object GraphQueries {
     "graph_community_quality" -> communityQualitySql,
     "graph_modularity" -> modularitySql,
     "graph_kcore_two_peel" -> kcoreTwoPeelSql,
+    "graph_kcore" -> kcorePeelChainSql(50),
+    "graph_pagerank" -> pagerankChainSql(10),
+    "graph_ppr" -> pprChainSql(10),
+    "graph_hits" -> hitsChainSql(10),
+    "graph_lpa" -> lpaChainSql(5),
     "graph_link_predict" -> linkPredictSql,
     "graph_triangles" -> trianglesSql,
     "graph_hits_two_iter" -> hitsTwoIterSql,
