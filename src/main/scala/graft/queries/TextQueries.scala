@@ -566,9 +566,9 @@ object TextQueries {
         .orderBy("src_id")
     },
     "sim_mmr_rerank" -> { (s, dir) =>
-      // MMR diversity re-rank (rows-only: the greedy selection is a sequential
-      // per-query loop with no SQL form; pinned in TextOpsSpec against an
-      // independent reimplementation + a planted-duplicate fixture)
+      // MMR diversity re-rank — FULL oracle: the greedy selection runs a fixed
+      // k=10 picks, so the generated 10-step argmax chain replays the whole loop
+      // (TextOpsSpec also pins an independent reimplementation + planted dups)
       val e = emb(s, dir)
       val queries = e.filter(col("vec_id") % 101 === 0)
       val cands = Similarity.bruteForceTopK(e, queries, "vec_id", "embedding", 30)
@@ -1732,6 +1732,57 @@ object TextQueries {
        |ORDER BY id_l, id_r""".stripMargin
   }
 
+  /** GENERATED chained-CTE replay of the FULL greedy MMR selection — the exact
+    * loop of [[graft.expressions.MmrSelect]] unrolled to its fixed `k`: pick 1 is
+    * the rank-1 candidate (argmax λ·rel, input-order ties); every later pick s
+    * maximizes λ·rel − (1−λ)·max(0, max cosine to the s−1 already-picked), raw
+    * embeddings, ties to the lowest retrieval rank. Fixed k makes the sequential
+    * greedy loop a closed form, the graph-kernel chain pattern.
+    */
+  private def mmrChainSql(k: Int): String = {
+    val steps = (2 to k).map { i =>
+      s"""pen$i AS (
+         |  SELECT c.query_id, c.id, c.rank, c.rel,
+         |    GREATEST(0, MAX(list_inner_product(ec.v0, ep.v0) /
+         |      (sqrt(list_inner_product(ec.v0, ec.v0)) *
+         |       sqrt(list_inner_product(ep.v0, ep.v0))))) AS mx
+         |  FROM cand c
+         |  JOIN pk${i - 1} p ON p.query_id = c.query_id
+         |  LEFT JOIN pk${i - 1} x ON x.query_id = c.query_id AND x.id = c.id
+         |  JOIN e ec ON ec.vec_id = c.id
+         |  JOIN e ep ON ep.vec_id = p.id
+         |  WHERE x.id IS NULL
+         |  GROUP BY c.query_id, c.id, c.rank, c.rel),
+         |s$i AS (SELECT query_id, id,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id
+         |           ORDER BY 0.7 * rel - (1 - 0.7) * mx DESC, rank) AS rn
+         |       FROM pen$i),
+         |p$i AS MATERIALIZED (SELECT query_id, id FROM s$i WHERE rn = 1),
+         |pk$i AS MATERIALIZED (SELECT * FROM pk${i - 1}
+         |       UNION ALL SELECT query_id, id FROM p$i)""".stripMargin
+    }.mkString(",\n")
+    val emit = (1 to k).map(i =>
+      s"SELECT query_id, CAST($i AS INT) AS mmr_rank, id FROM p$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings),
+       |n AS (SELECT vec_id,
+       |        list_transform(v0, x -> x / sqrt(list_inner_product(v0, v0))) AS v
+       |      FROM e),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM n WHERE vec_id % 101 = 0),
+       |sc AS (SELECT q.query_id, n.vec_id AS id,
+       |         ROUND(list_inner_product(n.v, q.qv), 6) AS rel
+       |       FROM n, q WHERE n.vec_id <> q.query_id),
+       |rk AS (SELECT query_id, id, rel,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rel DESC, id) AS rank
+       |       FROM sc),
+       |cand AS MATERIALIZED (SELECT * FROM rk WHERE rank <= 30),
+       |p1 AS (SELECT query_id, id FROM cand WHERE rank = 1),
+       |pk1 AS MATERIALIZED (SELECT query_id, id FROM p1),
+       |$steps
+       |$emit
+       |ORDER BY query_id, mmr_rank""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "ann_lsh_topk" -> annLshSql,
     "ann_ivf_topk" -> annIvfSql,
@@ -2146,40 +2197,8 @@ object TextQueries {
          |SELECT query_id, rank, id, ROUND(rrf, 6) AS rrf FROM fr
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     },
-    "sim_mmr_two_step" ->
-      // replays MmrSelect's first two greedy picks: pick 1 is the rank-1
-      // candidate (argmax λ·rel ties to lowest rank); pick 2 maximizes
-      // 0.7·rel − (1−0.7)·max(0, cos) with the penalty cosine on RAW embeddings
-      // (dot / norm·norm, mirroring the expression), ties to lowest rank
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings),
-        |n AS (SELECT vec_id,
-        |        list_transform(v0, x -> x / sqrt(list_inner_product(v0, v0))) AS v
-        |      FROM e),
-        |q AS (SELECT vec_id AS query_id, v AS qv FROM n WHERE vec_id % 101 = 0),
-        |sc AS (SELECT q.query_id, n.vec_id AS id,
-        |         ROUND(list_inner_product(n.v, q.qv), 6) AS rel
-        |       FROM n, q WHERE n.vec_id <> q.query_id),
-        |rk AS (SELECT query_id, id, rel,
-        |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rel DESC, id) AS rank
-        |       FROM sc),
-        |cand AS (SELECT * FROM rk WHERE rank <= 30),
-        |p1 AS (SELECT query_id, id FROM cand WHERE rank = 1),
-        |p2s AS (SELECT c.query_id, c.id, c.rank,
-        |          0.7 * c.rel - (1 - 0.7) * GREATEST(
-        |            list_inner_product(ec.v0, ep.v0) /
-        |              (sqrt(list_inner_product(ec.v0, ec.v0)) *
-        |               sqrt(list_inner_product(ep.v0, ep.v0))), 0) AS score
-        |        FROM cand c
-        |        JOIN p1 ON p1.query_id = c.query_id AND c.id <> p1.id
-        |        JOIN e ec ON ec.vec_id = c.id
-        |        JOIN e ep ON ep.vec_id = p1.id),
-        |p2 AS (SELECT query_id, id,
-        |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, rank) AS rn
-        |       FROM p2s)
-        |SELECT query_id, CAST(1 AS INT) AS mmr_rank, id FROM p1
-        |UNION ALL
-        |SELECT query_id, CAST(2 AS INT) AS mmr_rank, id FROM p2 WHERE rn = 1
-        |ORDER BY query_id, mmr_rank""".stripMargin,
+    "sim_mmr_two_step" -> mmrChainSql(2),
+    "sim_mmr_rerank" -> mmrChainSql(10),
     "sim_pca_one_iter" ->
       // covariance (full matrix — the symmetrized form powerIteration builds),
       // then w = C·1 and the unit-normalized result, rounded at the very end
