@@ -352,9 +352,9 @@ object CurationQueries {
         .orderBy("lang", "draw_rank")
     },
     "curation_bpe_merges" -> { (s, dir) =>
-      // tokenizer training: top-20 BPE merges over the corpus word vocabulary
-      // (rows-only: the merge loop is iterative — CurationSpec pins the classic
-      // Sennrich fixture exactly)
+      // tokenizer training: top-20 BPE merges over the corpus word vocabulary —
+      // FULL oracle: the loop is a fixed 20 rounds, replayed by a generated
+      // count/argmax/recursive-rewrite chain (CurationSpec pins Sennrich besides)
       Curation.trainBpeMerges(docs(s, dir), col("text"), numMerges = 20)
         .orderBy("merge_rank")
     },
@@ -809,6 +809,57 @@ object CurationQueries {
        |SELECT 1 AS merge_rank, l AS "left", r AS "right", pair_count FROM top""".stripMargin
   }
 
+  /** GENERATED full BPE-training oracle: the merge loop runs a FIXED
+    * `numMerges` rounds, so the two-merge chain generalizes — each round counts
+    * weighted adjacent pairs over the current symbol table, takes the
+    * (count DESC, pair ASC) argmax, and (for all but the last round) rewrites
+    * every word with the trainer's exact left-to-right non-overlapping scan via
+    * a recursive CTE. Rewritten vocabularies are MATERIALIZED: each sy_i feeds
+    * both the next pair count and the next rewrite, and inlining would
+    * re-evaluate the recursion once per reference, compounding per level.
+    */
+  private def bpeMergeChainSql(numMerges: Int): String = {
+    val steps = (1 to numMerges).map { i =>
+      val count =
+        s"""p$i AS (
+           |  SELECT s[i] AS l, s[i + 1] AS r, n
+           |  FROM sy$i, unnest(range(1, len(s))) AS u(i)
+           |), m$i AS MATERIALIZED (
+           |  SELECT l, r, SUM(n)::BIGINT AS pair_count FROM p$i GROUP BY l, r
+           |  ORDER BY pair_count DESC, l, r LIMIT 1
+           |)""".stripMargin
+      val rewrite = if (i == numMerges) "" else
+        s""", app$i AS (
+           |  SELECT sy$i.w, sy$i.n, sy$i.s, 1 AS i, CAST([] AS VARCHAR[]) AS o FROM sy$i
+           |  UNION ALL
+           |  SELECT app$i.w, app$i.n, app$i.s,
+           |    CASE WHEN app$i.i < len(app$i.s)
+           |              AND app$i.s[app$i.i] = m$i.l AND app$i.s[app$i.i + 1] = m$i.r
+           |         THEN app$i.i + 2 ELSE app$i.i + 1 END,
+           |    list_append(app$i.o,
+           |      CASE WHEN app$i.i < len(app$i.s)
+           |                AND app$i.s[app$i.i] = m$i.l AND app$i.s[app$i.i + 1] = m$i.r
+           |           THEN m$i.l || m$i.r ELSE app$i.s[app$i.i] END)
+           |  FROM app$i, m$i WHERE app$i.i <= len(app$i.s)
+           |), sy${i + 1} AS MATERIALIZED (
+           |  SELECT w, n, o AS s FROM app$i WHERE i = len(s) + 1
+           |)""".stripMargin
+      count + rewrite
+    }.mkString(", ")
+    val emit = (1 to numMerges).map(i =>
+      s"SELECT $i AS mr, l, r, pair_count FROM m$i").mkString(" UNION ALL ")
+    s"""WITH RECURSIVE t AS (SELECT ${toksSql("text")} AS toks FROM documents),
+       |w AS (
+       |  SELECT w, COUNT(*) AS n FROM (SELECT unnest(toks) AS w FROM t)
+       |  GROUP BY w ORDER BY n DESC, w LIMIT 100000
+       |), sy1 AS MATERIALIZED (
+       |  SELECT w, list_append(string_split(w, ''), '</w>') AS s, n FROM w
+       |), $steps
+       |SELECT CAST(mr AS INT) AS merge_rank, l AS "left", r AS "right", pair_count
+       |FROM ($emit)
+       |ORDER BY merge_rank""".stripMargin
+  }
+
   /** Two chained BPE merges: merge 1 as in [[bpeFirstMergeSql]]; then a
     * RECURSIVE CTE applies it to every symbol sequence with the trainer's exact
     * left-to-right non-overlapping scan (position i either emits `s[i]` and
@@ -894,6 +945,7 @@ object CurationQueries {
   val oracleSql: Map[String, String] = Map(
     "curation_bpe_first_merge" -> bpeFirstMergeSql,
     "curation_bpe_two_merges" -> bpeTwoMergesSql,
+    "curation_bpe_merges" -> bpeMergeChainSql(20),
     "curation_bpe_encode" -> bpeEncodeSql,
     // seed candidates: same substring explode (1-based substr, len-capped at 8)
     // over the word-count vocabulary, top-200 deterministic
