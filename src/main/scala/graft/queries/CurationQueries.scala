@@ -402,16 +402,17 @@ object CurationQueries {
         .orderBy("piece_rank")
     },
     "curation_unigram_lm" -> { (s, dir) =>
-      // unigram-LM training (rows-only: Viterbi-EM loop over the bounded word
-      // vocab; the seed step above is the full-oracle slice, and CurationSpec pins
+      // unigram-LM training — FULL oracle: the EM loop runs a fixed 2 rounds,
+      // replayed by the generated chained Viterbi-EM rounds (CurationSpec pins
       // segmentation against exhaustive enumeration + a planted-piece fixture)
       Curation.trainUnigramLm(docs(s, dir), col("text"),
           vocabSize = 500, seedSize = 4000, emIters = 2)
         .orderBy("piece_rank")
     },
     "curation_unigram_encode" -> { (s, dir) =>
-      // tokenizer APPLY: train then Viterbi-encode the corpus with the codegen'd
-      // expression (rows-only: the segmentation DP has no SQL form; spec-pinned)
+      // tokenizer APPLY — FULL oracle: the trained chain (2 rounds) plus one
+      // more unrolled DP round against the ROUNDED logprobs unigramApply reads,
+      // reassembled per document by token position
       val d = docs(s, dir)
       val pieces = Curation.trainUnigramLm(d, col("text"),
         vocabSize = 500, seedSize = 4000, emIters = 2)
@@ -942,6 +943,129 @@ object CurationQueries {
        |ORDER BY bin""".stripMargin
   }
 
+  /** GENERATED full unigram-LM training oracle: `emIters` chained Viterbi-EM
+    * rounds with the DP UNROLLED over word positions (L = 16 steps, 2× the
+    * corpus's max word length) — DuckDB 1.0.0 silently loses references to
+    * recursive-derived CTEs inside a later recursive CTE, so the chain uses no
+    * recursion at all: position step t scores the ≤8 candidate splits with a
+    * plain LEFT JOIN against the round's piece-logprob lookup and picks the
+    * argmax via QUALIFY (highest score, ties to the smallest split start),
+    * carrying each position's best piece list forward instead of backtracking.
+    * Round i prunes usage counts to the top-500 ∪ single chars and re-derives
+    * Laplace-smoothed logprobs, exactly as the Spark trainer's fixed-round loop.
+    */
+  private def unigramChainSql(emIters: Int): String =
+    unigramPrefixCtes(emIters) + "\n" + unigramFinalSelect(emIters)
+
+  /** [[unigramChainSql]] continued to the tokenizer APPLY: a third DP round
+    * segments the word vocabulary against the trained table's ROUNDED logprobs
+    * (what `unigramApply` consumes), then per-document piece lists reassemble by
+    * token position. Exact while the corpus's distinct words fit the trainer's
+    * 100k vocab cap (they must — apply segments the same corpus training saw).
+    */
+  private def unigramEncodeChainSql(emIters: Int): String = {
+    val enc = emIters + 1
+    s"""${unigramPrefixCtes(emIters)},
+       |probsF AS MATERIALIZED (
+       |  SELECT piece, ROUND(LN((c + 1.0) / (tot$emIters.total + tot$emIters.sz)), 6) AS lp
+       |  FROM keptc$emIters, tot$emIters),
+       |${unigramDpRound(enc, "probsF")},
+       |wenc AS MATERIALIZED (
+       |  SELECT w, plists[length(w) + 1] AS pieces FROM v${enc}_$UnigramUnrollL),
+       |dtoks AS (SELECT doc_id, generate_subscripts(toks, 1) AS i, unnest(toks) AS w
+       |          FROM (SELECT doc_id, ${TextQueries.toksSql("text")} AS toks FROM documents)),
+       |dagg AS (
+       |  SELECT doc_id, flatten(list(pieces ORDER BY i)) AS pieces
+       |  FROM (SELECT dtoks.doc_id, dtoks.i, wenc.pieces FROM dtoks JOIN wenc USING (w))
+       |  GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(COALESCE(len(dagg.pieces), 0) AS INT) AS n_pieces,
+       |  md5(array_to_string(COALESCE(dagg.pieces, []), ' ')) AS pieces_hash
+       |FROM documents d LEFT JOIN dagg USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  private val UnigramUnrollL = 16
+
+  /** One unrolled Viterbi DP round (lk + L position steps) reading `probsName`. */
+  private def unigramDpRound(r: Int, probsName: String): String = {
+    val L = UnigramUnrollL
+    val steps = (1 to L).map { t =>
+      val j0 = math.max(0, t - 8)
+      s"""c${r}_$t AS (
+         |  SELECT v.w, v.n, v.best, v.plists, cj.j,
+         |    v.best[cj.j + 1] + COALESCE(lk.lp,
+         |      CASE WHEN $t - cj.j = 1 THEN -20.0 END) AS s
+         |  FROM v${r}_${t - 1} v
+         |  CROSS JOIN (SELECT unnest(range($j0, $t)) AS j) cj
+         |  LEFT JOIN lk$r lk ON lk.w = v.w AND lk.j0 = cj.j AND lk.e = $t
+         |  WHERE length(v.w) >= $t AND (lk.lp IS NOT NULL OR $t - cj.j = 1)
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY v.w ORDER BY s DESC, cj.j) = 1),
+         |v${r}_$t AS MATERIALIZED (
+         |  SELECT w, n, list_append(best, s) AS best,
+         |    list_append(plists,
+         |      list_append(plists[j + 1], substr(w, (j + 1)::INT, ($t - j)::INT))) AS plists
+         |  FROM c${r}_$t
+         |  UNION ALL
+         |  SELECT w, n, best, plists FROM v${r}_${t - 1} WHERE length(w) < $t)""".stripMargin
+    }.mkString(",\n")
+    s"""lk$r AS MATERIALIZED (
+       |  SELECT pos.w, pos.j0, pos.e, pr.lp FROM pos JOIN $probsName pr USING (piece)),
+       |v${r}_0 AS (SELECT w, n, CAST([0.0] AS DOUBLE[]) AS best,
+       |            CAST([[]] AS VARCHAR[][]) AS plists FROM wc),
+       |$steps""".stripMargin
+  }
+
+  private def unigramFinalSelect(emIters: Int): String =
+    s"""SELECT piece, ROUND(LN((c + 1.0) / (tot$emIters.total + tot$emIters.sz)), 6) AS logprob,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY c DESC, piece) AS INT) AS piece_rank
+       |FROM keptc$emIters, tot$emIters ORDER BY piece_rank""".stripMargin
+
+  private def unigramPrefixCtes(emIters: Int): String = {
+    val L = UnigramUnrollL
+    def round(r: Int): String = {
+      val prev = s"probs${r - 1}"
+      s"""${unigramDpRound(r, prev)},
+
+         |counts$r AS (SELECT piece, SUM(n)::BIGINT AS c FROM (
+         |  SELECT unnest(plists[length(w) + 1]) AS piece, n FROM v${r}_$L) GROUP BY piece),
+         |kept0$r AS (SELECT piece FROM counts$r ORDER BY c DESC, piece LIMIT 500),
+         |kept$r AS (SELECT piece FROM (SELECT piece FROM kept0$r
+         |         UNION ALL SELECT piece FROM singles) GROUP BY piece),
+         |keptc$r AS MATERIALIZED (SELECT kept$r.piece, COALESCE(counts$r.c, 0) AS c
+         |          FROM kept$r LEFT JOIN counts$r USING (piece)),
+         |tot$r AS (SELECT SUM(c)::DOUBLE AS total, COUNT(*)::DOUBLE AS sz FROM keptc$r),
+         |probs$r AS MATERIALIZED (
+         |  SELECT piece, LN((c + 1.0) / (tot$r.total + tot$r.sz)) AS lp
+         |  FROM keptc$r, tot$r)""".stripMargin
+    }
+    val rounds = (1 to emIters).map(round).mkString(",\n")
+    s"""WITH
+       |toks AS (SELECT unnest(${TextQueries.toksSql("text")}) AS w FROM documents),
+       |wc AS MATERIALIZED (SELECT w, COUNT(*) AS n FROM toks GROUP BY 1
+       |       ORDER BY n DESC, w LIMIT 100000),
+       |cand AS (
+       |  SELECT piece, SUM(n)::BIGINT AS c FROM (
+       |    SELECT unnest(flatten(list_transform(range(1, length(w) + 1),
+       |      i -> list_transform(range(1, least(8, length(w) - i + 1) + 1),
+       |        l -> substr(w, i::INT, l::INT))))) AS piece, n
+       |    FROM wc) GROUP BY piece),
+       |singles AS MATERIALIZED (SELECT piece FROM cand WHERE length(piece) = 1),
+       |seedtop AS (SELECT piece FROM cand ORDER BY c DESC, piece LIMIT 4000),
+       |seed AS (SELECT piece FROM (SELECT piece FROM seedtop
+       |         UNION ALL SELECT piece FROM singles) GROUP BY piece),
+       |seedc AS (SELECT seed.piece, cand.c FROM seed JOIN cand USING (piece)),
+       |stot AS (SELECT SUM(c)::DOUBLE AS t FROM seedc),
+       |probs0 AS MATERIALIZED (SELECT piece, LN(c / stot.t) AS lp FROM seedc, stot),
+       |pos AS MATERIALIZED (
+       |  SELECT w, je[1] AS j0, je[2] AS e,
+       |    substr(w, (je[1] + 1)::INT, (je[2] - je[1])::INT) AS piece
+       |  FROM (SELECT w, unnest(flatten(list_transform(range(0, length(w)),
+       |          j -> list_transform(range(j + 1, least(j + 8, length(w)) + 1),
+       |            e -> [j, e])))) AS je
+       |        FROM wc)),
+       |$rounds""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "curation_bpe_first_merge" -> bpeFirstMergeSql,
     "curation_bpe_two_merges" -> bpeTwoMergesSql,
@@ -958,57 +1082,9 @@ object CurationQueries {
     // final logprob rounds to 6, so the replay is cell-exact. (The seed/kept
     // "∪ singles" unions are spelled UNION ALL + GROUP BY: DuckDB 1.0's plain
     // UNION fails to dedup across a recursive-CTE boundary in this query shape.)
-    "curation_unigram_one_iter" ->
-      s"""WITH RECURSIVE
-         |toks AS (SELECT unnest(${TextQueries.toksSql("text")}) AS w FROM documents),
-         |wc AS (SELECT w, COUNT(*) AS n FROM toks GROUP BY 1
-         |       ORDER BY n DESC, w LIMIT 100000),
-         |cand AS (
-         |  SELECT piece, SUM(n)::BIGINT AS c FROM (
-         |    SELECT unnest(flatten(list_transform(range(1, length(w) + 1),
-         |      i -> list_transform(range(1, least(8, length(w) - i + 1) + 1),
-         |        l -> substr(w, i::INT, l::INT))))) AS piece, n
-         |    FROM wc) GROUP BY piece),
-         |singles AS (SELECT piece FROM cand WHERE length(piece) = 1),
-         |seedtop AS (SELECT piece FROM cand ORDER BY c DESC, piece LIMIT 4000),
-         |seed AS (SELECT piece FROM (SELECT piece FROM seedtop
-         |         UNION ALL SELECT piece FROM singles) GROUP BY piece),
-         |seedc AS (SELECT seed.piece, cand.c FROM seed JOIN cand USING (piece)),
-         |stot AS (SELECT SUM(c)::DOUBLE AS t FROM seedc),
-         |probs0 AS (SELECT piece, LN(c / stot.t) AS lp FROM seedc, stot),
-         |v AS (
-         |  SELECT w, n, 0 AS t, [0.0] AS best, [0] AS back FROM wc
-         |  UNION ALL
-         |  SELECT v.w, v.n, v.t + 1, list_append(v.best, c.s), list_append(v.back, c.j)
-         |  FROM v, LATERAL (
-         |    SELECT s, j FROM (
-         |      SELECT v.best[cj.j + 1] + COALESCE(
-         |          (SELECT pr.lp FROM probs0 pr
-         |           WHERE pr.piece = substr(v.w, (cj.j + 1)::INT, (v.t + 1 - cj.j)::INT)),
-         |          CASE WHEN v.t + 1 - cj.j = 1 THEN -20.0 END) AS s, cj.j::INT AS j
-         |      FROM (SELECT unnest(range(greatest(0, v.t + 1 - 8), v.t + 1)) AS j) cj) cs
-         |    WHERE s IS NOT NULL ORDER BY s DESC, j LIMIT 1) c
-         |  WHERE v.t < length(v.w)
-         |),
-         |vf AS (SELECT w, n, back FROM v WHERE t = length(w)),
-         |bt AS (
-         |  SELECT w, n, length(w) AS k, back, CAST(NULL AS VARCHAR) AS piece FROM vf
-         |  UNION ALL
-         |  SELECT w, n, back[k + 1], back,
-         |    substr(w, (back[k + 1] + 1)::INT, (k - back[k + 1])::INT)
-         |  FROM bt WHERE k > 0
-         |),
-         |counts AS (SELECT piece, SUM(n)::BIGINT AS c FROM bt
-         |           WHERE piece IS NOT NULL GROUP BY piece),
-         |kept0 AS (SELECT piece FROM counts ORDER BY c DESC, piece LIMIT 500),
-         |kept AS (SELECT piece FROM (SELECT piece FROM kept0
-         |         UNION ALL SELECT piece FROM singles) GROUP BY piece),
-         |keptc AS (SELECT kept.piece, COALESCE(counts.c, 0) AS c
-         |          FROM kept LEFT JOIN counts USING (piece)),
-         |tot AS (SELECT SUM(c)::DOUBLE AS total, COUNT(*)::DOUBLE AS sz FROM keptc)
-         |SELECT piece, ROUND(LN((c + 1.0) / (tot.total + tot.sz)), 6) AS logprob,
-         |  CAST(ROW_NUMBER() OVER (ORDER BY c DESC, piece) AS INT) AS piece_rank
-         |FROM keptc, tot ORDER BY piece_rank""".stripMargin,
+    "curation_unigram_one_iter" -> unigramChainSql(1),
+    "curation_unigram_lm" -> unigramChainSql(2),
+    "curation_unigram_encode" -> unigramEncodeChainSql(2),
     "curation_unigram_encode_fixed" ->
       // frozen Viterbi segmentations of the constant piece table: "ababa" picks
       // ab+aba over aba+ba (-4.3 vs -4.5); "baba" is a TRUE TIE (b+aba = ba+ba
