@@ -134,8 +134,8 @@ object MlQueries {
     },
     "ml_quality_train" -> { (s, dir) =>
       // distill the rule-based quality score into a logistic model (the label is a
-      // linear threshold over the features, so IRLS separates it) — iterative Newton
-      // (one agg job per step), rows-only; accuracy + loss pinned by CurationSpec
+      // linear threshold over the features, so IRLS separates it) — FULL oracle:
+      // 8 fixed Newton steps replayed by a generated aggregate/solve chain
       val d = docs(s, dir)
       val model = QualityClassifier.fit(d,
         QualityClassifier.textFeatures(col("text")),
@@ -183,6 +183,81 @@ object MlQueries {
        |         THEN 1.0 ELSE 0.0 END AS y
        |  FROM f0
        |)""".stripMargin
+  }
+
+  /** GENERATED full IRLS training oracle: 8 fixed Newton iterations from w=0,
+    * each one scored pass (σ of the weight-CTE dot), one normalized
+    * gradient/Hessian aggregate (the cell-pinned newton-agg shapes), a
+    * ridge-augmented 9×10 matrix, and an UNROLLED pivot-free Gaussian
+    * elimination + back-substitution. The Spark side solves with commons-math
+    * partial-pivot LU; on the ridge-regularized SPD Hessian both solvers agree
+    * to ~1e-12 per step, and the emitted weights round to 3 decimals — so the
+    * solver difference is far inside the compare tolerance. Every matrix CTE is
+    * MATERIALIZED (scalar lookups would otherwise re-expand the chain).
+    */
+  private def mlQualityTrainSql(iters: Int): String = {
+    val dim = FeatureNames.length
+    val upper = for (j <- 0 until dim; l <- j until dim) yield (j, l)
+    def h(r: Int, c: Int) = if (r <= c) s"h${r}_$c" else s"h${c}_$r"
+    def iteration(i: Int): String = {
+      val dot = (0 until dim)
+        .map(j => s"(SELECT v FROM w${i - 1} WHERE j = $j) * f$j").mkString(" + ")
+      val ghCols = ((0 until dim).map(j =>
+          s"SUM((p - y) * f$j) / COUNT(*) AS g$j") ++
+        upper.map { case (j, l) =>
+          s"SUM(p * (1.0 - p) * f$j * f$l) / COUNT(*) AS h${j}_$l" }).mkString(",\n    ")
+      val augRows = (for (r <- 0 until dim; c <- 0 to dim) yield {
+        val v =
+          if (c == dim) s"g$r"
+          else if (r == c) s"${h(r, c)} + 0.0001"
+          else h(r, c)
+        s"SELECT $r AS r, $c AS c, $v AS v FROM gh$i"
+      }).mkString(" UNION ALL ")
+      val elim = (0 until dim - 1).map { k =>
+        s"""a${i}_${k + 1} AS MATERIALIZED (
+           |  SELECT a.r, a.c,
+           |    CASE WHEN a.r > $k THEN a.v - cl.v / pv.v * rw.v ELSE a.v END AS v
+           |  FROM a${i}_$k a
+           |  JOIN a${i}_$k cl ON cl.r = a.r AND cl.c = $k
+           |  JOIN a${i}_$k rw ON rw.r = $k AND rw.c = a.c
+           |  CROSS JOIN (SELECT v FROM a${i}_$k WHERE r = $k AND c = $k) pv(v))""".stripMargin
+      }.mkString(",\n")
+      val fin = s"a${i}_${dim - 1}"
+      val backs = (dim - 1 to 0 by -1).map { k =>
+        val terms = (k + 1 until dim).map(l =>
+          s"(SELECT v FROM $fin WHERE r = $k AND c = $l) * (SELECT v FROM x${i}_$l)")
+        val sub = if (terms.isEmpty) "" else s" - (${terms.mkString(" + ")})"
+        s"""x${i}_$k AS MATERIALIZED (
+           |  SELECT $k AS j,
+           |    ((SELECT v FROM $fin WHERE r = $k AND c = $dim)$sub) /
+           |      (SELECT v FROM $fin WHERE r = $k AND c = $k) AS v)""".stripMargin
+      }.mkString(",\n")
+      val xs = (0 until dim).map(k => s"SELECT j, v FROM x${i}_$k").mkString(" UNION ALL ")
+      s"""s$i AS (SELECT f.*, 1.0 / (1.0 + exp(-($dot))) AS p FROM f),
+         |gh$i AS MATERIALIZED (
+         |  SELECT $ghCols
+         |  FROM s$i),
+         |a${i}_0 AS MATERIALIZED ($augRows),
+         |$elim,
+         |$backs,
+         |w$i AS MATERIALIZED (
+         |  SELECT w.j, w.v - x.v AS v FROM w${i - 1} w
+         |  JOIN ($xs) x USING (j))""".stripMargin
+    }
+    val names = FeatureNames.zipWithIndex
+      .map { case (n, j) => s"($j, '$n')" }.mkString(", ")
+    s"""WITH t AS (SELECT doc_id, text, ${toksSql("text")} AS toks FROM documents),
+       |f AS MATERIALIZED (
+       |  SELECT *,
+       |    CASE WHEN 0.4 * f1 + 0.3 * (1.0 - f2) + 0.3 * f3 >= 0.54
+       |         THEN 1.0 ELSE 0.0 END AS y
+       |  FROM (SELECT ${featSqls.zipWithIndex.map { case (fx, j) => s"($fx) AS f$j" }.mkString(",\n    ")}
+       |        FROM t)),
+       |w0 AS MATERIALIZED (SELECT unnest(range(0, $dim)) AS j, 0.0 AS v),
+       |${(1 to iters).map(iteration).mkString(",\n")}
+       |SELECT fn.feature, ROUND(w.v, 3) + 0.0 AS weight
+       |FROM w$iters w JOIN (VALUES $names) AS fn(j, feature) USING (j)
+       |ORDER BY fn.feature""".stripMargin
   }
 
   val oracleSql: Map[String, String] = Map(
@@ -251,6 +326,8 @@ object MlQueries {
          |SELECT doc_id, ROUND(1.0 / (1.0 + exp(-($dot))), 6) AS p_quality
          |FROM t ORDER BY doc_id""".stripMargin
     },
+    "ml_quality_train" -> mlQualityTrainSql(8),
+    "ml_quality_train" -> mlQualityTrainSql(8),
     "ml_quality_newton_agg" -> {
       val dim = FeatureNames.length
       val dot = ScoreWeights.indices.map(j => s"(${ScoreWeights(j)}) * f$j").mkString(" + ")

@@ -722,8 +722,9 @@ object TextQueries {
       // chunks resynchronize after the planted near-copies' appended-token edit,
       // so orig and copy share almost all chunk hashes via a plain equi-join —
       // the multimodal sibling of minhash dedup (no per-pair comparison, the
-      // chunk-hash join IS the candidate generator). Rolling-hash scans have no
-      // SQL form; the expression is property-pinned in ExpressionsSpec.
+      // chunk-hash join IS the candidate generator) — FULL oracle: the 5-bit
+      // boundary test is a sliding window and the size-constrained boundary
+      // recurrence closes under binary lifting (see mmCdcDedupSql).
       // payload = text ×4 so each blob spans many chunks; the copy's appended
       // token then recurs as FOUR interior edits, and CDC resyncs after each
       val corpus = plantedCorpus(s, dir)
@@ -1783,7 +1784,173 @@ object TextQueries {
        |ORDER BY query_id, mmr_rank""".stripMargin
   }
 
+  /** FULL gear-hash CDC dedup oracle — the "rolling-hash scans have no SQL
+    * form" claim turned out to be beatable with two observations: (1) the
+    * boundary test reads only the LOW avgBits=5 bits of h=(h<<1)+gear(b), so at
+    * any tested position (chunk length >= minSize=8 > 5) the test value is a
+    * pure 5-byte sliding window, independent of the chunk start — a window
+    * function, not a scan; (2) the min/max-size boundary recurrence is an
+    * iterated per-position jump f(p) = next-chunk-start, closed under BINARY
+    * LIFTING (10 doublings cover 2^10 chunks >= the 284 max at sf0.01's 2.3 KB
+    * payloads), so no recursive CTE is needed — which matters because DuckDB
+    * 1.0.0 recursive terms race against upstream CTE materialization and
+    * silently read them empty. Chunk FNV-1a hashes fold with list_reduce in
+    * HUGEINT mod-2^64 arithmetic; gear/FNV constants replay via the same
+    * portable-md5 seeding the Spark expression uses.
+    */
+  private val mmCdcDedupSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 200000, text || ' xtradup token' FROM documents WHERE doc_id % 11 = 0
+      |),
+      |sel AS (SELECT doc_id, text FROM corpus
+      |        WHERE (doc_id < 100000 AND doc_id % 11 = 0) OR doc_id >= 200000),
+      |pay AS (SELECT doc_id, hex(CAST(repeat(text, 4) AS BLOB)) AS hx FROM sel),
+      |blen AS MATERIALIZED (SELECT doc_id, length(hx) // 2 AS n FROM pay),
+      |bytes AS MATERIALIZED (
+      |  SELECT doc_id, t.i, ('0x' || substr(hx, (2 * t.i + 1)::INT, 2))::BIGINT AS b
+      |  FROM pay, unnest(range(0, length(hx) // 2)) AS t(i)),
+      |gear AS MATERIALIZED (
+      |  SELECT b, ('0x' || substr(md5(b::VARCHAR), 1, 16))::UBIGINT::HUGEINT AS g
+      |  FROM (SELECT unnest(range(0, 256)) AS b)),
+      |gb AS MATERIALIZED (
+      |  SELECT bytes.doc_id, bytes.i, bytes.b, (gear.g % 32)::BIGINT AS gl
+      |  FROM bytes JOIN gear USING (b)),
+      |hl AS MATERIALIZED (
+      |  SELECT doc_id, i,
+      |    (gl + 2 * LAG(gl, 1, 0) OVER w + 4 * LAG(gl, 2, 0) OVER w
+      |        + 8 * LAG(gl, 3, 0) OVER w + 16 * LAG(gl, 4, 0) OVER w) % 32 AS h5
+      |  FROM gb WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+      |nxtc AS MATERIALIZED (
+      |  SELECT doc_id, i AS p,
+      |    MIN(CASE WHEN h5 = 0 THEN i END) OVER
+      |      (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nc
+      |  FROM hl),
+      |jump0 AS MATERIALIZED (
+      |  SELECT b.doc_id, b.i AS p,
+      |    LEAST(COALESCE(x.nc, 9223372036854775807), b.i + 127, blen.n - 1) + 1 AS q
+      |  FROM bytes b
+      |  JOIN blen ON blen.doc_id = b.doc_id
+      |  LEFT JOIN nxtc x ON x.doc_id = b.doc_id AND x.p = b.i + 7
+      |  UNION ALL
+      |  SELECT doc_id, n AS p, n AS q FROM blen),
+      |jump1 AS MATERIALIZED (
+      |  SELECT a.doc_id, a.p, b.q FROM jump0 a
+      |  JOIN jump0 b ON b.doc_id = a.doc_id AND b.p = a.q),
+      |jump2 AS MATERIALIZED (
+      |  SELECT a.doc_id, a.p, b.q FROM jump1 a
+      |  JOIN jump1 b ON b.doc_id = a.doc_id AND b.p = a.q),
+      |jump3 AS MATERIALIZED (
+      |  SELECT a.doc_id, a.p, b.q FROM jump2 a
+      |  JOIN jump2 b ON b.doc_id = a.doc_id AND b.p = a.q),
+      |jump4 AS MATERIALIZED (
+      |  SELECT a.doc_id, a.p, b.q FROM jump3 a
+      |  JOIN jump3 b ON b.doc_id = a.doc_id AND b.p = a.q),
+      |jump5 AS MATERIALIZED (
+      |  SELECT a.doc_id, a.p, b.q FROM jump4 a
+      |  JOIN jump4 b ON b.doc_id = a.doc_id AND b.p = a.q),
+      |jump6 AS MATERIALIZED (
+      |  SELECT a.doc_id, a.p, b.q FROM jump5 a
+      |  JOIN jump5 b ON b.doc_id = a.doc_id AND b.p = a.q),
+      |jump7 AS MATERIALIZED (
+      |  SELECT a.doc_id, a.p, b.q FROM jump6 a
+      |  JOIN jump6 b ON b.doc_id = a.doc_id AND b.p = a.q),
+      |jump8 AS MATERIALIZED (
+      |  SELECT a.doc_id, a.p, b.q FROM jump7 a
+      |  JOIN jump7 b ON b.doc_id = a.doc_id AND b.p = a.q),
+      |jump9 AS MATERIALIZED (
+      |  SELECT a.doc_id, a.p, b.q FROM jump8 a
+      |  JOIN jump8 b ON b.doc_id = a.doc_id AND b.p = a.q),
+      |jump10 AS MATERIALIZED (
+      |  SELECT a.doc_id, a.p, b.q FROM jump9 a
+      |  JOIN jump9 b ON b.doc_id = a.doc_id AND b.p = a.q),
+      |r0 AS (SELECT doc_id, 0::BIGINT AS p FROM blen),
+      |r1 AS MATERIALIZED (
+      |  SELECT doc_id, p FROM r0
+      |  UNION
+      |  SELECT a.doc_id, j.q AS p FROM r0 a
+      |  JOIN jump0 j ON j.doc_id = a.doc_id AND j.p = a.p),
+      |r2 AS MATERIALIZED (
+      |  SELECT doc_id, p FROM r1
+      |  UNION
+      |  SELECT a.doc_id, j.q AS p FROM r1 a
+      |  JOIN jump1 j ON j.doc_id = a.doc_id AND j.p = a.p),
+      |r3 AS MATERIALIZED (
+      |  SELECT doc_id, p FROM r2
+      |  UNION
+      |  SELECT a.doc_id, j.q AS p FROM r2 a
+      |  JOIN jump2 j ON j.doc_id = a.doc_id AND j.p = a.p),
+      |r4 AS MATERIALIZED (
+      |  SELECT doc_id, p FROM r3
+      |  UNION
+      |  SELECT a.doc_id, j.q AS p FROM r3 a
+      |  JOIN jump3 j ON j.doc_id = a.doc_id AND j.p = a.p),
+      |r5 AS MATERIALIZED (
+      |  SELECT doc_id, p FROM r4
+      |  UNION
+      |  SELECT a.doc_id, j.q AS p FROM r4 a
+      |  JOIN jump4 j ON j.doc_id = a.doc_id AND j.p = a.p),
+      |r6 AS MATERIALIZED (
+      |  SELECT doc_id, p FROM r5
+      |  UNION
+      |  SELECT a.doc_id, j.q AS p FROM r5 a
+      |  JOIN jump5 j ON j.doc_id = a.doc_id AND j.p = a.p),
+      |r7 AS MATERIALIZED (
+      |  SELECT doc_id, p FROM r6
+      |  UNION
+      |  SELECT a.doc_id, j.q AS p FROM r6 a
+      |  JOIN jump6 j ON j.doc_id = a.doc_id AND j.p = a.p),
+      |r8 AS MATERIALIZED (
+      |  SELECT doc_id, p FROM r7
+      |  UNION
+      |  SELECT a.doc_id, j.q AS p FROM r7 a
+      |  JOIN jump7 j ON j.doc_id = a.doc_id AND j.p = a.p),
+      |r9 AS MATERIALIZED (
+      |  SELECT doc_id, p FROM r8
+      |  UNION
+      |  SELECT a.doc_id, j.q AS p FROM r8 a
+      |  JOIN jump8 j ON j.doc_id = a.doc_id AND j.p = a.p),
+      |r10 AS MATERIALIZED (
+      |  SELECT doc_id, p FROM r9
+      |  UNION
+      |  SELECT a.doc_id, j.q AS p FROM r9 a
+      |  JOIN jump9 j ON j.doc_id = a.doc_id AND j.p = a.p),
+      |r11 AS MATERIALIZED (
+      |  SELECT doc_id, p FROM r10
+      |  UNION
+      |  SELECT a.doc_id, j.q AS p FROM r10 a
+      |  JOIN jump10 j ON j.doc_id = a.doc_id AND j.p = a.p),
+      |chk AS (
+      |  SELECT s.doc_id, s.p AS cs, j.q - 1 AS ce
+      |  FROM r11 s JOIN blen ON blen.doc_id = s.doc_id
+      |  JOIN jump0 j ON j.doc_id = s.doc_id AND j.p = s.p
+      |  WHERE s.p < blen.n),
+      |bl AS MATERIALIZED (SELECT doc_id, list(b::HUGEINT ORDER BY i) AS bs FROM bytes GROUP BY doc_id),
+      |ch AS (
+      |  SELECT c.doc_id,
+      |    list_reduce(list_prepend(14695981039346656037::UBIGINT::HUGEINT,
+      |                list_slice(bl.bs, (c.cs + 1)::INT, (c.ce + 1)::INT)),
+      |      (acc, x) -> ((acc - (acc % 256) + xor((acc % 256)::BIGINT, x::BIGINT)::HUGEINT)
+      |                   * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT) AS f
+      |  FROM chk c JOIN bl ON bl.doc_id = c.doc_id
+      |  WHERE c.ce >= 0),
+      |hashes AS (SELECT DISTINCT doc_id,
+      |    CASE WHEN f >= 9223372036854775808::HUGEINT
+      |         THEN (f - 18446744073709551616::HUGEINT)::BIGINT ELSE f::BIGINT END AS hash
+      |  FROM ch),
+      |orig AS (SELECT doc_id, hash FROM hashes WHERE doc_id < 100000),
+      |copy AS (SELECT doc_id - 200000 AS doc_id, hash FROM hashes WHERE doc_id >= 200000),
+      |no AS (SELECT doc_id, COUNT(*) AS n_orig FROM orig GROUP BY 1),
+      |nc AS (SELECT doc_id, COUNT(*) AS n_copy FROM copy GROUP BY 1),
+      |sh AS (SELECT o.doc_id, COUNT(*) AS n_shared FROM orig o JOIN copy c USING (doc_id, hash) GROUP BY 1)
+      |SELECT no.doc_id, n_orig, n_copy, COALESCE(n_shared, 0) AS n_shared,
+      |  ROUND(COALESCE(n_shared, 0) / (n_orig + n_copy - COALESCE(n_shared, 0)), 6) AS chunk_jaccard
+      |FROM no JOIN nc USING (doc_id) LEFT JOIN sh ON sh.doc_id = no.doc_id
+      |ORDER BY no.doc_id""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "mm_cdc_dedup" -> mmCdcDedupSql,
     "ann_lsh_topk" -> annLshSql,
     "ann_ivf_topk" -> annIvfSql,
     "ann_ivf_incremental" -> annIvfIncrementalSql,
