@@ -156,7 +156,10 @@ object MetricQueries {
     },
     "j5_em_train" -> { (s, dir) =>
       import s.implicits._
-      // iterative EM — no SQL oracle (rows-only check); pinned by ScalaTest instead
+      // converged EM — FULL oracle: tol-based stop over a fixed maxIter=25 cap is
+      // a closed form once each unrolled iteration FREEZES after the first
+      // convergent step (done-flag chain); outputs round to 6 because the
+      // driver loop's pattern-sum order is collect-order-dependent at the ULP
       val df = custTruth(s, dir)
       val specs = Seq(
         ComparisonSpec("c_name", "levenshtein", 3),
@@ -168,10 +171,111 @@ object MetricQueries {
           "l.c_nationkey = r.c_nationkey AND l.c_mktsegment = r.c_mktsegment"),
         u = specs.map(sp => sp.column -> Estimation.DefaultU).toMap,
         initialLambda = 0.01)
+      def r6(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       m.toSeq.sortBy(_._1).flatMap { case (c, arr) =>
-        arr.zipWithIndex.map { case (v, g) => (c, g, v, uEm(c)(g), lambda) }
+        arr.zipWithIndex.map { case (v, g) =>
+          (c, g, r6(v), r6(uEm(c)(g)), r6(lambda)) }
       }.toDF("column", "gamma", "m", "u", "lambda")
     })
+
+  /** GENERATED converged-EM oracle: [[LinkageQueries]]' two-iteration chain
+    * extended to the full tol-stopped loop. Each unrolled iteration carries a
+    * single-row parameter CTE (λ, m, u per gamma level, done flag); once an
+    * iteration's max parameter delta drops to tol = 0.01 the chain FREEZES
+    * (done propagates, frozen params pass through), which replays the driver
+    * loop's data-dependent early stop exactly under the fixed maxIter=25 cap.
+    * Ladders, floors (1e-9), clamps, and the left-to-right E-step products
+    * mirror `Estimation.emOverPatterns`.
+    */
+  private def emTrainChainSql(maxIter: Int): String = {
+    val specs = Seq(
+      ComparisonSpec("c_name", "levenshtein", 3),
+      ComparisonSpec("c_acctbal", "levenshtein", 2)).zipWithIndex
+    val lam0 = "0.01"
+    def d(x: Double): String = graft.util.Render.sqlDouble(x)
+    val gammas = specs.map { case (sp, i) =>
+      s"(${LinkageQueries.gammaPairSql(s"l.${sp.column}", s"r.${sp.column}", sp)
+        .replace('\n', ' ')}) AS g$i" }.mkString(",\n    ")
+    val p0Cols = (s"$lam0 AS lam" +:
+      specs.flatMap { case (sp, i) =>
+        (0 until sp.numLevels).flatMap(g => Seq(
+          s"${d(Estimation.DefaultM(g))} AS m_${i}_$g",
+          s"${d(Estimation.DefaultU(g))} AS u_${i}_$g"))
+      } :+ "FALSE AS done").mkString(",\n    ")
+    def ladder(prev: String, a: String, p: String, i: Int, n: Int) =
+      s"(CASE $a " + (0 until n).map(g => s"WHEN $g THEN $prev.${p}_${i}_$g")
+        .mkString(" ") + " ELSE 1.0 END)"
+    def iteration(it: Int): String = {
+      val prev = s"p${it - 1}"
+      val num = (s"$prev.lam" +: specs.map { case (sp, i) =>
+        ladder(prev, s"g$i", "m", i, sp.numLevels) }).mkString(" * ")
+      val den = (s"(1.0 - $prev.lam)" +: specs.map { case (sp, i) =>
+        ladder(prev, s"g$i", "u", i, sp.numLevels) }).mkString(" * ")
+      val sums = specs.flatMap { case (sp, i) =>
+        (0 until sp.numLevels).flatMap(g => Seq(
+          s"SUM(CASE WHEN g$i = $g THEN cnt * w ELSE 0.0 END) AS m_${i}_$g",
+          s"SUM(CASE WHEN g$i = $g THEN cnt * (1.0 - w) ELSE 0.0 END) AS u_${i}_$g"))
+      }.mkString(",\n    ")
+      def refit(pfx: String, i: Int, g: Int, n: Int) = {
+        val tot = (0 until n).map(h => s"${pfx}_${i}_$h").mkString(" + ")
+        s"GREATEST(${pfx}_${i}_$g / GREATEST($tot, 1e-9), 1e-9)"
+      }
+      val nCols = (s"LEAST(GREATEST(sumw / total, 1e-9), 1.0 - 1e-9) AS lam" +:
+        specs.flatMap { case (sp, i) =>
+          (0 until sp.numLevels).flatMap(g => Seq(
+            s"${refit("m", i, g, sp.numLevels)} AS m_${i}_$g",
+            s"${refit("u", i, g, sp.numLevels)} AS u_${i}_$g"))
+        }).mkString(",\n    ")
+      val allParams = "lam" +: specs.flatMap { case (sp, i) =>
+        (0 until sp.numLevels).flatMap(g => Seq(s"m_${i}_$g", s"u_${i}_$g")) }
+      val frozen = allParams.map(c =>
+        s"CASE WHEN d.done THEN d.$c ELSE n.$c END AS $c").mkString(",\n    ")
+      val delta = allParams.map(c => s"ABS(n.$c - d.$c)").mkString("GREATEST(", ", ", ")")
+      s"""w$it AS (
+         |  SELECT pat.g0, pat.g1, pat.cnt, ($num) / (($num) + ($den)) AS w
+         |  FROM pat, $prev
+         |), s$it AS (
+         |  SELECT SUM(cnt) AS total, SUM(cnt * w) AS sumw,
+         |    $sums
+         |  FROM w$it
+         |), n$it AS (
+         |  SELECT
+         |    $nCols
+         |  FROM s$it
+         |), p$it AS MATERIALIZED (
+         |  SELECT
+         |    $frozen,
+         |    (d.done OR $delta <= 0.01) AS done
+         |  FROM $prev d, n$it n)""".stripMargin
+    }
+    val emit = specs.flatMap { case (sp, i) =>
+      (0 until sp.numLevels).map(g =>
+        s"SELECT '${sp.column}' AS \"column\", $g AS gamma, " +
+          s"ROUND(m_${i}_$g, 6) AS m, ROUND(u_${i}_$g, 6) AS u, " +
+          s"ROUND(lam, 6) AS lambda FROM p$maxIter")
+    }.mkString("\nUNION ALL ")
+    s"""WITH b AS (
+       |  SELECT CAST(c_custkey AS VARCHAR) AS uid, c_name,
+       |         CAST(c_acctbal AS VARCHAR) AS c_acctbal,
+       |         CAST(c_nationkey AS VARCHAR) AS c_nationkey, c_mktsegment
+       |  FROM customer
+       |), pairs AS (
+       |  SELECT
+       |    $gammas
+       |  FROM b l JOIN b r
+       |    ON l.c_nationkey = r.c_nationkey AND l.c_mktsegment = r.c_mktsegment
+       |   AND l.uid < r.uid
+       |), pat AS MATERIALIZED (
+       |  SELECT g0, g1, COUNT(*)::DOUBLE AS cnt FROM pairs GROUP BY g0, g1
+       |), p0 AS (
+       |  SELECT
+       |    $p0Cols
+       |),
+       |${(1 to maxIter).map(iteration).mkString(",\n")}
+       |$emit
+       |ORDER BY "column", gamma""".stripMargin
+  }
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -386,6 +490,7 @@ object MetricQueries {
       |ORDER BY tot.col_a, tot.col_b""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "j5_em_train" -> emTrainChainSql(25),
     "prof_association" -> associationSql,
     "y1_clean" ->
       """SELECT CAST(c_custkey AS VARCHAR) AS uid,
