@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.sources.{BucketedTables, ZOrder}
+import graft.sources.{BucketedTables, Compaction, ZOrder}
 
 /** SparkEntry query + oracle entries for the source/sink layer: bucketed co-located
   * joins (shuffle moved to write time), JSONL corpus interchange, z-order layout.
@@ -22,6 +22,27 @@ object SourceQueries {
   private val RunToken = java.util.UUID.randomUUID().toString.take(8)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_compaction_plan" -> { (s, dir) =>
+      // small-file compaction planning (the OPTIMIZE half of table maintenance):
+      // per-lang partition, files <= 300 bytes pack into ~1000-byte bins by one
+      // next-fit-decreasing window pass — full oracle
+      val manifest = s.read.parquet(s"$dir/documents.parquet")
+        .select(concat(lit("f"), col("doc_id")).as("path"), col("lang"),
+          col("n_chars").as("bytes"))
+      Compaction.planCompaction(manifest, "lang", "path", "bytes",
+          smallBytes = 300, targetBytes = 1000)
+        .orderBy("part", "bin")
+    },
+    "src_vacuum_plan" -> { (s, dir) =>
+      // version-retention vacuum planning (the VACUUM...RETAIN half): per shard
+      // keep the 3 newest versions, emit what deletion reclaims — full oracle
+      val manifest = s.read.parquet(s"$dir/documents.parquet")
+        .select((col("doc_id") % 16).as("shard"),
+          floor(col("doc_id") / 16).cast("long").as("version"),
+          col("n_chars").as("bytes"))
+      Compaction.planVacuum(manifest, "shard", "version", "bytes", keepVersions = 3)
+        .orderBy("shard")
+    },
     "src_bucketed_join" -> { (s, dir) =>
       // stage both sides bucketed on the join key, then join + aggregate; the join
       // itself reads co-located buckets (no Exchange — pinned by SourcesSpec)
@@ -141,6 +162,23 @@ object SourceQueries {
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "src_compaction_plan" ->
+      """WITH m AS (SELECT 'f' || doc_id AS path, lang, n_chars AS bytes FROM documents),
+        |sm AS (SELECT *, SUM(bytes) OVER
+        |         (PARTITION BY lang ORDER BY bytes DESC, path) AS cum
+        |       FROM m WHERE bytes <= 300)
+        |SELECT lang AS part, CAST(FLOOR((cum - bytes) / 1000) AS INT) AS bin,
+        |  COUNT(*) AS n_files, CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+        |  MIN(path) AS first_path, MAX(path) AS last_path
+        |FROM sm GROUP BY 1, 2 ORDER BY part, bin""".stripMargin,
+    "src_vacuum_plan" ->
+      """WITH m AS (SELECT doc_id % 16 AS shard, doc_id // 16 AS version,
+        |             n_chars AS bytes FROM documents),
+        |r AS (SELECT *, DENSE_RANK() OVER
+        |        (PARTITION BY shard ORDER BY version DESC) AS vrk FROM m)
+        |SELECT shard, COUNT(*) AS n_files, CAST(SUM(bytes) AS BIGINT) AS reclaimed_bytes,
+        |  MIN(version) AS oldest_version, MAX(version) AS newest_deleted_version
+        |FROM r WHERE vrk > 3 GROUP BY shard ORDER BY shard""".stripMargin,
     "src_bucketed_join" ->
       """SELECT c_mktsegment,
         |  CAST(COUNT(*) AS BIGINT) AS n_orders,

@@ -15,28 +15,17 @@ class EntrySpec extends SparkSpec {
     // property gate instead (r6: the ANN family, SemDeDup, the Newton agg, and
     // BPE merge 1 all graduated to full oracles and left this list).
     val rowsOnly = Set(
-      "j5_em_train",          // iterative EM — j5_em_one/two_iter pin the updates + loop
       "ep1_e2e_dedupe",       // trained pipeline — ep10_fs_cluster pins the serve path
-      "ep1_auto_link",        // adaptive search — pinned by MetricsSpec
+      "ep1_auto_link",        // adaptive search — pinned by MetricsSpec;
+                              // ep1_auto_link_one_trial full-oracles the trial body
       "ep1_auto_link_two_tables", // link-mode search loop — pinned by MetricsSpec
-      "sim_pca_project",      // iterative eigensolve — sim_covariance pins the distributed core
-      "ml_quality_train",     // iterative IRLS — ml_quality_newton_agg pins the per-step agg
-      "curation_bpe_merges",  // iterative merge loop — curation_bpe_first_merge + Sennrich fixture
-      "curation_unigram_lm",  // Viterbi-EM loop — curation_unigram_seed pins the corpus-sized step
-      "curation_unigram_encode", // segmentation DP has no SQL form — exhaustive-Viterbi spec pin
-      "sim_mmr_rerank",       // greedy MMR loop has no SQL form — reimplementation spec pin;
-                              // ep12_diverse_retrieval full-oracles the cluster-diversity sibling
-      "graph_pagerank",       // iterative — graph_pagerank_one/two_iter pin update + loop
-      "graph_lpa",            // iterative — graph_lpa_two_iter pins the frequency-argmax
-                              // update + loop; GraphSpec pins planted communities
-      "graph_ppr",            // iterative — graph_ppr_two_iter pins the seeded update
-                              // + loop; GraphSpec pins mass/reachability invariants
-      "graph_hits",           // iterative — graph_hits_two_iter pins the alternating
-                              // normalized sums; GraphSpec pins roles on a directory graph
-      "graph_kcore",          // peel-until-fixpoint — graph_kcore_two_peel pins the
-                              // round; GraphSpec pins fixpoint ≡ brute-force peel
-    "mm_cdc_dedup")         // gear rolling hash is a sequential prefix scan with no
-                              // SQL form — CdcChunks property-pinned in ExpressionsSpec
+      "sim_pca_project")      // Jacobi eigensolve: ~2000 data-dependent-pivot
+                              // rotations per sweep — not unrollable; sim_covariance
+                              // + sim_pca_one_iter pin the distributed core
+    // r8 graduated twelve more to GENERATED full oracles (fixed-iteration /
+    // freeze-on-convergence / binary-lifting chains — see SCALING.md round-8
+    // notes): the five graph kernels, BPE merges, both unigram-LM queries, the
+    // MMR re-rank, IRLS training, converged EM, and gear-hash CDC dedup.
     val actual = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(actual === rowsOnly,
       s"rows-only drift — no longer rows-only: ${rowsOnly -- actual}; " +

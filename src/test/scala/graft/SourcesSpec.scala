@@ -319,4 +319,43 @@ class SourcesSpec extends SparkSpec {
     val emittedUnmatched = got.map(_.getLong(2)).sum
     assert(emittedUnmatched < allUnmatched)
   }
+
+  test("compaction plan: bins respect the overflow bound, cover every small file once") {
+    import org.apache.spark.sql.functions._
+    val manifest = (1 to 200).map(i => (s"f$i", s"p${i % 3}", (i * 37) % 400 + 1L))
+      .toDF("path", "part", "bytes")
+    val plan = graft.sources.Compaction
+      .planCompaction(manifest, "part", "path", "bytes", smallBytes = 300, targetBytes = 500)
+    val rows = plan.collect()
+    val small = manifest.filter(col("bytes") <= 300)
+    // every small file lands in exactly one bin
+    assert(rows.map(_.getAs[Long]("n_files")).sum === small.count())
+    assert(rows.map(_.getAs[Long]("total_bytes")).sum ===
+      small.agg(sum("bytes")).first().getLong(0))
+    // single-pass bound: a bin exceeds target by less than one small file
+    rows.foreach(r => assert(r.getAs[Long]("total_bytes") < 500L + 300L,
+      s"bin overflow beyond the streaming bound: $r"))
+    // deterministic: same input -> same plan
+    val again = graft.sources.Compaction
+      .planCompaction(manifest, "part", "path", "bytes", 300, 500)
+    assert(plan.orderBy("part", "bin").collect().toSeq ===
+      again.orderBy("part", "bin").collect().toSeq)
+  }
+
+  test("vacuum plan: keeps exactly keepVersions newest versions per shard") {
+    import org.apache.spark.sql.functions._
+    val manifest = (0 until 120).map(i => (i % 4, i / 4L, 10L + i))
+      .toDF("shard", "version", "bytes")
+    val plan = graft.sources.Compaction
+      .planVacuum(manifest, "shard", "version", "bytes", keepVersions = 3)
+    plan.collect().foreach { r =>
+      // newest 3 versions (27..29) survive; deletions stop at 26
+      assert(r.getAs[Long]("newest_deleted_version") === 26L)
+      assert(r.getAs[Long]("oldest_version") === 0L)
+      assert(r.getAs[Long]("n_files") === 27L)
+    }
+    // a shard within retention produces no row
+    val shallow = (0 until 8).map(i => (i % 4, i / 4L, 1L)).toDF("shard", "version", "bytes")
+    assert(graft.sources.Compaction.planVacuum(shallow, "shard", "version", "bytes", 3).count() === 0)
+  }
 }
