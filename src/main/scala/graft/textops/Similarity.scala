@@ -55,6 +55,14 @@ object Similarity {
       .select("query_id", "rank", "id", "cosine")
   }
 
+  /** Stable function value of [[bruteForceTopK]] — the `topK` default. Being a
+    * single object (not a per-call eta-expansion) lets marginBitext recognize
+    * the exact-baseline path by reference and share one cosine matrix.
+    */
+  val BruteForceTopKFn: (DataFrame, DataFrame, String, String, Int) => DataFrame =
+    bruteForceTopK(_, _, _, _, _)
+
+
   /** Deterministic random hyperplanes: `nPlanes × dim` from a seeded RNG (driver-side
     * literals, serialized with the plan — no shuffle, no state).
     */
@@ -224,11 +232,38 @@ object Similarity {
       k: Int,
       threshold: Double = 1.0,
       topK: (DataFrame, DataFrame, String, String, Int) => DataFrame =
-        bruteForceTopK): DataFrame = {
+        BruteForceTopKFn): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     import graft.util.Caching.CacheSyntax
-    val fwd = topK(tgt, src, idCol, vecCol, k).scopedPersist() // x → NNk(x, Y)
-    val bwd = topK(src, tgt, idCol, vecCol, k).scopedPersist() // y → NNk(y, X)
+    // The exact-baseline path computes the |X|·|Y| cosine matrix ONCE and reads
+    // it through two windows: calling bruteForceTopK per direction would cross-
+    // join (and dot-product) the same pairs twice for identical values —
+    // array_dot is element-order-symmetric, so cos(x,y) is bitwise equal either
+    // way (the invariant the union-dedup below already relies on). A custom topK
+    // (the IVF path at corpus scale) keeps the two independent bounded probes.
+    val (fwd, bwd) =
+      if (topK eq BruteForceTopKFn) {
+        val sN = src.select(col(idCol).as("qx"),
+          normalized(col(vecCol).cast("array<double>")).as("xv"))
+        val tN = tgt.select(col(idCol).as("qy"),
+          normalized(col(vecCol).cast("array<double>")).as("yv"))
+        val scored = tN.crossJoin(broadcast(sN))
+          .filter(col("qy") =!= col("qx"))
+          .withColumn("cosine",
+            round(graft.functions.array_dot(col("yv"), col("xv")), 6))
+          .select(col("qx"), col("qy"), col("cosine")).scopedPersist()
+        val wf = Window.partitionBy("qx").orderBy(desc("cosine"), asc("qy"))
+        val wb = Window.partitionBy("qy").orderBy(desc("cosine"), asc("qx"))
+        (scored.withColumn("rank", row_number().over(wf)).filter(col("rank") <= k)
+           .select(col("qx").as("query_id"), col("rank"), col("qy").as("id"),
+             col("cosine")).scopedPersist(),
+         scored.withColumn("rank", row_number().over(wb)).filter(col("rank") <= k)
+           .select(col("qy").as("query_id"), col("rank"), col("qx").as("id"),
+             col("cosine")).scopedPersist())
+      } else {
+        (topK(tgt, src, idCol, vecCol, k).scopedPersist(), // x → NNk(x, Y)
+         topK(src, tgt, idCol, vecCol, k).scopedPersist()) // y → NNk(y, X)
+      }
     val denomX = fwd.groupBy(col("query_id").as("x"))
       .agg((sum("cosine") / (2.0 * k)).as("dx"))
     val denomY = bwd.groupBy(col("query_id").as("y"))
