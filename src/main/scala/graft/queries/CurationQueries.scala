@@ -289,6 +289,17 @@ object CurationQueries {
           TextOps.passesGopherRules(g, minWords = GopherMinWords).as("passes_gopher"))
         .orderBy("doc_id")
     },
+    "curation_quantile_norm" -> { (s, dir) =>
+      // cross-source score calibration: replace each source's quality score with
+      // the POOLED corpus quantile at the row's within-source rank (quantile
+      // normalization at 100-bin resolution) — makes "top X% of source A" and
+      // "top X% of source B" comparable before global thresholding; full oracle
+      val scored = docs(s, dir).select(col("doc_id"), col("source"),
+        round(TextOps.qualityScore(col("text")), 6).as("quality"))
+      Curation.quantileNormalize(scored, col("quality"), Seq(col("source")),
+          col("doc_id"), bins = 100)
+        .orderBy("doc_id")
+    },
     "curation_quality_topk" -> { (s, dir) =>
       // "keep the best 30% per language by quality" — rank on the ROUNDED score so
       // sub-ULP drift between engines cannot flip an ordering
@@ -1394,6 +1405,24 @@ object CurationQueries {
          |   AND stop_hits >= 2) AS passes_gopher
          |FROM c ORDER BY doc_id""".stripMargin
     },
+    "curation_quantile_norm" ->
+      s"""WITH sc AS (SELECT doc_id, source,
+         |             ROUND(${TextQueries.qualityExprSql}, 6) AS quality FROM documents),
+         |b AS (SELECT *, CAST(LEAST(GREATEST(FLOOR((quality - 0.0) / 0.01), 0), 99) AS INT)
+         |        AS bin FROM sc),
+         |h AS (SELECT bin, COUNT(*) AS n FROM b GROUP BY bin),
+         |c AS (SELECT bin, SUM(n) OVER (ORDER BY bin) / (SELECT SUM(n) FROM h)::DOUBLE AS cdf
+         |      FROM h),
+         |g AS (SELECT gg.g, MIN(c.bin) AS calbin
+         |      FROM (SELECT unnest(range(1, 101)) AS g) gg
+         |      JOIN c ON c.cdf >= gg.g::DOUBLE / 100 GROUP BY gg.g),
+         |r AS (SELECT sc.*, CAST(CEIL(cume_dist() OVER
+         |        (PARTITION BY source ORDER BY quality, doc_id) * 100) AS INT) AS gk
+         |      FROM sc)
+         |SELECT r.doc_id, r.source, r.quality,
+         |  ROUND(0.0::DOUBLE + (g.calbin + 1) * 0.01::DOUBLE, 6) AS calibrated
+         |FROM r JOIN g ON g.g = r.gk
+         |ORDER BY r.doc_id""".stripMargin,
     "curation_quality_topk" ->
       s"""WITH sc AS (SELECT doc_id, lang, ${TextQueries.qualityExprSql} AS quality
          |            FROM documents),

@@ -247,6 +247,20 @@ object TextQueries {
       docs(s, dir).select(col("doc_id"), TextOps.langId(col("text")).as("pred_lang"))
         .orderBy("doc_id")
     },
+    "text_dictionary_tag" -> { (s, dir) =>
+      // gazetteer entity tagging: lowercase token n-grams (1..3 words) against a
+      // broadcast alias table, longest-match-wins per start position — the
+      // NER-lite / PII-tagging primitive; one corpus scan, full oracle
+      import s.implicits._
+      val aliases = Seq(
+        ("join", "op_join"), ("hash join", "op_hash_join"),
+        ("sort merge join", "op_smj"), ("hash", "fn_hash"),
+        ("group", "op_agg"), ("scan", "op_scan"), ("the big table", "noise"))
+        .toDF("alias", "entity")
+      graft.textops.DictionaryTag.tag(docs(s, dir), "doc_id", col("text"), aliases)
+        .select(col("id").as("doc_id"), col("entity"), col("n_mentions"), col("first_pos"))
+        .orderBy("doc_id", "entity")
+    },
     "text_fingerprint" -> { (s, dir) =>
       docs(s, dir).select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")
@@ -1950,6 +1964,30 @@ object TextQueries {
       |ORDER BY no.doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "text_dictionary_tag" -> {
+      val toks = toksSql("lower(text)")
+      s"""WITH al(gram, entity) AS (VALUES
+         |  ('join', 'op_join'), ('hash join', 'op_hash_join'),
+         |  ('sort merge join', 'op_smj'), ('hash', 'fn_hash'),
+         |  ('group', 'op_agg'), ('scan', 'op_scan'), ('the big table', 'noise')),
+         |t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |g AS (
+         |  SELECT doc_id, p.pos, l.len,
+         |    array_to_string(list_slice(toks, p.pos + 1, p.pos + l.len), ' ') AS gram
+         |  FROM t,
+         |       unnest(range(0, len(toks))) AS p(pos),
+         |       (SELECT unnest([1, 2, 3]) AS len) l
+         |  WHERE p.pos + l.len <= len(toks)),
+         |m AS (
+         |  SELECT g.doc_id, g.pos, g.len, g.gram, al.entity
+         |  FROM g JOIN al USING (gram)
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY g.doc_id, g.pos
+         |    ORDER BY g.len DESC, g.gram) = 1)
+         |SELECT doc_id, entity, COUNT(*) AS n_mentions,
+         |  CAST(MIN(pos) AS INT) AS first_pos
+         |FROM m GROUP BY doc_id, entity
+         |ORDER BY doc_id, entity""".stripMargin
+    },
     "mm_cdc_dedup" -> mmCdcDedupSql,
     "ann_lsh_topk" -> annLshSql,
     "ann_ivf_topk" -> annIvfSql,

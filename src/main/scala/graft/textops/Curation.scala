@@ -1406,4 +1406,59 @@ object Curation {
       .withColumn("blocked_word_count", blockedCount)
       .withColumn("kept", !col("source_blocked") && col("blocked_word_count") === 0)
   }
+
+  /** Cross-source quantile normalization (the calibration step before pooling
+    * heterogeneously-scored sources): replace each row's score with the POOLED
+    * corpus quantile at the row's within-group rank, so "top 10% of source A"
+    * and "top 10% of source B" land on the same calibrated value even when one
+    * source's scorer runs hot. The classic quantile-normalization recipe at a
+    * fixed bin resolution:
+    *
+    *   1. pooled histogram over `bins` equal-width bins on [lo, hi] (ONE
+    *      aggregation; the cumulative pass runs over `bins` rows, bounded);
+    *   2. rank grid: for g in 1..bins, the pooled bin where the CDF first
+    *      reaches g/bins (a bins x bins join of two BOUNDED tables);
+    *   3. per-group cume_dist (partitioned window — the only row-scale pass,
+    *      one exchange+sort per group, same shape as [[keepTopFraction]]);
+    *   4. broadcast equi-join of ceil(cume_dist * bins) against the grid.
+    *
+    * Calibrated values are bin RIGHT EDGES, so resolution is (hi-lo)/bins.
+    * Rank on a ROUNDED score (ties share a cume_dist, deterministically) —
+    * sub-ULP drift must not flip an ordering, as everywhere in this module.
+    */
+  def quantileNormalize(
+      df: DataFrame,
+      scoreCol: Column,
+      groupCols: Seq[Column],
+      tieCol: Column,
+      bins: Int = 100,
+      lo: Double = 0.0,
+      hi: Double = 1.0): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    require(hi > lo, s"hi ($hi) must exceed lo ($lo)")
+    val width = (hi - lo) / bins
+    val spark = df.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val binned = df.withColumn("_qnbin",
+      least(greatest(floor((scoreCol - lit(lo)) / lit(width)), lit(0)),
+        lit(bins - 1)).cast("int"))
+    // bounded: `bins` rows — the single-partition windows here are by design
+    val wc = Window.orderBy("_qnbin").rowsBetween(Window.unboundedPreceding, 0)
+    val wt = Window.orderBy("_qnbin")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cdf = binned.groupBy("_qnbin").agg(count(lit(1)).as("_n"))
+      .withColumn("_cdf", sum("_n").over(wc) / sum("_n").over(wt))
+      .select(col("_qnbin"), col("_cdf"))
+    import spark.implicits._
+    val grid = (1 to bins).toDF("_g")
+      .join(broadcast(cdf), col("_cdf") >= col("_g").cast("double") / bins)
+      .groupBy("_g").agg(min("_qnbin").as("_calbin"))
+      .withColumn("calibrated",
+        round(lit(lo) + (col("_calbin") + 1) * lit(width), 6))
+      .select(col("_g"), col("calibrated"))
+    val wg = Window.partitionBy(groupCols: _*).orderBy(scoreCol.asc, tieCol.asc)
+    df.withColumn("_g", ceil(cume_dist().over(wg) * bins).cast("int"))
+      .join(broadcast(grid), Seq("_g"))
+      .drop("_g")
+  }
 }

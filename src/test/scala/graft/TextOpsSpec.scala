@@ -1010,4 +1010,44 @@ class TextOpsSpec extends SparkSpec {
     val recall = (exact intersect approx).size.toDouble / exact.size
     assert(recall >= 0.9, s"IVF bitext recall $recall < 0.9 (exact=${exact.size})")
   }
+
+  test("dictionaryTag: longest match wins per start, flat mention counting") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq((1L, "Hash join beats sort merge join"), (2L, "no entities here"))
+      .toDF("doc_id", "text")
+    val aliases = Seq(("hash join", "op_hash_join"), ("hash", "fn_hash"),
+      ("join", "op_join"), ("sort merge join", "op_smj")).toDF("alias", "entity")
+    val out = graft.textops.DictionaryTag.tag(docs, "doc_id", col("text"), aliases)
+      .orderBy("id", "entity").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    // doc 1: "hash join" wins over "hash" at pos 0; the trailing "join" of both
+    // compounds still counts flat (pos 1 and pos 5); "sort merge join" at pos 3
+    assert(out.toSeq === Seq(
+      (1L, "op_hash_join", 1L, 0), (1L, "op_join", 2L, 1), (1L, "op_smj", 1L, 3)))
+  }
+
+  test("quantileNormalize: rank-order preserving, identical groups calibrate identically") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // group b's scores are group a's shifted +0.3: same ranks, different raws
+    val a = (1 to 50).map(i => (i.toLong, "a", i / 100.0))
+    val b = (1 to 50).map(i => ((i + 100).toLong, "b", i / 100.0 + 0.3))
+    val df = (a ++ b).toDF("id", "src", "score")
+    val out = graft.textops.Curation
+      .quantileNormalize(df, col("score"), Seq(col("src")), col("id"), bins = 100)
+    assert(out.count() === 100)
+    val byGroup = out.collect().groupBy(_.getString(1))
+      .map { case (g, rows) =>
+        g -> rows.sortBy(_.getLong(0)).map(_.getAs[Double]("calibrated")).toSeq }
+    // identical within-group rank structure -> identical calibrated sequences
+    assert(byGroup("a") === byGroup("b"))
+    // calibrated is non-decreasing in the within-group rank
+    byGroup("a").sliding(2).foreach { case Seq(x, y) => assert(x <= y); case _ => }
+    // calibrated values live on the pooled support (right bin edges in (0, 1])
+    out.collect().foreach { r =>
+      val c = r.getAs[Double]("calibrated")
+      assert(c > 0.0 && c <= 1.0)
+    }
+  }
 }
