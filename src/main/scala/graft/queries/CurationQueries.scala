@@ -188,6 +188,38 @@ object CurationQueries {
       Curation.buildVocab(docs(s, dir), col("text"), topK = 50)
         .orderBy("token_id")
     },
+    "curation_dedup_lines" -> { (s, dir) =>
+      // INTRA-doc repeated-line removal (the C4/Gopher rewrite step): fixture
+      // re-chunks each doc into 6-token lines and re-appends the FIRST line, so
+      // every non-empty doc carries >= 1 planted intra-doc repeat — full oracle
+      val toks = TextOps.tokens(col("text"))
+      val line6 = transform(
+        sequence(lit(0), ceil(size(toks) / lit(6.0)).cast("int") - 1),
+        i => array_join(slice(toks, i * lit(6) + 1, lit(6)), " "))
+      val fix = docs(s, dir).filter(size(toks) > 0).select(col("doc_id"),
+        array_join(concat(line6, slice(line6, 1, 1)), "\n").as("text"))
+      Curation.dedupLinesWithinDoc(fix, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_lines"), col("n_dropped"),
+          md5(col("text")).as("text_hash"))
+        .orderBy("doc_id")
+    },
+    "text_tokenizer_fertility" -> { (s, dir) =>
+      // tokenizer evaluation: per-language fertility (BPE tokens per word) and
+      // compression (chars per token) under the fixed derivation-ordered merge
+      // list — the eval a tokenizer-selection pipeline runs per corpus slice
+      val d = docs(s, dir)
+      val enc = Curation.bpeApply(d, "doc_id", "text", BpeFixedMerges)
+        .select(col("doc_id"), col("n_bpe"))
+      d.select(col("doc_id"), col("lang"),
+          size(TextOps.tokens(col("text"))).as("nw"), length(col("text")).as("nc"))
+        .join(enc, "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("nw").as("n_words"), sum("n_bpe").as("n_tokens"),
+          round(sum("n_bpe") / sum("nw"), 6).as("fertility"),
+          round(sum("nc") / sum("n_bpe"), 6).as("chars_per_token"))
+        .orderBy("lang")
+    },
     "curation_dedup_paragraphs" -> { (s, dir) =>
       // corpus-wide paragraph dedup: the fixture re-chunks each doc into 8-token
       // newline-joined paragraphs; planted full copies come back empty, near-copies
@@ -1269,6 +1301,43 @@ object CurationQueries {
          |  array_to_string(toks[(chunk_index*24 + 1)::INT : (chunk_index*24 + 32)::INT], ' ')
          |    AS chunk
          |FROM c ORDER BY doc_id, chunk_index""".stripMargin
+    },
+    "curation_dedup_lines" -> {
+      val toks = toksSql("text")
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents WHERE len($toks) > 0),
+         |l6 AS (SELECT doc_id,
+         |         list_transform(range(0, CAST(CEIL(len(toks) / 6.0) AS BIGINT)),
+         |           i -> array_to_string(toks[(i*6 + 1)::INT : (i*6 + 6)::INT], ' '))
+         |           AS lines0
+         |       FROM t),
+         |fx AS (SELECT doc_id, list_append(lines0, lines0[1]) AS lines FROM l6),
+         |e AS (SELECT doc_id, unnest(range(1, len(lines) + 1)) AS pos, lines FROM fx),
+         |ln AS (SELECT doc_id, pos, lines[pos] AS line FROM e),
+         |rk AS (SELECT doc_id, pos, line,
+         |         CASE WHEN length(trim(line)) = 0 THEN 1
+         |              ELSE ROW_NUMBER() OVER (PARTITION BY doc_id, line ORDER BY pos)
+         |         END AS rk
+         |       FROM ln),
+         |agg AS (SELECT doc_id, COUNT(*) AS n_lines,
+         |          SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS n_dropped,
+         |          md5(string_agg(CASE WHEN rk = 1 THEN line END, chr(10) ORDER BY pos)
+         |              FILTER (rk = 1)) AS text_hash
+         |        FROM rk GROUP BY doc_id)
+         |SELECT doc_id, n_lines, CAST(n_dropped AS BIGINT) AS n_dropped, text_hash
+         |FROM agg ORDER BY doc_id""".stripMargin
+    },
+    "text_tokenizer_fertility" -> {
+      val toks = toksSql("text")
+      val (chain, _) = bpeChainSql(BpeFixedMerges)
+      s"""WITH t AS (SELECT doc_id, lang, length(text) AS nc, $toks AS toks FROM documents),
+         |e AS (SELECT doc_id, lang, nc, len(toks) AS nw,
+         |        length(array_to_string(list_transform(toks, w -> $chain), '')) AS nt
+         |      FROM t)
+         |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(nw) AS BIGINT) AS n_words,
+         |  CAST(SUM(nt) AS BIGINT) AS n_tokens,
+         |  ROUND(SUM(nt)::DOUBLE / SUM(nw), 6) AS fertility,
+         |  ROUND(SUM(nc)::DOUBLE / SUM(nt), 6) AS chars_per_token
+         |FROM e GROUP BY lang ORDER BY lang""".stripMargin
     },
     "curation_dedup_paragraphs" -> {
       val toks = toksSql("text")

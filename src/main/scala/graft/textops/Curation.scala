@@ -1461,4 +1461,41 @@ object Curation {
       .join(broadcast(grid), Seq("_g"))
       .drop("_g")
   }
+
+  /** INTRA-document repeated-line removal (the C4/Gopher rewrite step, as
+    * opposed to [[dedupParagraphs]]' corpus-wide first-wins): within each
+    * document, keep the FIRST occurrence of every exact line and drop later
+    * repeats — boilerplate headers/footers and copy-pasted spans collapse
+    * without any cross-document state. One explode + one (id, line)-partitioned
+    * window + one per-id rebuild aggregation; blank lines pass through
+    * untouched (they are structure, not content).
+    * Output: (id, n_lines, n_dropped, text).
+    */
+  def dedupLinesWithinDoc(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      delim: String = "\n"): DataFrame = {
+    val delimRe = java.util.regex.Pattern.quote(delim)
+    val lines = df.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), delimRe)).as(Seq("pos", "line")))
+    val w = Window.partitionBy(col("id"), col("line")).orderBy(col("pos"))
+    lines
+      .withColumn("_rk",
+        when(length(trim(col("line"))) === 0, lit(1)) // blanks always survive
+          .otherwise(row_number().over(w)))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("_rk") > 1, 1L).otherwise(0L)).as("n_dropped"),
+        array_join(ds_sort_collect(), delim).as("text"))
+  }
+
+  // ordered rebuild: collect (pos, line) of survivors, sort by pos, emit lines
+  private def ds_sort_collect() = {
+    import org.apache.spark.sql.functions._
+    transform(
+      sort_array(collect_list(when(col("_rk") === 1,
+        struct(col("pos"), col("line"))))),
+      s => s.getField("line"))
+  }
 }

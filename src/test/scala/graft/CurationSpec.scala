@@ -969,4 +969,19 @@ class CurationSpec extends SparkSpec {
     assert(out._2 === 1)
     assert(out._3 === 2)
   }
+
+  test("dedupLinesWithinDoc: later repeats drop, blanks survive, order preserved") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "header\nbody one\n\nheader\nbody two\nheader"),
+      (2L, "all\nunique\nlines")).toDF("id", "text")
+    val out = graft.textops.Curation.dedupLinesWithinDoc(docs, "id", "text")
+      .orderBy("id").collect()
+    assert(out(0).getAs[String]("text") === "header\nbody one\n\nbody two")
+    assert(out(0).getAs[Long]("n_dropped") === 2L)
+    assert(out(0).getAs[Long]("n_lines") === 6L)
+    assert(out(1).getAs[String]("text") === "all\nunique\nlines")
+    assert(out(1).getAs[Long]("n_dropped") === 0L)
+  }
 }
