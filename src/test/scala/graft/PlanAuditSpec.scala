@@ -35,6 +35,9 @@ class PlanAuditSpec extends SparkSpec {
     *   caller-bounded brute-force candidate broadcast.
     * - sim_pca_one_iter: Pca.powerIteration attaches the 1-row norm aggregate to
     *   the d-row iterate by broadcast crossJoin — scalar by construction.
+    * - curation_quantile_norm: the rank-grid build is a theta-join of two
+    *   BOUNDED tables (bins x distinct-bins, <= 100x100 rows) — the row-scale
+    *   pass joins the grid by EQUALITY afterwards.
     * - graph_hits / graph_hits_two_iter: the final L2 norms are 1-row broadcast
     *   aggregates attached on a constant key (folded to a trivially-true join
     *   condition); r8's raw-sum checkpointing moved them from inside the
@@ -45,7 +48,7 @@ class PlanAuditSpec extends SparkSpec {
     Set("ann_cosine_topk", "ep9_hybrid_retrieval", "ann_sq_topk", "sim_mmr_rerank",
       "sketch_hll_overlap", "sim_margin_bitext", "eval_annotator_agreement",
       "prof_expectations", "sim_mmr_two_step", "sim_pca_one_iter",
-      "graph_hits", "graph_hits_two_iter")
+      "graph_hits", "graph_hits_two_iter", "curation_quantile_norm")
 
   test("no query plans a cartesian; nested-loop joins only where a side is bounded") {
     val dir = "/root/testdata/sf0.001"
