@@ -244,6 +244,39 @@ object ScaleSmoke {
             col("sk"), col("doc_id"), window = 7)
           .count()
       }
+      // ---- r8 additions: the new curation/tagging/maintenance surfaces ----
+      time("quantile_normalize", n) {
+        // 16 sources; the row-scale pass is the per-source cume_dist window
+        val sc = docs.select(col("doc_id"), (col("doc_id") % 16).as("src"),
+          ((xxhash64(col("doc_id")) % 1000000L).cast("double") / 1000000.0 + 0.5)
+            .as("score"))
+        graft.textops.Curation.quantileNormalize(
+          sc, col("score"), Seq(col("src")), col("doc_id"), bins = 100).count()
+      }
+      time("dictionary_tag", n) {
+        // gazetteer of 64 aliases drawn from the corpus's own hex words (plus
+        // bigrams), so the broadcast join actually matches; slope = gram explode
+        import spark.implicits._
+        val al = (0 until 32).flatMap { i =>
+          val w = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"$i:0".getBytes).map("%02x".format(_)).mkString.substring(0, 4)
+          Seq((w, s"e$i"), (s"$w $w", s"b$i"))
+        }.toDF("alias", "entity")
+        graft.textops.DictionaryTag.tag(docs, "doc_id", col("text"), al).count()
+      }
+      time("dedup_lines_within_doc", n) {
+        val lined = docs.withColumn("text",
+          regexp_replace(col("text"), "((\\S+ ){7})", "$1\n"))
+        graft.textops.Curation.dedupLinesWithinDoc(lined, "doc_id", "text").count()
+      }
+      time("compaction_plan", n) {
+        val manifest = docs.select(concat(lit("f"), col("doc_id")).as("path"),
+          (col("doc_id") % 64).as("part"),
+          (xxhash64(col("doc_id")) % 4096L + 4096L).as("bytes"))
+        graft.sources.Compaction.planCompaction(
+          manifest, "part", "path", "bytes", smallBytes = 6000L, targetBytes = 50000L)
+          .count()
+      }
       docs.unpersist()
 
       // ---- graph suite (r8): the Σdeg² wedge joins are the riskiest new r7
