@@ -643,6 +643,15 @@ object TextQueries {
         .select(col("group_id"), col("pos"), round(col("val"), 6).as("val"))
         .orderBy("group_id", "pos")
     },
+    "sim_pca_subspace" -> { (s, dir) =>
+      // top-4 eigenbasis by RELATIONAL subspace iteration (C·V + Gram-Schmidt,
+      // all dim-bounded joins/aggregates, no driver eigensolve) at a fixed 6
+      // iterations — the closed-form, fully-oracled sibling of the rows-only
+      // Jacobi sim_pca_project (generated chain, the graph-kernel pattern)
+      Pca.subspaceIteration(emb(s, dir), "embedding", r = 4, iters = 6)
+        .select(col("i"), col("k"), (round(col("v"), 6) + lit(0.0)).as("v"))
+        .orderBy("i", "k")
+    },
     "sim_pca_project" -> { (s, dir) =>
       // distributed PCA: one mean+second-moment aggregation, driver Jacobi eigen,
       // projection as r codegen'd dot products (iterative eigensolve — rows-only;
@@ -1963,7 +1972,67 @@ object TextQueries {
       |FROM no JOIN nc USING (doc_id) LEFT JOIN sh ON sh.doc_id = no.doc_id
       |ORDER BY no.doc_id""".stripMargin
 
+  /** GENERATED relational subspace-iteration oracle: `iters` chained rounds of
+    * w = C·V then classical Gram-Schmidt over the r columns (ascending), from
+    * the indicator start — replaying [[graft.textops.Pca.subspaceIteration]]'s
+    * fixed-iteration loop over the corpus covariance. All tables are
+    * dim-bounded; only the emitted basis rounds.
+    */
+  private def pcaSubspaceChainSql(r: Int, iters: Int): String = {
+    def round(t: Int): String = {
+      val prev = if (t == 1) "v0" else s"v${t - 1}"
+      val cols = (0 until r).map { k =>
+        val base =
+          if (k == 0) s"u${t}_0 AS (SELECT i, w FROM w$t WHERE k = 0)"
+          else {
+            val dn = (0 until k).map(kk => s"SELECT i, k, vjk FROM vk${t}_$kk")
+              .mkString(" UNION ALL ")
+            s"""dn${t}_$k AS ($dn),
+               |dots${t}_$k AS (
+               |  SELECT d.k AS kp, SUM(d.vjk * wk.w) AS dot
+               |  FROM dn${t}_$k d JOIN (SELECT i, w FROM w$t WHERE k = $k) wk USING (i)
+               |  GROUP BY d.k),
+               |sub${t}_$k AS (
+               |  SELECT d.i, SUM(dots.dot * d.vjk) AS sub
+               |  FROM dn${t}_$k d JOIN dots${t}_$k dots ON dots.kp = d.k GROUP BY d.i),
+               |u${t}_$k AS (
+               |  SELECT wk.i, wk.w - COALESCE(s.sub, 0.0) AS w
+               |  FROM (SELECT i, w FROM w$t WHERE k = $k) wk
+               |  LEFT JOIN sub${t}_$k s USING (i))""".stripMargin
+          }
+        s"""$base,
+           |n${t}_$k AS (SELECT SQRT(SUM(w * w)) AS nrm FROM u${t}_$k),
+           |vk${t}_$k AS MATERIALIZED (
+           |  SELECT i, $k AS k, w / n${t}_$k.nrm AS vjk FROM u${t}_$k, n${t}_$k)""".stripMargin
+      }.mkString(",\n")
+      val uni = (0 until r).map(k => s"SELECT i, k, vjk FROM vk${t}_$k")
+        .mkString(" UNION ALL ")
+      s"""w$t AS MATERIALIZED (
+         |  SELECT c.i, v.k, SUM(c.cov * v.vjk) AS w
+         |  FROM c JOIN $prev v ON v.j = c.j GROUP BY c.i, v.k),
+         |$cols,
+         |v$t AS MATERIALIZED (SELECT i AS j, k, vjk FROM ($uni))""".stripMargin
+    }
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |x AS (SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS xi FROM e),
+       |m AS (SELECT i, AVG(xi) AS mu FROM x GROUP BY i),
+       |p AS (SELECT a.i AS i, b.i AS j, AVG(a.xi * b.xi) AS m2
+       |      FROM x a JOIN x b ON a.vec_id = b.vec_id GROUP BY a.i, b.i),
+       |c AS MATERIALIZED (SELECT p.i, p.j, p.m2 - mi.mu * mj.mu AS cov
+       |     FROM p JOIN m mi ON mi.i = p.i JOIN m mj ON mj.i = p.j),
+       |dims AS (SELECT DISTINCT i FROM c),
+       |v0 AS MATERIALIZED (
+       |  SELECT dims.i AS j, ks.k,
+       |    CASE WHEN dims.i = ks.k + 1 THEN 1.0 ELSE 0.0 END AS vjk
+       |  FROM dims CROSS JOIN (SELECT unnest(range(0, $r)) AS k) ks),
+       |${(1 to iters).map(round).mkString(",\n")}
+       |SELECT CAST(j - 1 AS INT) AS i, CAST(k AS INT) AS k,
+       |  ROUND(vjk, 6) + 0.0 AS v
+       |FROM v$iters ORDER BY i, k""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "sim_pca_subspace" -> pcaSubspaceChainSql(4, 6),
     "text_dictionary_tag" -> {
       val toks = toksSql("lower(text)")
       s"""WITH al(gram, entity) AS (VALUES

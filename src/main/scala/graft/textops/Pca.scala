@@ -132,6 +132,72 @@ object Pca {
     v.select(col("j").as("i"), col("vj").as("v"))
   }
 
+  /** `iters` SUBSPACE iterations toward the top-`r` eigenbasis of the population
+    * covariance: V_{t+1} = orthonormalize(C·V_t) with classical Gram-Schmidt over
+    * the r columns (ascending — column k deflates against the already-orthonormalized
+    * 0..k−1), from the deterministic indicator start V_0 = [e_0 … e_{r−1}]. The
+    * r-column generalization of [[powerIteration]], and the closed-form,
+    * oracle-checkable sibling of [[fit]]'s rows-only Jacobi fixpoint.
+    *
+    * Scale split: the covariance STAYS distributed — C is the d²-row [[covariance]]
+    * DataFrame (persisted once), and each C·V_t is one broadcast equi-join + hash
+    * aggregate against it, so nothing corpus- or d²-sized ever reaches the driver.
+    * The iterate V_t is d·r doubles (the same bounded-driver-boundary class as
+    * Lloyd centroids), so the sequential per-column Gram-Schmidt runs on the
+    * driver in fixed element order — one Spark job per iteration instead of ~4r
+    * jobs of per-column norm broadcasts (measured 182 s → ~2 s at sf0.1, d=64,
+    * r=4, iters=6; the all-relational form spent its time in job overhead and
+    * re-executed column chains, not data).
+    *
+    * @return (i, k, v) — dimension index, component index 0..r−1, entry
+    */
+  def subspaceIteration(
+      corpus: DataFrame,
+      vecCol: String,
+      r: Int,
+      iters: Int): DataFrame = {
+    require(r >= 1, s"r must be >= 1, got $r")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    import graft.util.Caching.CacheSyntax
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cov = covariance(corpus, vecCol)
+    val full = cov.unionByName(cov.filter(col("i") < col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("cov")))
+      .scopedPersist()
+    val d = full.agg(max(col("i"))).as[Int].head() + 1
+    require(r <= d, s"r=$r exceeds vector dimension $d")
+    // V: r columns × d entries — the bounded driver iterate
+    var v = Array.tabulate(r, d)((k, j) => if (j == k) 1.0 else 0.0)
+    (1 to iters).foreach { _ =>
+      val vDf = (for (k <- 0 until r; j <- 0 until d) yield (j, k, v(k)(j)))
+        .toDF("j", "k", "vjk")
+      // w = C·V: ONE distributed job — d·r result rows collected
+      val w = Array.ofDim[Double](r, d)
+      full.join(broadcast(vDf), "j")
+        .groupBy(col("i"), col("k")).agg(sum(col("cov") * col("vjk")).as("w"))
+        .as[(Int, Int, Double)].collect()
+        .foreach { case (i, k, x) => w(k)(i) = x }
+      // classical Gram-Schmidt, ascending, against this round's normalized columns
+      val next = Array.ofDim[Double](r, d)
+      (0 until r).foreach { k =>
+        val u = w(k).clone()
+        (0 until k).foreach { kp =>
+          var dot = 0.0
+          var j = 0
+          while (j < d) { dot += next(kp)(j) * w(k)(j); j += 1 }
+          j = 0
+          while (j < d) { u(j) -= dot * next(kp)(j); j += 1 }
+        }
+        val nrm = math.sqrt(u.map(x => x * x).sum)
+        next(k) = u.map(_ / nrm)
+      }
+      v = next
+    }
+    (for (k <- 0 until r; i <- 0 until d) yield (i, k, v(k)(i)))
+      .toDF("i", "k", "v")
+  }
+
   /** Project onto the fitted components: adds `pc_0..pc_{r-1}` columns, each one
     * codegen'd dot product minus a precomputed constant — no per-row centering.
     */

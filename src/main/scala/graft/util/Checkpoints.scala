@@ -12,14 +12,20 @@ final class CheckpointTracker(spark: org.apache.spark.sql.SparkSession) {
   private val sc = spark.sparkContext
   private var current: Set[Int] = Set.empty
 
-  /** Eagerly checkpoints `df`; frees the PREVIOUS checkpoint's blocks. */
+  /** Eagerly checkpoints `df`; frees the PREVIOUS checkpoint's blocks. The
+    * checkpointed plan's INHERITED size estimate is capped via
+    * [[org.apache.spark.sql.graftbridge.Bridge.capCheckpointStats]] — without the
+    * cap, join-product sizeInBytes estimates compound geometrically across rounds
+    * and BigInt stats arithmetic takes over the driver (minutes per round by
+    * round ~10 of a multi-join iteration).
+    */
   def rotate(df: DataFrame): DataFrame = {
     val before = sc.getPersistentRDDs.keySet.toSet
     val out = df.localCheckpoint() // eager: safe to free the previous round after this
     val created = sc.getPersistentRDDs.keySet.toSet -- before
     free(current)
     current = created
-    out
+    org.apache.spark.sql.graftbridge.Bridge.capCheckpointStats(out)
   }
 
   /** Frees the final checkpoint too — call once the consumer has materialized. */

@@ -16,6 +16,32 @@ object Bridge {
     ExpressionUtils.column(a.toAggregateExpression())
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** `Dataset.localCheckpoint` rebuilds the plan as a `LogicalRDD` that INHERITS
+    * the source plan's `Statistics` (so downstream broadcast decisions keep
+    * working). For an ITERATIVE operator that checkpoints every round, that
+    * inheritance compounds: each round's joins estimate sizeInBytes as the
+    * PRODUCT of child sizes, so the BigInt's bit-length grows geometrically
+    * (~3× per round for a 3-join round) and by round ~10 the driver spends
+    * minutes per round in BigInt multiplication inside
+    * `SizeInBytesOnlyStatsPlanVisitor`. When the inherited estimate is already
+    * astronomically past any real size (> 2^128 bytes), rebuild the LogicalRDD
+    * WITHOUT the inherited stats — it then reports the conf default
+    * (`spark.sql.defaultSizeInBytes`), a constant-width BigInt, and the next
+    * round's products stay bounded. Honest trade: the checkpointed side is no
+    * longer auto-broadcastable, which is correct for unbounded iterates (the
+    * operators explicitly `broadcast()` their small sides, and AQE re-plans
+    * from REAL sizes at shuffle time anyway).
+    */
+  def capCheckpointStats(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.execution.LogicalRDD
+    df.queryExecution.logical match {
+      case lr: LogicalRDD if lr.stats.sizeInBytes.bitLength > 128 =>
+        val cs = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        org.apache.spark.sql.classic.Dataset.ofRows(cs, lr.copy()(cs, None, None))
+      case _ => df
+    }
+  }
+
   /** Register a SQL function on a LIVE session (`sessionState` is `private[sql]`;
     * cluster deployments use `spark.sql.extensions=graft.GraftExtensions` instead,
     * which needs no bridge).

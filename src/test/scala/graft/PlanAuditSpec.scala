@@ -68,4 +68,29 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(failures.isEmpty, s"plan audit failures:\n${failures.mkString("\n")}")
   }
+
+  test("CheckpointTracker caps inherited size-estimate growth across self-join rounds") {
+    // localCheckpoint's LogicalRDD inherits the source plan's sizeInBytes; a
+    // self-joining iterate squares it every round, so the BigInt's bit-length
+    // doubles and Catalyst's stats visitor ends up burning minutes per round in
+    // BigInt multiplication (observed: 11.5M bits by round 12, ~1000 s/round).
+    // Bridge.capCheckpointStats resets past-2^128 estimates to the conf default.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = (1 to 100).toDF("j").withColumn("x", lit(1.0))
+    val tracker = new graft.util.CheckpointTracker(spark)
+    var v = base
+    var capped = false
+    (1 to 6).foreach { _ =>
+      val doubled = v.as("a").join(v.as("b"), "j")
+        .select(col("j"), (col("a.x") + col("b.x")).as("x"))
+      v = tracker.rotate(doubled)
+      val bits = v.queryExecution.optimizedPlan.stats.sizeInBytes.bitLength
+      if (bits <= 128) capped = true // reset to the constant-width conf default
+      assert(bits <= 300, s"checkpointed stats grew unbounded: $bits bits")
+    }
+    assert(capped, "cap never engaged — self-join rounds should cross 2^128")
+    assert(v.agg(sum("x")).as[Double].head() === 100 * math.pow(2, 6))
+    tracker.close() // free the final checkpoint only after the consumer materialized
+  }
 }

@@ -777,6 +777,41 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(got((1, 1)) - 2.5) < 1e-12)
   }
 
+  test("subspace iteration recovers a planted 2-D eigenbasis and matches Jacobi") {
+    import graft.textops.Pca
+    // 4-dim corpus spanned by two NON-axis orthonormal directions with
+    // well-separated variances: x = t·a + s·b, t ~ var 4, s ~ var 1/6,
+    // t ⊥ s over a full lcm(7,3) cycle — top-2 eigenvectors are ±a, ±b
+    val a = Array(0.5, 0.5, 0.5, 0.5)
+    val b = Array(0.5, -0.5, 0.5, -0.5)
+    val rows = (0 until 42).map { i =>
+      val t = (i % 7).toDouble - 3.0
+      val s = ((i % 3).toDouble - 1.0) * 0.5
+      Seq.tabulate(4)(j => t * a(j) + s * b(j))
+    }
+    val df = rows.toDF("v")
+    val got = Pca.subspaceIteration(df, "v", r = 2, iters = 25)
+      .as[(Int, Int, Double)].collect()
+    val cols = got.groupBy(_._2).map { case (k, xs) =>
+      k -> xs.sortBy(_._1).map(_._3)
+    }
+    // orthonormal columns
+    def dot(x: Array[Double], y: Array[Double]) =
+      x.zip(y).map { case (p, q) => p * q }.sum
+    assert(math.abs(dot(cols(0), cols(0)) - 1.0) < 1e-9)
+    assert(math.abs(dot(cols(1), cols(1)) - 1.0) < 1e-9)
+    assert(math.abs(dot(cols(0), cols(1))) < 1e-9)
+    // planted-axis recovery up to sign
+    assert(math.abs(dot(cols(0), a)) > 0.999, s"col0 !~ a: ${cols(0).mkString(",")}")
+    assert(math.abs(dot(cols(1), b)) > 0.999, s"col1 !~ b: ${cols(1).mkString(",")}")
+    // agrees with the driver Jacobi eigensolve (fit) up to sign, per component
+    val m = Pca.fit(df, "v", r = 2)
+    (0 until 2).foreach { k =>
+      assert(math.abs(dot(cols(k), m.components(k))) > 0.999,
+        s"component $k disagrees with Jacobi")
+    }
+  }
+
   test("multimodal metadata is deterministic and batch-extracted") {
     val d = docs.withColumn("payload", col("text").cast("binary")).limit(50)
     val out = Multimodal.extractMeta(d, "doc_id", "payload").collect()
