@@ -110,6 +110,63 @@ object Evaluation {
     * over that bounded table, so the corpus is touched exactly twice (once per
     * side), embarrassingly parallel.
     */
+  /** Two-sample Kolmogorov–Smirnov distance between EVERY pair of groups over a
+    * fixed equal-width bin grid — the max-deviation complement to [[psiDrift]]'s
+    * weighted-sum statistic (KS localizes WHERE two score distributions diverge
+    * and is insensitive to the clamp constant PSI needs for empty bins). For each
+    * group pair (a, b): `D = max over bin right-edges of |ECDF_a − ECDF_b|`, with
+    * `ks_at` the smallest right-edge attaining it. Exact KS needs a global sort;
+    * the grid form (resolution `(hi−lo)/bins`, a lower bound on exact D) is the
+    * scale path — ONE row-scale histogram aggregation, then every window/join
+    * runs on the bounded `groups × bins` table. Values clamp into the edge bins;
+    * nulls are dropped. ECDF arithmetic is integer-count ratios, so the statistic
+    * is bit-deterministic across engines and partitionings.
+    *
+    * @return (group_a, group_b, n_a, n_b, ks_d, ks_at), group_a < group_b
+    */
+  def ksDrift(
+      df: DataFrame,
+      value: Column,
+      group: Column,
+      bins: Int = 100,
+      lo: Double = 0.0,
+      hi: Double = 1.0): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    require(hi > lo, s"hi ($hi) must exceed lo ($lo)")
+    val width = (hi - lo) / bins
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hist = df.select(group.cast("string").as("g"), value.cast("double").as("s"))
+      .filter(col("g").isNotNull && col("s").isNotNull)
+      .groupBy(col("g"),
+        least(greatest(floor((col("s") - lit(lo)) / lit(width)), lit(0)), lit(bins - 1))
+          .cast("int").as("bin"))
+      .agg(count(lit(1)).as("n"))
+    // densify: a bin empty in one group still carries that group's running ECDF
+    val grid = hist.select("g").distinct()
+      .crossJoin(broadcast((0 until bins).toDF("bin")))
+    val wc = Window.partitionBy("g").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ecdf = grid.join(hist, Seq("g", "bin"), "left")
+      .na.fill(0L, Seq("n"))
+      .withColumn("cum", sum("n").over(wc))
+      .withColumn("tot", sum("n").over(Window.partitionBy("g")))
+      .withColumn("ecdf", col("cum") / col("tot"))
+    val a = ecdf.select(col("g").as("group_a"), col("bin"),
+      col("ecdf").as("fa"), col("tot").as("n_a"))
+    val b = ecdf.select(col("g").as("group_b"), col("bin"),
+      col("ecdf").as("fb"), col("tot").as("n_b"))
+    a.join(b, Seq("bin")).filter(col("group_a") < col("group_b"))
+      .withColumn("diff", abs(col("fa") - col("fb")))
+      .groupBy("group_a", "group_b", "n_a", "n_b")
+      // argmax bin via struct ordering: max diff, tie -> smallest bin (-bin max)
+      .agg(round(max(col("diff")), 6).as("ks_d"),
+        max(struct(col("diff"), (-col("bin")).as("nb"))).as("_am"))
+      .withColumn("ks_at",
+        round(lit(lo) + (-col("_am.nb") + 1) * lit(width), 6))
+      .select("group_a", "group_b", "n_a", "n_b", "ks_d", "ks_at")
+  }
+
   def psiDrift(
       base: DataFrame,
       current: DataFrame,

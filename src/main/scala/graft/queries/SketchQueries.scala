@@ -74,6 +74,16 @@ object SketchQueries {
     "prof_quantile_bins" -> { (s, dir) =>
       Sketches.quantileBins(docs(s, dir), "lang", "n_chars").orderBy("lang", "bin")
     },
+    // pairwise two-sample Kolmogorov–Smirnov over the event-value distributions
+    // of every event-type pair on a 100-bin grid — the max-deviation drift test
+    // next to PSI's weighted sum; ONE row-scale histogram agg, everything after
+    // is bounded, and the integer-ratio ECDFs make it bit-deterministic
+    "prof_ks_drift" -> { (s, dir) =>
+      graft.metrics.Evaluation.ksDrift(
+          s.read.parquet(s"$dir/events.parquet"),
+          col("value"), col("event_type"), bins = 100, lo = 0.0, hi = 500.0)
+        .orderBy("group_a", "group_b")
+    },
     // outlier-insensitive doc-length profile per language: median/MAD/p5/p95 and
     // the 5-95% winsorized mean (exact interior-sum closed form)
     "prof_robust_stats" -> { (s, dir) =>
@@ -346,7 +356,36 @@ object SketchQueries {
       |  ROUND(ABS(n / total - LN(1 + 1.0 / digit) / LN(10)), 6) AS abs_dev
       |FROM t ORDER BY digit""".stripMargin
 
+  private val ksDriftSql =
+    """WITH ev AS (SELECT event_type AS g, value AS s FROM events
+      |            WHERE event_type IS NOT NULL AND value IS NOT NULL),
+      |h AS (SELECT g, CAST(LEAST(GREATEST(FLOOR((s - 0.0) / 5.0), 0), 99) AS INT) AS bin,
+      |        COUNT(*) AS n
+      |      FROM ev GROUP BY 1, 2),
+      |grid AS (SELECT g, bin
+      |         FROM (SELECT DISTINCT g FROM h), (SELECT UNNEST(range(0, 100)) AS bin)),
+      |f AS (SELECT grid.g, grid.bin, COALESCE(h.n, 0) AS n
+      |      FROM grid LEFT JOIN h USING (g, bin)),
+      |ec AS (SELECT g, bin,
+      |        (SUM(n) OVER (PARTITION BY g ORDER BY bin) * 1.0) /
+      |          SUM(n) OVER (PARTITION BY g) AS ecdf,
+      |        SUM(n) OVER (PARTITION BY g) AS tot
+      |      FROM f),
+      |p AS (SELECT a.g AS group_a, b.g AS group_b, a.bin,
+      |        ABS(a.ecdf - b.ecdf) AS diff,
+      |        CAST(a.tot AS BIGINT) AS n_a, CAST(b.tot AS BIGINT) AS n_b
+      |      FROM ec a JOIN ec b ON a.bin = b.bin AND a.g < b.g),
+      |m AS (SELECT group_a, group_b, n_a, n_b, MAX(diff) AS mx
+      |      FROM p GROUP BY 1, 2, 3, 4)
+      |SELECT m.group_a, m.group_b, m.n_a, m.n_b, ROUND(m.mx, 6) AS ks_d,
+      |  ROUND(0.0 + 5.0 * (MIN(p.bin) + 1), 6) AS ks_at
+      |FROM m JOIN p ON p.group_a = m.group_a AND p.group_b = m.group_b
+      |  AND p.diff = m.mx
+      |GROUP BY 1, 2, 3, 4, m.mx
+      |ORDER BY 1, 2""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "prof_ks_drift" -> ksDriftSql,
     "prof_benford" -> benfordSql,
     "prof_expectations" -> expectationsSql,
     "prof_robust_stats" -> robustStatsSql,

@@ -247,6 +247,23 @@ object TextQueries {
       docs(s, dir).select(col("doc_id"), TextOps.langId(col("text")).as("pred_lang"))
         .orderBy("doc_id")
     },
+    "text_html_strip" -> { (s, dir) =>
+      // HTML -> text extraction on a deterministically planted markup wrapper
+      // (script/style blocks with content, block-tag newlines, entities incl.
+      // the &amp;amp; double-escape, whitespace normalization) — the crawl
+      // extraction step upstream of every quality filter; row-local regex
+      // chain, RE2-replayable
+      val html = concat(
+        lit("""<html><head><style type="text/css">p { color: red; }</style></head><body><h1>"""),
+        col("source"),
+        lit("""</h1><p>x &amp;amp; y &lt;tag&gt; &quot;q&quot; z&nbsp;w</p><div>"""),
+        substring(col("text"), 1, 120),
+        lit("""</div><script>if (x < 2 && y > 1) { alert("hi"); }</script></body></html>"""))
+      docs(s, dir)
+        .select(col("doc_id"), TextOps.stripHtml(html).as("text_out"))
+        .withColumn("n_chars_out", length(col("text_out")))
+        .orderBy("doc_id")
+    },
     "text_dictionary_tag" -> { (s, dir) =>
       // gazetteer entity tagging: lowercase token n-grams (1..3 words) against a
       // broadcast alias table, longest-match-wins per start position — the
@@ -696,6 +713,19 @@ object TextQueries {
         .select(col("vec_id"), col("centroid_id"),
           round(element_at(col("_cos"), col("centroid_id") + 1), 6).as("cosine"))
         .orderBy("vec_id")
+    },
+    "sim_silhouette" -> { (s, dir) =>
+      // cluster-quality check for the kmeans/SemDeDup cell structure: simplified
+      // silhouette (vs centroids, the O(N·k) scale form) over the SAME fixed
+      // deterministic centroids as sim_kmeans_assign — one corpus pass, one
+      // k-row aggregate
+      import s.implicits._
+      val e = emb(s, dir)
+      val cents = e.filter(col("vec_id") < 8).orderBy("vec_id")
+        .select(graft.functions.array_normalize(col("embedding").cast("array<double>")))
+        .as[Array[Double]].collect()
+      graft.textops.Similarity.silhouette(e, "vec_id", "embedding", cents)
+        .orderBy("centroid_id")
     },
     "ann_lsh_topk" -> { (s, dir) =>
       // full oracle (new r6): the hyperplanes are seed-deterministic, so the DuckDB
@@ -2165,6 +2195,35 @@ object TextQueries {
          |  COUNT(DISTINCT url) AS n_unique_urls
          |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
     },
+    "text_html_strip" -> {
+      // replay TextOps.stripHtml's regex chain verbatim (RE2 both sides; the
+      // 'g' flag is DuckDB's global-replace, which Spark does implicitly)
+      val steps = Seq(
+        ("""(?is)<script[^>]*>.*?</script>""", "''"),
+        ("""(?is)<style[^>]*>.*?</style>""", "''"),
+        ("""(?i)<(br|/p|/div|/li|/h[1-6]|/tr)[^>]*>""", "chr(10)"),
+        ("""<[^>]*>""", "''"),
+        ("""&lt;""", "'<'"), ("""&gt;""", "'>'"), ("""&quot;""", "'\"'"),
+        ("""&#39;""", "''''"), ("""&nbsp;""", "' '"), ("""&amp;""", "'&'"),
+        ("""[ \t]+""", "' '"),
+        (""" ?\n ?""", "chr(10)"),
+        ("""\n+""", "chr(10)"),
+        ("""^\n+|\n+$""", "''"))
+      val chain = steps.foldLeft("html") { case (acc, (pat, rep)) =>
+        s"regexp_replace($acc, '$pat', $rep, 'g')"
+      }
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    '<html><head><style type="text/css">p { color: red; }</style></head><body><h1>'
+         |    || source ||
+         |    '</h1><p>x &amp;amp; y &lt;tag&gt; &quot;q&quot; z&nbsp;w</p><div>'
+         |    || substr(text, 1, 120) ||
+         |    '</div><script>if (x < 2 && y > 1) { alert("hi"); }</script></body></html>'
+         |    AS html
+         |  FROM documents)
+         |SELECT doc_id, trim($chain) AS text_out, length(trim($chain)) AS n_chars_out
+         |FROM d ORDER BY doc_id""".stripMargin
+    },
     "text_fingerprint" ->
       s"""SELECT doc_id,
          |  md5(array_to_string(list_sort(list_distinct(${toksSql("text")})), ' ')) AS fp
@@ -2509,6 +2568,23 @@ object TextQueries {
         |      FROM d)
         |SELECT vec_id, CAST(cid AS INT) AS centroid_id, ROUND(cos, 6) AS cosine
         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    "sim_silhouette" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS raw FROM embeddings),
+        |n AS (SELECT vec_id,
+        |        list_transform(raw, x -> x / sqrt(list_inner_product(raw, raw))) AS v
+        |      FROM e),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM n WHERE vec_id < 8),
+        |d AS (SELECT n.vec_id, c.cid, list_inner_product(n.v, c.cv) AS cos FROM n, c),
+        |r AS (SELECT vec_id, cid, cos,
+        |        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+        |      FROM d),
+        |s AS (SELECT r1.vec_id, r1.cid,
+        |        1.0 - r1.cos AS a, 1.0 - r2.cos AS b
+        |      FROM r r1 JOIN r r2 ON r1.vec_id = r2.vec_id AND r1.rn = 1 AND r2.rn = 2)
+        |SELECT CAST(cid AS INT) AS centroid_id, COUNT(*) AS n,
+        |  ROUND(AVG(CASE WHEN GREATEST(a, b) = 0 THEN 0.0
+        |                 ELSE (b - a) / GREATEST(a, b) END), 6) + 0.0 AS mean_silhouette
+        |FROM s GROUP BY cid ORDER BY centroid_id""".stripMargin,
     "sim_margin_bitext" ->
       // ratio margin replayed end-to-end: per-pair cosine ROUNDED to 6 before
       // ranking/summing (mirrors bruteForceTopK), denominators = sum of each

@@ -440,4 +440,50 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "doc_id", "bm25", "n_terms")
   }
+
+  /** Simplified silhouette over cosine distance for a fixed-centroid assignment —
+    * the standard cluster-quality check for the SemDeDup/IVF cell structure this
+    * module builds (how tight is each cell, and is a point closer to a foreign
+    * centroid than its own?). Per point: a = 1 − cos(v, assigned centroid),
+    * b = 1 − max cosine over the OTHER centroids, s = (b − a) / max(a, b)
+    * (0 when both distances are 0, the duplicate-of-centroid edge). The
+    * "simplified" variant scores against centroids, not all points — O(N·k)
+    * instead of the O(N²) pairwise silhouette, the only form that scales.
+    *
+    * One corpus pass: the k cosines are codegen'd sequential-fold dots against
+    * literal centroid vectors (bit-reproducible across engines), the assignment
+    * is the same argmax (cos DESC, index ASC) as [[graft.functions.nearest_centroid]],
+    * and the result is one k-row hash aggregate — no joins, no shuffle beyond it.
+    *
+    * @param centroids unit-normalized, the bounded k×dim driver convention
+    * @return (centroid_id, n, mean_silhouette) — one row per non-empty cell
+    */
+  def silhouette(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame = {
+    require(centroids.length >= 2, s"silhouette needs >= 2 centroids, got ${centroids.length}")
+    val v = normalized(col(vecCol).cast("array<double>"))
+    // sequential-fold dot (NOT array_dot): identical accumulation order to the
+    // oracle's list_inner_product, so a/b are bit-exact on both sides
+    def cosTo(c: Array[Double]): Column = aggregate(
+      zip_with(v, typedLit(c.toSeq), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val scored = corpus.select(col(idCol),
+        graft.functions.nearest_centroid(v, centroids).as("centroid_id"),
+        array(centroids.map(cosTo).toIndexedSeq: _*).as("_cos"))
+      .withColumn("_best", element_at(col("_cos"), col("centroid_id") + 1))
+      // max over the others = 2nd element of the descending sort: any duplicate
+      // of the best value lands there too, which is exactly max-over-others
+      .withColumn("_other", element_at(sort_array(col("_cos"), asc = false), 2))
+      .withColumn("_a", lit(1.0) - col("_best"))
+      .withColumn("_b", lit(1.0) - col("_other"))
+      .withColumn("_sil",
+        when(greatest(col("_a"), col("_b")) === 0.0, lit(0.0))
+          .otherwise((col("_b") - col("_a")) / greatest(col("_a"), col("_b"))))
+    scored.groupBy("centroid_id")
+      // + 0.0 folds a rounded -0.0 (tiny negative mean) to 0.0, engine-portably
+      .agg(count(lit(1)).as("n"),
+        (round(avg("_sil"), 6) + lit(0.0)).as("mean_silhouette"))
+  }
 }

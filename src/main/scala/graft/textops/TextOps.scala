@@ -199,6 +199,31 @@ object TextOps {
     regexp_replace(regexp_replace(lowered, "[.,;:!?]+$", ""), "/$", "")
   }
 
+  /** HTML → text extraction (the "wet extraction" step upstream of every quality
+    * filter when the corpus arrives as crawled markup): drop script/style blocks
+    * with their CONTENT, turn block-level boundaries (`<br>`, `</p>`, `</div>`,
+    * `</li>`, `</h1..6>`, `</tr>`) into newlines, strip every remaining tag,
+    * decode the six ubiquitous entities (`&lt; &gt; &quot; &#39; &nbsp;` first,
+    * `&amp;` LAST so `&amp;lt;` decodes to the literal `&lt;`, not `<`), then
+    * normalize whitespace (collapse runs, trim around newlines, single newlines).
+    * Pure RE2-safe regex chain — no backrefs, no lookaround — so a SQL oracle
+    * replays it verbatim (same constraint as [[canonicalizeUrl]]). Row-local and
+    * codegen'd: no shuffle, no UDF.
+    */
+  def stripHtml(c: Column): Column = {
+    val noScript = regexp_replace(c, "(?is)<script[^>]*>.*?</script>", "")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", "")
+    val blocks = regexp_replace(noStyle, "(?i)<(br|/p|/div|/li|/h[1-6]|/tr)[^>]*>", "\n")
+    val noTags = regexp_replace(blocks, "<[^>]*>", "")
+    val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (acc, (pat, rep)) => regexp_replace(acc, pat, rep) }
+    val oneSpace = regexp_replace(ent, "[ \\t]+", " ")
+    val tightNl = regexp_replace(oneSpace, " ?\\n ?", "\n")
+    val oneNl = regexp_replace(tightNl, "\\n+", "\n")
+    trim(regexp_replace(oneNl, "^\\n+|\\n+$", ""))
+  }
+
   /** Registrable host of a (canonicalized) URL — the domain-histogram group key. */
   def urlHost(u: Column): Column = regexp_extract(u, "^https?://([^/?#]*)", 1)
 

@@ -261,4 +261,35 @@ class EvaluationSpec extends SparkSpec {
     assert(FellegiSunter.mutualBestPairs(scored, 0.5).count() === 0)
     assert(FellegiSunter.mutualBestPairs(scored, 0.2).count() === 1)
   }
+
+  // ---- ksDrift ---------------------------------------------------------------
+
+  test("ksDrift: hand-computed binned KS, argmax edge, identical-dist zero") {
+    import spark.implicits._
+    // A = {0.15, 0.35}, B = {0.15, 0.95} on a 10-bin [0,1) grid:
+    // ECDF_A hits 1.0 from bin 3; ECDF_B stays 0.5 until bin 9 → D = 0.5,
+    // first attained at bin 3 (right edge 0.4)
+    val df = Seq(("a", 0.15), ("a", 0.35), ("b", 0.15), ("b", 0.95))
+      .toDF("g", "v")
+    val r = graft.metrics.Evaluation.ksDrift(df, col("v"), col("g"), bins = 10)
+      .as[(String, String, Long, Long, Double, Double)].collect()
+    assert(r.toSeq === Seq(("a", "b", 2L, 2L, 0.5, 0.4)))
+    // identical distributions → D = 0 (argmax edge = first bin)
+    val same = graft.metrics.Evaluation.ksDrift(
+        df.filter(col("g") === "a").unionByName(
+          df.filter(col("g") === "a").withColumn("g", lit("c"))),
+        col("v"), col("g"), bins = 10)
+      .as[(String, String, Long, Long, Double, Double)].head()
+    assert(same === (("a", "c", 2L, 2L, 0.0, 0.1)))
+    // disjoint supports → D = 1
+    val far = Seq(("x", 0.05), ("y", 0.95)).toDF("g", "v")
+    val fr = graft.metrics.Evaluation.ksDrift(far, col("v"), col("g"), bins = 10)
+      .as[(String, String, Long, Long, Double, Double)].head()
+    assert(fr._5 === 1.0 && fr._6 === 0.1)
+    // out-of-range values clamp into the edge bins instead of disappearing
+    val clamped = Seq(("p", -5.0), ("q", 99.0)).toDF("g", "v")
+    val cr = graft.metrics.Evaluation.ksDrift(clamped, col("v"), col("g"), bins = 10)
+      .as[(String, String, Long, Long, Double, Double)].head()
+    assert(cr._3 === 1L && cr._4 === 1L && cr._5 === 1.0)
+  }
 }

@@ -48,7 +48,10 @@ class PlanAuditSpec extends SparkSpec {
     Set("ann_cosine_topk", "ep9_hybrid_retrieval", "ann_sq_topk", "sim_mmr_rerank",
       "sketch_hll_overlap", "sim_margin_bitext", "eval_annotator_agreement",
       "prof_expectations", "sim_mmr_two_step", "sim_pca_one_iter",
-      "graph_hits", "graph_hits_two_iter", "curation_quantile_norm")
+      "graph_hits", "graph_hits_two_iter", "curation_quantile_norm",
+      // ks_drift's grid densify: distinct-groups × bins broadcast cross join,
+      // both sides bounded (≤ groups·bins rows) by construction
+      "prof_ks_drift")
 
   test("no query plans a cartesian; nested-loop joins only where a side is bounded") {
     val dir = "/root/testdata/sf0.001"

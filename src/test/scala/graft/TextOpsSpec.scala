@@ -812,6 +812,37 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("silhouette: hand-computed simplified silhouette per cell") {
+    import graft.textops.Similarity
+    // centroids e1, e2; point (1,0) sits ON c0 (a=0, b=1 → s=1);
+    // (0.6, 0.8) assigns to c1 with a=0.2, b=0.4 → s=0.5
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val df = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.6, 0.8)))
+      .toDF("id", "v")
+    val got = Similarity.silhouette(df, "id", "v", cents)
+      .as[(Int, Long, Double)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq((0, 1L, 1.0), (1, 1L, 0.5)))
+    // two points EQUIDISTANT-ish: a point on the bisector has a = b → s = 0
+    val mid = Seq((3L, Seq(1.0, 1.0))).toDF("id", "v")
+    val m = Similarity.silhouette(mid, "id", "v", cents)
+      .as[(Int, Long, Double)].head()
+    assert(m._3 === 0.0)
+  }
+
+  test("stripHtml: script/style content, block newlines, entity order, whitespace") {
+    import graft.textops.TextOps
+    val rows = Seq(
+      """<html><head><style>p{x}</style></head><body><h1>Title</h1>""" +
+        """<p>a  &amp;amp; b &lt;i&gt; c&nbsp;d</p><div>tail</div>""" +
+        """<script>if (x < 2 && y > 1) { alert("z"); }</script></body></html>""")
+      .toDF("h")
+    val out = rows.select(TextOps.stripHtml(col("h")).as("t"))
+      .as[String].head()
+    // style+script content gone; </h1>,</p>,</div> → newlines; &amp;amp; decodes
+    // to the literal "&amp;" (amp LAST), &lt;i&gt; to literal "<i>" (post-strip)
+    assert(out === "Title\na &amp; b <i> c d\ntail")
+  }
+
   test("multimodal metadata is deterministic and batch-extracted") {
     val d = docs.withColumn("payload", col("text").cast("binary")).limit(50)
     val out = Multimodal.extractMeta(d, "doc_id", "payload").collect()
