@@ -16,9 +16,9 @@ import org.apache.spark.sql.functions._
   * original.
   *
   * Scale design: one iteration = one edge⋈label equi-join + a (node, label) count
-  * aggregation + the per-node argmax as TWO primitive hash aggregations (max count
-  * per node, then min label at that count — both map-side combined, no sort
-  * window; the [[graft.score.FellegiSunter.mutualBestPairs]] reduction). The label
+  * aggregation + the per-node argmax as ONE lexicographic struct-MIN hash
+  * aggregation `min(struct(-n, label))` — map-side combined, no sort window, no
+  * join-back (the [[graft.score.FellegiSunter.mutualBestPairs]] reduction). The label
   * vector is MATERIALIZED every iteration (rotating localCheckpoint) because the
   * next iteration reads it from two branches — the PageRank r7 lesson: an
   * un-materialized iterative chain re-evaluates prior iterations exponentially.
@@ -44,9 +44,10 @@ object LabelPropagation {
         .join(labels.select(col("node").as("dst"), col("label")), Seq("dst"))
         .groupBy(col("src").as("node"), col("label"))
         .agg(count(lit(1)).as("n"))
-      val bestN = neighborLabels.groupBy("node").agg(max("n").as("n"))
-      val newLabel = neighborLabels.join(bestN, Seq("node", "n"))
-        .groupBy("node").agg(min("label").as("label"))
+      val newLabel = neighborLabels
+        .groupBy("node")
+        .agg(min(struct((-col("n")).as("negN"), col("label"))).as("best"))
+        .select(col("node"), col("best.label").as("label"))
       labels = tracker.rotate(newLabel)
     }
     labels
