@@ -24,10 +24,47 @@ object Bench {
   private def loadAvg(): Double =
     java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
 
+  /** Committed per-query seconds from a prior record (for outlier re-timing).
+    * The record is the one-line JSON this main writes; query names are plain
+    * `[a-z0-9_]+` identifiers, so a regex scan of the "queries" object is exact.
+    */
+  private def priorTimings(path: String): Map[String, Double] =
+    try {
+      val text = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+      val qobj = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(text).map(_.group(1))
+      qobj.map { body =>
+        """"([A-Za-z0-9_]+)":([0-9][0-9.eE+-]*)""".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }.getOrElse(Map.empty)
+    } catch { case _: Throwable => Map.empty }
+
+  /** Load gate (r8 verdict #1): a canonical record produced at load 6/32 read 2×
+    * slower than the same code at load 1.3 — and three sort/exchange-heavy queries
+    * amplified the background load 11–18×. Rather than silently benchmarking a
+    * busy machine, wait (bounded) for the 1-min load to drop below the gate; if it
+    * never does, proceed but stamp `"contaminated": true` into the record so the
+    * number can never be mistaken for a quiet-machine measurement.
+    */
+  private def awaitQuietMachine(gate: Double, maxWaitMs: Long): Boolean = {
+    val deadline = System.currentTimeMillis() + maxWaitMs
+    var load = loadAvg()
+    while (load > gate && System.currentTimeMillis() < deadline) {
+      System.err.println(f"[bench] load $load%.2f > gate $gate%.1f — waiting for quiet machine")
+      Thread.sleep(15000)
+      load = loadAvg()
+    }
+    load <= gate
+  }
+
   def main(args: Array[String]): Unit = {
+    val loadGate = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "2.0").toDouble
+    val quiet = awaitQuietMachine(loadGate, maxWaitMs = 120000L)
     val startedAtMs = System.currentTimeMillis()
     val loadAtStart = loadAvg()
     val jvmsAtStart = otherJvms()
+    if (!quiet)
+      System.err.println(f"[bench] WARNING: starting CONTAMINATED at load $loadAtStart%.2f " +
+        f"(gate $loadGate%.1f) — record will be tagged contaminated")
     if (jvmsAtStart > 0)
       System.err.println(s"[bench] WARNING: $jvmsAtStart other JVM(s) running — " +
         s"timings will not be quiet-machine comparable (loadavg $loadAtStart)")
@@ -58,7 +95,9 @@ object Bench {
     val selected = SparkEntry.queries
       .filter { case (name, _) => filter.forall(_.findFirstIn(name).isDefined) }
       .toSeq.sortBy(_._1)
-    val results = selected.map { case (name, fn) =>
+    val prior = priorTimings(sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR", "BENCH_FULL.json"))
+    def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Option[String]) = {
       val t0 = System.nanoTime()
       // withCached frees the operator-internal persists right after the count —
       // the release is part of the timed work, as it would be in a real pipeline
@@ -80,6 +119,23 @@ object Bench {
       // suite, so unreferenced shuffle/broadcast state accumulates and later queries
       // degrade several-fold. Force a collection between queries to let it drain.
       System.gc()
+      (sec, err)
+    }
+    var retimed = 0
+    val results = selected.map { case (name, fn) =>
+      var (sec, err) = timeOne(fn)
+      // outlier re-timing (r8 verdict #1b): a transient load spike can blow one
+      // query up 10–18× without any code change. If this run exceeded 2× the
+      // committed record (and isn't trivially small), measure once more and keep
+      // the better of the two — a legitimate regression reproduces, a spike doesn't.
+      val base = prior.get(name)
+      if (err.isEmpty && base.exists(b => sec > 2 * b && sec > 2.0)) {
+        System.err.println(
+          f"[bench] $name%-28s $sec%8.2f s > 2x committed ${base.get}%.2f s — re-timing once")
+        val (sec2, err2) = timeOne(fn)
+        retimed += 1
+        if (err2.isEmpty && sec2 < sec) sec = sec2
+      }
       err match {
         case None    => System.err.println(f"[bench] $name%-28s $sec%8.2f s")
         case Some(m) => System.err.println(f"[bench] $name%-28s FAILED after $sec%.2f s: $m")
@@ -104,6 +160,7 @@ object Bench {
         s""""ended":${jstr(iso.format(java.time.Instant.ofEpochMilli(endMs)))},""" +
         s""""load_at_start":$loadAtStart,"load_at_end":${loadAvg()},""" +
         s""""other_jvms_at_start":$jvmsAtStart,"other_jvms_at_end":${otherJvms()},""" +
+        s""""contaminated":${!quiet},"load_gate":$loadGate,"retimed":$retimed,""" +
         s""""cpus":${jstr(cpus)}}"""
     }
     val line =
