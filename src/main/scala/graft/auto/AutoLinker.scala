@@ -83,7 +83,9 @@ object AutoLinker {
       ruleCombinationSize: Int = 1,
       maxOrSize: Int = 2,
       trueLabelCol: Option[String] = None,
-      searchStrategy: String = "tpe"): Result = {
+      searchStrategy: String = "tpe",
+      candidateRuleOverride: Option[Seq[String]] = None,
+      uDeterministicOrder: Boolean = false): Result = {
 
     val rnd = new Random(seed)
     val withId = Cleaning.withUniqueId(data, uidCol)
@@ -96,13 +98,14 @@ object AutoLinker {
     val cleaned = Cleaning.cleanColumns(stringified, attrs, cleaningMode).cache()
     val n = cleaned.count()
 
-    val ruleChoices = candidateRules(cleaned, n, attrs, ruleCombinationSize, maxOrSize,
-      comparisonSizeLimit, seed)
+    val ruleChoices = candidateRuleOverride.getOrElse(
+      candidateRules(cleaned, n, attrs, ruleCombinationSize, maxOrSize,
+        comparisonSizeLimit, seed))
     val adjustedBase = EntropyMetrics.maxDistinct(cleaned, attrs).toInt
 
     runSearch(cleaned, None, cleaned, uidCol, attrs, ruleChoices, adjustedBase,
       maxEvals, rnd, searchStrategy, clusterThreshold,
-      uTargetPairs = math.min(n * 4, 100000L), trueLabelCol)
+      uTargetPairs = math.min(n * 4, 100000L), trueLabelCol, uDeterministicOrder)
   }
 
   /** Link-mode end-to-end: recover the left↔right column correspondence (Y10), align
@@ -124,7 +127,9 @@ object AutoLinker {
       ruleCombinationSize: Int = 1,
       maxOrSize: Int = 2,
       trueLabelCol: Option[String] = None,
-      searchStrategy: String = "tpe"): Result = {
+      searchStrategy: String = "tpe",
+      candidateRuleOverride: Option[Seq[String]] = None,
+      uDeterministicOrder: Boolean = false): Result = {
 
     val rnd = new Random(seed)
     val lAttrs = leftAttributes.getOrElse(
@@ -149,13 +154,14 @@ object AutoLinker {
     val union = cleanedL.unionByName(cleanedR).cache()
     val n = union.count()
 
-    val ruleChoices = candidateRules(union, n, attrs, ruleCombinationSize, maxOrSize,
-      comparisonSizeLimit, seed)
+    val ruleChoices = candidateRuleOverride.getOrElse(
+      candidateRules(union, n, attrs, ruleCombinationSize, maxOrSize,
+        comparisonSizeLimit, seed))
     val adjustedBase = EntropyMetrics.maxDistinct(union, attrs).toInt
 
     runSearch(cleanedL, Some(cleanedR), union, uidCol, attrs, ruleChoices, adjustedBase,
       maxEvals, rnd, searchStrategy, clusterThreshold,
-      uTargetPairs = math.min(n * 4, 100000L), trueLabelCol)
+      uTargetPairs = math.min(n * 4, 100000L), trueLabelCol, uDeterministicOrder)
   }
 
   /** Y3 — candidate blocking rules from a ≤10k sample, filtered by estimated cost. */
@@ -235,6 +241,42 @@ object AutoLinker {
     }
   }
 
+  /** One full trial draw: comparison specs + blocking rule ([[drawParams]]) plus the
+    * Y6 training-rule draw (3 random columns, paired). Factored out so the search
+    * loop and [[warmupDraws]] consume the SEEDED RNG in exactly the same order.
+    */
+  private def drawTrial(
+      rnd: Random,
+      attrs: Seq[String],
+      ruleChoices: Seq[String],
+      past: Seq[Trial],
+      strategy: String): (Seq[ComparisonSpec], String, Seq[String]) = {
+    val (specs, rule) = drawParams(rnd, attrs, ruleChoices, past, strategy)
+    val tcols = rnd.shuffle(attrs.toList).take(3)
+    val trainingRules =
+      if (tcols.size < 2) Seq(attrs.map(c => s"l.$c = r.$c").mkString(" AND "))
+      else tcols.combinations(2).map(p => s"${p(0)}&${p(1)}").toSeq
+    (specs, rule, trainingRules)
+  }
+
+  /** Replay the first `nTrials` trial draws of a search with this `seed` WITHOUT any
+    * data: during the warmup (the first 3 trials) every strategy draws uniformly, so
+    * the (specs, blocking rule, training rules) sequence depends only on the seed,
+    * the attribute order, and the candidate-rule list — which makes a ≤3-trial
+    * search loop fully renderable as a SQL oracle (the generator embeds the drawn
+    * constants; every DATA-dependent quantity — u estimates, EM chains, weights,
+    * clusters, metrics — is recomputed by the SQL itself).
+    */
+  def warmupDraws(
+      seed: Long,
+      attrs: Seq[String],
+      ruleChoices: Seq[String],
+      nTrials: Int): Seq[(Seq[ComparisonSpec], String, Seq[String])] = {
+    require(nTrials <= 3, s"warmup covers the first 3 trials only, got $nTrials")
+    val rnd = new Random(seed)
+    (1 to nTrials).map(_ => drawTrial(rnd, attrs, ruleChoices, Seq.empty, "tpe"))
+  }
+
   /** The trial loop shared by dedupe and link mode: draw params → train → predict →
     * cluster → unsupervised metric (+ supervised metrics when a label is given).
     */
@@ -251,7 +293,8 @@ object AutoLinker {
       strategy: String,
       clusterThreshold: Double,
       uTargetPairs: Long,
-      trueLabelCol: Option[String]): Result = {
+      trueLabelCol: Option[String],
+      uDeterministicOrder: Boolean = false): Result = {
 
     var best: Option[(Trial, DataFrame, DataFrame)] = None
     val past = scala.collection.mutable.ArrayBuffer[Trial]()
@@ -267,15 +310,12 @@ object AutoLinker {
     }
     val tracker = new graft.util.CheckpointTracker(trainDf.sparkSession)
     val uPairs = Estimation.uSamplePairs(uSource, uidCol, attrs, uTargetPairs,
-      hashShuffle = true, seed = 42L, tracker)
+      hashShuffle = !uDeterministicOrder, seed = 42L, tracker)
     try {
     (1 to maxEvals).foreach { _ =>
-      val (specs, rule) = drawParams(rnd, attrs, ruleChoices, past.toSeq, strategy)
-      // Y6 — training rules from 3 random columns, paired
-      val tcols = rnd.shuffle(attrs.toList).take(3)
-      val trainingRules =
-        if (tcols.size < 2) Seq(attrs.map(c => s"l.$c = r.$c").mkString(" AND "))
-        else tcols.combinations(2).map(p => s"${p(0)}&${p(1)}").toSeq
+      // one draw = comparison specs + blocking rule + Y6 training rules
+      val (specs, rule, trainingRules) =
+        drawTrial(rnd, attrs, ruleChoices, past.toSeq, strategy)
 
       val model = Estimation.train(trainDf, uidCol, specs, Seq(rule), trainingRules,
         uTargetPairs = uTargetPairs, linkRight = linkRight, uPairs = Some(uPairs))

@@ -41,6 +41,8 @@ object PipelineQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ep1_e2e_dedupe" -> (e2eDedupe _),
+    // the trained search loop with a FULL generated oracle (see AutoLinkOracle)
+    "ep1_auto_link_two_trials" -> (AutoLinkOracle.twoTrialsQuery _),
     "ep1_auto_link" -> { (s, dir) =>
       import s.implicits._
       val df = s.read.parquet(s"$dir/customer.parquet")
@@ -76,5 +78,6 @@ object PipelineQueries {
         .toDF("blocking_rule", "metric", "lambda", "comparison_metrics")
     })
 
-  val oracleSql: Map[String, String] = Map.empty
+  val oracleSql: Map[String, String] = Map(
+    "ep1_auto_link_two_trials" -> AutoLinkOracle.twoTrialsSql)
 }
