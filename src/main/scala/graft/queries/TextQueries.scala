@@ -670,15 +670,21 @@ object TextQueries {
         .orderBy("i", "k")
     },
     "sim_pca_project" -> { (s, dir) =>
-      // distributed PCA: one mean+second-moment aggregation, driver Jacobi eigen,
-      // projection as r codegen'd dot products (iterative eigensolve — rows-only;
-      // hand-computed eigensystem + planted-axis recovery pinned in ScalaTest)
+      // distributed PCA + projection — FULL oracle (new r9): the eigenbasis comes
+      // from CONVERGED subspace iteration (tol-frozen driver loop over the
+      // distributed covariance, the j5_em_train freeze-chain pattern) instead of
+      // the driver Jacobi, so the whole fit→project path replays in SQL; tol
+      // 0.01 / cap 40 — the synthetic corpus' top-4 eigengap is tiny, so full
+      // double-precision convergence would need hundreds of rounds for identical
+      // rounded output (both engines replay the same frozen chain either way).
+      // Jacobi fit() remains the library default, pinned by ScalaTest.
       val e = emb(s, dir)
-      val model = Pca.fit(e, "embedding", r = 4)
+      val model = Pca.fitSubspace(e, "embedding", r = 4, tol = 0.01, maxIter = 40)
       Pca.project(e, "embedding", model)
-        .select(col("vec_id"), round(col("pc_0"), 6).as("pc_0"),
-          round(col("pc_1"), 6).as("pc_1"), round(col("pc_2"), 6).as("pc_2"),
-          round(col("pc_3"), 6).as("pc_3"))
+        .select(col("vec_id"), (round(col("pc_0"), 6) + lit(0.0)).as("pc_0"),
+          (round(col("pc_1"), 6) + lit(0.0)).as("pc_1"),
+          (round(col("pc_2"), 6) + lit(0.0)).as("pc_2"),
+          (round(col("pc_3"), 6) + lit(0.0)).as("pc_3"))
         .orderBy("vec_id")
     },
     "sim_covariance" -> { (s, dir) =>
@@ -2008,6 +2014,87 @@ object TextQueries {
     * fixed-iteration loop over the corpus covariance. All tables are
     * dim-bounded; only the emitted basis rounds.
     */
+  /** CONVERGED subspace-iteration PCA + projection: the [[pcaSubspaceChainSql]]
+    * rounds wrapped in a `j5_em_train`-style freeze — each round computes the
+    * candidate basis `vc\$t` from the frozen iterate `vf\${t-1}`, the done flag
+    * latches once MAX|Δ| ≤ tol, and frozen rounds pass the basis through — then
+    * projects every vector onto the final basis (dot minus the mean dot, exactly
+    * `Pca.project`).
+    */
+  private def pcaProjectChainSql(r: Int, maxIter: Int, tol: Double): String = {
+    def round(t: Int): String = {
+      val prev = s"vf${t - 1}"
+      val cols = (0 until r).map { k =>
+        val base =
+          if (k == 0) s"u${t}_0 AS (SELECT i, w FROM w$t WHERE k = 0)"
+          else {
+            val dn = (0 until k).map(kk => s"SELECT i, k, vjk FROM vk${t}_$kk")
+              .mkString(" UNION ALL ")
+            s"""dn${t}_$k AS ($dn),
+               |dots${t}_$k AS (
+               |  SELECT d.k AS kp, SUM(d.vjk * wk.w) AS dot
+               |  FROM dn${t}_$k d JOIN (SELECT i, w FROM w$t WHERE k = $k) wk USING (i)
+               |  GROUP BY d.k),
+               |sub${t}_$k AS (
+               |  SELECT d.i, SUM(dots.dot * d.vjk) AS sub
+               |  FROM dn${t}_$k d JOIN dots${t}_$k dots ON dots.kp = d.k GROUP BY d.i),
+               |u${t}_$k AS (
+               |  SELECT wk.i, wk.w - COALESCE(s.sub, 0.0) AS w
+               |  FROM (SELECT i, w FROM w$t WHERE k = $k) wk
+               |  LEFT JOIN sub${t}_$k s USING (i))""".stripMargin
+          }
+        s"""$base,
+           |n${t}_$k AS (SELECT SQRT(SUM(w * w)) AS nrm FROM u${t}_$k),
+           |vk${t}_$k AS MATERIALIZED (
+           |  SELECT i, $k AS k, w / n${t}_$k.nrm AS vjk FROM u${t}_$k, n${t}_$k)""".stripMargin
+      }.mkString(",\n")
+      val uni = (0 until r).map(k => s"SELECT i, k, vjk FROM vk${t}_$k")
+        .mkString(" UNION ALL ")
+      s"""w$t AS MATERIALIZED (
+         |  SELECT c.i, v.k, SUM(c.cov * v.vjk) AS w
+         |  FROM c JOIN $prev v ON v.j = c.j GROUP BY c.i, v.k),
+         |$cols,
+         |vc$t AS (SELECT i AS j, k, vjk FROM ($uni)),
+         |dl$t AS (
+         |  SELECT MAX(ABS(n.vjk - p.vjk)) AS delta
+         |  FROM vc$t n JOIN $prev p USING (j, k)),
+         |fz$t AS MATERIALIZED (
+         |  SELECT (f.done OR dl$t.delta <= ${graft.util.Render.sqlDouble(tol)}) AS done
+         |  FROM fz${t - 1} f, dl$t),
+         |vf$t AS MATERIALIZED (
+         |  SELECT p.j, p.k, CASE WHEN f.done THEN p.vjk ELSE n.vjk END AS vjk
+         |  FROM $prev p JOIN vc$t n USING (j, k), fz${t - 1} f)""".stripMargin
+    }
+    val pcs = (0 until r).map(k =>
+      s"ROUND(MAX(CASE WHEN pr.k = $k THEN pr.dot - md.mdot END), 6) + 0.0 AS pc_$k")
+      .mkString(",\n  ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |x AS MATERIALIZED (
+       |  SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS xi FROM e),
+       |m AS MATERIALIZED (SELECT i, AVG(xi) AS mu FROM x GROUP BY i),
+       |p AS (SELECT a.i AS i, b.i AS j, AVG(a.xi * b.xi) AS m2
+       |      FROM x a JOIN x b ON a.vec_id = b.vec_id GROUP BY a.i, b.i),
+       |c AS MATERIALIZED (SELECT p.i, p.j, p.m2 - mi.mu * mj.mu AS cov
+       |     FROM p JOIN m mi ON mi.i = p.i JOIN m mj ON mj.i = p.j),
+       |dims AS (SELECT DISTINCT i FROM c),
+       |vf0 AS MATERIALIZED (
+       |  SELECT dims.i AS j, ks.k,
+       |    CASE WHEN dims.i = ks.k + 1 THEN 1.0 ELSE 0.0 END AS vjk
+       |  FROM dims CROSS JOIN (SELECT unnest(range(0, $r)) AS k) ks),
+       |fz0 AS (SELECT FALSE AS done),
+       |${(1 to maxIter).map(round).mkString(",\n")},
+       |md AS (
+       |  SELECT v.k, SUM(m.mu * v.vjk) AS mdot
+       |  FROM vf$maxIter v JOIN m ON m.i = v.j GROUP BY v.k),
+       |pr AS (
+       |  SELECT x.vec_id, v.k, SUM(x.xi * v.vjk) AS dot
+       |  FROM x JOIN vf$maxIter v ON v.j = x.i GROUP BY x.vec_id, v.k)
+       |SELECT pr.vec_id,
+       |  $pcs
+       |FROM pr JOIN md USING (k)
+       |GROUP BY pr.vec_id ORDER BY pr.vec_id""".stripMargin
+  }
+
   private def pcaSubspaceChainSql(r: Int, iters: Int): String = {
     def round(t: Int): String = {
       val prev = if (t == 1) "v0" else s"v${t - 1}"
@@ -2063,6 +2150,7 @@ object TextQueries {
 
   val oracleSql: Map[String, String] = Map(
     "sim_pca_subspace" -> pcaSubspaceChainSql(4, 6),
+    "sim_pca_project" -> pcaProjectChainSql(4, 40, 0.01),
     "text_dictionary_tag" -> {
       val toks = toksSql("lower(text)")
       s"""WITH al(gram, entity) AS (VALUES

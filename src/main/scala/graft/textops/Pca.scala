@@ -156,8 +156,30 @@ object Pca {
       vecCol: String,
       r: Int,
       iters: Int): DataFrame = {
-    require(r >= 1, s"r must be >= 1, got $r")
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (v, _) = subspaceLoop(corpus, vecCol, r, maxIter = iters, tol = 0.0)
+    val d = v(0).length
+    (for (k <- 0 until r; i <- 0 until d) yield (i, k, v(k)(i)))
+      .toDF("i", "k", "v")
+  }
+
+  /** The shared subspace-iteration driver loop: V_{t+1} = GS(C·V_t) from the
+    * indicator start, stopping when max |ΔV| ≤ `tol` or at `maxIter` (tol = 0
+    * disables the early stop → exactly `maxIter` steps). Returns (V, iterations
+    * run). The freeze-on-convergence stop is what makes the CONVERGED eigensolve
+    * SQL-replayable: the oracle unrolls `maxIter` rounds with a done flag that
+    * passes the basis through once the step delta falls under tol (the
+    * `j5_em_train` chain pattern).
+    */
+  private def subspaceLoop(
+      corpus: DataFrame,
+      vecCol: String,
+      r: Int,
+      maxIter: Int,
+      tol: Double): (Array[Array[Double]], Int) = {
+    require(r >= 1, s"r must be >= 1, got $r")
     import graft.util.Caching.CacheSyntax
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -169,7 +191,9 @@ object Pca {
     require(r <= d, s"r=$r exceeds vector dimension $d")
     // V: r columns × d entries — the bounded driver iterate
     var v = Array.tabulate(r, d)((k, j) => if (j == k) 1.0 else 0.0)
-    (1 to iters).foreach { _ =>
+    var iter = 0
+    var delta = Double.MaxValue
+    while (delta > tol && iter < maxIter) {
       val vDf = (for (k <- 0 until r; j <- 0 until d) yield (j, k, v(k)(j)))
         .toDF("j", "k", "vjk")
       // w = C·V: ONE distributed job — d·r result rows collected
@@ -192,10 +216,47 @@ object Pca {
         val nrm = math.sqrt(u.map(x => x * x).sum)
         next(k) = u.map(_ / nrm)
       }
+      delta = (0 until r).map(k =>
+        (0 until d).map(j => math.abs(next(k)(j) - v(k)(j))).max).max
       v = next
+      iter += 1
     }
-    (for (k <- 0 until r; i <- 0 until d) yield (i, k, v(k)(i)))
-      .toDF("i", "k", "v")
+    (v, iter)
+  }
+
+  /** PCA fit via CONVERGED subspace iteration — the oracle-checkable sibling of
+    * [[fit]]'s driver Jacobi: the moments stay the one distributed aggregation,
+    * the eigenbasis comes from [[subspaceLoop]] with a tol-based freeze, and the
+    * eigenvalues are the Rayleigh quotients v_kᵀ·C·v_k. Components keep the raw
+    * converged orientation (deterministic from the indicator start) — no sign
+    * normalization, so the SQL chain replays them verbatim.
+    */
+  def fitSubspace(
+      corpus: DataFrame,
+      vecCol: String,
+      r: Int,
+      tol: Double = 1e-7,
+      maxIter: Int = 40): Model = {
+    val full = cleanVectors(corpus, vecCol)
+    val agg = momentsPlan(full).collect()(0)
+    val mean = agg.getSeq[Double](0).toArray
+    val m2 = agg.getSeq[Double](1).toArray
+    val d = mean.length
+    val cov = Array.tabulate(d, d)((i, j) => m2(i * d + j) - mean(i) * mean(j))
+    val (v, _) = subspaceLoop(corpus, vecCol, r, maxIter, tol)
+    val values = v.map { c =>
+      var acc = 0.0
+      var i = 0
+      while (i < d) {
+        var j = 0
+        var row = 0.0
+        while (j < d) { row += cov(i)(j) * c(j); j += 1 }
+        acc += c(i) * row
+        i += 1
+      }
+      acc
+    }
+    Model(mean, v, values)
   }
 
   /** Project onto the fitted components: adds `pc_0..pc_{r-1}` columns, each one
