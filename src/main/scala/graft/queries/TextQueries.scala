@@ -44,6 +44,13 @@ object TextQueries {
     "424d66000000000000003600000028000000070000000200000001001800000000003000000000000000000000000000000000000000697a0098bc0fc7fe1ef6402e25833d54c54c83075c0000000000002f420f5e841e8dc62dbc083deb4a4c1a8d5b000000"
   private val MmTextHex = "6e6f7420616e20696d616765207061796c6f6164" // "not an image payload"
 
+  /** Frozen 6×4 five-frame animated GIF (written once by the JDK's own GIF
+    * sequence writer from a deterministic per-frame RGB formula) — the real
+    * multi-frame container for `mm_frame_sample_real`.
+    */
+  private val MmGifHex =
+    "47494638396106000400F40000000000003C00280000283C14007800287828500000503C28780000783C3C50785078787800B40028B43C50B47878B4B4A00000A03C50C80000C83C64A078A0C878C8C8B42CA0B4F000000000000000000000000000000000000000000000000021F90400000000002C000000000600040044081E00010830800082040205142CA05021C0800309224C60D0C0C1830B1602020021F90400000000002C0000000006000400C4321E0A325A0A5A1E0A5A5A1E32960A32D20A5A96325AD246821E0AAA1E0A825A32AA5A46D21E0AFA1E0AD25A5AFA5A6E82965AFAD236AA968282D282AAD2BED296AAFA96D2D2D2FA321E0A321E0A321E0A321E0A321E0A321E0A321E0A321E0A081E000108409080410302062048A86021C000050B1C3C28706002850B1102020021F90400000000002C0000000006000400C4043C142C3C140478642C7878643C1464781404F0042CF04064B41464F01404B4B42CB4DC8C3C14B43C148C7828B4783CDC3C14DC78508CB43CB4B4648CF050B4F08CDCB48CDCF0C8043C14043C14043C14043C14043C14043C14043C14043C14081E00093068000140000412265850B0A080830711040C4840A1C205030702020021F90400000000002C0000000006000400C4360E0E0E5A1E365A1E5E0E4A5E5A1E0E0ED20E965A36966E0ED29636D2BE5E96825ED2E6960E1EBE0E5A965A1EBE5A1EE65A1EE60E9696961EBE963296D21EBED246E69646E6D26E360E0E360E0E360E0E360E0E360E0E360E0E360E0E360E0E081E001D3C80104000010A152E2048B040C2040B060E2860D0204201000302020021F90400000000002C0000000006000400C4187828682C18407828687828182CA0402CDC18B45018F07840B46468B47840F0A068F0C8902C54907828C82C28F02C64C87828F07828C8B428F0B43CC8F028F0F05090B48C90F0F0187828187828187828187828187828187828187828187828081E00214400206040030A150E28587041C2040308125870F0804081000C0202003B"
+
   /** `mm_cdc_chunks_fixed` fixtures: a frozen 640-byte payload (md5 chain from the
     * seed "graft-cdc-fixture", generated once) and its 643-byte copy with 3 bytes
     * (AA BB CC) inserted at offset 300. Constant payloads make the gear-hash chunk
@@ -882,6 +889,19 @@ object TextQueries {
       Multimodal.sampleFrames(
           docs(s, dir).withColumn("payload", col("text").cast("binary")),
           "doc_id", "payload", stride = 2)
+        .toDF().orderBy("id", "frame_index")
+    },
+    "mm_frame_sample_real" -> { (s, dir) =>
+      // REAL frame decode pinned end-to-end: the constant 5-frame animated GIF
+      // yields its true frames (stride 2 -> 0,2,4, each fingerprinting its
+      // packed-RGB24 raster), the single-frame PNG yields frame 0, and the text
+      // payload takes the stub byte-range path — all frozen as oracle constants
+      import s.implicits._
+      val fixtures = Seq((0L, MmGifHex), (1L, MmPngHex), (2L, MmTextHex))
+        .toDF("fid", "hex")
+      Multimodal.sampleFrames(
+          fixtures.select(col("fid"), unhex(col("hex")).as("payload")),
+          "fid", "payload", stride = 2)
         .toDF().orderBy("id", "frame_index")
     },
     "stream_window_agg" -> { (s, dir) =>
@@ -2860,6 +2880,19 @@ object TextQueries {
         |SELECT id, frame_index,
         |  md5(substr(text, (LEAST(lo, hi) + 1)::INT, GREATEST(hi - lo, 0)::INT)) AS frame_md5
         |FROM rng ORDER BY id, frame_index""".stripMargin,
+    "mm_frame_sample_real" ->
+      // frozen output of the real frame-decode path: the 5-frame animated GIF's
+      // frames 0/2/4 (packed-RGB24 raster md5s), the PNG's single frame 0, and
+      // the text payload's stub byte-range fingerprints (frames 0/2 of 3)
+      """SELECT CAST(fid AS BIGINT) AS id, CAST(f AS INT) AS frame_index, m AS frame_md5
+        |FROM (VALUES
+        |  (0, 0, 'b03689210d4e5b05f7cce32ab0037ec8'),
+        |  (0, 2, '2b0d2b62e4814384e644f5da21f39b12'),
+        |  (0, 4, '9170439260d3a6878612b6c3eeda5e60'),
+        |  (1, 0, 'f7b158bfba45d1108817de12c6b9ec84'),
+        |  (2, 0, 'be8545058f0d2d3ab0bd2f8c391785c1'),
+        |  (2, 2, '07177a3a78cde5485fc44bad7c49b5eb')) AS t(fid, f, m)
+        |ORDER BY id, frame_index""".stripMargin,
     "stream_window_agg" ->
       """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |  event_type, COUNT(*) AS cnt, ROUND(SUM(value), 4) AS value_sum

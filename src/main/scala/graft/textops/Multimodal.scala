@@ -134,6 +134,33 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** Multi-frame pixel decode: every frame a JDK reader yields for the payload
+    * (animated GIFs decode frame-by-frame in a stock JDK; single-frame formats
+    * yield one). Frames are the reader's RAW per-frame rasters (no disposal-mode
+    * compositing — deterministic, and the committed fixtures pin the bytes).
+    * None when no reader claims the payload; callers fall back to the stub path.
+    */
+  def decodeFrames(bytes: Array[Byte]): Option[Vector[java.awt.image.BufferedImage]] = {
+    if (!looksLikeImage(bytes)) return None
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val n = reader.getNumImages(true)
+          if (n <= 0) return None
+          val frames = (0 until n).map(reader.read).toVector
+            .filter(i => i.getWidth > 0 && i.getHeight > 0)
+          if (frames.isEmpty) None else Some(frames)
+        } finally reader.dispose()
+      } finally iis.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** Deterministic bilinear scale of a decoded image to `outW × outH`, emitted as
     * packed row-major RGB24 bytes (3 bytes/pixel, no encoder — the output is a
     * pure function of the source raster, independent of any PNG/JPEG writer's
@@ -278,10 +305,15 @@ object Multimodal {
       frame_index: Int,
       frame_md5: String)
 
-  /** Frame sampling plumbing: explode each media payload into every `stride`-th frame
-    * (one output row per sampled frame — the flatMap batch shape real video sampling
-    * needs). Frame extraction is a STUB: the payload is split into `frames` equal
-    * byte ranges (from the stub header) and each sampled range is fingerprinted.
+  /** Frame sampling: explode each media payload into every `stride`-th frame (one
+    * output row per sampled frame — the flatMap batch shape real video sampling
+    * needs). REAL decode for every container a JDK reader handles frame-by-frame
+    * ([[decodeFrames]] — animated GIF in a stock JDK): the frame count is the
+    * container's, and each sampled frame fingerprints its packed-RGB24 raster
+    * (pure pixel function, encoder-independent). Payloads no reader claims take
+    * the deterministic stub path: split into the stub header's `frames` equal
+    * byte ranges and fingerprint each sampled range. True video containers
+    * (mp4/webm) still need an external codec — their bytes flow through the stub.
     */
   def sampleFrames(
       df: DataFrame,
@@ -296,16 +328,28 @@ object Multimodal {
       .mapPartitions { rows =>
         val digest = java.security.MessageDigest.getInstance("MD5")
         val hex = "0123456789abcdef".toCharArray
+        def md5Hex(d: Array[Byte]): String = {
+          val sb = new java.lang.StringBuilder(32)
+          d.foreach { b => sb.append(hex((b >> 4) & 0xf)).append(hex(b & 0xf)) }
+          sb.toString
+        }
         rows.flatMap { case (id, bytes) =>
-          val (_, _, frames) = decodeStub(bytes)
-          val span = math.max(1, bytes.length / frames)
-          (0 until frames by stride).iterator.map { f =>
-            val lo = f * span
-            val hi = if (f == frames - 1) bytes.length else math.min(bytes.length, lo + span)
-            val d = digest.digest(java.util.Arrays.copyOfRange(bytes, math.min(lo, hi), hi))
-            val sb = new java.lang.StringBuilder(32)
-            d.foreach { b => sb.append(hex((b >> 4) & 0xf)).append(hex(b & 0xf)) }
-            SampledFrame(id, f, sb.toString)
+          decodeFrames(bytes) match {
+            case Some(frames) =>
+              (0 until frames.size by stride).iterator.map { f =>
+                val img = frames(f)
+                val rgb = bilinearRgb(img, img.getWidth, img.getHeight)
+                SampledFrame(id, f, md5Hex(digest.digest(rgb)))
+              }
+            case None =>
+              val (_, _, frames) = decodeStub(bytes)
+              val span = math.max(1, bytes.length / frames)
+              (0 until frames by stride).iterator.map { f =>
+                val lo = f * span
+                val hi = if (f == frames - 1) bytes.length else math.min(bytes.length, lo + span)
+                val d = digest.digest(java.util.Arrays.copyOfRange(bytes, math.min(lo, hi), hi))
+                SampledFrame(id, f, md5Hex(d))
+              }
           }
         }
       }

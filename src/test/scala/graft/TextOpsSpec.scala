@@ -262,6 +262,44 @@ class TextOpsSpec extends SparkSpec {
     assert(half.payload.toSeq === Seq(0x28, 0x38, 0x50).map(_.toByte))
   }
 
+  test("frame sampling decodes real animated-GIF frames, stubs undecodable payloads") {
+    // build a 3-frame animated GIF with the JDK's own sequence writer
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    val rasters = (0 until 3).map { f =>
+      val img = new java.awt.image.BufferedImage(4, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 4; y <- 0 until 2)
+        img.setRGB(x, y, ((40 * f + 10 * x) << 16) | ((30 * f + 20 * y) << 8) | (60 * f))
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      img
+    }
+    writer.endWriteSequence(); writer.dispose(); ios.close()
+    val gif = baos.toByteArray
+
+    val frames = Multimodal.decodeFrames(gif).get
+    assert(frames.size === 3)
+    assert(frames.forall(f => f.getWidth == 4 && f.getHeight == 2))
+
+    val df = Seq((0L, gif), (1L, "not an image payload".getBytes)).toDF("id", "payload")
+    val sampled = Multimodal.sampleFrames(df, "id", "payload", stride = 2).collect()
+    val gifRows = sampled.filter(_.id == 0L).sortBy(_.frame_index)
+    assert(gifRows.map(_.frame_index).toSeq === Seq(0, 2))
+    // each fingerprint is the md5 of that frame's packed-RGB24 raster (GIF is
+    // palettized, so compare against the DECODED raster, not the source RGB)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expected = Seq(0, 2).map { f =>
+      val rgb = Multimodal.bilinearRgb(frames(f), 4, 2)
+      md.digest(rgb).map(b => f"$b%02x").mkString
+    }
+    assert(gifRows.map(_.frame_md5).toSeq === expected)
+    assert(expected.distinct.size === 2) // frames genuinely differ
+    // undecodable payload: deterministic stub byte ranges, still emitted
+    assert(sampled.exists(_.id == 1L))
+  }
+
   test("perceptual dHash pairs near-identical images, separates unrelated ones") {
     def png(f: (Int, Int) => Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(16, 16,
