@@ -41,8 +41,10 @@ object PipelineQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ep1_e2e_dedupe" -> (e2eDedupe _),
-    // the trained search loop with a FULL generated oracle (see AutoLinkOracle)
+    // the trained search loops with FULL generated oracles (see AutoLinkOracle)
     "ep1_auto_link_two_trials" -> (AutoLinkOracle.twoTrialsQuery _),
+    "ep1_auto_link_two_table_trials" -> (AutoLinkOracle.twoTrialsLinkQuery _),
+    "ep1_e2e_dedupe_pinned" -> (E2eOracle.pinnedQuery _),
     "ep1_auto_link" -> { (s, dir) =>
       import s.implicits._
       val df = s.read.parquet(s"$dir/customer.parquet")
@@ -79,5 +81,7 @@ object PipelineQueries {
     })
 
   val oracleSql: Map[String, String] = Map(
-    "ep1_auto_link_two_trials" -> AutoLinkOracle.twoTrialsSql)
+    "ep1_auto_link_two_trials" -> AutoLinkOracle.twoTrialsSql,
+    "ep1_auto_link_two_table_trials" -> AutoLinkOracle.twoTrialsLinkSql,
+    "ep1_e2e_dedupe_pinned" -> E2eOracle.pinnedSql)
 }

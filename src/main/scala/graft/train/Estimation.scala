@@ -361,7 +361,8 @@ object Estimation {
       uTargetPairs: Long = 100000L,
       tol: Double = 0.01,
       linkRight: Option[DataFrame] = None,
-      uPairs: Option[DataFrame] = None): TrainedModel = {
+      uPairs: Option[DataFrame] = None,
+      uHashShuffle: Boolean = true): TrainedModel = {
     val uSource = linkRight match {
       case Some(right) =>
         val shared = (df.columns.toSet intersect right.columns.toSet).toSeq.sorted
@@ -375,7 +376,7 @@ object Estimation {
     // re-running it per trial is pure waste
     val uSampled = uPairs match {
       case Some(p) => estimateUFromPairs(p, specs)
-      case None => estimateU(uSource, uid, specs, uTargetPairs)
+      case None => estimateU(uSource, uid, specs, uTargetPairs, uHashShuffle)
     }
 
     val mEstimates = scala.collection.mutable.Map[String, List[Array[Double]]]()

@@ -14,18 +14,20 @@ class EntrySpec extends SparkSpec {
     // Each of these is iterative/search-driven and carries a pinned-step or
     // property gate instead (r6: the ANN family, SemDeDup, the Newton agg, and
     // BPE merge 1 all graduated to full oracles and left this list).
+    // The three remaining rows-only entries are DEFAULT-CONFIG smokes (hash
+    // shuffle + data-derived candidate rules + TPE) whose exact control flow now
+    // has a hash-green pinned twin: ep1_e2e_dedupe_pinned (same pipeline,
+    // uid-ordered u pairing), ep1_auto_link_two_trials (dedupe search loop),
+    // ep1_auto_link_two_table_trials (link-mode loop incl. the Y10 mapping).
     val rowsOnly = Set(
-      "ep1_e2e_dedupe",       // trained pipeline — ep10_fs_cluster pins the serve path
-      "ep1_auto_link",        // adaptive search — pinned by MetricsSpec;
-                              // ep1_auto_link_one_trial full-oracles the trial body
-      "ep1_auto_link_two_tables", // link-mode search loop — pinned by MetricsSpec
-      "sim_pca_project")      // Jacobi eigensolve: ~2000 data-dependent-pivot
-                              // rotations per sweep — not unrollable; sim_covariance
-                              // + sim_pca_one_iter pin the distributed core
-    // r8 graduated twelve more to GENERATED full oracles (fixed-iteration /
+      "ep1_e2e_dedupe",
+      "ep1_auto_link",
+      "ep1_auto_link_two_tables")
+    // r8 graduated twelve to GENERATED full oracles (fixed-iteration /
     // freeze-on-convergence / binary-lifting chains — see SCALING.md round-8
     // notes): the five graph kernels, BPE merges, both unigram-LM queries, the
-    // MMR re-rank, IRLS training, converged EM, and gear-hash CDC dedup.
+    // MMR re-rank, IRLS training, converged EM, and gear-hash CDC dedup; r9
+    // added the converged PCA projection and the three pinned twins above.
     val actual = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(actual === rowsOnly,
       s"rows-only drift — no longer rows-only: ${rowsOnly -- actual}; " +
