@@ -853,14 +853,50 @@ object CurationQueries {
        |SELECT 1 AS merge_rank, l AS "left", r AS "right", pair_count FROM top""".stripMargin
   }
 
+  /** The trainer's left-to-right NON-OVERLAPPING pair rewrite without recursion
+    * (r9, SCALING.md "recursive terms race upstream CTEs" — the old recursive
+    * scan read the 1-row argmax CTE from its recursive term, the exact DuckDB
+    * 1.0 hazard shape). Closed form: position j starts a merge iff it matches
+    * (s[j]=l, s[j+1]=r) and an EVEN number of consecutive match positions
+    * precede it in its run — two positions can only both match when l = r, and
+    * a match at j consumes j+1, so merges land on alternating positions within
+    * each maximal run of consecutive matches. Window rendering: run id = j −
+    * (running match count), merge-start = even offset from the run's MIN(j),
+    * then emit merged symbol at starts, skip the position after a start, and
+    * re-assemble with an ordered list aggregate.
+    */
+  private def rewriteCtes(syIn: String, m: String, syOut: String, tag: String): String =
+    s"""mt$tag AS (
+       |  SELECT $syIn.w, $syIn.n, $syIn.s, u.j,
+       |    (u.j < len($syIn.s) AND $syIn.s[u.j] = $m.l AND $syIn.s[u.j + 1] = $m.r) AS is_m,
+       |    $m.l || $m.r AS merged
+       |  FROM $syIn, $m, unnest(range(1, len($syIn.s) + 1)) AS u(j)
+       |), rg$tag AS (
+       |  SELECT *, CASE WHEN is_m THEN j - SUM(CASE WHEN is_m THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY w ORDER BY j) END AS grp
+       |  FROM mt$tag
+       |), ms$tag AS (
+       |  SELECT *, (is_m AND (j - MIN(j) OVER (PARTITION BY w, grp)) % 2 = 0) AS mstart
+       |  FROM rg$tag
+       |), em$tag AS (
+       |  SELECT w, n, j,
+       |    CASE WHEN mstart THEN merged
+       |         WHEN COALESCE(LAG(mstart) OVER (PARTITION BY w ORDER BY j), FALSE) THEN NULL
+       |         ELSE s[j] END AS o
+       |  FROM ms$tag
+       |), $syOut AS MATERIALIZED (
+       |  SELECT w, n, list_filter(list(o ORDER BY j), x -> x IS NOT NULL) AS s
+       |  FROM em$tag GROUP BY w, n
+       |)""".stripMargin
+
   /** GENERATED full BPE-training oracle: the merge loop runs a FIXED
     * `numMerges` rounds, so the two-merge chain generalizes — each round counts
     * weighted adjacent pairs over the current symbol table, takes the
     * (count DESC, pair ASC) argmax, and (for all but the last round) rewrites
     * every word with the trainer's exact left-to-right non-overlapping scan via
-    * a recursive CTE. Rewritten vocabularies are MATERIALIZED: each sy_i feeds
-    * both the next pair count and the next rewrite, and inlining would
-    * re-evaluate the recursion once per reference, compounding per level.
+    * the window-based [[rewriteCtes]] (no recursion anywhere in the statement).
+    * Rewritten vocabularies are MATERIALIZED: each sy_i feeds both the next
+    * pair count and the next rewrite.
     */
   private def bpeMergeChainSql(numMerges: Int): String = {
     val steps = (1 to numMerges).map { i =>
@@ -873,26 +909,12 @@ object CurationQueries {
            |  ORDER BY pair_count DESC, l, r LIMIT 1
            |)""".stripMargin
       val rewrite = if (i == numMerges) "" else
-        s""", app$i AS (
-           |  SELECT sy$i.w, sy$i.n, sy$i.s, 1 AS i, CAST([] AS VARCHAR[]) AS o FROM sy$i
-           |  UNION ALL
-           |  SELECT app$i.w, app$i.n, app$i.s,
-           |    CASE WHEN app$i.i < len(app$i.s)
-           |              AND app$i.s[app$i.i] = m$i.l AND app$i.s[app$i.i + 1] = m$i.r
-           |         THEN app$i.i + 2 ELSE app$i.i + 1 END,
-           |    list_append(app$i.o,
-           |      CASE WHEN app$i.i < len(app$i.s)
-           |                AND app$i.s[app$i.i] = m$i.l AND app$i.s[app$i.i + 1] = m$i.r
-           |           THEN m$i.l || m$i.r ELSE app$i.s[app$i.i] END)
-           |  FROM app$i, m$i WHERE app$i.i <= len(app$i.s)
-           |), sy${i + 1} AS MATERIALIZED (
-           |  SELECT w, n, o AS s FROM app$i WHERE i = len(s) + 1
-           |)""".stripMargin
+        ", " + rewriteCtes(s"sy$i", s"m$i", s"sy${i + 1}", s"_$i")
       count + rewrite
     }.mkString(", ")
     val emit = (1 to numMerges).map(i =>
       s"SELECT $i AS mr, l, r, pair_count FROM m$i").mkString(" UNION ALL ")
-    s"""WITH RECURSIVE t AS (SELECT ${toksSql("text")} AS toks FROM documents),
+    s"""WITH t AS (SELECT ${toksSql("text")} AS toks FROM documents),
        |w AS (
        |  SELECT w, COUNT(*) AS n FROM (SELECT unnest(toks) AS w FROM t)
        |  GROUP BY w ORDER BY n DESC, w LIMIT 100000
@@ -904,16 +926,14 @@ object CurationQueries {
        |ORDER BY merge_rank""".stripMargin
   }
 
-  /** Two chained BPE merges: merge 1 as in [[bpeFirstMergeSql]]; then a
-    * RECURSIVE CTE applies it to every symbol sequence with the trainer's exact
-    * left-to-right non-overlapping scan (position i either emits `s[i]` and
-    * advances 1, or emits the merged symbol and advances 2 — a plain string
-    * replace gets back-to-back matches wrong because the match consumes the
-    * separator the next match needs); merge 2 is the pair argmax over the
-    * rewritten vocabulary.
+  /** Two chained BPE merges: merge 1 as in [[bpeFirstMergeSql]]; the rewrite is
+    * the non-recursive window scan ([[rewriteCtes]] — a plain string replace
+    * gets back-to-back matches wrong because the match consumes the separator
+    * the next match needs); merge 2 is the pair argmax over the rewritten
+    * vocabulary.
     */
   private val bpeTwoMergesSql: String = {
-    s"""WITH RECURSIVE t AS (SELECT ${toksSql("text")} AS toks FROM documents),
+    s"""WITH t AS (SELECT ${toksSql("text")} AS toks FROM documents),
        |w AS (
        |  SELECT w, COUNT(*) AS n FROM (SELECT unnest(toks) AS w FROM t)
        |  GROUP BY w ORDER BY n DESC, w LIMIT 100000
@@ -925,21 +945,7 @@ object CurationQueries {
        |), m1 AS (
        |  SELECT l, r, SUM(n)::BIGINT AS pair_count FROM p1 GROUP BY l, r
        |  ORDER BY pair_count DESC, l, r LIMIT 1
-       |), app AS (
-       |  SELECT sy.w, sy.n, sy.s, 1 AS i, CAST([] AS VARCHAR[]) AS o FROM sy
-       |  UNION ALL
-       |  SELECT app.w, app.n, app.s,
-       |    CASE WHEN app.i < len(app.s)
-       |              AND app.s[app.i] = m1.l AND app.s[app.i + 1] = m1.r
-       |         THEN app.i + 2 ELSE app.i + 1 END,
-       |    list_append(app.o,
-       |      CASE WHEN app.i < len(app.s)
-       |                AND app.s[app.i] = m1.l AND app.s[app.i + 1] = m1.r
-       |           THEN m1.l || m1.r ELSE app.s[app.i] END)
-       |  FROM app, m1 WHERE app.i <= len(app.s)
-       |), sy2 AS (
-       |  SELECT w, n, o AS s FROM app WHERE i = len(s) + 1
-       |), p2 AS (
+       |), ${rewriteCtes("sy", "m1", "sy2", "_1")}, p2 AS (
        |  SELECT s[i] AS l, s[i + 1] AS r, n
        |  FROM sy2, unnest(range(1, len(s))) AS u(i)
        |), m2 AS (
