@@ -69,7 +69,7 @@ object Bench {
       System.err.println(s"[bench] WARNING: $jvmsAtStart other JVM(s) running — " +
         s"timings will not be quiet-machine comparable (loadavg $loadAtStart)")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val filter = args.headOption.map(_.r)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
