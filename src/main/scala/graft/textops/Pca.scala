@@ -139,15 +139,14 @@ object Pca {
     * r-column generalization of [[powerIteration]], and the closed-form,
     * oracle-checkable sibling of [[fit]]'s rows-only Jacobi fixpoint.
     *
-    * Scale split: the covariance STAYS distributed — C is the d²-row [[covariance]]
-    * DataFrame (persisted once), and each C·V_t is one broadcast equi-join + hash
-    * aggregate against it, so nothing corpus- or d²-sized ever reaches the driver.
-    * The iterate V_t is d·r doubles (the same bounded-driver-boundary class as
-    * Lloyd centroids), so the sequential per-column Gram-Schmidt runs on the
-    * driver in fixed element order — one Spark job per iteration instead of ~4r
-    * jobs of per-column norm broadcasts (measured 182 s → ~2 s at sf0.1, d=64,
-    * r=4, iters=6; the all-relational form spent its time in job overhead and
-    * re-executed column chains, not data).
+    * Scale split: the corpus-sized work is the ONE distributed moments pass behind
+    * [[covariance]]; the d²-entry covariance is then collected ONCE and the whole
+    * iteration — C·V_t, Gram-Schmidt, the delta check — runs on the driver in fixed
+    * element order. d² doubles is the SAME driver boundary [[fit]]'s Jacobi already
+    * crosses for its moments, so this adds no new scale limit, and it removes every
+    * per-round Spark job (the earlier per-round broadcast-join form spent its time
+    * in job-scheduling overhead on a 4096-row table: ~40 rounds ≈ 3 s of pure
+    * overhead at sf0.1, d=64; the all-relational form before it measured 182 s).
     *
     * @return (i, k, v) — dimension index, component index 0..r−1, entry
     */
@@ -179,29 +178,47 @@ object Pca {
       r: Int,
       maxIter: Int,
       tol: Double): (Array[Array[Double]], Int) = {
-    require(r >= 1, s"r must be >= 1, got $r")
-    import graft.util.Caching.CacheSyntax
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cov = covariance(corpus, vecCol)
-    val full = cov.unionByName(cov.filter(col("i") < col("j"))
-        .select(col("j").as("i"), col("i").as("j"), col("cov")))
-      .scopedPersist()
-    val d = full.agg(max(col("i"))).as[Int].head() + 1
+    // ONE distributed pass + ONE d²-bounded collect (upper triangle, mirrored here)
+    val upper = covariance(corpus, vecCol).as[(Int, Int, Double)].collect()
+    val d = upper.iterator.map(_._2).max + 1
+    val covMat = Array.ofDim[Double](d, d)
+    upper.foreach { case (i, j, c) => covMat(i)(j) = c; covMat(j)(i) = c }
+    subspaceLoopLocal(covMat, r, maxIter, tol)
+  }
+
+  /** Driver-local subspace iteration on an already-collected covariance matrix.
+    * Fixed ascending-j summation order; the 6-dp rounding every caller applies
+    * dwarfs the ≤1e-13 order-vs-order drift against the SQL replay's own sums.
+    */
+  private[textops] def subspaceLoopLocal(
+      covMat: Array[Array[Double]],
+      r: Int,
+      maxIter: Int,
+      tol: Double): (Array[Array[Double]], Int) = {
+    require(r >= 1, s"r must be >= 1, got $r")
+    val d = covMat.length
     require(r <= d, s"r=$r exceeds vector dimension $d")
     // V: r columns × d entries — the bounded driver iterate
     var v = Array.tabulate(r, d)((k, j) => if (j == k) 1.0 else 0.0)
     var iter = 0
     var delta = Double.MaxValue
     while (delta > tol && iter < maxIter) {
-      val vDf = (for (k <- 0 until r; j <- 0 until d) yield (j, k, v(k)(j)))
-        .toDF("j", "k", "vjk")
-      // w = C·V: ONE distributed job — d·r result rows collected
+      // w = C·V, ascending-j per entry
       val w = Array.ofDim[Double](r, d)
-      full.join(broadcast(vDf), "j")
-        .groupBy(col("i"), col("k")).agg(sum(col("cov") * col("vjk")).as("w"))
-        .as[(Int, Int, Double)].collect()
-        .foreach { case (i, k, x) => w(k)(i) = x }
+      var k = 0
+      while (k < r) {
+        var i = 0
+        while (i < d) {
+          var acc = 0.0
+          var j = 0
+          while (j < d) { acc += covMat(i)(j) * v(k)(j); j += 1 }
+          w(k)(i) = acc
+          i += 1
+        }
+        k += 1
+      }
       // classical Gram-Schmidt, ascending, against this round's normalized columns
       val next = Array.ofDim[Double](r, d)
       (0 until r).foreach { k =>
@@ -226,7 +243,7 @@ object Pca {
 
   /** PCA fit via CONVERGED subspace iteration — the oracle-checkable sibling of
     * [[fit]]'s driver Jacobi: the moments stay the one distributed aggregation,
-    * the eigenbasis comes from [[subspaceLoop]] with a tol-based freeze, and the
+    * the eigenbasis comes from [[subspaceLoopLocal]] with a tol-based freeze, and the
     * eigenvalues are the Rayleigh quotients v_kᵀ·C·v_k. Components keep the raw
     * converged orientation (deterministic from the indicator start) — no sign
     * normalization, so the SQL chain replays them verbatim.
@@ -243,7 +260,8 @@ object Pca {
     val m2 = agg.getSeq[Double](1).toArray
     val d = mean.length
     val cov = Array.tabulate(d, d)((i, j) => m2(i * d + j) - mean(i) * mean(j))
-    val (v, _) = subspaceLoop(corpus, vecCol, r, maxIter, tol)
+    // reuse the moments already collected — no second corpus scan
+    val (v, _) = subspaceLoopLocal(cov, r, maxIter, tol)
     val values = v.map { c =>
       var acc = 0.0
       var i = 0
