@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.clean.Cleaning
-import graft.metrics.{ClusteringMetrics, EntropyMetrics, PairwiseMetrics, Profile}
+import graft.metrics.{ClusteringMetrics, EntropyMetrics, PairwiseMetrics, Preference, Profile}
 import graft.model.ComparisonSpec
 import graft.schemamatch.SchemaMatch
 import graft.score.FellegiSunter
@@ -29,7 +29,40 @@ object MetricQueries {
     ComparisonSpec("c_name", "levenshtein", 3),
     ComparisonSpec("c_mktsegment", "jaro_winkler", 0.9))
 
+  /** Pairwise-preference fixture: 50 pseudo-models (`l_suppkey % 50` as string);
+    * within each order the models' MAX(l_extendedprice) compete pairwise — MAX,
+    * not SUM, so the compared score is bit-exact in any engine and the winner
+    * never depends on summation order. Strict ties are dropped. Replicated
+    * verbatim in the oracle CTEs.
+    */
+  private def duels(s: SparkSession, dir: String): DataFrame = {
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy(col("l_orderkey").as("o"),
+        (col("l_suppkey") % 50).cast("string").as("m"))
+      .agg(max(col("l_extendedprice")).as("sc"))
+    val a = li.select(col("o"), col("m").as("ma"), col("sc").as("sa"))
+    val b = li.select(col("o"), col("m").as("mb"), col("sc").as("sb"))
+    a.join(b, Seq("o")).filter(col("ma") < col("mb") && col("sa") =!= col("sb"))
+      .select(
+        when(col("sa") > col("sb"), col("ma")).otherwise(col("mb")).as("winner"),
+        when(col("sa") > col("sb"), col("mb")).otherwise(col("ma")).as("loser"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // arena-style pairwise win-rate matrix over the duel fixture — one hash agg
+    "pref_winrate" -> { (s, dir) =>
+      Preference.winRates(duels(s, dir), "winner", "loser")
+        .select(col("item_a"), col("item_b"), col("games"), col("wins_a"),
+          col("wins_b"), round(col("winrate_a"), 6).as("winrate_a"))
+        .orderBy("item_a", "item_b")
+    },
+    // Bradley–Terry strengths, 10 fixed MM rounds — FULL oracle via the generated
+    // iteration chain (the graph_pagerank pattern)
+    "pref_bt_scores" -> { (s, dir) =>
+      Preference.btScores(duels(s, dir), "winner", "loser", iters = 10)
+        .select(col("item"), round(col("score"), 6).as("score"))
+        .orderBy("item")
+    },
     "y1_clean" -> { (s, dir) =>
       Cleaning.cleanColumns(
           cust(s, dir).select(col("c_custkey").cast("string").as("uid"),
@@ -489,7 +522,63 @@ object MetricQueries {
       |JOIN hb ON hb.col_a = tot.col_a AND hb.col_b = tot.col_b
       |ORDER BY tot.col_a, tot.col_b""".stripMargin
 
+  /** The duel fixture as DuckDB CTEs (must mirror [[duels]] exactly). */
+  private val duelCtes =
+    """li AS MATERIALIZED (
+      |  SELECT l_orderkey AS o, CAST(l_suppkey % 50 AS VARCHAR) AS m,
+      |         MAX(l_extendedprice) AS sc
+      |  FROM lineitem GROUP BY 1, 2),
+      |duel AS MATERIALIZED (
+      |  SELECT CASE WHEN a.sc > b.sc THEN a.m ELSE b.m END AS w,
+      |         CASE WHEN a.sc > b.sc THEN b.m ELSE a.m END AS l
+      |  FROM li a JOIN li b ON a.o = b.o AND a.m < b.m WHERE a.sc <> b.sc)""".stripMargin
+
+  /** Generated Bradley–Terry MM chain (ε = 0.5 ghost games, sum-normalized to N
+    * each round) — replays [[graft.metrics.Preference.btScores]] at fixed `iters`.
+    */
+  private def btChainSql(iters: Int): String = {
+    val steps = (0 until iters).map { t =>
+      s"""d$t AS (
+         |  SELECT g.i, SUM(g.nij / (si.score + sj.score)) AS denom
+         |  FROM g JOIN s$t si ON si.item = g.i JOIN s$t sj ON sj.item = g.j
+         |  GROUP BY g.i),
+         |raw$t AS (
+         |  SELECT w.item, (w.wi + 0.5) /
+         |    (COALESCE(d$t.denom, 0.0) + 1.0 / (s$t.score + 1.0)) AS sraw
+         |  FROM wins w LEFT JOIN d$t ON d$t.i = w.item
+         |  JOIN s$t ON s$t.item = w.item),
+         |tot$t AS (SELECT SUM(sraw) AS tt FROM raw$t),
+         |s${t + 1} AS MATERIALIZED (
+         |  SELECT item, sraw * nn.n / tot$t.tt AS score
+         |  FROM raw$t CROSS JOIN nn CROSS JOIN tot$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $duelCtes,
+       |g AS MATERIALIZED (
+       |  SELECT i, j, COUNT(*)::DOUBLE AS nij FROM (
+       |    SELECT w AS i, l AS j FROM duel UNION ALL SELECT l, w FROM duel)
+       |  GROUP BY 1, 2),
+       |items AS MATERIALIZED (SELECT DISTINCT i AS item FROM g),
+       |nn AS (SELECT COUNT(*)::DOUBLE AS n FROM items),
+       |wc AS (SELECT w AS item, COUNT(*)::DOUBLE AS c FROM duel GROUP BY 1),
+       |wins AS MATERIALIZED (
+       |  SELECT items.item, COALESCE(wc.c, 0.0) AS wi
+       |  FROM items LEFT JOIN wc USING (item)),
+       |s0 AS MATERIALIZED (SELECT item, 1.0 AS score FROM items),
+       |$steps
+       |SELECT item, ROUND(score, 6) AS score FROM s$iters ORDER BY 1""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "pref_winrate" ->
+      s"""WITH $duelCtes
+         |SELECT LEAST(w, l) AS item_a, GREATEST(w, l) AS item_b,
+         |  CAST(COUNT(*) AS BIGINT) AS games,
+         |  CAST(SUM(CASE WHEN w < l THEN 1 ELSE 0 END) AS BIGINT) AS wins_a,
+         |  CAST(SUM(CASE WHEN w < l THEN 0 ELSE 1 END) AS BIGINT) AS wins_b,
+         |  ROUND(SUM(CASE WHEN w < l THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 6)
+         |    AS winrate_a
+         |FROM duel GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "pref_bt_scores" -> btChainSql(10),
     "j5_em_train" -> emTrainChainSql(25),
     "prof_association" -> associationSql,
     "y1_clean" ->
