@@ -44,6 +44,20 @@ object TextQueries {
     "424d66000000000000003600000028000000070000000200000001001800000000003000000000000000000000000000000000000000697a0098bc0fc7fe1ef6402e25833d54c54c83075c0000000000002f420f5e841e8dc62dbc083deb4a4c1a8d5b000000"
   private val MmTextHex = "6e6f7420616e20696d616765207061796c6f6164" // "not an image payload"
 
+  /** `mm_audio_*` fixtures: two real canonical PCM-16 WAVs (44-byte RIFF header
+    * written once from deterministic integer sample formulas — mono 8 kHz
+    * s_k = (k·2654435761 mod 2¹⁶) − 2¹⁵ over 48 frames; stereo 16 kHz, L-channel
+    * s_k = (k·40503 mod 2¹⁶) − 2¹⁵ over 20 frames — frozen as hex so the payloads
+    * are literal constants on both oracle sides), plus a text payload that must
+    * take the stub path.
+    */
+  private val MmWavMonoHex =
+    "524946468400000057415645666d74201000000001000100401f0000803e00000200100064617461600000000080b1f9627313edc46675e0265ad7d3884d39c7ea409bba4c34fdadae275fa1101bc194720e2388d401857b36f5e76e98e84962fadbab555ccf0d49bec26f3c20b6d12f82a93323e49c95164690f709a88359fd0a77bbf06c6a1de4ce5d7fd7"
+  private val MmWavStereoHex =
+    "524946467400000057415645666d74201000000001000200803e000000fa000004001000646174615000000000807b80371e70a76ebc65cea55a5af5dcf84f1c139744434a35396a81d32e91b87123b8ef0f18df26ae0d065d4c022d94eaf753cb88ec7a0227e1a139c5d6c87063cbefa701c016de9fb53d153eaa64"
+  private val MmAudioTextHex =
+    "6e6f7420616e20617564696f207061796c6f6164" // "not an audio payload"
+
   /** Frozen 6×4 five-frame animated GIF (written once by the JDK's own GIF
     * sequence writer from a deterministic per-frame RGB formula) — the real
     * multi-frame container for `mm_frame_sample_real`.
@@ -858,6 +872,33 @@ object TextQueries {
         .select(col("id"), col("width"), col("height"),
           length(col("payload")).as("out_len"), md5(col("payload")).as("payload_md5"))
         .orderBy("id")
+    },
+    "mm_audio_meta" -> { (s, dir) =>
+      // REAL WAV header parse via javax.sound (rate/channels/bits/frames), stub
+      // closed form for the text payload — frozen fixture truths on the oracle side
+      import s.implicits._
+      val fixtures = Seq((0L, MmWavMonoHex), (1L, MmWavStereoHex), (2L, MmAudioTextHex))
+        .toDF("fid", "hex")
+      Multimodal.audioMeta(
+          fixtures.select(col("fid"), unhex(col("hex")).as("payload")), "fid", "payload")
+        .toDF()
+        .select(col("id"), col("byte_len"), col("sample_rate"), col("channels"),
+          col("bits"), col("n_frames"), round(col("duration_ms"), 6).as("duration_ms"))
+        .orderBy("id")
+    },
+    "mm_audio_energy" -> { (s, dir) =>
+      // REAL first-channel PCM windowed RMS/peak (window 16; mono 48 frames → 3
+      // windows, stereo 20 → 2, stub text bytes 20 → 2) — frozen on the oracle side
+      import s.implicits._
+      val fixtures = Seq((0L, MmWavMonoHex), (1L, MmWavStereoHex), (2L, MmAudioTextHex))
+        .toDF("fid", "hex")
+      Multimodal.audioEnergy(
+          fixtures.select(col("fid"), unhex(col("hex")).as("payload")),
+          "fid", "payload", windowSamples = 16)
+        .toDF()
+        .select(col("id"), col("window_index"), col("n_samples"),
+          round(col("rms"), 6).as("rms"), col("peak"))
+        .orderBy("id", "window_index")
     },
     "mm_phash" -> { (s, dir) =>
       // perceptual dHash of the constant image fixtures (new r8): real decode +
@@ -2849,6 +2890,32 @@ object TextQueries {
         |    list_transform(range(1, blen + 1, keep::INT), i -> substr(text, i::INT, 1)),
         |    '')) AS payload_md5
         |FROM keepd ORDER BY id""".stripMargin,
+    "mm_audio_meta" ->
+      // frozen truths of the two real WAV headers (140/124 bytes, 8k mono / 16k
+      // stereo PCM-16) + the stub closed form for the text payload (len 20,
+      // first 'n' → 24 kHz mono, frames len/2)
+      """SELECT CAST(id AS BIGINT) AS id, CAST(bl AS BIGINT) AS byte_len,
+        |  CAST(sr AS INT) AS sample_rate, CAST(ch AS INT) AS channels,
+        |  CAST(bi AS INT) AS bits, CAST(fr AS BIGINT) AS n_frames, CAST(dm AS DOUBLE) AS duration_ms
+        |FROM (VALUES
+        |  (0, 140, 8000, 1, 16, 48, 6.0),
+        |  (1, 124, 16000, 2, 16, 20, 1.25),
+        |  (2, 20, 24000, 1, 16, 10, 0.416667)) t(id, bl, sr, ch, bi, fr, dm)
+        |ORDER BY id""".stripMargin,
+    "mm_audio_energy" ->
+      // frozen window-16 first-channel RMS/peak of the constant fixtures (real
+      // PCM decode for ids 0-1, centered unsigned-8 stub bytes for id 2)
+      """SELECT CAST(id AS BIGINT) AS id, CAST(w AS INT) AS window_index,
+        |  CAST(n AS INT) AS n_samples, CAST(r AS DOUBLE) AS rms, CAST(p AS INT) AS peak
+        |FROM (VALUES
+        |  (0, 0, 16, 19198.075672, 32768),
+        |  (0, 1, 16, 19032.625817, 31621),
+        |  (0, 2, 16, 19390.371154, 31832),
+        |  (1, 0, 16, 19340.458048, 32768),
+        |  (1, 1, 4, 19406.35472, 25456),
+        |  (2, 0, 16, 45.853026, 96),
+        |  (2, 1, 4, 24.667793, 31)) t(id, w, n, r, p)
+        |ORDER BY id, window_index""".stripMargin,
     "mm_png_meta" -> {
       // DuckDB md5() only takes VARCHAR, so the digests of the three CONSTANT
       // payloads are frozen literals (computed from the same hex); the dims are the

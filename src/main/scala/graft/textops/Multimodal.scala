@@ -354,4 +354,152 @@ object Multimodal {
         }
       }
   }
+
+  // ---------------------------------------------------------------- audio
+
+  case class AudioMeta(
+      id: Long,
+      byte_len: Long,
+      sample_rate: Int,
+      channels: Int,
+      bits: Int,
+      n_frames: Long,
+      duration_ms: Double)
+
+  case class AudioWindow(
+      id: Long,
+      window_index: Int,
+      n_samples: Int,
+      rms: Double,
+      peak: Int)
+
+  /** Magic-byte sniff for the containers a stock JDK parses (`javax.sound.sampled`:
+    * WAV, AIFF/AIFC, AU) — same gating role as [[looksLikeImage]].
+    */
+  def looksLikeAudio(b: Array[Byte]): Boolean = {
+    if (b.length < 12) return false
+    (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') ||
+      (b(0) == 'F' && b(1) == 'O' && b(2) == 'R' && b(3) == 'M') || // AIFF/AIFC
+      (b(0) == '.' && b(1) == 's' && b(2) == 'n' && b(3) == 'd')    // AU
+  }
+
+  /** STUB audio header: fake-but-deterministic closed forms from length + first
+    * byte (the [[decodeStub]] convention) — rate 8/16/24 kHz, 1–2 channels,
+    * 16-bit, frames = len/(2·channels).
+    */
+  def audioStub(bytes: Array[Byte]): (Int, Int, Int, Long) = {
+    val len = bytes.length
+    val first = if (bytes.isEmpty) 0 else bytes(0) & 0xff
+    val rate = 8000 * (1 + first % 3)
+    val channels = 1 + len % 2
+    val frames = math.max(1L, len.toLong / (2L * channels))
+    (rate, channels, 16, frames)
+  }
+
+  /** REAL header parse via `javax.sound.sampled.AudioSystem` — header-only (the
+    * file format object carries rate/channels/bits/frame-count without touching
+    * sample data). None → caller stubs.
+    */
+  def decodeAudioHeader(bytes: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    if (!looksLikeAudio(bytes)) return None
+    try {
+      val ff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(bytes))
+      val f = ff.getFormat
+      val frames = ff.getFrameLength.toLong
+      if (f.getSampleRate > 0 && f.getChannels > 0 && frames >= 0)
+        Some((f.getSampleRate.toInt, f.getChannels, f.getSampleSizeInBits, frames))
+      else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Per-partition audio metadata over a binary column — the [[extractMeta]]
+    * shape for sound payloads.
+    */
+  def audioMeta(df: DataFrame, idCol: String, binCol: String): Dataset[AudioMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(binCol).cast("binary").as("b"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val (rate, ch, bits, frames) =
+            decodeAudioHeader(bytes).getOrElse(audioStub(bytes))
+          AudioMeta(id, bytes.length.toLong, rate, ch, bits, frames,
+            frames * 1000.0 / rate)
+        }
+      }
+  }
+
+  /** First-channel PCM samples of a decodable payload. REAL decode for PCM_SIGNED
+    * 16-bit WAV/AIFF/AU (both endiannesses — the overwhelmingly common interchange
+    * encoding); None for anything else, callers stub.
+    */
+  def decodeSamples(bytes: Array[Byte]): Option[Array[Int]] = {
+    if (!looksLikeAudio(bytes)) return None
+    var in: javax.sound.sampled.AudioInputStream = null
+    try {
+      in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val f = in.getFormat
+      val ok = f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+        f.getSampleSizeInBits == 16 && in.getFrameLength >= 0 &&
+        in.getFrameLength <= Int.MaxValue
+      if (!ok) return None
+      val frameSize = f.getFrameSize // channels * 2 bytes
+      val data = in.readAllBytes()
+      val n = data.length / frameSize
+      val out = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        val base = i * frameSize // channel 0 leads each frame
+        out(i) =
+          if (f.isBigEndian) (data(base) << 8) | (data(base + 1) & 0xff)
+          else (data(base + 1) << 8) | (data(base) & 0xff)
+        i += 1
+      }
+      Some(out)
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally if (in != null) {
+      try in.close() catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
+  /** Windowed RMS energy + peak over the first channel — the basic audio feature
+    * extraction (silence trimming, loudness filtering) a corpus pipeline gates on.
+    * REAL samples via [[decodeSamples]]; payloads no codec claims take the stub
+    * path (bytes as centered unsigned-8 samples), so non-audio rows still produce
+    * schema-stable windows. One output row per `windowSamples` window (last window
+    * ragged), all row-local flatMap work.
+    */
+  def audioEnergy(
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      windowSamples: Int = 1024): Dataset[AudioWindow] = {
+    require(windowSamples >= 1, s"windowSamples must be >= 1, got $windowSamples")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(binCol).cast("binary").as("b"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          val samples = decodeSamples(bytes)
+            .getOrElse(bytes.map(b => (b & 0xff) - 128))
+          samples.grouped(windowSamples).zipWithIndex.map { case (seg, w) =>
+            var sq = 0.0
+            var peak = 0
+            var i = 0
+            while (i < seg.length) {
+              val s = seg(i)
+              sq += s.toDouble * s
+              if (math.abs(s) > peak) peak = math.abs(s)
+              i += 1
+            }
+            AudioWindow(id, w, seg.length, math.sqrt(sq / seg.length), peak)
+          }
+        }
+      }
+  }
 }

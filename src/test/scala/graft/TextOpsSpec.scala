@@ -262,6 +262,73 @@ class TextOpsSpec extends SparkSpec {
     assert(half.payload.toSeq === Seq(0x28, 0x38, 0x50).map(_.toByte))
   }
 
+  /** Canonical PCM-16 mono WAV built by hand (44-byte RIFF header, little-endian). */
+  private def wavBytes(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val data = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(data)
+    def le32(v: Int): Unit = { out.write(v); out.write(v >> 8); out.write(v >> 16); out.write(v >> 24) }
+    def le16(v: Int): Unit = { out.write(v); out.write(v >> 8) }
+    out.writeBytes("RIFF"); le32(36 + samples.length * 2); out.writeBytes("WAVE")
+    out.writeBytes("fmt "); le32(16); le16(1); le16(1); le32(sampleRate)
+    le32(sampleRate * 2); le16(2); le16(16)
+    out.writeBytes("data"); le32(samples.length * 2)
+    samples.foreach(s => le16(s & 0xffff))
+    data.toByteArray
+  }
+
+  test("audioMeta: real WAV header parsed, non-audio payload stubs deterministically") {
+    val wav = wavBytes(8000, Array.fill[Short](32)(1000))
+    val df = Seq((0L, wav), (1L, "plain text".getBytes)).toDF("id", "payload")
+    val out = Multimodal.audioMeta(df, "id", "payload").collect().sortBy(_.id)
+    assert((out(0).sample_rate, out(0).channels, out(0).bits, out(0).n_frames) ===
+      ((8000, 1, 16, 32L)))
+    assert(math.abs(out(0).duration_ms - 4.0) < 1e-9)
+    // stub: len 10, first 'p'=112 → rate 8000·(1+112%3)=16000, ch 1, frames 5
+    assert((out(1).sample_rate, out(1).channels, out(1).n_frames) === ((16000, 1, 5L)))
+  }
+
+  test("audioEnergy: square-wave RMS closed form; ragged last window; stub path") {
+    // amplitude-A square wave → rms = A exactly in every window
+    val sq = Array.tabulate[Short](40)(i => if (i % 2 == 0) 1200 else -1200)
+    val df = Seq((0L, wavBytes(8000, sq)), (1L, Array[Byte](0, 0, 0))).toDF("id", "payload")
+    val out = Multimodal.audioEnergy(df, "id", "payload", windowSamples = 16)
+      .collect().sortBy(w => (w.id, w.window_index))
+    val w0 = out.filter(_.id == 0L)
+    assert(w0.map(_.n_samples).toSeq === Seq(16, 16, 8))
+    w0.foreach { w => assert(math.abs(w.rms - 1200.0) < 1e-9); assert(w.peak === 1200) }
+    // stub: 3 zero bytes → samples -128 each → rms 128, one window
+    val w1 = out.filter(_.id == 1L)
+    assert(w1.map(w => (w.n_samples, w.rms, w.peak)).toSeq === Seq((3, 128.0, 128)))
+  }
+
+  test("audioEnergy: stereo reads channel 0; AIFF (big-endian) decodes like WAV") {
+    // stereo WAV: L = 500-amplitude square, R = constant 30000 — rms must be 500
+    val frames = Array.tabulate(20)(i => (if (i % 2 == 0) 500 else -500, 30000))
+    val data = new java.io.ByteArrayOutputStream()
+    val o = new java.io.DataOutputStream(data)
+    def le32(v: Int): Unit = { o.write(v); o.write(v >> 8); o.write(v >> 16); o.write(v >> 24) }
+    def le16(v: Int): Unit = { o.write(v); o.write(v >> 8) }
+    o.writeBytes("RIFF"); le32(36 + frames.length * 4); o.writeBytes("WAVE")
+    o.writeBytes("fmt "); le32(16); le16(1); le16(2); le32(8000); le32(8000 * 4)
+    le16(4); le16(16)
+    o.writeBytes("data"); le32(frames.length * 4)
+    frames.foreach { case (l, r) => le16(l & 0xffff); le16(r & 0xffff) }
+    // AIFF via the JDK's own writer from the mono square fixture (big-endian path)
+    val monoSq = Array.tabulate[Short](20)(i => if (i % 2 == 0) 700 else -700)
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, true)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(monoSq.flatMap(s =>
+        Array(((s >> 8) & 0xff).toByte, (s & 0xff).toByte))), fmt, monoSq.length)
+    val aiffOut = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, aiffOut)
+    val df = Seq((0L, data.toByteArray), (1L, aiffOut.toByteArray)).toDF("id", "payload")
+    val out = Multimodal.audioEnergy(df, "id", "payload", windowSamples = 20)
+      .collect().sortBy(_.id)
+    assert(math.abs(out(0).rms - 500.0) < 1e-9 && out(0).peak === 500)
+    assert(math.abs(out(1).rms - 700.0) < 1e-9 && out(1).peak === 700)
+  }
+
   test("frame sampling decodes real animated-GIF frames, stubs undecodable payloads") {
     // build a 3-frame animated GIF with the JDK's own sequence writer
     val baos = new java.io.ByteArrayOutputStream()
