@@ -35,20 +35,30 @@ object ClusteringMetrics {
       .withColumn("c", when(col("cnt_c") === 1, lit("-1"))
         .otherwise(col("cluster_id").cast("string")))
       .groupBy("t", "c").agg(count(lit(1)).cast("double").as("nij"))
-      .as[(String, String, Double)].collect()
+      .as[(String, String, Double)]
+    // fail loudly (not with a driver OOM) if the contingency is not evaluation-sized:
+    // non-empty cells ≤ min(#rows, #labels × #clusters); the cap is far above any
+    // real ground-truth panel but far below an accidental per-row-unique join
+    val cellCap = 4L << 20
+    val cells = cont.count()
+    require(cells <= cellCap,
+      s"contingency has $cells non-empty cells (> $cellCap): the true-label/cluster " +
+        "pair cardinality is not evaluation-sized; AMI/ARI need the full table on " +
+        "the driver — aggregate or sample labels first")
+    val contArr = cont.collect()
 
-    val n = cont.map(_._3).sum
-    val rowSums = cont.groupBy(_._1).map { case (t, cs) => t -> cs.map(_._3).sum }
-    val colSums = cont.groupBy(_._2).map { case (c, cs) => c -> cs.map(_._3).sum }
+    val n = contArr.map(_._3).sum
+    val rowSums = contArr.groupBy(_._1).map { case (t, cs) => t -> cs.map(_._3).sum }
+    val colSums = contArr.groupBy(_._2).map { case (c, cs) => c -> cs.map(_._3).sum }
     def choose2(x: Double) = x * (x - 1.0) / 2.0
 
-    val s = cont.map(r => choose2(r._3)).sum
+    val s = contArr.map(r => choose2(r._3)).sum
     val sa = rowSums.values.map(choose2).sum
     val sb = colSums.values.map(choose2).sum
     val nPairs = n * (n - 1) / 2.0
 
     // MI and marginal entropies (natural log, like sklearn)
-    val mi = cont.map { case (t, c, nij) =>
+    val mi = contArr.map { case (t, c, nij) =>
       (nij / n) * math.log((nij * n) / (rowSums(t) * colSums(c)))
     }.sum
     val hT = -rowSums.values.map(ai => (ai / n) * math.log(ai / n)).sum

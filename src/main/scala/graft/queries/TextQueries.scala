@@ -770,6 +770,16 @@ object TextQueries {
       Ivf.topK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5, model)
         .orderBy("query_id", "rank")
     },
+    "ann_ivf_scalable_topk" -> { (s, dir) =>
+      // k-means|| seeding (full oracle): md5-fraction distance-proportional
+      // candidate rounds + deterministic weighted farthest-point reduction are
+      // all portable, so DuckDB replays the ENTIRE fit (seeding chain + both
+      // Lloyd rounds) and the serve path
+      val e = emb(s, dir)
+      val model = Ivf.fitScalable(e, "vec_id", "embedding", k = 16)
+      Ivf.topK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5, model)
+        .orderBy("query_id", "rank")
+    },
     "ann_ivf_incremental" -> { (s, dir) =>
       // day-2 index growth: fit on the BASE corpus only, write its index, APPEND
       // the new batch under the same model (no refit), then serve from the grown
@@ -1736,6 +1746,99 @@ object TextQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Full DuckDB replay of [[Ivf.fitScalable]] + serve (k=16, 3 k-means|| rounds,
+    * oversample 2 → l=32, 2 Lloyd rounds, nprobe=4): candidate 0 = smallest-md5
+    * row; each round draws rows with md5-fraction < l·d²/ΣD² against the current
+    * candidate set; candidates are weighted by Voronoi population and reduced to
+    * k by the deterministic weighted farthest-point chain (ties → lowest ordinal,
+    * chosen order = cell id); then the shared Lloyd + probe + re-rank tail.
+    */
+  private val annIvfScalableSql: String = {
+    val (k, nprobe, seed, rounds) = (16, 4, 42L, 3)
+    val l = 2.0 * k
+    val roundCtes = (1 to rounds).map { r =>
+      s"""md$r AS (
+         |  SELECT n.vec_id, MAX(list_inner_product(n.v, c.v)) AS mdot
+         |  FROM n CROSS JOIN c${r - 1} c GROUP BY n.vec_id
+         |), sd$r AS (SELECT SUM(GREATEST(0.0, 2.0 - 2.0 * mdot)) AS sd FROM md$r),
+         |pick$r AS (
+         |  SELECT $r AS rnd, CAST(n.vec_id AS VARCHAR) AS id, n.v
+         |  FROM n JOIN md$r USING (vec_id) CROSS JOIN sd$r
+         |  WHERE ('0x' || substr(md5(CAST(n.vec_id AS VARCHAR) || ':$seed:$r'), 1, 8))::UBIGINT
+         |      / 4294967296.0
+         |    < $l * GREATEST(0.0, 2.0 - 2.0 * mdot) / sd$r.sd
+         |), c$r AS MATERIALIZED (
+         |  SELECT * FROM c${r - 1} UNION ALL
+         |  SELECT p.rnd, p.id, p.v FROM pick$r p
+         |  WHERE p.id NOT IN (SELECT id FROM c${r - 1}))""".stripMargin
+    }.mkString(",\n")
+    val fp = (1 until k).map { t =>
+      s"""fsc$t AS (
+         |  SELECT c.ci,
+         |    c.w * MIN(GREATEST(0.0, 2.0 - 2.0 * list_inner_product(c.v, h.v))) AS score
+         |  FROM cw c CROSS JOIN fch${t - 1} h
+         |  WHERE c.ci NOT IN (SELECT ci FROM fch${t - 1})
+         |  GROUP BY c.ci, c.w
+         |), fpk$t AS (SELECT ci FROM fsc$t ORDER BY score DESC, ci LIMIT 1),
+         |fch$t AS MATERIALIZED (
+         |  SELECT * FROM fch${t - 1} UNION ALL
+         |  SELECT cw.ci, cw.v, $t AS ord FROM cw JOIN fpk$t USING (ci))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS raw FROM embeddings
+       |), n AS (
+       |  SELECT vec_id,
+       |    list_transform(raw, x -> x / sqrt(list_inner_product(raw, raw))) AS v
+       |  FROM e
+       |), c0 AS (
+       |  SELECT 0 AS rnd, CAST(vec_id AS VARCHAR) AS id, v
+       |  FROM (SELECT * FROM n ORDER BY md5(CAST(vec_id AS VARCHAR) || ':$seed') LIMIT 1)
+       |),
+       |$roundCtes,
+       |candi AS MATERIALIZED (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY rnd, id) - 1 AS ci, v FROM c$rounds),
+       |wa AS (
+       |  SELECT ci, COUNT(*)::DOUBLE AS w FROM (
+       |    SELECT vec_id, ci FROM (
+       |      SELECT n.vec_id, candi.ci,
+       |        ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |          ORDER BY list_inner_product(n.v, candi.v) DESC, candi.ci) AS rn
+       |      FROM n CROSS JOIN candi) WHERE rn = 1)
+       |  GROUP BY ci),
+       |cw AS MATERIALIZED (
+       |  SELECT candi.ci, candi.v, COALESCE(wa.w, 0.0) AS w
+       |  FROM candi LEFT JOIN wa USING (ci)),
+       |fch0 AS MATERIALIZED (
+       |  SELECT ci, v, 0 AS ord FROM (SELECT * FROM cw ORDER BY w DESC, ci LIMIT 1)),
+       |$fp,
+       |seedk AS MATERIALIZED (SELECT ord AS cell, v FROM fch${k - 1}),
+       |${lloydRoundCtes("seedk", "la1", "lm1", "lc1")},
+       |${lloydRoundCtes("lc1", "la2", "lm2", "lc2")},
+       |corpus AS (
+       |  SELECT vec_id AS id, v, cell FROM (
+       |    SELECT n.vec_id, n.v, lc2.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |        ORDER BY list_inner_product(n.v, lc2.v) DESC, lc2.cell) AS rn
+       |    FROM n CROSS JOIN lc2) WHERE rn = 1
+       |), probes AS (
+       |  SELECT query_id, qv, cell FROM (
+       |    SELECT n.vec_id AS query_id, n.v AS qv, lc2.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |        ORDER BY list_inner_product(n.v, lc2.v) DESC, lc2.cell) AS rn
+       |    FROM n CROSS JOIN lc2 WHERE n.vec_id < 10) WHERE rn <= $nprobe
+       |), scored AS (
+       |  SELECT p.query_id, c.id,
+       |    ROUND(list_inner_product(c.v, p.qv), 6) AS cosine
+       |  FROM corpus c JOIN probes p ON c.cell = p.cell
+       |  WHERE c.id <> p.query_id
+       |), ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, id) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, rank, id, cosine FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   private val annIvfSql: String =
     s"""WITH $ivfTrainCtes,
        |scored AS (
@@ -2239,6 +2342,7 @@ object TextQueries {
     "mm_cdc_dedup" -> mmCdcDedupSql,
     "ann_lsh_topk" -> annLshSql,
     "ann_ivf_topk" -> annIvfSql,
+    "ann_ivf_scalable_topk" -> annIvfScalableSql,
     "ann_ivf_incremental" -> annIvfIncrementalSql,
     "ann_pq_topk" -> annPqSql,
     "dedup_semantic" -> dedupSemanticSql,

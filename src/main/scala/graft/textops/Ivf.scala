@@ -86,6 +86,132 @@ object Ivf {
     } finally v.unpersist()
   }
 
+  /** k-means|| seeding (Bahmani et al., VLDB 2012) + Lloyd — the large-k fit path.
+    * Plain [[fit]] seeds from k hash-uniform rows, which for large k lands several
+    * seeds in the same dense region and wastes cells; k-means|| oversamples
+    * candidates PROPORTIONAL TO SQUARED DISTANCE from the current set over a few
+    * rounds, then reduces the weighted candidates to k. Every random draw is a
+    * PORTABLE md5 fraction (the sampling-family convention), and the reduction is
+    * a deterministic weighted farthest-point traversal — so an external engine
+    * replays the entire fit, which the `ann_ivf_scalable_topk` DuckDB oracle does.
+    *
+    * Per round: one aggregation for ΣD² plus one filter-collect of the expected
+    * `oversample·k` candidates — all distance math is a codegen'd `greatest` of
+    * literal-centroid dots on the bounded training sample; the candidate set
+    * (≤ 1 + rounds·oversample·k expected) and the k×k farthest-point reduction
+    * are driver-sized by construction. Lloyd then runs exactly as [[fit]].
+    */
+  def fitScalable(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int = 2,
+      rounds: Int = 3,
+      oversample: Double = 2.0,
+      seed: Long = 42L,
+      trainSampleRows: Long = 100000L): Model = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(oversample > 0, s"oversample must be positive, got $oversample")
+    // string ids: portable hashing and ordering for any id type
+    val full = corpus.select(col(idCol).cast("string").as("id"),
+      Similarity.normalized(col(vecCol).cast("array<double>")).as("v"))
+      .filter(col("v").isNotNull && !exists(col("v"), _.isNull))
+    val n = full.count()
+    val l = oversample * k
+    val v =
+      (if (n > 2 * trainSampleRows)
+        full.sample(withReplacement = false,
+          math.min(1.0, 1.2 * trainSampleRows / n), seed)
+      else full).cache()
+    try {
+      // candidate 0 = the smallest-md5 row (the portable "uniform" first pick)
+      val first = v
+        .withColumn("h", md5(concat_ws(":", col("id"), lit(seed.toString))))
+        .orderBy("h").limit(1)
+        .select(col("id"), col("v")).collect()
+        .map(r => (0, r.getString(0), r.getSeq[Double](1).toArray))
+      require(first.nonEmpty, "fitScalable: empty training set")
+      var cands: Array[(Int, String, Array[Double])] = first
+      def maxDot = { // codegen'd greatest of literal dots against current candidates
+        val dots = cands.map { case (_, _, c) =>
+          graft.functions.array_dot(col("v"), typedlit(c.toSeq)) }
+        if (dots.length == 1) dots.head else greatest(dots: _*)
+      }
+      (1 to rounds).foreach { r =>
+        val d2 = greatest(lit(0.0), lit(2.0) - lit(2.0) * maxDot)
+        val sumD = v.agg(sum(d2).as("s")).collect()(0).getDouble(0)
+        if (sumD > 0) {
+          // independent md5-fraction draw per row and round: P(pick) = l·d²/ΣD²
+          val frac = conv(substring(
+            md5(concat_ws(":", col("id"), lit(seed.toString), lit(r.toString))),
+            1, 8), 16, 10).cast("double") / lit(4294967296.0)
+          val drawn = v.filter(frac < lit(l) * d2 / lit(sumD))
+            .select(col("id"), col("v")).collect()
+            .map(x => (r, x.getString(0), x.getSeq[Double](1).toArray))
+          val known = cands.map(_._2).toSet
+          cands = cands ++ drawn.filter(c => !known.contains(c._2)).sortBy(_._2)
+        }
+      }
+      // weight candidates by their Voronoi population (ties → lowest ordinal,
+      // the nearest_centroid convention; candidate order = (round, id))
+      val candArr = cands.sortBy(c => (c._1, c._2)).map(_._3)
+      val weights = new Array[Double](candArr.length)
+      v.withColumn("cell", graft.functions.nearest_centroid(col("v"), candArr))
+        .groupBy("cell").agg(count(lit(1)).as("w")).collect()
+        .foreach(r => weights(r.getInt(0)) = r.getLong(1).toDouble)
+      // deterministic weighted farthest-point reduction to k seeds: start at the
+      // heaviest candidate, then repeatedly take argmax w·minDist² to the chosen
+      // set (ties → lowest ordinal). Chosen ORDER defines the cell ids.
+      val m = candArr.length
+      require(m >= 1, "fitScalable: no candidates")
+      val chosen = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val minD2 = Array.fill(m)(Double.MaxValue)
+      var pick = weights.indices.maxBy(i => (weights(i), -i.toDouble))
+      (0 until math.min(k, m)).foreach { t =>
+        if (t > 0) {
+          var best = -1
+          var bestScore = -1.0
+          var i = 0
+          while (i < m) {
+            if (!chosen.contains(i)) {
+              val sc = weights(i) * minD2(i)
+              if (sc > bestScore) { bestScore = sc; best = i }
+            }
+            i += 1
+          }
+          pick = best
+        }
+        chosen += pick
+        val pv = candArr(pick)
+        var i = 0
+        while (i < m) {
+          var dot = 0.0
+          var j = 0
+          while (j < pv.length) { dot += candArr(i)(j) * pv(j); j += 1 }
+          val d = math.max(0.0, 2.0 - 2.0 * dot)
+          if (d < minD2(i)) minD2(i) = d
+          i += 1
+        }
+      }
+      var centroids = chosen.map(candArr).toArray
+      (1 to iters).foreach { _ =>
+        val assigned = assign(v, centroids)
+        val means = assigned.groupBy("cell")
+          .agg(graft.functions.array_avg_agg(col("v")).as("m"))
+          .collect()
+        val next = centroids.clone()
+        means.foreach { r =>
+          val arr = r.getSeq[Double](1).toArray
+          val nrm = math.sqrt(arr.map(x => x * x).sum)
+          next(r.getInt(0)) = if (nrm > 0) arr.map(_ / nrm) else arr
+        }
+        centroids = next
+      }
+      Model(centroids)
+    } finally v.unpersist()
+  }
+
   /** Nearest-centroid assignment: one codegen'd argmax projection over the literal
     * centroid matrix — the broadcast-join + per-id window form shuffled k×N rows to
     * pick each row's maximum.

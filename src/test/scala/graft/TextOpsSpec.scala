@@ -555,6 +555,42 @@ class TextOpsSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall")
   }
 
+  test("k-means|| fit: recall ≥ 0.9, determinism, and non-degenerate seed spread") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val model = graft.textops.Ivf.fitScalable(emb, "vec_id", "embedding", k = 16)
+    assert(model.centroids.length === 16)
+    // farthest-point reduction must not duplicate a seed
+    assert(model.centroids.map(_.toSeq).distinct.length === 16)
+    val ivf = graft.textops.Ivf.topK(emb, queries, "vec_id", "embedding", 5, model,
+        nprobe = 12)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.9, s"recall $recall")
+    val again = graft.textops.Ivf.fitScalable(emb, "vec_id", "embedding", k = 16)
+    assert(model.centroids.map(_.toSeq).toSeq === again.centroids.map(_.toSeq).toSeq)
+  }
+
+  test("k-means|| seeding separates planted far clusters that uniform seeding merges") {
+    import spark.implicits._
+    // two tight far-apart clusters + a diffuse mass: distance-proportional
+    // oversampling must put at least one seed in EACH tight cluster
+    val rows = (0 until 300).map { i =>
+      val base = Array.fill(4)(0.0)
+      if (i % 100 == 0) base(0) = 100.0 + i // far tight cluster A anchors
+      else if (i % 100 == 1) base(1) = 100.0 + i // far tight cluster B anchors
+      else { base(2) = 1.0 + (i % 7) * 0.01; base(3) = 1.0 } // diffuse mass
+      (i.toLong, base)
+    }.toDF("vec_id", "embedding")
+    val model = graft.textops.Ivf.fitScalable(rows, "vec_id", "embedding",
+      k = 4, rounds = 4, oversample = 4.0)
+    // normalized cluster-A anchors ≈ e0, cluster-B ≈ e1: some centroid must be
+    // dominated by each axis
+    assert(model.centroids.exists(c => c(0) > 0.9), "no seed near cluster A")
+    assert(model.centroids.exists(c => c(1) > 0.9), "no seed near cluster B")
+  }
+
   test("PQ encode/ADC match hand-computed codes and scores on explicit codebooks") {
     import graft.textops.Pq
     // m=2 subspaces of dim 2, ksub=2 — small enough to argmin by hand:
