@@ -230,4 +230,50 @@ object Evaluation {
         col("bin"), col("n"), col("n_pos"),
         (col("psum") / 1e6 / col("n")).as("mean_p"),
         (col("n_pos").cast("double") / col("n")).as("frac_pos"))
+
+  /** Unbiased pass@k over sampled generations (Chen et al. 2021, "Evaluating LLMs
+    * Trained on Code", eq. 1): per task with n samples and c passes,
+    * pass@k = 1 − C(n−c, k)/C(n, k), computed in the numerically stable product
+    * form 1 − Π_{j=0..k−1} (n−c−j)/(n−j). One hash aggregation per task, then a
+    * fixed k-factor closed-form column per requested k (NULL where n < k — the
+    * estimator needs at least k samples).
+    */
+  def passAtK(
+      df: DataFrame,
+      taskCol: Column,
+      passedCol: Column,
+      ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), s"ks must be positive, got $ks")
+    val counts = df
+      .groupBy(taskCol.as("task"))
+      .agg(count(lit(1)).as("n"),
+        sum(passedCol.cast("int")).cast("long").as("c"))
+    ks.foldLeft(counts) { (acc, k) =>
+      // Π in fixed ascending-j order — the oracle multiplies in the same order
+      val prod = (0 until k).map { j =>
+        (col("n") - col("c") - lit(j)).cast("double") / (col("n") - lit(j))
+      }.reduce(_ * _)
+      acc.withColumn(s"pass_at_$k",
+        when(col("n") < k, lit(null).cast("double"))
+          .when(col("n") - col("c") < k, lit(1.0))
+          .otherwise(lit(1.0) - prod))
+    }
+  }
+
+  /** Majority-vote (self-consistency) answer selection (Wang et al. 2023): per
+    * task, the modal answer over sampled generations with deterministic
+    * lexicographic tie-break, plus the agreement share — ONE lexicographic
+    * struct-MIN argmax over the (task, answer) count table, the
+    * `mutualBestPairs`/LPA pattern (no sort window, no join-back).
+    */
+  def majorityVote(df: DataFrame, taskCol: Column, answerCol: Column): DataFrame =
+    df.select(taskCol.as("task"), answerCol.cast("string").as("answer"))
+      .groupBy("task", "answer").agg(count(lit(1)).as("votes"))
+      .groupBy("task")
+      .agg(
+        min(struct((-col("votes")).as("negV"), col("answer"))).as("best"),
+        sum("votes").as("n"))
+      .select(col("task"), col("best.answer").as("answer"),
+        (-col("best.negV")).cast("long").as("votes"), col("n"))
+      .withColumn("agreement", col("votes").cast("double") / col("n"))
 }

@@ -28,6 +28,30 @@ object MlQueries {
     Array(-3.0, 1.0, -2.0, 4.0, 3.0, -2.0, -2.0, -2.0, -2.0)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // unbiased pass@k (Chen et al. 2021 eq. 1) over a deterministic sampled-
+    // generations fixture: task = custkey bucket, pass = order finished
+    "eval_pass_at_k" -> { (s, dir) =>
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .select((col("o_custkey") % 100).cast("string").as("task"),
+          (col("o_orderstatus") === "F").as("passed"))
+      Evaluation.passAtK(o, col("task"), col("passed"), Seq(1, 5, 10))
+        .select(col("task"), col("n"), col("c"),
+          round(col("pass_at_1"), 6).as("pass_at_1"),
+          round(col("pass_at_5"), 6).as("pass_at_5"),
+          round(col("pass_at_10"), 6).as("pass_at_10"))
+        .orderBy("task")
+    },
+    // self-consistency majority vote: modal answer per task (ties → smallest),
+    // agreement share — one struct-MIN argmax, no sort window
+    "eval_majority_vote" -> { (s, dir) =>
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .select((col("o_custkey") % 100).cast("string").as("task"),
+          col("o_orderpriority").as("ans"))
+      Evaluation.majorityVote(o, col("task"), col("ans"))
+        .select(col("task"), col("answer"), col("votes"), col("n"),
+          round(col("agreement"), 6).as("agreement"))
+        .orderBy("task")
+    },
     "ml_quality_score" -> { (s, dir) =>
       docs(s, dir).select(col("doc_id"),
           round(QualityClassifier.score(
@@ -260,7 +284,42 @@ object MlQueries {
        |ORDER BY fn.feature""".stripMargin
   }
 
+  /** pass@k factors in the same fixed left-associated product order as
+    * [[Evaluation.passAtK]].
+    */
+  private def passAtKSql(ks: Seq[Int]): String = {
+    val cols = ks.map { k =>
+      val prod = (0 until k)
+        .map(j => s"((n - c - $j)::DOUBLE / (n - $j))").mkString(" * ")
+      s"""CASE WHEN n < $k THEN NULL
+         |       WHEN n - c < $k THEN 1.0
+         |       ELSE ROUND(1.0 - $prod, 6) END AS pass_at_$k""".stripMargin
+    }.mkString(",\n  ")
+    s"""WITH s AS (
+       |  SELECT CAST(o_custkey % 100 AS VARCHAR) AS task,
+       |         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS p
+       |  FROM orders),
+       |a AS (SELECT task, COUNT(*) AS n, CAST(SUM(p) AS BIGINT) AS c FROM s GROUP BY 1)
+       |SELECT task, n, c,
+       |  $cols
+       |FROM a ORDER BY task""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "eval_pass_at_k" -> passAtKSql(Seq(1, 5, 10)),
+    "eval_majority_vote" ->
+      """WITH s AS (
+        |  SELECT CAST(o_custkey % 100 AS VARCHAR) AS task, o_orderpriority AS answer
+        |  FROM orders),
+        |cnt AS (SELECT task, answer, COUNT(*) AS votes FROM s GROUP BY 1, 2),
+        |best AS (
+        |  SELECT task, answer, votes,
+        |    ROW_NUMBER() OVER (PARTITION BY task ORDER BY votes DESC, answer) AS rn,
+        |    SUM(votes) OVER (PARTITION BY task) AS n
+        |  FROM cnt)
+        |SELECT task, answer, CAST(votes AS BIGINT) AS votes, CAST(n AS BIGINT) AS n,
+        |  ROUND(votes::DOUBLE / n, 6) AS agreement
+        |FROM best WHERE rn = 1 ORDER BY task""".stripMargin,
     "ml_eval_auc" ->
       s"""$scoredCte,
          |g AS (

@@ -292,4 +292,35 @@ class EvaluationSpec extends SparkSpec {
       .as[(String, String, Long, Long, Double, Double)].head()
     assert(cr._3 === 1L && cr._4 === 1L && cr._5 === 1.0)
   }
+
+  test("passAtK: closed-form C(n-c,k)/C(n,k) cases, boundary rules") {
+    // task A: n=5, c=2 -> pass@2 = 1 - C(3,2)/C(5,2) = 1 - 3/10 = 0.7
+    // task B: n=4, c=0 -> pass@k = 0 for k <= 4; task C: n=2 -> pass@5 NULL
+    val df = (Seq.fill(2)(("A", true)) ++ Seq.fill(3)(("A", false)) ++
+      Seq.fill(4)(("B", false)) ++ Seq(("C", true), ("C", false)))
+      .toDF("task", "passed")
+    val out = Evaluation.passAtK(df, col("task"), col("passed"), Seq(1, 2, 5))
+      .orderBy("task").collect()
+    val a = out(0)
+    assert((a.getLong(1), a.getLong(2)) === ((5L, 2L)))
+    assert(math.abs(a.getDouble(3) - 0.4) < 1e-12) // 1 - 3/5
+    assert(math.abs(a.getDouble(4) - 0.7) < 1e-12)
+    assert(a.getDouble(5) === 1.0) // k=5 of n=5 with c=2: every draw has a pass
+    val b = out(1)
+    assert(b.getDouble(3) === 0.0 && b.getDouble(4) === 0.0)
+    val c = out(2)
+    assert(math.abs(c.getDouble(3) - 0.5) < 1e-12)
+    assert(c.isNullAt(5))
+  }
+
+  test("majorityVote: modal answer, lexicographic tie-break, agreement share") {
+    val df = Seq(("t1", "x"), ("t1", "x"), ("t1", "y"),
+      ("t2", "b"), ("t2", "a"), ("t2", "b"), ("t2", "a")).toDF("task", "ans")
+    val out = Evaluation.majorityVote(df, col("task"), col("ans"))
+      .orderBy("task").collect()
+    assert((out(0).getString(1), out(0).getLong(2), out(0).getLong(3)) === (("x", 2L, 3L)))
+    assert(math.abs(out(0).getDouble(4) - 2.0 / 3.0) < 1e-12)
+    // t2: a and b tie at 2 votes -> "a" wins lexicographically
+    assert((out(1).getString(1), out(1).getLong(2)) === (("a", 2L)))
+  }
 }
