@@ -50,3 +50,50 @@ object WordShingles {
     new GenericArrayData(out.toArray)
   }
 }
+
+/** Character n-gram shingles of a whitespace-stripped string, in one pass — the
+  * chrF (Popović 2015) gram primitive. Composable HOFs would re-run the
+  * whitespace strip inside the lambda for every gram (no CSE across HOF
+  * boundaries — the [[WordShingles]] rationale); this strips once per row and
+  * emits the grams by index.
+  *
+  * Whitespace is the explicit ASCII class `[ \t\n\r\f]` so the DuckDB
+  * oracle's RE2 `regexp_replace` and Java agree character-for-character.
+  */
+case class CharShingles(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"n must be >= 1, got $n")
+  override def dataType: DataType = ArrayType(StringType)
+
+  override def nullSafeEval(input: Any): Any =
+    CharShingles.shingle(input.toString, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.CharShingles.shingle($c.toString(), $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): CharShingles =
+    copy(child = newChild)
+}
+
+object CharShingles {
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f'
+
+  def shingle(text: String, n: Int): GenericArrayData = {
+    val sb = new java.lang.StringBuilder(text.length)
+    var i = 0
+    while (i < text.length) {
+      if (!isWs(text.charAt(i))) sb.append(text.charAt(i))
+      i += 1
+    }
+    val s = sb.toString
+    if (s.length < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](s.length - n + 1)
+    var j = 0
+    while (j <= s.length - n) {
+      out(j) = UTF8String.fromString(s.substring(j, j + n))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}

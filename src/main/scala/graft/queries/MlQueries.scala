@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.metrics.Evaluation
+import graft.metrics.{Evaluation, GenEval}
 import graft.textops.{QualityClassifier, TextOps}
 
 /** SparkEntry query + oracle entries for the quality classifier: scoring with a fixed
@@ -27,7 +27,63 @@ object MlQueries {
   private val ScoreWeights: Array[Double] =
     Array(-3.0, 1.0, -2.0, 4.0, 3.0, -2.0, -2.0, -2.0, -2.0)
 
+  /** (candidate, reference) pairs for the generation-eval metrics: each doc against
+    * its successor, except every 10th doc paired with itself (exercising the
+    * perfect-score branch of every metric). Pair ids are unique by construction.
+    */
+  private def genPairs(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    d.as("a")
+      .join(d.as("b"),
+        col("b.doc_id") === when(col("a.doc_id") % 10 === 0, col("a.doc_id"))
+          .otherwise(col("a.doc_id") + 1))
+      .select(col("a.doc_id").as("pair_id"),
+        col("a.text").as("cand"), col("b.text").as("ref"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // sentence BLEU-4 (Papineni 2002, add-one smoothing on n>=2) per pair
+    "eval_bleu" -> { (s, dir) =>
+      GenEval.bleu(genPairs(s, dir), col("pair_id"), col("cand"), col("ref"), maxN = 4)
+        .select(col("pair_id"), col("cand_len"), col("ref_len"),
+          round(col("bp"), 6).as("bp"), round(col("bleu"), 6).as("bleu"))
+        .orderBy("pair_id")
+    },
+    // ROUGE-1/2 clipped precision/recall/F1 per pair
+    "eval_rouge_n" -> { (s, dir) =>
+      GenEval.rougeN(genPairs(s, dir), col("pair_id"), col("cand"), col("ref"), Seq(1, 2))
+        .select(col("pair_id"), col("n"), col("matched"),
+          round(col("precision"), 6).as("prec"),
+          round(col("recall"), 6).as("rec"),
+          round(col("f1"), 6).as("f1"))
+        .orderBy("pair_id", "n")
+    },
+    // chrF2 (Popović 2015): char 1..4-gram F with beta=2 per pair
+    "eval_chrf" -> { (s, dir) =>
+      GenEval.chrF(genPairs(s, dir), col("pair_id"), col("cand"), col("ref"))
+        .select(col("pair_id"),
+          round(col("chr_p"), 6).as("chr_p"),
+          round(col("chr_r"), 6).as("chr_r"),
+          round(col("chrf"), 6).as("chrf"))
+        .orderBy("pair_id")
+    },
+    // SQuAD-style token F1 + exact match per pair
+    "eval_token_f1" -> { (s, dir) =>
+      GenEval.tokenF1(genPairs(s, dir), col("pair_id"), col("cand"), col("ref"))
+        .select(col("pair_id"), col("exact_match"), col("matched"),
+          round(col("precision"), 6).as("prec"),
+          round(col("recall"), 6).as("rec"),
+          round(col("f1"), 6).as("f1"))
+        .orderBy("pair_id")
+    },
+    // distinct-n diversity (Li 2016) of the corpus per language, n = 1..3
+    "eval_distinct_n" -> { (s, dir) =>
+      GenEval.distinctN(docs(s, dir), col("lang"), col("text"), Seq(1, 2, 3))
+        .select(col("group").as("lang"), col("n"),
+          col("total_ngrams"), col("distinct_ngrams"),
+          round(col("distinct_ratio"), 6).as("distinct_ratio"))
+        .orderBy("lang", "n")
+    },
     // unbiased pass@k (Chen et al. 2021 eq. 1) over a deterministic sampled-
     // generations fixture: task = custkey bucket, pass = order finished
     "eval_pass_at_k" -> { (s, dir) =>
@@ -305,7 +361,142 @@ object MlQueries {
        |FROM a ORDER BY task""".stripMargin
   }
 
+  /** The gen-eval pair fixture CTE `p(pair_id, cand, ref)` — mirrors [[genPairs]]. */
+  private val genPairsCte: String =
+    """p AS (
+      |  SELECT a.doc_id AS pair_id, a.text AS cand, b.text AS ref
+      |  FROM documents a JOIN documents b
+      |    ON b.doc_id = CASE WHEN a.doc_id % 10 = 0 THEN a.doc_id
+      |                       ELSE a.doc_id + 1 END)""".stripMargin
+
+  /** Char n-gram SQL over the whitespace-stripped string — replays
+    * [[graft.expressions.CharShingles]] (the `[ \t\n\r\f]` class is the
+    * expression's explicit whitespace set; RE2 reads the escapes).
+    */
+  private def charShinglesSql(textExpr: String, n: Int): String = {
+    val s = s"regexp_replace($textExpr, '[ \\t\\n\\r\\f]+', '', 'g')"
+    s"(CASE WHEN length($s) < $n THEN [] ELSE " +
+      s"list_transform(range(1, length($s) - ${n - 2}), i -> substr($s, i, $n)) END)"
+  }
+
+  /** The clipped n-gram stats chain `st(pair_id, n, m, tc, tr)` over the pair CTE
+    * `p` — replays [[GenEval.clippedNgramStats]] (grid left-joins give explicit
+    * zeros for gram-less sides).
+    */
+  private def clippedCtes(ns: Seq[Int], gramSql: (String, Int) => String): String = {
+    def grams(side: String) = ns
+      .map(n => s"SELECT pair_id, $n AS n, unnest(${gramSql(side, n)}) AS gram FROM p")
+      .mkString("\n       UNION ALL ")
+    val nvals = ns.map(n => s"($n)").mkString(", ")
+    s"""cg AS (${grams("cand")}),
+       |rg AS (${grams("ref")}),
+       |cc AS (SELECT pair_id, n, gram, COUNT(*) AS cnt FROM cg GROUP BY 1, 2, 3),
+       |rc AS (SELECT pair_id, n, gram, COUNT(*) AS cnt FROM rg GROUP BY 1, 2, 3),
+       |ct AS (SELECT pair_id, n, SUM(cnt) AS tc FROM cc GROUP BY 1, 2),
+       |rt AS (SELECT pair_id, n, SUM(cnt) AS tr FROM rc GROUP BY 1, 2),
+       |mm AS (SELECT pair_id, n, SUM(LEAST(cc.cnt, rc.cnt)) AS m
+       |       FROM cc JOIN rc USING (pair_id, n, gram) GROUP BY 1, 2),
+       |grid AS (SELECT pair_id, v.n FROM p CROSS JOIN (VALUES $nvals) v(n)),
+       |st AS (SELECT grid.pair_id, grid.n,
+       |         COALESCE(mm.m, 0) AS m, COALESCE(ct.tc, 0) AS tc, COALESCE(rt.tr, 0) AS tr
+       |       FROM grid LEFT JOIN ct USING (pair_id, n) LEFT JOIN rt USING (pair_id, n)
+       |       LEFT JOIN mm USING (pair_id, n))""".stripMargin
+  }
+
+  private def wordShinglesSql(textExpr: String, n: Int): String =
+    TextQueries.shinglesSqlN(textExpr, n)
+
   val oracleSql: Map[String, String] = Map(
+    "eval_bleu" -> {
+      val logs = (1 to 4).map(k => s"LN(GREATEST(p$k, 1e-300))").mkString(" + ")
+      s"""WITH $genPairsCte,
+         |${clippedCtes(1 to 4, wordShinglesSql)},
+         |pn AS (SELECT pair_id, n,
+         |         CASE WHEN n = 1 THEN CASE WHEN tc = 0 THEN 0.0 ELSE m::DOUBLE / tc END
+         |              ELSE (m + 1)::DOUBLE / (tc + 1) END AS pv, tc, tr FROM st),
+         |ag AS (SELECT pair_id,
+         |         CAST(SUM(CASE WHEN n = 1 THEN tc END) AS BIGINT) AS cand_len,
+         |         CAST(SUM(CASE WHEN n = 1 THEN tr END) AS BIGINT) AS ref_len,
+         |         MAX(CASE WHEN n = 1 THEN pv END) AS p1,
+         |         MAX(CASE WHEN n = 2 THEN pv END) AS p2,
+         |         MAX(CASE WHEN n = 3 THEN pv END) AS p3,
+         |         MAX(CASE WHEN n = 4 THEN pv END) AS p4
+         |       FROM pn GROUP BY 1),
+         |bpc AS (SELECT *,
+         |         CASE WHEN cand_len = 0 THEN 0.0
+         |              WHEN cand_len >= ref_len THEN 1.0
+         |              ELSE EXP(1.0 - ref_len::DOUBLE / cand_len) END AS bp
+         |        FROM ag)
+         |SELECT pair_id, cand_len, ref_len, ROUND(bp, 6) AS bp,
+         |  ROUND(CASE WHEN p1 = 0 THEN 0.0
+         |        ELSE bp * EXP(($logs) / 4) END, 6) AS bleu
+         |FROM bpc ORDER BY pair_id""".stripMargin
+    },
+    "eval_rouge_n" ->
+      s"""WITH $genPairsCte,
+         |${clippedCtes(Seq(1, 2), wordShinglesSql)},
+         |pr AS (SELECT pair_id, n, CAST(m AS BIGINT) AS matched,
+         |         CASE WHEN tc = 0 THEN 0.0 ELSE m::DOUBLE / tc END AS pv,
+         |         CASE WHEN tr = 0 THEN 0.0 ELSE m::DOUBLE / tr END AS rv FROM st)
+         |SELECT pair_id, n, matched,
+         |  ROUND(pv, 6) AS prec, ROUND(rv, 6) AS rec,
+         |  ROUND(CASE WHEN pv + rv = 0 THEN 0.0
+         |        ELSE 2.0 * pv * rv / (pv + rv) END, 6) AS f1
+         |FROM pr ORDER BY pair_id, n""".stripMargin,
+    "eval_chrf" ->
+      s"""WITH $genPairsCte,
+         |${clippedCtes(1 to 4, charShinglesSql)},
+         |pr AS (SELECT pair_id, n,
+         |         CASE WHEN tc = 0 THEN 0.0 ELSE m::DOUBLE / tc END AS pv,
+         |         CASE WHEN tr = 0 THEN 0.0 ELSE m::DOUBLE / tr END AS rv FROM st),
+         |ag AS (SELECT pair_id,
+         |         MAX(CASE WHEN n = 1 THEN pv END) AS p1,
+         |         MAX(CASE WHEN n = 2 THEN pv END) AS p2,
+         |         MAX(CASE WHEN n = 3 THEN pv END) AS p3,
+         |         MAX(CASE WHEN n = 4 THEN pv END) AS p4,
+         |         MAX(CASE WHEN n = 1 THEN rv END) AS r1,
+         |         MAX(CASE WHEN n = 2 THEN rv END) AS r2,
+         |         MAX(CASE WHEN n = 3 THEN rv END) AS r3,
+         |         MAX(CASE WHEN n = 4 THEN rv END) AS r4
+         |       FROM pr GROUP BY 1),
+         |fin AS (SELECT pair_id,
+         |          (((p1 + p2) + p3) + p4) / 4 AS chr_p,
+         |          (((r1 + r2) + r3) + r4) / 4 AS chr_r FROM ag)
+         |SELECT pair_id, ROUND(chr_p, 6) AS chr_p, ROUND(chr_r, 6) AS chr_r,
+         |  ROUND(CASE WHEN chr_p + chr_r = 0 THEN 0.0
+         |        ELSE 5.0 * chr_p * chr_r / (4.0 * chr_p + chr_r) END, 6) AS chrf
+         |FROM fin ORDER BY pair_id""".stripMargin,
+    "eval_token_f1" ->
+      s"""WITH p0 AS (
+         |  SELECT a.doc_id AS pair_id, a.text AS cand, b.text AS ref
+         |  FROM documents a JOIN documents b
+         |    ON b.doc_id = CASE WHEN a.doc_id % 10 = 0 THEN a.doc_id
+         |                       ELSE a.doc_id + 1 END),
+         |p AS (SELECT pair_id, lower(cand) AS cand, lower(ref) AS ref FROM p0),
+         |${clippedCtes(Seq(1), wordShinglesSql)},
+         |em AS (SELECT pair_id,
+         |         (${toksSql("cand")} = ${toksSql("ref")}) AS exact_match FROM p),
+         |pr AS (SELECT pair_id, CAST(m AS BIGINT) AS matched,
+         |         CASE WHEN tc = 0 THEN 0.0 ELSE m::DOUBLE / tc END AS pv,
+         |         CASE WHEN tr = 0 THEN 0.0 ELSE m::DOUBLE / tr END AS rv
+         |       FROM st WHERE n = 1)
+         |SELECT pair_id, exact_match, matched,
+         |  ROUND(pv, 6) AS prec, ROUND(rv, 6) AS rec,
+         |  ROUND(CASE WHEN pv + rv = 0 THEN 0.0
+         |        ELSE 2.0 * pv * rv / (pv + rv) END, 6) AS f1
+         |FROM pr JOIN em USING (pair_id) ORDER BY pair_id""".stripMargin,
+    "eval_distinct_n" -> {
+      val grams = Seq(1, 2, 3)
+        .map(n =>
+          s"SELECT lang, $n AS n, unnest(${TextQueries.shinglesSqlN("text", n)}) AS gram FROM documents")
+        .mkString("\n  UNION ALL ")
+      s"""WITH g AS ($grams),
+         |c AS (SELECT lang, n, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2, 3)
+         |SELECT lang, n, CAST(SUM(cnt) AS BIGINT) AS total_ngrams,
+         |  CAST(COUNT(*) AS BIGINT) AS distinct_ngrams,
+         |  ROUND(COUNT(*)::DOUBLE / SUM(cnt), 6) AS distinct_ratio
+         |FROM c GROUP BY 1, 2 ORDER BY lang, n""".stripMargin
+    },
     "eval_pass_at_k" -> passAtKSql(Seq(1, 5, 10)),
     "eval_majority_vote" ->
       """WITH s AS (

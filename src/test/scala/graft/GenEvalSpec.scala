@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.metrics.GenEval
+
+class GenEvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pairs(rows: (Int, String, String)*) =
+    rows.toDF("pair_id", "cand", "ref")
+
+  test("clippedNgramStats: multiset min counts, totals, zero-grid rows") {
+    val st = GenEval
+      .clippedNgramStats(pairs((1, "a b a c", "a a d")), col("pair_id"),
+        col("cand"), col("ref"), Seq(1, 2))
+      .orderBy("n")
+      .as[(Int, Int, Long, Long, Long)].collect()
+    // n=1: cand {a:2,b:1,c:1} vs ref {a:2,d:1} -> matched min(2,2)=2
+    assert(st(0) === ((1, 1, 2L, 4L, 3L)))
+    // n=2: no shared bigrams
+    assert(st(1) === ((1, 2, 0L, 3L, 2L)))
+  }
+
+  test("clippedNgramStats: empty side gets explicit zeros") {
+    val st = GenEval
+      .clippedNgramStats(pairs((7, "", "a b")), col("pair_id"), col("cand"),
+        col("ref"), Seq(1))
+      .as[(Int, Int, Long, Long, Long)].collect()
+    assert(st.toSeq === Seq((7, 1, 0L, 0L, 2L)))
+  }
+
+  test("bleu: clipping example, self-pair, and no-overlap zero") {
+    val df = pairs(
+      (1, "the the the the the the the", "the cat is on the mat"),
+      (2, "x y z w", "x y z w"),
+      (3, "p q", "r s"))
+    val out = GenEval.bleu(df, col("pair_id"), col("cand"), col("ref"))
+      .orderBy("pair_id")
+      .as[(Int, Long, Long, Double, Double)].collect()
+    // pair 1 (Papineni clipping example): p1=2/7, smoothed p2=1/7, p3=1/6, p4=1/5;
+    // cand_len 7 >= ref_len 6 -> bp = 1
+    val expected =
+      math.exp((math.log(2.0 / 7) + math.log(1.0 / 7) +
+        math.log(1.0 / 6) + math.log(1.0 / 5)) / 4)
+    assert(out(0)._2 === 7L && out(0)._3 === 6L && out(0)._4 === 1.0)
+    assert(math.abs(out(0)._5 - expected) < 1e-12)
+    // identical pair: every precision 1 -> bleu exactly 1
+    assert(out(1)._5 === 1.0)
+    // zero unigram overlap -> forced 0 despite smoothing
+    assert(out(2)._5 === 0.0)
+  }
+
+  test("bleu: brevity penalty when the candidate is shorter") {
+    val out = GenEval.bleu(pairs((1, "a b", "a b c d")), col("pair_id"),
+        col("cand"), col("ref"))
+      .as[(Int, Long, Long, Double, Double)].head()
+    assert(math.abs(out._4 - math.exp(1.0 - 4.0 / 2.0)) < 1e-12)
+  }
+
+  test("rougeN: hand-computed precision/recall/F1 and zero-denominator rules") {
+    val out = GenEval
+      .rougeN(pairs((1, "a b c", "a b d e")), col("pair_id"), col("cand"),
+        col("ref"), Seq(1, 2))
+      .orderBy("n")
+      .as[(Int, Int, Long, Double, Double, Double)].collect()
+    // n=1: m=2, p=2/3, r=2/4, f1 = 2*(2/3)*(1/2)/(2/3+1/2) = 4/7
+    assert(out(0)._3 === 2L)
+    assert(math.abs(out(0)._4 - 2.0 / 3) < 1e-12)
+    assert(math.abs(out(0)._5 - 0.5) < 1e-12)
+    assert(math.abs(out(0)._6 - 4.0 / 7) < 1e-12)
+    // n=2: only "a b" shared: p=1/2, r=1/3, f1=2/5
+    assert(math.abs(out(1)._6 - 0.4) < 1e-12)
+    val z = GenEval.rougeN(pairs((1, "", "")), col("pair_id"), col("cand"),
+        col("ref"), Seq(1))
+      .as[(Int, Int, Long, Double, Double, Double)].head()
+    assert(z._4 === 0.0 && z._5 === 0.0 && z._6 === 0.0)
+  }
+
+  test("chrF: identical pair scores exactly 1; disjoint pair 0") {
+    val out = GenEval.chrF(pairs((1, "ab cd", "ab cd"), (2, "aaaa", "bbbb")),
+        col("pair_id"), col("cand"), col("ref"))
+      .orderBy("pair_id")
+      .as[(Int, Double, Double, Double)].collect()
+    assert(out(0)._2 === 1.0 && out(0)._3 === 1.0 && out(0)._4 === 1.0)
+    assert(out(1)._4 === 0.0)
+  }
+
+  test("chrF: whitespace is stripped before gram extraction") {
+    // "a b" vs "ab": identical after stripping -> perfect score
+    val out = GenEval.chrF(pairs((1, "a b", "ab")), col("pair_id"), col("cand"),
+        col("ref"), maxN = 2)
+      .as[(Int, Double, Double, Double)].head()
+    assert(out._4 === 1.0)
+  }
+
+  test("tokenF1: case-folded EM, multiset overlap F1") {
+    val out = GenEval
+      .tokenF1(pairs((1, "The cat", "the cat"), (2, "a a b", "a c")),
+        col("pair_id"), col("cand"), col("ref"))
+      .orderBy("pair_id")
+      .as[(Int, Boolean, Long, Double, Double, Double)].collect()
+    assert(out(0)._2 && out(0)._6 === 1.0)
+    // multiset: cand {a:2,b:1}, ref {a:1,c:1} -> m=1, p=1/3, r=1/2, f1=2/5
+    assert(!out(1)._2 && out(1)._3 === 1L)
+    assert(math.abs(out(1)._6 - 0.4) < 1e-12)
+  }
+
+  test("distinctN: ratios per group and n") {
+    val df = Seq(("g", "a a b"), ("g", "a b")).toDF("lang", "text")
+    val out = GenEval.distinctN(df, col("lang"), col("text"), Seq(1, 2))
+      .orderBy("n")
+      .as[(String, Int, Long, Long, Double)].collect()
+    // unigrams: 5 total, distinct {a,b} = 2
+    assert(out(0)._3 === 5L && out(0)._4 === 2L)
+    assert(math.abs(out(0)._5 - 0.4) < 1e-12)
+    // bigrams: "a a","a b","a b" -> 3 total, 2 distinct
+    assert(out(1)._3 === 3L && out(1)._4 === 2L)
+  }
+
+  test("CharShingles: strips whitespace, short-string empty, n=1 chars") {
+    val df = Seq(Tuple1("ab\tcd"), Tuple1("x")).toDF("s")
+    val g2 = df.select(GenEval.charGrams(col("s"), 2).as("g"))
+      .as[Seq[String]].collect()
+    assert(g2(0) === Seq("ab", "bc", "cd"))
+    assert(g2(1) === Seq.empty)
+    val g1 = df.select(GenEval.charGrams(col("s"), 1).as("g"))
+      .as[Seq[String]].head()
+    assert(g1 === Seq("a", "b", "c", "d"))
+  }
+}
