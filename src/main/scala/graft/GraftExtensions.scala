@@ -108,6 +108,14 @@ object GraftExtensions {
     fn("token_set_jaccard", "token_set_jaccard(l, r) - whitespace-token-set Jaccard.") { a =>
       arity("token_set_jaccard", a, 2 to 2); TokenSetJaccard(a(0), a(1))
     },
+    fn("lcs_length",
+      "lcs_length(l, r) - longest-common-subsequence length of two string arrays.") { a =>
+      arity("lcs_length", a, 2 to 2); LcsLength(a(0), a(1))
+    },
+    fn("char_shingles",
+      "char_shingles(text, n) - char n-grams of the whitespace-stripped string.") { a =>
+      arity("char_shingles", a, 2 to 2); CharShingles(a(0), litInt(a(1), "n"))
+    },
     fn("array_dot", "array_dot(l, r) - dot product of two array<double>.") { a =>
       arity("array_dot", a, 2 to 2); ArrayDot(a(0), a(1))
     },

@@ -182,6 +182,38 @@ object GenEval {
             (lit(b2) * col("chr_p") + col("chr_r"))))
   }
 
+  /** ROUGE-L per pair (Lin 2004): LCS of the whitespace token sequences via the
+    * row-local [[graft.expressions.LcsLength]] DP — zero shuffles, the whole metric
+    * is one codegen'd projection. Precision = LCS/|cand|, recall = LCS/|ref|,
+    * F1 as in [[rougeN]] (0 where the denominator is 0).
+    * Output: `(pair_id, lcs, cand_len, ref_len, precision, recall, f1)`.
+    */
+  def rougeL(
+      pairs: DataFrame,
+      idCol: Column,
+      candCol: Column,
+      refCol: Column): DataFrame = {
+    val base = pairs.select(idCol.as("pair_id"),
+      TextOps.tokens(candCol).as("ct"), TextOps.tokens(refCol).as("rt"))
+    val lcs = org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expressions.LcsLength(
+        org.apache.spark.sql.graftbridge.Bridge.expression(col("ct")),
+        org.apache.spark.sql.graftbridge.Bridge.expression(col("rt"))))
+    base
+      .select(col("pair_id"), lcs.as("lcs"),
+        size(col("ct")).as("cand_len"), size(col("rt")).as("ref_len"))
+      .withColumn("precision",
+        when(col("cand_len") === 0, lit(0.0))
+          .otherwise(col("lcs").cast("double") / col("cand_len")))
+      .withColumn("recall",
+        when(col("ref_len") === 0, lit(0.0))
+          .otherwise(col("lcs").cast("double") / col("ref_len")))
+      .withColumn("f1",
+        when(col("precision") + col("recall") === 0, lit(0.0))
+          .otherwise(lit(2.0) * col("precision") * col("recall") /
+            (col("precision") + col("recall"))))
+  }
+
   /** SQuAD-style token-level F1 + exact match per pair: unigram multiset overlap
     * on case-folded whitespace tokens; EM is equality of the folded
     * token sequences (whitespace-normalized, not raw-string, equality).

@@ -67,6 +67,15 @@ object MlQueries {
           round(col("chrf"), 6).as("chrf"))
         .orderBy("pair_id")
     },
+    // ROUGE-L (LCS) precision/recall/F per pair — one row-local DP projection
+    "eval_rouge_l" -> { (s, dir) =>
+      GenEval.rougeL(genPairs(s, dir), col("pair_id"), col("cand"), col("ref"))
+        .select(col("pair_id"), col("lcs"), col("cand_len"), col("ref_len"),
+          round(col("precision"), 6).as("prec"),
+          round(col("recall"), 6).as("rec"),
+          round(col("f1"), 6).as("f1"))
+        .orderBy("pair_id")
+    },
     // SQuAD-style token F1 + exact match per pair
     "eval_token_f1" -> { (s, dir) =>
       GenEval.tokenF1(genPairs(s, dir), col("pair_id"), col("cand"), col("ref"))
@@ -466,6 +475,42 @@ object MlQueries {
          |  ROUND(CASE WHEN chr_p + chr_r = 0 THEN 0.0
          |        ELSE 5.0 * chr_p * chr_r / (4.0 * chr_p + chr_r) END, 6) AS chrf
          |FROM fin ORDER BY pair_id""".stripMargin,
+    // The LCS DP replayed in pure SQL: the accumulator is the DP row dp[i-1][0..m]
+    // carried through a list_reduce over candidate tokens (struct-wrapped so the
+    // initial zero row can ride as the prepended first element — DuckDB's
+    // list_reduce has no initial-value form). The row update uses the prefix-max
+    // identity dp[i][j] = max_{k<=j} max(dp[i-1][k], dp[i-1][k-1] + eq_k), which
+    // removes the sequential dp[i][j-1] dependency a flat lambda can't express.
+    "eval_rouge_l" -> {
+      val lcs =
+        """list_reduce(
+          |    list_prepend(
+          |      {'row': list_transform(range(0, len(rt) + 1), z -> 0), 'tok': ''},
+          |      list_transform(ct, c -> {'row': []::INT[], 'tok': c})),
+          |    (acc, x) -> {
+          |      'row': list_prepend(0,
+          |        list_transform(range(1, len(rt) + 1), j ->
+          |          list_max(list_transform(range(1, j + 1), i ->
+          |            GREATEST(acc.row[i + 1],
+          |              acc.row[i] + CASE WHEN x.tok = rt[i] THEN 1 ELSE 0 END))))),
+          |      'tok': ''
+          |    })""".stripMargin
+      s"""WITH $genPairsCte,
+         |tk AS (SELECT pair_id, ${toksSql("cand")} AS ct, ${toksSql("ref")} AS rt FROM p),
+         |d AS (SELECT pair_id, len(ct) AS cand_len, len(rt) AS ref_len,
+         |        ($lcs).row[len(rt) + 1] AS lcs
+         |      FROM tk),
+         |pr AS (SELECT pair_id, CAST(lcs AS INT) AS lcs,
+         |         CAST(cand_len AS INT) AS cand_len, CAST(ref_len AS INT) AS ref_len,
+         |         CASE WHEN cand_len = 0 THEN 0.0 ELSE lcs::DOUBLE / cand_len END AS pv,
+         |         CASE WHEN ref_len = 0 THEN 0.0 ELSE lcs::DOUBLE / ref_len END AS rv
+         |       FROM d)
+         |SELECT pair_id, lcs, cand_len, ref_len,
+         |  ROUND(pv, 6) AS prec, ROUND(rv, 6) AS rec,
+         |  ROUND(CASE WHEN pv + rv = 0 THEN 0.0
+         |        ELSE 2.0 * pv * rv / (pv + rv) END, 6) AS f1
+         |FROM pr ORDER BY pair_id""".stripMargin
+    },
     "eval_token_f1" ->
       s"""WITH p0 AS (
          |  SELECT a.doc_id AS pair_id, a.text AS cand, b.text AS ref

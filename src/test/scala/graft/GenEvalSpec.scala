@@ -94,6 +94,31 @@ class GenEvalSpec extends SparkSpec {
     assert(out._4 === 1.0)
   }
 
+  test("rougeL: classic LCS example, identity, disjoint, empty") {
+    val df = pairs(
+      (1, "a b c b d a b", "b d c a b a"), // LCS("abcbdab","bdcaba") = 4
+      (2, "x y z", "x y z"),
+      (3, "p q", "r s"),
+      (4, "", "a b"))
+    val out = GenEval.rougeL(df, col("pair_id"), col("cand"), col("ref"))
+      .orderBy("pair_id")
+      .as[(Int, Int, Int, Int, Double, Double, Double)].collect()
+    assert(out(0)._2 === 4)
+    assert(math.abs(out(0)._5 - 4.0 / 7) < 1e-12)
+    assert(math.abs(out(0)._6 - 4.0 / 6) < 1e-12)
+    assert(out(1)._2 === 3 && out(1)._7 === 1.0)
+    assert(out(2)._2 === 0 && out(2)._7 === 0.0)
+    assert(out(3)._2 === 0 && out(3)._3 === 0 && out(3)._5 === 0.0)
+  }
+
+  test("rougeL: LCS is order-sensitive where token overlap is not") {
+    val out = GenEval.rougeL(pairs((1, "a b c", "c b a")), col("pair_id"),
+        col("cand"), col("ref"))
+      .as[(Int, Int, Int, Int, Double, Double, Double)].head()
+    // any single token is the longest common subsequence
+    assert(out._2 === 1)
+  }
+
   test("tokenF1: case-folded EM, multiset overlap F1") {
     val out = GenEval
       .tokenF1(pairs((1, "The cat", "the cat"), (2, "a a b", "a c")),
