@@ -754,6 +754,18 @@ object TextQueries {
       graft.textops.Similarity.silhouette(e, "vec_id", "embedding", cents)
         .orderBy("centroid_id")
     },
+    "sim_cluster_sample" -> { (s, dir) =>
+      // cluster-balanced diversity sampling: nearest-centroid cells (same fixed
+      // deterministic centroids as sim_kmeans_assign) + at most 12 rows per cell
+      // in md5(id) order — the topic-skew-flattening curation draw
+      import s.implicits._
+      val e = emb(s, dir)
+      val cents = e.filter(col("vec_id") < 8).orderBy("vec_id")
+        .select(graft.functions.array_normalize(col("embedding").cast("array<double>")))
+        .as[Array[Double]].collect()
+      graft.textops.Similarity.clusterBalancedSample(e, "vec_id", "embedding", cents, 12)
+        .orderBy("centroid_id", "cell_rank")
+    },
     "ann_lsh_topk" -> { (s, dir) =>
       // full oracle (new r6): the hyperplanes are seed-deterministic, so the DuckDB
       // side regenerates them as literals and replays bucket-join + exact re-rank
@@ -2838,6 +2850,23 @@ object TextQueries {
         |  ROUND(AVG(CASE WHEN GREATEST(a, b) = 0 THEN 0.0
         |                 ELSE (b - a) / GREATEST(a, b) END), 6) + 0.0 AS mean_silhouette
         |FROM s GROUP BY cid ORDER BY centroid_id""".stripMargin,
+    "sim_cluster_sample" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS raw FROM embeddings),
+        |n AS (SELECT vec_id,
+        |        list_transform(raw, x -> x / sqrt(list_inner_product(raw, raw))) AS v
+        |      FROM e),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM n WHERE vec_id < 8),
+        |d AS (SELECT n.vec_id, c.cid, list_inner_product(n.v, c.cv) AS cos FROM n, c),
+        |r AS (SELECT vec_id, cid,
+        |        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+        |      FROM d),
+        |a AS (SELECT vec_id, cid FROM r WHERE rn = 1),
+        |k AS (SELECT vec_id, cid,
+        |        ROW_NUMBER() OVER (PARTITION BY cid
+        |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cell_rank
+        |      FROM a)
+        |SELECT vec_id, CAST(cid AS INT) AS centroid_id, CAST(cell_rank AS INT) AS cell_rank
+        |FROM k WHERE cell_rank <= 12 ORDER BY centroid_id, cell_rank""".stripMargin,
     "sim_margin_bitext" ->
       // ratio margin replayed end-to-end: per-pair cosine ROUNDED to 6 before
       // ranking/summing (mirrors bruteForceTopK), denominators = sum of each

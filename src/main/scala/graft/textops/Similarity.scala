@@ -486,4 +486,36 @@ object Similarity {
       .agg(count(lit(1)).as("n"),
         (round(avg("_sil"), 6) + lit(0.0)).as("mean_silhouette"))
   }
+
+  /** Cluster-balanced diversity sampling (the SemDeDup/DCLM "sample evenly across
+    * embedding clusters" curation step): assign every row to its nearest centroid
+    * (codegen'd argmax-dot over normalized vectors) and keep at most `perCell`
+    * rows per cell in deterministic md5(id) order — an unbiased, reproducible
+    * draw that flattens topic skew instead of sampling proportionally to it.
+    *
+    * Scale: the per-cell pick is a window PARTITIONED by cell (k-way parallel,
+    * never a global sort); cells are ~N/k rows by construction of the argmax
+    * assignment, and a pathologically hot cell degrades to that one partition's
+    * sort only. For fraction-based cuts at extreme skew use
+    * [[graft.textops.Curation.keepTopFractionApprox]] on the hash instead.
+    *
+    * @param centroids unit-normalized, the bounded k×dim driver convention
+    * @return (id, centroid_id, cell_rank) — kept rows only
+    */
+  def clusterBalancedSample(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Double]],
+      perCell: Int): DataFrame = {
+    require(perCell >= 1, s"perCell must be >= 1, got $perCell")
+    val v = normalized(col(vecCol).cast("array<double>"))
+    val assigned = corpus.select(col(idCol),
+      graft.functions.nearest_centroid(v, centroids).as("centroid_id"))
+    val w = Window.partitionBy("centroid_id")
+      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
+    assigned
+      .withColumn("cell_rank", row_number().over(w))
+      .filter(col("cell_rank") <= perCell)
+  }
 }

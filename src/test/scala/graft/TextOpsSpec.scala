@@ -970,6 +970,31 @@ class TextOpsSpec extends SparkSpec {
     assert(m._3 === 0.0)
   }
 
+  test("clusterBalancedSample: per-cell cap, md5-order determinism, assignment") {
+    import graft.textops.Similarity
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    // 4 points near c0, 1 near c1; cap 2 per cell
+    val df = Seq(
+      (1L, Seq(1.0, 0.1)), (2L, Seq(1.0, 0.2)), (3L, Seq(1.0, 0.3)),
+      (4L, Seq(1.0, 0.05)), (5L, Seq(0.1, 1.0)))
+      .toDF("id", "v")
+    val got = Similarity.clusterBalancedSample(df, "id", "v", cents, 2)
+      .as[(Long, Int, Int)].collect().sortBy(r => (r._2, r._3))
+    assert(got.count(_._2 === 0) === 2)
+    assert(got.count(_._2 === 1) === 1)
+    assert(got.forall(_._3 <= 2))
+    // md5-hash order of the ids, not id order: md5("4") < md5("2") < md5("1") < md5("3")
+    val expectCell0 = Seq(1L, 2L, 3L, 4L)
+      .sortBy(id => java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+      .take(2).toSet
+    assert(got.filter(_._2 === 0).map(_._1).toSet === expectCell0)
+    // rerun identical
+    val again = Similarity.clusterBalancedSample(df, "id", "v", cents, 2)
+      .as[(Long, Int, Int)].collect().sortBy(r => (r._2, r._3))
+    assert(again.toSeq === got.toSeq)
+  }
+
   test("stripHtml: script/style content, block newlines, entity order, whitespace") {
     import graft.textops.TextOps
     val rows = Seq(
