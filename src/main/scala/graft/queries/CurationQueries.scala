@@ -135,6 +135,16 @@ object CurationQueries {
         .groupBy("lang", "split").agg(count(lit(1)).as("n"))
         .orderBy("lang", "split")
     },
+    "curation_chat_validate" -> { (s, dir) =>
+      // SFT chat-format gate over a deterministic JSON conversation fixture built
+      // from orders (planted defects by orderkey modulus: 13 role-swap, 11
+      // truncated JSON, 7 dangling user turn, 5 whitespace-only content; %3 adds
+      // a second exchange pair, %2 a system turn — the 2-pair convos also bust
+      // the 12-token budget, exercising every check)
+      graft.textops.ChatOps.validateChat(
+          chatFixture(s, dir), col("rec_id"), col("conv"), maxTokens = 12)
+        .orderBy("rec_id")
+    },
     "curation_pack" -> { (s, dir) =>
       // concatenate-then-chunk packing into 512-token sequences, sharded by lang
       val sized = docs(s, dir).select(col("doc_id"), col("lang"),
@@ -1115,7 +1125,103 @@ object CurationQueries {
        |$rounds""".stripMargin
   }
 
+  /** Deterministic JSON chat records from orders — see `curation_chat_validate`. */
+  private def chatFixture(s: SparkSession, dir: String): DataFrame = {
+    val k = col("o_orderkey")
+    def m(role: String, tag: String) =
+      concat(lit(s"""{"role":"$role","content":"msg """), k, lit(s""" $tag"}"""))
+    val sys = lit("""{"role":"system","content":"you are helpful"}""")
+    val pair1 = concat(m("user", "u1"), lit(","), m("assistant", "a1"))
+    val pair2 = concat(m("user", "u2"), lit(","), m("assistant", "a2"))
+    val emptyA = lit("""{"role":"assistant","content":"  "}""")
+    val bodyStr = when(k % 3 === 0, concat(pair1, lit(","), pair2)).otherwise(pair1)
+    val core = when(k % 2 === 0, concat(sys, lit(","), bodyStr)).otherwise(bodyStr)
+    val ok = concat(lit("["), core, lit("]"))
+    val conv = when(k % 13 === 0,
+        concat(lit("["), m("assistant", "a1"), lit(","), m("user", "u1"), lit("]")))
+      .when(k % 11 === 0, substring(ok, 1, 10))
+      .when(k % 7 === 0,
+        concat(lit("["), m("user", "u1"), lit(","), m("assistant", "a1"), lit(","),
+          m("user", "u2"), lit("]")))
+      .when(k % 5 === 0,
+        concat(lit("["), m("user", "u1"), lit(","), emptyA, lit("]")))
+      .otherwise(ok)
+    s.read.parquet(s"$dir/orders.parquet").select(k.as("rec_id"), conv.as("conv"))
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "curation_chat_validate" ->
+      """WITH f AS (
+        |  SELECT o_orderkey AS rec_id,
+        |    CASE
+        |      WHEN o_orderkey % 13 = 0 THEN
+        |        '[{"role":"assistant","content":"msg ' || o_orderkey || ' a1"},' ||
+        |        '{"role":"user","content":"msg ' || o_orderkey || ' u1"}]'
+        |      WHEN o_orderkey % 11 = 0 THEN substr(
+        |        '[' || CASE WHEN o_orderkey % 2 = 0
+        |                 THEN '{"role":"system","content":"you are helpful"},' ELSE '' END ||
+        |        '{"role":"user","content":"msg ' || o_orderkey || ' u1"},' ||
+        |        '{"role":"assistant","content":"msg ' || o_orderkey || ' a1"}' ||
+        |        CASE WHEN o_orderkey % 3 = 0
+        |          THEN ',{"role":"user","content":"msg ' || o_orderkey || ' u2"},' ||
+        |               '{"role":"assistant","content":"msg ' || o_orderkey || ' a2"}'
+        |          ELSE '' END || ']', 1, 10)
+        |      WHEN o_orderkey % 7 = 0 THEN
+        |        '[{"role":"user","content":"msg ' || o_orderkey || ' u1"},' ||
+        |        '{"role":"assistant","content":"msg ' || o_orderkey || ' a1"},' ||
+        |        '{"role":"user","content":"msg ' || o_orderkey || ' u2"}]'
+        |      WHEN o_orderkey % 5 = 0 THEN
+        |        '[{"role":"user","content":"msg ' || o_orderkey || ' u1"},' ||
+        |        '{"role":"assistant","content":"  "}]'
+        |      ELSE
+        |        '[' || CASE WHEN o_orderkey % 2 = 0
+        |                 THEN '{"role":"system","content":"you are helpful"},' ELSE '' END ||
+        |        '{"role":"user","content":"msg ' || o_orderkey || ' u1"},' ||
+        |        '{"role":"assistant","content":"msg ' || o_orderkey || ' a1"}' ||
+        |        CASE WHEN o_orderkey % 3 = 0
+        |          THEN ',{"role":"user","content":"msg ' || o_orderkey || ' u2"},' ||
+        |               '{"role":"assistant","content":"msg ' || o_orderkey || ' a2"}'
+        |          ELSE '' END || ']'
+        |    END AS conv
+        |  FROM orders),
+        |j AS (SELECT rec_id, TRY_CAST(conv AS JSON) AS doc FROM f),
+        |b AS (SELECT rec_id, doc, doc IS NULL AS invalid_json,
+        |        CASE WHEN doc IS NULL THEN 0
+        |             ELSE CAST(json_array_length(doc) AS INT) END AS n_turns
+        |      FROM j),
+        |r AS (SELECT rec_id, invalid_json, n_turns,
+        |        CASE WHEN invalid_json THEN []::VARCHAR[]
+        |             ELSE list_transform(range(0, n_turns),
+        |                    i -> json_extract_string(doc, '$[' || i || '].role')) END AS roles,
+        |        CASE WHEN invalid_json THEN []::VARCHAR[]
+        |             ELSE list_transform(range(0, n_turns),
+        |                    i -> json_extract_string(doc, '$[' || i || '].content')) END AS cts
+        |      FROM b),
+        |s AS (SELECT rec_id, invalid_json, n_turns,
+        |        COALESCE(roles[1] = 'system', false) AS has_system,
+        |        CASE WHEN COALESCE(roles[1] = 'system', false)
+        |             THEN roles[2:] ELSE roles END AS body, cts
+        |      FROM r),
+        |v AS (SELECT rec_id, invalid_json, n_turns, has_system,
+        |        COALESCE(body[1] = 'user', false) AS starts_user,
+        |        len(body) > 0 AND NOT list_contains(
+        |          list_transform(range(1, len(body) + 1),
+        |            i -> COALESCE(body[i] = CASE WHEN i % 2 = 1 THEN 'user'
+        |                                         ELSE 'assistant' END, false)),
+        |          false) AS alternates,
+        |        COALESCE(body[-1] = 'assistant', false) AS ends_assistant,
+        |        COALESCE(list_contains(
+        |          list_transform(cts, c -> COALESCE(length(trim(c)) = 0, true)),
+        |          true), false) AS has_empty_content,
+        |        CAST(COALESCE(list_sum(list_transform(cts,
+        |          c -> len(list_filter(string_split_regex(trim(COALESCE(c, '')), '\s+'),
+        |                 t -> length(t) > 0)))), 0) AS BIGINT) AS total_tokens
+        |      FROM s)
+        |SELECT rec_id, invalid_json, n_turns, has_system, starts_user, alternates,
+        |  ends_assistant, has_empty_content, total_tokens,
+        |  (NOT invalid_json AND n_turns > 0 AND starts_user AND alternates
+        |   AND ends_assistant AND NOT has_empty_content AND total_tokens <= 12) AS valid
+        |FROM v ORDER BY rec_id""".stripMargin,
     "curation_bpe_first_merge" -> bpeFirstMergeSql,
     "curation_bpe_two_merges" -> bpeTwoMergesSql,
     "curation_bpe_merges" -> bpeMergeChainSql(20),
