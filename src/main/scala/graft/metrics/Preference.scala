@@ -35,6 +35,38 @@ object Preference {
     * one row per UNordered item pair `(item_a < item_b)` with total games and
     * each side's wins — the arena-style win-rate matrix. One hash aggregation.
     */
+  /** Per-item overall win rate with a Wilson score interval (Wilson 1927) — the
+    * leaderboard column pair next to [[btScores]]: unlike a normal-approximation
+    * CI, Wilson stays inside [0,1] and behaves at small n / extreme p. One
+    * two-row-per-judgment projection + ONE hash aggregation; the interval is a
+    * fixed closed-form expression (sqrt is IEEE-exact, so the bounds replay
+    * bit-for-bit in any engine).
+    *
+    * Output: `(item, games, wins, win_rate, ci_lo, ci_hi)`.
+    */
+  def winRateCi(
+      pairs: DataFrame,
+      winnerCol: String,
+      loserCol: String,
+      z: Double = 1.959963984540054): DataFrame = {
+    require(z > 0, s"z must be positive, got $z")
+    val w = pairs.select(col(winnerCol).cast("string").as("item"), lit(1L).as("win"))
+    val l = pairs.select(col(loserCol).cast("string").as("item"), lit(0L).as("win"))
+    val agg = w.unionByName(l).groupBy("item")
+      .agg(count(lit(1)).as("games"), sum("win").as("wins"))
+    val n = col("games").cast("double")
+    val p = col("wins").cast("double") / n
+    val z2 = z * z
+    val denom = lit(1.0) + lit(z2) / n
+    val center = (p + lit(z2) / (lit(2.0) * n)) / denom
+    val half = (lit(z) * sqrt(p * (lit(1.0) - p) / n +
+      lit(z2) / (lit(4.0) * n * n))) / denom
+    agg.select(col("item"), col("games"), col("wins"),
+      p.as("win_rate"),
+      (center - half).as("ci_lo"),
+      (center + half).as("ci_hi"))
+  }
+
   def winRates(pairs: DataFrame, winnerCol: String, loserCol: String): DataFrame = {
     val canon = pairs.select(
       col(winnerCol).cast("string").as("w"), col(loserCol).cast("string").as("l"))

@@ -56,6 +56,33 @@ object MetricQueries {
           col("wins_b"), round(col("winrate_a"), 6).as("winrate_a"))
         .orderBy("item_a", "item_b")
     },
+    // leaderboard win rates with Wilson 95% intervals — one agg, closed form
+    "pref_wilson_ci" -> { (s, dir) =>
+      Preference.winRateCi(duels(s, dir), "winner", "loser")
+        .select(col("item"), col("games"), col("wins"),
+          round(col("win_rate"), 6).as("win_rate"),
+          round(col("ci_lo"), 6).as("ci_lo"),
+          round(col("ci_hi"), 6).as("ci_hi"))
+        .orderBy("item")
+    },
+    // DPO preference-pair prep: per prompt (order) the best-vs-worst response
+    // pair with a minimum margin — two struct-extrema in ONE hash agg, no windows
+    "ep14_dpo_pairs" -> { (s, dir) =>
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_orderkey").as("prompt_id"),
+          (col("l_suppkey") % 50).cast("string").as("m"))
+        .agg(max(col("l_extendedprice")).as("sc"))
+      li.groupBy("prompt_id")
+        .agg(max(struct(col("sc"), col("m"))).as("best"),
+          min(struct(col("sc"), col("m"))).as("worst"),
+          count(lit(1)).as("n_models"))
+        .filter(col("n_models") >= 2)
+        .select(col("prompt_id"), col("best.m").as("chosen"),
+          col("worst.m").as("rejected"),
+          round(col("best.sc") - col("worst.sc"), 6).as("margin"))
+        .filter(col("margin") >= 5000.0)
+        .orderBy("prompt_id")
+    },
     // Bradley–Terry strengths, 10 fixed MM rounds — FULL oracle via the generated
     // iteration chain (the graph_pagerank pattern)
     "pref_bt_scores" -> { (s, dir) =>
@@ -579,6 +606,41 @@ object MetricQueries {
          |    AS winrate_a
          |FROM duel GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "pref_bt_scores" -> btChainSql(10),
+    "pref_wilson_ci" -> {
+      val z = 1.959963984540054
+      val z2 = z * z
+      s"""WITH $duelCtes,
+         |g AS (SELECT w AS item, 1 AS win FROM duel
+         |      UNION ALL SELECT l, 0 FROM duel),
+         |a AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS games,
+         |        CAST(SUM(win) AS BIGINT) AS wins FROM g GROUP BY 1),
+         |c AS (SELECT item, games, wins,
+         |        wins::DOUBLE / games AS p, games::DOUBLE AS n FROM a)
+         |SELECT item, games, wins, ROUND(p, 6) AS win_rate,
+         |  ROUND((p + $z2 / (2.0 * n)) / (1.0 + $z2 / n) -
+         |    ($z * sqrt(p * (1.0 - p) / n + $z2 / (4.0 * n * n))) / (1.0 + $z2 / n), 6)
+         |    AS ci_lo,
+         |  ROUND((p + $z2 / (2.0 * n)) / (1.0 + $z2 / n) +
+         |    ($z * sqrt(p * (1.0 - p) / n + $z2 / (4.0 * n * n))) / (1.0 + $z2 / n), 6)
+         |    AS ci_hi
+         |FROM c ORDER BY item""".stripMargin
+    },
+    "ep14_dpo_pairs" ->
+      """WITH li AS (
+        |  SELECT l_orderkey AS prompt_id, CAST(l_suppkey % 50 AS VARCHAR) AS m,
+        |         MAX(l_extendedprice) AS sc
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT prompt_id, m, sc,
+        |        ROW_NUMBER() OVER (PARTITION BY prompt_id ORDER BY sc DESC, m DESC) AS rb,
+        |        ROW_NUMBER() OVER (PARTITION BY prompt_id ORDER BY sc ASC, m ASC) AS rw,
+        |        COUNT(*) OVER (PARTITION BY prompt_id) AS nm
+        |      FROM li),
+        |b AS (SELECT prompt_id, m AS chosen, sc AS sc_b FROM r WHERE rb = 1 AND nm >= 2),
+        |w AS (SELECT prompt_id, m AS rejected, sc AS sc_w FROM r WHERE rw = 1)
+        |SELECT prompt_id, chosen, rejected, ROUND(sc_b - sc_w, 6) AS margin
+        |FROM b JOIN w USING (prompt_id)
+        |WHERE ROUND(sc_b - sc_w, 6) >= 5000.0
+        |ORDER BY prompt_id""".stripMargin,
     "j5_em_train" -> emTrainChainSql(25),
     "prof_association" -> associationSql,
     "y1_clean" ->

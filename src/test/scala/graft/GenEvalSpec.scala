@@ -131,6 +131,32 @@ class GenEvalSpec extends SparkSpec {
     assert(math.abs(out(1)._6 - 0.4) < 1e-12)
   }
 
+  test("winRateCi: Wilson interval closed form, zero/all-win bounds stay in [0,1]") {
+    import graft.metrics.Preference
+    // A beats B 8x, B beats A 2x; C beats D once (n=1 extremes)
+    val duels = (Seq.fill(8)(("A", "B")) ++ Seq.fill(2)(("B", "A")) ++
+      Seq(("C", "D"))).toDF("winner", "loser")
+    val out = Preference.winRateCi(duels, "winner", "loser")
+      .orderBy("item")
+      .as[(String, Long, Long, Double, Double, Double)].collect()
+    val z = 1.959963984540054
+    def wilson(wins: Long, n: Long): (Double, Double) = {
+      val p = wins.toDouble / n; val z2 = z * z
+      val denom = 1.0 + z2 / n
+      val c = (p + z2 / (2.0 * n)) / denom
+      val h = (z * math.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))) / denom
+      (c - h, c + h)
+    }
+    val a = out(0)
+    assert((a._2, a._3) === ((10L, 8L)))
+    val (lo, hi) = wilson(8, 10)
+    assert(math.abs(a._5 - lo) < 1e-12 && math.abs(a._6 - hi) < 1e-12)
+    val c = out(2) // C: 1/1 wins
+    assert(c._4 === 1.0 && c._6 <= 1.0 && c._5 > 0.0)
+    val d = out(3) // D: 0/1 wins
+    assert(d._4 === 0.0 && d._5 >= 0.0 && d._6 < 1.0)
+  }
+
   test("distinctN: ratios per group and n") {
     val df = Seq(("g", "a a b"), ("g", "a b")).toDF("lang", "text")
     val out = GenEval.distinctN(df, col("lang"), col("text"), Seq(1, 2))
