@@ -11,14 +11,14 @@ import graft.textops.TextOps
   * SQuAD-style token F1 / exact match (Rajpurkar et al. 2016), plus the
   * distinct-n diversity profile (Li et al. 2016) over generations.
   *
-  * All four pair metrics share ONE relational core, [[clippedNgramStats]]: both
-  * sides' n-grams for every requested n are emitted by a single-pass shingle
-  * expression ([[graft.expressions.WordShingles]] / [[graft.expressions.CharShingles]]),
-  * exploded ONCE with an n tag, hash-counted per (pair, n, gram), and the clipped
-  * multiset intersection Σ_g min(c_cand, c_ref) comes from one equi-join on
-  * (pair, n, gram). Every aggregation is map-side combinable and keyed by pair id —
-  * no windows, no cross products — so the evaluation scales linearly with corpus
-  * size and parallelizes per pair.
+  * All four pair metrics share ONE row-local core,
+  * [[graft.expressions.NgramOverlapStats]]: both texts live in the same row, so
+  * every order's clipped multiset intersection Σ_g min(c_cand, c_ref) and both
+  * totals come from a single codegen'd pass — the metrics are pure projections
+  * with ZERO shuffles, joins, or windows, and scale exactly like a scan. (The
+  * first cut exploded grams through a (pair, n, gram) hash-count + equi-join;
+  * the 4× scale smoke measured that 4.7× superlinear on chrF — SCALING.md r9 —
+  * which is what forced the row-local design.)
   */
 object GenEval {
 
@@ -31,13 +31,21 @@ object GenEval {
       graft.expressions.CharShingles(
         org.apache.spark.sql.graftbridge.Bridge.expression(c), n))
 
+  /** The per-pair overlap-stats array (length maxN) — one codegen'd pass. */
+  private def overlap(candCol: Column, refCol: Column, maxN: Int, charMode: Boolean): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expressions.NgramOverlapStats(
+        org.apache.spark.sql.graftbridge.Bridge.expression(candCol),
+        org.apache.spark.sql.graftbridge.Bridge.expression(refCol),
+        maxN, charMode))
+
   /** Per-pair clipped n-gram overlap statistics for every n in `ns`:
     * `(pair_id, n, matched, cand_total, ref_total)` where
     * `matched = Σ_gram min(count_cand, count_ref)` (the clipped / multiset
     * intersection count every n-gram metric is built from) and the totals are the
-    * sides' n-gram counts. Pairs with no grams on a side get explicit zeros (the
-    * (pair × n) grid left-joins the count tables), so downstream score formulas
-    * see every pair.
+    * sides' n-gram counts. One row-local expression + a row-local generator —
+    * pairs with no grams on a side get explicit zeros from the expression itself.
+    * `ns` must be the contiguous prefix 1..max (every caller's shape).
     */
   def clippedNgramStats(
       pairs: DataFrame,
@@ -45,36 +53,14 @@ object GenEval {
       candCol: Column,
       refCol: Column,
       ns: Seq[Int],
-      gram: (Column, Int) => Column = wordGrams): DataFrame = {
-    require(ns.nonEmpty && ns.forall(_ >= 1), s"ns must be positive, got $ns")
-    val base = pairs.select(idCol.as("pair_id"), candCol.as("cand"), refCol.as("ref"))
-
-    def counts(side: String): DataFrame = {
-      val tagged = ns.map(n =>
-        transform(gram(col(side), n), g => struct(lit(n).as("n"), g.as("gram"))))
-      base
-        .select(col("pair_id"), explode(flatten(array(tagged: _*))).as("t"))
-        .groupBy(col("pair_id"), col("t.n").as("n"), col("t.gram").as("gram"))
-        .agg(count(lit(1)).as("cnt"))
-    }
-
-    val c = counts("cand")
-    val r = counts("ref")
-    val grid = base.select(col("pair_id")).withColumn("n", explode(typedlit(ns)))
-    val cTot = c.groupBy("pair_id", "n").agg(sum("cnt").as("cand_total"))
-    val rTot = r.groupBy("pair_id", "n").agg(sum("cnt").as("ref_total"))
-    val m = c.as("c")
-      .join(r.as("r"), Seq("pair_id", "n", "gram"))
-      .groupBy("pair_id", "n")
-      .agg(sum(least(col("c.cnt"), col("r.cnt"))).as("matched"))
-    grid
-      .join(cTot, Seq("pair_id", "n"), "left")
-      .join(rTot, Seq("pair_id", "n"), "left")
-      .join(m, Seq("pair_id", "n"), "left")
-      .select(col("pair_id"), col("n"),
-        coalesce(col("matched"), lit(0L)).as("matched"),
-        coalesce(col("cand_total"), lit(0L)).as("cand_total"),
-        coalesce(col("ref_total"), lit(0L)).as("ref_total"))
+      charMode: Boolean = false): DataFrame = {
+    require(ns.nonEmpty && ns == (1 to ns.max),
+      s"ns must be the contiguous prefix 1..max, got $ns")
+    pairs
+      .select(idCol.as("pair_id"),
+        explode(overlap(candCol, refCol, ns.max, charMode)).as("t"))
+      .select(col("pair_id"), col("t.n").as("n"), col("t.matched").as("matched"),
+        col("t.cand_total").as("cand_total"), col("t.ref_total").as("ref_total"))
   }
 
   /** Sentence BLEU per pair, orders 1..`maxN`, with add-one smoothing on orders
@@ -91,32 +77,28 @@ object GenEval {
       candCol: Column,
       refCol: Column,
       maxN: Int = 4): DataFrame = {
-    val st = clippedNgramStats(pairs, idCol, candCol, refCol, 1 to maxN)
-    val p = when(col("n") === 1,
-        when(col("cand_total") === 0, lit(0.0))
-          .otherwise(col("matched").cast("double") / col("cand_total")))
-      .otherwise((col("matched") + lit(1)).cast("double") / (col("cand_total") + lit(1)))
-    // pivot to one column per order so the log-sum is a FIXED left-associated
-    // expression — a sum() over the n rows would accumulate in partition order
-    // and ULP-drift against the oracle's order
-    val agg = st
-      .withColumn("p", p)
-      .groupBy("pair_id")
-      .agg(
-        sum(when(col("n") === 1, col("cand_total"))).as("cand_len"),
-        (sum(when(col("n") === 1, col("ref_total"))).as("ref_len") +:
-          (1 to maxN).map(k => max(when(col("n") === k, col("p"))).as(s"p_$k"))): _*)
+    // ONE row-local expression; every derived score is a fixed-order projection
+    val base = pairs.select(idCol.as("pair_id"),
+      overlap(candCol, refCol, maxN, charMode = false).as("st"))
+    def m(k: Int) = element_at(col("st"), k).getField("matched")
+    def t(k: Int) = element_at(col("st"), k).getField("cand_total")
+    def p(k: Int): Column =
+      if (k == 1)
+        when(t(1) === 0, lit(0.0)).otherwise(m(1).cast("double") / t(1))
+      else (m(k) + lit(1)).cast("double") / (t(k) + lit(1))
     // ln(0) is NULL in Spark; the 1e-300 floor keeps the sum defined — the
-    // p_1=0 branch below overrides anything the floor contributed
+    // p1=0 branch below overrides anything the floor contributed
     val logsum = (1 to maxN)
-      .map(k => log(greatest(col(s"p_$k"), lit(1e-300)))).reduce(_ + _)
+      .map(k => log(greatest(p(k), lit(1e-300)))).reduce(_ + _)
     val bp = when(col("cand_len") === 0, lit(0.0))
       .when(col("cand_len") >= col("ref_len"), lit(1.0))
       .otherwise(exp(lit(1.0) - col("ref_len").cast("double") / col("cand_len")))
-    agg
+    base
+      .withColumn("cand_len", t(1))
+      .withColumn("ref_len", element_at(col("st"), 1).getField("ref_total"))
       .withColumn("bp", bp)
       .select(col("pair_id"), col("cand_len"), col("ref_len"), col("bp"),
-        when(col("p_1") === 0, lit(0.0))
+        when(p(1) === 0, lit(0.0))
           .otherwise(col("bp") * exp(logsum / maxN)).as("bleu"))
   }
 
@@ -158,24 +140,21 @@ object GenEval {
       refCol: Column,
       maxN: Int = 4,
       beta: Double = 2.0): DataFrame = {
-    val st = clippedNgramStats(pairs, idCol, candCol, refCol, 1 to maxN, charGrams)
-    val prec = when(col("cand_total") === 0, lit(0.0))
-      .otherwise(col("matched").cast("double") / col("cand_total"))
-    val rec = when(col("ref_total") === 0, lit(0.0))
-      .otherwise(col("matched").cast("double") / col("ref_total"))
+    val base = pairs.select(idCol.as("pair_id"),
+      overlap(candCol, refCol, maxN, charMode = true).as("st"))
+    def mm(k: Int) = element_at(col("st"), k).getField("matched")
+    def tc(k: Int) = element_at(col("st"), k).getField("cand_total")
+    def tr(k: Int) = element_at(col("st"), k).getField("ref_total")
+    def pv(k: Int) = when(tc(k) === 0, lit(0.0))
+      .otherwise(mm(k).cast("double") / tc(k))
+    def rv(k: Int) = when(tr(k) === 0, lit(0.0))
+      .otherwise(mm(k).cast("double") / tr(k))
     val b2 = beta * beta
-    // per-order columns, fixed-order means — same ULP-determinism rationale as bleu
-    val agg = st.withColumn("prec", prec)
-      .withColumn("rec", rec)
-      .groupBy("pair_id")
-      .agg(
-        max(when(col("n") === 1, col("prec"))).as("prec_1"),
-        (2 to maxN).map(k => max(when(col("n") === k, col("prec"))).as(s"prec_$k")) ++
-          (1 to maxN).map(k => max(when(col("n") === k, col("rec"))).as(s"rec_$k")): _*)
-    agg
+    // fixed-order means over the per-order columns — ULP-deterministic projection
+    base
       .select(col("pair_id"),
-        ((1 to maxN).map(k => col(s"prec_$k")).reduce(_ + _) / maxN).as("chr_p"),
-        ((1 to maxN).map(k => col(s"rec_$k")).reduce(_ + _) / maxN).as("chr_r"))
+        ((1 to maxN).map(pv).reduce(_ + _) / maxN).as("chr_p"),
+        ((1 to maxN).map(rv).reduce(_ + _) / maxN).as("chr_r"))
       .withColumn("chrf",
         when(col("chr_p") + col("chr_r") === 0, lit(0.0))
           .otherwise(lit(1.0 + b2) * col("chr_p") * col("chr_r") /
@@ -226,10 +205,23 @@ object GenEval {
       refCol: Column): DataFrame = {
     val base = pairs.select(idCol.as("pair_id"),
       lower(candCol).as("cand"), lower(refCol).as("ref"))
-    val st = rougeN(base, col("pair_id"), col("cand"), col("ref"), Seq(1))
-    val em = base.select(col("pair_id"),
-      (TextOps.tokens(col("cand")) === TextOps.tokens(col("ref"))).as("exact_match"))
-    em.join(st, Seq("pair_id"))
+    val s1 = element_at(overlap(col("cand"), col("ref"), 1, charMode = false), 1)
+    base
+      .select(col("pair_id"),
+        (TextOps.tokens(col("cand")) === TextOps.tokens(col("ref"))).as("exact_match"),
+        s1.getField("matched").as("matched"),
+        s1.getField("cand_total").as("cand_total"),
+        s1.getField("ref_total").as("ref_total"))
+      .withColumn("precision",
+        when(col("cand_total") === 0, lit(0.0))
+          .otherwise(col("matched").cast("double") / col("cand_total")))
+      .withColumn("recall",
+        when(col("ref_total") === 0, lit(0.0))
+          .otherwise(col("matched").cast("double") / col("ref_total")))
+      .withColumn("f1",
+        when(col("precision") + col("recall") === 0, lit(0.0))
+          .otherwise(lit(2.0) * col("precision") * col("recall") /
+            (col("precision") + col("recall"))))
       .select("pair_id", "exact_match", "matched", "precision", "recall", "f1")
   }
 

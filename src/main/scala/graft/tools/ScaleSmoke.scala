@@ -332,6 +332,49 @@ object ScaleSmoke {
           .collect()
         n
       }
+      time("cluster_balanced_sample", n) {
+        // fixed k=8 cells: the per-cell window must stay ~linear as cells grow N/k
+        import spark.implicits._
+        val cents = vecs.filter(col("vec_id") < 8).orderBy("vec_id")
+          .select(graft.functions.array_normalize(col("embedding").cast("array<double>")))
+          .as[Array[Double]].collect()
+        graft.textops.Similarity.clusterBalancedSample(
+          vecs, "vec_id", "embedding", cents, 1000).count()
+      }
+      // round-9 generation-eval metrics: successor-doc pairs, N of them
+      val evalDocs = corpusWide(spark, n).persist()
+      evalDocs.count()
+      val evalPairs = evalDocs.as("a")
+        .join(evalDocs.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+        .select(col("a.doc_id").as("pair_id"),
+          col("a.text").as("cand"), col("b.text").as("ref"))
+        .persist()
+      evalPairs.count()
+      time("gen_eval_bleu", n) {
+        graft.metrics.GenEval.bleu(evalPairs, col("pair_id"), col("cand"), col("ref"))
+          .agg(sum("bleu")).collect(); n
+      }
+      time("gen_eval_chrf", n) {
+        graft.metrics.GenEval.chrF(evalPairs, col("pair_id"), col("cand"), col("ref"))
+          .agg(sum("chrf")).collect(); n
+      }
+      time("gen_eval_rouge_l", n) {
+        // row-local LCS DP: 40×40 tokens per pair, zero shuffles
+        graft.metrics.GenEval.rougeL(evalPairs, col("pair_id"), col("cand"), col("ref"))
+          .agg(sum("f1")).collect(); n
+      }
+      evalPairs.unpersist()
+      time("chat_validate", n) {
+        // one from_json + HOF projection per record
+        val conv = concat(lit("""[{"role":"user","content":""""),
+          substring(col("text"), 1, 60), lit(""""},{"role":"assistant","content":""""),
+          substring(col("text"), 61, 60), lit(""""}]"""))
+        graft.textops.ChatOps.validateChat(
+            evalDocs.select(col("doc_id"), conv.as("conv")),
+            col("doc_id"), col("conv"), maxTokens = 24)
+          .filter(col("valid")).count()
+      }
+      evalDocs.unpersist()
       vecs.unpersist()
       graft.util.Caching.releaseAll()
       spark.sqlContext.clearCache()
