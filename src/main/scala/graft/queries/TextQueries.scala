@@ -51,6 +51,17 @@ object TextQueries {
     * are literal constants on both oracle sides), plus a text payload that must
     * take the stub path.
     */
+  /** Constant minimal ISO-BMFF payloads (hand-built per ISO/IEC 14496-12: ftyp +
+    * moov[mvhd + trak[tkhd]×k]) — one video track 640×360 @ timescale 1000
+    * duration 5000, and a two-track mp42 (320×240 video + dimension-less audio)
+    * @ 600/1234; the stub row is plain text.
+    */
+  private val MmMp4OneTrackHex =
+    "000000106674797069736f6d00000200000000d86d6f6f760000006c6d766864000000000000000000000000000003e8000013880001000001000000000000000000000000010000000000000000000000000000000100000000000000000000000000004000000000000000000000000000000000000000000000000000000000000002000000647472616b0000005c746b6864000000070000000000000000000000010000000000001388000000000000000000000000000000000001000000000000000000000000000000010000000000000000000000000000400000000280000001680000"
+  private val MmMp4TwoTrackHex =
+    "00000010667479706d703432000000000000013c6d6f6f760000006c6d76686400000000000000000000000000000258000004d20001000001000000000000000000000000010000000000000000000000000000000100000000000000000000000000004000000000000000000000000000000000000000000000000000000000000002000000647472616b0000005c746b68640000000700000000000000000000000100000000000004d2000000000000000000000000000000000001000000000000000000000000000000010000000000000000000000000000400000000140000000f00000000000647472616b0000005c746b68640000000700000000000000000000000200000000000004d2000000000000000000000000000000000001000000000000000000000000000000010000000000000000000000000000400000000000000000000000"
+  private val MmVideoTextHex = "6e6f74206120766964656f2073747265616d2e2e"
+
   private val MmWavMonoHex =
     "524946468400000057415645666d74201000000001000100401f0000803e00000200100064617461600000000080b1f9627313edc46675e0265ad7d3884d39c7ea409bba4c34fdadae275fa1101bc194720e2388d401857b36f5e76e98e84962fadbab555ccf0d49bec26f3c20b6d12f82a93323e49c95164690f709a88359fd0a77bbf06c6a1de4ce5d7fd7"
   private val MmWavStereoHex =
@@ -906,6 +917,22 @@ object TextQueries {
         .toDF()
         .select(col("id"), col("byte_len"), col("sample_rate"), col("channels"),
           col("bits"), col("n_frames"), round(col("duration_ms"), 6).as("duration_ms"))
+        .orderBy("id")
+    },
+    "mm_video_meta" -> { (s, dir) =>
+      // REAL ISO-BMFF box walk (ftyp brand, mvhd timescale/duration, trak count,
+      // tkhd 16.16 dims), stub closed form for the text payload — frozen truths
+      // on the oracle side (the mm_audio_meta pattern)
+      import s.implicits._
+      val fixtures =
+        Seq((0L, MmMp4OneTrackHex), (1L, MmMp4TwoTrackHex), (2L, MmVideoTextHex))
+          .toDF("fid", "hex")
+      Multimodal.videoMeta(
+          fixtures.select(col("fid"), unhex(col("hex")).as("payload")), "fid", "payload")
+        .toDF()
+        .select(col("id"), col("byte_len"), col("major_brand"), col("timescale"),
+          round(col("duration_ms"), 6).as("duration_ms"), col("n_tracks"),
+          col("width"), col("height"))
         .orderBy("id")
     },
     "mm_audio_energy" -> { (s, dir) =>
@@ -3034,6 +3061,19 @@ object TextQueries {
         |  (0, 140, 8000, 1, 16, 48, 6.0),
         |  (1, 124, 16000, 2, 16, 20, 1.25),
         |  (2, 20, 24000, 1, 16, 10, 0.416667)) t(id, bl, sr, ch, bi, fr, dm)
+        |ORDER BY id""".stripMargin,
+    "mm_video_meta" ->
+      // frozen truths of the two hand-built ISO-BMFF fixtures (the builder wrote
+      // the fields, the parser must read them back) + the stub closed form
+      // (len 20, first byte 'n' = 110 → 48×48, 1 track, 600-tick timescale)
+      """SELECT CAST(id AS BIGINT) AS id, CAST(bl AS BIGINT) AS byte_len,
+        |  mb AS major_brand, CAST(ts AS INT) AS timescale,
+        |  CAST(dm AS DOUBLE) AS duration_ms, CAST(nt AS INT) AS n_tracks,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height
+        |FROM (VALUES
+        |  (0, 232, 'isom', 1000, 5000.0, 1, 640, 360),
+        |  (1, 332, 'mp42', 600, 2056.666667, 2, 320, 240),
+        |  (2, 20, 'stub', 600, 33.333333, 1, 48, 48)) t(id, bl, mb, ts, dm, nt, w, h)
         |ORDER BY id""".stripMargin,
     "mm_audio_energy" ->
       // frozen window-16 first-channel RMS/peak of the constant fixtures (real

@@ -502,4 +502,121 @@ object Multimodal {
         }
       }
   }
+
+  // ---------------------------------------------------------------- video
+
+  case class VideoMeta(
+      id: Long,
+      byte_len: Long,
+      major_brand: String,
+      timescale: Int,
+      duration_ms: Double,
+      n_tracks: Int,
+      width: Int,
+      height: Int)
+
+  /** Magic-byte sniff for ISO-BMFF containers (MP4/MOV/3GP …): an `ftyp` box at
+    * offset 4 — same gating role as [[looksLikeAudio]].
+    */
+  def looksLikeMp4(b: Array[Byte]): Boolean =
+    b.length >= 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'
+
+  private def u32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+
+  private def u64(b: Array[Byte], o: Int): Long = (u32(b, o) << 32) | u32(b, o + 4)
+
+  /** The boxes in `[start, end)` as (type, bodyStart, boxEnd) — honors 64-bit
+    * `largesize` (size = 1) and to-end boxes (size = 0); stops at the first
+    * malformed header rather than guessing.
+    */
+  private def mp4Boxes(b: Array[Byte], start: Int, end: Int): List[(String, Int, Int)] = {
+    val out = scala.collection.mutable.ListBuffer[(String, Int, Int)]()
+    var o = start
+    var done = false
+    while (!done && o + 8 <= end) {
+      val sz = u32(b, o)
+      val t = new String(b, o + 4, 4, "ISO-8859-1")
+      val (bodyStart, boxEnd): (Int, Long) =
+        if (sz == 1 && o + 16 <= end) (o + 16, o + u64(b, o + 8))
+        else if (sz == 0) (o + 8, end.toLong)
+        else (o + 8, o + sz)
+      if ((sz > 0 && sz != 1 && sz < 8) || boxEnd > end || boxEnd <= o) done = true
+      else {
+        out += ((t, bodyStart, boxEnd.toInt))
+        o = boxEnd.toInt
+      }
+    }
+    out.toList
+  }
+
+  /** REAL ISO-BMFF metadata — a pure header-only box walk (no codec, no sample
+    * data): major brand from `ftyp`, timescale + duration from `moov/mvhd`
+    * (versions 0 and 1), track count from the `trak` children, and presentation
+    * width/height (16.16 fixed-point) from the first `trak/tkhd` with a nonzero
+    * width. None → caller stubs. The ISO box layout is published (ISO/IEC
+    * 14496-12); this reads exactly the fields a corpus-intake audit needs.
+    */
+  def decodeMp4Header(bytes: Array[Byte]): Option[(String, Int, Double, Int, Int, Int)] = {
+    if (!looksLikeMp4(bytes)) return None
+    try {
+      val top = mp4Boxes(bytes, 0, bytes.length)
+      val ftyp = top.find(_._1 == "ftyp").getOrElse(return None)
+      val brand = new String(bytes, ftyp._2, 4, "ISO-8859-1")
+      val moov = top.find(_._1 == "moov").getOrElse(return None)
+      val kids = mp4Boxes(bytes, moov._2, moov._3)
+      val mvhd = kids.find(_._1 == "mvhd").getOrElse(return None)
+      val mv = bytes(mvhd._2) & 0xff
+      val (timescale, duration) =
+        if (mv == 1) (u32(bytes, mvhd._2 + 20), u64(bytes, mvhd._2 + 24))
+        else (u32(bytes, mvhd._2 + 12), u32(bytes, mvhd._2 + 16))
+      if (timescale <= 0) return None
+      val traks = kids.filter(_._1 == "trak")
+      var w = 0
+      var h = 0
+      traks.foreach { tk =>
+        if (w == 0) mp4Boxes(bytes, tk._2, tk._3).find(_._1 == "tkhd").foreach { th =>
+          val tv = bytes(th._2) & 0xff
+          // through duration: v0 = 4+4+4+4+4+4, v1 = 4+8+8+4+4+8; then
+          // reserved(8) + layer(2) + alternate(2) + volume(2) + reserved(2) +
+          // matrix(36) = 52 to the 16.16 width/height
+          val base = th._2 + (if (tv == 1) 36 else 24) + 52
+          if (base + 8 <= th._3) {
+            val tw = (u32(bytes, base) >> 16).toInt
+            val tht = (u32(bytes, base + 4) >> 16).toInt
+            if (tw > 0) { w = tw; h = tht }
+          }
+        }
+      }
+      Some((brand, timescale.toInt, duration * 1000.0 / timescale, traks.size, w, h))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** STUB video header: fake-but-deterministic closed forms from length + first
+    * byte (the [[audioStub]] convention).
+    */
+  def videoStub(bytes: Array[Byte]): (String, Int, Double, Int, Int, Int) = {
+    val len = bytes.length
+    val first = if (bytes.isEmpty) 0 else bytes(0) & 0xff
+    ("stub", 600, len * 1000.0 / 600, 1 + len % 2,
+      16 * (1 + first % 4), 16 * (1 + first % 3))
+  }
+
+  /** Per-partition video metadata over a binary column — the [[audioMeta]] shape
+    * for ISO-BMFF payloads.
+    */
+  def videoMeta(df: DataFrame, idCol: String, binCol: String): Dataset[VideoMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(binCol).cast("binary").as("b"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val (brand, ts, durMs, nTracks, w, h) =
+            decodeMp4Header(bytes).getOrElse(videoStub(bytes))
+          VideoMeta(id, bytes.length.toLong, brand, ts, durMs, nTracks, w, h)
+        }
+      }
+  }
 }

@@ -287,6 +287,73 @@ class TextOpsSpec extends SparkSpec {
     assert((out(1).sample_rate, out(1).channels, out(1).n_frames) === ((16000, 1, 5L)))
   }
 
+  /** Independent ISO-BMFF writer (big-endian box layout per ISO/IEC 14496-12). */
+  private def mp4Box(typ: String, body: Array[Byte], largesize: Boolean = false): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val o = new java.io.DataOutputStream(out)
+    if (largesize) { o.writeInt(1); o.writeBytes(typ); o.writeLong(16L + body.length) }
+    else { o.writeInt(8 + body.length); o.writeBytes(typ) }
+    o.write(body); out.toByteArray
+  }
+
+  private def mp4Fixture(
+      ts: Int, dur: Long, dims: Seq[(Int, Int)], v1: Boolean = false,
+      largeMoov: Boolean = false): Array[Byte] = {
+    def be(vals: (Int, Any)*): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val o = new java.io.DataOutputStream(out)
+      vals.foreach {
+        case (4, v: Int) => o.writeInt(v)
+        case (8, v: Long) => o.writeLong(v)
+        case (2, v: Int) => o.writeShort(v)
+        case (n, 0) => o.write(new Array[Byte](n))
+        case other => fail(s"bad spec $other")
+      }
+      out.toByteArray
+    }
+    val unity = be((4, 0x10000), (4, 0), (4, 0), (4, 0), (4, 0x10000), (4, 0),
+      (4, 0), (4, 0), (4, 0x40000000))
+    val mvhd =
+      if (v1) mp4Box("mvhd", be((4, 0x01000000), (8, 0L), (8, 0L), (4, ts), (8, dur),
+        (4, 0x10000), (2, 0x100), (10, 0)) ++ unity ++ be((24, 0), (4, 2)))
+      else mp4Box("mvhd", be((4, 0), (4, 0), (4, 0), (4, ts), (4, dur.toInt),
+        (4, 0x10000), (2, 0x100), (10, 0)) ++ unity ++ be((24, 0), (4, 2)))
+    val traks = dims.zipWithIndex.map { case ((w, h), i) =>
+      val tkhd =
+        if (v1) mp4Box("tkhd", be((4, 0x01000007), (8, 0L), (8, 0L), (4, i + 1),
+          (4, 0), (8, dur), (8, 0), (2, 0), (2, 0), (2, 0), (2, 0)) ++ unity ++
+          be((4, w << 16), (4, h << 16)))
+        else mp4Box("tkhd", be((4, 7), (4, 0), (4, 0), (4, i + 1), (4, 0),
+          (4, dur.toInt), (8, 0), (2, 0), (2, 0), (2, 0), (2, 0)) ++ unity ++
+          be((4, w << 16), (4, h << 16)))
+      mp4Box("trak", tkhd)
+    }
+    mp4Box("ftyp", "isom".getBytes ++ be((4, 0x200))) ++
+      mp4Box("moov", mvhd ++ traks.flatten.toArray, largesize = largeMoov)
+  }
+
+  test("videoMeta: box walk reads back written fields; v1 and largesize paths; stub") {
+    val f0 = mp4Fixture(1000, 5000L, Seq((640, 360)))
+    val f1 = mp4Fixture(600, 1234L, Seq((0, 0), (320, 240)), v1 = true)
+    val f2 = mp4Fixture(90000, 90000L, Seq((1920, 1080)), largeMoov = true)
+    val truncated = f0.take(40) // moov header cut off mid-box
+    val df = Seq((0L, f0), (1L, f1), (2L, f2), (3L, truncated),
+      (4L, "not a video".getBytes)).toDF("id", "payload")
+    val out = Multimodal.videoMeta(df, "id", "payload").collect().sortBy(_.id)
+    assert((out(0).major_brand, out(0).timescale, out(0).n_tracks,
+      out(0).width, out(0).height) === (("isom", 1000, 1, 640, 360)))
+    assert(math.abs(out(0).duration_ms - 5000.0) < 1e-9)
+    // v1 boxes; dims come from the FIRST trak with nonzero width (the second)
+    assert((out(1).timescale, out(1).n_tracks, out(1).width, out(1).height) ===
+      ((600, 2, 320, 240)))
+    assert(math.abs(out(1).duration_ms - 1234000.0 / 600) < 1e-9)
+    // 64-bit largesize moov still walks
+    assert((out(2).width, out(2).height) === ((1920, 1080)))
+    // truncated and non-video payloads both take the deterministic stub
+    assert(out(3).major_brand === "stub" && out(4).major_brand === "stub")
+    assert((out(4).timescale, out(4).n_tracks) === ((600, 2))) // len 11 → odd
+  }
+
   test("audioEnergy: square-wave RMS closed form; ragged last window; stub path") {
     // amplitude-A square wave → rms = A exactly in every window
     val sq = Array.tabulate[Short](40)(i => if (i % 2 == 0) 1200 else -1200)
