@@ -935,6 +935,27 @@ object TextQueries {
           col("width"), col("height"))
         .orderBy("id")
     },
+    "mm_srt_cues" -> { (s, dir) =>
+      // SRT caption parse + per-cue CPS quality stats over a deterministic
+      // fixture: two valid cues per doc (the second zero-length every 9th doc →
+      // NULL cps) plus a malformed block the header gate must drop
+      val sec1 = lpad((col("doc_id") % 50).cast("string"), 2, "0")
+      val sec2 = lpad((col("doc_id") % 50 + 1).cast("string"), 2, "0")
+      val cue1 = concat(lit("1\n00:00:"), sec1, lit(",000 --> 00:00:"), sec2,
+        lit(",500\n"), substring(col("text"), 1, 40))
+      val end2 = when(col("doc_id") % 9 === 0, lit("00:01:00,000"))
+        .otherwise(lit("00:01:02,000"))
+      val cue2 = concat(lit("2\n00:01:00,000 --> "), end2, lit("\n"),
+        substring(col("text"), 41, 30), lit("\nsecond line"))
+      val bad = lit("3\nnot a timestamp\noops")
+      val srt = concat_ws("\n\n", cue1, cue2, bad)
+      graft.textops.Captions.parseSrt(
+          docs(s, dir).select(col("doc_id"), srt.as("srt")), col("doc_id"), col("srt"))
+        .select(col("id"), col("cue_index"), col("start_ms"), col("end_ms"),
+          col("duration_ms"), col("cue_text"), col("n_chars"),
+          round(col("cps"), 6).as("cps"))
+        .orderBy("id", "cue_index")
+    },
     "mm_audio_energy" -> { (s, dir) =>
       // REAL first-channel PCM windowed RMS/peak (window 16; mono 48 frames → 3
       // windows, stereo 20 → 2, stub text bytes 20 → 2) — frozen on the oracle side
@@ -3062,6 +3083,40 @@ object TextQueries {
         |  (1, 124, 16000, 2, 16, 20, 1.25),
         |  (2, 20, 24000, 1, 16, 10, 0.416667)) t(id, bl, sr, ch, bi, fr, dm)
         |ORDER BY id""".stripMargin,
+    "mm_srt_cues" -> {
+      val head = """^(\d+)\n(\d{2}):(\d{2}):(\d{2})[,.](\d{3}) --> (\d{2}):(\d{2}):(\d{2})[,.](\d{3})"""
+      def ms(b: Int) =
+        s"""(regexp_extract(cue, '$head', ${b})::BIGINT * 3600000 +
+           | regexp_extract(cue, '$head', ${b + 1})::BIGINT * 60000 +
+           | regexp_extract(cue, '$head', ${b + 2})::BIGINT * 1000 +
+           | regexp_extract(cue, '$head', ${b + 3})::BIGINT)""".stripMargin
+      s"""WITH f AS (
+         |  SELECT doc_id AS id,
+         |    '1' || chr(10) || '00:00:' || lpad((doc_id % 50)::VARCHAR, 2, '0') ||
+         |    ',000 --> 00:00:' || lpad((doc_id % 50 + 1)::VARCHAR, 2, '0') || ',500' ||
+         |    chr(10) || substr(text, 1, 40) || chr(10) || chr(10) ||
+         |    '2' || chr(10) || '00:01:00,000 --> ' ||
+         |    CASE WHEN doc_id % 9 = 0 THEN '00:01:00,000' ELSE '00:01:02,000' END ||
+         |    chr(10) || substr(text, 41, 30) || chr(10) || 'second line' ||
+         |    chr(10) || chr(10) || '3' || chr(10) || 'not a timestamp' || chr(10) || 'oops'
+         |      AS srt
+         |  FROM documents),
+         |c AS (SELECT id, unnest(string_split_regex(srt, '\\n[ \\t]*\\n+')) AS cue FROM f),
+         |v AS (SELECT id, cue FROM c WHERE regexp_extract(cue, '$head', 1) <> ''),
+         |p AS (SELECT id,
+         |        regexp_extract(cue, '$head', 1)::INT AS cue_index,
+         |        ${ms(2)} AS start_ms, ${ms(6)} AS end_ms,
+         |        replace(regexp_replace(cue, '$head' || '\\n?', ''), chr(10), ' ')
+         |          AS cue_text
+         |      FROM v)
+         |SELECT id, cue_index, start_ms, end_ms,
+         |  end_ms - start_ms AS duration_ms, cue_text,
+         |  CAST(length(cue_text) AS BIGINT) AS n_chars,
+         |  CASE WHEN end_ms - start_ms <= 0 THEN NULL
+         |       ELSE ROUND(length(cue_text)::DOUBLE * 1000.0 / (end_ms - start_ms), 6)
+         |  END AS cps
+         |FROM p ORDER BY id, cue_index""".stripMargin
+    },
     "mm_video_meta" ->
       // frozen truths of the two hand-built ISO-BMFF fixtures (the builder wrote
       // the fields, the parser must read them back) + the stub closed form

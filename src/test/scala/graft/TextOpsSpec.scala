@@ -332,6 +332,25 @@ class TextOpsSpec extends SparkSpec {
       mp4Box("moov", mvhd ++ traks.flatten.toArray, largesize = largeMoov)
   }
 
+  test("parseSrt: cue timing math, multi-line text join, CPS, malformed drop") {
+    import graft.textops.Captions
+    val srt = "1\n00:00:01,500 --> 00:00:03,000\nhello there\nworld\n\n" +
+      "2\n00:01:00.000 --> 00:01:00.000\nzero length\n\n" +
+      "oops no header\n\n" +
+      "3\n00:02:00,000 --> 00:01:00,000\nbackwards"
+    val out = Captions.parseSrt(Seq((7L, srt)).toDF("id", "s"), col("id"), col("s"))
+      .orderBy("cue_index")
+      .as[(Long, Int, Long, Long, Long, String, Long, Option[Double])].collect()
+    assert(out.length === 3) // headerless block dropped
+    assert(out(0)._3 === 1500L && out(0)._4 === 3000L && out(0)._5 === 1500L)
+    assert(out(0)._6 === "hello there world" && out(0)._7 === 17L)
+    assert(math.abs(out(0)._8.get - 17000.0 / 1500) < 1e-9)
+    // VTT-style dot separator parses; zero duration -> NULL cps
+    assert(out(1)._5 === 0L && out(1)._8.isEmpty)
+    // negative duration also has no defined rate
+    assert(out(2)._5 === -60000L && out(2)._8.isEmpty)
+  }
+
   test("videoMeta: box walk reads back written fields; v1 and largesize paths; stub") {
     val f0 = mp4Fixture(1000, 5000L, Seq((640, 360)))
     val f1 = mp4Fixture(600, 1234L, Seq((0, 0), (320, 240)), v1 = true)
