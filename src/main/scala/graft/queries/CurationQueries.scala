@@ -145,6 +145,28 @@ object CurationQueries {
           chatFixture(s, dir), col("rec_id"), col("conv"), maxTokens = 12)
         .orderBy("rec_id")
     },
+    "ep15_sft_corpus" -> { (s, dir) =>
+      // SFT corpus capstone: chat gate -> render "role: content" training text ->
+      // 64-token packing sharded by rec_id % 8; per-sequence manifest out
+      import org.apache.spark.sql.functions.{from_json, transform => htransform}
+      val fx = chatFixture(s, dir)
+      val valid = graft.textops.ChatOps.validateChat(fx, col("rec_id"), col("conv"), 12)
+        .filter(col("valid")).select("rec_id")
+      val rendered = fx.join(valid, Seq("rec_id"))
+        .select(col("rec_id"),
+          concat_ws("\n", htransform(
+            from_json(col("conv"), graft.textops.ChatOps.MessageSchema),
+            m => concat(m.getField("role"), lit(": "), m.getField("content"))))
+            .as("text"))
+      val sized = rendered.select(col("rec_id"), (col("rec_id") % 8).as("shard"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Curation.packSequences(sized, col("n_tokens"), Seq(col("shard")),
+          col("rec_id"), budget = 64)
+        .groupBy("shard", "seq_id")
+        .agg(count(lit(1)).as("n_recs"), sum("n_tokens").as("seq_tokens"),
+          min("rec_id").as("first_rec"), max("rec_id").as("last_rec"))
+        .orderBy("shard", "seq_id")
+    },
     "curation_pack" -> { (s, dir) =>
       // concatenate-then-chunk packing into 512-token sequences, sharded by lang
       val sized = docs(s, dir).select(col("doc_id"), col("lang"),
@@ -1149,9 +1171,12 @@ object CurationQueries {
     s.read.parquet(s"$dir/orders.parquet").select(k.as("rec_id"), conv.as("conv"))
   }
 
-  val oracleSql: Map[String, String] = Map(
-    "curation_chat_validate" ->
-      """WITH f AS (
+  /** The chat-validate CTE chain ending in `v` (all flags incl. per-record
+    * totals) — shared by the validate oracle and the SFT-corpus capstone. `b`
+    * carries the parsed JSON doc for downstream rendering.
+    */
+  private val chatValidateCtes: String =
+    """f AS (
         |  SELECT o_orderkey AS rec_id,
         |    CASE
         |      WHEN o_orderkey % 13 = 0 THEN
@@ -1216,12 +1241,42 @@ object CurationQueries {
         |        CAST(COALESCE(list_sum(list_transform(cts,
         |          c -> len(list_filter(string_split_regex(trim(COALESCE(c, '')), '\s+'),
         |                 t -> length(t) > 0)))), 0) AS BIGINT) AS total_tokens
-        |      FROM s)
+        |      FROM s)""".stripMargin
+
+  private val ChatValidSql: String =
+    """(NOT invalid_json AND n_turns > 0 AND starts_user AND alternates
+      | AND ends_assistant AND NOT has_empty_content AND total_tokens <= 12)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "curation_chat_validate" ->
+      s"""WITH $chatValidateCtes
         |SELECT rec_id, invalid_json, n_turns, has_system, starts_user, alternates,
         |  ends_assistant, has_empty_content, total_tokens,
-        |  (NOT invalid_json AND n_turns > 0 AND starts_user AND alternates
-        |   AND ends_assistant AND NOT has_empty_content AND total_tokens <= 12) AS valid
+        |  $ChatValidSql AS valid
         |FROM v ORDER BY rec_id""".stripMargin,
+    "ep15_sft_corpus" ->
+      s"""WITH $chatValidateCtes,
+        |ok AS (SELECT rec_id FROM v WHERE $ChatValidSql),
+        |rend AS (SELECT b.rec_id,
+        |           array_to_string(list_transform(range(0, b.n_turns),
+        |             i -> json_extract_string(b.doc, '$$[' || i || '].role') || ': ' ||
+        |                  json_extract_string(b.doc, '$$[' || i || '].content')),
+        |             chr(10)) AS text
+        |         FROM b JOIN ok USING (rec_id)),
+        |tok AS (SELECT rec_id, rec_id % 8 AS shard,
+        |          CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+        |            t -> length(t) > 0)) AS BIGINT) AS n_tokens
+        |        FROM rend),
+        |cum AS (SELECT rec_id, shard, n_tokens,
+        |          COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY rec_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |        FROM tok),
+        |sq AS (SELECT shard, CAST(cum_before // 64 AS BIGINT) AS seq_id,
+        |         n_tokens, rec_id FROM cum)
+        |SELECT CAST(shard AS BIGINT) AS shard, seq_id, COUNT(*) AS n_recs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+        |  MIN(rec_id) AS first_rec, MAX(rec_id) AS last_rec
+        |FROM sq GROUP BY shard, seq_id ORDER BY shard, seq_id""".stripMargin,
     "curation_bpe_first_merge" -> bpeFirstMergeSql,
     "curation_bpe_two_merges" -> bpeTwoMergesSql,
     "curation_bpe_merges" -> bpeMergeChainSql(20),
