@@ -62,6 +62,25 @@ object SourceQueries {
           sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
         .orderBy("c_mktsegment")
     },
+    "src_schema_evolution" -> { (s, dir) =>
+      // schema-drift-tolerant ingestion: day-1 files carry (doc_id, text), day-2
+      // files add (lang, n_chars); one mergeSchema read unions the generations
+      // (missing columns become nulls) — the 100 TB reality where a corpus's
+      // parquet schema grows across ingestion batches
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val path = graft.util.Scratch.deleteOnExit(
+        s"${System.getProperty("java.io.tmpdir")}/graft_evo/$RunToken") + "/documents"
+      docs.filter(col("doc_id") % 2 === 0).select("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$path/gen=1")
+      docs.filter(col("doc_id") % 2 === 1).select("doc_id", "text", "lang", "n_chars")
+        .write.mode("overwrite").parquet(s"$path/gen=2")
+      s.read.option("mergeSchema", "true").parquet(s"$path/gen=1", s"$path/gen=2")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum("n_chars"), lit(0L)).as("chars_total"),
+          sum(length(col("text"))).as("text_chars"))
+        .orderBy(col("lang").asc_nulls_first)
+    },
     "src_jsonl_roundtrip" -> { (s, dir) =>
       // JSONL is the de-facto LLM-corpus interchange format: write the documents
       // table as gzip JSONL, read it back with an EXPLICIT schema (schema inference
@@ -187,6 +206,16 @@ object SourceQueries {
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     // the oracle reads the PARQUET originals: equality proves the JSONL round-trip
     // preserved every document byte-for-byte
+    "src_schema_evolution" ->
+      """WITH m AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN doc_id % 2 = 1 THEN lang END AS lang,
+        |    CASE WHEN doc_id % 2 = 1 THEN n_chars END AS n_chars
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS chars_total,
+        |  CAST(SUM(length(text)) AS BIGINT) AS text_chars
+        |FROM m GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin,
     "src_jsonl_roundtrip" -> roundtripSql,
     "src_orc_roundtrip" -> roundtripSql,
     "src_csv_roundtrip" -> roundtripSql,
