@@ -102,6 +102,45 @@ object GenEval {
           .otherwise(col("bp") * exp(logsum / maxN)).as("bleu"))
   }
 
+  /** Corpus-level BLEU per group (the sacrebleu default): order counts are SUMMED
+    * over the group's pairs FIRST (integer sums — partitioning-invariant by
+    * construction), then one closed form: pₙ = Mₙ/Tₙ unsmoothed (any zero matched
+    * or total order forces BLEU 0, the standard corpus behavior), BP from the
+    * summed lengths. ONE overlap pass + ONE hash aggregation per group.
+    * Output: `(group, n_pairs, cand_len, ref_len, bp, bleu)`.
+    */
+  def corpusBleu(
+      pairs: DataFrame,
+      groupCol: Column,
+      candCol: Column,
+      refCol: Column,
+      maxN: Int = 4): DataFrame = {
+    val base = pairs.select(groupCol.as("group"),
+      overlap(candCol, refCol, maxN, charMode = false).as("st"))
+    val aggs =
+      count(lit(1)).as("n_pairs") +:
+        sum(element_at(col("st"), 1).getField("ref_total")).as("ref_len") +:
+        (1 to maxN).flatMap(k => Seq(
+          sum(element_at(col("st"), k).getField("matched")).as(s"m_$k"),
+          sum(element_at(col("st"), k).getField("cand_total")).as(s"t_$k")))
+    val agg = base.groupBy("group").agg(aggs.head, aggs.tail: _*)
+    val anyZero = (1 to maxN)
+      .map(k => col(s"m_$k") === 0 || col(s"t_$k") === 0)
+      .reduce(_ || _)
+    val logsum = (1 to maxN)
+      .map(k => log(greatest(col(s"m_$k").cast("double") / col(s"t_$k"), lit(1e-300))))
+      .reduce(_ + _)
+    val bp = when(col("t_1") === 0, lit(0.0))
+      .when(col("t_1") >= col("ref_len"), lit(1.0))
+      .otherwise(exp(lit(1.0) - col("ref_len").cast("double") / col("t_1")))
+    agg
+      .withColumn("bp", bp)
+      .select(col("group"), col("n_pairs"), col("t_1").as("cand_len"), col("ref_len"),
+        col("bp"),
+        when(anyZero, lit(0.0))
+          .otherwise(col("bp") * exp(logsum / maxN)).as("bleu"))
+  }
+
   /** ROUGE-N per (pair, n): clipped precision `m/t_cand`, recall `m/t_ref`, and
     * their F1 (all 0 where the denominator is 0).
     * Output: `(pair_id, n, matched, precision, recall, f1)`.

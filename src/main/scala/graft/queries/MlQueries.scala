@@ -49,6 +49,22 @@ object MlQueries {
           round(col("bp"), 6).as("bp"), round(col("bleu"), 6).as("bleu"))
         .orderBy("pair_id")
     },
+    // corpus-level BLEU per language (sacrebleu semantics: counts summed first,
+    // unsmoothed closed form on the integer totals — partitioning-invariant)
+    "eval_corpus_bleu" -> { (s, dir) =>
+      val d = docs(s, dir).select(col("doc_id"), col("text"), col("lang"))
+      val pairs = d.as("a")
+        .join(d.as("b"),
+          col("b.doc_id") === when(col("a.doc_id") % 10 === 0, col("a.doc_id"))
+            .otherwise(col("a.doc_id") + 1))
+        .select(col("a.lang").as("lang"),
+          col("a.text").as("cand"), col("b.text").as("ref"))
+      GenEval.corpusBleu(pairs, col("lang"), col("cand"), col("ref"))
+        .select(col("group").as("lang"), col("n_pairs"), col("cand_len"),
+          col("ref_len"), round(col("bp"), 6).as("bp"),
+          round(col("bleu"), 6).as("bleu"))
+        .orderBy("lang")
+    },
     // ROUGE-1/2 clipped precision/recall/F1 per pair
     "eval_rouge_n" -> { (s, dir) =>
       GenEval.rougeN(genPairs(s, dir), col("pair_id"), col("cand"), col("ref"), Seq(1, 2))
@@ -440,6 +456,35 @@ object MlQueries {
          |  ROUND(CASE WHEN p1 = 0 THEN 0.0
          |        ELSE bp * EXP(($logs) / 4) END, 6) AS bleu
          |FROM bpc ORDER BY pair_id""".stripMargin
+    },
+    "eval_corpus_bleu" -> {
+      val logs = (1 to 4)
+        .map(k => s"LN(GREATEST(m$k::DOUBLE / t$k, 1e-300))").mkString(" + ")
+      val zero = (1 to 4).map(k => s"m$k = 0 OR t$k = 0").mkString(" OR ")
+      val pivots = (1 to 4).flatMap(k => Seq(
+        s"MAX(CASE WHEN n = $k THEN m END) AS m$k",
+        s"MAX(CASE WHEN n = $k THEN tc END) AS t$k")).mkString(",\n  ")
+      s"""WITH $genPairsCte,
+         |${clippedCtes(1 to 4, wordShinglesSql)},
+         |lg AS (SELECT doc_id AS pair_id, lang FROM documents),
+         |g AS (SELECT lg.lang, st.n, CAST(SUM(st.m) AS BIGINT) AS m,
+         |        CAST(SUM(st.tc) AS BIGINT) AS tc, CAST(SUM(st.tr) AS BIGINT) AS tr
+         |      FROM st JOIN lg USING (pair_id) GROUP BY 1, 2),
+         |np AS (SELECT lg.lang, CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |       FROM p JOIN lg USING (pair_id) GROUP BY 1),
+         |a AS (SELECT lang,
+         |  $pivots,
+         |  MAX(CASE WHEN n = 1 THEN tr END) AS ref_len
+         |  FROM g GROUP BY lang),
+         |b AS (SELECT a.*, np.n_pairs,
+         |        CASE WHEN t1 = 0 THEN 0.0
+         |             WHEN t1 >= ref_len THEN 1.0
+         |             ELSE EXP(1.0 - ref_len::DOUBLE / t1) END AS bp
+         |      FROM a JOIN np USING (lang))
+         |SELECT lang, n_pairs, t1 AS cand_len, ref_len, ROUND(bp, 6) AS bp,
+         |  ROUND(CASE WHEN $zero THEN 0.0
+         |        ELSE bp * EXP(($logs) / 4) END, 6) AS bleu
+         |FROM b ORDER BY lang""".stripMargin
     },
     "eval_rouge_n" ->
       s"""WITH $genPairsCte,

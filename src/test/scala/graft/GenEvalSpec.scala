@@ -58,6 +58,26 @@ class GenEvalSpec extends SparkSpec {
     assert(math.abs(out._4 - math.exp(1.0 - 4.0 / 2.0)) < 1e-12)
   }
 
+  test("corpusBleu: counts summed before the formula; zero-order forces 0") {
+    import graft.metrics.GenEval
+    // group g: two pairs whose POOLED counts differ from any per-pair mean:
+    // pair1 contributes bigram matches, pair2 only unigrams
+    val df = Seq(
+      ("g", "a b c d", "a b c d"),
+      ("g", "x q", "q z"),
+      ("h", "p p", "r s")) // zero unigram matches -> bleu 0
+      .toDF("lang", "cand", "ref")
+    val out = GenEval.corpusBleu(df, col("lang"), col("cand"), col("ref"))
+      .orderBy("group")
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+    val g = out(0)
+    assert((g._2, g._3, g._4) === ((2L, 6L, 6L))) // 2 pairs, 4+2 tokens each side
+    // pooled: p1=5/6, p2=3/4, p3=2/2, p4=1/1 (pair2 has no 3/4-grams); bp=1
+    val expected = math.exp((math.log(5.0 / 6) + math.log(3.0 / 4)) / 4)
+    assert(g._5 === 1.0 && math.abs(g._6 - expected) < 1e-12)
+    assert(out(1)._6 === 0.0)
+  }
+
   test("rougeN: hand-computed precision/recall/F1 and zero-denominator rules") {
     val out = GenEval
       .rougeN(pairs((1, "a b c", "a b d e")), col("pair_id"), col("cand"),
