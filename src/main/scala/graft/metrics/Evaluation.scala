@@ -231,6 +231,58 @@ object Evaluation {
         (col("psum") / 1e6 / col("n")).as("mean_p"),
         (col("n_pos").cast("double") / col("n")).as("frac_pos"))
 
+  /** Precision-recall curve of a probability score at `bins` evenly spaced
+    * thresholds t_k = k/bins, k = 1..bins — the operating-point picker next to
+    * [[rocAuc]]'s single summary number.
+    *
+    * Scale design: rows collapse to ≤ bins+1 score buckets in ONE map-side-
+    * combined aggregation (`b = min(floor(p·bins), bins)`; `p ≥ k/bins ⟺ b ≥ k`,
+    * exact because both engines compute the same double product); each bounded
+    * bucket row then explodes to the thresholds it satisfies and a second
+    * bounded aggregation yields TP/PP per threshold — no per-row threshold
+    * fan-out, no windows, no theta join. The positive total rides a 1-row
+    * broadcast. `precision` is NULL where nothing is predicted positive.
+    *
+    * Output: `(threshold, predicted_pos, tp, precision, recall, f1)`, one row
+    * per k (thresholds above every score report zeros/NULL).
+    */
+  def prCurve(df: DataFrame, score: Column, label: Column, bins: Int = 20): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val spark = df.sparkSession
+    val bucketed = df
+      .select(least(floor(score.cast("double") * bins), lit(bins)).cast("int").as("b"),
+        label.cast("double").as("y"))
+      .groupBy("b")
+      .agg(count(lit(1)).as("n"), sum("y").cast("long").as("n_pos"))
+    val totals = bucketed.agg(sum("n_pos").as("total_pos"))
+    val perK = bucketed
+      .filter(col("b") >= 1)
+      .select(explode(sequence(lit(1), least(col("b"), lit(bins)))).as("k"),
+        col("n"), col("n_pos"))
+      .groupBy("k")
+      .agg(sum("n").as("pp"), sum("n_pos").as("tp"))
+    val grid = spark.range(1, bins + 1).select(col("id").cast("int").as("k"))
+    val joined = grid
+      .join(perK, Seq("k"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("k"), coalesce(col("pp"), lit(0L)).as("pp"),
+        coalesce(col("tp"), lit(0L)).as("tp"), col("total_pos"))
+    joined
+      .withColumn("precision",
+        when(col("pp") === 0, lit(null).cast("double"))
+          .otherwise(col("tp").cast("double") / col("pp")))
+      .withColumn("recall",
+        when(col("total_pos") === 0, lit(0.0))
+          .otherwise(col("tp").cast("double") / col("total_pos")))
+      .withColumn("f1",
+        when(coalesce(col("precision"), lit(0.0)) + col("recall") === 0, lit(0.0))
+          .otherwise(lit(2.0) * coalesce(col("precision"), lit(0.0)) * col("recall") /
+            (coalesce(col("precision"), lit(0.0)) + col("recall"))))
+      .select((col("k").cast("double") / bins).as("threshold"),
+        col("pp").as("predicted_pos"), col("tp"),
+        col("precision"), col("recall"), col("f1"))
+  }
+
   /** Unbiased pass@k over sampled generations (Chen et al. 2021, "Evaluating LLMs
     * Trained on Code", eq. 1): per task with n samples and c passes,
     * pass@k = 1 − C(n−c, k)/C(n, k), computed in the numerically stable product

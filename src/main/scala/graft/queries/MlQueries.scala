@@ -176,6 +176,21 @@ object MlQueries {
         Seq(("loss", r6(row.getDouble(aggs.size - 2) / n)), ("n", n))
       stats.toDF("stat", "value").orderBy("stat")
     },
+    // operating-point picker: PR curve of the pretrained quality model at 20
+    // thresholds — bucket-collapse + bounded explode, the same (p, y) pair as AUC
+    "ml_pr_curve" -> { (s, dir) =>
+      val scored = docs(s, dir).select(
+        QualityClassifier.score(
+          QualityClassifier.textFeatures(col("text")), ScoreWeights).as("p"),
+        (TextOps.qualityScore(col("text")) >= 0.54).cast("double").as("y"))
+      Evaluation.prCurve(scored, col("p"), col("y"), bins = 20)
+        .select(round(col("threshold"), 6).as("threshold"),
+          col("predicted_pos"), col("tp"),
+          round(col("precision"), 6).as("prec"),
+          round(col("recall"), 6).as("rec"),
+          round(col("f1"), 6).as("f1"))
+        .orderBy("threshold")
+    },
     "ml_eval_auc" -> { (s, dir) =>
       // evaluation gate for the pretrained quality model: tie-aware ROC-AUC +
       // Brier against the rule-based label — the same (p, y) pair the Newton agg
@@ -601,6 +616,31 @@ object MlQueries {
         |SELECT task, answer, CAST(votes AS BIGINT) AS votes, CAST(n AS BIGINT) AS n,
         |  ROUND(votes::DOUBLE / n, 6) AS agreement
         |FROM best WHERE rn = 1 ORDER BY task""".stripMargin,
+    "ml_pr_curve" ->
+      s"""$scoredCte,
+         |bk AS (SELECT CAST(LEAST(FLOOR(p * 20), 20) AS INT) AS b,
+         |         COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS n_pos
+         |       FROM s GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(n_pos) AS BIGINT) AS total_pos FROM bk),
+         |pk AS (SELECT unnest(range(1, LEAST(b, 20) + 1)) AS k, n, n_pos
+         |       FROM bk WHERE b >= 1),
+         |ag AS (SELECT k, CAST(SUM(n) AS BIGINT) AS pp, CAST(SUM(n_pos) AS BIGINT) AS tp
+         |       FROM pk GROUP BY 1),
+         |grid AS (SELECT unnest(range(1, 21)) AS k),
+         |j AS (SELECT grid.k, COALESCE(ag.pp, 0) AS pp, COALESCE(ag.tp, 0) AS tp,
+         |        tot.total_pos
+         |      FROM grid LEFT JOIN ag USING (k) CROSS JOIN tot),
+         |pr AS (SELECT k, pp, tp, total_pos,
+         |         CASE WHEN pp = 0 THEN NULL ELSE tp::DOUBLE / pp END AS pv,
+         |         CASE WHEN total_pos = 0 THEN 0.0 ELSE tp::DOUBLE / total_pos END AS rv
+         |       FROM j)
+         |SELECT ROUND(k::DOUBLE / 20, 6) AS threshold,
+         |  pp AS predicted_pos, tp,
+         |  ROUND(pv, 6) AS prec, ROUND(rv, 6) AS rec,
+         |  ROUND(CASE WHEN COALESCE(pv, 0.0) + rv = 0 THEN 0.0
+         |        ELSE 2.0 * COALESCE(pv, 0.0) * rv / (COALESCE(pv, 0.0) + rv) END, 6)
+         |    AS f1
+         |FROM pr ORDER BY threshold""".stripMargin,
     "ml_eval_auc" ->
       s"""$scoredCte,
          |g AS (

@@ -293,6 +293,23 @@ class EvaluationSpec extends SparkSpec {
     assert(cr._3 === 1L && cr._4 === 1L && cr._5 === 1.0)
   }
 
+  test("prCurve: hand-computed thresholds, empty-threshold NULL precision") {
+    // scores/labels: (0.9,1) (0.7,1) (0.6,0) (0.2,0) with bins=4 -> t in {.25,.5,.75,1}
+    val df = Seq((0.9, 1.0), (0.7, 1.0), (0.6, 0.0), (0.2, 0.0)).toDF("p", "y")
+    val out = Evaluation.prCurve(df, col("p"), col("y"), bins = 4)
+      .orderBy("threshold")
+      .as[(Double, Long, Long, Option[Double], Double, Double)].collect()
+    // t=0.25: all but 0.2 predicted pos -> pp=3, tp=2
+    assert((out(0)._2, out(0)._3) === ((3L, 2L)))
+    assert(math.abs(out(0)._4.get - 2.0 / 3) < 1e-12 && out(0)._5 === 1.0)
+    // t=0.5: pp=3 (0.6 rounds into bucket 2), tp=2; t=0.75: pp=1 (0.9), tp=1
+    assert((out(1)._2, out(1)._3) === ((3L, 2L)))
+    assert((out(2)._2, out(2)._3) === ((1L, 1L)))
+    assert(out(2)._4.get === 1.0 && math.abs(out(2)._5 - 0.5) < 1e-12)
+    // t=1.0: nothing predicted positive -> NULL precision, recall 0, f1 0
+    assert(out(3)._2 === 0L && out(3)._4.isEmpty && out(3)._5 === 0.0 && out(3)._6 === 0.0)
+  }
+
   test("passAtK: closed-form C(n-c,k)/C(n,k) cases, boundary rules") {
     // task A: n=5, c=2 -> pass@2 = 1 - C(3,2)/C(5,2) = 1 - 3/10 = 0.7
     // task B: n=4, c=0 -> pass@k = 0 for k <= 4; task C: n=2 -> pass@5 NULL

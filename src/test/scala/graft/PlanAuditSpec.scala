@@ -51,7 +51,10 @@ class PlanAuditSpec extends SparkSpec {
       "graph_hits", "graph_hits_two_iter", "curation_quantile_norm",
       // ks_drift's grid densify: distinct-groups × bins broadcast cross join,
       // both sides bounded (≤ groups·bins rows) by construction
-      "prof_ks_drift")
+      "prof_ks_drift",
+      // pr_curve's recall denominator: a 1-row positives total broadcast onto
+      // the ≤ bins-row threshold grid — scalar by construction
+      "ml_pr_curve")
 
   test("no query plans a cartesian; nested-loop joins only where a side is bounded") {
     val dir = "/root/testdata/sf0.001"
