@@ -32,7 +32,14 @@ object ChatOps {
       jsonCol: Column,
       maxTokens: Int): DataFrame = {
     require(maxTokens >= 1, s"maxTokens must be >= 1, got $maxTokens")
-    val parsed = df.select(idCol.as("rec_id"), from_json(jsonCol, MessageSchema).as("msgs"))
+    // Generate barrier: every flag column references `msgs`, and projection
+    // collapse + filter inlining would otherwise copy the from_json into EVERY
+    // reference (measured 66 parses/row in the ep15 plan). Catalyst cannot
+    // inline expressions across a Generate, so explode(array(...)) pins the
+    // parse to exactly once per row; a 1-element explode preserves null rows.
+    val parsed = df
+      .select(idCol.as("rec_id"), from_json(jsonCol, MessageSchema).as("msgs0"))
+      .select(col("rec_id"), explode(array(col("msgs0"))).as("msgs"))
     val invalid = col("msgs").isNull
     val roles = transform(col("msgs"), m => m.getField("role"))
     val body = when(try_element_at(roles, lit(1)) === "system",
