@@ -935,6 +935,19 @@ object TextQueries {
           col("width"), col("height"))
         .orderBy("id")
     },
+    "text_nfc_normalize" -> { (s, dir) =>
+      // NFC canonical composition before hash keying: every 3rd doc gets a
+      // decomposed 'e'+U+0301 suffix that must collapse to the composed form
+      val planted = concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit(" café")).otherwise(lit("")))
+      docs(s, dir).select(col("doc_id"), planted.as("t"))
+        .select(col("doc_id"),
+          (TextOps.nfcNormalize(col("t")) =!= col("t")).as("changed"),
+          length(col("t")).as("n_before"),
+          length(TextOps.nfcNormalize(col("t"))).as("n_after"),
+          md5(TextOps.nfcNormalize(col("t")).cast("binary")).as("h"))
+        .orderBy("doc_id")
+    },
     "mm_srt_cues" -> { (s, dir) =>
       // SRT caption parse + per-cue CPS quality stats over a deterministic
       // fixture: two valid cues per doc (the second zero-length every 9th doc →
@@ -3083,6 +3096,16 @@ object TextQueries {
         |  (1, 124, 16000, 2, 16, 20, 1.25),
         |  (2, 20, 24000, 1, 16, 10, 0.416667)) t(id, bl, sr, ch, bi, fr, dm)
         |ORDER BY id""".stripMargin,
+    "text_nfc_normalize" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    text || CASE WHEN doc_id % 3 = 0 THEN ' cafe' || chr(769) ELSE '' END AS t
+        |  FROM documents)
+        |SELECT doc_id, (nfc_normalize(t) <> t) AS changed,
+        |  CAST(length(t) AS INT) AS n_before,
+        |  CAST(length(nfc_normalize(t)) AS INT) AS n_after,
+        |  md5(nfc_normalize(t)) AS h
+        |FROM f ORDER BY doc_id""".stripMargin,
     "mm_srt_cues" -> {
       val head = """^(\d+)\n(\d{2}):(\d{2}):(\d{2})[,.](\d{3}) --> (\d{2}):(\d{2}):(\d{2})[,.](\d{3})"""
       def ms(b: Int) =

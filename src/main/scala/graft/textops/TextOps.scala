@@ -60,6 +60,14 @@ object TextOps {
   def foldText(c: Column): Column =
     lower(graft.functions.strip_accents(c))
 
+  /** Unicode NFC canonical composition — run before any hash/equality keying of
+    * crawled text (decomposed combining marks split dedup keys otherwise).
+    */
+  def nfcNormalize(c: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expressions.NfcNormalize(
+        org.apache.spark.sql.graftbridge.Bridge.expression(c)))
+
   /** Ratio of non-alphanumeric, non-space characters. */
   def punctRatio(c: Column): Column =
     when(length(c) === 0, lit(0.0))

@@ -332,6 +332,20 @@ class TextOpsSpec extends SparkSpec {
       mp4Box("moov", mvhd ++ traks.flatten.toArray, largesize = largeMoov)
   }
 
+  test("nfcNormalize: composes decomposed marks, identity fast path, null") {
+    import graft.textops.TextOps
+    val decomposed = "café" // e + combining acute U+0301
+    val composed = "café"
+    val df = Seq(Some(decomposed), Some(composed), Some("plain"), None).toDF("t")
+    val out = df.select(TextOps.nfcNormalize(col("t")).as("n"),
+        length(col("t")).as("lb"), length(TextOps.nfcNormalize(col("t"))).as("la"))
+      .collect()
+    assert(out(0).getString(0) === composed && out(0).getInt(1) === 5 && out(0).getInt(2) === 4)
+    assert(out(1).getString(0) === composed && out(1).getInt(1) === 4)
+    assert(out(2).getString(0) === "plain")
+    assert(out(3).isNullAt(0))
+  }
+
   test("parseSrt: cue timing math, multi-line text join, CPS, malformed drop") {
     import graft.textops.Captions
     val srt = "1\n00:00:01,500 --> 00:00:03,000\nhello there\nworld\n\n" +
