@@ -415,6 +415,26 @@ object TextQueries {
         .select(col("id_l"), col("id_r"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_l", "id_r")
     },
+    "dedup_lsh_recall" -> { (s, dir) =>
+      // measured banding quality: MinHash-LSH pairs (exact-verified, so precision
+      // is 1 by construction) against the blockless exact-Jaccard ground truth —
+      // ONE full outer join + one aggregation, the empirical check on the
+      // dedup_lsh_tune S-curve
+      val corpus = plantedCorpus(s, dir)
+      val exact = Dedup.ngramJaccardPairsPrefix(corpus, "doc_id", "text", 3,
+          Seq.empty, 0.5)
+        .select(col("id_l"), col("id_r"), lit(1L).as("in_true"))
+      val lsh = Dedup.minhashLshPairs(corpus, "doc_id", "text", 0.5)
+        .select(col("id_l"), col("id_r"), lit(1L).as("in_lsh"))
+      exact.join(lsh, Seq("id_l", "id_r"), "full")
+        .agg(sum("in_true").as("n_true"), sum("in_lsh").as("n_lsh"),
+          sum(col("in_true") * col("in_lsh")).as("n_hit"))
+        .select(col("n_true"), col("n_lsh"), col("n_hit"),
+          round(when(col("n_true") === 0, lit(0.0))
+            .otherwise(col("n_hit").cast("double") / col("n_true")), 6).as("recall"),
+          round(when(col("n_lsh") === 0, lit(0.0))
+            .otherwise(col("n_hit").cast("double") / col("n_lsh")), 6).as("prec"))
+    },
     "dedup_lsh_tune" -> { (s, _) =>
       // band-parameter selection from the closed-form collision S-curve: the
       // knob-picking step a 100 TB MinHash run cannot grid-search against the data
@@ -2660,6 +2680,22 @@ object TextQueries {
     "dedup_ngram_jaccard" ->
       jaccardPairSql(s"list_distinct(${shinglesSql("text")})", 0.5, corpusCte),
     "dedup_minhash_lsh" -> minhashSql,
+    "dedup_lsh_recall" ->
+      s"""WITH $corpusCte,
+         |prep AS (SELECT doc_id AS id, list_distinct(${shinglesSql("text")}) AS toks FROM corpus),
+         |e AS (SELECT l.id AS id_l, r.id AS id_r, 1 AS it
+         |      FROM prep l JOIN prep r ON l.id < r.id
+         |      WHERE CASE WHEN len(list_distinct(list_concat(l.toks, r.toks))) = 0 THEN 0.0
+         |        ELSE len(list_intersect(l.toks, r.toks))::DOUBLE /
+         |             len(list_distinct(list_concat(l.toks, r.toks))) END >= 0.5),
+         |ls AS (SELECT id_l, id_r, 1 AS il FROM ($minhashSql) q),
+         |j AS (SELECT CAST(SUM(it) AS BIGINT) AS n_true, CAST(SUM(il) AS BIGINT) AS n_lsh,
+         |        CAST(SUM(it * il) AS BIGINT) AS n_hit
+         |      FROM e FULL JOIN ls USING (id_l, id_r))
+         |SELECT n_true, n_lsh, n_hit,
+         |  ROUND(CASE WHEN n_true = 0 THEN 0.0 ELSE n_hit::DOUBLE / n_true END, 6) AS recall,
+         |  ROUND(CASE WHEN n_lsh = 0 THEN 0.0 ELSE n_hit::DOUBLE / n_lsh END, 6) AS prec
+         |FROM j""".stripMargin,
     // same midpoint Riemann sum over the same S-curve; POWER/ROUND chains match the
     // Spark plan, so the table replays cell-exactly
     "dedup_lsh_tune" -> {
