@@ -167,6 +167,28 @@ object CurationQueries {
           min("rec_id").as("first_rec"), max("rec_id").as("last_rec"))
         .orderBy("shard", "seq_id")
     },
+    "curation_pack_stats" -> { (s, dir) =>
+      // packing-efficiency audit: per-language fill ratio and padding waste of the
+      // 512-token sequences (integer sums -> one division, engine-exact); a doc
+      // spanning a bin boundary counts into the bin where it starts, so sequences
+      // can overflow the budget — reported, not hidden
+      val sized = docs(s, dir).select(col("doc_id"), col("lang"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val seqs = Curation.packSequences(sized, col("n_tokens"), Seq(col("lang")),
+          col("doc_id"), PackBudget)
+        .groupBy("lang", "seq_id")
+        .agg(sum("n_tokens").as("seq_tokens"))
+      seqs.groupBy("lang")
+        .agg(count(lit(1)).as("n_seqs"),
+          sum("seq_tokens").as("tokens_total"),
+          min("seq_tokens").as("min_tokens"),
+          max("seq_tokens").as("max_tokens"),
+          sum(when(col("seq_tokens") > PackBudget, 1L).otherwise(0L)).as("n_overflow"),
+          sum(when(col("seq_tokens") * 2 < PackBudget, 1L).otherwise(0L)).as("n_underhalf"))
+        .withColumn("fill_ratio",
+          round(col("tokens_total").cast("double") / (col("n_seqs") * PackBudget), 6))
+        .orderBy("lang")
+    },
     "curation_pack" -> { (s, dir) =>
       // concatenate-then-chunk packing into 512-token sequences, sharded by lang
       val sized = docs(s, dir).select(col("doc_id"), col("lang"),
@@ -1410,6 +1432,22 @@ object CurationQueries {
          |       THEN 'train' ELSE 'val' END AS split,
          |  COUNT(*) AS n
          |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "curation_pack_stats" ->
+      s"""WITH t AS (SELECT doc_id, lang, len(${toksSql("text")}) AS n_tokens FROM documents),
+         |c AS (SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM t),
+         |sq AS (SELECT *, CAST(cum_before // $PackBudget AS BIGINT) AS seq_id FROM c),
+         |seqs AS (SELECT lang, seq_id, CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
+         |         FROM sq GROUP BY 1, 2)
+         |SELECT lang, COUNT(*) AS n_seqs,
+         |  CAST(SUM(seq_tokens) AS BIGINT) AS tokens_total,
+         |  MIN(seq_tokens) AS min_tokens, MAX(seq_tokens) AS max_tokens,
+         |  CAST(SUM(CASE WHEN seq_tokens > $PackBudget THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_overflow,
+         |  CAST(SUM(CASE WHEN seq_tokens * 2 < $PackBudget THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_underhalf,
+         |  ROUND(SUM(seq_tokens)::DOUBLE / (COUNT(*) * $PackBudget), 6) AS fill_ratio
+         |FROM seqs GROUP BY lang ORDER BY lang""".stripMargin,
     "curation_pack" ->
       s"""WITH t AS (SELECT doc_id, lang, len(${toksSql("text")}) AS n_tokens FROM documents),
          |c AS (SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
