@@ -62,6 +62,14 @@ object TextQueries {
     "00000010667479706d703432000000000000013c6d6f6f760000006c6d76686400000000000000000000000000000258000004d20001000001000000000000000000000000010000000000000000000000000000000100000000000000000000000000004000000000000000000000000000000000000000000000000000000000000002000000647472616b0000005c746b68640000000700000000000000000000000100000000000004d2000000000000000000000000000000000001000000000000000000000000000000010000000000000000000000000000400000000140000000f00000000000647472616b0000005c746b68640000000700000000000000000000000200000000000004d2000000000000000000000000000000000001000000000000000000000000000000010000000000000000000000000000400000000000000000000000"
   private val MmVideoTextHex = "6e6f74206120766964656f2073747265616d2e2e"
 
+  /** Silence-pattern WAVs: loud(16)–quiet(16, amp 3)–loud(16) squares, and an
+    * all-quiet amp-2 file — square-wave RMS = amplitude exactly.
+    */
+  private val MmWavLoudQuietLoudHex =
+    "524946468400000057415645666d74201000000001000100401f0000803e0000020010006461746160000000e02e20d1e02e20d1e02e20d1e02e20d1e02e20d1e02e20d1e02e20d1e02e20d10300fdff0300fdff0300fdff0300fdff0300fdff0300fdff0300fdff0300fdfff82a08d5f82a08d5f82a08d5f82a08d5f82a08d5f82a08d5f82a08d5f82a08d5"
+  private val MmWavAllQuietHex =
+    "524946466400000057415645666d74201000000001000100401f0000803e00000200100064617461400000000200feff0200feff0200feff0200feff0200feff0200feff0200feff0200feff0200feff0200feff0200feff0200feff0200feff0200feff0200feff0200feff"
+
   private val MmWavMonoHex =
     "524946468400000057415645666d74201000000001000100401f0000803e00000200100064617461600000000080b1f9627313edc46675e0265ad7d3884d39c7ea409bba4c34fdadae275fa1101bc194720e2388d401857b36f5e76e98e84962fadbab555ccf0d49bec26f3c20b6d12f82a93323e49c95164690f709a88359fd0a77bbf06c6a1de4ce5d7fd7"
   private val MmWavStereoHex =
@@ -938,6 +946,19 @@ object TextQueries {
         .select(col("id"), col("byte_len"), col("sample_rate"), col("channels"),
           col("bits"), col("n_frames"), round(col("duration_ms"), 6).as("duration_ms"))
         .orderBy("id")
+    },
+    "mm_audio_silence" -> { (s, dir) =>
+      // silence-trim map: sub-threshold RMS windows merged into spans
+      // (gaps-and-islands) — real decode for the WAVs, stub path for the text
+      // payload (its centered-byte windows are quiet too)
+      import s.implicits._
+      val fixtures = Seq((0L, MmWavMonoHex), (1L, MmWavStereoHex),
+        (2L, MmAudioTextHex), (3L, MmWavLoudQuietLoudHex), (4L, MmWavAllQuietHex))
+        .toDF("fid", "hex")
+      Multimodal.silenceSpans(
+          fixtures.select(col("fid"), unhex(col("hex")).as("payload")),
+          "fid", "payload", windowSamples = 16, rmsThreshold = 100.0)
+        .orderBy("id", "span_start")
     },
     "mm_video_meta" -> { (s, dir) =>
       // REAL ISO-BMFF box walk (ftyp brand, mvhd timescale/duration, trak count,
@@ -3176,6 +3197,14 @@ object TextQueries {
          |  END AS cps
          |FROM p ORDER BY id, cue_index""".stripMargin
     },
+    "mm_audio_silence" ->
+      // frozen span truths: ids 0/1 are loud throughout; id 2 (stub, centered
+      // bytes) is quiet in both windows; id 3 quiet only in window 1; id 4 quiet
+      // in both windows (square-wave RMS = amplitude exactly)
+      """SELECT CAST(id AS BIGINT) AS id, CAST(s AS INT) AS span_start,
+        |  CAST(e AS INT) AS span_end, CAST(n AS BIGINT) AS n_windows
+        |FROM (VALUES (2, 0, 1, 2), (3, 1, 1, 1), (4, 0, 1, 2)) t(id, s, e, n)
+        |ORDER BY id, span_start""".stripMargin,
     "mm_video_meta" ->
       // frozen truths of the two hand-built ISO-BMFF fixtures (the builder wrote
       // the fields, the parser must read them back) + the stub closed form

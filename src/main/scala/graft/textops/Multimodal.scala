@@ -503,6 +503,31 @@ object Multimodal {
       }
   }
 
+  /** Silence spans: contiguous runs of energy windows whose RMS is below
+    * `rmsThreshold`, merged per payload into `(id, span_start, span_end,
+    * n_windows)` — the trim map a speech-corpus pipeline cuts on. Classic
+    * gaps-and-islands: `window_index − row_number` keys each run; the window is
+    * PARTITIONED per payload (row count bounded by the payload's own length).
+    */
+  def silenceSpans(
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      windowSamples: Int = 1024,
+      rmsThreshold: Double = 100.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val quiet = audioEnergy(df, idCol, binCol, windowSamples).toDF()
+      .filter(col("rms") < rmsThreshold)
+    val w = Window.partitionBy("id").orderBy("window_index")
+    quiet
+      .withColumn("run", col("window_index") - row_number().over(w))
+      .groupBy("id", "run")
+      .agg(min("window_index").as("span_start"),
+        max("window_index").as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select("id", "span_start", "span_end", "n_windows")
+  }
+
   // ---------------------------------------------------------------- video
 
   case class VideoMeta(

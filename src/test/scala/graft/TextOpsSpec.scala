@@ -332,6 +332,23 @@ class TextOpsSpec extends SparkSpec {
       mp4Box("moov", mvhd ++ traks.flatten.toArray, largesize = largeMoov)
   }
 
+  test("silenceSpans: islands merge, loud files empty, threshold boundary") {
+    import graft.textops.Multimodal
+    def sq(n: Int, a: Int) = Array.tabulate[Short](n)(i => if (i % 2 == 0) a.toShort else (-a).toShort)
+    val lql = wavBytes(8000, sq(16, 12000) ++ sq(16, 3) ++ sq(16, 11000))
+    val quiet2runs = wavBytes(8000, sq(16, 5) ++ sq(16, 9000) ++ sq(16, 7))
+    val loud = wavBytes(8000, sq(32, 5000))
+    val df = Seq((0L, lql), (1L, quiet2runs), (2L, loud)).toDF("id", "payload")
+    val out = Multimodal.silenceSpans(df, "id", "payload", 16, 100.0)
+      .as[(Long, Int, Int, Long)].collect().sortBy(r => (r._1, r._2))
+    // id 0: one island (window 1); id 1: two separated 1-window islands
+    assert(out.toSeq === Seq((0L, 1, 1, 1L), (1L, 0, 0, 1L), (1L, 2, 2, 1L)))
+    // exact-threshold window (rms = 100) is NOT silent (strict <)
+    val edge = Multimodal.silenceSpans(
+      Seq((9L, wavBytes(8000, sq(16, 100)))).toDF("id", "payload"), "id", "payload", 16, 100.0)
+    assert(edge.count() === 0L)
+  }
+
   test("nfcNormalize: composes decomposed marks, identity fast path, null") {
     import graft.textops.TextOps
     val decomposed = "café" // e + combining acute U+0301
