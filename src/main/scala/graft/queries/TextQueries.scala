@@ -947,6 +947,21 @@ object TextQueries {
           col("bits"), col("n_frames"), round(col("duration_ms"), 6).as("duration_ms"))
         .orderBy("id")
     },
+    "mm_type_sniff" -> { (s, dir) =>
+      // intake audit over a mixed multimodal dump: magic-byte classification of
+      // every constant fixture payload (image/audio/video/unknown) — the gate a
+      // 100 TB binary column passes before type-specific extraction
+      import s.implicits._
+      val fixtures = Seq(
+        (0L, MmPngHex), (1L, MmBmpHex), (2L, MmGifHex),
+        (3L, MmWavMonoHex), (4L, MmWavStereoHex),
+        (5L, MmMp4OneTrackHex), (6L, MmMp4TwoTrackHex),
+        (7L, MmTextHex), (8L, MmCdcBaseHex)).toDF("fid", "hex")
+      Multimodal.sniffTypes(
+          fixtures.select(col("fid"), unhex(col("hex")).as("payload")), "fid", "payload")
+        .toDF()
+        .orderBy("id")
+    },
     "mm_audio_silence" -> { (s, dir) =>
       // silence-trim map: sub-threshold RMS windows merged into spans
       // (gaps-and-islands) — real decode for the WAVs, stub path for the text
@@ -3197,6 +3212,16 @@ object TextQueries {
          |  END AS cps
          |FROM p ORDER BY id, cue_index""".stripMargin
     },
+    "mm_type_sniff" ->
+      // frozen truths: magic bytes of the constant fixtures (PNG/BMP/GIF image,
+      // WAV audio, ISO-BMFF video, text + CDC-noise unknown)
+      """SELECT CAST(id AS BIGINT) AS id, CAST(bl AS BIGINT) AS byte_len, kind
+        |FROM (VALUES
+        |  (0, 82, 'image'), (1, 102, 'image'), (2, 749, 'image'),
+        |  (3, 140, 'audio'), (4, 124, 'audio'),
+        |  (5, 232, 'video'), (6, 332, 'video'),
+        |  (7, 20, 'unknown'), (8, 640, 'unknown')) t(id, bl, kind)
+        |ORDER BY id""".stripMargin,
     "mm_audio_silence" ->
       // frozen span truths: ids 0/1 are loud throughout; id 2 (stub, centered
       // bytes) is quiet in both windows; id 3 quiet only in window 1; id 4 quiet

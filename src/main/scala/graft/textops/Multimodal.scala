@@ -503,6 +503,30 @@ object Multimodal {
       }
   }
 
+  case class PayloadType(id: Long, byte_len: Long, kind: String)
+
+  /** Intake type audit: classify opaque binary payloads by magic bytes —
+    * image (PNG/JPEG/GIF/BMP/TIFF), audio (WAV/AIFF/AU), video (ISO-BMFF),
+    * unknown — the first gate a mixed multimodal dump passes before the
+    * type-specific extractors. Row-local mapPartitions, sniff-only (no decode).
+    */
+  def sniffTypes(df: DataFrame, idCol: String, binCol: String): Dataset[PayloadType] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(binCol).cast("binary").as("b"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val kind =
+            if (looksLikeImage(bytes)) "image"
+            else if (looksLikeAudio(bytes)) "audio"
+            else if (looksLikeMp4(bytes)) "video"
+            else "unknown"
+          PayloadType(id, bytes.length.toLong, kind)
+        }
+      }
+  }
+
   /** Silence spans: contiguous runs of energy windows whose RMS is below
     * `rmsThreshold`, merged per payload into `(id, span_start, span_end,
     * n_windows)` — the trim map a speech-corpus pipeline cuts on. Classic
