@@ -236,4 +236,66 @@ class PropertySpec extends SparkSpec {
       assert(math.abs(values.sum - tr) < 1e-9)
     }
   }
+
+  private val wordsGen: Gen[String] =
+    Gen.listOf(Gen.oneOf("a", "b", "c", "ab", "xyz")).map(_.mkString(" "))
+
+  test("LcsLength matches the recursive definition; bounds and symmetry hold") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def arr(s: String) = new GenericArrayData(
+      s.trim.split("\\s+").filter(_.nonEmpty).map(UTF8String.fromString(_): Any))
+    def naive(a: List[String], b: List[String]): Int = (a, b) match {
+      case (Nil, _) | (_, Nil) => 0
+      case (x :: xs, y :: ys) if x == y => 1 + naive(xs, ys)
+      case (x :: xs, y :: ys) => math.max(naive(xs, y :: ys), naive(x :: xs, ys))
+    }
+    def toks(s: String) = s.trim.split("\\s+").filter(_.nonEmpty).toList
+    val shortGen = wordsGen.map(w => toks(w).take(7).mkString(" "))
+    check("lcs=naive", Prop.forAll(shortGen, shortGen) { (a, b) =>
+      graft.expressions.LcsLength.lcs(arr(a), arr(b)) == naive(toks(a), toks(b))
+    }, minOk = 150)
+    check("lcs symmetric+bounded", Prop.forAll(wordsGen, wordsGen) { (a, b) =>
+      val l = graft.expressions.LcsLength.lcs(arr(a), arr(b))
+      l == graft.expressions.LcsLength.lcs(arr(b), arr(a)) &&
+        l <= math.min(toks(a).length, toks(b).length) &&
+        graft.expressions.LcsLength.lcs(arr(a), arr(a)) == toks(a).length
+    })
+  }
+
+  test("NgramOverlapStats matches naive clipped counts; self-pair is total") {
+    def naiveStats(cand: String, ref: String, n: Int): (Long, Long, Long) = {
+      def grams(s: String) = {
+        val t = s.trim.split("\\s+").filter(_.nonEmpty)
+        (0 to t.length - n).map(i => t.slice(i, i + n).mkString(" "))
+      }
+      val (c, r) = (grams(cand), grams(ref))
+      val rc = r.groupBy(identity).view.mapValues(_.size).toMap
+      val matched = c.groupBy(identity).map { case (g, occ) =>
+        math.min(occ.size, rc.getOrElse(g, 0))
+      }.sum
+      (matched.toLong, c.size.toLong, r.size.toLong)
+    }
+    check("clipped=naive", Prop.forAll(wordsGen, wordsGen, Gen.choose(1, 3)) { (a, b, n) =>
+      val st = graft.expressions.NgramOverlapStats.stats(a, b, n, charMode = false)
+      val row = st.getStruct(n - 1, 4)
+      (row.getLong(1), row.getLong(2), row.getLong(3)) == naiveStats(a, b, n)
+    })
+    check("self-pair matched=total", Prop.forAll(wordsGen, Gen.choose(1, 4)) { (a, n) =>
+      val row = graft.expressions.NgramOverlapStats.stats(a, a, n, charMode = false)
+        .getStruct(n - 1, 4)
+      row.getLong(1) == row.getLong(2) && row.getLong(2) == row.getLong(3)
+    })
+  }
+
+  test("CharShingles: count identity and reconstruction") {
+    check("charshingles", Prop.forAll(wordsGen, Gen.choose(1, 4)) { (s, n) =>
+      val stripped = s.filterNot(c => c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f')
+      val out = graft.expressions.CharShingles.shingle(s, n)
+      val expected = math.max(0, stripped.length - n + 1)
+      out.numElements() == expected &&
+        (0 until out.numElements()).forall(i =>
+          out.getUTF8String(i).toString == stripped.substring(i, i + n))
+    })
+  }
 }
