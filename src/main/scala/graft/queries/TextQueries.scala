@@ -991,6 +991,18 @@ object TextQueries {
           col("width"), col("height"))
         .orderBy("id")
     },
+    "text_char_entropy" -> { (s, dir) =>
+      // compression-proxy junk gate: per-doc Shannon character entropy (bits/char)
+      // with a planted low-entropy filler suffix every 4th doc — the sorted-order
+      // accumulation makes the float replay bit-exact
+      val planted = concat(col("text"),
+        when(col("doc_id") % 4 === 0, lit(" aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"))
+          .otherwise(lit("")))
+      docs(s, dir).select(col("doc_id"), planted.as("t"))
+        .select(col("doc_id"), length(col("t")).as("n_chars"),
+          round(TextOps.charEntropy(col("t")), 6).as("entropy_bits"))
+        .orderBy("doc_id")
+    },
     "text_nfc_normalize" -> { (s, dir) =>
       // NFC canonical composition before hash keying: every 3rd doc gets a
       // decomposed 'e'+U+0301 suffix that must collapse to the composed form
@@ -3168,6 +3180,19 @@ object TextQueries {
         |  (1, 124, 16000, 2, 16, 20, 1.25),
         |  (2, 20, 24000, 1, 16, 10, 0.416667)) t(id, bl, sr, ch, bi, fr, dm)
         |ORDER BY id""".stripMargin,
+    "text_char_entropy" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    text || CASE WHEN doc_id % 4 = 0
+        |      THEN ' aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa' ELSE '' END AS t
+        |  FROM documents),
+        |ch AS (SELECT doc_id, t, unnest(string_split(t, '')) AS c FROM f),
+        |cnt AS (SELECT doc_id, c, COUNT(*)::DOUBLE AS k FROM ch GROUP BY 1, 2),
+        |srt AS (SELECT doc_id, list(k ORDER BY c) AS ks, SUM(k) AS n FROM cnt GROUP BY 1)
+        |SELECT f.doc_id, CAST(length(f.t) AS INT) AS n_chars,
+        |  ROUND(COALESCE(list_sum(list_transform(srt.ks,
+        |    k -> -(k / srt.n) * (LN(k / srt.n) / LN(2.0)))), 0.0), 6) AS entropy_bits
+        |FROM f LEFT JOIN srt USING (doc_id) ORDER BY doc_id""".stripMargin,
     "text_nfc_normalize" ->
       """WITH f AS (
         |  SELECT doc_id,

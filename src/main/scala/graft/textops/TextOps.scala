@@ -60,6 +60,14 @@ object TextOps {
   def foldText(c: Column): Column =
     lower(graft.functions.strip_accents(c))
 
+  /** Shannon entropy (bits/char) of the character distribution — the
+    * compression-proxy junk gate (base64/binary spill high, filler low).
+    */
+  def charEntropy(c: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expressions.CharEntropy(
+        org.apache.spark.sql.graftbridge.Bridge.expression(c)))
+
   /** Unicode NFC canonical composition — run before any hash/equality keying of
     * crawled text (decomposed combining marks split dedup keys otherwise).
     */

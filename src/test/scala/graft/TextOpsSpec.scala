@@ -349,6 +349,17 @@ class TextOpsSpec extends SparkSpec {
     assert(edge.count() === 0L)
   }
 
+  test("charEntropy: closed forms - uniform, constant, empty") {
+    import graft.textops.TextOps
+    val df = Seq("aaaa", "ab", "abcd", "", "aabb").toDF("t")
+    val out = df.select(TextOps.charEntropy(col("t"))).as[Double].collect()
+    assert(out(0) === 0.0)        // single symbol
+    assert(out(1) === 1.0)        // two equiprobable -> 1 bit
+    assert(out(2) === 2.0)        // four equiprobable -> 2 bits
+    assert(out(3) === 0.0)        // empty
+    assert(out(4) === 1.0)        // multiplicity doesn't change the distribution
+  }
+
   test("nfcNormalize: composes decomposed marks, identity fast path, null") {
     import graft.textops.TextOps
     val decomposed = "café" // e + combining acute U+0301
