@@ -112,6 +112,20 @@ object GraftExtensions {
       "lcs_length(l, r) - longest-common-subsequence length of two string arrays.") { a =>
       arity("lcs_length", a, 2 to 2); LcsLength(a(0), a(1))
     },
+    fn("nfc_normalize", "nfc_normalize(s) - Unicode NFC canonical composition.") { a =>
+      arity("nfc_normalize", a, 1 to 1); NfcNormalize(a(0))
+    },
+    fn("char_entropy",
+      "char_entropy(s) - Shannon entropy (bits/char) of the character distribution.") { a =>
+      arity("char_entropy", a, 1 to 1); CharEntropy(a(0))
+    },
+    fn("ngram_overlap_stats",
+      "ngram_overlap_stats(cand, ref, maxN[, charMode]) - clipped n-gram overlap " +
+        "stats array for orders 1..maxN.") { a =>
+      arity("ngram_overlap_stats", a, 3 to 4)
+      NgramOverlapStats(a(0), a(1), litInt(a(2), "maxN"),
+        if (a.length > 3) litBool(a(3), "charMode") else false)
+    },
     fn("char_shingles",
       "char_shingles(text, n) - char n-grams of the whitespace-stripped string.") { a =>
       arity("char_shingles", a, 2 to 2); CharShingles(a(0), litInt(a(1), "n"))
