@@ -1,8 +1,8 @@
 package graft.expressions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Shannon entropy (bits/char) of a string's character distribution — the
@@ -12,8 +12,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * SORTED-character order so the floating-point accumulation is reproducible
   * bit-for-bit by an oracle that sums a sorted list. Empty string → 0.
   */
-case class CharEntropy(child: Expression) extends UnaryExpression {
+case class CharEntropy(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
   override def dataType: DataType = DoubleType
+  override def inputTypes: Seq[DataType] = Seq(StringType)
 
   override def nullSafeEval(input: Any): Any =
     CharEntropy.entropy(input.asInstanceOf[UTF8String].toString)

@@ -1,9 +1,9 @@
 package graft.expressions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Length of the longest common subsequence of two string arrays — the ROUGE-L
@@ -12,8 +12,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * lengths keep the quadratic per-row cost flat). Null array elements are treated
   * as matching nothing.
   */
-case class LcsLength(left: Expression, right: Expression) extends BinaryExpression {
+case class LcsLength(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes {
   override def dataType: DataType = IntegerType
+  // analysis-time type check: SQL misuse (non-array args) fails with a clear
+  // error instead of a ClassCastException inside codegen
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(StringType), ArrayType(StringType))
 
   override def nullSafeEval(l: Any, r: Any): Any =
     LcsLength.lcs(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])

@@ -1,6 +1,6 @@
 package graft.expressions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -12,8 +12,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * a quick-check fast path (ASCII and already-composed text pays one scan, no
   * allocation).
   */
-case class NfcNormalize(child: Expression) extends UnaryExpression {
+case class NfcNormalize(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
   override def dataType: DataType = StringType
+  override def inputTypes: Seq[DataType] = Seq(StringType)
 
   override def nullSafeEval(input: Any): Any =
     NfcNormalize.nfc(input.asInstanceOf[UTF8String])

@@ -1,6 +1,6 @@
 package graft.expressions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -14,8 +14,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * dominate the dedup scans. This expression tokenizes once per row.
   */
 case class WordShingles(child: Expression, n: Int, distinct: Boolean = true)
-  extends UnaryExpression {
+  extends UnaryExpression with ExpectsInputTypes {
   override def dataType: DataType = ArrayType(StringType)
+  override def inputTypes: Seq[DataType] = Seq(StringType)
 
   override def nullSafeEval(input: Any): Any =
     WordShingles.shingle(input.toString, n, distinct)
@@ -60,9 +61,11 @@ object WordShingles {
   * Whitespace is the explicit ASCII class `[ \t\n\r\f]` so the DuckDB
   * oracle's RE2 `regexp_replace` and Java agree character-for-character.
   */
-case class CharShingles(child: Expression, n: Int) extends UnaryExpression {
+case class CharShingles(child: Expression, n: Int)
+  extends UnaryExpression with ExpectsInputTypes {
   require(n >= 1, s"n must be >= 1, got $n")
   override def dataType: DataType = ArrayType(StringType)
+  override def inputTypes: Seq[DataType] = Seq(StringType)
 
   override def nullSafeEval(input: Any): Any =
     CharShingles.shingle(input.toString, n)

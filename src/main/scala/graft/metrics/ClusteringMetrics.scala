@@ -39,6 +39,9 @@ object ClusteringMetrics {
     // fail loudly (not with a driver OOM) if the contingency is not evaluation-sized:
     // non-empty cells ≤ min(#rows, #labels × #clusters); the cap is far above any
     // real ground-truth panel but far below an accidental per-row-unique join
+    // one upstream execution: persist the contingency so the cap-guard count and
+    // the collect don't each re-run the join+aggregate
+    cont.persist()
     val cellCap = 4L << 20
     val cells = cont.count()
     require(cells <= cellCap,
@@ -46,6 +49,7 @@ object ClusteringMetrics {
         "pair cardinality is not evaluation-sized; AMI/ARI need the full table on " +
         "the driver — aggregate or sample labels first")
     val contArr = cont.collect()
+    cont.unpersist()
 
     val n = contArr.map(_._3).sum
     val rowSums = contArr.groupBy(_._1).map { case (t, cs) => t -> cs.map(_._3).sum }

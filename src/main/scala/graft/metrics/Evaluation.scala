@@ -55,10 +55,15 @@ object Evaluation {
     */
   def rocAucFromCounts(groups0: DataFrame): DataFrame = {
     // normalize numeric types here so callers can pass the natural long-typed
-    // counts a count aggregate produces (streamingAucBins state, ad-hoc groupBys)
+    // counts a count aggregate produces (streamingAucBins state, ad-hoc groupBys),
+    // then re-collapse by s: the midrank math below requires ONE row per distinct
+    // score (duplicate-s rows — e.g. a union of streaming state snapshots — would
+    // get per-row instead of per-tie-group midranks). A no-op on conforming input.
     val groups = groups0
       .select(col("s").cast("double").as("s"), col("cnt").cast("double").as("cnt"),
         col("pos").cast("double").as("pos"), col("bsum").cast("long").as("bsum"))
+      .groupBy("s")
+      .agg(sum("cnt").as("cnt"), sum("pos").as("pos"), sum("bsum").as("bsum"))
       .withColumn("_bucket",
         least(floor(col("s") * 1024), lit(1023.0)).cast("int"))
     // bounded: ≤1024 rows; cumulative count strictly below each bucket

@@ -147,6 +147,93 @@ object Sketches {
       .groupBy(keyCol).agg(min("cell").as("cms_estimate"))
   }
 
+  // ------------------------------------------------------- quantile sketch
+
+  /** Slot count k for the quantile sample sketch: rank standard error ≈
+    * 0.5/√k ≈ 1.6 % of n at k=1024 — the data-card/profiling accuracy class.
+    */
+  val QsSlots = 1024
+
+  /** Mergeable QUANTILE sketch — the missing family member next to HLL/CMS, for
+    * the per-group distributions ([[quantileBins]], robust stats) that are exact
+    * and per-group memory-bound at 100 TB.
+    *
+    * Design: a slot-minimum sample. md5(rowKey)'s first 12 bits pick one of
+    * [[QsSlots]] slots; the remaining 29 hex chars are the row's in-slot priority
+    * `h`; per (group, slot) the sketch keeps the minimum-`h` row's value — a
+    * hash-stratified uniform row sample of ≤ k rows per group. Quantiles are the
+    * sample's order statistics.
+    *
+    * Why not a literal KLL/t-digest: their compactors consume items in insertion
+    * order, so the summary depends on partitioning and task order — it can be
+    * neither bit-deterministic across runs nor replayed by a SQL oracle, and two
+    * differently-ordered builds of the same data disagree. The slot-minimum
+    * sample trades KLL's O(1/k) rank error for O(1/√k) and buys back the three
+    * properties every sketch in this module guarantees:
+    *
+    *   - deterministic: a pure function of the row SET (md5-driven, like
+    *     [[hllRegisters]]), invariant under partitioning/order — DuckDB replays
+    *     every slot;
+    *   - merge ≡ union, EXACTLY: min is associative/commutative/idempotent, so
+    *     compact(sketch(A) ∪ sketch(B)) = sketch(A ∪ B) bit-for-bit ([[qsketchMerge]]);
+    *   - streaming-maintainable: min-only state is monotone, so a streaming
+    *     update-mode aggregation lands on exactly the batch sketch (the
+    *     `stream_hll_distinct` pattern — `StreamOps.streamingQuantileSketch`).
+    *
+    * Scale shape: ONE map-side-combined groupBy — the shuffle carries at most
+    * |groups|·k rows regardless of input size; no window, no sort, no driver state.
+    *
+    * `rowKey` should be unique per row (it is the sample's randomness source);
+    * rows sharing a key tie on `h` and deterministically keep the smaller value
+    * (the struct MIN is lexicographic over (h, v)), i.e. duplicates collapse to
+    * one sample candidate.
+    */
+  def qsketch(df: DataFrame, groupCols: Seq[String], value: Column, rowKey: Column): DataFrame =
+    qsketchCompact(qsketchProject(df, groupCols, value, rowKey), groupCols)
+
+  /** The stateless per-row projection under [[qsketch]]: (groupCols, slot, h, v).
+    * Exposed for the streaming path, which applies these identical expressions and
+    * maintains the min under streaming state.
+    */
+  def qsketchProject(df: DataFrame, groupCols: Seq[String], value: Column, rowKey: Column): DataFrame = {
+    val hex = md5(rowKey.cast("string"))
+    val slot = conv(substring(hex, 1, 3), 16, 10).cast("long") % QsSlots
+    df.select(groupCols.map(col) ++ Seq(
+      slot.as("slot"), substring(hex, 4, 29).as("h"), value.cast("double").as("v")): _*)
+  }
+
+  /** Canonical compaction: per (group, slot), the lexicographic struct-MIN keeps
+    * the minimum-`h` row and its value in one agg. Idempotent — a sketch table is
+    * a fixed point.
+    */
+  def qsketchCompact(rows: DataFrame, groupCols: Seq[String]): DataFrame =
+    rows.groupBy((groupCols :+ "slot").map(col): _*)
+      .agg(min(struct(col("h"), col("v"))).as("m"))
+      .select(groupCols.map(col) ++ Seq(
+        col("slot"), col("m.h").as("h"), col("m.v").as("v")): _*)
+
+  /** Merge any number of sketch tables (different clusters, different days):
+    * union + recompact ≡ the sketch of the unioned inputs, exactly.
+    */
+  def qsketchMerge(parts: Seq[DataFrame], groupCols: Seq[String]): DataFrame =
+    qsketchCompact(parts.reduce(_ unionByName _), groupCols)
+
+  /** Quantile estimates from a sketch table: per group, the sample's order
+    * statistic at index ⌈q·m⌉ (1-based, clamped; m = filled slots). The sketch is
+    * ≤ k rows per group, so the sort_array/collect_list here is bounded — never
+    * row-scale. `qs` maps output column name → quantile.
+    */
+  def qsketchQuantiles(sketch: DataFrame, groupCols: Seq[String], qs: Seq[(String, Double)]): DataFrame = {
+    val g = sketch.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_slots"),
+        sort_array(collect_list(struct(col("v"), col("h")))).as("arr"))
+    val ests = qs.map { case (name, q) =>
+      val idx = least(col("n_slots"), greatest(lit(1L), ceil(lit(q) * col("n_slots"))))
+      round(try_element_at(col("arr"), idx.cast("int")).getField("v"), 6).as(name)
+    }
+    g.select(groupCols.map(col) ++ (col("n_slots") +: ests): _*)
+  }
+
   /** Exact per-group quartile boundaries + per-row bin assignment: the feature
     * discretization a data card / mixing policy runs over doc length. Uses Spark's
     * EXACT `percentile` (type-7 linear interpolation — the same definition DuckDB's

@@ -10,13 +10,19 @@ import graft.score.FellegiSunter
 import graft.train.Estimation
 
 /** End-to-end pipeline entries (SURVEY §3 EP1/EP3): fixed-parameter dedupe and the
-  * auto-search loop. Iterative/driver-looped — rows-only driver check; pinned by
-  * ScalaTest instead of SQL oracles.
+  * auto-search loop, every one with a FULL generated DuckDB oracle. The bench
+  * names run the SEEDED oracle-expressible configs (explicit candidate rules,
+  * uid-ordered u pairing — the two knobs that make the control flow replayable);
+  * the default configs (data-derived P4 rules, TPE, hash u pairing) stay
+  * exercised as spec smokes (MetricsSpec auto-link family, EntrySpec flagship).
   */
 object PipelineQueries {
 
   /** The minimum end-to-end slice from SURVEY §7: clean → block → gammas → train
-    * (u-sampling + one EM rule) → predict → cluster → cluster sizes.
+    * (u-sampling + one EM rule) → predict → cluster → cluster sizes. Default
+    * config (hash u pairing) — the flagship `SparkEntry.entry` smoke; the bench
+    * query `ep1_e2e_dedupe` runs [[E2eOracle.pinnedQuery]], the same pipeline
+    * with the uid-ordered pairing its oracle replays.
     */
   def e2eDedupe(s: SparkSession, dir: String): DataFrame = {
     val df = s.read.parquet(s"$dir/customer.parquet")
@@ -40,48 +46,15 @@ object PipelineQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ep1_e2e_dedupe" -> (e2eDedupe _),
-    // the trained search loops with FULL generated oracles (see AutoLinkOracle)
-    "ep1_auto_link_two_trials" -> (AutoLinkOracle.twoTrialsQuery _),
-    "ep1_auto_link_two_table_trials" -> (AutoLinkOracle.twoTrialsLinkQuery _),
-    "ep1_e2e_dedupe_pinned" -> (E2eOracle.pinnedQuery _),
-    "ep1_auto_link" -> { (s, dir) =>
-      import s.implicits._
-      val df = s.read.parquet(s"$dir/customer.parquet")
-        .orderBy("c_custkey").limit(1000) // bounded smoke across scale factors
-        .select(col("c_custkey").cast("string").as("unique_id"),
-          col("c_name"), col("c_mktsegment"),
-          (col("c_custkey") % 20).cast("string").as("k"))
-      val result = AutoLinker.autoLink(df,
-        attributeColumns = Some(Seq("c_name", "c_mktsegment", "k")),
-        maxEvals = 2, comparisonSizeLimit = 500000L)
-      result.trials.map(t =>
-        (t.blockingRule, t.metric, t.model.lambda, t.model.comparisons.map(_.metric).mkString(",")))
-        .toDF("blocking_rule", "metric", "lambda", "comparison_metrics")
-    },
-    "ep1_auto_link_two_tables" -> { (s, dir) =>
-      import s.implicits._
-      // link mode: two halves of customer with renamed columns — Y10 recovers the
-      // mapping, then blocking/training/prediction run across the tables only
-      // (iterative search loop — rows-only check; pinned by MetricsSpec)
-      val c = s.read.parquet(s"$dir/customer.parquet").orderBy("c_custkey").limit(1000)
-      val left = c.filter(col("c_custkey") % 2 === 0)
-        .select(col("c_custkey").cast("string").as("id"),
-          substring(col("c_name"), 1, 12).as("name_prefix"),
-          col("c_mktsegment").as("segment"), col("c_nationkey").cast("string").as("nation"))
-      val right = c.filter(col("c_custkey") % 2 === 1)
-        .select(col("c_custkey").cast("string").as("id"),
-          substring(col("c_name"), 1, 12).as("prefix"),
-          col("c_mktsegment").as("mkt"), col("c_nationkey").cast("string").as("nat"))
-      val result = AutoLinker.autoLinkTables(left, right, uidCol = "id",
-        maxEvals = 2, comparisonSizeLimit = 500000L)
-      result.trials.map(t =>
-        (t.blockingRule, t.metric, t.model.lambda, t.model.comparisons.map(_.metric).mkString(",")))
-        .toDF("blocking_rule", "metric", "lambda", "comparison_metrics")
-    })
+    // the trained search loops and the e2e dedupe pipeline, each the REAL
+    // control flow under a seeded replayable config with a FULL generated
+    // oracle (see AutoLinkOracle / E2eOracle)
+    "ep1_e2e_dedupe" -> (E2eOracle.pinnedQuery _),
+    "ep1_auto_link" -> (AutoLinkOracle.twoTrialsQuery _),
+    "ep1_auto_link_two_tables" -> (AutoLinkOracle.twoTrialsLinkQuery _))
 
   val oracleSql: Map[String, String] = Map(
-    "ep1_auto_link_two_trials" -> AutoLinkOracle.twoTrialsSql,
-    "ep1_auto_link_two_table_trials" -> AutoLinkOracle.twoTrialsLinkSql,
-    "ep1_e2e_dedupe_pinned" -> E2eOracle.pinnedSql)
+    "ep1_e2e_dedupe" -> E2eOracle.pinnedSql,
+    "ep1_auto_link" -> AutoLinkOracle.twoTrialsSql,
+    "ep1_auto_link_two_tables" -> AutoLinkOracle.twoTrialsLinkSql)
 }

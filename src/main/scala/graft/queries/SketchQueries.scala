@@ -94,6 +94,41 @@ object SketchQueries {
           round(col("winsorized_mean"), 6).as("winsorized_mean"))
         .orderBy("lang")
     },
+    // mergeable quantile sketch (slot-minimum sample, k=1024): per-flag price
+    // quantiles from a sketch built as TWO partial sketches (parity-split, as two
+    // clusters/days would) merged by union+recompact — merge_mismatch pins
+    // merge ≡ direct-build slot-for-slot IN the oracle; exact median alongside
+    // shows the O(1/sqrt(k)) accuracy on the small corpus
+    "sketch_slotmin_quantiles" -> { (s, dir) =>
+      val base = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_returnflag").as("flag"),
+          concat_ws(":", col("l_orderkey"), col("l_linenumber")).as("k"),
+          col("l_extendedprice").cast("double").as("price"),
+          col("l_linenumber").as("ln"))
+      def part(p: Int) = Sketches.qsketch(
+        base.filter(col("ln") % 2 === p), Seq("flag"), col("price"), col("k"))
+      val direct = Sketches.qsketch(base, Seq("flag"), col("price"), col("k"))
+      val merged = Sketches.qsketchMerge(Seq(part(0), part(1)), Seq("flag"))
+      val mismatch = merged.select(col("flag"), col("slot"), col("h").as("mh"), col("v").as("mv"))
+        .join(direct.select(col("flag"), col("slot"), col("h").as("dh"), col("v").as("dv")),
+          Seq("flag", "slot"), "full_outer")
+        .groupBy("flag")
+        .agg(sum(when(col("mh") <=> col("dh") && col("mv") <=> col("dv"), 0L)
+          .otherwise(1L)).as("merge_mismatch"))
+      val est = Sketches.qsketchQuantiles(merged, Seq("flag"),
+        Seq("p10" -> 0.1, "p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+      val exact = s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(round(expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.5D)"), 6)
+          .as("exact_p50"))
+      est.join(mismatch, Seq("flag")).join(exact, Seq("flag")).orderBy("flag")
+    },
+    // the same sketch maintained by a STREAMING min-aggregation over the ingest
+    // stream — monotone state, lands on exactly the batch sketch
+    "stream_slotmin_quantiles" -> { (s, dir) =>
+      graft.streaming.StreamOps.streamingQuantileSketch(s, s"$dir/documents.parquet")
+        .orderBy("lang")
+    },
     // the same HLL registers maintained by a STREAMING max-aggregation over the
     // ingest stream — monotone state, lands on exactly the batch register table
     "stream_hll_distinct" -> { (s, dir) =>
@@ -384,7 +419,66 @@ object SketchQueries {
       |GROUP BY 1, 2, 3, 4, m.mx
       |ORDER BY 1, 2""".stripMargin
 
+  /** Order-statistic picks from a sorted sample list `arr` of length `n_slots`:
+    * index ⌈q·m⌉, 1-based, clamped — the same arithmetic as
+    * [[graft.metrics.Sketches.qsketchQuantiles]].
+    */
+  private def qsPick(qs: Seq[(String, Double)]): String =
+    qs.map { case (name, q) =>
+      s"ROUND(arr[CAST(LEAST(n_slots, GREATEST(1, CEIL($q * n_slots))) AS INT)], 6) AS $name"
+    }.mkString(",\n    ")
+
+  private val slotminSql = {
+    // struct MIN mirrors Spark's lexicographic (h, v) tie-break exactly: the
+    // testdata's (orderkey, linenumber) key is deliberately non-unique (11k+
+    // planted dupes), so equal-h rows DO occur and arg_min(v, h) would pick
+    // arbitrarily between them
+    def sk(name: String, from: String) =
+      s"""$name AS (SELECT flag, slot, m.h AS h, m.v AS v FROM (
+         |  SELECT flag, slot, MIN({'h': h, 'v': v}) AS m FROM $from GROUP BY 1, 2))""".stripMargin
+    s"""WITH src AS (SELECT l_returnflag AS flag,
+       |    l_orderkey::VARCHAR || ':' || l_linenumber::VARCHAR AS k,
+       |    CAST(l_extendedprice AS DOUBLE) AS v, l_linenumber AS ln FROM lineitem),
+       |pr AS (SELECT flag, ln,
+       |    ('0x' || substr(md5(k), 1, 3))::UBIGINT % 1024 AS slot,
+       |    substr(md5(k), 4, 29) AS h, v FROM src),
+       |${sk("direct", "pr")},
+       |${sk("pa", "(SELECT * FROM pr WHERE ln % 2 = 0)")},
+       |${sk("pb", "(SELECT * FROM pr WHERE ln % 2 = 1)")},
+       |${sk("merged", "(SELECT * FROM pa UNION ALL SELECT * FROM pb)")},
+       |mm AS (SELECT COALESCE(m.flag, d.flag) AS flag,
+       |    SUM(CASE WHEN m.h IS NOT DISTINCT FROM d.h
+       |              AND m.v IS NOT DISTINCT FROM d.v THEN 0 ELSE 1 END) AS merge_mismatch
+       |  FROM merged m FULL JOIN direct d ON m.flag = d.flag AND m.slot = d.slot
+       |  GROUP BY 1),
+       |est AS (SELECT flag, COUNT(*) AS n_slots, list(v ORDER BY v, h) AS arr
+       |        FROM merged GROUP BY 1),
+       |q AS (SELECT flag, n_slots,
+       |    ${qsPick(Seq("p10" -> 0.1, "p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))}
+       |  FROM est),
+       |ex AS (SELECT l_returnflag AS flag,
+       |    ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 6) AS exact_p50
+       |  FROM lineitem GROUP BY 1)
+       |SELECT q.flag, n_slots, p10, p50, p90, p99, merge_mismatch, exact_p50
+       |FROM q JOIN mm USING (flag) JOIN ex USING (flag) ORDER BY flag""".stripMargin
+  }
+
+  private val streamSlotminSql =
+    s"""WITH pr AS (SELECT lang,
+       |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 3))::UBIGINT % 1024 AS slot,
+       |    substr(md5(doc_id::VARCHAR), 4, 29) AS h,
+       |    CAST(n_chars AS DOUBLE) AS v FROM documents),
+       |sk AS (SELECT lang, slot, m.h AS h, m.v AS v FROM (
+    |  SELECT lang, slot, MIN({'h': h, 'v': v}) AS m FROM pr GROUP BY 1, 2)),
+       |est AS (SELECT lang, COUNT(*) AS n_slots, list(v ORDER BY v, h) AS arr
+       |        FROM sk GROUP BY 1)
+       |SELECT lang, n_slots,
+       |    ${qsPick(Seq("p10" -> 0.1, "p50" -> 0.5, "p90" -> 0.9))}
+       |FROM est ORDER BY lang""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "sketch_slotmin_quantiles" -> slotminSql,
+    "stream_slotmin_quantiles" -> streamSlotminSql,
     "prof_ks_drift" -> ksDriftSql,
     "prof_benford" -> benfordSql,
     "prof_expectations" -> expectationsSql,

@@ -1026,8 +1026,10 @@ object TextQueries {
         lit(",500\n"), substring(col("text"), 1, 40))
       val end2 = when(col("doc_id") % 9 === 0, lit("00:01:00,000"))
         .otherwise(lit("00:01:02,000"))
-      val cue2 = concat(lit("2\n00:01:00,000 --> "), end2, lit("\n"),
-        substring(col("text"), 41, 30), lit("\nsecond line"))
+      // cue2 is deliberately CRLF-terminated: parseSrt must normalize it to parse
+      // identically to the oracle's LF-built equivalent (real-world SRT is CRLF)
+      val cue2 = concat(lit("2\r\n00:01:00,000 --> "), end2, lit("\r\n"),
+        substring(col("text"), 41, 30), lit("\r\nsecond line"))
       val bad = lit("3\nnot a timestamp\noops")
       val srt = concat_ws("\n\n", cue1, cue2, bad)
       graft.textops.Captions.parseSrt(

@@ -628,6 +628,29 @@ object StreamOps {
     Sketches.hllEstimate(finalRegs, Seq("lang"))
   }
 
+  /** Streaming quantile-sketch maintenance: the slot-minimum sample
+    * ([[graft.metrics.Sketches.qsketch]]) under a streaming MIN aggregation —
+    * min-only state is monotone (the `streamingHllDistinct` pattern), so the
+    * stream lands on exactly the batch sketch whatever the micro-batch split.
+    * State is bounded at |groups|·1024 slots regardless of feed volume. Returns
+    * per-language doc-length quantile estimates from the final sketch.
+    */
+  def streamingQuantileSketch(spark: SparkSession, docsPath: String): DataFrame = {
+    import graft.metrics.Sketches
+    val proj = Sketches.qsketchProject(
+      fileStream(spark, docsPath).select(col("lang"), col("doc_id"), col("n_chars")),
+      Seq("lang"), col("n_chars"), col("doc_id"))
+    val mins = proj.groupBy(col("lang"), col("slot"))
+      .agg(min(struct(col("h"), col("v"))).as("m"))
+    // update mode: the LAST emission per (lang, slot) is the running min; a final
+    // min over all emissions recovers it without ordering assumptions
+    val sketch = driveToMemory(mins, "update", "stream_qsketch", statePartitions = Some(4))
+      .groupBy("lang", "slot").agg(min(col("m")).as("m"))
+      .select(col("lang"), col("slot"), col("m.h").as("h"), col("m.v").as("v"))
+    Sketches.qsketchQuantiles(sketch, Seq("lang"),
+      Seq("p10" -> 0.1, "p50" -> 0.5, "p90" -> 0.9))
+  }
+
   /** Streaming count-min maintenance: a streaming SUM over the per-occurrence
     * (row_j, bucket) projection holds exactly the depth×width cell table the batch
     * build produces from pre-combined counts (sum is linear) — bounded state

@@ -24,6 +24,9 @@ object Captions {
 
   /** Parse SRT text into one row per valid cue:
     * `(id, cue_index, start_ms, end_ms, duration_ms, cue_text, n_chars, cps)`.
+    * Line endings are normalized first (`\r\n`/`\r` → `\n`) — real-world SRT is
+    * predominantly CRLF and the parse is the validity gate, so without this every
+    * CRLF caption would be silently dropped as junk.
     * Cue blocks are split on blank lines; blocks whose header doesn't match the
     * `index\nstart --> end` shape are dropped (the parse IS the validity gate).
     * `cps` is NULL for non-positive durations — a zero/negative-length cue has no
@@ -34,7 +37,8 @@ object Captions {
       (0 until 4).map(g => regexp_extract(col("cue"), CueHead, base + g).cast("long") *
         lit(Array(3600000L, 60000L, 1000L, 1L)(g))).reduce(_ + _)
     df.select(idCol.as("id"),
-        explode(split(srtCol, "\\n[ \\t]*\\n+")).as("cue"))
+        explode(split(regexp_replace(srtCol, "\\r\\n?", "\n"),
+          "\\n[ \\t]*\\n+")).as("cue"))
       .filter(regexp_extract(col("cue"), CueHead, 1) =!= "")
       .select(col("id"),
         regexp_extract(col("cue"), CueHead, 1).cast("int").as("cue_index"),

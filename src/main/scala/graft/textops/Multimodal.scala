@@ -134,13 +134,19 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
-  /** Multi-frame pixel decode: every frame a JDK reader yields for the payload
-    * (animated GIFs decode frame-by-frame in a stock JDK; single-frame formats
-    * yield one). Frames are the reader's RAW per-frame rasters (no disposal-mode
-    * compositing — deterministic, and the committed fixtures pin the bytes).
-    * None when no reader claims the payload; callers fall back to the stub path.
+  /** Multi-frame pixel decode: every `stride`-th frame a JDK reader yields for the
+    * payload (animated GIFs decode frame-by-frame in a stock JDK; single-frame
+    * formats yield one), as `(frame_index, raster)` pairs. Only the sampled frames
+    * are decoded — `reader.read(f)` is random-access, so a long animation with a
+    * large stride pays decode cost and transient heap for the kept frames only.
+    * Frames are the reader's RAW per-frame rasters (no disposal-mode compositing —
+    * deterministic, and the committed fixtures pin the bytes). None when no reader
+    * claims the payload; callers fall back to the stub path.
     */
-  def decodeFrames(bytes: Array[Byte]): Option[Vector[java.awt.image.BufferedImage]] = {
+  def decodeFrames(
+      bytes: Array[Byte],
+      stride: Int = 1): Option[Vector[(Int, java.awt.image.BufferedImage)]] = {
+    require(stride >= 1, "stride must be >= 1")
     if (!looksLikeImage(bytes)) return None
     try {
       val iis = javax.imageio.ImageIO.createImageInputStream(
@@ -153,8 +159,8 @@ object Multimodal {
           reader.setInput(iis)
           val n = reader.getNumImages(true)
           if (n <= 0) return None
-          val frames = (0 until n).map(reader.read).toVector
-            .filter(i => i.getWidth > 0 && i.getHeight > 0)
+          val frames = (0 until n by stride).map(f => f -> reader.read(f)).toVector
+            .filter { case (_, i) => i.getWidth > 0 && i.getHeight > 0 }
           if (frames.isEmpty) None else Some(frames)
         } finally reader.dispose()
       } finally iis.close()
@@ -334,10 +340,9 @@ object Multimodal {
           sb.toString
         }
         rows.flatMap { case (id, bytes) =>
-          decodeFrames(bytes) match {
+          decodeFrames(bytes, stride) match {
             case Some(frames) =>
-              (0 until frames.size by stride).iterator.map { f =>
-                val img = frames(f)
+              frames.iterator.map { case (f, img) =>
                 val rgb = bilinearRgb(img, img.getWidth, img.getHeight)
                 SampledFrame(id, f, md5Hex(digest.digest(rgb)))
               }

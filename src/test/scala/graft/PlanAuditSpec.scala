@@ -75,6 +75,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(failures.isEmpty, s"plan audit failures:\n${failures.mkString("\n")}")
   }
 
+  test("chat-JSON plans keep at most 2 from_json instances (Generate barrier holds)") {
+    // Regression net for the r9 lesson (SCALING.md round-9 addendum): from_json
+    // is non-codegen and projection collapse + filter inlining duplicate it into
+    // EVERY referencing column — ep15's plan once carried 66 parses/row (31 s).
+    // ChatOps.validateChat pins evaluation to once per row behind an
+    // explode(array(...)) Generate barrier; if a future rewrite lets the
+    // optimizer collapse through it, the parse count explodes silently — this
+    // counts the instances in the executed plan so that can't happen.
+    val dir = "/root/testdata/sf0.001"
+    Seq("curation_chat_validate", "ep15_sft_corpus").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+      val parses = "from_json".r.findAllIn(plan).size
+      assert(parses <= 2, s"$name: $parses from_json instances in the physical plan " +
+        "(expected <= 2) — the Generate barrier in ChatOps.validateChat collapsed")
+    }
+  }
+
   test("CheckpointTracker caps inherited size-estimate growth across self-join rounds") {
     // localCheckpoint's LogicalRDD inherits the source plan's sizeInBytes; a
     // self-joining iterate squares it every round, so the BigInt's bit-length

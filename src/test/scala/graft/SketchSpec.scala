@@ -105,6 +105,59 @@ class SketchSpec extends SparkSpec {
     assert(estUnionAB === direct, "register-merged union must equal the direct sketch")
   }
 
+  // ---- slot-minimum quantile sketch ----------------------------------------
+
+  private def qdata(lo: Int, hi: Int): DataFrame =
+    spark.range(lo.toLong, hi.toLong).select(lit("g").as("grp"),
+      concat(lit("row-"), col("id")).as("k"), col("id").cast("double").as("x"))
+
+  test("qsketch: merge of partial sketches equals the direct build bit-for-bit") {
+    val a = qdata(0, 6000)
+    val b = qdata(6000, 10000)
+    val merged = Sketches.qsketchMerge(
+      Seq(Sketches.qsketch(a, Seq("grp"), col("x"), col("k")),
+        Sketches.qsketch(b, Seq("grp"), col("x"), col("k"))), Seq("grp"))
+    val direct = Sketches.qsketch(a.union(b), Seq("grp"), col("x"), col("k"))
+    assert(merged.orderBy("slot").collect().toSeq ===
+      direct.orderBy("slot").collect().toSeq)
+    // idempotence: a sketch is a fixed point of merge (min is idempotent)
+    val again = Sketches.qsketchMerge(Seq(direct, direct), Seq("grp"))
+    assert(again.orderBy("slot").collect().toSeq ===
+      direct.orderBy("slot").collect().toSeq)
+  }
+
+  test("qsketch is partitioning-invariant (a pure function of the row set)") {
+    val df = qdata(0, 8000)
+    val one = Sketches.qsketch(df.coalesce(1), Seq("grp"), col("x"), col("k"))
+    val many = Sketches.qsketch(df.repartition(13), Seq("grp"), col("x"), col("k"))
+    assert(one.orderBy("slot").collect().toSeq === many.orderBy("slot").collect().toSeq)
+  }
+
+  test("qsketch quantiles track the true quantiles within the sampling error band") {
+    // uniform 0..99999: true q-quantile = q*100000; k=1024 slot sample has rank
+    // se ~ sqrt(q(1-q)/k)*n <= 1.6% of n; 5% is a >3-sigma band at the median
+    val sk = Sketches.qsketch(qdata(0, 100000), Seq("grp"), col("x"), col("k"))
+    val est = Sketches.qsketchQuantiles(sk, Seq("grp"),
+      Seq("p10" -> 0.1, "p50" -> 0.5, "p90" -> 0.9)).head()
+    assert(est.getAs[Long]("n_slots") === 1024L) // 100k rows: every slot filled
+    Seq("p10" -> 10000.0, "p50" -> 50000.0, "p90" -> 90000.0).foreach { case (c, truth) =>
+      val e = est.getAs[Double](c)
+      assert(math.abs(e - truth) < 5000.0, s"$c: estimate $e vs true $truth")
+    }
+  }
+
+  test("streaming qsketch lands on exactly the batch sketch estimates (monotone min state)") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val batch = Sketches.qsketchQuantiles(
+      Sketches.qsketch(docs, Seq("lang"), col("n_chars"), col("doc_id")),
+      Seq("lang"), Seq("p10" -> 0.1, "p50" -> 0.5, "p90" -> 0.9))
+    val streamed = graft.streaming.StreamOps
+      .streamingQuantileSketch(spark, s"$dir/documents.parquet")
+    assert(streamed.orderBy("lang").collect().toSeq ===
+      batch.orderBy("lang").collect().toSeq)
+  }
+
   test("streaming HLL lands on exactly the batch estimate (monotone register state)") {
     val dir = "/root/testdata/sf0.001"
     val batch = {

@@ -474,9 +474,11 @@ class TextOpsSpec extends SparkSpec {
     writer.endWriteSequence(); writer.dispose(); ios.close()
     val gif = baos.toByteArray
 
-    val frames = Multimodal.decodeFrames(gif).get
+    val frames = Multimodal.decodeFrames(gif).get.map(_._2)
     assert(frames.size === 3)
     assert(frames.forall(f => f.getWidth == 4 && f.getHeight == 2))
+    // strided decode reads ONLY the sampled frames and carries their true indices
+    assert(Multimodal.decodeFrames(gif, stride = 2).get.map(_._1) === Vector(0, 2))
 
     val df = Seq((0L, gif), (1L, "not an image payload".getBytes)).toDF("id", "payload")
     val sampled = Multimodal.sampleFrames(df, "id", "payload", stride = 2).collect()
