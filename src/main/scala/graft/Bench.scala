@@ -56,6 +56,60 @@ object Bench {
     load <= gate
   }
 
+  // ---- calibration probes (r9 verdict #1) ----------------------------------
+  // Fixed work, timed and stamped into the record, so cross-round per-query
+  // ratios can be normalized: a fleet-wide swing that shows up equally in the
+  // probes is the HOST (different sandbox hardware/neighbors), a swing in
+  // cal_cpu_end_s but not cal_cpu_s is in-session JVM degradation, and a
+  // per-query swing the probes don't share is the code.
+
+  /** Single-thread xorshift64 mix — pure register ALU work, no memory traffic. */
+  private def xorshiftWork(iters: Long, seed: Long): Long = {
+    var x = seed
+    var i = 0L
+    while (i < iters) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      i += 1
+    }
+    x
+  }
+
+  /** Sink defeats dead-code elimination of the probe loops. */
+  @volatile private var calSink = 0L
+
+  private def timeIt(f: => Unit): Double = {
+    val t0 = System.nanoTime()
+    f
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** ~1–2 s of single-thread ALU work on 2025 hardware. */
+  private val CalIters = 1200000000L
+
+  private def calCpu(): Double =
+    timeIt { calSink ^= xorshiftWork(CalIters, 0x9E3779B97F4A7C15L) }
+
+  /** The same total work split across `threads` — measures effective parallel
+    * throughput (fewer usable cores / noisy neighbors show up here first).
+    */
+  private def calMt(threads: Int): Double = timeIt {
+    val acc = new java.util.concurrent.atomic.AtomicLong()
+    val ts = (0 until threads).map { k =>
+      new Thread(() => { acc.addAndGet(xorshiftWork(CalIters / threads, 0x1234 + k)) })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    calSink ^= acc.get()
+  }
+
+  /** Fixed 10M-row hash-agg shuffle — exchange + agg machinery at suite settings. */
+  private def calShuffle(spark: SparkSession): Double = timeIt {
+    spark.range(10000000L)
+      .selectExpr("id % 1024 AS k", "id AS v")
+      .groupBy("k").agg(org.apache.spark.sql.functions.sum("v"),
+        org.apache.spark.sql.functions.count("*"))
+      .count()
+  }
+
   def main(args: Array[String]): Unit = {
     val loadGate = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "2.0").toDouble
     val quiet = awaitQuietMachine(loadGate, maxWaitMs = 120000L)
@@ -92,6 +146,13 @@ object Bench {
       spark.sqlContext.clearCache()
       System.gc()
     } catch { case _: Throwable => () }
+    // calibration probes AFTER warm-up (codegen/classloading out of the way),
+    // BEFORE the suite; CPU probe repeats at the end to expose in-session drift
+    val calCpuS = calCpu()
+    val calMtS = calMt(cpus.toInt)
+    val calShuffleS = calShuffle(spark)
+    System.err.println(
+      f"[bench] calibration: cpu $calCpuS%.3f s, mt$cpus $calMtS%.3f s, shuffle $calShuffleS%.3f s")
     val selected = SparkEntry.queries
       .filter { case (name, _) => filter.forall(_.findFirstIn(name).isDefined) }
       .toSeq.sortBy(_._1)
@@ -153,6 +214,7 @@ object Bench {
       .map { case (k, v, e) => jstr(k) + s""":{"sec":$v,"err":${jstr(e.get)}}""" }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
+    val calCpuEndS = calCpu()
     val run = {
       val endMs = System.currentTimeMillis()
       val iso = java.time.format.DateTimeFormatter.ISO_INSTANT
@@ -161,6 +223,8 @@ object Bench {
         s""""load_at_start":$loadAtStart,"load_at_end":${loadAvg()},""" +
         s""""other_jvms_at_start":$jvmsAtStart,"other_jvms_at_end":${otherJvms()},""" +
         s""""contaminated":${!quiet},"load_gate":$loadGate,"retimed":$retimed,""" +
+        s""""cal_cpu_s":$calCpuS,"cal_mt_s":$calMtS,"cal_shuffle_s":$calShuffleS,""" +
+        s""""cal_cpu_end_s":$calCpuEndS,""" +
         s""""cpus":${jstr(cpus)}}"""
     }
     val line =
