@@ -62,6 +62,18 @@ object TextQueries {
     "00000010667479706d703432000000000000013c6d6f6f760000006c6d76686400000000000000000000000000000258000004d20001000001000000000000000000000000010000000000000000000000000000000100000000000000000000000000004000000000000000000000000000000000000000000000000000000000000002000000647472616b0000005c746b68640000000700000000000000000000000100000000000004d2000000000000000000000000000000000001000000000000000000000000000000010000000000000000000000000000400000000140000000f00000000000647472616b0000005c746b68640000000700000000000000000000000200000000000004d2000000000000000000000000000000000001000000000000000000000000000000010000000000000000000000000000400000000000000000000000"
   private val MmVideoTextHex = "6e6f74206120766964656f2073747265616d2e2e"
 
+  /** Constant minimal EBML payloads (hand-built per RFC 8794 + the Matroska
+    * element registry: EBML[DocType] + Segment[Info[TimestampScale, Duration] +
+    * Tracks[TrackEntry…]]) — a webm with a 640×360 video track + an audio track
+    * @ scale 1 000 000 ns duration 4250 ticks (float32), and a matroska with one
+    * 320×240 video track @ 2 000 000 ns / 1234.5 ticks (float64) inside an
+    * UNKNOWN-SIZE (streamed) Segment.
+    */
+  private val MmWebmHex =
+    "1a45dfa38b428681014282847765626d18538067b21549a9668e2ad7b1830f42404489844584d0001654ae6b9aae90d78101838101e088b0820280ba820168ae86d78102838102"
+  private val MmMkvHex =
+    "1a45dfa38b4282886d6174726f736b6118538067ff1549a966922ad7b1831e848044898840934a00000000001654ae6b92ae90d78101838101e088b0820140ba8200f0"
+
   /** Silence-pattern WAVs: loud(16)–quiet(16, amp 3)–loud(16) squares, and an
     * all-quiet amp-2 file — square-wave RMS = amplitude exactly.
     */
@@ -956,7 +968,8 @@ object TextQueries {
         (0L, MmPngHex), (1L, MmBmpHex), (2L, MmGifHex),
         (3L, MmWavMonoHex), (4L, MmWavStereoHex),
         (5L, MmMp4OneTrackHex), (6L, MmMp4TwoTrackHex),
-        (7L, MmTextHex), (8L, MmCdcBaseHex)).toDF("fid", "hex")
+        (7L, MmTextHex), (8L, MmCdcBaseHex),
+        (9L, MmWebmHex), (10L, MmMkvHex)).toDF("fid", "hex")
       Multimodal.sniffTypes(
           fixtures.select(col("fid"), unhex(col("hex")).as("payload")), "fid", "payload")
         .toDF()
@@ -987,6 +1000,23 @@ object TextQueries {
           fixtures.select(col("fid"), unhex(col("hex")).as("payload")), "fid", "payload")
         .toDF()
         .select(col("id"), col("byte_len"), col("major_brand"), col("timescale"),
+          round(col("duration_ms"), 6).as("duration_ms"), col("n_tracks"),
+          col("width"), col("height"))
+        .orderBy("id")
+    },
+    "mm_webm_meta" -> { (s, dir) =>
+      // REAL EBML header walk (DocType, Info TimestampScale/Duration, TrackEntry
+      // count, Video pixel dims) over the frozen webm + streamed-matroska
+      // fixtures, stub closed form for the text payload — the mm_video_meta
+      // pattern for the other big crawled-video container family
+      import s.implicits._
+      val fixtures = Seq((0L, MmWebmHex), (1L, MmMkvHex), (2L, MmVideoTextHex))
+        .toDF("fid", "hex")
+      Multimodal.videoMeta(
+          fixtures.select(col("fid"), unhex(col("hex")).as("payload")), "fid", "payload")
+        .toDF()
+        .select(col("id"), col("byte_len"), col("major_brand").as("doc_type"),
+          col("timescale").as("timescale_ns"),
           round(col("duration_ms"), 6).as("duration_ms"), col("n_tracks"),
           col("width"), col("height"))
         .orderBy("id")
@@ -3241,13 +3271,29 @@ object TextQueries {
     },
     "mm_type_sniff" ->
       // frozen truths: magic bytes of the constant fixtures (PNG/BMP/GIF image,
-      // WAV audio, ISO-BMFF video, text + CDC-noise unknown)
+      // WAV audio, ISO-BMFF + EBML video, text + CDC-noise unknown)
       """SELECT CAST(id AS BIGINT) AS id, CAST(bl AS BIGINT) AS byte_len, kind
         |FROM (VALUES
         |  (0, 82, 'image'), (1, 102, 'image'), (2, 749, 'image'),
         |  (3, 140, 'audio'), (4, 124, 'audio'),
         |  (5, 232, 'video'), (6, 332, 'video'),
-        |  (7, 20, 'unknown'), (8, 640, 'unknown')) t(id, bl, kind)
+        |  (7, 20, 'unknown'), (8, 640, 'unknown'),
+        |  (9, 71, 'video'), (10, 67, 'video')) t(id, bl, kind)
+        |ORDER BY id""".stripMargin,
+    "mm_webm_meta" ->
+      // frozen truths of the two hand-built EBML fixtures (the builder wrote the
+      // fields, the parser must read them back): webm 2 tracks 640x360, f32
+      // duration 4250 ticks @ 1e6 ns; matroska (unknown-size Segment) 1 track
+      // 320x240, f64 1234.5 ticks @ 2e6 ns; stub closed form for the text row
+      // (len 20, first byte 'n' = 110 -> 48x48, 1 track, 600-tick timescale)
+      """SELECT CAST(id AS BIGINT) AS id, CAST(bl AS BIGINT) AS byte_len,
+        |  dt AS doc_type, CAST(ts AS INT) AS timescale_ns,
+        |  CAST(dm AS DOUBLE) AS duration_ms, CAST(nt AS INT) AS n_tracks,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height
+        |FROM (VALUES
+        |  (0, 71, 'webm', 1000000, 4250.0, 2, 640, 360),
+        |  (1, 67, 'matroska', 2000000, 2469.0, 1, 320, 240),
+        |  (2, 20, 'stub', 600, 33.333333, 1, 48, 48)) t(id, bl, dt, ts, dm, nt, w, h)
         |ORDER BY id""".stripMargin,
     "mm_audio_silence" ->
       // frozen span truths: ids 0/1 are loud throughout; id 2 (stub, centered

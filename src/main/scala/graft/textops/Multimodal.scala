@@ -525,7 +525,7 @@ object Multimodal {
           val kind =
             if (looksLikeImage(bytes)) "image"
             else if (looksLikeAudio(bytes)) "audio"
-            else if (looksLikeMp4(bytes)) "video"
+            else if (looksLikeMp4(bytes) || looksLikeEbml(bytes)) "video"
             else "unknown"
           PayloadType(id, bytes.length.toLong, kind)
         }
@@ -647,6 +647,124 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  // ---- EBML (Matroska/WebM) — the other big crawled-video container family
+
+  /** EBML magic: the EBML header element ID `1A 45 DF A3` at offset 0 — same
+    * gating role as [[looksLikeMp4]].
+    */
+  def looksLikeEbml(b: Array[Byte]): Boolean =
+    b.length >= 4 && (b(0) & 0xff) == 0x1a && (b(1) & 0xff) == 0x45 &&
+      (b(2) & 0xff) == 0xdf && (b(3) & 0xff) == 0xa3
+
+  /** Variable-length EBML integer at `o`: (value, width). IDs keep the length
+    * marker bit (`stripMarker = false`, the stored form); sizes strip it. Width 0
+    * signals a malformed VINT. An all-ones size VINT means "unknown size"
+    * (streamed Matroska) — returned as -1 for the caller to treat as to-end.
+    */
+  private def ebmlVint(b: Array[Byte], o: Int, stripMarker: Boolean): (Long, Int) = {
+    if (o >= b.length) return (0L, 0)
+    val first = b(o) & 0xff
+    if (first == 0) return (0L, 0)
+    val width = Integer.numberOfLeadingZeros(first) - 23 // 1..8 for a valid lead byte
+    if (width < 1 || width > 8 || o + width > b.length) return (0L, 0)
+    var v = if (stripMarker) (first & (0xff >>> width)).toLong else first.toLong
+    var i = 1
+    while (i < width) {
+      v = (v << 8) | (b(o + i) & 0xffL)
+      i += 1
+    }
+    if (stripMarker && v == (1L << (7 * width)) - 1) (-1L, width) // unknown size
+    else (v, width)
+  }
+
+  /** The EBML child elements of `[start, end)` as (id, bodyStart, bodyEnd) —
+    * the [[mp4Boxes]] shape; stops at the first malformed header. Unknown-size
+    * elements extend to `end`.
+    */
+  private def ebmlChildren(b: Array[Byte], start: Int, end: Int): List[(Long, Int, Int)] = {
+    val out = scala.collection.mutable.ListBuffer[(Long, Int, Int)]()
+    var o = start
+    var done = false
+    while (!done && o < end) {
+      val (id, idW) = ebmlVint(b, o, stripMarker = false)
+      val (sz, szW) = if (idW > 0) ebmlVint(b, o + idW, stripMarker = true) else (0L, 0)
+      if (idW == 0 || szW == 0) done = true
+      else {
+        val bodyStart = o + idW + szW
+        val bodyEnd = if (sz < 0) end.toLong else bodyStart + sz
+        if (bodyEnd > end || bodyStart > end) done = true
+        else {
+          out += ((id, bodyStart, bodyEnd.toInt))
+          o = bodyEnd.toInt
+        }
+      }
+    }
+    out.toList
+  }
+
+  private def ebmlUint(b: Array[Byte], start: Int, end: Int): Long = {
+    var v = 0L
+    var o = start
+    while (o < end && o - start < 8) { v = (v << 8) | (b(o) & 0xffL); o += 1 }
+    v
+  }
+
+  /** EBML float element body: 4-byte float32 or 8-byte float64 per the spec. */
+  private def ebmlFloat(b: Array[Byte], start: Int, end: Int): Double = (end - start) match {
+    case 4 => java.lang.Float.intBitsToFloat(ebmlUint(b, start, end).toInt).toDouble
+    case 8 => java.lang.Double.longBitsToDouble(ebmlUint(b, start, end))
+    case _ => 0.0
+  }
+
+  /** REAL Matroska/WebM metadata — a pure EBML header walk (no codec, no
+    * clusters): DocType from the EBML header, TimestampScale (ns/tick, default
+    * 1 000 000) + Duration (float, ticks) from `Segment/Info`, track count from
+    * `Segment/Tracks/TrackEntry`, and pixel dims from the first TrackEntry with
+    * a `Video` child. Handles unknown-size (streamed) Segments. The layout is
+    * published (RFC 8794 EBML + the Matroska element registry); this reads
+    * exactly the fields a corpus-intake audit needs. None → caller stubs.
+    *
+    * Returned tuple matches [[decodeMp4Header]]: (docType, timescale, durationMs,
+    * nTracks, width, height) — DocType plays `major_brand`, TimestampScale in ns
+    * plays `timescale`.
+    */
+  def decodeEbmlHeader(bytes: Array[Byte]): Option[(String, Int, Double, Int, Int, Int)] = {
+    if (!looksLikeEbml(bytes)) return None
+    try {
+      val top = ebmlChildren(bytes, 0, bytes.length)
+      val hdr = top.find(_._1 == 0x1a45dfa3L).getOrElse(return None)
+      val docType = ebmlChildren(bytes, hdr._2, hdr._3).find(_._1 == 0x4282L)
+        .map { case (_, s, e) => new String(bytes, s, e - s, "ISO-8859-1") }
+        .getOrElse(return None)
+      val seg = top.find(_._1 == 0x18538067L).getOrElse(return None)
+      val kids = ebmlChildren(bytes, seg._2, seg._3)
+      var tsNs = 1000000L // spec default TimestampScale
+      var durTicks = 0.0
+      kids.find(_._1 == 0x1549a966L).foreach { case (_, s, e) =>
+        ebmlChildren(bytes, s, e).foreach {
+          case (0x2ad7b1L, cs, ce) => tsNs = ebmlUint(bytes, cs, ce)
+          case (0x4489L, cs, ce)   => durTicks = ebmlFloat(bytes, cs, ce)
+          case _                   => ()
+        }
+      }
+      if (tsNs <= 0) return None
+      var w = 0
+      var h = 0
+      val traks = kids.filter(_._1 == 0x1654ae6bL)
+        .flatMap { case (_, s, e) => ebmlChildren(bytes, s, e).filter(_._1 == 0xaeL) }
+      traks.foreach { case (_, s, e) =>
+        if (w == 0) ebmlChildren(bytes, s, e).find(_._1 == 0xe0L).foreach { case (_, vs, ve) =>
+          ebmlChildren(bytes, vs, ve).foreach {
+            case (0xb0L, cs, ce) => w = ebmlUint(bytes, cs, ce).toInt
+            case (0xbaL, cs, ce) => h = ebmlUint(bytes, cs, ce).toInt
+            case _               => ()
+          }
+        }
+      }
+      Some((docType, tsNs.toInt, durTicks * tsNs / 1e6, traks.size, w, h))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** STUB video header: fake-but-deterministic closed forms from length + first
     * byte (the [[audioStub]] convention).
     */
@@ -668,7 +786,9 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { case (id, bytes) =>
           val (brand, ts, durMs, nTracks, w, h) =
-            decodeMp4Header(bytes).getOrElse(videoStub(bytes))
+            decodeMp4Header(bytes)
+              .orElse(decodeEbmlHeader(bytes))
+              .getOrElse(videoStub(bytes))
           VideoMeta(id, bytes.length.toLong, brand, ts, durMs, nTracks, w, h)
         }
       }

@@ -415,6 +415,44 @@ class TextOpsSpec extends SparkSpec {
     assert((out(4).timescale, out(4).n_tracks) === ((600, 2))) // len 11 → odd
   }
 
+  test("EBML walk: webm/matroska fields read back; unknown-size segment; defaults; stub") {
+    // programmatic EBML builder (1-byte size VINTs suffice here)
+    def el(id: Seq[Int], body: Array[Byte]): Array[Byte] =
+      (id.map(_.toByte) :+ (0x80 | body.length).toByte).toArray ++ body
+    def uint(v: Long, w: Int): Array[Byte] =
+      (1 to w).map(i => ((v >> (8 * (w - i))) & 0xff).toByte).toArray
+    val hdr = el(Seq(0x1a, 0x45, 0xdf, 0xa3),
+      el(Seq(0x42, 0x82), "webm".getBytes("ISO-8859-1")))
+    val info = el(Seq(0x15, 0x49, 0xa9, 0x66),
+      el(Seq(0x2a, 0xd7, 0xb1), uint(1000000L, 3)) ++
+        el(Seq(0x44, 0x89), uint(java.lang.Float.floatToIntBits(4250f).toLong, 4)))
+    val video = el(Seq(0xe0),
+      el(Seq(0xb0), uint(640, 2)) ++ el(Seq(0xba), uint(360, 2)))
+    val trkV = el(Seq(0xae), el(Seq(0xd7), uint(1, 1)) ++ el(Seq(0x83), uint(1, 1)) ++ video)
+    val trkA = el(Seq(0xae), el(Seq(0xd7), uint(2, 1)) ++ el(Seq(0x83), uint(2, 1)))
+    val tracks = el(Seq(0x16, 0x54, 0xae, 0x6b), trkV ++ trkA)
+    val webm = hdr ++ el(Seq(0x18, 0x53, 0x80, 0x67), info ++ tracks)
+    assert(Multimodal.decodeEbmlHeader(webm) ===
+      Some(("webm", 1000000, 4250.0, 2, 640, 360)))
+    // unknown-size segment (streamed): size byte 0xFF means to-end; Info omits
+    // TimestampScale -> spec default 1e6 ns; f64 Duration path
+    val info2 = el(Seq(0x15, 0x49, 0xa9, 0x66),
+      el(Seq(0x44, 0x89), uint(java.lang.Double.doubleToLongBits(1234.5), 8)))
+    val seg2 = Array[Byte](0x18, 0x53, 0x80.toByte, 0x67, 0xff.toByte) ++ info2 ++
+      el(Seq(0x16, 0x54, 0xae, 0x6b), trkV)
+    val mkv = el(Seq(0x1a, 0x45, 0xdf, 0xa3),
+      el(Seq(0x42, 0x82), "matroska".getBytes("ISO-8859-1"))) ++ seg2
+    assert(Multimodal.decodeEbmlHeader(mkv) ===
+      Some(("matroska", 1000000, 1234.5, 1, 640, 360)))
+    // sniff routes EBML to video; truncated/garbage payloads take the stub
+    val df = Seq((0L, webm), (1L, webm.take(9)), (2L, "nope".getBytes)).toDF("id", "payload")
+    val sniff = Multimodal.sniffTypes(df, "id", "payload").collect().sortBy(_.id)
+    assert(sniff.map(_.kind).toSeq === Seq("video", "video", "unknown"))
+    val out = Multimodal.videoMeta(df, "id", "payload").collect().sortBy(_.id)
+    assert(out(0).major_brand === "webm" && out(0).n_tracks === 2)
+    assert(out(1).major_brand === "stub" && out(2).major_brand === "stub")
+  }
+
   test("audioEnergy: square-wave RMS closed form; ragged last window; stub path") {
     // amplitude-A square wave → rms = A exactly in every window
     val sq = Array.tabulate[Short](40)(i => if (i % 2 == 0) 1200 else -1200)
