@@ -183,18 +183,25 @@ object Bench {
       (sec, err)
     }
     var retimed = 0
+    val retimedNames = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = selected.map { case (name, fn) =>
       var (sec, err) = timeOne(fn)
       // outlier re-timing (r8 verdict #1b): a transient load spike can blow one
       // query up 10–18× without any code change. If this run exceeded 2× the
       // committed record (and isn't trivially small), measure once more and keep
       // the better of the two — a legitimate regression reproduces, a spike doesn't.
+      // CAVEAT the retimed names record (r10): a same-JVM second run is also JIT-WARM,
+      // so a retimed value is a warm measurement while everything else is cold —
+      // j6_one_to_one measures 8–10 s cold vs ~3.4 s warm with zero code change
+      // (SCALING.md round 10). Cross-round comparisons must compare like with like,
+      // which requires knowing WHICH queries were retimed.
       val base = prior.get(name)
       if (err.isEmpty && base.exists(b => sec > 2 * b && sec > 2.0)) {
         System.err.println(
           f"[bench] $name%-28s $sec%8.2f s > 2x committed ${base.get}%.2f s — re-timing once")
         val (sec2, err2) = timeOne(fn)
         retimed += 1
+        retimedNames += name
         if (err2.isEmpty && sec2 < sec) sec = sec2
       }
       err match {
@@ -223,6 +230,7 @@ object Bench {
         s""""load_at_start":$loadAtStart,"load_at_end":${loadAvg()},""" +
         s""""other_jvms_at_start":$jvmsAtStart,"other_jvms_at_end":${otherJvms()},""" +
         s""""contaminated":${!quiet},"load_gate":$loadGate,"retimed":$retimed,""" +
+        s""""retimed_queries":${retimedNames.map(jstr).mkString("[", ",", "]")},""" +
         s""""cal_cpu_s":$calCpuS,"cal_mt_s":$calMtS,"cal_shuffle_s":$calShuffleS,""" +
         s""""cal_cpu_end_s":$calCpuEndS,""" +
         s""""cpus":${jstr(cpus)}}"""

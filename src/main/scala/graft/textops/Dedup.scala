@@ -102,24 +102,25 @@ object Dedup {
     val items = prepped.select(
       (Seq(col("id"), col("sz"), explode(col("toks")).as("tok")) ++ keys.map(col)): _*)
     val dfreq = items.groupBy("tok").agg(count(lit(1)).as("df"))
-    // Rarest-first prefix selection as a HASH AGGREGATION, not a sort window:
-    // collect each doc's (df, tok) structs, sort the (doc-sized, bounded) array
-    // per row, keep the first sz − ⌈t·sz⌉ + 1. The previous
-    // row_number().over(partitionBy(id).orderBy(df, tok)) shape hash-partitioned
-    // AND SORTED the full exploded token stream — the memory-pressure amplifier
-    // behind the 17.9× degradation under ~20 % background load (r8 verdict item 3;
-    // r7: 5.0 ↔ 18.6 s driver-to-driver with no code change). The per-doc array
-    // sort is O(|doc| log |doc|) row-local work with no sort-exchange or spill
-    // surface. Persist the PREFIX table: it feeds BOTH sides of the candidate
-    // self-join, and without a persist the whole upstream chain executes twice.
+    // Rarest-first prefix selection as a row_number SORT WINDOW over
+    // (id | df, tok), keeping rn ≤ sz − ⌈t·sz⌉ + 1. Plan history (SCALING.md
+    // round 10): r9 swapped this for a collect_list → array_sort → slice hash
+    // aggregation chasing the 17.9× under-load degradation r8 measured against
+    // concurrent JVMs — but the same-JVM A/B (tools/PrefixAb, sf0.1, second-run)
+    // shows the window plan 2.6× FASTER on a quiet machine (3.4 vs 8.2–9.1 s)
+    // AND flat under a 25 % CPU burner (2.8–3.2 s): Tungsten's radix sort beats
+    // per-row struct-array materialization + JVM array_sort, and the r8
+    // amplification does not reproduce under CPU contention (it was concurrent
+    // Spark JVMs fighting for memory/shuffle disk, not cycles). Both plans are
+    // oracle-identical ((df, tok) is unique per doc, so the selection is total).
+    // Persist the PREFIX table: it feeds BOTH sides of the candidate self-join,
+    // and without a persist the whole upstream chain executes twice.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("df"), col("tok"))
     val prefixes = items.join(dfreq, "tok")
-      .groupBy((Seq(col("id"), col("sz")) ++ keys.map(col)): _*)
-      .agg(slice(
-        array_sort(collect_list(struct(col("df"), col("tok")))),
-        lit(1),
-        (col("sz") - ceil(lit(threshold) * col("sz")) + lit(1)).cast("int")).as("pref"))
-      .select((Seq(col("id"), col("sz"), explode(col("pref.tok")).as("tok")) ++
-        keys.map(col)): _*)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + lit(1))
+      .select((Seq(col("id"), col("sz"), col("tok")) ++ keys.map(col)): _*)
       .scopedPersist()
     val l = prefixes.select(
       (Seq(col("id").as("id_l"), col("sz").as("sz_l"), col("tok")) ++ keys.map(col)): _*)
