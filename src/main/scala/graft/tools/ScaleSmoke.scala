@@ -187,6 +187,13 @@ object ScaleSmoke {
         graft.textops.Curation.keepTopFractionApprox(
           scored, col("score"), Seq(col("g")), 0.3).count()
       }
+      time("qsketch_quantiles", n) {
+        // the slot-minimum quantile sketch on the same stratum layout: ONE
+        // map-side-combined agg; output bounded at 16·1024 rows whatever n
+        graft.metrics.Sketches.qsketchQuantiles(
+          graft.metrics.Sketches.qsketch(scored, Seq("g"), col("score"), col("doc_id")),
+          Seq("g"), Seq("p50" -> 0.5, "p90" -> 0.9)).count()
+      }
       time("epoch_mix", n) {
         graft.textops.Curation.epochMix(docs, col("doc_id"),
           (col("doc_id") % 4).cast("string"),
