@@ -34,6 +34,21 @@ class PushdownSpec extends SparkSpec {
     }
   }
 
+  test("quantile-sketch lineitem scans prune to the four referenced columns") {
+    // sketch_slotmin_quantiles builds three sketches + the exact-median comparator
+    // off lineitem; every scan must read only key/value/flag/parity columns — at
+    // 100 TB the sketch's one-pass promise dies if the scan drags the full schema
+    val df = SparkEntry.queries("sketch_slotmin_quantiles")(spark, sf)
+    val liScans = scans(df).filter(_.requiredSchema.fieldNames.exists(_.startsWith("l_")))
+    assert(liScans.nonEmpty)
+    liScans.foreach { s =>
+      val read = s.requiredSchema.fieldNames.toSet
+      assert(read.subsetOf(
+        Set("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")),
+        s"sketch scan reads more than it needs: $read")
+    }
+  }
+
   test("ANN query-side vec_id filter is pushed down to the embeddings scan") {
     // (ev_funnel would be the natural case but computes its stage counts eagerly —
     // its returned frame is a local relation; funnel stage scans are still covered
