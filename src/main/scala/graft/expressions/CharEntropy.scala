@@ -1,6 +1,6 @@
 package graft.expressions
 
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ImplicitCastInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -13,7 +13,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * bit-for-bit by an oracle that sums a sorted list. Empty string → 0.
   */
 case class CharEntropy(child: Expression)
-  extends UnaryExpression with ExpectsInputTypes {
+  extends UnaryExpression with ImplicitCastInputTypes {
   override def dataType: DataType = DoubleType
   override def inputTypes: Seq[DataType] = Seq(StringType)
 

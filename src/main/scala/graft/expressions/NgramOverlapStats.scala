@@ -1,7 +1,7 @@
 package graft.expressions
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ImplicitCastInputTypes, Expression, GenericInternalRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -28,7 +28,7 @@ case class NgramOverlapStats(
     left: Expression,
     right: Expression,
     maxN: Int,
-    charMode: Boolean) extends BinaryExpression with ExpectsInputTypes {
+    charMode: Boolean) extends BinaryExpression with ImplicitCastInputTypes {
   require(maxN >= 1, s"maxN must be >= 1, got $maxN")
 
   override def inputTypes: Seq[DataType] = Seq(StringType, StringType)

@@ -1,6 +1,6 @@
 package graft.expressions
 
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ImplicitCastInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -14,7 +14,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * dominate the dedup scans. This expression tokenizes once per row.
   */
 case class WordShingles(child: Expression, n: Int, distinct: Boolean = true)
-  extends UnaryExpression with ExpectsInputTypes {
+  extends UnaryExpression with ImplicitCastInputTypes {
   override def dataType: DataType = ArrayType(StringType)
   override def inputTypes: Seq[DataType] = Seq(StringType)
 
@@ -62,7 +62,7 @@ object WordShingles {
   * oracle's RE2 `regexp_replace` and Java agree character-for-character.
   */
 case class CharShingles(child: Expression, n: Int)
-  extends UnaryExpression with ExpectsInputTypes {
+  extends UnaryExpression with ImplicitCastInputTypes {
   require(n >= 1, s"n must be >= 1, got $n")
   override def dataType: DataType = ArrayType(StringType)
   override def inputTypes: Seq[DataType] = Seq(StringType)

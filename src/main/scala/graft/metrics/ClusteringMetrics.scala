@@ -40,16 +40,19 @@ object ClusteringMetrics {
     // non-empty cells ≤ min(#rows, #labels × #clusters); the cap is far above any
     // real ground-truth panel but far below an accidental per-row-unique join
     // one upstream execution: persist the contingency so the cap-guard count and
-    // the collect don't each re-run the join+aggregate
+    // the collect don't each re-run the join+aggregate; unpersist in finally so
+    // the fail-loudly path doesn't leak the cached blocks
     cont.persist()
-    val cellCap = 4L << 20
-    val cells = cont.count()
-    require(cells <= cellCap,
-      s"contingency has $cells non-empty cells (> $cellCap): the true-label/cluster " +
-        "pair cardinality is not evaluation-sized; AMI/ARI need the full table on " +
-        "the driver — aggregate or sample labels first")
-    val contArr = cont.collect()
-    cont.unpersist()
+    val contArr =
+      try {
+        val cellCap = 4L << 20
+        val cells = cont.count()
+        require(cells <= cellCap,
+          s"contingency has $cells non-empty cells (> $cellCap): the true-label/cluster " +
+            "pair cardinality is not evaluation-sized; AMI/ARI need the full table on " +
+            "the driver — aggregate or sample labels first")
+        cont.collect()
+      } finally cont.unpersist()
 
     val n = contArr.map(_._3).sum
     val rowSums = contArr.groupBy(_._1).map { case (t, cs) => t -> cs.map(_._3).sum }

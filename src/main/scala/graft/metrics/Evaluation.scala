@@ -57,8 +57,12 @@ object Evaluation {
     // normalize numeric types here so callers can pass the natural long-typed
     // counts a count aggregate produces (streamingAucBins state, ad-hoc groupBys),
     // then re-collapse by s: the midrank math below requires ONE row per distinct
-    // score (duplicate-s rows — e.g. a union of streaming state snapshots — would
-    // get per-row instead of per-tie-group midranks). A no-op on conforming input.
+    // score, and duplicate-s rows would get per-row instead of per-tie-group
+    // midranks. The collapse SUMS, so duplicate rows must be DISJOINT count
+    // contributions (per-partition partials, per-day deltas) — a union of
+    // CUMULATIVE snapshots of the same state must be collapsed by the caller
+    // (max per s, as streamingAucBins does) before calling. A no-op on
+    // conforming one-row-per-s input.
     val groups = groups0
       .select(col("s").cast("double").as("s"), col("cnt").cast("double").as("cnt"),
         col("pos").cast("double").as("pos"), col("bsum").cast("long").as("bsum"))

@@ -105,10 +105,14 @@ object SketchQueries {
           concat_ws(":", col("l_orderkey"), col("l_linenumber")).as("k"),
           col("l_extendedprice").cast("double").as("price"),
           col("l_linenumber").as("ln"))
+      import graft.util.Caching.CacheSyntax
       def part(p: Int) = Sketches.qsketch(
         base.filter(col("ln") % 2 === p), Seq("flag"), col("price"), col("k"))
       val direct = Sketches.qsketch(base, Seq("flag"), col("price"), col("k"))
+      // merged feeds BOTH the mismatch join and the quantile estimate — persist
+      // the bounded (|flags|·1024-row) sketch so the parity-split builds run once
       val merged = Sketches.qsketchMerge(Seq(part(0), part(1)), Seq("flag"))
+        .scopedPersist()
       val mismatch = merged.select(col("flag"), col("slot"), col("h").as("mh"), col("v").as("mv"))
         .join(direct.select(col("flag"), col("slot"), col("h").as("dh"), col("v").as("dv")),
           Seq("flag", "slot"), "full_outer")

@@ -747,7 +747,11 @@ object Multimodal {
           case _                   => ()
         }
       }
-      if (tsNs <= 0) return None
+      // TimestampScale is an 8-byte uint element; the VideoMeta tuple carries it
+      // as Int — a value past Int.MaxValue (no real container uses one) would
+      // WRAP in toInt while duration_ms used the unwrapped value, emitting an
+      // inconsistent tuple. Treat it as malformed → stub, like any other garbage.
+      if (tsNs <= 0 || tsNs > Int.MaxValue) return None
       var w = 0
       var h = 0
       val traks = kids.filter(_._1 == 0x1654ae6bL)

@@ -82,13 +82,23 @@ class PlanAuditSpec extends SparkSpec {
     // ChatOps.validateChat pins evaluation to once per row behind an
     // explode(array(...)) Generate barrier; if a future rewrite lets the
     // optimizer collapse through it, the parse count explodes silently — this
-    // counts the instances in the executed plan so that can't happen.
+    // counts the instances in the executed plan so that can't happen. Counted on
+    // the expression TREES, not plan.toString — toString truncates wide field
+    // lists at spark.sql.debug.maxToStringFields (default 25), which is exactly
+    // how a 66-copy projection could hide from a string count.
+    import org.apache.spark.sql.catalyst.expressions.JsonToStructs
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def countParses(p: SparkPlan): Int = p.collect {
+      case a: AdaptiveSparkPlanExec => countParses(a.executedPlan)
+      case node => node.expressions.map(_.collect { case _: JsonToStructs => 1 }.sum).sum
+    }.sum
     val dir = "/root/testdata/sf0.001"
     Seq("curation_chat_validate", "ep15_sft_corpus").foreach { name =>
-      val plan = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
-      val parses = "from_json".r.findAllIn(plan).size
-      assert(parses <= 2, s"$name: $parses from_json instances in the physical plan " +
-        "(expected <= 2) — the Generate barrier in ChatOps.validateChat collapsed")
+      val parses = countParses(
+        SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan)
+      assert(parses <= 2, s"$name: $parses JsonToStructs instances in the physical " +
+        "plan (expected <= 2) — the Generate barrier in ChatOps.validateChat collapsed")
     }
   }
 
