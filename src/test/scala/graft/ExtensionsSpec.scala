@@ -73,4 +73,19 @@ class ExtensionsSpec extends SparkSpec {
   test("the extensions class injects every description without error") {
     new GraftExtensions().apply(new SparkSessionExtensions)
   }
+
+  test("type-checked functions: NULL coerces (null-safe NULL out), wrong types fail analysis") {
+    GraftExtensions.register(spark)
+    // ImplicitCastInputTypes: NULL literals stay usable (pre-r10 behavior)...
+    val r = spark.sql(
+      "SELECT char_entropy(NULL) AS e, nfc_normalize(NULL) AS n, " +
+        "lcs_length(NULL, array('a')) AS l").first()
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+    // ...while a non-coercible argument fails AT ANALYSIS with a typed error,
+    // not a ClassCastException inside codegen (the r10 ADVICE fix)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT lcs_length(map('a', 1), map('b', 2)) AS l").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("type"))
+  }
 }
