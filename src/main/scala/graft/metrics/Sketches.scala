@@ -186,7 +186,8 @@ object Sketches {
     * `rowKey` should be unique per row (it is the sample's randomness source);
     * rows sharing a key tie on `h` and deterministically keep the smaller value
     * (the struct MIN is lexicographic over (h, v)), i.e. duplicates collapse to
-    * one sample candidate.
+    * one sample candidate. Rows with a NULL rowKey or NULL value are excluded —
+    * they carry no sample information (see [[qsketchProject]]).
     */
   def qsketch(df: DataFrame, groupCols: Seq[String], value: Column, rowKey: Column): DataFrame =
     qsketchCompact(qsketchProject(df, groupCols, value, rowKey), groupCols)
@@ -198,8 +199,13 @@ object Sketches {
   def qsketchProject(df: DataFrame, groupCols: Seq[String], value: Column, rowKey: Column): DataFrame = {
     val hex = md5(rowKey.cast("string"))
     val slot = conv(substring(hex, 1, 3), 16, 10).cast("long") % QsSlots
-    df.select(groupCols.map(col) ++ Seq(
-      slot.as("slot"), substring(hex, 4, 29).as("h"), value.cast("double").as("v")): _*)
+    // NULL rowKey/value rows carry no sample information and would otherwise
+    // produce a phantom (group, null-slot) cell (md5(NULL) = NULL) that inflates
+    // n_slots and enters the quantile array — drop them up front (oracles mirror
+    // this with `WHERE k IS NOT NULL AND v IS NOT NULL`)
+    df.filter(rowKey.isNotNull && value.cast("double").isNotNull)
+      .select(groupCols.map(col) ++ Seq(
+        slot.as("slot"), substring(hex, 4, 29).as("h"), value.cast("double").as("v")): _*)
   }
 
   /** Canonical compaction: per (group, slot), the lexicographic struct-MIN keeps

@@ -35,8 +35,8 @@ class PushdownSpec extends SparkSpec {
   }
 
   test("quantile-sketch lineitem scans prune to the four referenced columns") {
-    // sketch_slotmin_quantiles builds three sketches + the exact-median comparator
-    // off lineitem; every scan must read only key/value/flag/parity columns — at
+    // sketch_slotmin_quantiles builds three sketches off lineitem; every scan
+    // must read only key/value/flag/parity columns — at
     // 100 TB the sketch's one-pass promise dies if the scan drags the full schema
     val df = SparkEntry.queries("sketch_slotmin_quantiles")(spark, sf)
     val liScans = scans(df).filter(_.requiredSchema.fieldNames.exists(_.startsWith("l_")))

@@ -146,6 +146,32 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("qsketch median tracks the exact lineitem median (moved from the hashed oracle)") {
+    // r10's driver red: exact_p50 was the hashed output's only environment-
+    // sensitive cell (quantile_cont interpolates 2-decimal prices at .xx5
+    // midpoints that are not binary-exact, so engine-version formula differences
+    // can flip round(…, 6)). The accuracy claim lives here instead: the k=1024
+    // slot sample's median is within the O(1/sqrt(k)) band of the true median.
+    val dir = "/root/testdata/sf0.001"
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_returnflag").as("flag"),
+        concat_ws(":", col("l_orderkey"), col("l_linenumber")).as("k"),
+        col("l_extendedprice").cast("double").as("price"))
+    val est = Sketches.qsketchQuantiles(
+      Sketches.qsketch(li, Seq("flag"), col("price"), col("k")),
+      Seq("flag"), Seq("p50" -> 0.5))
+    val exact = li.groupBy("flag")
+      .agg(expr("percentile(price, 0.5D)").as("exact_p50"))
+    val rows = est.join(exact, Seq("flag")).collect()
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      val e = r.getAs[Double]("p50"); val t = r.getAs[Double]("exact_p50")
+      // rank se ~ 0.5/sqrt(1024) ~ 1.6% of n; lineitem price spread is wide, so
+      // allow 10% relative — a >3-sigma band given the price distribution
+      assert(math.abs(e - t) / t < 0.10, s"flag ${r.getString(0)}: sketch $e vs exact $t")
+    }
+  }
+
   test("streaming qsketch lands on exactly the batch sketch estimates (monotone min state)") {
     val dir = "/root/testdata/sf0.001"
     val docs = spark.read.parquet(s"$dir/documents.parquet")
