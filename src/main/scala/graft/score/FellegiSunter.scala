@@ -113,22 +113,27 @@ object FellegiSunter {
     * on the ROUNDED weight so sub-ulp cross-engine differences cannot flip ranks.
     * The mutual filter is a self-equi-join of the per-record argmax list — bounded
     * by #records, and persisted so the join's two sides share one materialization.
+    *
+    * Symmetrization is an EXPLODE into both (src, dst) orientations INSIDE the
+    * scoring pass (r11): the r10 shape persisted the full narrow pair projection
+    * (MEMORY_AND_DISK, ~|pairs| rows) and symmetrized as a union of two reads of
+    * it — the suite's largest per-query storage footprint, and exactly the plan
+    * that spiked 6.3× in the r10 driver run under co-located memory/disk
+    * contention while the quiet record held 5.35 s. The explode form feeds the
+    * argmax aggregation straight off the gamma-ladder projection: same symmetric
+    * multiset, zero pair-table materialization (tools/J6Ab: identical output
+    * hash, equal quiet/CPU-loaded time, nothing left for block eviction or spill
+    * to amplify). The only remaining materialization is the |records|-bounded
+    * argmax list the mutual self-join reads twice.
     */
   def mutualBestPairs(scored: DataFrame, threshold: Double): DataFrame = {
     import graft.util.Caching.CacheSyntax
-    // persist the NARROW scored projection BEFORE the filter/round collapse:
-    // letting Catalyst fold the threshold filter and the rounded weight into the
-    // scorer's projection re-inlines the gamma similarity ladders per reference
-    // (the bayesFactor trap), and the symmetrized double-read below would pay
-    // everything twice — measured 22 s → 4 s at sf0.1 on nation-blocked customer
-    val e0 = scored
-      .select(col("uid_l"), col("uid_r"),
-        col("match_weight"), col("match_probability"))
-      .scopedPersist()
-    val e = e0.filter(col("match_probability") >= threshold)
+    val e = scored.filter(col("match_probability") >= threshold)
       .select(col("uid_l"), col("uid_r"), round(col("match_weight"), 6).as("mw"))
-    val sym = e.select(col("uid_l").as("src"), col("uid_r").as("dst"), col("mw"))
-      .unionByName(e.select(col("uid_r").as("src"), col("uid_l").as("dst"), col("mw")))
+    val sym = e.select(explode(array(
+        struct(col("uid_l").as("src"), col("uid_r").as("dst"), col("mw")),
+        struct(col("uid_r").as("src"), col("uid_l").as("dst"), col("mw")))).as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"), col("p.mw").as("mw"))
     // the (mw DESC, dst ASC) argmax as ONE map-side-combined aggregation: the
     // lexicographic struct MIN of (−mw, dst) — replaces the previous
     // max-per-src agg + join-back + min agg (two extra shuffles of the full
