@@ -110,6 +110,48 @@ object Bench {
       .count()
   }
 
+  /** Fixed-work disk I/O probe (r10 verdict #2): write 256 MB to the shuffle/temp
+    * filesystem in 1 MB chunks with an fsync, read it back, delete. The r10 driver
+    * run showed the memory/disk-contention-sensitive queries (j6_one_to_one, the
+    * prefix/minhash expansion joins) spiking 1.5–6.3× while CPU probes stayed
+    * flat — co-located page-cache/disk pressure is the one contention axis the
+    * cpu/mt/shuffle probes cannot see. With cal_io_s stamped into the record, a
+    * per-query spike that the I/O probe shares is attributable to the HOST's
+    * disk/memory state, not the plan.
+    */
+  private def calIo(): Double = {
+    val tmp = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_cal_io_${ProcessHandle.current().pid()}.bin")
+    val chunk = new Array[Byte](1 << 20)
+    new java.util.Random(42).nextBytes(chunk)
+    val chunks = 256
+    try {
+      timeIt {
+        val ch = java.nio.channels.FileChannel.open(tmp,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE,
+          java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+        try {
+          var i = 0
+          while (i < chunks) { ch.write(java.nio.ByteBuffer.wrap(chunk)); i += 1 }
+          ch.force(false)
+        } finally ch.close()
+        val in = java.nio.channels.FileChannel.open(tmp,
+          java.nio.file.StandardOpenOption.READ)
+        try {
+          val buf = java.nio.ByteBuffer.allocate(1 << 20)
+          var n = 0L
+          var read = in.read(buf)
+          while (read >= 0) {
+            n += read; buf.clear()
+            read = in.read(buf)
+          }
+          calSink ^= n
+        } finally in.close()
+      }
+    } finally { try java.nio.file.Files.deleteIfExists(tmp) catch { case _: Throwable => () } }
+  }
+
   def main(args: Array[String]): Unit = {
     val loadGate = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "2.0").toDouble
     val quiet = awaitQuietMachine(loadGate, maxWaitMs = 120000L)
@@ -151,8 +193,10 @@ object Bench {
     val calCpuS = calCpu()
     val calMtS = calMt(cpus.toInt)
     val calShuffleS = calShuffle(spark)
+    val calIoS = calIo()
     System.err.println(
-      f"[bench] calibration: cpu $calCpuS%.3f s, mt$cpus $calMtS%.3f s, shuffle $calShuffleS%.3f s")
+      f"[bench] calibration: cpu $calCpuS%.3f s, mt$cpus $calMtS%.3f s, " +
+        f"shuffle $calShuffleS%.3f s, io $calIoS%.3f s")
     val selected = SparkEntry.queries
       .filter { case (name, _) => filter.forall(_.findFirstIn(name).isDefined) }
       .toSeq.sortBy(_._1)
@@ -222,6 +266,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     val calCpuEndS = calCpu()
+    val calIoEndS = calIo()
     val run = {
       val endMs = System.currentTimeMillis()
       val iso = java.time.format.DateTimeFormatter.ISO_INSTANT
@@ -232,7 +277,7 @@ object Bench {
         s""""contaminated":${!quiet},"load_gate":$loadGate,"retimed":$retimed,""" +
         s""""retimed_queries":${retimedNames.map(jstr).mkString("[", ",", "]")},""" +
         s""""cal_cpu_s":$calCpuS,"cal_mt_s":$calMtS,"cal_shuffle_s":$calShuffleS,""" +
-        s""""cal_cpu_end_s":$calCpuEndS,""" +
+        s""""cal_cpu_end_s":$calCpuEndS,"cal_io_s":$calIoS,"cal_io_end_s":$calIoEndS,""" +
         s""""cpus":${jstr(cpus)}}"""
     }
     val line =

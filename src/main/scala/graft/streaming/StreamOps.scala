@@ -56,6 +56,17 @@ object StreamOps {
     * per-batch state work is small relative to that fixed cost (the stream-stream
     * join runs FOUR stores per partition) pass a count sized to the stream volume;
     * ops that chew real per-row state keep the session default for parallelism.
+    *
+    * r11 sizing pass: EVERY op here now passes an explicit count — 4 for the
+    * tiny keyed aggregates (≤ ~50 keys: per-lang / per-segment / per-bin), 8 for
+    * keyed state proportional to the stream (dedup hashes, per-user state,
+    * windows) — because the per-row state work of all of these streams is small
+    * against the store-commit fixed cost (measured on stream_dedup, quiet,
+    * JIT-warm: 32 partitions ≈ 7.4 s, 8 partitions ≈ 4.0 s per drive). The count
+    * is a STREAM-VOLUME decision, not a machine-size one: state keys per op are
+    * ≤ ~100k here, and a production feed with orders more keys per batch should
+    * raise the op's count accordingly (it is a per-operator parameter, not a
+    * session constant).
     */
   private def driveToMemory(
       stream: DataFrame,
@@ -90,7 +101,7 @@ object StreamOps {
     // purges — unbounded state on a real stream), yet unlike append the still-open
     // final windows are emitted too, so a bounded drive yields the full result.
     // Each window's LAST update (highest cnt) is the final value.
-    driveToMemory(stream, "update", "stream_agg")
+    driveToMemory(stream, "update", "stream_agg", statePartitions = Some(8))
       .groupBy(col("w"), col("event_type"))
       .agg(max("cnt").as("cnt"), expr("max_by(value_sum, cnt)").as("value_sum"))
       .select(
@@ -120,7 +131,7 @@ object StreamOps {
       .groupBy("lang")
       .agg(count(lit(1)).as("n_unique"))
     // complete mode: tiny keyed aggregate (one row per lang), not raw state
-    driveToMemory(stream, "complete", "stream_dedup")
+    driveToMemory(stream, "complete", "stream_dedup", statePartitions = Some(8))
   }
 
   /** Streaming sharded corpus sink — the ingest shape of
@@ -297,7 +308,7 @@ object StreamOps {
       .groupBy("lang")
       .agg(count(lit(1)).as("n_unique"))
     // complete mode: tiny keyed aggregate (one row per lang), not raw state
-    driveToMemory(stream, "complete", "stream_simhash_dedup")
+    driveToMemory(stream, "complete", "stream_simhash_dedup", statePartitions = Some(8))
   }
 
   /** Streaming corpus curation: the codegen'd quality/language expressions run
@@ -316,7 +327,7 @@ object StreamOps {
       .groupBy("pred_lang")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens"))
     // complete mode: tiny keyed aggregate (≤ #languages rows)
-    driveToMemory(stream, "complete", "stream_quality")
+    driveToMemory(stream, "complete", "stream_quality", statePartitions = Some(4))
   }
 
   /** Streaming DSIR gate: the trained k-bucket log-ratio map rides a row-local
@@ -338,7 +349,7 @@ object StreamOps {
       .groupBy("lang")
       .agg(count(lit(1)).as("n_kept"), round(sum("dsir"), 6).as("sum_dsir"))
     // complete mode: tiny keyed aggregate (≤ #languages rows)
-    driveToMemory(stream, "complete", "stream_dsir")
+    driveToMemory(stream, "complete", "stream_dsir", statePartitions = Some(4))
   }
 
   /** Streaming dedup with BOUNDED state: `dropDuplicatesWithinWatermark` evicts a
@@ -371,7 +382,7 @@ object StreamOps {
       .withColumn("event_ts", col("ts"))
       .withWatermark("event_ts", delay)
       .dropDuplicatesWithinWatermark("k")
-    driveToMemory(stream, "append", "stream_dedup_wm")
+    driveToMemory(stream, "append", "stream_dedup_wm", statePartitions = Some(8))
   }
 
   /** Stream-static enrichment: join the event stream against a broadcast dimension
@@ -390,7 +401,7 @@ object StreamOps {
       .groupBy("c_mktsegment", "event_type")
       .agg(count(lit(1)).as("n"), sum(col("value")).as("value_sum"))
     // complete mode: bounded keyed aggregate (segments × event types)
-    driveToMemory(stream, "complete", "stream_enrich")
+    driveToMemory(stream, "complete", "stream_enrich", statePartitions = Some(4))
       .select(col("c_mktsegment"), col("event_type"), col("n"),
         round(col("value_sum"), 4).as("value_sum"))
   }
@@ -530,7 +541,7 @@ object StreamOps {
             closed.result().iterator
           }
       }
-    driveToMemory(sessions.toDF(), "append", "stream_sessions")
+    driveToMemory(sessions.toDF(), "append", "stream_sessions", statePartitions = Some(8))
   }
 
   case class UserTotal(user_id: Long, n_events: Long, value_sum: Double)
@@ -558,7 +569,7 @@ object StreamOps {
           next
       }
     // keep the last update per user (a single-batch file source emits one each)
-    driveToMemory(totals.toDF(), "update", "stream_state")
+    driveToMemory(totals.toDF(), "update", "stream_state", statePartitions = Some(8))
       .groupBy("user_id")
       .agg(max("n_events").as("n_events"), max("value_sum").as("value_sum"))
       .select(col("user_id"), col("n_events"),
@@ -589,7 +600,7 @@ object StreamOps {
         .transformWithState(new RunningTotalsProcessor(),
           org.apache.spark.sql.streaming.TimeMode.None(),
           org.apache.spark.sql.streaming.OutputMode.Update())
-      driveToMemory(totals.toDF(), "update", "stream_tws")
+      driveToMemory(totals.toDF(), "update", "stream_tws", statePartitions = Some(8))
         .groupBy("user_id")
         .agg(max("n_events").as("n_events"), max("value_sum").as("value_sum"))
         .select(col("user_id"), col("n_events"),
