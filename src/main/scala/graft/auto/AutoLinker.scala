@@ -95,7 +95,16 @@ object AutoLinker {
       (col(uidCol).cast("string").as(uidCol) +:
         attrs.map(c => col(c).cast("string").as(c))) ++
         trueLabelCol.map(c => col(c).cast("string").as(c)).toSeq: _*)
-    val cleaned = Cleaning.cleanColumns(stringified, attrs, cleaningMode).cache()
+    // spread the cached records over the cluster BEFORE anything joins them: the
+    // loop's pair joins are EXPANSION joins (tiny inputs, large pair output, the
+    // gamma ladder pipelined into the join stage) and the planner broadcasts one
+    // side — so join parallelism IS the stream side's partitioning, which for a
+    // single-file source is ONE task grinding every trial's expansion (measured
+    // 6.6 s single-task jobs inside ep1_auto_link at sf0.1). Round-robin is
+    // deterministic (sort-before-repartition) and the loop's aggregates are
+    // count-based (patterns, entropies), so results are partition-layout-proof.
+    val cleaned = Cleaning.cleanColumns(stringified, attrs, cleaningMode)
+      .repartition(data.sparkSession.sparkContext.defaultParallelism).cache()
     val n = cleaned.count()
 
     val ruleChoices = candidateRuleOverride.getOrElse(
@@ -149,8 +158,12 @@ object AutoLinker {
     val lSel = prep(Cleaning.withUniqueId(left, uidCol), "l-", attrs.map(a => a -> a))
     val rSel = prep(Cleaning.withUniqueId(right, uidCol), "r-",
       mapping.map { case (lc, rc, _) => lc -> rc })
-    val cleanedL = Cleaning.cleanColumns(lSel, attrs, cleaningMode).cache()
-    val cleanedR = Cleaning.cleanColumns(rSel, attrs, cleaningMode).cache()
+    // same expansion-join parallelism reasoning as autoLink's repartition above
+    val par = left.sparkSession.sparkContext.defaultParallelism
+    val cleanedL = Cleaning.cleanColumns(lSel, attrs, cleaningMode)
+      .repartition(par).cache()
+    val cleanedR = Cleaning.cleanColumns(rSel, attrs, cleaningMode)
+      .repartition(par).cache()
     val union = cleanedL.unionByName(cleanedR).cache()
     val n = union.count()
 

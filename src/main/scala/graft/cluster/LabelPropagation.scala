@@ -39,16 +39,20 @@ object LabelPropagation {
     val nodes = sym.select(col("src").as("node")).distinct().scopedPersist()
     val tracker = new graft.util.CheckpointTracker(edges.sparkSession)
     var labels = nodes.select(col("node"), col("node").as("label"))
-    (1 to iters).foreach { _ =>
-      val neighborLabels = sym
-        .join(labels.select(col("node").as("dst"), col("label")), Seq("dst"))
-        .groupBy(col("src").as("node"), col("label"))
-        .agg(count(lit(1)).as("n"))
-      val newLabel = neighborLabels
-        .groupBy("node")
-        .agg(min(struct((-col("n")).as("negN"), col("label"))).as("best"))
-        .select(col("node"), col("best.label").as("label"))
-      labels = tracker.rotate(newLabel)
+    // label-vector-sized loop shuffles (util.Partitioning — the PageRank note)
+    graft.util.Partitioning.withShufflePartitions(edges.sparkSession,
+      graft.util.Partitioning.adaptive(edges.sparkSession, nodes.count())) {
+      (1 to iters).foreach { _ =>
+        val neighborLabels = sym
+          .join(labels.select(col("node").as("dst"), col("label")), Seq("dst"))
+          .groupBy(col("src").as("node"), col("label"))
+          .agg(count(lit(1)).as("n"))
+        val newLabel = neighborLabels
+          .groupBy("node")
+          .agg(min(struct((-col("n")).as("negN"), col("label"))).as("best"))
+          .select(col("node"), col("best.label").as("label"))
+        labels = tracker.rotate(newLabel)
+      }
     }
     labels
   }

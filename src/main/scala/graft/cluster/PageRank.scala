@@ -47,27 +47,33 @@ object PageRank {
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg")).scopedPersist()
     val tracker = new graft.util.CheckpointTracker(spark)
     var ranks: DataFrame = nodes.select(col("node"), lit(1.0 / n).as("rank"))
-    (1 to iters).foreach { i =>
-      val withDeg = ranks
-        .join(outDeg, ranks("node") === outDeg("src"), "left")
-        .select(col("node"), col("rank"), col("deg"))
-      // dangling mass stays a LAZY broadcast 1-row aggregate (equi-joined on a
-      // constant key → BroadcastHashJoin): ranks is materialized below, so both
-      // this branch and the contribution branch read the same checkpointed blocks
-      val dangling = withDeg.filter(col("deg").isNull)
-        .agg(coalesce(sum(col("rank")), lit(0.0)).as("_dmass"))
-        .withColumn("_k", lit(1))
-      val contrib = e
-        .join(withDeg.filter(col("deg").isNotNull)
-          .select(col("node").as("src"), (col("rank") / col("deg")).as("c")), Seq("src"))
-        .groupBy(col("dst").as("node")).agg(sum("c").as("contrib"))
-      ranks = nodes.join(contrib, Seq("node"), "left")
-        .withColumn("_k", lit(1))
-        .join(broadcast(dangling), Seq("_k"))
-        .select(col("node"),
-          (lit((1.0 - damping) / n) + lit(damping) *
-            (coalesce(col("contrib"), lit(0.0)) + col("_dmass") / n)).as("rank"))
-      ranks = tracker.rotate(ranks)
+    // loop shuffles sized from the rank vector, not the machine (util.Partitioning:
+    // the 10-iteration loop otherwise launches its ~30 micro-stages at the session
+    // constant — measured ~9 jobs × 32+ tasks per iteration of a 100k-node graph)
+    graft.util.Partitioning.withShufflePartitions(
+      spark, graft.util.Partitioning.adaptive(spark, n)) {
+      (1 to iters).foreach { i =>
+        val withDeg = ranks
+          .join(outDeg, ranks("node") === outDeg("src"), "left")
+          .select(col("node"), col("rank"), col("deg"))
+        // dangling mass stays a LAZY broadcast 1-row aggregate (equi-joined on a
+        // constant key → BroadcastHashJoin): ranks is materialized below, so both
+        // this branch and the contribution branch read the same checkpointed blocks
+        val dangling = withDeg.filter(col("deg").isNull)
+          .agg(coalesce(sum(col("rank")), lit(0.0)).as("_dmass"))
+          .withColumn("_k", lit(1))
+        val contrib = e
+          .join(withDeg.filter(col("deg").isNotNull)
+            .select(col("node").as("src"), (col("rank") / col("deg")).as("c")), Seq("src"))
+          .groupBy(col("dst").as("node")).agg(sum("c").as("contrib"))
+        ranks = nodes.join(contrib, Seq("node"), "left")
+          .withColumn("_k", lit(1))
+          .join(broadcast(dangling), Seq("_k"))
+          .select(col("node"),
+            (lit((1.0 - damping) / n) + lit(damping) *
+              (coalesce(col("contrib"), lit(0.0)) + col("_dmass") / n)).as("rank"))
+        ranks = tracker.rotate(ranks)
+      }
     }
     // the final rotate materialized the result; freeing its blocks is the caller's
     // GC concern — ranks is now a plain checkpointed DataFrame
@@ -116,24 +122,28 @@ object PageRank {
       .scopedPersist()
     val tracker = new graft.util.CheckpointTracker(edges.sparkSession)
     var ranks: DataFrame = withS.select(col("node"), col("s").as("rank"))
-    (1 to iters).foreach { _ =>
-      val withDeg = ranks
-        .join(outDeg, ranks("node") === outDeg("src"), "left")
-        .select(col("node"), col("rank"), col("deg"))
-      val dangling = withDeg.filter(col("deg").isNull)
-        .agg(coalesce(sum(col("rank")), lit(0.0)).as("_dmass"))
-        .withColumn("_k", lit(1))
-      val contrib = e
-        .join(withDeg.filter(col("deg").isNotNull)
-          .select(col("node").as("src"), (col("rank") / col("deg")).as("c")), Seq("src"))
-        .groupBy(col("dst").as("node")).agg(sum("c").as("contrib"))
-      ranks = withS.join(contrib, Seq("node"), "left")
-        .withColumn("_k", lit(1))
-        .join(broadcast(dangling), Seq("_k"))
-        .select(col("node"),
-          (lit(1.0 - damping) * col("s") + lit(damping) *
-            (coalesce(col("contrib"), lit(0.0)) + col("_dmass") * col("s"))).as("rank"))
-      ranks = tracker.rotate(ranks)
+    // rank-vector-sized loop shuffles, as in [[pageRank]]
+    graft.util.Partitioning.withShufflePartitions(edges.sparkSession,
+      graft.util.Partitioning.adaptive(edges.sparkSession, nodes.count())) {
+      (1 to iters).foreach { _ =>
+        val withDeg = ranks
+          .join(outDeg, ranks("node") === outDeg("src"), "left")
+          .select(col("node"), col("rank"), col("deg"))
+        val dangling = withDeg.filter(col("deg").isNull)
+          .agg(coalesce(sum(col("rank")), lit(0.0)).as("_dmass"))
+          .withColumn("_k", lit(1))
+        val contrib = e
+          .join(withDeg.filter(col("deg").isNotNull)
+            .select(col("node").as("src"), (col("rank") / col("deg")).as("c")), Seq("src"))
+          .groupBy(col("dst").as("node")).agg(sum("c").as("contrib"))
+        ranks = withS.join(contrib, Seq("node"), "left")
+          .withColumn("_k", lit(1))
+          .join(broadcast(dangling), Seq("_k"))
+          .select(col("node"),
+            (lit(1.0 - damping) * col("s") + lit(damping) *
+              (coalesce(col("contrib"), lit(0.0)) + col("_dmass") * col("s"))).as("rank"))
+        ranks = tracker.rotate(ranks)
+      }
     }
     ranks
   }
@@ -186,15 +196,19 @@ object PageRank {
     }
     var hubsN: DataFrame = nodes.select(col("node"), lit(1.0).as("hub"))
     var authN: DataFrame = null
-    (1 to iters).foreach { _ =>
-      val aRaw = aTracker.rotate(
-        e.join(hubsN.select(col("node").as("src"), col("hub")), Seq("src"))
-          .groupBy(col("dst").as("node")).agg(sum("hub").as("authority")))
-      authN = l2normalized(aRaw, "authority")
-      val hRaw = hTracker.rotate(
-        e.join(authN.select(col("node").as("dst"), col("authority")), Seq("dst"))
-          .groupBy(col("src").as("node")).agg(sum("authority").as("hub")))
-      hubsN = l2normalized(hRaw, "hub")
+    // vector-sized loop shuffles, as in [[pageRank]]
+    graft.util.Partitioning.withShufflePartitions(edges.sparkSession,
+      graft.util.Partitioning.adaptive(edges.sparkSession, nodes.count())) {
+      (1 to iters).foreach { _ =>
+        val aRaw = aTracker.rotate(
+          e.join(hubsN.select(col("node").as("src"), col("hub")), Seq("src"))
+            .groupBy(col("dst").as("node")).agg(sum("hub").as("authority")))
+        authN = l2normalized(aRaw, "authority")
+        val hRaw = hTracker.rotate(
+          e.join(authN.select(col("node").as("dst"), col("authority")), Seq("dst"))
+            .groupBy(col("src").as("node")).agg(sum("authority").as("hub")))
+        hubsN = l2normalized(hRaw, "hub")
+      }
     }
     nodes
       .join(hubsN, Seq("node"), "left")

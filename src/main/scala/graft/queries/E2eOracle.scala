@@ -39,10 +39,16 @@ object E2eOracle {
     * pairing and 4N target pairs that make the SQL replay exact.
     */
   def pinnedQuery(s: SparkSession, dir: String): DataFrame = {
+    // round-robin spread before the pipeline: the EM pattern aggregation and the
+    // predict scan are expansion joins whose parallelism is the stream side's
+    // partitioning — a single-file source otherwise grinds them on ONE task
+    // (see AutoLinker's repartition note; all downstream aggregates here are
+    // count-based, so the result is partition-layout-proof)
     val df = s.read.parquet(s"$dir/customer.parquet")
       .withColumn("uid", col("c_custkey").cast("string"))
       .withColumn("c_nationkey", col("c_nationkey").cast("string"))
       .withColumn("k", (col("c_custkey") % 100).cast("string"))
+      .repartition(s.sparkContext.defaultParallelism)
     val n = df.count()
     val model = Estimation.train(
       df, "uid", Specs,

@@ -184,7 +184,10 @@ object LinkageQueries {
       // a recursive transitive-closure CTE (exact, no closed-form shortcut). The
       // TRAINED e2e (ep1) stays rows-only; this pins everything downstream of the
       // model parameters, which is the path every scoring batch runs at serve time.
+      // round-robin spread for the predict expansion (AutoLinker note); the CC and
+      // the output join are key-discrete, so the result is partition-layout-proof
       val df = withUid(cust(s, dir))
+        .repartition(s.sparkContext.defaultParallelism)
       val scored = FellegiSunter.predict(df, "uid", demoModel)
       val edges = scored.filter(col("match_probability") >= 0.9)
         .select(col("uid_l").as("src"), col("uid_r").as("dst"))
@@ -202,14 +205,23 @@ object LinkageQueries {
       // oracle-checked (the trained ep1_auto_link stays rows-only).
       import s.implicits._
       import graft.metrics.EntropyMetrics
+      import graft.util.Caching.CacheSyntax
+      // round-robin spread: the predict expansion otherwise runs on the single
+      // scan task (see AutoLinker's repartition note); every aggregate below is
+      // count-based, so the result is partition-layout-proof
       val df = withUid(cust(s, dir))
+        .repartition(s.sparkContext.defaultParallelism)
       val attrs = demoSpecs.map(_.column)
       val scored = FellegiSunter.predict(df, "uid", demoModel)
       // the demo model's probability mass tops out well under 0.5 (see
       // j7_threshold_sweep) — 0.01 is the sweep's operating band that yields a
-      // non-trivial cluster structure for the metric to score
+      // non-trivial cluster structure for the metric to score.
+      // persist the edge list: it is consumed TWICE (the nEdges count and the
+      // CC materialization) and each lazy read re-runs the full predict
+      // expansion — measured as two back-to-back ~2–3 s jobs at sf0.1
       val edges = scored.filter(col("match_probability") >= 0.01)
         .select(col("uid_l").as("src"), col("uid_r").as("dst"))
+        .scopedPersist()
       val nEdges = edges.count()
       val clusters = ConnectedComponents.assignClusters(df, "uid", edges)
       val nonSingleton = clusters.groupBy("cluster_id")
@@ -270,11 +282,17 @@ object LinkageQueries {
     "j7_cluster_stats" -> { (s, dir) =>
       // post-clustering audit (Splink cluster metrics): per entity cluster from the
       // serve path, node/edge counts and graph density — sparse chains are the
-      // classic over-merge red flag
+      // classic over-merge red flag.
+      // round-robin spread for the predict expansion (AutoLinker note), and the
+      // edge list persisted: it feeds BOTH the CC materialization and the
+      // clusterStats edge aggregation — each lazy read re-runs the full predict
+      import graft.util.Caching.CacheSyntax
       val df = withUid(cust(s, dir))
+        .repartition(s.sparkContext.defaultParallelism)
       val scored = FellegiSunter.predict(df, "uid", demoModel)
       val edges = scored.filter(col("match_probability") >= 0.9)
         .select(col("uid_l").as("src"), col("uid_r").as("dst"))
+        .scopedPersist()
       val assigned = ConnectedComponents.assignClusters(df, "uid", edges)
       ConnectedComponents.clusterStats(assigned, "uid", edges)
         .orderBy("cluster_id")

@@ -163,7 +163,11 @@ object MetricQueries {
         .orderBy("col_a", "col_b")
     },
     "y17_confusion_metrics" -> { (s, dir) =>
+      // round-robin spread: the predict expansion otherwise runs on the single
+      // scan task (see AutoLinker's repartition note); the confusion aggregation
+      // is count-based, so the result is partition-layout-proof
       val df = custTruth(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
       val preds = FellegiSunter.predict(df, "uid", LinkageQueries.demoModel)
       val m = PairwiseMetrics.confusionMetrics(df, preds, 0.05, "uid", "truth",
         assumeUniquePairs = true) // predict output enforces uid_l < uid_r uniqueness
