@@ -44,39 +44,57 @@ object EntropyMetrics {
     row.getLong(0)
   }
 
-  /** Both entropy bases in ONE aggregation job: two `entropy_agg` buffers over the same
-    * grouped scan (the 4-job form — one job per (grouping × base) — paid the full scan
-    * 4 times for identical group keys).
+  /** All four (grouping × base) entropy vectors in ONE aggregation job: the whole-
+    * dataset and per-cluster groupings ride a single GROUPING SETS pass with two
+    * `entropy_agg` buffers each, and the per-cluster means + whole-row picks
+    * collapse in one follow-up aggregate — one job and one scan where the
+    * round-10 shape ran two jobs (each already two-buffer; the original 4-job
+    * form paid the scan four times). Empty input yields the same zeros as the
+    * two-job form: the global grouping-set row carries no attribute keys (every
+    * `getItem` is null → 0.0) and the per-cluster mean averages zero rows
+    * (null → 0.0) — the pow(0, 0) = 1.0 all-singleton contract is untouched.
+    *
+    * Returns ((wholeS, wholeA), (byClusterS, byClusterA)).
     */
-  private def dualBaseEntropy(
+  private def dualBaseEntropyBoth(
       df: DataFrame,
       attributes: Seq[String],
-      byCluster: Boolean,
       baseS: Int,
-      baseA: Int): (Map[String, Double], Map[String, Double]) = {
+      baseA: Int): ((Map[String, Double], Map[String, Double]),
+      (Map[String, Double], Map[String, Double])) = {
     val grouped = Cleaning.nullSentinel(
-        df.select((attributes.map(c => col(c).cast("string").as(c)) ++
-          (if (byCluster) Seq(col("cluster_id")) else Nil)): _*),
+        df.select((attributes.map(c => col(c).cast("string").as(c)) :+
+          col("cluster_id")): _*),
         attributes)
-      .groupBy(if (byCluster) col("cluster_id") else lit(1).as("g"))
+      .groupingSets(Seq(Seq.empty, Seq(col("cluster_id"))), col("cluster_id"))
       .agg(
         entropy_agg(baseS, attributes.map(c => c -> col(c)): _*).as("ent_s"),
-        entropy_agg(baseA, attributes.map(c => c -> col(c)): _*).as("ent_a"))
+        entropy_agg(baseA, attributes.map(c => c -> col(c)): _*).as("ent_a"),
+        grouping(col("cluster_id")).as("_g"))
     val row = grouped
-      .select((attributes.map(c => mean(col("ent_s").getItem(c)).as(s"s_$c")) ++
-        attributes.map(c => mean(col("ent_a").getItem(c)).as(s"a_$c"))): _*)
+      .select((attributes.map(c =>
+          max(when(col("_g") === 1, col("ent_s").getItem(c))).as(s"ws_$c")) ++
+        attributes.map(c =>
+          max(when(col("_g") === 1, col("ent_a").getItem(c))).as(s"wa_$c")) ++
+        attributes.map(c =>
+          mean(when(col("_g") === 0, col("ent_s").getItem(c))).as(s"cs_$c")) ++
+        attributes.map(c =>
+          mean(when(col("_g") === 0, col("ent_a").getItem(c))).as(s"ca_$c"))): _*)
       .collect()(0)
     def part(off: Int) = attributes.zipWithIndex.map { case (c, i) =>
       c -> (if (row.isNullAt(off + i)) 0.0 else row.getDouble(off + i))
     }.toMap
-    (part(0), part(attributes.length))
+    val n = attributes.length
+    ((part(0), part(n)), (part(2 * n), part(3 * n)))
   }
 
   /** Y8 — information-gain power ratio `I_s ^ I_a` over a clustered dataset:
     * scaled base c = #non-singleton clusters, adjusted base u from the caller (Y9 on the
     * original data); each I = Σ_cols (whole-matched entropy − mean per-cluster entropy).
-    * Both bases ride the same aggregation, so the whole metric is 2 entropy jobs
-    * (whole + by-cluster), not 4.
+    * Both bases AND both groupings ride one GROUPING SETS aggregation
+    * ([[dualBaseEntropyBoth]]), so the whole metric is 1 entropy job, not 2 (r10)
+    * or 4 (the one-job-per-(grouping × base) original) — and the matched frame
+    * has a single consumer, so its cache is gone too.
     */
   def informationGainPowerRatio(
       clusters: DataFrame,
@@ -86,17 +104,11 @@ object EntropyMetrics {
       .withColumnRenamed("count", "_cluster_count")
     val data = clusters.join(counts, Seq("cluster_id"), "left")
     val numClusters = counts.filter(col("_cluster_count") > 1).count().toInt
-    val matched = data.filter(col("_cluster_count") > 1).cache()
-    try {
-      val (ms, ma) = dualBaseEntropy(matched, attributes, byCluster = false,
-        numClusters, adjustedBase)
-      val (cs, ca) = dualBaseEntropy(matched, attributes, byCluster = true,
-        numClusters, adjustedBase)
-      val is = attributes.map(c => ms(c) - cs(c)).sum
-      val ia = attributes.map(c => ma(c) - ca(c)).sum
-      math.pow(is, ia)
-    } finally {
-      matched.unpersist()
-    }
+    val matched = data.filter(col("_cluster_count") > 1)
+    val ((ms, ma), (cs, ca)) =
+      dualBaseEntropyBoth(matched, attributes, numClusters, adjustedBase)
+    val is = attributes.map(c => ms(c) - cs(c)).sum
+    val ia = attributes.map(c => ma(c) - ca(c)).sum
+    math.pow(is, ia)
   }
 }

@@ -333,6 +333,11 @@ object CurationQueries {
       // langid projection (the pipeline's priciest scan) executes twice
       val scored = TextQueries.plantedCorpus(s, dir)
         .filter(col("doc_id") % 13 =!= 0)
+        // round-robin spread BEFORE the tokenize/quality/langid projection — the
+        // pipeline's priciest per-row scan otherwise runs at the 3-branch union's
+        // scan parallelism (measured: ep3 warm 6.1 → 5.3 s); per-row expressions
+        // + integer-count aggregates downstream, so layout-proof
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), col("text"), col("lang"),
           TextOps.tokenCount(col("text")).as("n_tokens"),
           round(TextOps.qualityScore(col("text")), 6).as("quality"),
@@ -1190,7 +1195,13 @@ object CurationQueries {
       .when(k % 5 === 0,
         concat(lit("["), m("user", "u1"), lit(","), emptyA, lit("]")))
       .otherwise(ok)
+    // round-robin spread: the from_json + chat-gate expression work downstream
+    // runs at this frame's partitioning, and a single-file orders scan otherwise
+    // grinds it on ONE task (measured 2.9 s single-task inside ep15 at sf0.1);
+    // all consumers are per-row expressions + count/sum aggregates or
+    // rec_id-ordered packing windows, so results are partition-layout-proof
     s.read.parquet(s"$dir/orders.parquet").select(k.as("rec_id"), conv.as("conv"))
+      .repartition(s.sparkContext.defaultParallelism)
   }
 
   /** The chat-validate CTE chain ending in `v` (all flags incl. per-record

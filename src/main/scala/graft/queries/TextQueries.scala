@@ -152,6 +152,11 @@ object TextQueries {
           .select((col("doc_id") + 200000).as("doc_id"),
             concat(col("text"), lit(" xtradup token")).as("text"), col("lang"), col("n_chars")))
   }
+  // NOT round-robin-spread here (r11 measured): the minhash/shingle family is
+  // already ~6-way parallel through the 3 union branches and its per-row sig
+  // work is cheap enough that a corpus-wide repartition COSTS ~0.4 s/query
+  // (extra exchange + 32-task stages) — dedup_apply A/B 4.6 vs 5.1 s warm.
+  // Heavy-scan consumers (quality/langid in ep3) spread their own projection.
 
   private[queries] val corpusCte =
     """corpus AS (
@@ -1401,7 +1406,10 @@ object TextQueries {
       // the full training-data pipeline, one plan, fully oracle-checked:
       // score → filter → accent/case-fold dedup (keeper = min id) → Bloom
       // decontamination vs benchmark → vocab build+encode → sharded manifest
+      // spread before the quality/langid projection (the ep3 pattern — heavy
+      // per-row scan work, layout-proof aggregates downstream)
       val corpus = plantedCorpus(s, dir).filter(col("doc_id") % 13 =!= 0)
+        .repartition(s.sparkContext.defaultParallelism)
       val bench = docs(s, dir).filter(col("doc_id") % 13 === 0)
       val kept = corpus.select(col("doc_id"), col("text"),
           TextOps.tokenCount(col("text")).as("n_tokens"),
