@@ -149,24 +149,28 @@ object Preference {
       .select(col("item"), coalesce(col("wi"), lit(0L)).as("wi")).scopedPersist()
     val tracker = new graft.util.CheckpointTracker(spark)
     var s: DataFrame = items.select(col("item"), lit(1.0).as("score"))
-    (1 to iters).foreach { _ =>
-      val denom = games
-        .join(s.select(col("item").as("j"), col("score").as("sj")), Seq("j"))
-        .join(s.select(col("item").as("i"), col("score").as("si")), Seq("i"))
-        .groupBy("i").agg(sum(col("nij") / (col("si") + col("sj"))).as("denom"))
-      val raw = w
-        .join(denom, w("item") === denom("i"), "left")
-        .join(s.select(col("item"), col("score").as("sPrev")), Seq("item"))
-        .select(col("item"),
-          ((col("wi") + lit(epsilon)) /
-            (coalesce(col("denom"), lit(0.0)) +
-              lit(2 * epsilon) / (col("sPrev") + lit(1.0)))).as("sraw"))
-      // sum-normalize via a LAZY broadcast 1-row aggregate (the PageRank pattern)
-      val tot = raw.agg(sum("sraw").as("_tot")).withColumn("_k", lit(1))
-      s = raw.withColumn("_k", lit(1))
-        .join(broadcast(tot), Seq("_k"))
-        .select(col("item"), (col("sraw") * lit(n.toDouble) / col("_tot")).as("score"))
-      s = tracker.rotate(s)
+    // score-vector-sized loop shuffles (util.Partitioning — the PageRank note)
+    graft.util.Partitioning.withShufflePartitions(spark,
+      graft.util.Partitioning.adaptive(spark, n)) {
+      (1 to iters).foreach { _ =>
+        val denom = games
+          .join(s.select(col("item").as("j"), col("score").as("sj")), Seq("j"))
+          .join(s.select(col("item").as("i"), col("score").as("si")), Seq("i"))
+          .groupBy("i").agg(sum(col("nij") / (col("si") + col("sj"))).as("denom"))
+        val raw = w
+          .join(denom, w("item") === denom("i"), "left")
+          .join(s.select(col("item"), col("score").as("sPrev")), Seq("item"))
+          .select(col("item"),
+            ((col("wi") + lit(epsilon)) /
+              (coalesce(col("denom"), lit(0.0)) +
+                lit(2 * epsilon) / (col("sPrev") + lit(1.0)))).as("sraw"))
+        // sum-normalize via a LAZY broadcast 1-row aggregate (the PageRank pattern)
+        val tot = raw.agg(sum("sraw").as("_tot")).withColumn("_k", lit(1))
+        s = raw.withColumn("_k", lit(1))
+          .join(broadcast(tot), Seq("_k"))
+          .select(col("item"), (col("sraw") * lit(n.toDouble) / col("_tot")).as("score"))
+        s = tracker.rotate(s)
+      }
     }
     s
   }

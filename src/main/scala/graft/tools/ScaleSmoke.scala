@@ -311,6 +311,22 @@ object ScaleSmoke {
       time("graph_community_quality", n) {
         graft.cluster.CommunityMetrics.communityQuality(edges, labels).count()
       }
+      time("bt_scores_distributed", n) {
+        // Bradley–Terry ABOVE-CAP path (r10 verdict #7): n judgments over
+        // ~n/100 items, winner side hash-alternated so the comparison graph is
+        // dense and asymmetric; localMatrixCap = 0 forces the distributed MM
+        // loop — the slope under test is the per-round item-keyed join + agg
+        // (the PageRank shape; 5 rounds time the per-round cost, the fixpoint
+        // count is iteration-independent of n)
+        val nItems = n / 100 + 1
+        val a = (col("id") % nItems).cast("string")
+        val b = ((col("id") * 7 + 3) % nItems).cast("string")
+        val judgments = spark.range(n).select(
+          when(xxhash64(col("id")) % 2 === 0, a).otherwise(b).as("w"),
+          when(xxhash64(col("id")) % 2 === 0, b).otherwise(a).as("l"))
+        graft.metrics.Preference.btScores(judgments, "w", "l",
+          iters = 5, localMatrixCap = 0L).count()
+      }
       labels.unpersist()
       edges.unpersist()
       val vecs = vectors(spark, n, 32).persist()
