@@ -103,8 +103,10 @@ object AutoLinker {
     // 6.6 s single-task jobs inside ep1_auto_link at sf0.1). Round-robin is
     // deterministic (sort-before-repartition) and the loop's aggregates are
     // count-based (patterns, entropies), so results are partition-layout-proof.
-    val cleaned = Cleaning.cleanColumns(stringified, attrs, cleaningMode)
-      .repartition(data.sparkSession.sparkContext.defaultParallelism).cache()
+    // Conditional (r12): a naturally wide scan skips the shuffle entirely.
+    val cleaned = graft.util.Partitioning
+      .spreadNarrowScan(Cleaning.cleanColumns(stringified, attrs, cleaningMode))
+      .cache()
     val n = cleaned.count()
 
     val ruleChoices = candidateRuleOverride.getOrElse(
@@ -114,7 +116,8 @@ object AutoLinker {
 
     runSearch(cleaned, None, cleaned, uidCol, attrs, ruleChoices, adjustedBase,
       maxEvals, rnd, searchStrategy, clusterThreshold,
-      uTargetPairs = math.min(n * 4, 100000L), trueLabelCol, uDeterministicOrder)
+      uTargetPairs = math.min(n * 4, 100000L), trueLabelCol, uDeterministicOrder,
+      nRows = n)
   }
 
   /** Link-mode end-to-end: recover the left↔right column correspondence (Y10), align
@@ -138,7 +141,8 @@ object AutoLinker {
       trueLabelCol: Option[String] = None,
       searchStrategy: String = "tpe",
       candidateRuleOverride: Option[Seq[String]] = None,
-      uDeterministicOrder: Boolean = false): Result = {
+      uDeterministicOrder: Boolean = false,
+      mappingOverride: Option[Seq[(String, String, Long)]] = None): Result = {
 
     val rnd = new Random(seed)
     val lAttrs = leftAttributes.getOrElse(
@@ -146,8 +150,12 @@ object AutoLinker {
     val rAttrs = rightAttributes.getOrElse(
       right.columns.filterNot(c => c == uidCol || trueLabelCol.contains(c)).toSeq)
 
-    // Y10 — recover the column correspondence, keep left's names for the mapped pairs
-    val mapping = SchemaMatch.greedyMapping(left, right, lAttrs, rAttrs)
+    // Y10 — recover the column correspondence, keep left's names for the mapped
+    // pairs. A caller that already computed the same greedy mapping (the oracle
+    // query renders it into every row) passes it through instead of re-running
+    // the unpivot/value-join/collect pass.
+    val mapping = mappingOverride.getOrElse(
+      SchemaMatch.greedyMapping(left, right, lAttrs, rAttrs))
     require(mapping.nonEmpty, "autoLinkTables: no column correspondence found")
     val attrs = mapping.map(_._1)
 
@@ -158,12 +166,11 @@ object AutoLinker {
     val lSel = prep(Cleaning.withUniqueId(left, uidCol), "l-", attrs.map(a => a -> a))
     val rSel = prep(Cleaning.withUniqueId(right, uidCol), "r-",
       mapping.map { case (lc, rc, _) => lc -> rc })
-    // same expansion-join parallelism reasoning as autoLink's repartition above
-    val par = left.sparkSession.sparkContext.defaultParallelism
-    val cleanedL = Cleaning.cleanColumns(lSel, attrs, cleaningMode)
-      .repartition(par).cache()
-    val cleanedR = Cleaning.cleanColumns(rSel, attrs, cleaningMode)
-      .repartition(par).cache()
+    // same expansion-join parallelism reasoning as autoLink's spread above
+    val cleanedL = graft.util.Partitioning
+      .spreadNarrowScan(Cleaning.cleanColumns(lSel, attrs, cleaningMode)).cache()
+    val cleanedR = graft.util.Partitioning
+      .spreadNarrowScan(Cleaning.cleanColumns(rSel, attrs, cleaningMode)).cache()
     val union = cleanedL.unionByName(cleanedR).cache()
     val n = union.count()
 
@@ -174,7 +181,8 @@ object AutoLinker {
 
     runSearch(cleanedL, Some(cleanedR), union, uidCol, attrs, ruleChoices, adjustedBase,
       maxEvals, rnd, searchStrategy, clusterThreshold,
-      uTargetPairs = math.min(n * 4, 100000L), trueLabelCol, uDeterministicOrder)
+      uTargetPairs = math.min(n * 4, 100000L), trueLabelCol, uDeterministicOrder,
+      nRows = n)
   }
 
   /** Y3 — candidate blocking rules from a ≤10k sample, filtered by estimated cost. */
@@ -307,13 +315,16 @@ object AutoLinker {
       clusterThreshold: Double,
       uTargetPairs: Long,
       trueLabelCol: Option[String],
-      uDeterministicOrder: Boolean = false): Result = {
+      uDeterministicOrder: Boolean = false,
+      nRows: Long): Result = {
 
     var best: Option[(Trial, DataFrame, DataFrame)] = None
     val past = scala.collection.mutable.ArrayBuffer[Trial]()
-    // the u-estimation pair table is spec-independent — build it ONCE for the whole
-    // search (sample + rank + index + offset-join), and let every trial reuse it;
-    // per-trial work is then just the gamma aggregation over ~uTargetPairs rows
+    // the u-estimation pair table is spec-independent — build AND MATERIALIZE it
+    // ONCE for the whole search (sample + rank + index + offset-join): the second
+    // rotate below checkpoints the joined pair rows themselves (freeing the
+    // intermediate indexed table), so each trial's u pass is one gamma aggregation
+    // over ~uTargetPairs checkpointed rows instead of re-running the 4 offset joins
     val uSource = linkRight match {
       case Some(right) =>
         val shared = (trainDf.columns.toSet intersect right.columns.toSet).toSeq.sorted
@@ -322,16 +333,19 @@ object AutoLinker {
       case None => trainDf
     }
     val tracker = new graft.util.CheckpointTracker(trainDf.sparkSession)
-    val uPairs = Estimation.uSamplePairs(uSource, uidCol, attrs, uTargetPairs,
-      hashShuffle = !uDeterministicOrder, seed = 42L, tracker)
-    try {
-    (1 to maxEvals).foreach { _ =>
-      // one draw = comparison specs + blocking rule + Y6 training rules
-      val (specs, rule, trainingRules) =
-        drawTrial(rnd, attrs, ruleChoices, past.toSeq, strategy)
+    val uPairs = tracker.rotate(
+      Estimation.uSamplePairs(uSource, uidCol, attrs, uTargetPairs,
+        hashShuffle = !uDeterministicOrder, seed = 42L, tracker))
 
+    // one full trial: train → predict → cluster → metrics. Pure function of its
+    // draw (plus the shared loop invariants) — no session-global state, no
+    // scoped persists, CheckpointTracker instances are per-call — so trials whose
+    // draws are known upfront may run on concurrent driver threads.
+    def runTrial(specs: Seq[ComparisonSpec], rule: String, trainingRules: Seq[String])
+        : (Trial, DataFrame, DataFrame) = {
       val model = Estimation.train(trainDf, uidCol, specs, Seq(rule), trainingRules,
-        uTargetPairs = uTargetPairs, linkRight = linkRight, uPairs = Some(uPairs))
+        uTargetPairs = uTargetPairs, linkRight = linkRight, uPairs = Some(uPairs),
+        nRows = Some(nRows))
       val predictions = linkRight match {
         case Some(right) => FellegiSunter.predictLink(trainDf, right, uidCol, model)
         case None => FellegiSunter.predict(trainDf, uidCol, model)
@@ -347,10 +361,47 @@ object AutoLinker {
           labelDf, predictions, clusterThreshold, uidCol, label)) ++
           rowToMap(ClusteringMetrics.metrics(clusters, label))
       }.getOrElse(Map.empty[String, Double])
-      val trial = Trial(model, metric, rule, supervised)
-      if (best.isEmpty || metric > best.get._1.metric)
+      (Trial(model, metric, rule, supervised), clusters, predictions)
+    }
+    def record(trial: Trial, clusters: DataFrame, predictions: DataFrame): Unit = {
+      // strict > keeps the sequential tie-breaking: first trial wins ties
+      if (best.isEmpty || trial.metric > best.get._1.metric)
         best = Some((trial, clusters, predictions))
       past += trial
+    }
+
+    try {
+    // Warmup trials (the first ≤3) draw UNIFORMLY — drawParams ignores `past`
+    // while past.size < warmup — so their draws can be taken upfront (consuming
+    // the seeded RNG in exactly the sequential order; trial execution consumes no
+    // RNG) and the trials themselves OVERLAPPED on driver threads (guide §2.6:
+    // a composed trial is dozens of small jobs with straggler tails, and the
+    // scheduler back-fills idle cores with the sibling trial's tasks). Each
+    // trial's values are deterministic and `record` folds in draw order, so the
+    // result is bit-identical to the sequential loop.
+    val nWarm = math.min(maxEvals, 3)
+    val warmDraws =
+      (1 to nWarm).map(_ => drawTrial(rnd, attrs, ruleChoices, Seq.empty, strategy))
+    val warmResults =
+      if (nWarm <= 1) warmDraws.map { case (s, r, t) => runTrial(s, r, t) }
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(nWarm)
+        try {
+          val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
+          val futures = warmDraws.map { case (s, r, t) =>
+            scala.concurrent.Future(runTrial(s, r, t))(ec)
+          }
+          futures.map(f =>
+            scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
+        } finally pool.shutdown()
+      }
+    warmResults.foreach { case (t, c, p) => record(t, c, p) }
+    // post-warmup trials draw from `past` — inherently sequential
+    ((nWarm + 1) to maxEvals).foreach { _ =>
+      val (specs, rule, trainingRules) =
+        drawTrial(rnd, attrs, ruleChoices, past.toSeq, strategy)
+      val (t, c, p) = runTrial(specs, rule, trainingRules)
+      record(t, c, p)
     }
     } finally tracker.close()
 

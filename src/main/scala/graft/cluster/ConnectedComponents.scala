@@ -31,17 +31,28 @@ object ConnectedComponents {
     *         (callers left-join records and default missing nodes to their own id)
     */
   def run(edges: DataFrame, maxIter: Int = 30, localThreshold: Long = 500000L): DataFrame = {
-    val tracker = new graft.util.CheckpointTracker(edges.sparkSession)
-    var e = tracker.rotate(edges
+    val dedup = edges
       .select(col("src").cast("string"), col("dst").cast("string"))
       .filter(col("src") =!= col("dst"))
-      .distinct())
-
-    if (e.count() <= localThreshold) {
-      val out = localRun(e)
-      tracker.close()
-      return out
+      .distinct()
+    // ONE limit-probe job decides local vs distributed AND, in the local case,
+    // already holds every edge: the former checkpoint + count + collect triple
+    // paid three jobs and a full checkpoint write just to reach the driver
+    // union-find (r12; the auto-link loop runs this once per trial). A probe row
+    // past the threshold proves the set is too big without counting it; at or
+    // under the threshold the probe IS the complete deduped edge set (collect
+    // order does not matter — union-find output is order-independent). The
+    // distributed path recomputes `dedup` into its first rotation, as any
+    // over-threshold graph must pay its edge materialization anyway.
+    val cap = math.min(localThreshold, Int.MaxValue.toLong - 1).toInt
+    val probe = dedup.limit(cap + 1).collect()
+    if (probe.length <= cap) {
+      return localRun(edges.sparkSession,
+        probe.map(r => (r.getString(0), r.getString(1))))
     }
+
+    val tracker = new graft.util.CheckpointTracker(edges.sparkSession)
+    var e = tracker.rotate(dedup)
 
     var converged = false
     var iter = 0
@@ -66,10 +77,10 @@ object ConnectedComponents {
     * cluster id = lexicographic minimum node id of the component, exactly as the
     * distributed fixpoint produces.
     */
-  private def localRun(e: DataFrame): DataFrame = {
-    val spark = e.sparkSession
+  private def localRun(
+      spark: org.apache.spark.sql.SparkSession,
+      pairs: Array[(String, String)]): DataFrame = {
     import spark.implicits._
-    val pairs = e.as[(String, String)].collect()
     val index = scala.collection.mutable.HashMap.empty[String, Int]
     val nodes = scala.collection.mutable.ArrayBuffer.empty[String]
     def idOf(s: String): Int = index.getOrElseUpdate(s, { nodes += s; nodes.length - 1 })

@@ -112,7 +112,7 @@ object AutoLinkOracle {
       rightAttributes = Some(Seq("prefix", "mkt", "nat")),
       maxEvals = NTrials, seed = LinkSeed, clusterThreshold = Threshold,
       cleaningMode = "none", candidateRuleOverride = Some(LinkRuleChoices),
-      uDeterministicOrder = true)
+      uDeterministicOrder = true, mappingOverride = Some(mapping))
     trialsDf(s, res).withColumn("mapping", lit(mapStr))
   }
 

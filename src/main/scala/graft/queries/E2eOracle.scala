@@ -42,18 +42,19 @@ object E2eOracle {
     // round-robin spread before the pipeline: the EM pattern aggregation and the
     // predict scan are expansion joins whose parallelism is the stream side's
     // partitioning — a single-file source otherwise grinds them on ONE task
-    // (see AutoLinker's repartition note; all downstream aggregates here are
-    // count-based, so the result is partition-layout-proof)
-    val df = s.read.parquet(s"$dir/customer.parquet")
-      .withColumn("uid", col("c_custkey").cast("string"))
-      .withColumn("c_nationkey", col("c_nationkey").cast("string"))
-      .withColumn("k", (col("c_custkey") % 100).cast("string"))
-      .repartition(s.sparkContext.defaultParallelism)
+    // (see AutoLinker's spread note; all downstream aggregates here are
+    // count-based, so the result is partition-layout-proof). Conditional (r12):
+    // a naturally wide scan skips the shuffle entirely.
+    val df = graft.util.Partitioning.spreadNarrowScan(
+      s.read.parquet(s"$dir/customer.parquet")
+        .withColumn("uid", col("c_custkey").cast("string"))
+        .withColumn("c_nationkey", col("c_nationkey").cast("string"))
+        .withColumn("k", (col("c_custkey") % 100).cast("string")))
     val n = df.count()
     val model = Estimation.train(
       df, "uid", Specs,
       blockingRules = Seq(Rule), trainingRules = Seq(Rule),
-      uTargetPairs = 4 * n, uHashShuffle = false)
+      uTargetPairs = 4 * n, uHashShuffle = false, nRows = Some(n))
     val preds = FellegiSunter.predict(df, "uid", model)
     val edges = preds.filter(col("match_probability") >= Threshold)
       .select(col("uid_l").as("src"), col("uid_r").as("dst"))

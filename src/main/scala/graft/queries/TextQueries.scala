@@ -21,6 +21,19 @@ object TextQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
+  /** Round-robin spread for the HEAVY-scan consumers (the bm25 terms explode, the
+    * qrels token join, passage chunking): a single-file source otherwise runs the
+    * whole tokenize/explode/partial-agg pass on ONE task (guide §2.5 input skew).
+    * Conditional — a naturally wide scan (the cluster-scale case) short-circuits,
+    * so this can only add parallelism where the scan had none. Downstream
+    * aggregates are counts/long-sums plus per-row deterministic projections, and
+    * double sums ride groupBy shuffles whose intra-group order was never
+    * deterministic — results are partition-layout-proof (pinned by the 6-dec
+    * rounding both engines share).
+    */
+  private def spread(df: DataFrame): DataFrame =
+    graft.util.Partitioning.spreadNarrowScan(df)
+
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
@@ -121,7 +134,7 @@ object TextQueries {
     */
   private def tokenOverlapQrels(
       s: SparkSession, dir: String, q: DataFrame): DataFrame = {
-    val docTok = docs(s, dir).select(col("doc_id"),
+    val docTok = spread(docs(s, dir)).select(col("doc_id"),
       explode(array_distinct(TextOps.tokens(col("text")))).as("token"))
     val qTok = q.select(col("query_id"),
       explode(array_distinct(TextOps.tokens(col("qtext")))).as("token"))
@@ -444,12 +457,20 @@ object TextQueries {
       // measured banding quality: MinHash-LSH pairs (exact-verified, so precision
       // is 1 by construction) against the blockless exact-Jaccard ground truth —
       // ONE full outer join + one aggregation, the empirical check on the
-      // dedup_lsh_tune S-curve
+      // dedup_lsh_tune S-curve. The 3-gram shingle pass is computed ONCE and
+      // shared by the exact side's prefix join and the LSH side's verify join
+      // (r12, guide §2.4) — same sets, same pairs, same jaccards as the two
+      // independent pipelines it replaces.
       val corpus = plantedCorpus(s, dir)
-      val exact = Dedup.ngramJaccardPairsPrefix(corpus, "doc_id", "text", 3,
-          Seq.empty, 0.5)
+      import graft.util.Caching.CacheSyntax
+      val sets = corpus.select(col("doc_id").as("id"),
+          graft.textops.TextOps.distinctShingles(col("text"), 3).as("toks"))
+        .withColumn("sz", size(col("toks")))
+        .scopedPersist()
+      val exact = Dedup.prefixJaccardPairsFromSets(sets, Seq.empty, 0.5)
         .select(col("id_l"), col("id_r"), lit(1L).as("in_true"))
-      val lsh = Dedup.minhashLshPairs(corpus, "doc_id", "text", 0.5)
+      val lsh = Dedup.minhashLshPairs(corpus, "doc_id", "text", 0.5,
+          verifySets = Some(sets))
         .select(col("id_l"), col("id_r"), lit(1L).as("in_lsh"))
       exact.join(lsh, Seq("id_l", "id_r"), "full")
         .agg(sum("in_true").as("n_true"), sum("in_lsh").as("n_lsh"),
@@ -569,7 +590,7 @@ object TextQueries {
       // lexical retrieval: Okapi BM25 over the relational inverted index
       import s.implicits._
       val q = BM25Queries.toDF("query_id", "qtext")
-      Similarity.bm25TopK(docs(s, dir), "doc_id", "text", q, 5)
+      Similarity.bm25TopK(spread(docs(s, dir)), "doc_id", "text", q, 5)
         .orderBy("query_id", "rank")
     },
     "eval_retrieval_ndcg" -> { (s, dir) =>
@@ -579,7 +600,7 @@ object TextQueries {
       // cross join; docs sharing no token drop out as rel-0 naturally)
       import s.implicits._
       val q = BM25Queries.toDF("query_id", "qtext")
-      val ranking = Similarity.bm25TopK(docs(s, dir), "doc_id", "text", q, 10)
+      val ranking = Similarity.bm25TopK(spread(docs(s, dir)), "doc_id", "text", q, 10)
         .select("query_id", "rank", "doc_id")
       Similarity.retrievalEval(ranking, tokenOverlapQrels(s, dir, q), k = 10,
           relThreshold = 2)
@@ -614,7 +635,7 @@ object TextQueries {
       import org.apache.spark.sql.expressions.Window
       import s.implicits._
       val q = BM25Queries.toDF("query_id", "qtext")
-      val cands = Similarity.bm25TopK(docs(s, dir), "doc_id", "text", q, 20)
+      val cands = Similarity.bm25TopK(spread(docs(s, dir)), "doc_id", "text", q, 20)
       cands.filter(col("rank") > 3)
         .join(tokenOverlapQrels(s, dir, q), Seq("query_id", "doc_id"), "left")
         .withColumn("rel", coalesce(col("rel"), lit(0)))
@@ -632,7 +653,7 @@ object TextQueries {
       // 2^32 chunks ≈ 10^11 tokens in ONE doc) and for doc_id < 2^31
       import s.implicits._
       val Radix = 4294967296L // 2^32
-      val chunks = graft.textops.Curation.chunkPassages(docs(s, dir), "doc_id", "text",
+      val chunks = graft.textops.Curation.chunkPassages(spread(docs(s, dir)), "doc_id", "text",
           windowTokens = 32, strideTokens = 24)
         .select((col("doc_id") * Radix + col("chunk_index")).as("chunk_id"), col("chunk"))
       val q = BM25Queries.toDF("query_id", "qtext")
@@ -649,7 +670,7 @@ object TextQueries {
       // combined by reciprocal-rank fusion over their bounded top-20 lists; the two
       // retrievers legitimately cover different candidate pools (all docs vs the
       // embedded subset) — fusing heterogeneous coverage is what RRF is for
-      val d = docs(s, dir)
+      val d = spread(docs(s, dir))
       val lexQ = d.filter(col("doc_id") < 10)
         .select(col("doc_id").as("query_id"), col("text").as("qtext"))
       val lex = Similarity.bm25TopK(d, "doc_id", "text", lexQ, 20)
@@ -710,7 +731,12 @@ object TextQueries {
       // (near-dups would otherwise swamp the result list), top-5 per query —
       // cluster-based diversification, the SQL-expressible sibling of MMR
       import s.implicits._
-      val corpus = plantedCorpus(s, dir)
+      import graft.util.Caching.CacheSyntax
+      // ONE spread + persisted corpus materialization feeds all three legs (BM25
+      // terms, minhash signatures + verify, cluster attach) — the profile showed
+      // the 3-task union synthesized per leg (r12, guide §2.4/§2.5); values are
+      // per-row deterministic + count/rounded-sum aggregates, layout-proof
+      val corpus = spread(plantedCorpus(s, dir)).scopedPersist()
       val q = BM25Queries.toDF("query_id", "qtext")
       val cands = Similarity.bm25TopK(corpus, "doc_id", "text", q, 20)
       val pairs = Dedup.minhashLshPairs(corpus, "doc_id", "text", 0.5)
@@ -1394,7 +1420,10 @@ object TextQueries {
       // leakage-safe train/val split: near-duplicate documents must land in the SAME
       // split, so the deterministic draw is keyed on the near-dup CLUSTER id, not the
       // doc id — the recipe behind honest eval sets (dedup → CC → split by cluster)
-      val corpus = plantedCorpus(s, dir)
+      // shared spread+persisted corpus for the signature, verify and attach legs
+      // (the ep12 pattern, r12); per-row deterministic values → layout-proof
+      import graft.util.Caching.CacheSyntax
+      val corpus = spread(plantedCorpus(s, dir)).scopedPersist()
       val pairs = Dedup.minhashLshPairs(corpus, "doc_id", "text", 0.5)
       val clustered = Dedup.deduplicate(corpus, "doc_id", pairs)
       graft.textops.Curation.assignSplit(

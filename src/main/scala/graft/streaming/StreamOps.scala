@@ -57,17 +57,29 @@ object StreamOps {
     * join runs FOUR stores per partition) pass a count sized to the stream volume;
     * ops that chew real per-row state keep the session default for parallelism.
     *
-    * r11 sizing pass: EVERY op here now passes an explicit count — 4 for the
-    * tiny keyed aggregates (≤ ~50 keys: per-lang / per-segment / per-bin), 8 for
-    * keyed state proportional to the stream (dedup hashes, per-user state,
-    * windows) — because the per-row state work of all of these streams is small
-    * against the store-commit fixed cost (measured on stream_dedup, quiet,
-    * JIT-warm: 32 partitions ≈ 7.4 s, 8 partitions ≈ 4.0 s per drive). The count
-    * is a STREAM-VOLUME decision, not a machine-size one: state keys per op are
-    * ≤ ~100k here, and a production feed with orders more keys per batch should
-    * raise the op's count accordingly (it is a per-operator parameter, not a
-    * session constant).
+    * r11 sizing pass: EVERY op here passes an explicit count, because the per-row
+    * state work of all of these streams is small against the store-commit fixed
+    * cost (measured on stream_dedup, quiet, JIT-warm: 32 partitions ≈ 7.4 s,
+    * 8 partitions ≈ 4.0 s per drive). r12: the counts are DERIVED from the
+    * source's size ([[heavyState]]/[[lightState]]) rather than per-op constants,
+    * so a production feed with orders more volume gets proportionally more
+    * stores, saturating at the session parallelism — the same derive-from-data
+    * rule as the iterative graph loops.
     */
+  /** r12 (verdict #7): state partition counts DERIVED from the source's on-disk
+    * size ([[graft.util.Partitioning.stateFromSource]]) instead of the r11 per-op
+    * constants — identical values at the r11-measured optima for the events-sized
+    * streams (2 MB source → 8 heavy / 4 light), scale-adaptive for bigger feeds
+    * (saturates at defaultParallelism). Heavy = keyed state proportional to the
+    * stream (dedup hashes, per-user state, windows, join buffers); light = tiny
+    * keyed aggregates (per-lang / per-segment / per-bin) whose state is bounded
+    * far below the stream size.
+    */
+  private def heavyState(spark: SparkSession, path: String): Option[Int] =
+    Some(graft.util.Partitioning.stateFromSource(spark, path, 256L << 10))
+  private def lightState(spark: SparkSession, path: String): Option[Int] =
+    Some(graft.util.Partitioning.stateFromSource(spark, path, 512L << 10))
+
   private def driveToMemory(
       stream: DataFrame,
       mode: String,
@@ -101,7 +113,7 @@ object StreamOps {
     // purges — unbounded state on a real stream), yet unlike append the still-open
     // final windows are emitted too, so a bounded drive yields the full result.
     // Each window's LAST update (highest cnt) is the final value.
-    driveToMemory(stream, "update", "stream_agg", statePartitions = Some(8))
+    driveToMemory(stream, "update", "stream_agg", statePartitions = heavyState(spark, eventsPath))
       .groupBy(col("w"), col("event_type"))
       .agg(max("cnt").as("cnt"), expr("max_by(value_sum, cnt)").as("value_sum"))
       .select(
@@ -131,7 +143,7 @@ object StreamOps {
       .groupBy("lang")
       .agg(count(lit(1)).as("n_unique"))
     // complete mode: tiny keyed aggregate (one row per lang), not raw state
-    driveToMemory(stream, "complete", "stream_dedup", statePartitions = Some(8))
+    driveToMemory(stream, "complete", "stream_dedup", statePartitions = heavyState(spark, corpusDir))
   }
 
   /** Streaming sharded corpus sink — the ingest shape of
@@ -259,7 +271,12 @@ object StreamOps {
     val idxDir = s"$work/index"
     val textsDir = s"$work/texts"
     val pairsDir = s"$work/pairs"
-    val texts0 = corpus.select(col(idCol), col(textCol))
+    // spread the one-off corpus signature pass (guide §2.5): a single-file corpus
+    // otherwise computes every corpus minhash on ONE task at setup; conditional,
+    // so a wide corpus scan skips the shuffle. Bands/pairs values are per-row
+    // deterministic — layout changes only file counts, never rows.
+    val texts0 = graft.util.Partitioning.spreadNarrowScan(
+      corpus.select(col(idCol), col(textCol)))
     Dedup.writeMinhashIndex(texts0, idCol, textCol, idxDir)
     texts0.write.mode("overwrite").parquet(textsDir)
     // seed the output with an empty, correctly-typed frame so a pair-free stream
@@ -272,19 +289,28 @@ object StreamOps {
       .schema(schema)
       .option("maxFilesPerTrigger", 1) // near-dups must be caught across batches
       .parquet(incomingDir)
-    val q = stream.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        graft.util.Caching.withCached {
-          Dedup.incrementalMinhashPairsFromIndex(idxDir,
-              spark.read.parquet(textsDir), batch, idCol, textCol, threshold)
-            .write.mode("append").parquet(pairsDir)
+    // per-batch join/distinct shuffles sized to the BATCH volume, not the session
+    // default (r12; JobProfile: 71 jobs whose 32-64-task stages did ~0 task-s each
+    // — pure scheduling overhead on file-sized batches). Same derive-from-source
+    // rule as the state-store sizing; pair/band rows are per-row deterministic,
+    // so partition count changes file counts only, never content.
+    val batchParts = graft.util.Partitioning.stateFromSource(
+      spark, incomingDir, 256L << 10)
+    graft.util.Partitioning.withShufflePartitions(spark, batchParts) {
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          graft.util.Caching.withCached {
+            Dedup.incrementalMinhashPairsFromIndex(idxDir,
+                spark.read.parquet(textsDir), batch, idCol, textCol, threshold)
+              .write.mode("append").parquet(pairsDir)
+          }
+          Dedup.writeMinhashIndex(batch.toDF(), idCol, textCol, idxDir, mode = "append")
+          batch.select(col(idCol), col(textCol)).write.mode("append").parquet(textsDir)
         }
-        Dedup.writeMinhashIndex(batch.toDF(), idCol, textCol, idxDir, mode = "append")
-        batch.select(col(idCol), col(textCol)).write.mode("append").parquet(textsDir)
-      }
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     spark.read.parquet(pairsDir)
   }
 
@@ -308,7 +334,7 @@ object StreamOps {
       .groupBy("lang")
       .agg(count(lit(1)).as("n_unique"))
     // complete mode: tiny keyed aggregate (one row per lang), not raw state
-    driveToMemory(stream, "complete", "stream_simhash_dedup", statePartitions = Some(8))
+    driveToMemory(stream, "complete", "stream_simhash_dedup", statePartitions = heavyState(spark, corpusDir))
   }
 
   /** Streaming corpus curation: the codegen'd quality/language expressions run
@@ -327,7 +353,7 @@ object StreamOps {
       .groupBy("pred_lang")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens"))
     // complete mode: tiny keyed aggregate (≤ #languages rows)
-    driveToMemory(stream, "complete", "stream_quality", statePartitions = Some(4))
+    driveToMemory(stream, "complete", "stream_quality", statePartitions = lightState(spark, docsPath))
   }
 
   /** Streaming DSIR gate: the trained k-bucket log-ratio map rides a row-local
@@ -349,7 +375,7 @@ object StreamOps {
       .groupBy("lang")
       .agg(count(lit(1)).as("n_kept"), round(sum("dsir"), 6).as("sum_dsir"))
     // complete mode: tiny keyed aggregate (≤ #languages rows)
-    driveToMemory(stream, "complete", "stream_dsir", statePartitions = Some(4))
+    driveToMemory(stream, "complete", "stream_dsir", statePartitions = lightState(spark, docsPath))
   }
 
   /** Streaming dedup with BOUNDED state: `dropDuplicatesWithinWatermark` evicts a
@@ -382,7 +408,7 @@ object StreamOps {
       .withColumn("event_ts", col("ts"))
       .withWatermark("event_ts", delay)
       .dropDuplicatesWithinWatermark("k")
-    driveToMemory(stream, "append", "stream_dedup_wm", statePartitions = Some(8))
+    driveToMemory(stream, "append", "stream_dedup_wm", statePartitions = heavyState(spark, eventsDir))
   }
 
   /** Stream-static enrichment: join the event stream against a broadcast dimension
@@ -401,7 +427,7 @@ object StreamOps {
       .groupBy("c_mktsegment", "event_type")
       .agg(count(lit(1)).as("n"), sum(col("value")).as("value_sum"))
     // complete mode: bounded keyed aggregate (segments × event types)
-    driveToMemory(stream, "complete", "stream_enrich", statePartitions = Some(4))
+    driveToMemory(stream, "complete", "stream_enrich", statePartitions = lightState(spark, eventsPath))
       .select(col("c_mktsegment"), col("event_type"), col("n"),
         round(col("value_sum"), 4).as("value_sum"))
   }
@@ -436,7 +462,7 @@ object StreamOps {
     // 4 state stores per partition per batch: size partitions to the stream, not
     // the machine — 100k events across 8 partitions keeps useful parallelism while
     // shedding 3/4 of the per-batch store-commit fixed cost
-    driveToMemory(joined, "append", "stream_join", statePartitions = Some(8))
+    driveToMemory(joined, "append", "stream_join", statePartitions = heavyState(spark, eventsPath))
       .groupBy(col("v_user").as("user_id"))
       .agg(count(lit(1)).as("n_pairs"), round(sum("value"), 4).as("value_sum"))
   }
@@ -468,7 +494,7 @@ object StreamOps {
         col("p_ts") >= col("v_ts") &&
         col("p_ts") <= col("v_ts") + expr(s"INTERVAL $windowMinutes MINUTES"),
       "left_outer")
-    driveToMemory(joined, "append", "stream_ljoin", statePartitions = Some(8))
+    driveToMemory(joined, "append", "stream_ljoin", statePartitions = heavyState(spark, eventsPath))
       .groupBy(col("v_user").as("user_id"))
       .agg(count(col("p_user")).as("n_pairs"),
         sum(when(col("p_user").isNull, 1L).otherwise(0L)).as("n_unmatched"),
@@ -541,7 +567,7 @@ object StreamOps {
             closed.result().iterator
           }
       }
-    driveToMemory(sessions.toDF(), "append", "stream_sessions", statePartitions = Some(8))
+    driveToMemory(sessions.toDF(), "append", "stream_sessions", statePartitions = heavyState(spark, eventsPath))
   }
 
   case class UserTotal(user_id: Long, n_events: Long, value_sum: Double)
@@ -569,7 +595,7 @@ object StreamOps {
           next
       }
     // keep the last update per user (a single-batch file source emits one each)
-    driveToMemory(totals.toDF(), "update", "stream_state", statePartitions = Some(8))
+    driveToMemory(totals.toDF(), "update", "stream_state", statePartitions = heavyState(spark, eventsPath))
       .groupBy("user_id")
       .agg(max("n_events").as("n_events"), max("value_sum").as("value_sum"))
       .select(col("user_id"), col("n_events"),
@@ -600,7 +626,7 @@ object StreamOps {
         .transformWithState(new RunningTotalsProcessor(),
           org.apache.spark.sql.streaming.TimeMode.None(),
           org.apache.spark.sql.streaming.OutputMode.Update())
-      driveToMemory(totals.toDF(), "update", "stream_tws", statePartitions = Some(8))
+      driveToMemory(totals.toDF(), "update", "stream_tws", statePartitions = heavyState(spark, eventsPath))
         .groupBy("user_id")
         .agg(max("n_events").as("n_events"), max("value_sum").as("value_sum"))
         .select(col("user_id"), col("n_events"),
@@ -634,7 +660,7 @@ object StreamOps {
     val regs = proj.groupBy(col("lang"), col("bucket")).agg(max(col("rho")).as("rho"))
     // update mode: each micro-batch emits the groups it changed; the LAST update per
     // (lang, bucket) is the running max. State partitions: register space is tiny.
-    val finalRegs = driveToMemory(regs, "update", "stream_hll", statePartitions = Some(4))
+    val finalRegs = driveToMemory(regs, "update", "stream_hll", statePartitions = lightState(spark, docsPath))
       .groupBy("lang", "bucket").agg(max(col("rho")).cast("int").as("register"))
     Sketches.hllEstimate(finalRegs, Seq("lang"))
   }
@@ -655,7 +681,7 @@ object StreamOps {
       .agg(min(struct(col("h"), col("v"))).as("m"))
     // update mode: the LAST emission per (lang, slot) is the running min; a final
     // min over all emissions recovers it without ordering assumptions
-    val sketch = driveToMemory(mins, "update", "stream_qsketch", statePartitions = Some(4))
+    val sketch = driveToMemory(mins, "update", "stream_qsketch", statePartitions = lightState(spark, docsPath))
       .groupBy("lang", "slot").agg(min(col("m")).as("m"))
       .select(col("lang"), col("slot"), col("m.h").as("h"), col("m.v").as("v"))
     Sketches.qsketchQuantiles(sketch, Seq("lang"),
@@ -686,7 +712,7 @@ object StreamOps {
       label(col("text")).cast("long").as("y"))
     val bins = scored.groupBy("s")
       .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
-    driveToMemory(bins, "update", "stream_auc", statePartitions = Some(4))
+    driveToMemory(bins, "update", "stream_auc", statePartitions = lightState(spark, docsPath))
       .groupBy("s").agg(max(col("n")).as("n"), max(col("n_pos")).as("n_pos"))
   }
 
@@ -706,7 +732,7 @@ object StreamOps {
     val bins = src
       .select(least(floor(score * nBins), lit(nBins - 1.0)).cast("int").as("bin"))
       .groupBy("bin").agg(count(lit(1)).as("n"))
-    driveToMemory(bins, "update", "stream_psi", statePartitions = Some(4))
+    driveToMemory(bins, "update", "stream_psi", statePartitions = lightState(spark, docsPath))
       .groupBy("bin").agg(max(col("n")).as("n"))
   }
 
@@ -718,7 +744,7 @@ object StreamOps {
     val cells = Sketches.cmsProject(toks, "tok", depth, width)
       .groupBy("row_j", "bucket").agg(count(lit(1)).as("cell"))
     // running sum is monotone here (counts only grow): last update = final cell
-    driveToMemory(cells, "update", "stream_cms", statePartitions = Some(4))
+    driveToMemory(cells, "update", "stream_cms", statePartitions = lightState(spark, docsPath))
       .groupBy("row_j", "bucket").agg(max(col("cell")).as("cell"))
   }
 }

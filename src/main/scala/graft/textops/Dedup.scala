@@ -91,14 +91,26 @@ object Dedup {
       setExpr: Column,
       blockCols: Seq[Column],
       threshold: Double): DataFrame = {
-    require(threshold > 0 && threshold <= 1,
-      s"prefix jaccard requires threshold in (0, 1], got $threshold")
     val prepped = df.select(
       (col(idCol).as("id") +: setExpr.as("toks") +:
         blockCols.zipWithIndex.map { case (c, i) => c.as(s"blk$i") }): _*)
       .withColumn("sz", size(col("toks")))
       .scopedPersist()
-    val keys = blockCols.indices.map(i => s"blk$i")
+    prefixJaccardPairsFromSets(prepped, blockCols.indices.map(i => s"blk$i"), threshold)
+  }
+
+  /** The prefix-filtered exact-Jaccard join over a PREPARED set table
+    * `(id, toks, sz[, blk*])` that the caller has already persisted — lets a
+    * diagnostic needing both the exact and the LSH side (dedup_lsh_recall) run
+    * ONE shingle pass and feed it to both (guide §2.4: share one scan), instead
+    * of each side re-shingling the corpus from text.
+    */
+  private[graft] def prefixJaccardPairsFromSets(
+      prepped: DataFrame,
+      keys: Seq[String],
+      threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"prefix jaccard requires threshold in (0, 1], got $threshold")
     val items = prepped.select(
       (Seq(col("id"), col("sz"), explode(col("toks")).as("tok")) ++ keys.map(col)): _*)
     val dfreq = items.groupBy("tok").agg(count(lit(1)).as("df"))
@@ -345,7 +357,8 @@ object Dedup {
       threshold: Double,
       k: Int = 8,
       bandSize: Int = 2,
-      shingleN: Int = 3): DataFrame = {
+      shingleN: Int = 3,
+      verifySets: Option[DataFrame] = None): DataFrame = {
     require(threshold > 0, "minhashLshPairs requires a positive threshold")
     val bands = minhashBands(minhashSignatures(df, idCol, textCol, k, shingleN), k, bandSize)
       .scopedPersist()
@@ -356,7 +369,8 @@ object Dedup {
       .select(col("l.id").as("id_l"), col("r.id").as("id_r"))
       .distinct()
     verifyShingleJaccard(candidates,
-      df.select(col(idCol).as("id"), col(textCol).as("text")), threshold, shingleN)
+      df.select(col(idCol).as("id"), col(textCol).as("text")), threshold, shingleN,
+      verifySets)
   }
 
   /** LSH band-parameter auto-tuning: for every `bandSize` dividing `k`, integrate the
@@ -531,16 +545,23 @@ object Dedup {
       candidates0: DataFrame,
       texts: DataFrame,
       threshold: Double,
-      shingleN: Int): DataFrame = {
+      shingleN: Int,
+      precomputedSets: Option[DataFrame] = None): DataFrame = {
     // persisted: feeds the id prune and both verify joins (scoped via Caching)
     val candidates = candidates0.scopedPersist()
     val touched = candidates.select(col("id_l").as("id"))
       .unionByName(candidates.select(col("id_r").as("id")))
       .distinct()
-    val sets = texts.join(touched, Seq("id"), "left_semi")
-      .select(col("id"), TextOps.distinctShingles(col("text"), shingleN).as("toks"))
-      .withColumn("sz", size(col("toks")))
-      .scopedPersist()
+    // a caller that already shingled the corpus (dedup_lsh_recall's shared pass)
+    // hands the persisted (id, toks, sz) table in; the semi-join prune then reads
+    // materialized rows instead of re-shingling candidate-touched text
+    val sets = precomputedSets match {
+      case Some(ps) => ps.join(touched, Seq("id"), "left_semi")
+      case None => texts.join(touched, Seq("id"), "left_semi")
+        .select(col("id"), TextOps.distinctShingles(col("text"), shingleN).as("toks"))
+        .withColumn("sz", size(col("toks")))
+        .scopedPersist()
+    }
     candidates
       .join(sets.select(col("id").as("id_l"), col("toks").as("toks_l"),
         col("sz").as("sz_l")), "id_l")

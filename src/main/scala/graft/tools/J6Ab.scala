@@ -99,13 +99,13 @@ object J6Ab {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def run(useExplode: Boolean): (Double, Long, Long) = {
+    def run(useExplode: Boolean, threshold: Double = 0.0): (Double, Long, Long) = {
       val t0 = System.nanoTime()
       var n = 0L
       var h = 0L
       Caching.withCached {
-        val out = (if (useExplode) explodePlan(scored(spark, sfDir), 0.0)
-          else persistPlan(scored(spark, sfDir), 0.0))
+        val out = (if (useExplode) explodePlan(scored(spark, sfDir), threshold)
+          else persistPlan(scored(spark, sfDir), threshold))
         val row = out.select(
             count(lit(1)).as("n"),
             coalesce(expr("bit_xor(xxhash64(uid_l, uid_r, CAST(match_weight AS STRING)))"),
@@ -121,9 +121,9 @@ object J6Ab {
       (sec, n, h)
     }
 
-    def phase(label: String): Seq[(String, Double, Long, Long)] =
+    def phase(label: String, threshold: Double = 0.0): Seq[(String, Double, Long, Long)] =
       Seq(false, true, false, true).zipWithIndex.map { case (ex, i) =>
-        val (sec, n, h) = run(ex)
+        val (sec, n, h) = run(ex, threshold)
         val name = s"$label:${if (ex) "explode" else "persist"}:run${i / 2 + 1}"
         System.err.println(f"[j6-ab] $name%-26s $sec%7.2f s ($n pairs, hash $h)")
         (name, sec, n, h)
@@ -145,12 +145,20 @@ object J6Ab {
     val loaded = phase("loaded")
     stop = true
     burners.foreach(_.join(1000))
+    // selective-threshold arms (r11 advice): the shipped j6_one_to_one runs at
+    // threshold 0.0 / salt 8 (LinkageQueries.scala), which the phases above
+    // match; this phase additionally covers a selective serve threshold. Its
+    // pair set differs from the 0.0 arms by construction, so it is recorded
+    // separately and excluded from the equal-output check.
+    val selective = phase("t0.9", threshold = 0.9)
 
     val all = quiet ++ loaded
     val outcomes = all.map(r => (r._3, r._4)).distinct
+    require(selective.map(r => (r._3, r._4)).distinct.size == 1,
+      s"t0.9 plans disagree: ${selective.map(r => (r._1, r._3, r._4)).mkString(", ")}")
     require(outcomes.size == 1,
       s"plans disagree: ${all.map(r => (r._1, r._3, r._4)).mkString(", ")}")
-    val json = all.map { case (k, v, _, _) => s""""$k":$v""" }.mkString(
+    val json = (all ++ selective).map { case (k, v, _, _) => s""""$k":$v""" }.mkString(
       s"""{"pairs":${outcomes.head._1},"hash":${outcomes.head._2},""", ",", "}")
     println(json)
     java.nio.file.Files.writeString(

@@ -37,11 +37,17 @@ object JobProfile {
     }
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, Job]()
     val order = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    // stage → job from SparkListenerJobStart.stageInfos: broadcast-exchange and AQE
+    // subquery jobs overlap the main job even on a single-threaded driver, so the
+    // former "most recent unfinished job" heuristic mis-binned their tasks (r11
+    // advice) — exactly in the composed queries this tool profiles
+    val stageToJob = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = {
         val site = Option(e.properties)
           .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
         jobs.put(e.jobId, Job(e.jobId, e.time, site))
+        e.stageInfos.foreach(si => stageToJob.put(si.stageId, e.jobId))
         order.add(e.jobId)
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit = {
@@ -49,21 +55,18 @@ object JobProfile {
       }
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
         if (e.taskMetrics != null) {
-          // attribute by the task's stage → job via active jobs is complex; use
-          // the most recent unfinished job (single-threaded driver => accurate)
-          val it = order.iterator()
-          var last: Job = null
-          while (it.hasNext) { val j = jobs.get(it.next()); if (j != null && j.ended == 0) last = j }
-          if (last != null) {
-            last.taskMs += e.taskMetrics.executorRunTime
-            last.tasks += 1
+          val jid = stageToJob.get(e.stageId)
+          val j = if (jid != null) jobs.get(jid) else null
+          if (j != null) {
+            j.taskMs += e.taskMetrics.executorRunTime
+            j.tasks += 1
           }
         }
       }
     })
 
     (1 to runs).foreach { r =>
-      jobs.clear(); order.clear()
+      jobs.clear(); order.clear(); stageToJob.clear()
       val t0 = System.nanoTime()
       graft.util.Caching.withCached { fn(spark, sfDir).count() }
       val wall = (System.nanoTime() - t0) / 1e9

@@ -33,9 +33,14 @@ object SynthScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // cast the shifted key back to the source type: `col + lit(long)` widens an INT
+    // key to BIGINT for every replica (k=0 included), and a drifted physical schema
+    // can change ReadSchema/pushdown-sensitive plans at the synthetic scale factors
+    // for reasons unrelated to scale (r11 advice)
     def replicate(df: DataFrame, keyCol: String): DataFrame =
       (0 until factor).map { k =>
-        df.withColumn(keyCol, col(keyCol) + lit(k.toLong * 10000000L))
+        df.withColumn(keyCol,
+          (col(keyCol) + lit(k.toLong * 10000000L)).cast(df.schema(keyCol).dataType))
       }.reduce(_ unionByName _)
 
     val cust = spark.read.parquet(s"$src/customer.parquet")

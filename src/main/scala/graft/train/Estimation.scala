@@ -362,14 +362,17 @@ object Estimation {
       tol: Double = 0.01,
       linkRight: Option[DataFrame] = None,
       uPairs: Option[DataFrame] = None,
-      uHashShuffle: Boolean = true): TrainedModel = {
+      uHashShuffle: Boolean = true,
+      nRows: Option[Long] = None): TrainedModel = {
     val uSource = linkRight match {
       case Some(right) =>
         val shared = (df.columns.toSet intersect right.columns.toSet).toSeq.sorted
         df.select(shared.map(col): _*).unionByName(right.select(shared.map(col): _*))
       case None => df
     }
-    val n = uSource.count()
+    // a search loop calling train per trial passes the loop-invariant row count
+    // (nRows) — the prior λ0 = 1/N needs N once, not one count job per trial
+    val n = nRows.getOrElse(uSource.count())
     val lambda0 = prior(n)
     // a search loop training many candidate models passes the prebuilt sampled
     // pair table (uPairs) — the sample/sort/index pipeline is spec-independent and

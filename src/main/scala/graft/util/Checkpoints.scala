@@ -20,9 +20,11 @@ final class CheckpointTracker(spark: org.apache.spark.sql.SparkSession) {
     * round ~10 of a multi-join iteration).
     */
   def rotate(df: DataFrame): DataFrame = {
-    val before = sc.getPersistentRDDs.keySet.toSet
     val out = df.localCheckpoint() // eager: safe to free the previous round after this
-    val created = sc.getPersistentRDDs.keySet.toSet -- before
+    // the created blocks are read off the returned plan's LogicalRDD, NOT by
+    // diffing the session-global registry — the diff raced on concurrent driver
+    // threads (two trackers rotating at once could free each other's blocks)
+    val created = org.apache.spark.sql.graftbridge.Bridge.checkpointedRddIds(out)
     free(current)
     current = created
     org.apache.spark.sql.graftbridge.Bridge.capCheckpointStats(out)

@@ -42,6 +42,17 @@ object Bridge {
     }
   }
 
+  /** The persistent-RDD ids a `localCheckpoint()`ed frame holds (the `LogicalRDD`'s
+    * wrapped RDD). Lets [[graft.util.CheckpointTracker]] free exactly its own
+    * blocks instead of diffing the session-global persistent-RDD registry — the
+    * diff raced when two trackers rotated on concurrent driver threads (each could
+    * adopt, then free, the other's freshly created blocks).
+    */
+  def checkpointedRddIds(df: org.apache.spark.sql.DataFrame): Set[Int] = {
+    import org.apache.spark.sql.execution.LogicalRDD
+    df.queryExecution.logical.collect { case lr: LogicalRDD => lr.rdd.id }.toSet
+  }
+
   /** Register a SQL function on a LIVE session (`sessionState` is `private[sql]`;
     * cluster deployments use `spark.sql.extensions=graft.GraftExtensions` instead,
     * which needs no bridge).
