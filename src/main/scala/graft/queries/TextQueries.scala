@@ -134,7 +134,11 @@ object TextQueries {
     */
   private def tokenOverlapQrels(
       s: SparkSession, dir: String, q: DataFrame): DataFrame = {
-    val docTok = spread(docs(s, dir)).select(col("doc_id"),
+    // NO spread here (r12 measured): the qrels tokenize+explode is the LIGHT leg
+    // of its two callers (ndcg, ep13) — both already pay a spread exchange for the
+    // bm25 terms pass, and A/B showed the second exchange costs more than the
+    // single-task tokenize it parallelizes (best-of-6 ndcg 3.47→4.01 with it)
+    val docTok = docs(s, dir).select(col("doc_id"),
       explode(array_distinct(TextOps.tokens(col("text")))).as("token"))
     val qTok = q.select(col("query_id"),
       explode(array_distinct(TextOps.tokens(col("qtext")))).as("token"))
